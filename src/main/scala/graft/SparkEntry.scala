@@ -1,13 +1,528 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Checkpoint
+import graft.operators._
+import graft.pipeline.{Ann, Dedup, Multimodal}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.sources.ChangeFeed
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data analytics ops), each with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible. See Scaladoc on the
+  * operator implementations for reference citations.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: bootstrap materialization (log → snapshot apply, A2/K6) of
+    * the CDC feed on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Bootstrap.applyLog(ChangeFeed.envelope(spark, "/root/testdata/sf0.001"))
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    ChangeFeed.envelope(s, dir)
+
+  /** Envelope view minus free-form props (the stable, hashable projection). */
+  private def envCore(s: SparkSession, dir: String): DataFrame =
+    env(s, dir).select("scn", "seq", "ts_us", "source_id", "partition_id",
+      "opcode", "key_long", "value")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Documents corpus with planted exact duplicates (each doc twice, the
+    * copy shifted by +1,000,000 in id) — exercises the near-dup pipeline on
+    * data that genuinely contains duplicates. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val compositeFilterJson =
+    """{"1":{"partitionType":"MOD","filters":[{"numBuckets":4,"bktRange":{"start":0,"end":2}}]},
+      |"3":{"partitionType":"RANGE","filters":[{"keyRange":{"start":0,"end":75}},{"keyRange":{"start":100,"end":200}}]}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S2/P13: envelope projection of the CDC feed ----
+    "q_envelope" -> ((s, dir) => envCore(s, dir)),
+
+    // ---- P4: source-set filter ----
+    "q_filter_source" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), filter = SourceFilter(Set(1, 3)))),
+
+    // ---- P7: key-range filter [25, 100) ----
+    "q_filter_keyrange" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), filter = KeyRangeFilter(25, 100))),
+
+    // ---- P8: key-mod filter, buckets [0,2) of 4 ----
+    "q_filter_keymod" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), filter = KeyModFilter(4, 0, 2))),
+
+    // ---- P10/P11: composite per-source key filter from JSON config ----
+    "q_filter_composite" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir),
+        filter = Filters.parseCompositeConfig(compositeFilterJson))),
+
+    // ---- P6: logical source+partition subscription filter ----
+    "q_filter_logical" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir),
+        filter = LogicalSourceAndPartitionFilter(
+          Map(1 -> None, 2 -> Some(Set(0: Short, 1: Short)))))),
+
+    // ---- K1/K2: /stream from a checkpoint (partial-window resume) ----
+    "q_stream_checkpoint" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), cp = Checkpoint.online(500L, 3L))),
+
+    // ---- K1: /stream with an event budget (size param analog) ----
+    "q_stream_budget" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), maxEvents = Some(500))),
+
+    // ---- /bufferInfo: per-partition min/max SCN ----
+    "q_buffer_info" -> ((s, dir) => Relay.bufferInfo(envCore(s, dir))),
+
+    // ---- A3: per-source stats totals (value summed as exact cents) ----
+    "q_stats_totals" -> ((s, dir) =>
+      Relay.statsTotals(envCore(s, dir)
+          .withColumn("value", round(col("value") * 100).cast("long")))
+        .select(col("source_id"), col("num_events"),
+          col("sum_value").cast("long").as("sum_value_c"),
+          col("min_scn"), col("max_scn"), col("max_ts_us"))),
+
+    // ---- A4: percentile stats ----
+    "q_percentiles" -> ((s, dir) =>
+      Relay.percentiles(envCore(s, dir), col("value"))
+        .select(col("source_id"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          round(col("p95"), 4).as("p95"), round(col("p99"), 4).as("p99"))),
+
+    // ---- A5: SCN high-watermark per partition ----
+    "q_max_scn" -> ((s, dir) => Relay.maxScn(envCore(s, dir))),
+
+    // ---- A1/S6: last-writer-wins merge within txn window ----
+    "q_merge_txn" -> ((s, dir) => Relay.mergeTransaction(envCore(s, dir))),
+
+    // ---- A2/K6: log → snapshot apply (latest per key, deletes drop) ----
+    "q_apply_log" -> ((s, dir) => Bootstrap.applyLog(envCore(s, dir))),
+
+    // ---- B1: bootstrap snapshot-phase banded scan ----
+    "q_snapshot_scan" -> ((s, dir) =>
+      Bootstrap.snapshotScan(
+        envCore(s, dir).withColumnRenamed("seq", "id"),
+        sinceId = 100L, targetScn = 800L, startRowScn = 0L, limit = Some(2000))),
+
+    // ---- B2: bootstrap catchup-phase banded scan ----
+    "q_catchup_scan" -> ((s, dir) =>
+      Bootstrap.catchupScan(
+        envCore(s, dir).withColumnRenamed("seq", "id")
+          .withColumnRenamed("scn", "windowscn"),
+        sinceId = 0L, startScn = 300L, targetScn = 700L)),
+
+    // ---- J3/B6: snapshot ∪ catchup stitch (as-of materialization) ----
+    "q_bootstrap_stitch" -> ((s, dir) =>
+      Bootstrap.snapshotPlusCatchup(envCore(s, dir), startScn = 500L,
+        targetScn = 900L)),
+
+    // ---- B7: seeder chunk assignment ----
+    "q_seeder_chunks" -> ((s, dir) =>
+      Bootstrap.seederChunks(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 500L)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))),
+
+    // ---- K3 shape: window-grouped delivery stats (txn windows) ----
+    "q_window_delivery" -> ((s, dir) =>
+      envCore(s, dir).groupBy(col("scn"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("source_id")).as("n_sources"),
+          min(col("seq")).as("first_seq"), max(col("seq")).as("last_seq"))),
+
+    // ---- engine query surface: aggregation (TPC-H Q1 shape). Money is
+    // summed in exact integer cents (prices/discounts are 2-decimal), so
+    // results are bit-identical across engines regardless of summation
+    // order — the right discipline for distributed sums generally. ----
+    "q1_agg" -> ((s, dir) => {
+      val priceC = round(col("l_extendedprice") * 100).cast("long")
+      val discBp = round(col("l_discount") * 100).cast("long")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(priceC).as("sum_base_price_c"),
+          sum(priceC * (lit(100L) - discBp)).as("sum_disc_price_c4"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(discBp).cast("double") / (count(lit(1)) * 100).cast("double"))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- engine query surface: selective 3-way join (TPC-H Q3 shape) ----
+    "q3_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      val revC4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(revC4).as("revenue_c4"))
+    }),
+
+    // ---- engine query surface: snowflake join (TPC-H Q5 shape) ----
+    "q5_join" -> ((s, dir) => {
+      val r = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"))
+    }),
+
+    // ---- engine query surface: per-group top-k window ----
+    "q_topk_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
+    }),
+
+    // ---- text analysis: per-doc stats ----
+    "q_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        col("n_chars"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TF.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        TF.occurrences(col("text"), "the").as("the_count"))),
+
+    // ---- text analysis: heuristic language id ----
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_pred"))),
+
+    // ---- text analysis: quality score ----
+    "q_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"))),
+
+    // ---- text analysis: content fingerprint ----
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TF.fingerprintHex(col("text")).as("fp_hex"),
+        substring(TF.fingerprintHex(col("text")), 1, 16).as("fp16"))),
+
+    // ---- dedup: exact content-hash ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(dupCorpus(s, dir))),
+
+    // ---- dedup: minhash LSH candidates → exact n-gram-Jaccard verify ----
+    "q_dedup_minhash" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val cand = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+      Dedup.ngramJaccardVerify(corpus, cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
+    }),
+
+    // ---- dedup: simhash blocking pairs (no SQL oracle: xxhash64-based) ----
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(dupCorpus(s, dir), maxHamming = 3)),
+
+    // ---- dedup: embedding-cosine near-dup via hyperplane LSH ----
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      val withDups = e.unionByName(
+        e.select((col("doc_id") + 1000000L).as("doc_id"), col("embedding")))
+      Dedup.embeddingNearDups(withDups, vecCol = "embedding", idCol = "doc_id",
+        cosineThreshold = 0.99)
+    }),
+
+    // ---- similarity search: brute-force cosine top-k (baseline) ----
+    "q_ann_brute" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(all.where(col("id") < 10), all, k = 5)
+    }),
+
+    // ---- similarity search: LSH-bucketed ANN (scale path; rows-only) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.lshTopK(all.where(col("id") < 50), all, k = 5)
+    }),
+
+    // ---- embeddings: norms (vector function surface) ----
+    "q_embed_norms" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(VF.norm2(col("embedding")), 6).as("norm"))),
+
+    // ---- multimodal: binary payload plumbing + stub decode ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeMeta(
+        Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF()
+    }))
+
+  /** DuckDB-runnable ANSI SQL oracles. Key alignment rule: column names and
+    * types match the Spark output exactly (driver hash compares by sorted
+    * column name). Non-SQL-expressible ops (xxhash64-based signatures) are
+    * omitted → rows-only check. */
+  private val ENV =
+    """WITH envelope AS (SELECT event_id - event_id % 10 AS scn, event_id AS seq,
+      | epoch_us(ts) AS ts_us,
+      | CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+      |   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1 END AS source_id,
+      | CAST(user_id % 4 AS INT) AS partition_id,
+      | CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS opcode,
+      | user_id AS key_long, value AS value FROM events)"""
+      .stripMargin.replaceAll("\n", "")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_envelope" -> s"$ENV SELECT * FROM envelope",
+
+    "q_filter_source" ->
+      s"$ENV SELECT * FROM envelope WHERE source_id IN (1, 3)",
+
+    "q_filter_keyrange" ->
+      s"$ENV SELECT * FROM envelope WHERE key_long >= 25 AND key_long < 100",
+
+    "q_filter_keymod" ->
+      s"$ENV SELECT * FROM envelope WHERE abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2",
+
+    "q_filter_composite" ->
+      (s"$ENV SELECT * FROM envelope WHERE CASE" +
+        " WHEN source_id = 3 THEN (key_long >= 0 AND key_long < 75) OR (key_long >= 100 AND key_long < 200)" +
+        " WHEN source_id = 1 THEN abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2" +
+        " ELSE TRUE END"),
+
+    "q_filter_logical" ->
+      (s"$ENV SELECT * FROM envelope WHERE (source_id = 1)" +
+        " OR (source_id = 2 AND partition_id IN (0, 1)) OR opcode IS NULL"),
+
+    "q_stream_checkpoint" ->
+      (s"$ENV SELECT * FROM envelope WHERE scn > 500" +
+        " OR (scn = 500 AND seq - scn >= 3)"),
+
+    "q_stream_budget" ->
+      s"$ENV SELECT * FROM envelope ORDER BY scn, seq LIMIT 500",
+
+    "q_buffer_info" ->
+      (s"$ENV SELECT partition_id, min(scn) AS min_scn, max(scn) AS max_scn," +
+        " count(*) AS num_events FROM envelope GROUP BY partition_id"),
+
+    "q_stats_totals" ->
+      (s"$ENV SELECT source_id, count(*) AS num_events," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " min(scn) AS min_scn," +
+        " max(scn) AS max_scn, max(ts_us) AS max_ts_us FROM envelope GROUP BY source_id"),
+
+    "q_percentiles" ->
+      (s"$ENV SELECT source_id," +
+        " round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50," +
+        " round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90," +
+        " round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95," +
+        " round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99" +
+        " FROM envelope GROUP BY source_id"),
+
+    "q_max_scn" ->
+      (s"$ENV SELECT partition_id, max(scn) AS max_scn, max(seq) AS max_seq" +
+        " FROM envelope GROUP BY partition_id"),
+
+    "q_merge_txn" ->
+      (s"$ENV SELECT scn, source_id, key_long," +
+        " arg_max(opcode, seq) AS opcode, arg_max(value, seq) AS value," +
+        " max(seq) AS seq, count(*) AS merged_updates" +
+        " FROM envelope GROUP BY scn, source_id, key_long"),
+
+    "q_apply_log" ->
+      (s"$ENV SELECT * FROM (SELECT * FROM envelope QUALIFY" +
+        " row_number() OVER (PARTITION BY key_long ORDER BY scn DESC, seq DESC) = 1)" +
+        " WHERE opcode <> 'DELETE'"),
+
+    "q_snapshot_scan" ->
+      (s"$ENV SELECT scn, seq AS id, ts_us, source_id, partition_id, opcode, key_long, value" +
+        " FROM envelope WHERE seq > 100 AND scn < 800 AND scn >= 0" +
+        " ORDER BY seq LIMIT 2000"),
+
+    "q_catchup_scan" ->
+      (s"$ENV SELECT scn AS windowscn, seq AS id, ts_us, source_id, partition_id, opcode, key_long, value" +
+        " FROM envelope WHERE seq > 0 AND scn BETWEEN 300 AND 700"),
+
+    "q_bootstrap_stitch" ->
+      (s"$ENV SELECT * FROM (SELECT * FROM envelope WHERE scn <= 900 QUALIFY" +
+        " row_number() OVER (PARTITION BY key_long ORDER BY scn DESC, seq DESC) = 1)" +
+        " WHERE opcode <> 'DELETE'"),
+
+    "q_seeder_chunks" ->
+      ("SELECT chunk_id, count(*) AS n_rows, min(o_orderkey) AS min_key," +
+        " max(o_orderkey) AS max_key FROM (SELECT o_orderkey," +
+        " CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 500 AS BIGINT) AS chunk_id" +
+        " FROM orders) GROUP BY chunk_id"),
+
+    "q_window_delivery" ->
+      (s"$ENV SELECT scn, count(*) AS n_events," +
+        " count(DISTINCT source_id) AS n_sources, min(seq) AS first_seq," +
+        " max(seq) AS last_seq FROM envelope GROUP BY scn"),
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus," +
+        " CAST(sum(l_quantity) AS BIGINT) AS sum_qty," +
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c," +
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4," +
+        " sum(l_quantity) / count(*) AS avg_qty," +
+        " CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS avg_disc," +
+        " count(*) AS count_order FROM lineitem" +
+        " WHERE l_shipdate <= TIMESTAMP '2001-09-01' GROUP BY l_returnflag, l_linestatus"),
+
+    "q3_join" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate," +
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " JOIN customer ON o_custkey = c_custkey" +
+        " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'" +
+        " AND l_shipdate > TIMESTAMP '1998-01-01'" +
+        " GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"),
+
+    "q5_join" ->
+      ("SELECT n_name," +
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " JOIN supplier ON l_suppkey = s_suppkey" +
+        " JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey" +
+        " JOIN nation ON s_nationkey = n_nationkey" +
+        " JOIN region ON n_regionkey = r_regionkey" +
+        " WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'" +
+        " AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+
+    "q_topk_orders" ->
+      ("SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (SELECT o_custkey," +
+        " o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey" +
+        " ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk FROM orders)" +
+        " WHERE rk <= 3"),
+
+    "q_text_stats" ->
+      ("SELECT doc_id, n_chars," +
+        " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " round(CAST(list_sum(list_transform(string_split_regex(text, '\\s+'), t -> length(t))) AS DOUBLE)" +
+        "   / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 6) AS mean_token_len," +
+        " CAST(len(string_split(text, 'the')) - 1 AS BIGINT) AS the_count" +
+        " FROM documents"),
+
+    "q_lang_id" -> langIdSql,
+
+    "q_quality_score" -> qualityScoreSql,
+
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS fp_hex, substr(md5(text), 1, 16) AS fp16" +
+        " FROM documents"),
+
+    "q_dedup_exact" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+        " SELECT doc_id + 1000000 AS doc_id, text FROM documents)" +
+        " SELECT md5(text) AS content_hash, min(doc_id) AS rep_id," +
+        " count(*) AS dup_count FROM corpus GROUP BY md5(text)"),
+
+    "q_dedup_minhash" -> minhashOracleSql,
+
+    "q_ann_brute" -> annBruteSql,
+
+    "q_embed_norms" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim," +
+        " round(sqrt(list_sum(list_transform(embedding," +
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm FROM embeddings"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id," +
+        " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type," +
+        " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 0 ELSE CAST(doc_id % 64 + 16 AS INT) END AS width," +
+        " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 0 ELSE CAST((doc_id * 7) % 64 + 16 AS INT) END AS height," +
+        " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE CAST((doc_id * 13) % 30 + 1 AS INT) END AS n_frames," +
+        " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(16000 + (doc_id * 13) % 30 + 1 AS INT) ELSE 0 END AS sample_rate," +
+        " CAST(8 + ((doc_id * 13) % 30 + 1) * 8 AS BIGINT) AS n_bytes" +
+        " FROM documents"))
+
+  /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
+    * same alphabetical tie-break order and the same padded-split counting. */
+  private lazy val langIdSql: String = {
+    val langs = TF.langMarkers.toSeq.sortBy(_._1)
+    def cnt(w: String): String =
+      s"(len(string_split(' ' || text || ' ', ' $w ')) - 1)"
+    val defs = langs.map { case (lang, words) =>
+      s"${words.map(cnt).mkString(" + ")} AS c_$lang"
+    }.mkString(", ")
+    val best = "greatest(" + langs.map(l => s"c_${l._1}").mkString(", ") + ")"
+    val cases = langs.map { case (lang, _) =>
+      s"WHEN c_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM " +
+      s"(SELECT doc_id, lang, $best AS best, c_de, c_en, c_es, c_fr, c_zh FROM " +
+      s"(SELECT doc_id, lang, text, $defs FROM documents))"
+  }
+
+  /** quality-score oracle mirroring TF.qualityScore arithmetic exactly. */
+  private lazy val qualityScoreSql: String = {
+    val toks = "string_split_regex(text, '\\s+')"
+    val nTok = s"CAST(len($toks) AS DOUBLE)"
+    val lengthScore = s"least($nTok / 50.0, 1.0)"
+    val punct = s"CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val punctScore = s"CASE WHEN ($punct) > 0.2 THEN 0.0 ELSE 1.0 - ($punct) * 5.0 * 0.2 END"
+    val hits = TF.langMarkers("en").map(w =>
+      s"CAST(len(list_filter($toks, t -> t = '$w')) AS DOUBLE)").mkString(" + ")
+    val stopScore = s"least((($hits) / $nTok) * 5.0, 1.0)"
+    s"SELECT doc_id, round(($lengthScore) * 0.5 + ($punctScore) * 0.3 + ($stopScore) * 0.2, 6) AS quality FROM documents"
+  }
+
+  /** minhash oracle: ground truth = brute-force exact 3-gram Jaccard ≥ 0.8
+    * over the planted-duplicate corpus (the LSH pipeline's recall at
+    * j ≥ 0.8 with k=64/bands=16 is ≈ 1, and planted dups have j = 1). */
+  private lazy val minhashOracleSql: String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+      " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))" +
+      " SELECT a.doc_id AS id_a, b.doc_id AS id_b," +
+      " round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jaccard" +
+      " FROM sh a JOIN sh b ON a.doc_id < b.doc_id" +
+      " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8"
+  }
+
+  /** brute-force ANN oracle: same double-precision sequential dot/norm. */
+  private lazy val annBruteSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def norm(a: String) =
+      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10)," +
+      " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
+      s" s AS (SELECT query_id, neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
+      " FROM c, q WHERE neighbor_id <> query_id)" +
+      " SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM" +
+      " (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)" +
+      " WHERE rank <= 5"
+  }
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID, quality scoring, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) so they stay inside
+  * WholeStageCodegen and scale linearly with the scan — at 100 TB these run
+  * as a narrow map over the documents table with zero shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** Word tokens (whitespace split). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish sub-word unit count: words plus punctuation runs — a cheap,
+    * deterministic proxy for tokenizer cost accounting. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|\\s+"), t => length(t) > 0))
+
+  /** Count of non-overlapping occurrences of `needle` in `text` via the
+    * split identity `len(split(text, needle)) - 1` — expressible in any SQL
+    * dialect with identical left-to-right non-overlap semantics (used for
+    * oracle parity). */
+  def occurrences(text: Column, needle: String): Column =
+    (size(split(text, java.util.regex.Pattern.quote(needle), -1)) - 1).cast("long")
+
+  /** Stopword-hit ratio of a language given its marker words: fraction of
+    * tokens that are in the marker set. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = stopwords.map(w =>
+      size(filter(toks, t => t === w)).cast("double")).reduce(_ + _)
+    hits / size(toks).cast("double")
+  }
+
+  /** Language-ID marker sets — tiny n-gram/stopword heuristic. Real
+    * pipelines plug fasttext-style models here; the engine contract is the
+    * column shape, which stays identical. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "a"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "la", "les"),
+    "es" -> Seq("el", "y", "la", "los"),
+    "zh" -> Seq("的", "和", "是", "了"))
+
+  /** Heuristic language-ID: argmax over marker-hit counts; ties and
+    * zero-hit rows → "und" (undetermined). Pure CASE chain over counts. */
+  def langId(text: Column): Column = {
+    val counts = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w ")).reduce(_ + _)
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, cnt), acc) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation-character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Document quality score in [0,1] — length, punctuation and
+    * stopword-density heuristics blended, the standard pre-training filter
+    * shape (C4/Gopher-style rules). Deterministic and SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / lit(50.0), lit(1.0)) // saturate at 50 tokens
+    val punct = punctRatio(text)
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 5.0 * 0.2)
+    val stopScore = least(stopwordRatio(text, langMarkers("en")) * lit(5.0), lit(1.0))
+    round(lightWeight(lengthScore, punctScore, stopScore), 6)
+  }
+
+  private def lightWeight(l: Column, p: Column, s: Column): Column =
+    l * 0.5 + p * 0.3 + s * 0.2
+
+  /** Polynomial rolling-hash fingerprint of the document text (mod 2^61-1,
+    * base 257 over UTF-8 bytes) — content-addressed document identity for
+    * exact dedup across shards without carrying the full text through the
+    * shuffle. Runs as a native Catalyst expression via crc32/md5 composition:
+    * we use the first 16 hex chars of md5 as a 64-bit fingerprint (md5 is
+    * codegen'd and available in every SQL engine for oracle parity). */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 16), 16, 10).cast("decimal(20,0)")
+
+  /** Hex md5 fingerprint (full). */
+  def fingerprintHex(text: Column): Column = md5(text.cast("binary"))
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bootstrap = snapshot + catchup serving (SURVEY.md §2.6, §3.3) — how a
+  * consumer that fell off the relay's retention window is re-primed.
+  *
+  * Reference: BootstrapProcessor pages `tab_<srcid>` (snapshot) and
+  * `log_<srcid>_<logid>` (catchup) with
+  * `WHERE id > ? AND scn < ?(target) AND scn >= ?(start) ORDER BY id LIMIT ?`
+  * (BootstrapProcessor.java:219-274,311-376); startSCN/targetSCN bound the
+  * dirty-read window (StartSCNRequestProcessor.java:105-117,
+  * TargetSCNRequestProcessor.java:47); the applier merges log → snapshot
+  * upsert-by-key (BootstrapApplierThread.java:242-386).
+  *
+  * Spark-first: paging disappears (micro-batching covers delivery); the
+  * band predicates stay *identical* and push down to the scan; the
+  * applier's upsert-by-key is a take-latest window aggregate — one shuffle
+  * on the key, no driver loop. The snapshot-then-catchup stitch (J3)
+  * becomes `snapshot(asOf=start) ∪ changes(start, target]` then one more
+  * take-latest.
+  */
+object Bootstrap {
+
+  /** B1 — snapshot-phase scan band: `id > sinceId AND scn < targetScn AND
+    * scn >= startRowScn`, id-ordered (BootstrapProcessor.java:250-274).
+    * `limit` mirrors `_maxSnapshotRowsPerFetch` paging; None = serve all
+    * (micro-batching replaces paging). */
+  def snapshotScan(tab: DataFrame, sinceId: Long, targetScn: Long,
+      startRowScn: Long = Long.MinValue, limit: Option[Int] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val banded = tab
+      .where(col("id") > sinceId && col("scn") < targetScn && col("scn") >= startRowScn)
+      .where(filter.getOrElse(lit(true)))
+    limit match {
+      case Some(n) => banded.orderBy(col("id")).limit(n)
+      case None => banded
+    }
+  }
+
+  /** B2 — catchup-phase scan band: `id > sinceId AND windowscn BETWEEN
+    * startScn AND targetScn AND windowscn >= sinceScn`
+    * (BootstrapProcessor.java:219-243). */
+  def catchupScan(log: DataFrame, sinceId: Long, startScn: Long,
+      targetScn: Long, sinceScn: Long = Long.MinValue,
+      limit: Option[Int] = None, filter: Option[Column] = None): DataFrame = {
+    val banded = log
+      .where(col("id") > sinceId &&
+        col("windowscn").between(startScn, targetScn) &&
+        col("windowscn") >= sinceScn)
+      .where(filter.getOrElse(lit(true)))
+    limit match {
+      case Some(n) => banded.orderBy(col("id")).limit(n)
+      case None => banded
+    }
+  }
+
+  /** B3 — startSCN: the snapshot-consistent starting point = min applied
+    * windowscn across sources (StartSCNRequestProcessor.java:105-117).
+    * Throws the reference's too-young condition when sinceScn predates it. */
+  def startScn(appliedState: DataFrame, sinceScn: Long): Long = {
+    val minScn = appliedState.agg(min(col("windowscn"))).head().getLong(0)
+    if (sinceScn < minScn)
+      throw new IllegalStateException(
+        s"BootstrapDatabaseTooYoung: sinceScn=$sinceScn < minScn=$minScn")
+    minScn
+  }
+
+  /** B4 — targetSCN: upper bound of dirty reads at snapshot end = max
+    * producer log windowscn (TargetSCNRequestProcessor.java:47). */
+  def targetScn(log: DataFrame): Long =
+    log.agg(max(col("windowscn"))).head().getLong(0)
+
+  /** A2/K6 — the applier merge: latest row per key wins, DELETE tombstones
+    * drop the key (BootstrapApplierThread.applyLog:242-386). Implemented as
+    * a take-latest window aggregate over (key) ordered by (scn, seq) desc.
+    * One hash-shuffle on the key; survives 100× scale because the state per
+    * key is one row (no per-key history kept).
+    */
+  def applyLog(changes: DataFrame, keyCols: Seq[String] = Seq("key_long"))
+      : DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("scn").desc, col("seq").desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .where(col("opcode") =!= "DELETE")
+  }
+
+  /** J3/B6 — the bootstrap stitch: materialized state as of `targetScn`
+    * from a snapshot consistent at `startScn` plus the catchup band
+    * (startScn, targetScn]. Equivalent to applying the full log up to
+    * targetScn, which is the invariant the reference's two-phase protocol
+    * guarantees (BootstrapCheckpointHandler.java:103-203). */
+  def snapshotPlusCatchup(changes: DataFrame, startScn: Long, targetScn: Long,
+      keyCols: Seq[String] = Seq("key_long")): DataFrame = {
+    val snapshot = applyLog(changes.where(col("scn") <= startScn), keyCols)
+    val catchup = changes.where(col("scn") > startScn && col("scn") <= targetScn)
+    // union then take-latest: catchup rows (higher scn) win over snapshot
+    applyLog(snapshot.unionByName(catchup, allowMissingColumns = true), keyCols)
+  }
+
+  /** B7 — seeder chunking: resumable PK-ordered chunks via
+    * `ROW_NUMBER() OVER (ORDER BY key)` (BootstrapSrcDBEventReader.java:
+    * 727-755). Note the reference's global ORDER BY exists to page JDBC
+    * reads; at scale prefer `spark.read.jdbc` with partitioning predicates
+    * per chunk — this operator reproduces the chunk *assignment*. */
+  def seederChunks(src: DataFrame, keyCol: String, chunkSize: Long): DataFrame =
+    src.withColumn("row_counter",
+        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+      .withColumn("chunk_id", ((col("row_counter") - 1) / chunkSize).cast("long"))
+
+  /** B8 — retention cleaner: drop log rows older than the SCN watermark
+    * (BootstrapDBCleaner.java:1). */
+  def cleanLog(log: DataFrame, scnWatermark: Long): DataFrame =
+    log.where(col("windowscn") >= scnWatermark)
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *    The query side is broadcast (queries ≪ corpus), so the corpus is
+  *    scanned once with no shuffle; top-k per query is a partial-aggregate
+  *    window, not a global sort.
+  *  - [[lshTopK]] — hyperplane-LSH bucketed variant: corpus is bucketed
+  *    once (linear scan + one shuffle on bucket ids), queries probe only
+  *    their own buckets. This is the 100 TB path: candidate set per query
+  *    is bucket-sized, not corpus-sized.
+  */
+object Ann {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries`/`corpus`: (id, vec) frames. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed ANN: multi-probe via `tables` independent hyperplane
+    * signatures. Recall grows with tables; cost per query stays
+    * bucket-sized. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 10, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col("id").as(idName), col("vec").as(vecName),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("table"),
+            signatureToBucket(hyperplaneSignature(col("vec"), numPlanes,
+              seed = 42L + t * 1000L)).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(idName), col(vecName), col("tb.table"), col("tb.bucket"))
+    val c = bucketed(corpus, "neighbor_id", "cvec")
+    val q = bucketed(queries, "query_id", "qvec")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qvec", "cvec").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style coarse quantization: assign each corpus vector to its
+    * nearest of `centroids` (a small broadcast table), search only the
+    * probed cells. Centroids come from any upstream clustering (e.g. a
+    * sampled k-means); the engine contract is the cell-probe join. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
+    def assign(df: DataFrame, idName: String, vecName: String, cells: Int): DataFrame = {
+      val scored = df.select(col("id").as(idName), col("vec").as(vecName))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", l2sq(col(vecName), col("cent")))
+      val w = Window.partitionBy(col(idName)).orderBy(col("dist"), col("cell_id"))
+      scored.withColumn("r", row_number().over(w)).where(col("r") <= cells)
+        .select(col(idName), col(vecName), col("cell_id"))
+    }
+    val c = assign(corpus, "neighbor_id", "cvec", 1)
+    val q = assign(queries, "query_id", "qvec", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qvec", "cvec").distinct()
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}
