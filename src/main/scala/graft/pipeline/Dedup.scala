@@ -162,16 +162,27 @@ object Dedup {
 
   /** Embedding-cosine near-dup: hyperplane-LSH buckets then cosine verify
     * inside buckets. Same blocking discipline as minhash — the cross
-    * product only ever materializes within a bucket. */
+    * product only ever materializes within a bucket. `tables` independent
+    * hash tables (different hyperplane seeds) control recall: a true
+    * near-dup that straddles one table's hyperplane still collides in
+    * another (miss probability decays exponentially in tables). */
   def embeddingNearDups(emb: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", numPlanes: Int = 12,
+      idCol: String = "vec_id", numPlanes: Int = 12, tables: Int = 3,
       cosineThreshold: Double = 0.95): DataFrame = {
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFunctions.signatureToBucket(
-        VectorFunctions.hyperplaneSignature(col(vecCol), numPlanes)).as("bucket"))
-    val a = sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
-    val b = sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
-    a.join(b, "bucket").where(col("id_a") < col("id_b"))
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table"),
+          VectorFunctions.signatureToBucket(
+            VectorFunctions.hyperplaneSignature(col(vecCol), numPlanes,
+              seed = 42L + t * 1000L)).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
+    val a = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("table"), col("bucket"))
+    val b = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
       .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

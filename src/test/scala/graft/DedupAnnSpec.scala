@@ -1,0 +1,140 @@
+package graft
+
+import graft.pipeline.{Ann, Dedup}
+import graft.functions.{VectorFunctions => VF}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup + ANN pipelines on corpora with *planted* duplicates and
+  * near-duplicates (generative fixtures per FIXTURES.md §7). */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val vocab = Vector("spark", "data", "query", "join", "scan", "merge",
+    "sort", "hash", "table", "row", "column", "filter", "group", "window",
+    "stream", "batch", "key", "value", "fast", "slow")
+
+  private def doc(n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** 40 base docs; 10 exact copies; 10 near copies (one token changed). */
+  private lazy val corpus: DataFrame = {
+    val base = (0 until 40).map(i => (i.toLong, doc(60)))
+    val exact = base.take(10).map { case (i, t) => (i + 100L, t) }
+    val near = base.slice(10, 20).map { case (i, t) =>
+      val toks = t.split(" "); toks(30) = "CHANGED"
+      (i + 200L, toks.mkString(" "))
+    }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds exactly the planted exact copies") {
+    val groups = Dedup.exact(corpus)
+    assert(groups.count() == 50) // 60 docs, 10 are copies
+    assert(groups.where($"dup_count" === 2).count() == 10)
+    val kept = Dedup.exactKeepOne(corpus)
+    assert(kept.count() == 50)
+    // representative = min id (the original, not the copy)
+    assert(kept.where($"doc_id" >= 100 && $"doc_id" < 200).count() == 0)
+  }
+
+  test("minhash LSH recovers exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 100L)), s"missing exact pair $i")
+    }
+    (10 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 200L)), s"missing near pair $i")
+    }
+  }
+
+  test("exact jaccard verification separates exact from near dups") {
+    val cand = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.3)
+      .select("id_a", "id_b")
+    val verified = Dedup.ngramJaccardVerify(corpus, cand)
+    val exact = verified.where($"jaccard" === 1.0)
+      .select("id_a").as[Long].collect().toSet
+    assert((0L until 10L).toSet.subsetOf(exact))
+    val near = verified.where($"id_b" >= 200 && $"id_b" < 300)
+    assert(near.count() >= 10)
+    assert(near.agg(min("jaccard")).head().getDouble(0) > 0.5)
+    assert(near.agg(max("jaccard")).head().getDouble(0) < 1.0)
+  }
+
+  test("simhash blocks exact copies at hamming 0 and near copies low") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 6)
+    val exactPairs = pairs.where($"id_b" === $"id_a" + 100)
+    assert(exactPairs.count() == 10)
+    assert(exactPairs.agg(max("hamming")).head().getInt(0) == 0)
+  }
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(16)(r.nextFloat() * 2 - 1)
+  }
+
+  private lazy val vectors: DataFrame = {
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    // near-dups: tiny perturbation of first 5
+    val near = (0 until 5).map { i =>
+      val v = vec(i).clone(); v(0) = v(0) + 0.01f
+      (i + 100L, v)
+    }
+    (base ++ near).toDF("id", "vec")
+  }
+
+  test("brute-force ANN: perturbed twin is the top neighbor") {
+    val top = Ann.bruteForceTopK(vectors.where($"id" < 5), vectors, k = 1)
+    val got = top.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    (0L until 5L).foreach(i => assert(got(i) == i + 100L))
+  }
+
+  test("embedding near-dup LSH finds the planted twins") {
+    val pairs = Dedup.embeddingNearDups(vectors, vecCol = "vec", idCol = "id",
+      numPlanes = 8, cosineThreshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach(i => assert(pairs.contains((i, i + 100L))))
+  }
+
+  test("lsh ANN candidates are a subset ranked like brute force") {
+    val brute = Ann.bruteForceTopK(vectors.where($"id" < 5), vectors, k = 3)
+      .select("query_id", "neighbor_id", "cosine")
+    val lsh = Ann.lshTopK(vectors.where($"id" < 5), vectors, k = 3,
+      numPlanes = 6, tables = 6)
+    // every lsh hit's cosine equals the brute-force cosine for that pair
+    val joined = lsh.alias("l").join(brute.alias("b"),
+      Seq("query_id", "neighbor_id"))
+      .where(abs($"l.cosine" - $"b.cosine") > 1e-9)
+    assert(joined.count() == 0)
+    // twins (cosine ≈ 1) must be found even by LSH
+    assert(lsh.where($"neighbor_id" === $"query_id" + 100).count() == 5)
+  }
+
+  test("ivf ANN with planted centroids recovers twins") {
+    val centroids = (0 until 4).map(i => (i.toLong, vec(1000 + i)))
+      .toDF("id", "vec")
+    val got = Ann.ivfTopK(vectors.where($"id" < 5), vectors, centroids,
+      k = 1, nProbe = 4)
+    val m = got.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    (0L until 5L).foreach(i => assert(m(i) == i + 100L))
+  }
+
+  test("vector functions: cosine/dot/norm identities") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(
+      VF.cosine($"a", $"b").as("cos"),
+      VF.dot($"a", $"b").as("dot"),
+      VF.norm2($"a").as("na"),
+      VF.l2sq($"a", $"b").as("l2"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(math.abs(got(0)._1) < 1e-12 && got(0)._2 == 0.0 && got(0)._3 == 1.0)
+    assert(math.abs(got(1)._1 - 1.0) < 1e-12 && got(1)._2 == 2.0)
+    assert(got(0)._4 == 5.0)
+  }
+}

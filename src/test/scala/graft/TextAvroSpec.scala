@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{AvroCodec, TextFunctions => TF}
+import graft.model.VersionedSchemaSet
+import graft.pipeline.Multimodal
+
+import org.apache.spark.sql.functions._
+
+class TextAvroSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts and occurrences") {
+    val df = Seq("the quick brown fox", "a a a", "one").toDF("text")
+    val got = df.select(
+      TF.tokenCount($"text").as("n"),
+      TF.occurrences($"text", "a").as("a_cnt"))
+      .as[(Int, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(4, 3, 1))
+    assert(got(1)._2 == 3)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      "the cat and the dog of a house",
+      "der hund und die katze und das haus",
+      "le chat et la maison les arbres",
+      "nothing matching here xyz").toDF("text")
+    val got = df.select(TF.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score is in [0,1] and rewards longer stopword-rich text") {
+    val df = Seq(
+      ("short", "xy"),
+      ("good", ("the data and " * 30).trim)).toDF("k", "text")
+    val m = df.select($"k", TF.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("good") > m("short"))
+  }
+
+  test("fingerprints are deterministic and content-addressed") {
+    val df = Seq("same text", "same text", "other").toDF("text")
+    val fps = df.select(TF.fingerprintHex($"text")).as[String].collect().toSeq
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    assert(fps.forall(_.length == 32))
+  }
+
+  test("avro payload encode/decode roundtrip (registry schema)") {
+    val schema = VersionedSchemaSet.eventPayloadV1.schemaJson
+    val df = Seq((1L, 10L, "click", 1.5, """{"k":1}"""), (2L, 20L, "view", 2.5, null))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val enc = AvroCodec.encodeEventPayload(schema)
+    val dec = AvroCodec.decodeEventPayload(schema)
+    val back = df
+      .withColumn("payload", enc(struct($"event_id", $"user_id", $"event_type", $"value", $"props")))
+      .withColumn("rec", dec($"payload"))
+      .select($"rec.event_id", $"rec.event_type", $"rec.value", $"rec.props")
+      .as[(Option[Long], Option[String], Option[Double], Option[String])]
+      .collect().toSeq
+    assert(back(0) == ((Some(1L), Some("click"), Some(1.5), Some("""{"k":1}"""))))
+    assert(back(1) == ((Some(2L), Some("view"), Some(2.5), None)))
+  }
+
+  test("multimodal stub decode roundtrips the fake header") {
+    implicit val s = spark
+    val media = Multimodal.attachFakeMedia(Seq(0L, 1L, 2L, 5L).toDF("doc_id"))
+    val decoded = Multimodal.decodeMeta(media).collect().map(r => r.doc_id -> r).toMap
+    assert(decoded(0L).media_type == "image" && decoded(0L).width == 16 &&
+      decoded(0L).n_frames == 1)
+    assert(decoded(1L).media_type == "audio" && decoded(1L).sample_rate == 16014)
+    assert(decoded(2L).media_type == "video" && decoded(2L).n_frames == 27)
+    assert(decoded(5L).n_bytes == 8 + ((5 * 13) % 30 + 1) * 8)
+  }
+
+  test("frame sample plan strides over video frames only") {
+    implicit val s = spark
+    val media = Multimodal.attachFakeMedia(Seq(2L, 0L).toDF("doc_id"))
+    val plan = Multimodal.frameSamplePlan(
+      Multimodal.decodeMeta(media).toDF(), stride = 10)
+    // doc 2 is video with 27 frames → frames 0,10,20; doc 0 is image
+    assert(plan.select("frame_idx").as[Int].collect().toSet == Set(0, 10, 20))
+  }
+}
