@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Checkpoint
+
+/** One delivered change event (typed dispatcher surface). */
+case class EnvelopeRow(
+    scn: Long, seq: Long, ts_us: Option[Long], source_id: Int,
+    partition_id: Int, opcode: Option[String], key_long: Option[Long],
+    value: Option[Double], props: Option[String])
+
+/** Consumer callback surface — the engine's `DatabusStreamConsumer`
+  * (databus-client-api/.../pub/DatabusStreamConsumer.java; dispatch loop
+  * GenericDispatcher.java:671-980). Callbacks fire per executor partition
+  * in (scn, seq) order; window boundaries are exact because micro-batches
+  * only contain whole windows (RelayStream layout invariant).
+  *
+  * Must be Serializable — instances ship to executors.
+  */
+trait DatabusConsumer extends Serializable {
+  /** onStartDataEventSequence analog. */
+  def onStartWindow(scn: Long): Unit = {}
+  /** onDataEvent analog. Return false to signal an error → Spark retries
+    * the task = rollback-and-replay from the last checkpoint
+    * (GenericDispatcher.java:551,921 contract: at-least-once). */
+  def onEvent(e: EnvelopeRow): Boolean
+  /** onEndDataEventSequence analog (EOW). */
+  def onEndWindow(scn: Long): Unit = {}
+  /** Fired on the driver after each committed micro-batch with the new
+    * high-watermark checkpoint (onCheckpoint analog; persistence is the
+    * streaming checkpointLocation). */
+  def onCheckpoint(cp: Checkpoint): Unit = {}
+}
+
+/** Ordered, windowed delivery of a relay stream into consumer callbacks —
+  * the client dispatcher (K3) re-expressed as `foreachBatch`:
+  *
+  *  - per micro-batch: repartition by physical partition, sort within
+  *    partition by (scn, seq) — the reference's per-timeline total order
+  *    (GenericDispatcher.java:420-459);
+  *  - iterate rows per partition, emitting start/end-window callbacks at
+  *    scn boundaries (EOW markers are implicit: scn change = window done,
+  *    valid because batches hold whole windows);
+  *  - checkpoint on batch commit; task failure → micro-batch replay ⇒
+  *    at-least-once with rollback, same contract as the reference
+  *    (consumer must be idempotent, as there).
+  */
+object Dispatcher {
+
+  def start(stream: DataFrame, consumer: DatabusConsumer,
+      checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val delivered = batch
+          .repartition(col("partition_id"))
+          .sortWithinPartitions(col("partition_id"), col("scn"), col("seq"))
+          .as[EnvelopeRow]
+        delivered.foreachPartition { (rows: Iterator[EnvelopeRow]) =>
+          var openScn = Long.MinValue
+          var openPartition = Int.MinValue
+          rows.foreach { e =>
+            if (e.partition_id != openPartition || e.scn != openScn) {
+              if (openScn != Long.MinValue) consumer.onEndWindow(openScn)
+              consumer.onStartWindow(e.scn)
+              openScn = e.scn
+              openPartition = e.partition_id
+            }
+            if (!consumer.onEvent(e))
+              throw new IllegalStateException(
+                s"consumer rejected event seq=${e.seq} (rollback)")
+          }
+          if (openScn != Long.MinValue) consumer.onEndWindow(openScn)
+        }
+        // driver-side checkpoint callback with the batch high-watermark
+        val hw = batch.agg(max("scn"), max("seq")).head()
+        if (!hw.isNullAt(0))
+          consumer.onCheckpoint(Checkpoint.online(hw.getLong(0),
+            windowOffset = 0L, prevScn = -1L))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** dtail (K4): console tail of a stream — formats JSON-ish rows, `-n`
+    * row cap per batch (DtailCliBase.java:34-60 surface). */
+  def dtail(stream: DataFrame, numRows: Int = 20): StreamingQuery =
+    stream.writeStream
+      .format("console")
+      .option("numRows", numRows)
+      .option("truncate", false)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** File-logging consumer sink (K5): persist every delivered event. */
+  def fileLog(stream: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Checkpoint
+import graft.operators.{AllowAllFilter, Bootstrap, DbusFilter}
+
+/** The relay event-log on disk + its streaming read path.
+  *
+  * Reference mapping: the relay's ring buffer + mmap persistence
+  * (DbusEventBuffer.java:1277,1540 saveBufferMetaInfo; EventLogWriter/
+  * EventLogReader, S8) becomes a directory of *window-aligned* parquet
+  * files; the `/stream` pull loop (K1) becomes a Structured Streaming file
+  * source over that directory.
+  *
+  * Window atomicity (SURVEY.md §7.4 hard part #1): the reference's
+  * WINDOW_AT_TIME mode guarantees a transaction window is never split
+  * across deliveries (DbusEventBuffer.java:2199-2202). Spark-first
+  * re-expression: encode the invariant in the *storage layout* — every
+  * file contains only whole SCN windows (writer range-partitions on scn),
+  * so any micro-batch (a set of files) contains only whole windows. No
+  * custom source needed; the built-in file source's listing/offset log
+  * provides the SCN-ordered replay + checkpointing.
+  */
+object RelayStream {
+
+  /** Envelope schema at the streaming surface (file sources need an
+    * explicit schema). */
+  val schema: StructType = StructType(Seq(
+    StructField("scn", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = true),
+    StructField("source_id", IntegerType, nullable = false),
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("opcode", StringType, nullable = true),
+    StructField("key_long", LongType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  /** Persist an envelope DataFrame as a window-aligned event log.
+    *
+    * `filesHint` controls granularity (≈ windows per file). Files are
+    * written as sequential scn-range chunks so their modification order ==
+    * scn order — the file source then lists and serves them oldest-first,
+    * preserving the relay's per-timeline delivery order. (The sequential
+    * chunk loop is the *ingest harness*; the serving path stays fully
+    * distributed.)
+    */
+  def writeEventLog(envelope: DataFrame, dir: String, filesHint: Int = 8): Unit = {
+    val (lo, hi) = {
+      val r = envelope.agg(min("scn"), max("scn")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(1L, (hi - lo + 1 + filesHint - 1) / filesHint)
+    var chunkLo = lo
+    var i = 0
+    while (chunkLo <= hi) {
+      val chunkHi = chunkLo + span - 1
+      envelope
+        .where(col("scn") >= chunkLo && col("scn") <= chunkHi)
+        .coalesce(1)
+        .sortWithinPartitions("partition_id", "scn", "seq")
+        .write.mode("append").parquet(dir)
+      // distinct mtimes → stable oldest-first listing in the file source
+      Thread.sleep(2)
+      chunkLo = chunkHi + 1
+      i += 1
+    }
+  }
+
+  /** Min/max SCN available in the log — `/bufferInfo` for the persisted
+    * buffer; also the retention boundary for fall-off detection. */
+  def bufferInfo(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = spark.read.schema(schema).parquet(dir).agg(min("scn"), max("scn")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Open the streaming read of the event log after a checkpoint, with
+    * server-side filters pushed into the scan.
+    *
+    * `maxFilesPerTrigger` is the batch-size budget (the `size` param of
+    * `/stream`, §2.10; rate control A6). Each micro-batch = whole files =
+    * whole windows.
+    */
+  def read(spark: SparkSession, dir: String,
+      cp: Checkpoint = Checkpoint.flexible,
+      filter: DbusFilter = AllowAllFilter,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .where(graft.operators.Relay.afterCheckpoint(cp))
+      .where(filter.toColumn)
+
+  /** Fall-off detection + bootstrap switchover (§3.3): if the consumer's
+    * checkpoint predates the log's retention window (`ScnNotFoundException`
+    * → BOOTSTRAP in the reference, RelayPullThread.java:96-121), first
+    * materialize state via snapshot+catchup up to the log's current head,
+    * then stream online from there.
+    *
+    * Returns (bootstrapStateOrNone, onlineStream, resumeCheckpoint).
+    */
+  def streamWithBootstrap(spark: SparkSession, dir: String, cp: Checkpoint,
+      filter: DbusFilter = AllowAllFilter, maxFilesPerTrigger: Int = 1)
+      : (Option[DataFrame], DataFrame, Checkpoint) = {
+    val (minScn, maxScn) = bufferInfo(spark, dir)
+    val fellOff = !cp.isFlexible && cp.windowScn < minScn
+    if (!fellOff) (None, read(spark, dir, cp, filter, maxFilesPerTrigger), cp)
+    else {
+      // BOOTSTRAP: snapshot consistent at minScn + catchup to maxScn
+      val log = spark.read.schema(schema).parquet(dir).where(filter.toColumn)
+      val state = Bootstrap.snapshotPlusCatchup(log, startScn = minScn,
+        targetScn = maxScn)
+      val resumeCp = Checkpoint.online(maxScn)
+      (Some(state), read(spark, dir, resumeCp, filter, maxFilesPerTrigger), resumeCp)
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Checkpoint
+import graft.operators.{Bootstrap, DbusKeyFilter, Filters, KeyModFilter}
+import graft.sources.ChangeFeed
+import graft.streaming.{DatabusConsumer, Dispatcher, EnvelopeRow, RelayStream}
+
+import org.apache.spark.sql.functions._
+
+/** The SURVEY §7.3 end-to-end slice: events → window-aligned event log →
+  * filtered stream → ordered windowed dispatch → checkpoint → resume →
+  * forced fall-off → bootstrap — final state vs the batch oracle. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  import StreamingSpec.{Collector, CollectingConsumer}
+
+  private lazy val envelope = ChangeFeed.envelope(spark, sf()) // 1000 events
+
+  test("event log is window-aligned and serves ordered windowed delivery") {
+    val logDir = tmp("eventlog")
+    val cpDir = tmp("streamcp")
+    RelayStream.writeEventLog(envelope, logDir, filesHint = 8)
+
+    Collector.clear()
+    val stream = RelayStream.read(spark, logDir, maxFilesPerTrigger = 2)
+    val q = Dispatcher.start(stream, new CollectingConsumer, cpDir)
+    q.awaitTermination()
+
+    // every event delivered exactly once
+    val got = Collector.events.toArray(Array.empty[EnvelopeRow])
+    assert(got.length == 1000)
+    assert(got.map(_.seq).toSet == (0L until 1000L).toSet)
+
+    // windows opened/closed in pairs, each window's scn seen once per
+    // (partition, batch) at most — and starts match ends
+    val ws = Collector.windows.toArray(Array.empty[(String, Long)])
+    assert(ws.count(_._1 == "start") == ws.count(_._1 == "end"))
+
+    // checkpoints advanced to the final high-watermark
+    val cps = Collector.checkpoints.toArray(Array.empty[java.lang.Long])
+    assert(cps.nonEmpty && cps.map(_.longValue).max == 990L)
+  }
+
+  test("checkpoint resume delivers no duplicates after restart") {
+    val logDir = tmp("eventlog2")
+    val cpDir = tmp("streamcp2")
+    // first half of the log
+    RelayStream.writeEventLog(envelope.where($"scn" < 500), logDir, filesHint = 4)
+
+    Collector.clear()
+    Dispatcher.start(RelayStream.read(spark, logDir), new CollectingConsumer, cpDir)
+      .awaitTermination()
+    val firstRun = Collector.events.toArray(Array.empty[EnvelopeRow]).map(_.seq).toSet
+    assert(firstRun == (0L until 500L).toSet)
+
+    // "kill", then more data arrives, then restart with the same checkpoint
+    RelayStream.writeEventLog(envelope.where($"scn" >= 500), logDir, filesHint = 4)
+    Collector.clear()
+    Dispatcher.start(RelayStream.read(spark, logDir), new CollectingConsumer, cpDir)
+      .awaitTermination()
+    val secondRun = Collector.events.toArray(Array.empty[EnvelopeRow]).map(_.seq).toSet
+    assert(secondRun == (500L until 1000L).toSet) // only the new events
+  }
+
+  test("server-side filter applies during stream serving") {
+    val logDir = tmp("eventlog3")
+    RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
+    Collector.clear()
+    val f = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 2)))
+    Dispatcher.start(RelayStream.read(spark, logDir, filter = f),
+      new CollectingConsumer, tmp("cp3")).awaitTermination()
+    val got = Collector.events.toArray(Array.empty[EnvelopeRow])
+    assert(got.nonEmpty)
+    assert(got.forall(e => math.abs(e.key_long.get) % 4 < 2))
+  }
+
+  test("fall-off forces bootstrap then resumes online from targetScn") {
+    val logDir = tmp("eventlog4")
+    // retention: only windows >= 500 remain in the log
+    RelayStream.writeEventLog(envelope.where($"scn" >= 500), logDir, filesHint = 4)
+
+    // consumer checkpoint predates retention → fall-off
+    val staleCp = Checkpoint.online(100L)
+    val (state, online, resumeCp) =
+      RelayStream.streamWithBootstrap(spark, logDir, staleCp)
+
+    assert(state.isDefined, "expected bootstrap path")
+    assert(resumeCp.windowScn == 990L)
+    // bootstrap state == batch-applied log over what the relay retains
+    val expected = Bootstrap.applyLog(
+      spark.read.schema(RelayStream.schema).parquet(logDir))
+      .select("key_long", "seq").as[(Long, Long)].collect().toSet
+    val gotState = state.get.select("key_long", "seq").as[(Long, Long)]
+      .collect().toSet
+    assert(gotState == expected)
+
+    // online stream from resumeCp delivers nothing new (log head reached)
+    Collector.clear()
+    Dispatcher.start(online, new CollectingConsumer, tmp("cp4"))
+      .awaitTermination()
+    assert(Collector.events.isEmpty)
+  }
+
+  test("no fall-off when checkpoint is within retention") {
+    val logDir = tmp("eventlog5")
+    RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
+    val (state, _, cp) = RelayStream.streamWithBootstrap(spark, logDir,
+      Checkpoint.online(500L))
+    assert(state.isEmpty && cp.windowScn == 500L)
+  }
+}
+
+object StreamingSpec {
+  /** In-JVM event collector (local mode: executors share the JVM). */
+  object Collector {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[EnvelopeRow]()
+    val windows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val checkpoints = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def clear(): Unit = { events.clear(); windows.clear(); checkpoints.clear() }
+  }
+
+  /** Top-level (no outer-class capture) so it serializes to executors. */
+  class CollectingConsumer extends DatabusConsumer {
+    override def onStartWindow(scn: Long): Unit =
+      Collector.windows.add(("start", scn))
+    override def onEvent(e: EnvelopeRow): Boolean = { Collector.events.add(e); true }
+    override def onEndWindow(scn: Long): Unit =
+      Collector.windows.add(("end", scn))
+    override def onCheckpoint(cp: Checkpoint): Unit =
+      Collector.checkpoints.add(cp.windowScn)
+  }
+}
