@@ -281,6 +281,39 @@ object SparkEntry {
         size(col("embedding")).cast("long").as("dim"),
         round(VF.norm2(col("embedding")), 6).as("norm"))),
 
+    // ---- S7: deterministic synthetic generator (load harness) ----
+    "q_synthetic_feed" -> ((s, dir) =>
+      graft.sources.SyntheticFeed.generate(s, 10000)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          max(col("key_long")).as("max_key"))),
+
+    // ---- S1/J1: txlog capture join (source view ⋈ txlog tail) ----
+    "q_capture_txlog" -> ((s, dir) => {
+      val txlog = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("txn"), (col("o_orderkey") * 10).as("scn"),
+          col("o_orderdate").as("ts"))
+      val view = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("txn"), col("l_partkey"), col("l_quantity"))
+      graft.sources.TxlogCapture.capture(view, txlog, sinceScn = 100000L)
+        .select("txn", "scn", "l_partkey", "l_quantity")
+    }),
+
+    // ---- P16: CRC stamp + validate (self-checking; no SQL oracle) ----
+    "q_crc_integrity" -> ((s, dir) => {
+      val schema = graft.model.VersionedSchemaSet.eventPayloadV1.schemaJson
+      val enc = graft.functions.AvroCodec.encodeEventPayload(schema)
+      val stamped = graft.operators.Integrity.withCrc(
+        ChangeFeed.raw(s, dir).withColumn("payload",
+          enc(struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("props")))))
+      val bad = graft.operators.Integrity.validate(stamped).count()
+      stamped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_valid"))
+        .where(lit(bad) === 0)
+    }),
+
     // ---- multimodal: binary payload plumbing + stub decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -455,6 +488,18 @@ object SparkEntry {
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim," +
         " round(sqrt(list_sum(list_transform(embedding," +
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm FROM embeddings"),
+
+    "q_synthetic_feed" ->
+      ("SELECT CAST((seq * 2654435761) % 5 + 1 AS INT) AS source_id," +
+        " count(*) AS n," +
+        " CAST(sum(CASE WHEN (seq * 31) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
+        " max((seq * 1103515245 + 12345) % 1000) AS max_key" +
+        " FROM range(0, 10000) t(seq) GROUP BY 1"),
+
+    "q_capture_txlog" ->
+      ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " WHERE o_orderkey * 10 > 100000"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id," +

@@ -72,6 +72,53 @@ object AvroCodec {
     (bytes: Column) => dec(bytes)
   }
 
+  /** Decode with schema *evolution*: writer schema resolved per row group,
+    * reader schema fixed (Avro resolution drops/defaults fields). */
+  def decodeEventPayloadEvolved(writerJson: String, readerJson: String)
+      : Column => Column = {
+    val dec = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else {
+        val writer = SchemaHolder.get(writerJson)
+        val reader = SchemaHolder.get(readerJson)
+        val rec = deserialize(bytes, writer, reader)
+        def l(f: String): Option[Long] =
+          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Long].longValue)
+        def s(f: String): Option[String] = Option(rec.get(f)).map(_.toString)
+        def d(f: String): Option[Double] =
+          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Double].doubleValue)
+        Some(DecodedEventPayload(l("event_id"), l("user_id"), s("event_type"),
+          d("value"), s("props")))
+      }
+    }
+    (bytes: Column) => dec(bytes)
+  }
+
+  /** J2 / SURVEY §7.4 — schema-by-digest decode of mixed-version payloads
+    * in one column: the writer schema of each event is identified by the
+    * 16-byte MD5 `schema_id` it carries; rows are grouped by digest,
+    * decoded with their own writer schema against the common reader
+    * schema, and unioned (DbusEventAvroDecoder.getGenericRecord resolves
+    * `_schemaSet.getById(schemaId)` the same way).
+    *
+    * The per-digest split is a predicate on a 16-byte column — cheap, and
+    * each branch scans only its slice (at scale, distinct digests per
+    * source are few: schema versions, not rows). */
+  def decodeByDigest(df: org.apache.spark.sql.DataFrame,
+      set: graft.model.VersionedSchemaSet, sourceName: String,
+      payloadCol: String = "payload", schemaIdCol: String = "schema_id")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lower, hex, lit}
+    val reader = set.getLatest(sourceName).getOrElse(
+      throw new IllegalArgumentException(s"no schema for $sourceName"))
+    val versions = set.schemas.filter(_.sourceName == sourceName)
+    versions.map { vs =>
+      val dec = decodeEventPayloadEvolved(vs.schemaJson, reader.schemaJson)
+      df.where(lower(hex(col(schemaIdCol))) === lit(vs.digestHex))
+        .withColumn("payload_rec", dec(col(payloadCol)))
+    }.reduce(_ unionByName _)
+  }
+
   def serialize(rec: GenericRecord, schema: Schema): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val encoder = EncoderFactory.get().binaryEncoder(out, null)

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1 — the txlog capture operator: how the CDC feed itself is
+  * materialized from a source-of-truth database.
+  *
+  * Reference: OracleTxlogEventReader polls
+  * `SELECT tx.scn scn, tx.ts event_timestamp, src.* FROM sy$<view> src,
+  * sy$txlog tx WHERE src.txn = tx.txn AND tx.scn > ?` with three variants
+  * (skip-infinity-scn, getScn, txn-chunked with `row_number() OVER (ORDER
+  * BY TX.SCN)`) — databus2-relay/.../db/OracleTxlogEventReader.java:613-704.
+  *
+  * Spark-first split:
+  *  - [[captureQuery]]/[[chunkedCaptureQuery]] generate the *pushdown SQL*
+  *    for a JDBC source (`spark.read.jdbc(query)`) — the reference's query
+  *    shapes minus Oracle-isms, parameterized by sinceScn;
+  *  - [[capture]] runs the same join declaratively over already-loaded
+  *    frames (txlog ⋈ source-view on txn), which is the form the engine
+  *    uses when the txlog is itself a table/stream. Catalyst handles the
+  *    equi-join (broadcast when the polled window is small — it always is,
+  *    since `scn > sinceScn` bounds it to the new tail).
+  */
+object TxlogCapture {
+
+  /** Plain incremental capture query (skip-infinity-scn variant,
+    * OracleTxlogEventReader.java:621-645). `?` = sinceScn. */
+  def captureQuery(eventView: String, schema: String = ""): String =
+    s"select tx.scn scn, tx.ts event_timestamp, src.* " +
+      s"from ${schema}sy$$$eventView src, ${schema}sy$$txlog tx " +
+      s"where src.txn=tx.txn and tx.scn > ? and tx.scn < ${Long.MaxValue}"
+
+  /** Txn-chunked capture (resumable pages of `chunkSize` transactions,
+    * OracleTxlogEventReader.java:692-704 shape). `?` = (sinceScn, chunk). */
+  def chunkedCaptureQuery(eventView: String, schema: String = ""): String =
+    s"SELECT scn, event_timestamp, src.* FROM ${schema}sy$$$eventView src, " +
+      s"( SELECT tx.scn scn, tx.ts event_timestamp, tx.txn, " +
+      s"row_number() OVER (ORDER BY TX.SCN) r FROM ${schema}sy$$txlog tx " +
+      s"WHERE tx.scn > ? AND tx.scn < ${Long.MaxValue}) t " +
+      s"WHERE src.txn = t.txn AND r <= ?"
+
+  /** Declarative capture: join the txlog tail onto the source view.
+    * `txlog`: (txn, scn, ts); `srcView`: (txn, <columns>). The broadcast
+    * hint on the txlog tail reflects that a poll cycle's new-transaction
+    * set is small relative to the source view. */
+  def capture(srcView: DataFrame, txlog: DataFrame, sinceScn: Long): DataFrame = {
+    val tail = txlog.where(col("scn") > sinceScn)
+      .select(col("txn"), col("scn"), col("ts").as("event_timestamp"))
+    srcView.join(broadcast(tail), "txn")
+  }
+
+  /** Chunked declarative capture: first `chunkTxns` transactions after
+    * sinceScn (row_number over scn — bounded by the chunk, not the table). */
+  def captureChunked(srcView: DataFrame, txlog: DataFrame, sinceScn: Long,
+      chunkTxns: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tail = txlog.where(col("scn") > sinceScn)
+      .withColumn("r", row_number().over(Window.orderBy(col("scn"))))
+      .where(col("r") <= chunkTxns)
+      .select(col("txn"), col("scn"), col("ts").as("event_timestamp"))
+    srcView.join(broadcast(tail), "txn")
+  }
+}
+
+/** S7 — deterministic synthetic event generator (load/testing).
+  *
+  * Reference: DatabusEventRandomProducer.startGeneration(eventsPerSec,
+  * duration…) + the `/genDataEvents` relay command
+  * (databus-core/.../util/DatabusEventRandomProducer.java:93-131;
+  * GenerateDataEventsRequestProcessor.java:131-157).
+  *
+  * Batch form is seed-deterministic arithmetic over `sequence()` (oracle-
+  * reproducible); streaming form rides the `rate` source (rowsPerSecond =
+  * eventsPerSec, A6 rate control).
+  */
+object SyntheticFeed {
+
+  /** Deterministic batch of n events: LCG-ish column arithmetic — same
+    * output everywhere, no RNG state. */
+  def generate(spark: SparkSession, n: Long, numSources: Int = 5,
+      numKeys: Long = 1000L, windowSize: Int = 10): DataFrame = {
+    spark.range(0, n).toDF("seq")
+      .select(
+        (col("seq") - col("seq") % windowSize).as("scn"),
+        col("seq"),
+        (lit(1700000000000000L) + col("seq") * 1000000L).as("ts_us"),
+        ((col("seq") * 2654435761L) % numSources + 1).cast("int").as("source_id"),
+        (((col("seq") * 1103515245L + 12345L) % numKeys) % 4).cast("int")
+          .as("partition_id"),
+        when((col("seq") * 31L) % 10 === 0, "DELETE").otherwise("UPSERT")
+          .as("opcode"),
+        ((col("seq") * 1103515245L + 12345L) % numKeys).as("key_long"),
+        ((col("seq") * 7919L % 10000L) / lit(100.0)).as("value"),
+        lit(null).cast("string").as("props"))
+  }
+
+  /** Streaming form at a target events/sec (rate source → envelope). */
+  def stream(spark: SparkSession, eventsPerSec: Int, numSources: Int = 5,
+      numKeys: Long = 1000L, windowSize: Int = 10): DataFrame = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSec).load()
+    rate.select(
+      (col("value") - col("value") % windowSize).as("scn"),
+      col("value").as("seq"),
+      unix_micros(col("timestamp")).as("ts_us"),
+      ((col("value") * 2654435761L) % numSources + 1).cast("int").as("source_id"),
+      (((col("value") * 1103515245L + 12345L) % numKeys) % 4).cast("int")
+        .as("partition_id"),
+      when((col("value") * 31L) % 10 === 0, "DELETE").otherwise("UPSERT")
+        .as("opcode"),
+      ((col("value") * 1103515245L + 12345L) % numKeys).as("key_long"),
+      ((col("value") * 7919L % 10000L) / lit(100.0)).as("value"),
+      lit(null).cast("string").as("props"))
+  }
+}
