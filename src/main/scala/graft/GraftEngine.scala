@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model._
+import graft.operators._
+import graft.sources.ChangeFeed
+import graft.streaming.{DatabusConsumer, Dispatcher, RelayStream}
+
+/** The engine facade — the reference's relay/bootstrap HTTP command surface
+  * (SURVEY.md §2.10) re-expressed as a Scala API. A user of the reference
+  * maps endpoints 1:1:
+  *
+  * | reference endpoint        | here                          |
+  * |---------------------------|-------------------------------|
+  * | `/sources`                | [[sources]]                   |
+  * | `/register` (schemas)     | [[registerSchemas]]/[[schemas]]|
+  * | `/stream`                 | [[stream]] / [[streamLive]]   |
+  * | `/bufferInfo`             | [[bufferInfo]]                |
+  * | `/startSCN` `/targetSCN`  | [[startScn]] / [[targetScn]]  |
+  * | `/bootstrap`              | [[bootstrap]]                 |
+  * | `/genDataEvents`          | [[genDataEvents]]             |
+  * | `/loadDataEvents`         | [[loadDataEvents]]            |
+  * | consumer registration     | [[consume]]                   |
+  */
+class GraftEngine(val spark: SparkSession, eventLogDir: String,
+    private var schemaSet: VersionedSchemaSet = VersionedSchemaSet.default) {
+
+  /** `/sources` — the registered logical sources (name↔id). */
+  def sources: Seq[LogicalSource] = ChangeFeed.registry.sources
+
+  /** `/register` — schemas served per source (protocol v2-v4 payload). */
+  def schemas(sourceName: String): Seq[VersionedSchema] =
+    schemaSet.schemas.filter(_.sourceName == sourceName)
+  def registerSchemas(more: VersionedSchema*): Unit =
+    synchronized { more.foreach(s => schemaSet = schemaSet.add(s)) }
+  def schemaRegistry: VersionedSchemaSet = schemaSet
+
+  /** `/bufferInfo` — SCN range the relay currently retains. */
+  def bufferInfo(): (Long, Long) = RelayStream.bufferInfo(spark, eventLogDir)
+
+  /** `/stream`, batch form: events after `cp` passing `filter`, bounded by
+    * `maxEvents` — the pull-request analog. */
+  def stream(cp: Checkpoint = Checkpoint.flexible,
+      filter: DbusFilter = AllowAllFilter,
+      maxEvents: Option[Int] = None): DataFrame =
+    Relay.streamEvents(
+      spark.read.schema(RelayStream.schema).parquet(eventLogDir),
+      cp, filter, maxEvents)
+
+  /** `/stream`, live form: the continuous pull loop as a streaming frame
+    * (micro-batches aligned to transaction windows). */
+  def streamLive(cp: Checkpoint = Checkpoint.flexible,
+      filter: DbusFilter = AllowAllFilter,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    RelayStream.read(spark, eventLogDir, cp, filter, maxFilesPerTrigger)
+
+  /** `/startSCN` — snapshot-consistent start for a bootstrap request. */
+  def startScn(sinceScn: Long): Long = {
+    val log = spark.read.schema(RelayStream.schema).parquet(eventLogDir)
+    Bootstrap.startScn(log.select(log("scn").as("windowscn")), sinceScn)
+  }
+
+  /** `/targetSCN` — catchup upper bound (current produced head). */
+  def targetScn(): Long = bufferInfo()._2
+
+  /** `/bootstrap` — materialized state as of the current head for consumers
+    * that fell off retention; pairs with [[streamLive]] from the returned
+    * checkpoint (the §3.3 recovery flow, automated in
+    * RelayStream.streamWithBootstrap). */
+  def bootstrap(cp: Checkpoint, filter: DbusFilter = AllowAllFilter)
+      : (Option[DataFrame], DataFrame, Checkpoint) =
+    RelayStream.streamWithBootstrap(spark, eventLogDir, cp, filter)
+
+  /** Consumer registration + dispatch (the client library surface). */
+  def consume(consumer: DatabusConsumer, checkpointDir: String,
+      cp: Checkpoint = Checkpoint.flexible,
+      filter: DbusFilter = AllowAllFilter)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    Dispatcher.start(streamLive(cp, filter), consumer, checkpointDir)
+
+  /** `/genDataEvents` — append a synthetic load batch to the event log. */
+  def genDataEvents(numEvents: Long): Unit =
+    RelayStream.writeEventLog(
+      graft.sources.SyntheticFeed.generate(spark, numEvents), eventLogDir)
+
+  /** `/loadDataEvents` — append an existing envelope frame (event-log
+    * replay, S8). */
+  def loadDataEvents(envelope: DataFrame, filesHint: Int = 8): Unit =
+    RelayStream.writeEventLog(envelope, eventLogDir, filesHint)
+}

