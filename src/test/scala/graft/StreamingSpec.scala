@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpec {
     assert(Collector.events.isEmpty)
   }
 
+  test("scn regress fires the rollback callback (C5)") {
+    val logDir = tmp("eventlog6")
+    // later windows land in the log first; the regressed (older) windows
+    // arrive in a subsequent file → second batch starts below the watermark
+    RelayStream.writeEventLog(envelope.where($"scn" >= 500), logDir, filesHint = 1)
+    RelayStream.writeEventLog(envelope.where($"scn" < 500), logDir, filesHint = 1)
+    Collector.clear()
+    StreamingSpec.rollbacks.set(0)
+    val consumer = new CollectingConsumer {
+      override def onRollback(cp: Checkpoint): Unit =
+        StreamingSpec.rollbacks.incrementAndGet()
+    }
+    Dispatcher.start(RelayStream.read(spark, logDir), consumer, tmp("cp6"))
+      .awaitTermination()
+    assert(StreamingSpec.rollbacks.get() >= 1)
+    // all events still delivered (replay, not loss)
+    assert(Collector.events.size == 1000)
+  }
+
   test("no fall-off when checkpoint is within retention") {
     val logDir = tmp("eventlog5")
     RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
@@ -117,6 +136,8 @@ class StreamingSpec extends SparkSpec {
 }
 
 object StreamingSpec {
+  val rollbacks = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** In-JVM event collector (local mode: executors share the JVM). */
   object Collector {
     val events = new java.util.concurrent.ConcurrentLinkedQueue[EnvelopeRow]()
