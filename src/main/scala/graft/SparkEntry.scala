@@ -213,6 +213,37 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
     }),
 
+    // ---- stateful analytics: gap sessionization ----
+    "q_sessionize" -> ((s, dir) =>
+      Sessions.sessionSummary(
+        envCore(s, dir).select("key_long", "ts_us"),
+        keyCol = "key_long", tsCol = "ts_us", gap = 4L * 3600L * 1000000L)),
+
+    // ---- as-of join: latest purchase at-or-before each event ----
+    "q_asof_join" -> ((s, dir) => {
+      val env = envCore(s, dir)
+      AsOfJoin.asofBackward(
+        probe = env.select("seq", "key_long"),
+        build = env.where(col("source_id") === 3)
+          .select(col("key_long"), col("seq").as("pseq")),
+        keyCol = "key_long", probeTs = "seq", buildTs = "pseq",
+        asofCols = Seq("pseq"))
+        .select(col("seq"), col("key_long"), col("asof_pseq"))
+    }),
+
+    // ---- grouping sets: rollup aggregation ----
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))),
+
+    // ---- sketch aggregates: HLL distinct (approximate; rows-only) ----
+    "q_hll_distinct" -> ((s, dir) =>
+      envCore(s, dir).groupBy(col("source_id"))
+        .agg(approx_count_distinct(col("key_long")).as("approx_keys"),
+          countDistinct(col("key_long")).as("exact_keys"))),
+
     // ---- text analysis: per-doc stats ----
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -457,6 +488,26 @@ object SparkEntry {
         " o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey" +
         " ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk FROM orders)" +
         " WHERE rk <= 3"),
+
+    "q_sessionize" ->
+      (s"$ENV SELECT key_long, session_seq, min(ts_us) AS session_start," +
+        " max(ts_us) AS session_end, count(*) AS n_events FROM" +
+        " (SELECT key_long, ts_us, CAST(sum(new_session) OVER" +
+        " (PARTITION BY key_long ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM" +
+        " (SELECT key_long, ts_us, CASE WHEN ts_us - lag(ts_us, 1) OVER" +
+        " (PARTITION BY key_long ORDER BY ts_us) > 14400000000 THEN 1 ELSE 0 END AS new_session" +
+        " FROM envelope)) GROUP BY key_long, session_seq"),
+
+    "q_asof_join" ->
+      (s"$ENV SELECT a.seq, a.key_long, b.pseq AS asof_pseq FROM" +
+        " (SELECT seq, key_long FROM envelope) a ASOF LEFT JOIN" +
+        " (SELECT key_long, seq AS pseq FROM envelope WHERE source_id = 3) b" +
+        " ON a.key_long = b.key_long AND a.seq >= b.pseq"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n," +
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c" +
+        " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
 
     "q_text_stats" ->
       ("SELECT doc_id, n_chars," +
