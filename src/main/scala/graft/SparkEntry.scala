@@ -281,6 +281,17 @@ object SparkEntry {
         .where(col("jaccard") >= 0.8)
     }),
 
+    // ---- dedup: exact n-gram Jaccard (brute, small subset baseline) ----
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ids = corpus.select(col("doc_id").as("id_a"))
+        .crossJoin(corpus.select(col("doc_id").as("id_b")))
+        .where(col("id_a") < col("id_b"))
+      Dedup.ngramJaccardVerify(corpus, ids).where(col("jaccard") >= 0.6)
+    }),
+
     // ---- dedup: simhash blocking pairs (no SQL oracle: xxhash64-based) ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(dupCorpus(s, dir), maxHamming = 3)),
@@ -533,6 +544,8 @@ object SparkEntry {
 
     "q_dedup_minhash" -> minhashOracleSql,
 
+    "q_dedup_ngram" -> ngramOracleSql,
+
     "q_ann_brute" -> annBruteSql,
 
     "q_embed_norms" ->
@@ -605,6 +618,18 @@ object SparkEntry {
       " round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jaccard" +
       " FROM sh a JOIN sh b ON a.doc_id < b.doc_id" +
       " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8"
+  }
+
+  /** n-gram Jaccard oracle: brute force over the same 200-doc subset. */
+  private lazy val ngramOracleSql: String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 UNION ALL" +
+      " SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100)," +
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))" +
+      " SELECT a.doc_id AS id_a, b.doc_id AS id_b," +
+      " round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jaccard" +
+      " FROM sh a JOIN sh b ON a.doc_id < b.doc_id" +
+      " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6"
   }
 
   /** brute-force ANN oracle: same double-precision sequential dot/norm. */

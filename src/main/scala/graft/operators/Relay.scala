@@ -103,6 +103,27 @@ object Relay {
     envelope.groupBy(col("partition_id"))
       .agg(max(col("scn")).as("max_scn"), max(col("seq")).as("max_seq"))
 
+  /** A3/A6 streaming form — per-batch stats as `observe()` metrics (the
+    * DbusEventsStatisticsCollector surface without a second aggregation
+    * pass; read via QueryProgress/listener). */
+  def observed(envelope: DataFrame, name: String = "relay_stats"): DataFrame =
+    envelope.observe(name,
+      count(lit(1)).as("num_events"),
+      min(col("scn")).as("min_scn"),
+      max(col("scn")).as("max_scn"),
+      max(col("seq")).as("max_seq"))
+
+  /** P14 — envelope version down-conversion: the V1 shape drops the
+    * metadata part and carries ms timestamps (DbusEventV1.java:166-183;
+    * convertToDifferentVersion DbusEventBuffer.java:2411-2416). A pure
+    * reshaping projection. */
+  def toV1(envelope: DataFrame): DataFrame =
+    envelope.select(
+      col("scn"), col("seq"),
+      (col("ts_us") / 1000L).cast("long").as("ts_ms"),
+      col("source_id"), col("partition_id"), col("opcode"), col("key_long"),
+      col("value"))
+
   /** A1/S6 — last-writer-wins merge of multiple updates to the same key
     * within one transaction window, before append
     * (DBUpdatesMergeUtils.mergeTransactionData;

@@ -40,6 +40,19 @@ trait DatabusConsumer extends Serializable {
   def onRollback(cp: Checkpoint): Unit = {}
 }
 
+/** Fan-out to N registered consumers — MultiConsumerCallback
+  * (databus-client-common/.../consumer/MultiConsumerCallback.java:1): every
+  * callback is delivered to each consumer in registration order; an error
+  * (false) from any consumer fails the event (rollback for all — the
+  * reference's all-or-nothing window semantics). */
+case class MultiConsumer(consumers: Seq[DatabusConsumer]) extends DatabusConsumer {
+  override def onStartWindow(scn: Long): Unit = consumers.foreach(_.onStartWindow(scn))
+  override def onEvent(e: EnvelopeRow): Boolean = consumers.forall(_.onEvent(e))
+  override def onEndWindow(scn: Long): Unit = consumers.foreach(_.onEndWindow(scn))
+  override def onCheckpoint(cp: Checkpoint): Unit = consumers.foreach(_.onCheckpoint(cp))
+  override def onRollback(cp: Checkpoint): Unit = consumers.foreach(_.onRollback(cp))
+}
+
 /** Ordered, windowed delivery of a relay stream into consumer callbacks —
   * the client dispatcher (K3) re-expressed as `foreachBatch`:
   *
