@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Bootstrap
+
+/** K6/A2 — the continuous bootstrap materializer: applies the change
+  * stream into a queryable snapshot table, upserting by key and dropping
+  * tombstoned keys.
+  *
+  * Reference: BootstrapProducerCallback writes arriving changes into
+  * `log_<srcid>` tables and BootstrapApplierThread merges log → snapshot
+  * `tab_<srcid>` (BootstrapProducerCallback.java:58,621;
+  * BootstrapApplierThread.java:242-386).
+  *
+  * Spark-first: `foreachBatch` + MERGE-by-key. Without a transactional
+  * table format on the classpath, MERGE = read current snapshot ∪ batch →
+  * take-latest per key → atomic swap of the snapshot dir (write-new,
+  * rename). On a Delta/Iceberg-equipped cluster the body becomes
+  * `snapshot.merge(batch).whenMatched...` with identical semantics — the
+  * engine contract (idempotent, at-least-once safe) is the same: replaying
+  * a batch re-applies the same (key → latest) outcome.
+  */
+object Applier {
+
+  /** Current snapshot frame (empty before first apply). */
+  def snapshot(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val cur = Paths.get(stateDir, "current")
+    if (Files.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+  }
+
+  /** Apply one micro-batch of envelope changes into the snapshot. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      keyCols: Seq[String] = Seq("key_long")): Unit = {
+    val merged = snapshot(spark, stateDir) match {
+      case Some(cur) =>
+        Bootstrap.applyLog(cur.unionByName(batch, allowMissingColumns = true), keyCols)
+      case None => Bootstrap.applyLog(batch, keyCols)
+    }
+    val next = Paths.get(stateDir, s"next-${System.nanoTime()}")
+    merged.write.mode("overwrite").parquet(next.toString)
+    val cur = Paths.get(stateDir, "current")
+    val old = Paths.get(stateDir, s"old-${System.nanoTime()}")
+    if (Files.exists(cur)) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(next, cur, StandardCopyOption.ATOMIC_MOVE)
+    // retire the previous version (readers hold open handles in-flight;
+    // a real deployment keeps N versions — table formats do this natively)
+    if (Files.exists(old))
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+  }
+
+  /** Start the continuous materializer on a relay stream. */
+  def start(stream: DataFrame, stateDir: String, checkpointDir: String,
+      keyCols: Seq[String] = Seq("key_long")): StreamingQuery = {
+    Files.createDirectories(Paths.get(stateDir))
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch.sparkSession, batch, stateDir, keyCols)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

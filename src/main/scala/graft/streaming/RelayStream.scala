@@ -48,7 +48,8 @@ object RelayStream {
     * chunk loop is the *ingest harness*; the serving path stays fully
     * distributed.)
     */
-  def writeEventLog(envelope: DataFrame, dir: String, filesHint: Int = 8): Unit = {
+  def writeEventLog(envelope: DataFrame, dir: String, filesHint: Int = 8,
+      partitionByTimeline: Boolean = false): Unit = {
     val (lo, hi) = {
       val r = envelope.agg(min("scn"), max("scn")).head()
       (r.getLong(0), r.getLong(1))
@@ -58,11 +59,16 @@ object RelayStream {
     var i = 0
     while (chunkLo <= hi) {
       val chunkHi = chunkLo + span - 1
-      envelope
+      val chunk = envelope
         .where(col("scn") >= chunkLo && col("scn") <= chunkHi)
         .coalesce(1)
         .sortWithinPartitions("partition_id", "scn", "seq")
-        .write.mode("append").parquet(dir)
+      val w = chunk.write.mode("append")
+      // hive-partition the log by physical partition: per-timeline
+      // subscriptions then prune whole directories at the scan
+      // (DbusEventBufferMult one-buffer-per-partition analog)
+      (if (partitionByTimeline) w.partitionBy("partition_id") else w)
+        .parquet(dir)
       // distinct mtimes → stable oldest-first listing in the file source
       Thread.sleep(2)
       chunkLo = chunkHi + 1

@@ -126,6 +126,53 @@ class StreamingSpec extends SparkSpec {
     assert(Collector.events.size == 1000)
   }
 
+  test("continuous applier materializes latest-per-key across batches (K6)") {
+    val logDir = tmp("eventlog7")
+    val stateDir = tmp("state7")
+    val cpDir = tmp("cp7")
+    RelayStream.writeEventLog(envelope.where($"scn" < 500), logDir, filesHint = 2)
+    graft.streaming.Applier.start(
+      RelayStream.read(spark, logDir, maxFilesPerTrigger = 1), stateDir, cpDir)
+      .awaitTermination()
+    val half = graft.streaming.Applier.snapshot(spark, stateDir).get
+    val expectHalf = Bootstrap.applyLog(envelope.where($"scn" < 500))
+      .select("key_long", "seq").as[(Long, Long)].collect().toSet
+    assert(half.select("key_long", "seq").as[(Long, Long)].collect().toSet ==
+      expectHalf)
+
+    // more changes arrive; resume applies incrementally
+    RelayStream.writeEventLog(envelope.where($"scn" >= 500), logDir, filesHint = 2)
+    graft.streaming.Applier.start(
+      RelayStream.read(spark, logDir, maxFilesPerTrigger = 1), stateDir, cpDir)
+      .awaitTermination()
+    val full = graft.streaming.Applier.snapshot(spark, stateDir).get
+    val expectFull = Bootstrap.applyLog(envelope)
+      .select("key_long", "seq").as[(Long, Long)].collect().toSet
+    assert(full.select("key_long", "seq").as[(Long, Long)].collect().toSet ==
+      expectFull)
+  }
+
+  test("timeline-partitioned event log prunes directories per subscription") {
+    val logDir = tmp("eventlog8")
+    RelayStream.writeEventLog(envelope, logDir, filesHint = 2,
+      partitionByTimeline = true)
+    assert(new java.io.File(logDir).listFiles()
+      .exists(_.getName.startsWith("partition_id=")))
+    val one = spark.read.schema(RelayStream.schema).parquet(logDir)
+      .where($"partition_id" === 2)
+    // partition pruning: only the partition_id=2 directory is scanned
+    val scan = one.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.metadata("PartitionFilters").contains("partition_id"))
+    val allParts = spark.read.schema(RelayStream.schema).parquet(logDir)
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.selectedPartitions.totalNumberOfFiles <
+      allParts.selectedPartitions.totalNumberOfFiles)
+    val expected = envelope.where($"partition_id" === 2).count()
+    assert(one.count() == expected)
+  }
+
   test("no fall-off when checkpoint is within retention") {
     val logDir = tmp("eventlog5")
     RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
