@@ -167,13 +167,16 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3)
       : DataFrame = {
     // shingle only the docs that appear in candidate pairs (semi-join
-    // first) — verification cost scales with collisions, not corpus size
-    val involved = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // first) — verification cost scales with collisions, not corpus size.
+    // pairs is referenced three times below (two id projections + the
+    // final join); persist so the candidate pipeline runs once.
+    val cand = pairs.persist()
+    val involved = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
     val sh = docs.select(col(idCol).as("id"),
         shingles(col(textCol), shingleN).as("sh"))
       .join(involved, "id")
-    pairs
+    cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
