@@ -1,0 +1,124 @@
+package graft
+
+import graft.model.Checkpoint
+import graft.operators._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generative invariants over random event vectors — the engine-side
+  * mirror of the reference's seeded-random tests
+  * (DbusEventGenerator.generateEvents + invariant checks, SURVEY §5;
+  * FIXTURES.md §7). Each property checks the distributed operator against
+  * an in-memory model implementation, over `Trials` seeded samples
+  * (plain ScalaCheck Gen — the scalatest bridge isn't in the offline
+  * dependency cache).
+  */
+class GenerativeSpec extends SparkSpec {
+  import spark.implicits._
+  import GenerativeSpec.Ev
+
+  private val Trials = 12
+
+  private def samples[A](gen: Gen[A]): Seq[A] =
+    (0 until Trials).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  /** Random event vector: windows of 1-8 events, duplicate keys within
+    * windows (exercises A1), ~15% deletes, 2 partitions, 3 sources. */
+  private val genEvents: Gen[List[Ev]] = for {
+    nWindows <- Gen.choose(1, 12)
+    windows <- Gen.listOfN(nWindows, Gen.choose(1, 8))
+  } yield {
+    var seq = 0L
+    windows.zipWithIndex.flatMap { case (size, w) =>
+      val scn = w * 100L
+      (0 until size).map { _ =>
+        val s = seq; seq += 1
+        Ev(scn, s, (s % 3).toInt + 1, (s % 2).toInt, s % 5,
+          if (s % 7 == 3) "DELETE" else "UPSERT", (s % 100) / 10.0)
+      }
+    }
+  }
+
+  private def df(evs: List[Ev]): DataFrame =
+    evs.toDF().select(
+      col("scn"), col("seq"), col("sourceId").as("source_id"),
+      col("partitionId").as("partition_id"), col("keyLong").as("key_long"),
+      col("opcode"), col("value"))
+
+  private def appliedModel(evs: List[Ev]): Set[(Long, Long)] =
+    evs.groupBy(_.keyLong).view
+      .mapValues(_.maxBy(e => (e.scn, e.seq))).toMap
+      .filter(_._2.opcode != "DELETE")
+      .map { case (k, e) => (k, e.seq) }.toSet
+
+  test("applyLog equals the in-memory latest-per-key materialization") {
+    samples(genEvents).filter(_.nonEmpty).foreach { evs =>
+      val got = Bootstrap.applyLog(df(evs))
+        .select("key_long", "seq").as[(Long, Long)].collect().toSet
+      assert(got == appliedModel(evs), s"n=${evs.size}")
+    }
+  }
+
+  test("checkpoint split matches the model for random positions") {
+    val gen = for {
+      evs <- genEvents; wScn <- Gen.choose(0L, 1200L); wOff <- Gen.choose(0L, 8L)
+    } yield (evs, wScn, wOff)
+    samples(gen).filter(_._1.nonEmpty).foreach { case (evs, wScn, wOff) =>
+      val after = Relay.streamEvents(df(evs), Checkpoint.online(wScn, wOff))
+        .select("seq").as[Long].collect().toSet
+      val expected = evs.filter(e =>
+        e.scn > wScn || (e.scn == wScn && (e.seq - e.scn) >= wOff))
+        .map(_.seq).toSet
+      assert(after == expected, s"cp=($wScn,$wOff)")
+    }
+  }
+
+  test("filters agree with their in-memory predicate models") {
+    val genFilter: Gen[(DbusFilter, Ev => Boolean)] = Gen.oneOf(
+      Gen.choose(0L, 5L).flatMap(lo => Gen.choose(lo + 1, 6L).map(hi =>
+        (KeyRangeFilter(lo, hi): DbusFilter,
+          (e: Ev) => e.keyLong >= lo && e.keyLong < hi))),
+      for {
+        n <- Gen.choose(2L, 5L); lo <- Gen.choose(0L, n - 1)
+        hi <- Gen.choose(lo + 1, n)
+      } yield (KeyModFilter(n, lo, hi): DbusFilter,
+        (e: Ev) => { val b = math.abs(e.keyLong) % n; b >= lo && b < hi }),
+      Gen.someOf(1, 2, 3).map(srcs =>
+        (SourceFilter(srcs.toSet): DbusFilter,
+          (e: Ev) => srcs.toSet.contains(e.sourceId))))
+    val gen = for { evs <- genEvents; f <- genFilter } yield (evs, f)
+    samples(gen).filter(_._1.nonEmpty).foreach { case (evs, (f, model)) =>
+      val got = df(evs).where(f.toColumn).select("seq").as[Long].collect().toSet
+      assert(got == evs.filter(model).map(_.seq).toSet, s"filter=$f")
+    }
+  }
+
+  test("merge-then-apply equals apply directly (merge preserves state)") {
+    samples(genEvents).filter(_.nonEmpty).foreach { evs =>
+      val merged = Relay.mergeTransaction(df(evs))
+        .select(col("scn"), col("seq"), col("source_id"),
+          col("key_long"), col("opcode"), col("value"))
+      val viaMerge = Bootstrap.applyLog(merged)
+        .select("key_long", "seq").as[(Long, Long)].collect().toSet
+      assert(viaMerge == appliedModel(evs))
+    }
+  }
+
+  test("bootstrap stitch equals direct apply for any band split") {
+    val gen = for { evs <- genEvents; s <- Gen.choose(0L, 1200L) } yield (evs, s)
+    samples(gen).filter(_._1.nonEmpty).foreach { case (evs, startScn) =>
+      val target = evs.map(_.scn).max
+      val stitched = Bootstrap.snapshotPlusCatchup(df(evs), startScn, target)
+        .select("key_long", "seq").as[(Long, Long)].collect().toSet
+      assert(stitched == appliedModel(evs), s"start=$startScn")
+    }
+  }
+}
+
+object GenerativeSpec {
+  case class Ev(scn: Long, seq: Long, sourceId: Int, partitionId: Int,
+      keyLong: Long, opcode: String, value: Double)
+}
