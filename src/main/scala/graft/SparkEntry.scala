@@ -70,6 +70,12 @@ object SparkEntry {
       Relay.streamEvents(envCore(s, dir),
         filter = Filters.parseCompositeConfig(compositeFilterJson))),
 
+    // ---- P5: physical partition filter with nested filter ----
+    "q_filter_physical" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir),
+        filter = PhysicalPartitionFilter(Some(2: Short),
+          Some(SourceFilter(Set(1, 2, 4)))))),
+
     // ---- P6: logical source+partition subscription filter ----
     "q_filter_logical" -> ((s, dir) =>
       Relay.streamEvents(envCore(s, dir),
@@ -394,6 +400,10 @@ object SparkEntry {
         " WHEN source_id = 3 THEN (key_long >= 0 AND key_long < 75) OR (key_long >= 100 AND key_long < 200)" +
         " WHEN source_id = 1 THEN abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2" +
         " ELSE TRUE END"),
+
+    "q_filter_physical" ->
+      (s"$ENV SELECT * FROM envelope WHERE partition_id = 2" +
+        " AND source_id IN (1, 2, 4)"),
 
     "q_filter_logical" ->
       (s"$ENV SELECT * FROM envelope WHERE (source_id = 1)" +

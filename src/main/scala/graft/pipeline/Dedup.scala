@@ -149,13 +149,18 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    // estimate BEFORE deduplicating collisions: the estimate is 64 long
+    // compares, so computing it per collision and aggregating on
+    // (id_a, id_b) beats a distinct that would shuffle the signature
+    // arrays (k longs per side) for every collision row
+    a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    cand.withColumn("est_jaccard",
+      .withColumn("est",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
           .cast("double") / k)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est")).as("est_jaccard"))
       .where(col("est_jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
@@ -163,25 +168,47 @@ object Dedup {
   /** Exact n-gram Jaccard for a (small) candidate pair set: join shingle
     * arrays back and compute |∩|/|∪| with array intersections. Verification
     * stage only — never run on the full cross product. */
+  /** Distinct word-n-gram shingle set, kernel form. */
+  def shingleSetKernel(text: String, n: Int): java.util.HashSet[String] = {
+    val toks = text.split("\\s+")
+    val nSh = math.max(toks.length - n + 1, 1)
+    val set = new java.util.HashSet[String](nSh * 2)
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder
+      var o = 0
+      while (o < n && i + o < toks.length) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks(i + o)); o += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
   def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3)
       : DataFrame = {
-    // shingle only the docs that appear in candidate pairs (semi-join
-    // first) — verification cost scales with collisions, not corpus size.
-    // pairs is referenced three times below (two id projections + the
-    // final join); persist so the candidate pipeline runs once.
-    val cand = pairs.persist()
-    val involved = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val sh = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .join(involved, "id")
-    cand
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    // join candidate ids back to their texts, then compute exact Jaccard
+    // per pair in a tight kernel (shingle sets + intersection count) —
+    // verification cost scales with collisions, not corpus size
+    import docs.sparkSession.implicits._
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val joined = pairs.select("id_a", "id_b")
+      .join(txt.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .as[(Long, Long, String, String)]
+    joined.mapPartitions(_.map { case (a, b, ta, tb) =>
+      val sa = shingleSetKernel(ta, shingleN)
+      val sb = shingleSetKernel(tb, shingleN)
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      val union = sa.size + sb.size - inter
+      (a, b, inter.toDouble / union.toDouble)
+    }).toDF("id_a", "id_b", "jaccard")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
