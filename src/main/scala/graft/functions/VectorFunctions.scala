@@ -77,6 +77,20 @@ object VectorFunctions {
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
+  /** Cosine similarity, kernel twin of [[cosine]]: sequential double
+    * accumulation (same order as the HOF form and the DuckDB oracle). */
+  def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Hyperplane-LSH bucket of one vector for one table. */
   def hyperplaneBucketKernel(vec: Array[Float], numPlanes: Int, seed: Long): Long = {
     var bucket = 0L

@@ -83,8 +83,6 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  private case class BandRow(id: Long, band: Int, bucket: Long, sig: Array[Long])
-
   /** MinHash + banded LSH near-dup candidate pairs.
     *
     * Pipeline: per-partition kernel (tokenize → distinct n-gram shingles →
@@ -137,14 +135,17 @@ object Dedup {
             }
             i += 1
           }
+          // tuple rows, not a nested case class: a private nested case
+          // class fails Janino codegen of the encoder (falls back to
+          // interpreted projections for the whole stage)
           (0 until bands).iterator.map { band =>
             var bucket = 0xcbf29ce484222325L ^ band
             var r = 0
             while (r < rows) { bucket ^= sig(band * rows + r); bucket *= 0x100000001b3L; r += 1 }
-            BandRow(id, band, bucket, sig)
+            (id, band, bucket, sig)
           }
         }
-      }.toDF()
+      }.toDF("id", "band", "bucket", "sig")
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -286,20 +287,40 @@ object Dedup {
     * product only ever materializes within a bucket. `tables` independent
     * hash tables (different hyperplane seeds) control recall: a true
     * near-dup that straddles one table's hyperplane still collides in
-    * another (miss probability decays exponentially in tables). */
+    * another (miss probability decays exponentially in tables).
+    *
+    * Shuffle discipline: the collision join carries ONLY (id, table,
+    * bucket) — vectors never ride through the LSH join or a distinct.
+    * Candidate pairs (longs) deduplicate cheaply, then exactly two keyed
+    * joins fetch the vectors for the kernel cosine verify, whose cost
+    * scales with collisions, not corpus size. */
   def embeddingNearDups(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", numPlanes: Int = 12, tables: Int = 3,
       cosineThreshold: Double = 0.95): DataFrame = {
-    val sig = VectorFunctions.hyperplaneBuckets(
-      emb.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", numPlanes, tables)
-    val a = sig.select(col("id").as("id_a"), col("vec").as("vec_a"),
-      col("table"), col("bucket"))
-    val b = sig.select(col("id").as("id_b"), col("vec").as("vec_b"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val sig = VectorFunctions.hyperplaneBuckets(e, "id", "vec", numPlanes, tables)
+      .select("id", "table", "bucket")
+    val a = sig.select(col("id").as("id_a"), col("table"), col("bucket"))
+    val b = sig.select(col("id").as("id_b"), col("table"), col("bucket"))
+    val pairs = a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    embeddingCosineVerify(e, pairs, cosineThreshold)
+  }
+
+  /** Exact cosine for a candidate pair set: two keyed joins fetch the
+    * vectors, then a tight kernel computes the dot/norms per pair. */
+  def embeddingCosineVerify(emb: DataFrame, pairs: DataFrame,
+      cosineThreshold: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val joined = pairs
+      .join(emb.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(emb.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .as[(Long, Long, Array[Float], Array[Float])]
+    joined.mapPartitions(_.map { case (a, b, va, vb) =>
+      (a, b, VectorFunctions.cosineKernel(va, vb))
+    }).toDF("id_a", "id_b", "cosine")
       .where(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
