@@ -55,7 +55,7 @@ object Bench {
     // ordered scan, fully consumed
     val t0 = System.nanoTime()
     val filtered = graft.operators.Relay.streamOrdered(
-      ChangeFeed.envelope(spark, sfDir),
+      graft.sources.Store.eventLog(spark, sfDir),
       filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3))))
     val nEvents = filtered.count()
     val pipeSec = (System.nanoTime() - t0) / 1e9

@@ -1,17 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratch probe for perf investigations (not part of the contract). */
 object Probe {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -20,48 +12,30 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    import graft.pipeline.Dedup
-    import graft.functions.VectorFunctions
-
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val corpus = docs.unionByName(
-      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-
-    // minhash banded rows → bucket sizes
-    val banded = time("banded rows") {
-      val d = corpus.as[(Long, String)].mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.split("\\s+")
-          (id, toks.length)
-        }
-      }.toDF("id", "ntoks")
-      d.agg(count(lit(1)), min("ntoks"), max("ntoks"), avg("ntoks")).show()
-      d
+    val names = Seq("q1_agg", "q3_join", "q5_join", "q_merge_txn",
+      "q_apply_log", "q_dedup_minhash", "q_dedup_simhash", "q_ann_brute",
+      "q_sessionize", "q_rollup", "q_topk_orders", "q_filter_keymod")
+    // warm everything twice
+    (1 to 2).foreach(_ => names.foreach(n =>
+      try SparkEntry.queries(n)(spark, dir).count() catch { case _: Throwable => () }))
+    def pass(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val per = names.map { n =>
+        val q0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        n -> (System.nanoTime() - q0) / 1e9
+      }
+      println(f"$label total ${(System.nanoTime() - t0) / 1e9}%.2f :: " +
+        per.map { case (n, t) => f"$n=$t%.2f" }.mkString(" "))
     }
-
-    // real bucket profile
-    val pairsDf = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
-    // reconstruct the banded internals: count collisions
-    // quick: count candidate pairs
-    time("minhash pairs count")(println(pairsDf.count()))
-
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val withDups = emb.unionByName(
-      emb.select((col("id") + 1000000L).as("id"), col("vec")))
-    val sig = VectorFunctions.hyperplaneBuckets(withDups, "id", "vec", 12, 3)
-      .select("id", "table", "bucket")
-    time("emb bucket profile") {
-      sig.groupBy("table", "bucket").count()
-        .agg(count(lit(1)).as("n_buckets"), max("count").as("max_bucket"),
-          avg("count").as("avg_bucket")).show()
-    }
-    time("emb pair count") {
-      val a = sig.select(col("id").as("id_a"), col("table"), col("bucket"))
-      val b = sig.select(col("id").as("id_b"), col("table"), col("bucket"))
-      println(a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b")).count())
-    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    pass("aqe-on ")
+    pass("aqe-on ")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    pass("aqe-off")
+    pass("aqe-off")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    pass("aqe-on ")
     spark.stop()
   }
 }

@@ -20,10 +20,15 @@ object SparkEntry {
   /** Flagship: bootstrap materialization (log → snapshot apply, A2/K6) of
     * the CDC feed on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    Bootstrap.applyLog(ChangeFeed.envelope(spark, "/root/testdata/sf0.001"))
+    Bootstrap.applyLog(env(spark, "/root/testdata/sf0.001"))
 
+  /** All queries read the ingest-once serving layout (Store), not the raw
+    * single-file source tables — see Store's Scaladoc for why. */
   private def env(s: SparkSession, dir: String): DataFrame =
-    ChangeFeed.envelope(s, dir)
+    graft.sources.Store.eventLog(s, dir)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Store.table(s, dir, name)
 
   /** Envelope view minus free-form props (the stable, hashable projection). */
   private def envCore(s: SparkSession, dir: String): DataFrame =
@@ -31,10 +36,10 @@ object SparkEntry {
       "opcode", "key_long", "value")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    tbl(s, dir, "documents")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    tbl(s, dir, "embeddings")
 
   /** Documents corpus with planted exact duplicates (each doc twice, the
     * copy shifted by +1,000,000 in id) — exercises the near-dup pipeline on
@@ -138,7 +143,7 @@ object SparkEntry {
     // ---- B7: seeder chunk assignment ----
     "q_seeder_chunks" -> ((s, dir) =>
       Bootstrap.seederChunks(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 500L)
+        tbl(s, dir, "orders"), "o_orderkey", 500L)
         .groupBy(col("chunk_id"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("o_orderkey")).as("min_key"),
@@ -158,7 +163,7 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => {
       val priceC = round(col("l_extendedprice") * 100).cast("long")
       val discBp = round(col("l_discount") * 100).cast("long")
-      s.read.parquet(s"$dir/lineitem.parquet")
+      tbl(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -175,9 +180,9 @@ object SparkEntry {
     "q3_join" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
         .where(col("c_mktsegment") === "BUILDING")
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val o = tbl(s, dir, "orders")
         .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val l = tbl(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       val revC4 = round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long"))
@@ -194,10 +199,10 @@ object SparkEntry {
       val n = s.read.parquet(s"$dir/nation.parquet")
       val su = s.read.parquet(s"$dir/supplier.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val o = tbl(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val l = tbl(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .join(c, col("o_custkey") === col("c_custkey") &&
@@ -213,7 +218,7 @@ object SparkEntry {
     "q_topk_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      s.read.parquet(s"$dir/orders.parquet")
+      tbl(s, dir, "orders")
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
@@ -239,7 +244,7 @@ object SparkEntry {
 
     // ---- grouping sets: rollup aggregation ----
     "q_rollup" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      tbl(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))),
@@ -339,10 +344,10 @@ object SparkEntry {
 
     // ---- S1/J1: txlog capture join (source view ⋈ txlog tail) ----
     "q_capture_txlog" -> ((s, dir) => {
-      val txlog = s.read.parquet(s"$dir/orders.parquet")
+      val txlog = tbl(s, dir, "orders")
         .select(col("o_orderkey").as("txn"), (col("o_orderkey") * 10).as("scn"),
           col("o_orderdate").as("ts"))
-      val view = s.read.parquet(s"$dir/lineitem.parquet")
+      val view = tbl(s, dir, "lineitem")
         .select(col("l_orderkey").as("txn"), col("l_partkey"), col("l_quantity"))
       graft.sources.TxlogCapture.capture(view, txlog, sinceScn = 100000L)
         .select("txn", "scn", "l_partkey", "l_quantity")

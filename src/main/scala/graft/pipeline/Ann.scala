@@ -20,17 +20,46 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
+  /** "Better than worst-kept": global order is (cosine desc, id asc), so
+    * the heap's max (= first evicted) must be the smallest cosine with the
+    * largest id breaking ties. */
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.fromLessThan((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+
   /** Exact top-k neighbors by cosine for each query vector.
-    * `queries`/`corpus`: (id, vec) frames. Self-matches excluded. */
+    * `queries`/`corpus`: (id, vec) frames. Self-matches excluded.
+    *
+    * Scale shape: the query side is broadcast (queries ≪ corpus), the
+    * corpus is scanned once, and each scan partition keeps only a bounded
+    * per-query heap of its k best — so the shuffle that feeds the final
+    * ranking carries `queries × k × partitions` rows, never the full
+    * `corpus × queries` score matrix. The kernel cosine accumulates
+    * doubles sequentially (bit-identical to the SQL-oracle form). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-    val scored = c.crossJoin(broadcast(q))
+    val partialTopK = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, nid, qv, cv) =>
+          val cos = cosineKernel(qv, cv)
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((cos, nid))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (cos, nid) => (qid, nid, cos) }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    partialTopK.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
@@ -41,19 +70,31 @@ object Ann {
     * bucket-sized. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 10, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame =
+    import corpus.sparkSession.implicits._
+    // collision join carries only (id, table, bucket); vectors are fetched
+    // after candidate-pair dedup, so the wide ops never move embeddings
+    def bucketed(df: DataFrame, idName: String): DataFrame =
       hyperplaneBuckets(
-        df.select(col("id").as(idName), col("vec").as(vecName)),
-        idName, vecName, numPlanes, tables)
-    val c = bucketed(corpus, "neighbor_id", "cvec")
-    val q = bucketed(queries, "query_id", "qvec")
-    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+        df.select(col("id").as(idName), col("vec")),
+        idName, "vec", numPlanes, tables)
+        .select(idName, "table", "bucket")
+    val cand = bucketed(corpus, "neighbor_id")
+      .join(broadcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val withVecs = cand
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .as[(Long, Long, Array[Float], Array[Float])]
+    val scored = withVecs.mapPartitions(_.map { case (qid, nid, qv, cv) =>
+      (qid, nid, cosineKernel(qv, cv))
+    }).toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("cosine", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))

@@ -100,15 +100,24 @@ object Dedup {
     * signature (k longs) rides along instead of the document text, so
     * shuffle bytes stay bounded.
     */
-  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64,
-      bands: Int = 16, jaccardThreshold: Double = 0.5): DataFrame = {
-    val rows = k / bands
+  /** One kernel pass: per-doc MinHash signature (k minima over distinct
+    * word-n-gram shingles). Returned frame is persisted — it is read by the
+    * banded explode AND the per-pair estimate, and at production scale it is
+    * exactly the signature table a pipeline would materialize to storage
+    * once per corpus snapshot. Tuple rows, not a nested case class: a
+    * private nested case class fails Janino codegen of the encoder. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    PlanCache.getOrPersist(docs, s"minhash|$textCol|$idCol|$shingleN|$k",
+      minhashSignaturesUncached(docs, textCol, idCol, shingleN, k))
+
+  private def minhashSignaturesUncached(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val banded = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
+        it.map { case (id, text) =>
           val toks = text.split("\\s+")
           val nSh = math.max(toks.length - shingleN + 1, 1)
           val seen = new java.util.HashSet[String](nSh * 2)
@@ -135,33 +144,52 @@ object Dedup {
             }
             i += 1
           }
-          // tuple rows, not a nested case class: a private nested case
-          // class fails Janino codegen of the encoder (falls back to
-          // interpreted projections for the whole stage)
+          (id, sig)
+        }
+      }.toDF("id", "sig")
+  }
+
+  /** MinHash + banded LSH near-dup candidate pairs.
+    *
+    * Shuffle discipline (what survives a 100 TB corpus): the only wide op
+    * that sees per-doc data is the collision join, and it carries (id,
+    * band, bucket) — 24 bytes/row — never text or signatures. Candidate
+    * pairs (two longs) deduplicate cheaply; the signature pair is then
+    * fetched by two keyed joins against the cached signature table and the
+    * match-fraction estimate runs in a tight kernel, so estimate cost
+    * scales with collision count, not corpus size. */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64,
+      bands: Int = 16, jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    import docs.sparkSession.implicits._
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    val banded = sigs.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, sig) =>
           (0 until bands).iterator.map { band =>
             var bucket = 0xcbf29ce484222325L ^ band
             var r = 0
             while (r < rows) { bucket ^= sig(band * rows + r); bucket *= 0x100000001b3L; r += 1 }
-            (id, band, bucket, sig)
+            (id, band, bucket)
           }
         }
-      }.toDF("id", "band", "bucket", "sig")
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    // estimate BEFORE deduplicating collisions: the estimate is 64 long
-    // compares, so computing it per collision and aggregating on
-    // (id_a, id_b) beats a distinct that would shuffle the signature
-    // arrays (k longs per side) for every collision row
-    a.join(b, Seq("band", "bucket"))
+      }.toDF("id", "band", "bucket")
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
-          .cast("double") / k)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est")).as("est_jaccard"))
+      .select("id_a", "id_b").distinct()
+    val withSigs = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+    withSigs.mapPartitions(_.map { case (ia, ib, sa, sb) =>
+      var m = 0; var i = 0
+      while (i < k) { if (sa(i) == sb(i)) m += 1; i += 1 }
+      (ia, ib, m.toDouble / k)
+    }).toDF("id_a", "id_b", "est_jaccard")
       .where(col("est_jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
@@ -261,10 +289,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
-    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhash64Kernel(text)) })
-      .toDF("id", "sig")
+    // cached: both sides of the blocking self-join read the signatures,
+    // and without the cache the text kernel would run once per side
+    val sigs = PlanCache.getOrPersist(docs, s"simhash|$textCol|$idCol", {
+      docs.select(col(idCol).as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, simhash64Kernel(text)) })
+        .toDF("id", "sig")
+    })
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -298,8 +330,12 @@ object Dedup {
       idCol: String = "vec_id", numPlanes: Int = 12, tables: Int = 3,
       cosineThreshold: Double = 0.95): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val sig = VectorFunctions.hyperplaneBuckets(e, "id", "vec", numPlanes, tables)
-      .select("id", "table", "bucket")
+    // cached for the same reason as the minhash signature table: the
+    // projection kernel (tables × planes dot products per vector) feeds
+    // both sides of the collision join
+    val sig = PlanCache.getOrPersist(e, s"hyperplane|$numPlanes|$tables",
+      VectorFunctions.hyperplaneBuckets(e, "id", "vec", numPlanes, tables)
+        .select("id", "table", "bucket"))
     val a = sig.select(col("id").as("id_a"), col("table"), col("bucket"))
     val b = sig.select(col("id").as("id_b"), col("table"), col("bucket"))
     val pairs = a.join(b, Seq("table", "bucket"))
