@@ -367,6 +367,38 @@ object SparkEntry {
         .where(lit(bad) === 0)
     }),
 
+    // ---- S5: GoldenGate trail parse → envelope (files rendered from the
+    // events table, parsed back by the production StAX source) ----
+    "q_ggtrail_parse" -> ((s, dir) => {
+      val trail = graft.sources.GoldenGateTrail.read(
+        s, graft.sources.WireFixtures.goldenGateTrailDir(s, dir))
+      graft.sources.GoldenGateTrail.toEnvelope(trail, ChangeFeed.registry)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          countDistinct(col("key_long")).as("n_keys"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"))
+    }),
+
+    // ---- S3/S4: binlog dump parse → composite-SCN envelope ----
+    "q_binlog_parse" -> ((s, dir) => {
+      val recs = graft.sources.BinlogFeed.parseJsonLines(
+        s, graft.sources.WireFixtures.binlogDumpDir(s, dir))
+      graft.sources.BinlogFeed.toEnvelope(recs, ChangeFeed.registry)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+    }),
+
+    // ---- similarity search: IVF cell-probe variant (rows-only) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.ivfTopK(all.where(col("id") < 20), all,
+        centroids = all.where(col("id") < 8), k = 5)
+    }),
+
     // ---- multimodal: binary payload plumbing + stub decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -579,6 +611,25 @@ object SparkEntry {
       ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
+
+    "q_ggtrail_parse" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes," +
+        " count(DISTINCT key_long) AS n_keys," +
+        " min(scn) AS min_scn, max(scn) AS max_scn" +
+        " FROM envelope GROUP BY source_id"),
+
+    "q_binlog_parse" ->
+      ("WITH b AS (SELECT" +
+        " CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3" +
+        "   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1 END AS source_id," +
+        " CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_delete," +
+        " ((event_id // 10000) + 1) * 4294967296 + ((event_id - event_id % 10) % 10000) AS scn," +
+        " ((event_id // 10000) + 1) * 4294967296 + (event_id % 10000) AS seq" +
+        " FROM events)" +
+        " SELECT source_id, count(*) AS n_events, sum(is_delete) AS n_deletes," +
+        " min(scn) AS min_scn, max(scn) AS max_scn," +
+        " min(seq) AS min_seq, max(seq) AS max_seq FROM b GROUP BY source_id"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id," +

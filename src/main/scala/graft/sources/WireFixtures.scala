@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Renders the driver's `events` table into the wire formats the capture
+  * sources parse — GoldenGate-style XML trail files (S5) and a MySQL
+  * binlog-shaped JSON-lines dump (S3/S4) — so the parse → envelope paths
+  * can be driven end-to-end against a DuckDB oracle computed from the same
+  * rows. Deterministic: every value derives from the events table; files
+  * are written once per dataset (marker-guarded, atomic rename).
+  *
+  * This is the test-harness side of the sources (the reference grows the
+  * same appendage: its relay tests generate binlog/trail inputs with
+  * RelayEventGenerator, databus2-event-producer-mock/.../
+  * RelayEventGenerator.java:1); the parsers under test are the production
+  * ones in [[GoldenGateTrail]] / [[BinlogFeed]].
+  */
+object WireFixtures {
+
+  val Root = "/tmp/graft_fixtures"
+
+  /** Offsets-per-binlog-file; a multiple of the txn window size so a
+    * transaction never straddles a file (the reference rotates binlogs on
+    * txn boundaries for the same reason). */
+  val BinlogFileSize = 10000L
+
+  private def key(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def writeOnce(dest: String)(write: String => Unit): String = {
+    if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
+    this.synchronized {
+      if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
+      val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
+      write(tmp)
+      Files.createDirectories(Paths.get(dest).getParent)
+      try Files.move(Paths.get(tmp), Paths.get(dest),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    dest
+  }
+
+  /** GG trail dir: 8 XML trail documents (one per trail file, the unit of
+    * concurrent append in GG), transactions grouped by commit window,
+    * TK-SCN token carrying the window scn. Returns the dir. */
+  def goldenGateTrailDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/ggtrail") { tmp =>
+      import spark.implicits._
+      val raw = ChangeFeed.raw(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), (col("event_id") - col("event_id") % ChangeFeed.WindowSize).as("scn"))
+      raw.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .as[(Long, Long, String, Double, Long)]
+        .mapPartitions { it =>
+          val sb = new StringBuilder("<root>")
+          var openScn = Long.MinValue
+          it.foreach { case (eid, uid, typ, value, scn) =>
+            if (scn != openScn) {
+              if (openScn != Long.MinValue) sb.append("</transaction>")
+              sb.append(s"""<transaction timestamp="$scn">""")
+              openScn = scn
+            }
+            val op = if (typ == "error") "delete" else "insert"
+            sb.append(s"""<dbupdate table="$typ" type="$op"><columns>""")
+              .append(s"""<column name="key">$uid</column>""")
+              .append(s"""<column name="value">$value</column>""")
+              .append(s"""<column name="event_id">$eid</column>""")
+              .append("</columns><tokens>")
+              .append(s"""<token name="TK-SCN">$scn</token>""")
+              .append("</tokens></dbupdate>")
+          }
+          if (openScn != Long.MinValue) sb.append("</transaction>")
+          sb.append("</root>")
+          Iterator.single(sb.toString)
+        }
+        .toDF("value")
+        .write.mode("overwrite").text(tmp)
+      // trail files carry an .xml suffix (the reader globs *.xml)
+      val d = new java.io.File(tmp)
+      d.listFiles().filter(f => f.getName.startsWith("part-")).foreach { f =>
+        f.renameTo(new java.io.File(d, f.getName + ".xml"))
+      }
+    }
+
+  /** Binlog JSON-lines dump: records with (file_no, offset, txn_offset,
+    * table, op, key, row) plus one COMMIT marker per transaction —
+    * SCN = (file_no << 32) | offset, the reference's composite
+    * (ORListener.java:179-284). Returns the dump dir. */
+  def binlogDumpDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/binlog") { tmp =>
+      val raw = ChangeFeed.raw(spark, sfDir)
+      val win = col("event_id") - col("event_id") % ChangeFeed.WindowSize
+      val data = raw.select(
+        (col("event_id") / BinlogFileSize + 1).cast("long").as("file_no"),
+        (col("event_id") % BinlogFileSize).as("offset"),
+        (win % BinlogFileSize).as("txn_offset"),
+        col("event_type").as("table"),
+        when(col("event_type") === "error", "DELETE").otherwise("INSERT").as("op"),
+        col("user_id").as("key"),
+        to_json(struct(col("value"))).as("row"))
+      val commits = raw.groupBy(
+          (win / BinlogFileSize + 1).cast("long").as("file_no"),
+          (win % BinlogFileSize).as("txn_offset"))
+        .agg(max(col("event_id") % BinlogFileSize).as("last_off"))
+        .select(col("file_no"), (col("last_off") + 1).as("offset"),
+          col("txn_offset"), lit(null).cast("string").as("table"),
+          lit("COMMIT").as("op"), lit(null).cast("long").as("key"),
+          lit(null).cast("string").as("row"))
+      data.unionByName(commits)
+        .repartitionByRange(4, col("file_no"), col("offset"))
+        .sortWithinPartitions("file_no", "offset")
+        .write.mode("overwrite").json(tmp)
+    }
+}
