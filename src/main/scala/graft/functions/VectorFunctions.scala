@@ -21,8 +21,15 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity. */
+  /** Cosine similarity — native codegen expression ([[CosineSimilarity]]);
+    * one fused loop over the Tungsten array buffers instead of interpreted
+    * HOF lambda trees. */
   def cosine(a: Column, b: Column): Column =
+    GraftFunctions.cosine_sim(a, b)
+
+  /** Cosine via higher-order functions (reference implementation; used by
+    * tests to cross-check the native expression). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
   /** Squared euclidean distance. */

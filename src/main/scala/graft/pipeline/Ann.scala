@@ -39,15 +39,17 @@ object Ann {
     import corpus.sparkSession.implicits._
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    // cosine runs as the native codegen expression inside the join stage;
+    // only (query_id, neighbor_id, cosine) scalars reach the heap kernel
     val partialTopK = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec")
-      .as[(Long, Long, Array[Float], Array[Float])]
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+      .as[(Long, Long, Double)]
       .mapPartitions { it =>
         val heaps = scala.collection.mutable.LongMap
           .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (qid, nid, qv, cv) =>
-          val cos = cosineKernel(qv, cv)
+        it.foreach { case (qid, nid, cos) =>
           val h = heaps.getOrElseUpdate(qid,
             scala.collection.mutable.PriorityQueue.empty(worstFirst))
           h.enqueue((cos, nid))
@@ -87,11 +89,9 @@ object Ann {
         "neighbor_id")
       .join(broadcast(queries.select(col("id").as("query_id"),
         col("vec").as("qvec"))), "query_id")
-      .select("query_id", "neighbor_id", "qvec", "cvec")
-      .as[(Long, Long, Array[Float], Array[Float])]
-    val scored = withVecs.mapPartitions(_.map { case (qid, nid, qv, cv) =>
-      (qid, nid, cosineKernel(qv, cv))
-    }).toDF("query_id", "neighbor_id", "cosine")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+    val scored = withVecs
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

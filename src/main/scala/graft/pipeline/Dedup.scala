@@ -345,19 +345,15 @@ object Dedup {
   }
 
   /** Exact cosine for a candidate pair set: two keyed joins fetch the
-    * vectors, then a tight kernel computes the dot/norms per pair. */
+    * vectors, then the native codegen [[graft.functions.CosineSimilarity]]
+    * expression scores each pair in the same stage as the join — no
+    * encoder deserialization of the arrays. */
   def embeddingCosineVerify(emb: DataFrame, pairs: DataFrame,
-      cosineThreshold: Double): DataFrame = {
-    import emb.sparkSession.implicits._
-    val joined = pairs
+      cosineThreshold: Double): DataFrame =
+    pairs
       .join(emb.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(emb.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .select("id_a", "id_b", "vec_a", "vec_b")
-      .as[(Long, Long, Array[Float], Array[Float])]
-    joined.mapPartitions(_.map { case (a, b, va, vb) =>
-      (a, b, VectorFunctions.cosineKernel(va, vb))
-    }).toDF("id_a", "id_b", "cosine")
+      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-  }
 }

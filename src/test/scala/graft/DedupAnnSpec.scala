@@ -137,4 +137,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(math.abs(got(1)._1 - 1.0) < 1e-12 && got(1)._2 == 2.0)
     assert(got(0)._4 == 5.0)
   }
+
+  test("native cosine_sim expression: codegen == interpreted == HOF == kernel") {
+    import graft.functions.{GraftFunctions, VectorFunctions}
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(17)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "vec")
+    val pairs = df.select($"id".as("id_a"), $"vec".as("vec_a"))
+      .crossJoin(df.select($"id".as("id_b"), $"vec".as("vec_b")))
+      .where($"id_a" < $"id_b")
+    // native (codegen'd in the join stage) vs interpreted HOF reference
+    val mismatch = pairs.select($"id_a", $"id_b",
+        GraftFunctions.cosine_sim($"vec_a", $"vec_b").as("nat"),
+        VectorFunctions.cosineHof($"vec_a", $"vec_b").as("hof"))
+      .where(abs($"nat" - $"hof") > 1e-12).count()
+    assert(mismatch == 0)
+    // bit-exact twin of the scala kernel (same accumulation order)
+    val byId = vecs.toMap
+    val nat = pairs.select($"id_a", $"id_b",
+        GraftFunctions.cosine_sim($"vec_a", $"vec_b").as("nat"))
+      .as[(Long, Long, Double)].collect()
+    nat.foreach { case (a, b, c) =>
+      assert(c == VectorFunctions.cosineKernel(byId(a), byId(b)))
+    }
+    // SQL surface via registration
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cosvecs")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(a.vec, b.vec) FROM cosvecs a JOIN cosvecs b ON a.id = 0 AND b.id = 1")
+      .as[Double].head()
+    assert(viaSql == VectorFunctions.cosineKernel(byId(0L), byId(1L)))
+    // null propagation
+    val withNull = Seq((Array(1f, 2f), null.asInstanceOf[Array[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(GraftFunctions.cosine_sim($"a", $"b"))
+      .collect().head.isNullAt(0))
+  }
 }
