@@ -361,10 +361,13 @@ object SparkEntry {
         ChangeFeed.raw(s, dir).withColumn("payload",
           enc(struct(col("event_id"), col("user_id"), col("event_type"),
             col("value"), col("props")))))
-      val bad = graft.operators.Integrity.validate(stamped).count()
+      // failure count rides the same plan as the per-type totals (one job,
+      // one scan) instead of an eager side-job at query-construction time
+      val bad = graft.operators.Integrity.validate(stamped)
+        .agg(count(lit(1)).as("n_bad"))
       stamped.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_valid"))
-        .where(lit(bad) === 0)
+        .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
 
     // ---- S5: GoldenGate trail parse → envelope (files rendered from the

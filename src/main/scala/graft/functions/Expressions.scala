@@ -123,6 +123,58 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Squared L2 distance of two `array<float>` columns — same rationale and
+  * numeric discipline as [[CosineSimilarity]] (fused codegen loop over
+  * ArrayData, sequential double accumulation, shorter-prefix semantics). */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2sq requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc$$ = 0.0;
+         |for (int i$$ = 0; i$$ < n$$; i$$++) {
+         |  double d$$ = (double) $a.getFloat(i$$) - (double) $b.getFloat(i$$);
+         |  acc$$ += d$$ * d$$;
+         |}
+         |${ev.value} = acc$$;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): L2SqDistance = copy(newLeft, newRight)
+  override def prettyName: String = "l2sq"
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -131,6 +183,10 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2SqDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Register SQL functions on an existing session
     * (`SELECT fnv_hash64(col) ...`, `SELECT cosine_sim(a, b) ...`). */

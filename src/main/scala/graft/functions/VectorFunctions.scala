@@ -32,8 +32,12 @@ object VectorFunctions {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance — native codegen ([[L2SqDistance]]). */
   def l2sq(a: Column, b: Column): Column =
+    GraftFunctions.l2sq(a, b)
+
+  /** l2sq via higher-order functions (reference implementation). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)

@@ -111,17 +111,33 @@ object Ann {
       val scored = df.select(col("id").as(idName), col("vec").as(vecName))
         .crossJoin(broadcast(cent))
         .withColumn("dist", l2sq(col(vecName), col("cent")))
-      val w = Window.partitionBy(col(idName)).orderBy(col("dist"), col("cell_id"))
-      scored.withColumn("r", row_number().over(w)).where(col("r") <= cells)
-        .select(col(idName), col(vecName), col("cell_id"))
+      if (cells == 1)
+        // nearest cell via partial-aggregating min_by (map-side combine;
+        // no sort, no per-id window shuffle of every (row, centroid) pair)
+        scored.groupBy(col(idName))
+          .agg(min_by(struct(col("cell_id"), col(vecName)),
+            struct(col("dist"), col("cell_id"))).as("best"))
+          .select(col(idName), col(s"best.$vecName").as(vecName),
+            col("best.cell_id").as("cell_id"))
+      else {
+        val w = Window.partitionBy(col(idName)).orderBy(col("dist"), col("cell_id"))
+        scored.withColumn("r", row_number().over(w)).where(col("r") <= cells)
+          .select(col(idName), col(vecName), col("cell_id"))
+      }
     }
     val c = assign(corpus, "neighbor_id", "cvec", 1)
     val q = assign(queries, "query_id", "qvec", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), "cell_id")
+    // candidate dedup on id pairs only (a query probing nProbe cells can
+    // meet the same neighbor once per cell); vectors rejoin afterwards
+    c.select("cell_id", "neighbor_id", "cvec")
+      .join(broadcast(q.select("cell_id", "query_id")), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec").distinct()
+      .select("query_id", "neighbor_id", "cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
