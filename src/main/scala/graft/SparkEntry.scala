@@ -193,6 +193,30 @@ object SparkEntry {
         .agg(sum(revC4).as("revenue_c4"))
     }),
 
+    // ---- same Q3 semantics on bucketed tables: lineitem⋈orders hash-
+    // clustered on orderkey at write time → the fact-fact join runs with
+    // no exchange on either side (the co-located layout for the hottest
+    // join edge at 100 TB); dims still broadcast ----
+    "q3_join_bucketed" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = graft.sources.Store.bucketedTable(s, dir, "orders", "o_orderkey", 8)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = graft.sources.Store.bucketedTable(s, dir, "lineitem", "l_orderkey", 8)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      val revC4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      // merge-hinted so the co-located path is what actually runs (at this
+      // SF AQE would otherwise pick broadcast and never exercise it):
+      // SortMergeJoin over matching bucket specs = no exchange, no sort
+      l.hint("merge").join(o.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(sum(revC4).as("revenue_c4"))
+    }),
+
     // ---- engine query surface: snowflake join (TPC-H Q5 shape) ----
     "q5_join" -> ((s, dir) => {
       val r = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
@@ -370,6 +394,14 @@ object SparkEntry {
         .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
 
+    // ---- streaming analytics: event-time tumbling-window stats (the
+    // watermark op; batch form checked here, stream form in StreamingSpec)
+    "q_windowed_stats" -> ((s, dir) =>
+      graft.streaming.RelayStream.windowedStats(envCore(s, dir), "1 minute")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("source_id"), col("n_events"), col("n_deletes"),
+          col("min_scn"), col("max_scn"))),
+
     // ---- S5: GoldenGate trail parse → envelope (files rendered from the
     // events table, parsed back by the production StAX source) ----
     "q_ggtrail_parse" -> ((s, dir) => {
@@ -524,14 +556,9 @@ object SparkEntry {
         " count(*) AS count_order FROM lineitem" +
         " WHERE l_shipdate <= TIMESTAMP '2001-09-01' GROUP BY l_returnflag, l_linestatus"),
 
-    "q3_join" ->
-      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate," +
-        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
-        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
-        " JOIN customer ON o_custkey = c_custkey" +
-        " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'" +
-        " AND l_shipdate > TIMESTAMP '1998-01-01'" +
-        " GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')"),
+    "q3_join" -> oracleSqlQ3,
+
+    "q3_join_bucketed" -> oracleSqlQ3,
 
     "q5_join" ->
       ("SELECT n_name," +
@@ -615,6 +642,13 @@ object SparkEntry {
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
 
+    "q_windowed_stats" ->
+      (s"$ENV SELECT (ts_us // 60000000) * 60000000 AS win_start_us," +
+        " source_id, count(*) AS n_events," +
+        " sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes," +
+        " min(scn) AS min_scn, max(scn) AS max_scn" +
+        " FROM envelope GROUP BY 1, 2"),
+
     "q_ggtrail_parse" ->
       (s"$ENV SELECT source_id, count(*) AS n_events," +
         " sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes," +
@@ -643,6 +677,17 @@ object SparkEntry {
         " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(16000 + (doc_id * 13) % 30 + 1 AS INT) ELSE 0 END AS sample_rate," +
         " CAST(8 + ((doc_id * 13) % 30 + 1) * 8 AS BIGINT) AS n_bytes" +
         " FROM documents"))
+
+  /** Q3-shape oracle — shared by the plain and bucketed variants (identical
+    * semantics; the bucketed query differs only in physical layout). */
+  private lazy val oracleSqlQ3: String =
+    ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate," +
+      " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
+      " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+      " JOIN customer ON o_custkey = c_custkey" +
+      " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'" +
+      " AND l_shipdate > TIMESTAMP '1998-01-01'" +
+      " GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')")
 
   /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
     * same alphabetical tie-break order and the same padded-split counting. */

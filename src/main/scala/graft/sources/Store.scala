@@ -78,6 +78,45 @@ object Store {
     spark.read.parquet(dest)
   }
 
+  /** Bucketed serving table: rows hash-clustered into `nBuckets` files by
+    * `bucketKey` at write time, registered in the session catalog so joins
+    * and aggregations on the key run with NO exchange on either side —
+    * the co-located-join layout a 100 TB deployment would maintain for its
+    * hottest join edge (lineitem⋈orders on orderkey here). The data is
+    * written once (bucketed saveAsTable); later sessions re-register the
+    * existing files with matching bucket metadata via DDL. */
+  def bucketedTable(spark: SparkSession, sfDir: String, name: String,
+      bucketKey: String, nBuckets: Int): DataFrame = {
+    val tbl = s"graft_${key(sfDir)}_${name}_$bucketKey$nBuckets"
+      .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    if (!spark.catalog.tableExists(tbl)) this.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val loc = Paths.get(s"$Root/bucketed/$tbl")
+        val src = spark.read.parquet(s"$sfDir/$name.parquet")
+        if (!Files.exists(loc.resolve("_SUCCESS"))) {
+          src.write.mode("overwrite")
+            .option("path", loc.toString)
+            .bucketBy(nBuckets, bucketKey)
+            .sortBy(bucketKey)
+            .format("parquet")
+            .saveAsTable(tbl)
+          // saveAsTable emits _SUCCESS itself; belt-and-braces if it didn't
+          if (!Files.exists(loc.resolve("_SUCCESS")))
+            Files.createFile(loc.resolve("_SUCCESS"))
+        } else {
+          val schema = src.schema.map(f =>
+            s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schema) USING PARQUET
+               |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey)
+               |INTO $nBuckets BUCKETS
+               |LOCATION '${loc.toString}'""".stripMargin)
+        }
+      }
+    }
+    spark.table(tbl)
+  }
+
   private def ensure(spark: SparkSession, dest: String, srcFile: String,
       rangeCols: Seq[String], sortCols: Seq[String], df: => DataFrame): Unit = {
     if (Files.exists(Paths.get(dest, "_SUCCESS"))) return

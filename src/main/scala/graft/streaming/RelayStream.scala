@@ -101,6 +101,33 @@ object RelayStream {
       .where(graft.operators.Relay.afterCheckpoint(cp))
       .where(filter.toColumn)
 
+  /** Event-time windowed stats with a watermark — the streaming analog of
+    * the A3 totals for wall-clock dashboards (events/sec, per-source
+    * volumes over tumbling windows).
+    *
+    * The reference needs no event-time watermark for its own semantics
+    * (log order IS commit order, SURVEY §2.7) — this is an *added*
+    * analytics op, so it uses the standard Structured Streaming watermark
+    * contract: state for a window is evicted once the watermark passes its
+    * end, bounding state size regardless of stream length; events later
+    * than `lateness` are dropped. Works identically on a batch frame
+    * (watermark is a no-op there), which is how the oracle checks it.
+    */
+  def windowedStats(envelope: DataFrame, windowDur: String = "1 minute",
+      lateness: String = "30 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    envelope
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur).as("w"),
+        col("source_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+        min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"))
+      .select(col("w.start").as("win_start"), col("source_id"),
+        col("n_events"), col("n_deletes"), col("min_scn"), col("max_scn"))
+  }
+
   /** Fall-off detection + bootstrap switchover (§3.3): if the consumer's
     * checkpoint predates the log's retention window (`ScnNotFoundException`
     * → BOOTSTRAP in the reference, RelayPullThread.java:96-121), first

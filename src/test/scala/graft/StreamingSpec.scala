@@ -173,6 +173,26 @@ class StreamingSpec extends SparkSpec {
     assert(one.count() == expected)
   }
 
+  test("watermarked windowed stats: stream result equals the batch form") {
+    val logDir = tmp("eventlog_ws")
+    val cpDir = tmp("streamcp_ws")
+    RelayStream.writeEventLog(envelope, logDir, filesHint = 4)
+    val stream = RelayStream.read(spark, logDir, maxFilesPerTrigger = 1)
+    val q = RelayStream.windowedStats(stream, "1 minute", "30 seconds")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete")
+      .option("checkpointLocation", cpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("win_stats")
+      .select("win_start", "source_id", "n_events", "n_deletes")
+    val batch = RelayStream.windowedStats(envelope, "1 minute")
+      .select("win_start", "source_id", "n_events", "n_deletes")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("no fall-off when checkpoint is within retention") {
     val logDir = tmp("eventlog5")
     RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
