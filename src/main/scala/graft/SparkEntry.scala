@@ -285,6 +285,7 @@ object SparkEntry {
         col("doc_id"),
         col("n_chars"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.bpeishTokenCount(col("text")).as("n_bpeish"),
         round(TF.meanTokenLen(col("text")), 6).as("mean_token_len"),
         TF.occurrences(col("text"), "the").as("the_count"))),
 
@@ -393,6 +394,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_valid"))
         .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
+
+    // ---- skew discipline: per-source exact distinct keys via value-space
+    // salting (hot group's state splits across slices; equals countDistinct)
+    "q_salted_distinct" -> ((s, dir) =>
+      Skew.saltedDistinctCount(envCore(s, dir), "source_id", "key_long", 8)
+        .select(col("source_id"), col("distinct_count"))),
 
     // ---- streaming analytics: event-time tumbling-window stats (the
     // watermark op; batch form checked here, stream form in StreamingSpec)
@@ -600,6 +607,7 @@ object SparkEntry {
     "q_text_stats" ->
       ("SELECT doc_id, n_chars," +
         " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish," +
         " round(CAST(list_sum(list_transform(string_split_regex(text, '\\s+'), t -> length(t))) AS DOUBLE)" +
         "   / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 6) AS mean_token_len," +
         " CAST(len(string_split(text, 'the')) - 1 AS BIGINT) AS the_count" +
@@ -641,6 +649,10 @@ object SparkEntry {
       ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
+
+    "q_salted_distinct" ->
+      (s"$ENV SELECT source_id, count(DISTINCT key_long) AS distinct_count" +
+        " FROM envelope GROUP BY source_id"),
 
     "q_windowed_stats" ->
       (s"$ENV SELECT (ts_us // 60000000) * 60000000 AS win_start_us," +

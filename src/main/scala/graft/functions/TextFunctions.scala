@@ -19,10 +19,12 @@ object TextFunctions {
   /** Word tokens (whitespace split). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** BPE-ish sub-word unit count: words plus punctuation runs — a cheap,
-    * deterministic proxy for tokenizer cost accounting. */
+  /** BPE-ish sub-word unit count: one unit per maximal alphanumeric run
+    * plus one per non-space punctuation character — a cheap, deterministic
+    * proxy for tokenizer cost accounting. RE2-expressible (no lookahead),
+    * so external engines reproduce it exactly. */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|\\s+"), t => length(t) > 0))
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   /** Count of non-overlapping occurrences of `needle` in `text` via the
     * split identity `len(split(text, needle)) - 1` — expressible in any SQL
