@@ -395,6 +395,19 @@ object SparkEntry {
         .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
 
+    // ---- the custom DataSource V2 relay source (SURVEY §4): binary
+    // segment log read through format("graft-relay") with scn-band
+    // pruning; checkpoint-band filter applied on top (K1 over the source)
+    "q_relay_source" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.relayLogDir(s, dir)).load()
+      log.where(col("scn") > 300)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(col("key_long")).as("sum_keys"))
+    }),
+
     // ---- skew discipline: per-source exact distinct keys via value-space
     // salting (hot group's state splits across slices; equals countDistinct)
     "q_salted_distinct" -> ((s, dir) =>
@@ -649,6 +662,11 @@ object SparkEntry {
       ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
+
+    "q_relay_source" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +
+        " max(scn) AS max_scn, sum(key_long) AS sum_keys" +
+        " FROM envelope WHERE scn > 300 GROUP BY source_id"),
 
     "q_salted_distinct" ->
       (s"$ENV SELECT source_id, count(DISTINCT key_long) AS distinct_count" +

@@ -91,6 +91,14 @@ object WireFixtures {
       }
     }
 
+  /** Binary relay event-log segments (the graft-relay DataSource's
+    * storage), written once from the envelope. Returns the segment dir. */
+  def relayLogDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/relaylog") { tmp =>
+      graft.sources.relay.RelayBinaryLog.write(
+        Store.eventLog(spark, sfDir), tmp, numSegments = 8)
+    }
+
   /** Binlog JSON-lines dump: records with (file_no, offset, txn_offset,
     * table, op, key, row) plus one COMMIT marker per transaction —
     * SCN = (file_no << 32) | offset, the reference's composite

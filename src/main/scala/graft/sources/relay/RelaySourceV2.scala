@@ -1,0 +1,208 @@
+package graft.sources.relay
+
+import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Consumer checkpoint is older than the log's retention window — the
+  * bootstrap trigger (reference: ScnNotFoundException →
+  * RelayPullThread.java:96-121 transitions to BOOTSTRAP). */
+class ScnNotFoundException(msg: String) extends RuntimeException(msg)
+
+/** `format("graft-relay")` — the relay as a first-class Spark DataSource
+  * (V2), batch + micro-batch streaming.
+  *
+  * This is the custom source SURVEY §4 calls for: offsets are SCNs
+  * (transaction-window ids), so a micro-batch is always a whole number of
+  * windows — the WINDOW_AT_TIME delivery mode (DbusEventBuffer.java:
+  * 2199-2202) enforced by the offset algebra instead of runtime
+  * coordination. Planning prunes segment files by their scn band before
+  * opening them (ScnIndex skip-scan at the listing level); each segment is
+  * one InputPartition, so scan parallelism = segment count.
+  *
+  * Options:
+  *  - `path`        (required) segment directory written by RelayBinaryLog
+  *  - `startingScn` first offset (exclusive); default = earliest available
+  *  - `failOnFallOff` if true and `startingScn` predates retention, throw
+  *    [[ScnNotFoundException]] (callers switch to bootstrap, §3.3);
+  *    default false = clamp to earliest (the flexible checkpoint).
+  *  - `maxWindowsPerBatch` cap on windows per micro-batch (the `/stream`
+  *    `size` budget analog; rate control A6). Default 100.
+  */
+class RelaySourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-relay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RelaySourceV2.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RelayTable(properties.get("path"))
+}
+
+object RelaySourceV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("scn", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("ts_us", LongType, nullable = false),
+    StructField("source_id", IntegerType, nullable = false),
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("opcode", StringType, nullable = false),
+    StructField("key_long", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = true)))
+}
+
+private[relay] class RelayTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-relay requires a path option")
+  override def name(): String = s"graft-relay:$path"
+  override def schema(): StructType = RelaySourceV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RelayScan(path, options)
+}
+
+private[relay] class RelayScan(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = RelaySourceV2.schema
+  override def description(): String = s"RelayScan($path)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      RelayBinaryLog.listSegments(path)
+        .map(s => RelayPartition(s.path, Long.MinValue, Long.MaxValue))
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new RelayReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RelayMicroBatchStream(path, options)
+}
+
+/** Offset = high-watermark scn, JSON `{"scn":N}` (Checkpoint.windowScn). */
+private[graft] case class RelayOffset(scn: Long) extends Offset {
+  override def json(): String = s"""{"scn":$scn}"""
+}
+
+private[graft] object RelayOffset {
+  private val Re = """\{"scn":(-?\d+)\}""".r
+  def parse(json: String): RelayOffset = json match {
+    case Re(v) => RelayOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad relay offset: $other")
+  }
+}
+
+private[graft] class RelayMicroBatchStream(path: String,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val maxSegments = options.getInt("maxSegmentsPerBatch", 4)
+
+  // Trigger.AvailableNow: capture the log head once, then emit bounded
+  // batches until it is reached (drain-and-stop at a fixed target even if
+  // producers keep appending segments behind us)
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(
+      RelayBinaryLog.bufferInfo(path).map(_._2).getOrElse(-1L))
+
+  override def initialOffset(): Offset = {
+    val earliest = RelayBinaryLog.bufferInfo(path).map(_._1 - 1).getOrElse(-1L)
+    val wanted = Option(options.get("startingScn")).map(_.toLong)
+    wanted match {
+      case Some(scn) if scn < earliest =>
+        if (options.getBoolean("failOnFallOff", false))
+          throw new ScnNotFoundException(
+            s"startingScn $scn predates retention (earliest window $earliest)")
+        else RelayOffset(earliest)
+      case Some(scn) => RelayOffset(scn)
+      case None => RelayOffset(earliest)
+    }
+  }
+
+  override def latestOffset(): Offset = {
+    val head = RelayBinaryLog.bufferInfo(path).map(_._2).getOrElse(-1L)
+    RelayOffset(head)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[RelayOffset].scn
+    val hi = end.asInstanceOf[RelayOffset].scn
+    // window-budgeted band: never split a window (scn) across batches
+    RelayBinaryLog.listSegments(path)
+      .filter(s => s.maxScn > lo && s.minScn <= hi)
+      .map(s => RelayPartition(s.path, lo, hi))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new RelayReaderFactory
+  override def deserializeOffset(json: String): Offset = RelayOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // ---- admission control (A6 rate limiting: the `/stream` size budget):
+  // each micro-batch admits at most `maxSegmentsPerBatch` segments, and
+  // always whole segments = whole windows ----
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[RelayOffset]
+    val pending = RelayBinaryLog.listSegments(path)
+      .filter(_.maxScn > s.scn).sortBy(_.maxScn)
+    if (pending.isEmpty) s
+    else {
+      val next = pending.take(maxSegments).map(_.maxScn).max
+      RelayOffset(availableNowTarget.fold(next)(math.min(next, _)))
+    }
+  }
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = latestOffset()
+}
+
+/** One segment file restricted to the (startScn, endScn] band. */
+private[relay] case class RelayPartition(file: String, startScn: Long,
+    endScn: Long) extends InputPartition
+
+private[relay] class RelayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RelayPartitionReader(partition.asInstanceOf[RelayPartition])
+}
+
+private[relay] class RelayPartitionReader(p: RelayPartition)
+    extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new BufferedInputStream(
+    new FileInputStream(p.file), 1 << 16))
+  private var rec: RelayBinaryLog.Rec = _
+
+  override def next(): Boolean = {
+    while (true) {
+      rec = RelayBinaryLog.readRecord(in)
+      if (rec == null) return false
+      // skip control records (EOW) and rows outside the offset band
+      if (rec.opcode != RelayBinaryLog.OpEow &&
+          rec.scn > p.startScn && rec.scn <= p.endScn) return true
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val op = if (rec.opcode == RelayBinaryLog.OpDelete) "DELETE" else "UPSERT"
+    InternalRow(rec.scn, rec.seq, rec.tsUs, rec.sourceId, rec.partitionId,
+      UTF8String.fromString(op), rec.keyLong, rec.value,
+      if (rec.props == null) null else UTF8String.fromString(rec.props))
+  }
+
+  override def close(): Unit = in.close()
+}
