@@ -88,4 +88,32 @@ class GraftEngine(val spark: SparkSession, eventLogDir: String,
     * replay, S8). */
   def loadDataEvents(envelope: DataFrame, filesHint: Int = 8): Unit =
     RelayStream.writeEventLog(envelope, eventLogDir, filesHint)
+
+  // ---- binary relay log (the graft-relay DataSource V2) ----
+
+  /** Materialize the engine's binary segment log (DbusEventV2-analog
+    * format) from an envelope frame; serve it via [[streamBinary]]. */
+  def writeBinaryLog(envelope: DataFrame, dir: String, numSegments: Int = 8): Unit =
+    graft.sources.relay.RelayBinaryLog.write(envelope, dir, numSegments)
+
+  /** `/stream` over the binary log through the custom DataSource V2:
+    * batch (`streaming=false`) or micro-batch with SCN offsets. */
+  def streamBinary(dir: String, streaming: Boolean = false,
+      startingScn: Option[Long] = None, failOnFallOff: Boolean = false,
+      maxSegmentsPerBatch: Int = 4): DataFrame = {
+    val base = if (streaming) {
+      val r = spark.readStream.format("graft-relay").option("path", dir)
+        .option("failOnFallOff", failOnFallOff)
+        .option("maxSegmentsPerBatch", maxSegmentsPerBatch)
+      startingScn.fold(r)(scn => r.option("startingScn", scn)).load()
+    } else {
+      spark.read.format("graft-relay").option("path", dir).load()
+    }
+    base
+  }
+
+  /** Event-time windowed stats over any envelope frame (A3, streaming). */
+  def windowedStats(envelope: DataFrame, windowDur: String = "1 minute",
+      lateness: String = "30 seconds"): DataFrame =
+    RelayStream.windowedStats(envelope, windowDur, lateness)
 }

@@ -36,12 +36,21 @@ object WireFixtures {
       if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
       val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
       write(tmp)
+      // writers that don't stamp a marker themselves (the binary segment
+      // writer) get one here — the marker is the idempotence guard
+      if (!Files.exists(Paths.get(tmp, "_SUCCESS")))
+        Files.createFile(Paths.get(tmp, "_SUCCESS"))
       Files.createDirectories(Paths.get(dest).getParent)
+      // a dest without _SUCCESS is a stale partial copy — replace it
+      if (Files.exists(Paths.get(dest)))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
       try Files.move(Paths.get(tmp), Paths.get(dest),
         StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException =>
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // another process won the race; serve its copy
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     }

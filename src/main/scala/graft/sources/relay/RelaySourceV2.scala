@@ -71,15 +71,48 @@ private[relay] class RelayTable(path: String) extends Table with SupportsRead {
 }
 
 private[relay] class RelayScan(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan {
+    extends ScanBuilder with Scan
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  // scn band accepted from pushed predicates — segment pruning at planning
+  // time, exactly the ScnIndex role (batch analog of the streaming offset
+  // band). Bounds are (lo, hi] to match the checkpoint contract.
+  private var scnLo = Long.MinValue
+  private var scnHi = Long.MaxValue
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThan("scn", _: Long) | GreaterThanOrEqual("scn", _: Long) |
+           LessThan("scn", _: Long) | LessThanOrEqual("scn", _: Long) |
+           EqualTo("scn", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("scn", v: Long) => scnLo = math.max(scnLo, v)
+      case GreaterThanOrEqual("scn", v: Long) => scnLo = math.max(scnLo, v - 1)
+      case LessThan("scn", v: Long) => scnHi = math.min(scnHi, v - 1)
+      case LessThanOrEqual("scn", v: Long) => scnHi = math.min(scnHi, v)
+      case EqualTo("scn", v: Long) =>
+        scnLo = math.max(scnLo, v - 1); scnHi = math.min(scnHi, v)
+      case _ =>
+    }
+    // keep accepted filters in the residual too (cheap re-check; pruning
+    // is segment-granular, rows inside a segment still need the predicate)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
   override def build(): Scan = this
   override def readSchema(): StructType = RelaySourceV2.schema
-  override def description(): String = s"RelayScan($path)"
+  override def description(): String =
+    s"RelayScan($path, scnBand=($scnLo, $scnHi])"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       RelayBinaryLog.listSegments(path)
-        .map(s => RelayPartition(s.path, Long.MinValue, Long.MaxValue))
+        .filter(s => s.maxScn > scnLo && s.minScn <= scnHi)
+        .map(s => RelayPartition(s.path, scnLo, scnHi))
         .toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new RelayReaderFactory

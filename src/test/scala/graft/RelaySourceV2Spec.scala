@@ -82,6 +82,16 @@ class RelaySourceV2Spec extends SparkSpec {
     assert(parts.length < segs.length && parts.length >= segs.length - 6)
   }
 
+  test("batch scan: pushed scn predicates prune segments at planning time") {
+    val got = spark.read.format("graft-relay").option("path", logDir).load()
+      .where($"scn" > 600 && $"scn" <= 800)
+    // plan description carries the accepted band; result matches envelope
+    val scanDesc = got.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("scnBand=(600, 800]"))
+    val want = envelope.where($"scn" > 600 && $"scn" <= 800).count()
+    assert(got.count() == want && want > 0)
+  }
+
   test("fall-off: startingScn before retention throws ScnNotFound when strict") {
     // simulate retention: drop the earliest segments
     val d = Files.createTempDirectory("relayret").toString
