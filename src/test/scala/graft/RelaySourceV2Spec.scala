@@ -92,6 +92,45 @@ class RelaySourceV2Spec extends SparkSpec {
     assert(got.count() == want && want > 0)
   }
 
+  test("checkpoint resume: restart delivers only segments appended after stop") {
+    val d = Files.createTempDirectory("relayresume").toString
+    val cpDir = Files.createTempDirectory("relayresumecp").toString
+    RelayBinaryLog.write(envelope.where($"scn" < 500), d, numSegments = 4)
+    def drain(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("graft-relay").option("path", d).load()
+        .writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          { n.addAndGet(batch.count()); () })
+        .option("checkpointLocation", cpDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      n.get()
+    }
+    val first = drain()
+    assert(first == envelope.where($"scn" < 500).count())
+    // append the rest of the log, resume from the same checkpoint:
+    // only the newly appended segments are delivered
+    RelayBinaryLog.write(envelope.where($"scn" >= 500), d, numSegments = 4)
+    val second = drain()
+    assert(second == envelope.where($"scn" >= 500).count())
+  }
+
+  test("consumer dispatch (K3) runs over the custom source end to end") {
+    val cpDir = Files.createTempDirectory("relaydispcp").toString
+    StreamingSpec.Collector.clear()
+    val stream = spark.readStream.format("graft-relay")
+      .option("path", logDir).option("maxSegmentsPerBatch", 3).load()
+    val q = graft.streaming.Dispatcher.start(stream,
+      new StreamingSpec.CollectingConsumer, cpDir)
+    q.awaitTermination()
+    val got = StreamingSpec.Collector.events.toArray(
+      Array.empty[graft.streaming.EnvelopeRow])
+    assert(got.length == 1000)
+    assert(got.map(_.seq).toSet == (0L until 1000L).toSet)
+  }
+
   test("fall-off: startingScn before retention throws ScnNotFound when strict") {
     // simulate retention: drop the earliest segments
     val d = Files.createTempDirectory("relayret").toString
