@@ -459,6 +459,24 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.decodeMeta(
         Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF()
+    }),
+
+    // ---- multimodal: deterministic frame-sampling plan over videos ----
+    "q_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeMeta(
+          Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF(),
+        stride = 7)
+    }),
+
+    // ---- multimodal: integer-exact resize plan for images/videos ----
+    "q_resize_plan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(
+          Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF(),
+        maxDim = 48)
     }))
 
   /** DuckDB-runnable ANSI SQL oracles. Key alignment rule: column names and
@@ -706,7 +724,32 @@ object SparkEntry {
         " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE CAST((doc_id * 13) % 30 + 1 AS INT) END AS n_frames," +
         " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(16000 + (doc_id * 13) % 30 + 1 AS INT) ELSE 0 END AS sample_rate," +
         " CAST(8 + ((doc_id * 13) % 30 + 1) * 8 AS BIGINT) AS n_bytes" +
-        " FROM documents"))
+        " FROM documents"),
+
+    "q_frame_sample" -> frameSampleSql,
+
+    "q_resize_plan" -> resizePlanSql)
+
+  /** q_frame_sample / q_resize_plan oracles re-derive the fake-media
+    * header fields (w = id%64+16, h = id*7%64+16, f = id*13%30+1) the way
+    * q_multimodal_meta's oracle does. */
+  private lazy val frameSampleSql: String =
+    ("SELECT doc_id, CAST(f AS INT) AS frame_idx FROM" +
+      " (SELECT doc_id, unnest(range(0, CAST((doc_id * 13) % 30 AS BIGINT) + 1, 7)) AS f" +
+      " FROM documents WHERE doc_id % 3 = 2)")
+
+  private lazy val resizePlanSql: String =
+    ("WITH m AS (SELECT doc_id," +
+      " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'video' END AS media_type," +
+      " CAST(doc_id % 64 + 16 AS INT) AS width," +
+      " CAST((doc_id * 7) % 64 + 16 AS INT) AS height" +
+      " FROM documents WHERE doc_id % 3 <> 1)" +
+      " SELECT doc_id, media_type, width, height," +
+      " CASE WHEN greatest(width, height) > 48" +
+      "   THEN CAST((width * 48) // greatest(width, height) AS INT) ELSE width END AS new_width," +
+      " CASE WHEN greatest(width, height) > 48" +
+      "   THEN CAST((height * 48) // greatest(width, height) AS INT) ELSE height END AS new_height" +
+      " FROM m")
 
   /** Q3-shape oracle — shared by the plain and bucketed variants (identical
     * semantics; the bucketed query differs only in physical layout). */

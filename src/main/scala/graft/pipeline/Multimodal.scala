@@ -93,6 +93,59 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"))
 
+  /** Resize plan: scale-to-fit inside `maxDim` preserving aspect ratio,
+    * integer arithmetic only (SQL-reproducible). Pure column math over the
+    * decoded metadata — the actual pixel resample happens in the decode
+    * kernel at materialization; planning never touches bytes. */
+  def resizePlan(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val needs = longSide > maxDim
+    decoded.where(col("media_type").isin("image", "video"))
+      .withColumn("new_width",
+        when(needs, (col("width") * maxDim / longSide).cast("int"))
+          .otherwise(col("width")))
+      .withColumn("new_height",
+        when(needs, (col("height") * maxDim / longSide).cast("int"))
+          .otherwise(col("height")))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("new_width"), col("new_height"))
+  }
+
+  /** STUB feature extraction: a deterministic pseudo-embedding derived
+    * from the payload bytes (splitmix over a rolling hash per dimension).
+    * Stands in for a vision/audio encoder; the contract — bytes in,
+    * `array<float>` out, batched per partition — is the real surface, and
+    * its output feeds the engine's ANN/dedup pipelines unchanged. */
+  def stubFeatures(payload: Array[Byte], dims: Int = 16): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) { h ^= payload(i); h *= 0x100000001b3L; i += 1 }
+    val out = new Array[Float](dims)
+    var d = 0
+    var x = h
+    while (d < dims) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      out(d) = (((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Batched feature extraction over media rows → (doc_id, embedding);
+    * output plugs straight into Ann/Dedup.embeddingNearDups. */
+  def extractFeatures(media: DataFrame, dims: Int = 16)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, stubFeatures(r.payload, dims))))
+      .toDF("doc_id", "embedding")
+  }
+
   /** Size-budgeted repartition before heavy decode: target bytes per task
     * so executors neither starve nor OOM on skewed blob sizes. */
   def repartitionByByteBudget(media: DataFrame, bytesPerTask: Long): DataFrame = {

@@ -81,4 +81,36 @@ class TextAvroSpec extends SparkSpec {
     // doc 2 is video with 27 frames → frames 0,10,20; doc 0 is image
     assert(plan.select("frame_idx").as[Int].collect().toSet == Set(0, 10, 20))
   }
+
+  test("multimodal feature extraction feeds the embedding dedup pipeline") {
+    implicit val s = spark
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.attachFakeMedia(ids)
+    // plant exact duplicates: same payloads under shifted ids
+    val dup = Multimodal.attachFakeMedia(
+      ids.select(($"doc_id" + 1000L).as("orig")).select(($"orig" - 1000L).as("doc_id")))
+      .select(($"doc_id" + 1000L).as("doc_id"), $"media_type", $"payload")
+    val feats = Multimodal.extractFeatures(media.unionByName(dup), dims = 16)
+    assert(feats.count() == 80)
+    val pairs = graft.pipeline.Dedup.embeddingNearDups(
+      feats, vecCol = "embedding", idCol = "doc_id",
+      numPlanes = 8, cosineThreshold = 0.999)
+    // every planted twin (i, i+1000) must surface with cosine ≈ 1
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 40L).foreach(i => assert(found.contains((i, i + 1000L))))
+  }
+
+  test("resize plan preserves aspect and never upscales") {
+    implicit val s = spark
+    val media = Multimodal.attachFakeMedia((0L until 60L).toDF("doc_id"))
+    val plan = Multimodal.resizePlan(
+      Multimodal.decodeMeta(media).toDF(), maxDim = 48)
+    val rows = plan.as[(Long, String, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, w, h, nw, nh) =>
+      assert(nw <= 48 || w <= math.max(w, h) && math.max(nw, nh) <= math.max(w, h))
+      assert(math.max(nw, nh) <= math.max(48, math.min(w, h)))
+      assert(nw <= w && nh <= h) // never upscale
+    }
+  }
 }
