@@ -395,6 +395,17 @@ object SparkEntry {
         .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
 
+    // ---- capture-path band scan through the ImpliedScnBandPushdown rule:
+    // scn is derived arithmetic on the raw feed, yet the implied event_id
+    // bounds reach the parquet scan (PlansSpec asserts the pushed filters)
+    "q_capture_band" -> ((s, dir) => {
+      graft.plans.GraftRules.install(s)
+      ChangeFeed.envelope(s, dir)
+        .where(col("scn") > 300 && col("scn") <= 700)
+        .select("scn", "seq", "ts_us", "source_id", "partition_id",
+          "opcode", "key_long", "value")
+    }),
+
     // ---- the custom DataSource V2 relay source (SURVEY §4): binary
     // segment log read through format("graft-relay") with scn-band
     // pruning; checkpoint-band filter applied on top (K1 over the source)
@@ -680,6 +691,9 @@ object SparkEntry {
       ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
+
+    "q_capture_band" ->
+      s"$ENV SELECT * FROM envelope WHERE scn > 300 AND scn <= 700",
 
     "q_relay_source" ->
       (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +
