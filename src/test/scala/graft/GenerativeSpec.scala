@@ -116,6 +116,51 @@ class GenerativeSpec extends SparkSpec {
       assert(stitched == appliedModel(evs), s"start=$startScn")
     }
   }
+
+  // ---- binary segment format (the graft-relay storage) ----
+
+  import graft.sources.relay.RelayBinaryLog
+  import graft.sources.relay.RelayBinaryLog.Rec
+
+  private val genRec: Gen[Rec] = for {
+    scn <- Gen.choose(0L, 1L << 40)
+    seq <- Gen.choose(0L, Long.MaxValue / 2)
+    ts <- Gen.choose(0L, Long.MaxValue / 2)
+    src <- Gen.choose(-1, 100)
+    part <- Gen.choose(0, 64)
+    op <- Gen.oneOf(RelayBinaryLog.OpUpsert, RelayBinaryLog.OpDelete)
+    key <- Gen.choose(Long.MinValue, Long.MaxValue)
+    value <- Gen.choose(-1e12, 1e12)
+    props <- Gen.option(Gen.asciiPrintableStr.map(_.take(200)))
+  } yield Rec(scn, seq, ts, src, part, op, key, value,
+    props.filter(_.nonEmpty).orNull)
+
+  test("binary record roundtrip for arbitrary field values") {
+    samples(Gen.listOfN(50, genRec)).foreach { recs =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      recs.foreach(RelayBinaryLog.writeRecord(out, _))
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val back = Iterator.continually(RelayBinaryLog.readRecord(in))
+        .takeWhile(_ != null).toList
+      assert(back == recs)
+    }
+  }
+
+  test("any single flipped body byte is caught by the record CRC") {
+    samples(genRec).foreach { rec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      RelayBinaryLog.writeRecord(new java.io.DataOutputStream(bos), rec)
+      val bytes = bos.toByteArray
+      // flip one byte inside the body (skip 8-byte magic+len prefix and
+      // the trailing 4-byte crc so the corruption hits CRC-covered bytes)
+      val idx = 8 + ((rec.seq % math.max(1, bytes.length - 12)).toInt.abs)
+      bytes(idx) = (bytes(idx) ^ 0x40).toByte
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      intercept[IllegalArgumentException](RelayBinaryLog.readRecord(in))
+    }
+  }
 }
 
 object GenerativeSpec {
