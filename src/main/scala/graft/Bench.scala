@@ -61,11 +61,23 @@ object Bench {
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val eventsPerSec = if (pipeSec > 0) nEvents / pipeSec else 0.0
 
+    // binary-source throughput: the same pipeline served by the custom
+    // DataSource V2 over the engine's own segment format (written in
+    // warm-up via the fixture; read + filter + full consume timed here)
+    val binDir = graft.sources.WireFixtures.relayLogDir(spark, sfDir)
+    val tb = System.nanoTime()
+    val nBin = graft.operators.Relay.streamOrdered(
+      spark.read.format("graft-relay").option("path", binDir).load(),
+      filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count()
+    val binSec = (System.nanoTime() - tb) / 1e9
+    val binEps = if (binSec > 0) nBin / binSec else 0.0
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""relay_events_per_sec":${eventsPerSec.round},"relay_events":$nEvents,""" +
+      s""""relay_binary_events_per_sec":${binEps.round},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
