@@ -26,36 +26,58 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * still filters exactly), and Catalyst's own pushdown then drives them
   * into the scan — checkpoint-band reads on the raw feed prune row groups
   * exactly like reads on the materialized event log.
+  *
+  * Soundness for ANY seq sign (Java remainder keeps the dividend's sign):
+  * seq ≥ 0 gives scn ≤ seq < scn + W; seq < 0 gives scn - W < seq ≤ scn.
+  * Combined: `scn - W < seq < scn + W` always — the implied bounds below
+  * are widened by one window so they hold regardless of sign. Bounds whose
+  * `c ± W` would overflow Long are skipped (no predicate, still correct).
   */
 object ImpliedScnBandPushdown extends Rule[LogicalPlan] {
 
   /** Matches `attr - (attr % W)` (the window-scn shape) → (attr, W). */
   private def windowScnOf(e: Expression): Option[(Expression, Long)] = e match {
     case Subtract(a, Remainder(a2, Literal(w: Long, _), _), _)
-        if a.semanticEquals(a2) => Some((a, w))
+        if a.semanticEquals(a2) && w > 0 => Some((a, w))
     case Subtract(a, Remainder(a2, Literal(w: Int, _), _), _)
-        if a.semanticEquals(a2) => Some((a, w.toLong))
+        if a.semanticEquals(a2) && w > 0 => Some((a, w.toLong))
     case _ => None
   }
 
+  private def lower(a: Expression, c: Long, w: Long,
+      t: org.apache.spark.sql.types.DataType): Seq[Expression] =
+    // scn > c  ⇒  seq > scn - W > c - W
+    if (c < Long.MinValue + w) Seq.empty
+    else Seq(GreaterThan(a, Literal(c - w, t)))
+
+  private def upper(a: Expression, c: Long, w: Long,
+      t: org.apache.spark.sql.types.DataType): Seq[Expression] =
+    // scn < c  ⇒  seq < scn + W < c + W
+    if (c > Long.MaxValue - w) Seq.empty
+    else Seq(LessThan(a, Literal(c + w, t)))
+
   private def implied(cond: Expression): Seq[Expression] = cond match {
     case And(l, r) => implied(l) ++ implied(r)
-    case GreaterThan(e, lit: Literal) =>
-      windowScnOf(e).map { case (a, _) => GreaterThan(a, lit) }.toSeq
-    case GreaterThanOrEqual(e, lit: Literal) =>
-      windowScnOf(e).map { case (a, _) => GreaterThanOrEqual(a, lit) }.toSeq
+    case GreaterThan(e, Literal(c: Long, t)) =>
+      windowScnOf(e).toSeq.flatMap { case (a, w) => lower(a, c, w, t) }
+    case GreaterThanOrEqual(e, Literal(c: Long, t)) =>
+      windowScnOf(e).toSeq.flatMap { case (a, w) => lower(a, c, w, t) }
     case LessThan(e, Literal(c: Long, t)) =>
-      windowScnOf(e).map { case (a, w) => LessThan(a, Literal(c + w - 1, t)) }.toSeq
+      windowScnOf(e).toSeq.flatMap { case (a, w) => upper(a, c, w, t) }
     case LessThanOrEqual(e, Literal(c: Long, t)) =>
-      windowScnOf(e).map { case (a, w) => LessThan(a, Literal(c + w, t)) }.toSeq
+      windowScnOf(e).toSeq.flatMap { case (a, w) => upper(a, c, w, t) }
     case EqualTo(e, Literal(c: Long, t)) =>
-      windowScnOf(e).map { case (a, w) =>
-        And(GreaterThanOrEqual(a, Literal(c, t)),
-          LessThan(a, Literal(c + w, t)))
-      }.toSeq
+      // two separate conjuncts (a composite And would never match the
+      // flattened conjunct list and the fixed-point batch would re-add it
+      // forever)
+      windowScnOf(e).toSeq.flatMap { case (a, w) =>
+        lower(a, c, w, t) ++ upper(a, c, w, t)
+      }
     // mirrored literal-first forms
     case GreaterThan(lit: Literal, e) => implied(LessThan(e, lit))
     case LessThan(lit: Literal, e) => implied(GreaterThan(e, lit))
+    case GreaterThanOrEqual(lit: Literal, e) => implied(LessThanOrEqual(e, lit))
+    case LessThanOrEqual(lit: Literal, e) => implied(GreaterThanOrEqual(e, lit))
     case _ => Seq.empty
   }
 

@@ -44,10 +44,11 @@ object Store {
     "documents"  -> (Seq("doc_id"), Seq("doc_id")),
     "embeddings" -> (Seq("vec_id"), Seq("vec_id")))
 
-  /** Max files per table; effective count scales with source bytes
-    * (~256 KB of source per file) so small SFs don't shatter into files
-    * whose per-task overhead exceeds their scan cost. At production scale
-    * the cap is the cluster's parallelism, not 32. */
+  /** Files per table scale with source bytes (~1 MB of source per file,
+    * floor 2) so small SFs don't shatter into files whose per-task
+    * overhead exceeds their scan cost; capped at the session's
+    * parallelism — on a production cluster that cap is the executor
+    * count, not 32. */
   private def numFiles(srcBytes: Long, cap: Int): Int =
     math.max(2, math.min(cap, (srcBytes / (1 << 20)).toInt))
 
@@ -133,11 +134,14 @@ object Store {
       try Files.move(Paths.get(tmp), Paths.get(dest),
         StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException =>
-          // another process won the race; serve its copy
+        // Linux rename(2) onto a non-empty dir is ENOTEMPTY, which Java
+        // surfaces as a plain FileSystemException — catch the whole IO
+        // family, then decide: a complete dest means another process won
+        // the race; anything else is a real failure
+        case e: java.io.IOException =>
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(tmp))
+          if (!Files.exists(Paths.get(dest, "_SUCCESS"))) throw e
       }
     }
   }

@@ -42,16 +42,20 @@ object WireFixtures {
         Files.createFile(Paths.get(tmp, "_SUCCESS"))
       Files.createDirectories(Paths.get(dest).getParent)
       // a dest without _SUCCESS is a stale partial copy — replace it
-      if (Files.exists(Paths.get(dest)))
+      // (re-check the marker right before deleting: another process may
+      // have completed it since our entry check)
+      if (Files.exists(Paths.get(dest)) &&
+          !Files.exists(Paths.get(dest, "_SUCCESS")))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
       try Files.move(Paths.get(tmp), Paths.get(dest),
         StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // another process won the race; serve its copy
+        // ENOTEMPTY arrives as a plain FileSystemException on Linux —
+        // catch the IO family; a complete dest means the other process
+        // won, anything else is a real failure
+        case e: java.io.IOException =>
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          if (!Files.exists(Paths.get(dest, "_SUCCESS"))) throw e
       }
     }
     dest
@@ -116,18 +120,22 @@ object WireFixtures {
     writeOnce(s"$Root/${key(sfDir)}/binlog") { tmp =>
       val raw = ChangeFeed.raw(spark, sfDir)
       val win = col("event_id") - col("event_id") % ChangeFeed.WindowSize
+      // each data event occupies two offset units (row-event + bookkeeping,
+      // the way real binlogs interleave control entries); the COMMIT takes
+      // the odd slot after the window's last row, so no two records ever
+      // share a (file_no, offset) position and offset order is total
       val data = raw.select(
         (col("event_id") / BinlogFileSize + 1).cast("long").as("file_no"),
-        (col("event_id") % BinlogFileSize).as("offset"),
-        (win % BinlogFileSize).as("txn_offset"),
+        (col("event_id") % BinlogFileSize * 2).as("offset"),
+        (win % BinlogFileSize * 2).as("txn_offset"),
         col("event_type").as("table"),
         when(col("event_type") === "error", "DELETE").otherwise("INSERT").as("op"),
         col("user_id").as("key"),
         to_json(struct(col("value"))).as("row"))
       val commits = raw.groupBy(
           (win / BinlogFileSize + 1).cast("long").as("file_no"),
-          (win % BinlogFileSize).as("txn_offset"))
-        .agg(max(col("event_id") % BinlogFileSize).as("last_off"))
+          (win % BinlogFileSize * 2).as("txn_offset"))
+        .agg(max(col("event_id") % BinlogFileSize * 2).as("last_off"))
         .select(col("file_no"), (col("last_off") + 1).as("offset"),
           col("txn_offset"), lit(null).cast("string").as("table"),
           lit("COMMIT").as("op"), lit(null).cast("long").as("key"),

@@ -54,14 +54,17 @@ object RelayBinaryLog {
   }
 
   def writeRecord(out: DataOutputStream, r: Rec): Unit = {
+    // propsLen -1 encodes NULL (distinct from an empty string's 0) so the
+    // roundtrip preserves null vs "" exactly
     val props = if (r.props == null) Array.emptyByteArray
       else r.props.getBytes(StandardCharsets.UTF_8)
+    val propsLen = if (r.props == null) -1 else props.length
     val bodyLen = 8 + 8 + 8 + 4 + 4 + 1 + 8 + 8 + 4 + props.length
     val body = java.nio.ByteBuffer.allocate(bodyLen)
     body.putLong(r.scn).putLong(r.seq).putLong(r.tsUs)
       .putInt(r.sourceId).putInt(r.partitionId).put(r.opcode)
       .putLong(r.keyLong).putDouble(r.value)
-      .putInt(props.length).put(props)
+      .putInt(propsLen).put(props)
     val crc = new CRC32
     crc.update(body.array())
     out.writeInt(Magic)
@@ -86,7 +89,7 @@ object RelayBinaryLog {
     val srcId = b.getInt; val partId = b.getInt; val op = b.get
     val key = b.getLong; val value = b.getDouble
     val plen = b.getInt
-    val props = if (plen == 0) null
+    val props = if (plen < 0) null
       else new String(body, body.length - plen, plen, StandardCharsets.UTF_8)
     Rec(scn, seq, tsUs, srcId, partId, op, key, value, props)
   }
@@ -102,7 +105,11 @@ object RelayBinaryLog {
         col("partition_id").cast("int"), col("opcode"), col("key_long"),
         col("value"), col("props"))
       .as[(Long, Long, Long, Int, Int, String, Long, Double, String)]
-      .repartitionByRange(numSegments, col("scn"), col("seq"))
+      // range-partition on scn ALONE: the range partitioner keys whole
+      // windows, so one transaction window can never split across two
+      // segments (the EOW-per-window and disjoint-band invariants depend
+      // on this)
+      .repartitionByRange(numSegments, col("scn"))
       .sortWithinPartitions("scn", "seq")
       .foreachPartition { (it: Iterator[(Long, Long, Long, Int, Int, String, Long, Double, String)]) =>
         if (it.hasNext) {

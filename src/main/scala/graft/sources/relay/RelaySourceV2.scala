@@ -35,8 +35,8 @@ class ScnNotFoundException(msg: String) extends RuntimeException(msg)
   *  - `failOnFallOff` if true and `startingScn` predates retention, throw
   *    [[ScnNotFoundException]] (callers switch to bootstrap, §3.3);
   *    default false = clamp to earliest (the flexible checkpoint).
-  *  - `maxWindowsPerBatch` cap on windows per micro-batch (the `/stream`
-  *    `size` budget analog; rate control A6). Default 100.
+  *  - `maxSegmentsPerBatch` cap on segments admitted per micro-batch (the
+  *    `/stream` `size` budget analog; rate control A6). Default 4.
   */
 class RelaySourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-relay"
@@ -157,7 +157,7 @@ private[graft] class RelayMicroBatchStream(path: String,
       case Some(scn) if scn < earliest =>
         if (options.getBoolean("failOnFallOff", false))
           throw new ScnNotFoundException(
-            s"startingScn $scn predates retention (earliest window $earliest)")
+            s"startingScn $scn predates retention (earliest retained window ${earliest + 1})")
         else RelayOffset(earliest)
       case Some(scn) => RelayOffset(scn)
       case None => RelayOffset(earliest)

@@ -133,7 +133,7 @@ class GenerativeSpec extends SparkSpec {
     value <- Gen.choose(-1e12, 1e12)
     props <- Gen.option(Gen.asciiPrintableStr.map(_.take(200)))
   } yield Rec(scn, seq, ts, src, part, op, key, value,
-    props.filter(_.nonEmpty).orNull)
+    props.orNull) // empty string and null are distinct and both roundtrip
 
   test("binary record roundtrip for arbitrary field values") {
     samples(Gen.listOfN(50, genRec)).foreach { recs =>

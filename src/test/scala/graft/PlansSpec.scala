@@ -17,7 +17,7 @@ class PlansSpec extends SparkSpec {
     // implied event_id bounds appear in the scan's pushed filters
     val plan = banded.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"))
-    assert(plan.contains("GreaterThan(event_id,300)"),
+    assert(plan.contains("GreaterThan(event_id,290)"),
       s"missing implied lower bound in:\n$plan")
     assert(plan.contains("LessThan(event_id,710)"),
       s"missing implied upper bound in:\n$plan")
@@ -32,7 +32,7 @@ class PlansSpec extends SparkSpec {
     val env = ChangeFeed.envelope(spark, sf())
     val one = env.where($"scn" === 500)
     val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(event_id,500)") &&
+    assert(plan.contains("GreaterThan(event_id,490)") &&
       plan.contains("LessThan(event_id,510)"), s"no closed window in:\n$plan")
     assert(one.count() == 10)
   }
