@@ -800,7 +800,7 @@ object SparkEntry {
     val nTok = s"CAST(len($toks) AS DOUBLE)"
     val lengthScore = s"least($nTok / 50.0, 1.0)"
     val punct = s"CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
-    val punctScore = s"CASE WHEN ($punct) > 0.2 THEN 0.0 ELSE 1.0 - ($punct) * 5.0 * 0.2 END"
+    val punctScore = s"CASE WHEN ($punct) > 0.2 THEN 0.0 ELSE 1.0 - ($punct) * 5.0 END"
     val hits = TF.langMarkers("en").map(w =>
       s"CAST(len(list_filter($toks, t -> t = '$w')) AS DOUBLE)").mkString(" + ")
     val stopScore = s"least((($hits) / $nTok) * 5.0, 1.0)"

@@ -34,16 +34,20 @@ case class FnvHash64(child: Expression) extends UnaryExpression {
     FnvHash64.hash(v.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // ctx.freshName per use: fixed names collide (duplicate declaration)
+      // when the expression appears twice in one codegen'd projection
+      val (sv, hv, iv) = (ctx.freshName("s"), ctx.freshName("h"), ctx.freshName("i"))
       s"""
-         |String s$$ = $c.toString();
-         |long h$$ = 0xcbf29ce484222325L;
-         |for (int i$$ = 0; i$$ < s$$.length(); i$$++) {
-         |  h$$ ^= s$$.charAt(i$$);
-         |  h$$ *= 0x100000001b3L;
+         |String $sv = $c.toString();
+         |long $hv = 0xcbf29ce484222325L;
+         |for (int $iv = 0; $iv < $sv.length(); $iv++) {
+         |  $hv ^= $sv.charAt($iv);
+         |  $hv *= 0x100000001b3L;
          |}
-         |${ev.value} = h$$;
-       """.stripMargin)
+         |${ev.value} = $hv;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
     copy(child = newChild)
@@ -106,17 +110,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (nv, iv) = (ctx.freshName("n"), ctx.freshName("i"))
+      val (dv, nav, nbv) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+      val (xv, yv) = (ctx.freshName("x"), ctx.freshName("y"))
       s"""
-         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot$$ = 0.0, na$$ = 0.0, nb$$ = 0.0;
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  double x$$ = (double) $a.getFloat(i$$);
-         |  double y$$ = (double) $b.getFloat(i$$);
-         |  dot$$ += x$$ * y$$; na$$ += x$$ * x$$; nb$$ += y$$ * y$$;
+         |int $nv = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dv = 0.0, $nav = 0.0, $nbv = 0.0;
+         |for (int $iv = 0; $iv < $nv; $iv++) {
+         |  double $xv = (double) $a.getFloat($iv);
+         |  double $yv = (double) $b.getFloat($iv);
+         |  $dv += $xv * $yv; $nav += $xv * $xv; $nbv += $yv * $yv;
          |}
-         |${ev.value} = dot$$ / (java.lang.Math.sqrt(na$$) * java.lang.Math.sqrt(nb$$));
-       """.stripMargin)
+         |${ev.value} = $dv / (java.lang.Math.sqrt($nav) * java.lang.Math.sqrt($nbv));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimilarity = copy(newLeft, newRight)
@@ -159,16 +167,19 @@ case class L2SqDistance(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (nv, iv) = (ctx.freshName("n"), ctx.freshName("i"))
+      val (accv, ddv) = (ctx.freshName("acc"), ctx.freshName("d"))
       s"""
-         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc$$ = 0.0;
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  double d$$ = (double) $a.getFloat(i$$) - (double) $b.getFloat(i$$);
-         |  acc$$ += d$$ * d$$;
+         |int $nv = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $accv = 0.0;
+         |for (int $iv = 0; $iv < $nv; $iv++) {
+         |  double $ddv = (double) $a.getFloat($iv) - (double) $b.getFloat($iv);
+         |  $accv += $ddv * $ddv;
          |}
-         |${ev.value} = acc$$;
-       """.stripMargin)
+         |${ev.value} = $accv;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): L2SqDistance = copy(newLeft, newRight)

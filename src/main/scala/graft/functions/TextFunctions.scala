@@ -52,8 +52,9 @@ object TextFunctions {
     "es" -> Seq("el", "y", "la", "los"),
     "zh" -> Seq("的", "和", "是", "了"))
 
-  /** Heuristic language-ID: argmax over marker-hit counts; ties and
-    * zero-hit rows → "und" (undetermined). Pure CASE chain over counts. */
+  /** Heuristic language-ID: argmax over marker-hit counts; zero-hit rows
+    * → "und" (undetermined); ties break to the alphabetically-first
+    * language (the oracle mirrors the same CASE order). Pure CASE chain. */
   def langId(text: Column): Column = {
     val counts = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> words.map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w ")).reduce(_ + _)
@@ -83,7 +84,9 @@ object TextFunctions {
     val nTok = tokenCount(text).cast("double")
     val lengthScore = least(nTok / lit(50.0), lit(1.0)) // saturate at 50 tokens
     val punct = punctRatio(text)
-    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 5.0 * 0.2)
+    // continuous 1 → 0 over punct ∈ [0, 0.2] (previous form multiplied
+    // by 5.0 * 0.2 = 1, leaving a 0.8 → 0 cliff at the threshold)
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 5.0)
     val stopScore = least(stopwordRatio(text, langMarkers("en")) * lit(5.0), lit(1.0))
     round(lightWeight(lengthScore, punctScore, stopScore), 6)
   }

@@ -48,7 +48,6 @@ object VectorFunctions {
     * deterministically from (seed, plane, dim) via a splitmix64-style hash
     * so executors need no broadcast of random matrices. */
   def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long = 42L): Column = {
-    val dims = 0 // runtime-length arrays: use transform over positions
     val planes = (0 until numPlanes).map { p =>
       // projection = Σ_i vec[i] * h(seed, p, i), h in [-1, 1)
       val proj = aggregate(
@@ -81,8 +80,11 @@ object VectorFunctions {
     x ^ (x >>> 31)
   }
 
-  /** Deterministic pseudo-uniform in [-1, 1) from (seed, plane, dim) —
-    * kernel twin of [[pseudoUniform]]. */
+  /** Deterministic pseudo-uniform in [-1, 1) from (seed, plane, dim) for
+    * the kernel bucketing path. NOTE: a different hash family than the
+    * declarative [[pseudoUniform]] (splitmix finalizer vs xxhash64), so
+    * HOF signatures and kernel buckets are NOT interchangeable — bucket a
+    * corpus and probe it with the same form. */
   def planeComponent(seed: Long, plane: Int, i: Int): Double = {
     val h = mix64(seed ^ (plane.toLong << 32) ^ i.toLong)
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0

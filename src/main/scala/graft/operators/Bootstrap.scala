@@ -61,7 +61,11 @@ object Bootstrap {
     * windowscn across sources (StartSCNRequestProcessor.java:105-117).
     * Throws the reference's too-young condition when sinceScn predates it. */
   def startScn(appliedState: DataFrame, sinceScn: Long): Long = {
-    val minScn = appliedState.agg(min(col("windowscn"))).head().getLong(0)
+    val r = appliedState.agg(min(col("windowscn"))).head()
+    if (r.isNullAt(0))
+      throw new IllegalStateException(
+        "BootstrapDatabaseTooYoung: applied state is empty (no windows yet)")
+    val minScn = r.getLong(0)
     if (sinceScn < minScn)
       throw new IllegalStateException(
         s"BootstrapDatabaseTooYoung: sinceScn=$sinceScn < minScn=$minScn")
@@ -70,8 +74,12 @@ object Bootstrap {
 
   /** B4 — targetSCN: upper bound of dirty reads at snapshot end = max
     * producer log windowscn (TargetSCNRequestProcessor.java:47). */
-  def targetScn(log: DataFrame): Long =
-    log.agg(max(col("windowscn"))).head().getLong(0)
+  def targetScn(log: DataFrame): Long = {
+    val r = log.agg(max(col("windowscn"))).head()
+    if (r.isNullAt(0))
+      throw new IllegalStateException("targetScn: producer log is empty")
+    r.getLong(0)
+  }
 
   /** A2/K6 — the applier merge: latest row per key wins, DELETE tombstones
     * drop the key (BootstrapApplierThread.applyLog:242-386). Implemented as

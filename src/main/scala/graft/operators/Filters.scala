@@ -142,7 +142,11 @@ object Filters {
   /** Key bucket for string-keyed events: parse-as-long when numeric, else
     * hashCode (KeyModFilter.java:55-70). */
   def stringKeyBucket(keyString: Column, numBuckets: Long): Column =
-    when(keyString.rlike("^-?\\d+$"),
+    // cast returns null when the numeric string overflows Long — the
+    // reference catches NumberFormatException and falls back to hashCode
+    // (KeyModFilter.java:55-70), so the hash branch is the null-fallback
+    // too (otherwise an overflowing key would match no bucket at all)
+    when(keyString.rlike("^-?\\d+$") && keyString.cast("long").isNotNull,
       pmod(abs(keyString.cast("long")), lit(numBuckets)))
       .otherwise(pmod(abs(javaStringHashUdf(keyString).cast("long")), lit(numBuckets)))
 

@@ -25,7 +25,9 @@ object Integrity {
     * `require(validate(df).isEmpty)` for the same contract. */
   def validate(envelope: DataFrame, payloadCol: String = "payload",
       crcCol: String = "body_crc"): DataFrame =
-    envelope.where(bodyCrc(col(payloadCol)) =!= col(crcCol))
+    // null-safe inequality: a null payload or never-stamped crc is a
+    // failure, not a silently-passing row
+    envelope.where(!(bodyCrc(col(payloadCol)) <=> col(crcCol)))
 }
 
 /** P15 — transport/storage compression knobs (CompressUtil.java:12-14 gzip

@@ -161,6 +161,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64,
       bands: Int = 16, jaccardThreshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands) — rows-per-band 0 " +
+        "would make every bucket constant and the join a cross product")
     val rows = k / bands
     import docs.sparkSession.implicits._
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)

@@ -151,7 +151,8 @@ object Multimodal {
   def repartitionByByteBudget(media: DataFrame, bytesPerTask: Long): DataFrame = {
     val stats = media.agg(sum(length(col("payload")))).head()
     val totalBytes = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val parts = math.max(1, (totalBytes / math.max(1L, bytesPerTask)).toInt)
+    val per = math.max(1L, bytesPerTask)
+    val parts = math.max(1, ((totalBytes + per - 1) / per).toInt) // ceil: never over budget
     media.repartition(parts)
   }
 }

@@ -52,6 +52,7 @@ object RelayStream {
       partitionByTimeline: Boolean = false): Unit = {
     val (lo, hi) = {
       val r = envelope.agg(min("scn"), max("scn")).head()
+      if (r.isNullAt(0)) return // empty frame: nothing to write
       (r.getLong(0), r.getLong(1))
     }
     val span = math.max(1L, (hi - lo + 1 + filesHint - 1) / filesHint)
@@ -80,6 +81,8 @@ object RelayStream {
     * buffer; also the retention boundary for fall-off detection. */
   def bufferInfo(spark: SparkSession, dir: String): (Long, Long) = {
     val r = spark.read.schema(schema).parquet(dir).agg(min("scn"), max("scn")).head()
+    if (r.isNullAt(0))
+      throw new IllegalStateException(s"bufferInfo: event log at $dir is empty")
     (r.getLong(0), r.getLong(1))
   }
 

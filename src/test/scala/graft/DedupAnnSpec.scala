@@ -174,4 +174,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(withNull.select(GraftFunctions.cosine_sim($"a", $"b"))
       .collect().head.isNullAt(0))
   }
+
+  test("native expressions compose when used twice in one projection") {
+    import graft.functions.GraftFunctions._
+    // two instances of each expression in a single codegen'd projection —
+    // regression for fixed variable names colliding in generated Java
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f), "ab", "cd"))
+      .toDF("a", "b", "s1", "s2")
+    val row = df.select(
+      cosine_sim($"a", $"b").as("c1"), cosine_sim($"b", $"a").as("c2"),
+      l2sq($"a", $"b").as("d1"), l2sq($"b", $"a").as("d2"),
+      fnv_hash64($"s1").as("h1"), fnv_hash64($"s2").as("h2")).head()
+    assert(row.getDouble(0) == row.getDouble(1))
+    assert(row.getDouble(2) == 8.0 && row.getDouble(3) == 8.0)
+    assert(row.getLong(4) != row.getLong(5))
+  }
 }
