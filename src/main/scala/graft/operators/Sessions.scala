@@ -116,11 +116,11 @@ object AsOfJoin {
       .withColumn("__t", col(probeTs).cast("long"))
       .withColumn("__is_probe", lit(1))
       .withColumn("__ord", lit(1)) // probe sorts after build at equal t
-    val buildTagged = asofCols.foldLeft(
+    val buildTagged =
       build.select((Seq(col(keyCol), col(buildTs).cast("long").as("__t")) ++
         asofCols.map(c => col(c).as(s"__b_$c"))): _*)
         .withColumn("__is_probe", lit(0))
-        .withColumn("__ord", lit(0)))((df, _) => df)
+        .withColumn("__ord", lit(0))
     val unioned = probeTagged.unionByName(buildTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__ord"))

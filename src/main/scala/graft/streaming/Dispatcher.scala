@@ -75,9 +75,11 @@ object Dispatcher {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import batch.sparkSession.implicits._
-        val lowRow = batch.agg(min("scn")).head()
-        if (!lowRow.isNullAt(0) && lowRow.getLong(0) < watermark.get())
-          consumer.onRollback(Checkpoint.online(lowRow.getLong(0)))
+        // one bounds job per batch (min+max+maxSeq together), shared by
+        // the regress check before delivery and the checkpoint after
+        val bounds = batch.agg(min("scn"), max("scn"), max("seq")).head()
+        if (!bounds.isNullAt(0) && bounds.getLong(0) < watermark.get())
+          consumer.onRollback(Checkpoint.online(bounds.getLong(0)))
         val delivered = batch
           .repartition(col("partition_id"))
           .sortWithinPartitions(col("partition_id"), col("scn"), col("seq"))
@@ -99,10 +101,9 @@ object Dispatcher {
           if (openScn != Long.MinValue) consumer.onEndWindow(openScn)
         }
         // driver-side checkpoint callback with the batch high-watermark
-        val hw = batch.agg(max("scn"), max("seq")).head()
-        if (!hw.isNullAt(0)) {
-          watermark.getAndUpdate(w => math.max(w, hw.getLong(0)))
-          consumer.onCheckpoint(Checkpoint.online(hw.getLong(0),
+        if (!bounds.isNullAt(1)) {
+          watermark.getAndUpdate(w => math.max(w, bounds.getLong(1)))
+          consumer.onCheckpoint(Checkpoint.online(bounds.getLong(1),
             windowOffset = 0L, prevScn = -1L))
         }
         ()
