@@ -19,6 +19,10 @@ import org.apache.spark.storage.StorageLevel
   * DataFrame instance, so N calls cost one materialization and one cache
   * entry. At production scale the equivalent is writing the signature
   * table to storage once per corpus snapshot and reading it back.
+  *
+  * Caveat: the key is the plan, not the data — if the files under an
+  * identical plan change in place, call [[clear]] to drop stale
+  * signatures (normal pipelines write immutable snapshot dirs).
   */
 private[graft] object PlanCache {
 
