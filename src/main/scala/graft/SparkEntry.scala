@@ -723,7 +723,7 @@ object SparkEntry {
         " CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3" +
         "   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1 END AS source_id," +
         " CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_delete," +
-        " ((event_id // 10000) + 1) * 4294967296 + ((event_id - event_id % 10) % 10000) * 2 AS scn," +
+        " ((event_id // 10000) + 1) * 4294967296 + ((max(event_id) OVER (PARTITION BY event_id - event_id % 10)) % 10000) * 2 + 1 AS scn," +
         " ((event_id // 10000) + 1) * 4294967296 + (event_id % 10000) * 2 AS seq" +
         " FROM events)" +
         " SELECT source_id, count(*) AS n_events, sum(is_delete) AS n_deletes," +

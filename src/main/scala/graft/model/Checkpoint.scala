@@ -7,7 +7,9 @@ package graft.model
   * windowScn/windowOffset/prevScn/tsNsecs plus the bootstrap-phase fields
   * (Checkpoint.java:82-213). `windowOffset` = how many events of the
   * current (partially-consumed) window have already been delivered, so a
-  * resume can skip them (partial-window replay, Checkpoint.java:66-68).
+  * resume can skip them (partial-window replay, Checkpoint.java:66-68);
+  * negative = the window is fully consumed (the reference's -1 marker),
+  * 0 = none delivered yet (the whole window replays on resume).
   *
   * `consumption_mode`: ONLINE_CONSUMPTION | BOOTSTRAP_SNAPSHOT |
   * BOOTSTRAP_CATCHUP (Checkpoint.java ConsumptionMode).
@@ -56,7 +58,7 @@ object Checkpoint {
     * (Checkpoint.java:75-80; ReadEventsRequestProcessor STREAM_FROM_LATEST). */
   val flexible: Checkpoint = Checkpoint()
 
-  def online(windowScn: Long, windowOffset: Long = 0L, prevScn: Long = -1L): Checkpoint =
+  def online(windowScn: Long, windowOffset: Long = -1L, prevScn: Long = -1L): Checkpoint =
     Checkpoint(Online, windowScn, windowOffset, prevScn)
 
   private val Num = """"([a-z_A-Z]+)":(-?\d+)""".r
@@ -106,9 +108,12 @@ case class CheckpointMult(
     }
   }
 
-  def toJson: String =
-    "{" + checkpoints.toSeq.sortBy(_._1).map { case (p, cp) =>
+  def toJson: String = {
+    // one field list, one mkString — an empty checkpoint map with a set
+    // cursor must not produce a leading comma (invalid JSON)
+    val fields = checkpoints.toSeq.sortBy(_._1).map { case (p, cp) =>
       s""""$p":${cp.toJson}"""
-    }.mkString(",") +
-      cursorPartition.map(c => s""","cursorPartition":$c""").getOrElse("") + "}"
+    } ++ cursorPartition.map(c => s""""cursorPartition":$c""")
+    fields.mkString("{", ",", "}")
+  }
 }

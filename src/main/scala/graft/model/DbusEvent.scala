@@ -116,4 +116,12 @@ case class SourceRegistry(sources: Seq[LogicalSource]) {
   def nameOf(id: Int): String = byId(id).name
   def ids: Seq[Int] = sources.map(_.id)
   def contains(name: String): Boolean = byName.contains(name)
+
+  /** name column → id column (-1 for unknown): the single CASE fold every
+    * envelope projection shares (constant-folded by Catalyst). */
+  def idCol(nameCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sources.foldLeft(org.apache.spark.sql.functions.lit(-1)) { (acc, s) =>
+      org.apache.spark.sql.functions.when(nameCol === s.name,
+        org.apache.spark.sql.functions.lit(s.id)).otherwise(acc)
+    }
 }

@@ -31,8 +31,11 @@ object Relay {
     * `seq - scn` is the intra-window offset (windows are seq-contiguous).
     */
   def afterCheckpoint(cp: Checkpoint): Column =
+    // windowOffset < 0 = the checkpoint window is FULLY consumed (the
+    // reference's -1 marker, Checkpoint.java:66-68); 0 = nothing of the
+    // window delivered yet, so the whole window replays; > 0 = partial
     if (cp.isFlexible) lit(true)
-    else if (cp.windowOffset <= 0) col("scn") > cp.windowScn
+    else if (cp.windowOffset < 0) col("scn") > cp.windowScn
     else col("scn") > cp.windowScn ||
       (col("scn") === cp.windowScn && (col("seq") - col("scn")) >= cp.windowOffset)
 

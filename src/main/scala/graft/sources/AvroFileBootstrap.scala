@@ -41,7 +41,13 @@ object AvroFileBootstrap {
     * (`part-NNNNN.avro`), rows id-ordered within each file. */
   def writeSnapshot(snapshot: Dataset[SnapshotRow], dir: String,
       numFiles: Int): Unit = {
-    new File(dir).mkdirs()
+    val d = new File(dir)
+    d.mkdirs()
+    // clear previous part files: a re-seed with fewer partitions must not
+    // leave stale files that a later read would serve alongside the new
+    // snapshot
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
     val schemaJson = rowSchemaJson
     snapshot
       .repartitionByRange(numFiles, col("id"))
@@ -73,7 +79,8 @@ object AvroFileBootstrap {
   def readSnapshot(spark: SparkSession, dir: String, afterFile: String = "",
       afterRecordOffset: Long = -1L): Dataset[PositionedRow] = {
     import spark.implicits._
-    val files = new File(dir).listFiles()
+    val files = Option(new File(dir).listFiles()).getOrElse(
+        throw new IllegalStateException(s"snapshot dir missing/unreadable: $dir"))
       .filter(_.getName.endsWith(".avro")).map(_.getName).sorted
       .filter(f => afterFile.isEmpty || f >= afterFile)
       .toSeq
@@ -84,6 +91,11 @@ object AvroFileBootstrap {
         val r = new DataFileReader[GenericRecord](
           new File(dir, fname), new GenericDatumReader[GenericRecord](schema))
         val skip = if (fname == afterFile) afterRecordOffset else -1L
+        // close on task completion even if the iterator is abandoned
+        // (limit/take/failure) — otherwise the container handle leaks
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try r.close() catch { case _: Throwable => () }))
         new Iterator[PositionedRow] {
           private var idx = -1L
           private var nextRow: PositionedRow = null

@@ -57,10 +57,7 @@ object ChangeFeed {
 
   /** source name → id as a column expression (a broadcast-free CASE chain;
     * the registry is tiny and constant-folded by Catalyst). */
-  def sourceIdCol(eventType: Column): Column =
-    registry.sources.foldLeft(lit(-1)) { (acc, s) =>
-      when(eventType === s.name, lit(s.id)).otherwise(acc)
-    }
+  def sourceIdCol(eventType: Column): Column = registry.idCol(eventType)
 
   def opcodeCol(eventType: Column): Column =
     when(eventType === "error", lit("DELETE")).otherwise(lit("UPSERT"))

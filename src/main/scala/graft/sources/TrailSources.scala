@@ -91,8 +91,10 @@ object GoldenGateTrail {
 
   /** Batch read of a trail dir → Dataset[TrailUpdate]; `sinceScn` prunes
     * (TrailFilePositionSetter analog — position = first update with
-    * scn > sinceScn). */
-  def read(spark: SparkSession, trailDir: String, sinceScn: Long = -1L)
+    * scn > sinceScn). The default admits everything, including updates
+    * missing a TK-SCN token (parsed scn = -1) — seeking past them is an
+    * explicit caller choice, not a silent drop. */
+  def read(spark: SparkSession, trailDir: String, sinceScn: Long = Long.MinValue)
       : DataFrame = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(s"$trailDir/*.xml")
@@ -106,15 +108,13 @@ object GoldenGateTrail {
     * insert/update → UPSERT, delete → DELETE; key from the `key` column). */
   def toEnvelope(trail: DataFrame, registry: graft.model.SourceRegistry)
       : DataFrame = {
-    val srcId = registry.sources.foldLeft(lit(-1)) { (acc, s) =>
-      when(col("table") === s.name, lit(s.id)).otherwise(acc)
-    }
+    val srcId = registry.idCol(col("table"))
     trail.select(
       col("scn"),
       col("seq"),
       lit(null).cast("long").as("ts_us"),
       srcId.as("source_id"),
-      pmod(element_at(col("columns"), "key").cast("long"), lit(4)).cast("int")
+      pmod(element_at(col("columns"), "key").cast("long"), lit(ChangeFeed.NumPartitions)).cast("int")
         .as("partition_id"),
       when(col("opType") === "delete", "DELETE").otherwise("UPSERT").as("opcode"),
       element_at(col("columns"), "key").cast("long").as("key_long"),
@@ -156,21 +156,27 @@ object BinlogFeed {
     spark.read.schema(recordSchema).json(path)
 
   /** Assemble envelope rows: all records of one transaction share the
-    * window SCN derived from the txn's begin position; data rows only
-    * (commit markers become the EOW boundary — implicit, window = scn). */
+    * window SCN taken from their COMMIT marker's offset — the reference's
+    * construction (ORListener assigns the Xid/commit position as the whole
+    * transaction's SCN, so scn ≥ every row's seq in the window). Rows of a
+    * transaction whose COMMIT has not been captured yet fall back to the
+    * begin position (they re-resolve on the next poll once the commit
+    * lands). Data rows only; the commit marker itself is the EOW boundary. */
   def toEnvelope(records: DataFrame, registry: graft.model.SourceRegistry)
       : DataFrame = {
-    val srcId = registry.sources.foldLeft(lit(-1)) { (acc, s) =>
-      when(col("table") === s.name, lit(s.id)).otherwise(acc)
-    }
+    val srcId = registry.idCol(col("table"))
+    val commits = records.where(col("op") === "COMMIT")
+      .select(col("file_no"), col("txn_offset"),
+        col("offset").as("commit_offset"))
     records
       .where(col("op") =!= "COMMIT")
+      .join(commits, Seq("file_no", "txn_offset"), "left")
       .select(
-        scnOf(col("file_no"), col("txn_offset")).as("scn"),
+        scnOf(col("file_no"), coalesce(col("commit_offset"), col("txn_offset"))).as("scn"),
         scnOf(col("file_no"), col("offset")).as("seq"),
         lit(null).cast("long").as("ts_us"),
         srcId.as("source_id"),
-        pmod(col("key"), lit(4)).cast("int").as("partition_id"),
+        pmod(col("key"), lit(ChangeFeed.NumPartitions)).cast("int").as("partition_id"),
         when(col("op") === "DELETE", "DELETE").otherwise("UPSERT").as("opcode"),
         col("key").as("key_long"),
         lit(null).cast("double").as("value"),

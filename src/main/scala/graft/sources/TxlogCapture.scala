@@ -41,13 +41,18 @@ object TxlogCapture {
       s"WHERE src.txn = t.txn AND r <= ?"
 
   /** Declarative capture: join the txlog tail onto the source view.
-    * `txlog`: (txn, scn, ts); `srcView`: (txn, <columns>). The broadcast
-    * hint on the txlog tail reflects that a poll cycle's new-transaction
-    * set is small relative to the source view. */
-  def capture(srcView: DataFrame, txlog: DataFrame, sinceScn: Long): DataFrame = {
+    * `txlog`: (txn, scn, ts); `srcView`: (txn, <columns>). A steady-state
+    * poll cycle's tail is small, so it broadcasts by default — but an
+    * initial capture (sinceScn < 0) or a long-downtime catch-up has an
+    * unbounded tail, so the hint is dropped there and AQE picks the join
+    * (a first capture is a seeder-shaped full scan, B7). Callers can
+    * force either way via `broadcastTail`. */
+  def capture(srcView: DataFrame, txlog: DataFrame, sinceScn: Long,
+      broadcastTail: Option[Boolean] = None): DataFrame = {
     val tail = txlog.where(col("scn") > sinceScn)
       .select(col("txn"), col("scn"), col("ts").as("event_timestamp"))
-    srcView.join(broadcast(tail), "txn")
+    val doBroadcast = broadcastTail.getOrElse(sinceScn >= 0)
+    srcView.join(if (doBroadcast) broadcast(tail) else tail, "txn")
   }
 
   /** Chunked declarative capture: first `chunkTxns` transactions after
@@ -76,41 +81,38 @@ object TxlogCapture {
   */
 object SyntheticFeed {
 
+  /** One shared envelope projection over a seq column — the batch and
+    * streaming forms differ ONLY in where seq/ts come from, so the
+    * synthetic distribution can never silently diverge between them
+    * (the batch form is the streaming form's oracle). */
+  private def project(seqCol: org.apache.spark.sql.Column,
+      tsCol: org.apache.spark.sql.Column, numSources: Int,
+      numKeys: Long, windowSize: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    (seqCol - seqCol % windowSize).as("scn"),
+    seqCol.as("seq"),
+    tsCol.as("ts_us"),
+    ((seqCol * 2654435761L) % numSources + 1).cast("int").as("source_id"),
+    (((seqCol * 1103515245L + 12345L) % numKeys) % 4).cast("int")
+      .as("partition_id"),
+    when((seqCol * 31L) % 10 === 0, "DELETE").otherwise("UPSERT").as("opcode"),
+    ((seqCol * 1103515245L + 12345L) % numKeys).as("key_long"),
+    ((seqCol * 7919L % 10000L) / lit(100.0)).as("value"),
+    lit(null).cast("string").as("props"))
+
   /** Deterministic batch of n events: LCG-ish column arithmetic — same
     * output everywhere, no RNG state. */
   def generate(spark: SparkSession, n: Long, numSources: Int = 5,
-      numKeys: Long = 1000L, windowSize: Int = 10): DataFrame = {
-    spark.range(0, n).toDF("seq")
-      .select(
-        (col("seq") - col("seq") % windowSize).as("scn"),
-        col("seq"),
-        (lit(1700000000000000L) + col("seq") * 1000000L).as("ts_us"),
-        ((col("seq") * 2654435761L) % numSources + 1).cast("int").as("source_id"),
-        (((col("seq") * 1103515245L + 12345L) % numKeys) % 4).cast("int")
-          .as("partition_id"),
-        when((col("seq") * 31L) % 10 === 0, "DELETE").otherwise("UPSERT")
-          .as("opcode"),
-        ((col("seq") * 1103515245L + 12345L) % numKeys).as("key_long"),
-        ((col("seq") * 7919L % 10000L) / lit(100.0)).as("value"),
-        lit(null).cast("string").as("props"))
-  }
+      numKeys: Long = 1000L, windowSize: Int = 10): DataFrame =
+    spark.range(0, n).toDF("seq").select(project(col("seq"),
+      lit(1700000000000000L) + col("seq") * 1000000L,
+      numSources, numKeys, windowSize): _*)
 
   /** Streaming form at a target events/sec (rate source → envelope). */
   def stream(spark: SparkSession, eventsPerSec: Int, numSources: Int = 5,
       numKeys: Long = 1000L, windowSize: Int = 10): DataFrame = {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", eventsPerSec).load()
-    rate.select(
-      (col("value") - col("value") % windowSize).as("scn"),
-      col("value").as("seq"),
-      unix_micros(col("timestamp")).as("ts_us"),
-      ((col("value") * 2654435761L) % numSources + 1).cast("int").as("source_id"),
-      (((col("value") * 1103515245L + 12345L) % numKeys) % 4).cast("int")
-        .as("partition_id"),
-      when((col("value") * 31L) % 10 === 0, "DELETE").otherwise("UPSERT")
-        .as("opcode"),
-      ((col("value") * 1103515245L + 12345L) % numKeys).as("key_long"),
-      ((col("value") * 7919L % 10000L) / lit(100.0)).as("value"),
-      lit(null).cast("string").as("props"))
+    rate.select(project(col("value"), unix_micros(col("timestamp")),
+      numSources, numKeys, windowSize): _*)
   }
 }

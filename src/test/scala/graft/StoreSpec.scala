@@ -69,12 +69,12 @@ class StoreSpec extends SparkSpec {
       graft.sources.BinlogFeed.parseJsonLines(spark, dir), ChangeFeed.registry)
     val raw = ChangeFeed.raw(spark, sf())
     assert(env.count() == raw.count())
-    // every window id decodes back to (file_no, txn_offset) with
-    // txn_offset aligned to the window size
-    val badAlign = env.where(
-      pmod(col("scn").bitwiseAND(lit(0xFFFFFFFFL)), lit(ChangeFeed.WindowSize))
-        =!= 0).count()
-    assert(badAlign == 0)
+    // the window scn is its COMMIT marker's position: an odd offset (data
+    // rows sit on even slots) that dominates every row seq in the window
+    val badParity = env.where(
+      pmod(col("scn").bitwiseAND(lit(0xFFFFFFFFL)), lit(2)) =!= 1).count()
+    assert(badParity == 0)
+    assert(env.where(col("scn") < col("seq")).count() == 0)
   }
 
   test("plan cache hands back one persisted frame per (plan, params)") {

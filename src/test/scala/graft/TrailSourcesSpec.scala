@@ -76,11 +76,13 @@ class TrailSourcesSpec extends SparkSpec {
     val env = BinlogFeed.toEnvelope(
       BinlogFeed.parseJsonLines(spark, s"$dir/binlog.jsonl"), ChangeFeed.registry)
     assert(env.count() == 4) // commits excluded
-    // txn 1: scn = (3<<32)|100 for all its rows
-    val scn1 = (3L << 32) | 100L
+    // txn 1: scn = (3<<32)|130 (the COMMIT offset) for all its rows
+    val scn1 = (3L << 32) | 130L
     assert(env.where($"scn" === scn1).count() == 3)
-    val scn2 = (4L << 32) | 10L
+    val scn2 = (4L << 32) | 20L
     assert(env.where($"scn" === scn2).select("key_long").as[Long].head() == 3L)
+    // commit-offset SCN dominates every row position in its window
+    assert(env.where($"scn" < $"seq").count() == 0)
     // seq strictly increasing with binlog position across files
     val seqs = env.orderBy("seq").select("seq").as[Long].collect()
     assert(seqs.sameElements(seqs.sorted) && seqs.distinct.length == 4)
