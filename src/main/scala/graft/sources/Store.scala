@@ -31,7 +31,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Store {
 
-  val Root = "/tmp/graft_store"
+  /** Version segment: bump when the serving layout changes so stale
+    * copies from older code self-invalidate across rounds. */
+  val Root = "/tmp/graft_store/v1"
 
   /** Serving layout per table: (range-partition cols, within-file sort).
     * Keys chosen by dominant access pattern: facts by their band/filter

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object WireFixtures {
 
-  val Root = "/tmp/graft_fixtures"
+  /** Version segment in the cache path: bump when a fixture's rendered
+    * format changes so stale copies from older code self-invalidate
+    * (v2: binlog offsets doubled + commit-offset SCNs). */
+  val Root = "/tmp/graft_fixtures/v2"
 
   /** Offsets-per-binlog-file; a multiple of the txn window size so a
     * transaction never straddles a file (the reference rotates binlogs on
