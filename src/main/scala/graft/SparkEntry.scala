@@ -697,7 +697,7 @@ object SparkEntry {
 
     "q_relay_source" ->
       (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +
-        " max(scn) AS max_scn, sum(key_long) AS sum_keys" +
+        " max(scn) AS max_scn, CAST(sum(key_long) AS BIGINT) AS sum_keys" +
         " FROM envelope WHERE scn > 300 GROUP BY source_id"),
 
     "q_salted_distinct" ->
@@ -707,13 +707,13 @@ object SparkEntry {
     "q_windowed_stats" ->
       (s"$ENV SELECT (ts_us // 60000000) * 60000000 AS win_start_us," +
         " source_id, count(*) AS n_events," +
-        " sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
         " min(scn) AS min_scn, max(scn) AS max_scn" +
         " FROM envelope GROUP BY 1, 2"),
 
     "q_ggtrail_parse" ->
       (s"$ENV SELECT source_id, count(*) AS n_events," +
-        " sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS n_deletes," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
         " count(DISTINCT key_long) AS n_keys," +
         " min(scn) AS min_scn, max(scn) AS max_scn" +
         " FROM envelope GROUP BY source_id"),
@@ -726,7 +726,7 @@ object SparkEntry {
         " ((event_id // 10000) + 1) * 4294967296 + ((max(event_id) OVER (PARTITION BY event_id - event_id % 10)) % 10000) * 2 + 1 AS scn," +
         " ((event_id // 10000) + 1) * 4294967296 + (event_id % 10000) * 2 AS seq" +
         " FROM events)" +
-        " SELECT source_id, count(*) AS n_events, sum(is_delete) AS n_deletes," +
+        " SELECT source_id, count(*) AS n_events, CAST(sum(is_delete) AS BIGINT) AS n_deletes," +
         " min(scn) AS min_scn, max(scn) AS max_scn," +
         " min(seq) AS min_seq, max(seq) AS max_seq FROM b GROUP BY source_id"),
 

@@ -1,8 +1,6 @@
 package graft.pipeline
 
-import java.util.concurrent.ConcurrentHashMap
-
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Idempotent persist for derived signature tables.
@@ -14,11 +12,13 @@ import org.apache.spark.storage.StorageLevel
   * CacheManager sees a *different* plan each call and caches it again —
   * repeated queries leak storage memory until the executor thrashes.
   *
-  * This cache keys on the *canonicalized input plan* + operator parameters
-  * (which are stable across invocations) and hands back the same persisted
-  * DataFrame instance, so N calls cost one materialization and one cache
-  * entry. At production scale the equivalent is writing the signature
-  * table to storage once per corpus snapshot and reading it back.
+  * This cache keys on the owning session (weakly — a stopped, unreferenced
+  * session lets its entries be GC'd rather than pinning DataFrames bound to
+  * a dead session) and, per session, on the *canonicalized input plan* +
+  * operator parameters, LRU-bounded with unpersist-on-evict. N calls cost
+  * one materialization and one cache entry. At production scale the
+  * equivalent is writing the signature table to storage once per corpus
+  * snapshot and reading it back.
   *
   * Caveat: the key is the plan, not the data — if the files under an
   * identical plan change in place, call [[clear]] to drop stale
@@ -26,18 +26,42 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object PlanCache {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]
+  /** Per-session LRU bound; evicted entries are unpersisted. */
+  private val MaxEntriesPerSession = 64
+
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, DataFrame]]
 
   def getOrPersist(input: DataFrame, params: String,
-      build: => DataFrame): DataFrame = {
-    val key = input.sparkSession.hashCode().toString + "|" + params + "|" +
+      build: => DataFrame): DataFrame = synchronized {
+    val perSession = sessions.computeIfAbsent(input.sparkSession, _ =>
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean =
+          if (size > MaxEntriesPerSession) {
+            try e.getValue.unpersist()
+            catch { case _: Throwable => () }
+            true
+          } else false
+      })
+    val key = params + "|" +
       input.queryExecution.analyzed.canonicalized.toString
-    cache.computeIfAbsent(key, _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    val hit = perSession.get(key)
+    if (hit != null) hit
+    else {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      perSession.put(key, df)
+      df
+    }
   }
 
   /** Drop every cached signature table (tests / memory pressure). */
-  def clear(): Unit = {
-    cache.values.forEach(df => try df.unpersist() catch { case _: Throwable => () })
-    cache.clear()
+  def clear(): Unit = synchronized {
+    sessions.values.forEach { m =>
+      m.values.forEach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+      m.clear()
+    }
+    sessions.clear()
   }
 }

@@ -96,54 +96,68 @@ object Store {
       if (!spark.catalog.tableExists(tbl)) {
         val loc = Paths.get(s"$Root/bucketed/$tbl")
         val src = spark.read.parquet(s"$sfDir/$name.parquet")
-        if (!Files.exists(loc.resolve("_SUCCESS"))) {
-          src.write.mode("overwrite")
-            .option("path", loc.toString)
-            .bucketBy(nBuckets, bucketKey)
-            .sortBy(bucketKey)
-            .format("parquet")
-            .saveAsTable(tbl)
-          // saveAsTable emits _SUCCESS itself; belt-and-braces if it didn't
-          if (!Files.exists(loc.resolve("_SUCCESS")))
-            Files.createFile(loc.resolve("_SUCCESS"))
-        } else {
-          val schema = src.schema.map(f =>
-            s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-          spark.sql(
-            s"""CREATE TABLE $tbl ($schema) USING PARQUET
-               |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey)
-               |INTO $nBuckets BUCKETS
-               |LOCATION '${loc.toString}'""".stripMargin)
+        // build under cross-process lock, into a tmp location via a tmp
+        // catalog name, promoted by atomic rename — readers only ever see
+        // a complete bucketed layout (see ensure's locking notes)
+        ProcessLock.exclusive(s"$loc.lock") {
+          if (!Files.exists(loc.resolve("_SUCCESS"))) {
+            val pid = ProcessHandle.current.pid
+            val tmpLoc = Paths.get(s"$loc.tmp.$pid")
+            val tmpTbl = s"${tbl}_tmp_$pid"
+            src.write.mode("overwrite")
+              .option("path", tmpLoc.toString)
+              .bucketBy(nBuckets, bucketKey)
+              .sortBy(bucketKey)
+              .format("parquet")
+              .saveAsTable(tmpTbl)
+            // explicit-path tables are external: DROP keeps the files
+            spark.sql(s"DROP TABLE $tmpTbl")
+            if (!Files.exists(tmpLoc.resolve("_SUCCESS")))
+              Files.createFile(tmpLoc.resolve("_SUCCESS"))
+            Files.createDirectories(loc.getParent)
+            if (Files.exists(loc))
+              org.apache.commons.io.FileUtils.deleteDirectory(loc.toFile)
+            Files.move(tmpLoc, loc, StandardCopyOption.ATOMIC_MOVE)
+          }
         }
+        val schema = src.schema.map(f =>
+          s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $tbl ($schema) USING PARQUET
+             |CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey)
+             |INTO $nBuckets BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
       }
     }
     spark.table(tbl)
   }
 
+  /** Build-once with cross-process exclusion: the promoted-marker check
+    * runs inside an exclusive [[ProcessLock]], so concurrent JVMs (verify,
+    * bench, tests) serialize on the build and a promoted dir (one carrying
+    * `_SUCCESS`) is never deleted — only crashed, never-promoted partials
+    * are cleaned up, and only while holding the lock (no reader can be
+    * inside them: readers only enter after this returns). */
   private def ensure(spark: SparkSession, dest: String, srcFile: String,
       rangeCols: Seq[String], sortCols: Seq[String], df: => DataFrame): Unit = {
     if (Files.exists(Paths.get(dest, "_SUCCESS"))) return
     this.synchronized {
-      if (Files.exists(Paths.get(dest, "_SUCCESS"))) return
-      import org.apache.spark.sql.functions.col
-      val n = numFiles(Files.size(Paths.get(srcFile)),
-        spark.sparkContext.defaultParallelism)
-      val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
-      df.repartitionByRange(n, rangeCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp)
-      Files.createDirectories(Paths.get(dest).getParent)
-      try Files.move(Paths.get(tmp), Paths.get(dest),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // Linux rename(2) onto a non-empty dir is ENOTEMPTY, which Java
-        // surfaces as a plain FileSystemException — catch the whole IO
-        // family, then decide: a complete dest means another process won
-        // the race; anything else is a real failure
-        case e: java.io.IOException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(tmp))
-          if (!Files.exists(Paths.get(dest, "_SUCCESS"))) throw e
+      ProcessLock.exclusive(s"$dest.lock") {
+        if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
+          import org.apache.spark.sql.functions.col
+          val n = numFiles(Files.size(Paths.get(srcFile)),
+            spark.sparkContext.defaultParallelism)
+          val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
+          df.repartitionByRange(n, rangeCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode("overwrite").parquet(tmp)
+          Files.createDirectories(Paths.get(dest).getParent)
+          if (Files.exists(Paths.get(dest)))
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(dest)) // crashed partial from a dead process
+          Files.move(Paths.get(tmp), Paths.get(dest),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     }
   }

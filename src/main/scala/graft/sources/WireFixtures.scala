@@ -33,32 +33,28 @@ object WireFixtures {
   private def key(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Build-once with cross-process exclusion (same protocol as
+    * Store.ensure): the promoted-marker check runs inside an exclusive
+    * [[ProcessLock]], a promoted dir is never deleted, and only crashed
+    * never-promoted partials are cleaned up while holding the lock. */
   private def writeOnce(dest: String)(write: String => Unit): String = {
     if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
     this.synchronized {
-      if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
-      val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
-      write(tmp)
-      // writers that don't stamp a marker themselves (the binary segment
-      // writer) get one here — the marker is the idempotence guard
-      if (!Files.exists(Paths.get(tmp, "_SUCCESS")))
-        Files.createFile(Paths.get(tmp, "_SUCCESS"))
-      Files.createDirectories(Paths.get(dest).getParent)
-      // a dest without _SUCCESS is a stale partial copy — replace it
-      // (re-check the marker right before deleting: another process may
-      // have completed it since our entry check)
-      if (Files.exists(Paths.get(dest)) &&
-          !Files.exists(Paths.get(dest, "_SUCCESS")))
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dest))
-      try Files.move(Paths.get(tmp), Paths.get(dest),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // ENOTEMPTY arrives as a plain FileSystemException on Linux —
-        // catch the IO family; a complete dest means the other process
-        // won, anything else is a real failure
-        case e: java.io.IOException =>
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-          if (!Files.exists(Paths.get(dest, "_SUCCESS"))) throw e
+      ProcessLock.exclusive(s"$dest.lock") {
+        if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
+          val tmp = s"$dest.tmp.${ProcessHandle.current.pid}"
+          write(tmp)
+          // writers that don't stamp a marker themselves (the binary
+          // segment writer) get one here — the marker is the promotion flag
+          if (!Files.exists(Paths.get(tmp, "_SUCCESS")))
+            Files.createFile(Paths.get(tmp, "_SUCCESS"))
+          Files.createDirectories(Paths.get(dest).getParent)
+          if (Files.exists(Paths.get(dest)))
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(dest)) // crashed partial from a dead process
+          Files.move(Paths.get(tmp), Paths.get(dest),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     }
     dest

@@ -80,28 +80,39 @@ private[relay] class RelayScan(path: String, options: CaseInsensitiveStringMap)
   // band). Bounds are (lo, hi] to match the checkpoint contract.
   private var scnLo = Long.MinValue
   private var scnHi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
+    accepted = filters.filter {
       case GreaterThan("scn", _: Long) | GreaterThanOrEqual("scn", _: Long) |
            LessThan("scn", _: Long) | LessThanOrEqual("scn", _: Long) |
            EqualTo("scn", _: Long) => true
       case _ => false
     }
+    // v - 1 underflows at Long.MinValue and would invert the band into
+    // prune-everything; skip the bound there (degenerate-but-correct, the
+    // residual re-check keeps semantics) — mirrors the overflow guards in
+    // plans/Rules.scala ImpliedScnBandPushdown
     accepted.foreach {
       case GreaterThan("scn", v: Long) => scnLo = math.max(scnLo, v)
-      case GreaterThanOrEqual("scn", v: Long) => scnLo = math.max(scnLo, v - 1)
-      case LessThan("scn", v: Long) => scnHi = math.min(scnHi, v - 1)
+      case GreaterThanOrEqual("scn", v: Long) =>
+        if (v != Long.MinValue) scnLo = math.max(scnLo, v - 1)
+      case LessThan("scn", v: Long) =>
+        if (v != Long.MinValue) scnHi = math.min(scnHi, v - 1)
       case LessThanOrEqual("scn", v: Long) => scnHi = math.min(scnHi, v)
       case EqualTo("scn", v: Long) =>
-        scnLo = math.max(scnLo, v - 1); scnHi = math.min(scnHi, v)
+        if (v != Long.MinValue) scnLo = math.max(scnLo, v - 1)
+        scnHi = math.min(scnHi, v)
       case _ =>
     }
     // keep accepted filters in the residual too (cheap re-check; pruning
     // is segment-granular, rows inside a segment still need the predicate)
     filters
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+
+  /** Report the accepted scn band so explain/metrics show the pushdown
+    * (they stay in the residual as well — the push is inexact). */
+  override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = this
   override def readSchema(): StructType = RelaySourceV2.schema
@@ -185,22 +196,32 @@ private[graft] class RelayMicroBatchStream(path: String,
   override def stop(): Unit = ()
 
   // ---- admission control (A6 rate limiting: the `/stream` size budget):
-  // each micro-batch admits at most `maxSegmentsPerBatch` segments, and
-  // always whole segments = whole windows ----
+  // each micro-batch admits at most `maxSegmentsPerBatch` segments (or the
+  // ReadLimit's file cap if the trigger passes one), always whole segments
+  // = whole windows. Note: the cap bounds the segments used to CHOOSE the
+  // end offset; when scn bands from separate write() invocations
+  // interleave, planInputPartitions admits every segment overlapping the
+  // band, so the cap is a lower bound on admission, not an upper bound. ----
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxFiles}
     val s = start.asInstanceOf[RelayOffset]
     val pending = RelayBinaryLog.listSegments(path)
       .filter(_.maxScn > s.scn).sortBy(_.maxScn)
     if (pending.isEmpty) s
     else {
-      val next = pending.take(maxSegments).map(_.maxScn).max
+      val cap = limit match {
+        case _: ReadAllAvailable => pending.size
+        case f: ReadMaxFiles => f.maxFiles()
+        case _ => maxSegments
+      }
+      val next = pending.take(math.max(1, cap)).map(_.maxScn).max
       RelayOffset(availableNowTarget.fold(next)(math.min(next, _)))
     }
   }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(maxSegments)
   override def reportLatestOffset(): Offset = latestOffset()
 }
 

@@ -100,11 +100,14 @@ object Dispatcher {
           }
           if (openScn != Long.MinValue) consumer.onEndWindow(openScn)
         }
-        // driver-side checkpoint callback with the batch high-watermark
+        // driver-side checkpoint callback with the batch high-watermark;
+        // windowOffset = -1 marks the watermark window fully consumed
+        // (the reference's FULLY_CONSUMED_WINDOW_OFFSET, Checkpoint.java:
+        // 167) — 0 would replay the whole window on resume
         if (!bounds.isNullAt(1)) {
           watermark.getAndUpdate(w => math.max(w, bounds.getLong(1)))
           consumer.onCheckpoint(Checkpoint.online(bounds.getLong(1),
-            windowOffset = 0L, prevScn = -1L))
+            windowOffset = -1L, prevScn = -1L))
         }
         ()
       }
