@@ -115,11 +115,42 @@ object Bootstrap {
     * `ROW_NUMBER() OVER (ORDER BY key)` (BootstrapSrcDBEventReader.java:
     * 727-755). Note the reference's global ORDER BY exists to page JDBC
     * reads; at scale prefer `spark.read.jdbc` with partitioning predicates
-    * per chunk — this operator reproduces the chunk *assignment*. */
-  def seederChunks(src: DataFrame, keyCol: String, chunkSize: Long): DataFrame =
-    src.withColumn("row_counter",
-        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+    * per chunk — this operator reproduces the chunk *assignment*.
+    *
+    * The exact global rank is computed distributed (the single-partition
+    * `Window.orderBy` would serialize the whole table through one task at
+    * scale): deterministic key-range buckets from exact quantiles (one
+    * sketch pass), rank within each bucket (a partitioned window), plus
+    * per-bucket cumulative offsets (one tiny count job — numBuckets rows
+    * to the driver). Bucket assignment is a pure function of the key, so
+    * every job sees identical buckets and the composed rank equals the
+    * global-sort semantics exactly. At 100 TB, pass a small non-zero
+    * `relativeError` for a cheaper sketch and near-equal chunks. */
+  def seederChunks(src: DataFrame, keyCol: String, chunkSize: Long,
+      relativeError: Double = 0.0): DataFrame = {
+    val nBuckets = math.max(2, src.sparkSession.sparkContext.defaultParallelism)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = src.stat.approxQuantile(keyCol, probs, relativeError)
+      .distinct.sorted
+    // bucket = number of bounds <= key (pure key function, codegen'd)
+    val bucketCol = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(keyCol) >= b, 1L).otherwise(0L)
+    }
+    val bucketed = src.withColumn("__bkt", bucketCol)
+    val counts = bucketed.groupBy(col("__bkt")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offsetCol = counts.map(_._1).foldLeft(lit(0L)) { (acc, bkt) =>
+      when(col("__bkt") === bkt, lit(offsets(bkt))).otherwise(acc)
+    }
+    val localW = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
+    bucketed
+      .withColumn("row_counter",
+        (row_number().over(localW).cast("long") + offsetCol))
       .withColumn("chunk_id", ((col("row_counter") - 1) / chunkSize).cast("long"))
+      .drop("__bkt")
+  }
 
   /** Scalable variant of [[seederChunks]] for the 100 TB path: the global
     * `row_number` window is a single-task sort at scale, so instead chunk

@@ -56,14 +56,21 @@ object TxlogCapture {
   }
 
   /** Chunked declarative capture: first `chunkTxns` transactions after
-    * sinceScn (row_number over scn — bounded by the chunk, not the table). */
+    * sinceScn. The chunk boundary (the chunkTxns-th smallest scn) comes
+    * from a distributed top-K (`orderBy.limit` plans as
+    * TakeOrderedAndProject — per-partition heaps, no single-partition
+    * window sort), then the tail is the banded filter below it. Ties on
+    * scn admit the whole window — correct for the capture contract: a
+    * transaction window is never split (SURVEY §7.4). */
   def captureChunked(srcView: DataFrame, txlog: DataFrame, sinceScn: Long,
       chunkTxns: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tail = txlog.where(col("scn") > sinceScn)
-      .withColumn("r", row_number().over(Window.orderBy(col("scn"))))
-      .where(col("r") <= chunkTxns)
-      .select(col("txn"), col("scn"), col("ts").as("event_timestamp"))
+    val tail0 = txlog.where(col("scn") > sinceScn)
+    val bound = tail0.select(col("scn")).orderBy(col("scn")).limit(chunkTxns)
+      .agg(max(col("scn"))).head()
+    val banded = if (bound.isNullAt(0)) tail0
+      else tail0.where(col("scn") <= bound.getLong(0))
+    val tail = banded.select(col("txn"), col("scn"),
+      col("ts").as("event_timestamp"))
     srcView.join(broadcast(tail), "txn")
   }
 }

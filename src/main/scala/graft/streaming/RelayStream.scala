@@ -41,41 +41,51 @@ object RelayStream {
 
   /** Persist an envelope DataFrame as a window-aligned event log.
     *
-    * `filesHint` controls granularity (≈ windows per file). Files are
-    * written as sequential scn-range chunks so their modification order ==
-    * scn order — the file source then lists and serves them oldest-first,
-    * preserving the relay's per-timeline delivery order. (The sequential
-    * chunk loop is the *ingest harness*; the serving path stays fully
-    * distributed.)
+    * `filesHint` controls granularity (≈ windows per file). ONE
+    * distributed job writes every segment: `repartitionByRange(scn)`
+    * keys whole windows, so no transaction window ever splits across
+    * files, and task k owns the k-th scn band. The file source lists
+    * oldest-mtime-first, so after the write the driver stamps mtimes in
+    * part-number order (part number == range-partition task == scn band) —
+    * a metadata-only loop over ≤ filesHint files, replacing the old
+    * sequential one-coalesced-job-per-chunk + `Thread.sleep` harness.
+    * (For strict-order serving prefer the graft-relay V2 source, whose
+    * offsets are scn bands and need no mtime convention at all.)
     */
   def writeEventLog(envelope: DataFrame, dir: String, filesHint: Int = 8,
       partitionByTimeline: Boolean = false): Unit = {
-    val (lo, hi) = {
-      val r = envelope.agg(min("scn"), max("scn")).head()
-      if (r.isNullAt(0)) return // empty frame: nothing to write
-      (r.getLong(0), r.getLong(1))
-    }
-    val span = math.max(1L, (hi - lo + 1 + filesHint - 1) / filesHint)
-    var chunkLo = lo
-    var i = 0
-    while (chunkLo <= hi) {
-      val chunkHi = chunkLo + span - 1
-      val chunk = envelope
-        .where(col("scn") >= chunkLo && col("scn") <= chunkHi)
-        .coalesce(1)
-        .sortWithinPartitions("partition_id", "scn", "seq")
-      val w = chunk.write.mode("append")
-      // hive-partition the log by physical partition: per-timeline
-      // subscriptions then prune whole directories at the scan
-      // (DbusEventBufferMult one-buffer-per-partition analog)
-      (if (partitionByTimeline) w.partitionBy("partition_id") else w)
-        .parquet(dir)
-      // distinct mtimes → stable oldest-first listing in the file source
-      Thread.sleep(2)
-      chunkLo = chunkHi + 1
-      i += 1
-    }
+    val before = walk(new java.io.File(dir))
+      .filter(_.getName.startsWith("part-"))
+    val beforePaths = before.map(_.getAbsolutePath).toSet
+    val w = envelope
+      .repartitionByRange(filesHint, col("scn"))
+      .sortWithinPartitions("partition_id", "scn", "seq")
+      .write.mode("append")
+    // hive-partition the log by physical partition: per-timeline
+    // subscriptions then prune whole directories at the scan
+    // (DbusEventBufferMult one-buffer-per-partition analog)
+    (if (partitionByTimeline) w.partitionBy("partition_id") else w)
+      .parquet(dir)
+    // Stamp only this write's files, in part-number order, from a base
+    // strictly above every earlier generation's stamp — append batches
+    // stay ordered even when issued within the same millisecond.
+    val base = math.max(System.currentTimeMillis(),
+      before.map(_.lastModified()).foldLeft(0L)(math.max) + 2)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.startsWith("part-") &&
+        !beforePaths.contains(f.getAbsolutePath))
+      .foreach { f =>
+        val k = f.getName match { case PartNum(n) => n.toLong; case _ => 0L }
+        f.setLastModified(base + k * 2)
+        ()
+      }
   }
+
+  private val PartNum = """part-(\d+)-.*""".r
+
+  private def walk(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    else if (f.exists()) Seq(f) else Seq.empty
 
   /** Min/max SCN available in the log — `/bufferInfo` for the persisted
     * buffer; also the retention boundary for fall-off detection. */
