@@ -458,6 +458,48 @@ object SparkEntry {
           min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
     }),
 
+    // ---- P13/§1.2: reference-layout DbusEventV2 envelope codec — encode
+    // every event into the exact 45B-header binary format (magic, CRCs,
+    // key, Avro payload part), decode it back, aggregate the recovered
+    // fields. Hash-oracled: the wire format must be information-lossless.
+    "q_dbusv2_roundtrip" -> ((s, dir) => {
+      val wire = dbusV2Wire(s, dir)
+      val dec = graft.functions.DbusV2.decodeUdf(col("wire"))
+      val pdec = graft.functions.AvroCodec.decodeEventPayload(
+        graft.model.VersionedSchemaSet.eventPayloadV1.schemaJson)
+      wire.select(dec.as("e"))
+        .select(col("e.sequence").as("scn"), col("e.source_id"),
+          col("e.partition_id"), col("e.opcode"), col("e.key_long"),
+          expr("e.ts_ns div 1000").as("ts_us"),
+          pdec(col("e.payload")).as("p"))
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(col("key_long")).as("sum_keys"),
+          min(col("p.event_id")).as("min_seq"),
+          max(col("p.event_id")).as("max_seq"),
+          sum(round(col("p.value") * 100).cast("long")).as("sum_value_c"),
+          max(col("ts_us")).as("max_ts_us"))
+    }),
+
+    // ---- event-corruption detection (DbusEventCorrupter contract): flip
+    // header-CRC / payload bytes on a deterministic subset, classify every
+    // event by the validator's verdict — counts are exactly predictable.
+    "q_dbusv2_corruption" -> ((s, dir) => {
+      val corrupt = udf { (bytes: Array[Byte], seq: Long) =>
+        val b = bytes.clone()
+        if (seq % 17 == 0) graft.functions.DbusV2.toggleHeaderCrc(b)
+        if (seq % 13 == 0) graft.functions.DbusV2.togglePayloadByte(b)
+        b
+      }
+      val wire = dbusV2Wire(s, dir)
+      wire.select(graft.functions.DbusV2.errorUdf(
+          corrupt(col("wire"), col("seq"))).as("e"))
+        .select(coalesce(col("e"), lit("ok")).as("err"))
+        .groupBy(col("err")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- similarity search: IVF cell-probe variant (rows-only) ----
     "q_ann_ivf" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -489,6 +531,23 @@ object SparkEntry {
           Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF(),
         maxDim = 48)
     }))
+
+  /** Envelope events encoded into reference-layout DbusEventV2 wire bytes
+    * (Avro payload part carrying the events record), keeping `seq` beside
+    * the wire column for the corruption query's deterministic targeting. */
+  private def dbusV2Wire(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.model.VersionedSchemaSet.eventPayloadV1
+    val enc = graft.functions.AvroCodec.encodeEventPayload(schema.schemaJson)
+    val payload = enc(struct(
+      col("seq").as("event_id"), col("key_long").as("user_id"),
+      ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+      col("value"), col("props")))
+    val v2 = graft.functions.DbusV2.encodeUdf(schema.digest, 1)
+    env(s, dir).select(col("seq"),
+      v2(col("scn"), col("ts_us") * 1000, col("source_id"),
+        col("partition_id"), col("opcode"), col("key_long"),
+        payload, lit(null).cast("binary")).as("wire"))
+  }
 
   /** DuckDB-runnable ANSI SQL oracles. Key alignment rule: column names and
     * types match the Spark output exactly (driver hash compares by sorted
@@ -729,6 +788,20 @@ object SparkEntry {
         " SELECT source_id, count(*) AS n_events, CAST(sum(is_delete) AS BIGINT) AS n_deletes," +
         " min(scn) AS min_scn, max(scn) AS max_scn," +
         " min(seq) AS min_seq, max(seq) AS max_seq FROM b GROUP BY source_id"),
+
+    "q_dbusv2_roundtrip" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
+        " min(scn) AS min_scn, max(scn) AS max_scn," +
+        " CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " min(seq) AS min_seq, max(seq) AS max_seq," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(ts_us) AS max_ts_us FROM envelope GROUP BY source_id"),
+
+    "q_dbusv2_corruption" ->
+      (s"$ENV SELECT CASE WHEN seq % 17 = 0 THEN 'header_crc'" +
+        " WHEN seq % 13 = 0 THEN 'body_crc' ELSE 'ok' END AS err," +
+        " count(*) AS n FROM envelope GROUP BY 1"),
 
     "q_multimodal_meta" ->
       ("SELECT doc_id," +

@@ -124,4 +124,12 @@ case class SourceRegistry(sources: Seq[LogicalSource]) {
       org.apache.spark.sql.functions.when(nameCol === s.name,
         org.apache.spark.sql.functions.lit(s.id)).otherwise(acc)
     }
+
+  /** id column → name column (null for unknown): the inverse CASE fold. */
+  def nameCol(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sources.foldLeft(
+        org.apache.spark.sql.functions.lit(null).cast("string")) { (acc, s) =>
+      org.apache.spark.sql.functions.when(idCol === s.id,
+        org.apache.spark.sql.functions.lit(s.name)).otherwise(acc)
+    }
 }

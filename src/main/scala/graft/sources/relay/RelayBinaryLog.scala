@@ -40,14 +40,17 @@ object RelayBinaryLog {
   /** Segment descriptor parsed from a file name. */
   case class Segment(path: String, minScn: Long, maxScn: Long)
 
-  private val SegName = """seg-(-?\d+)-(-?\d+)-[0-9a-f]+\.dbus""".r
+  // `.dbus` = the engine's own record format below; `.dbusv2` = segments
+  // of reference-layout DbusEventV2 envelopes (DbusV2Log) — both carry the
+  // scn band in the name and serve through the same DataSource
+  private val SegName = """seg-(-?\d+)-(-?\d+)-[0-9a-f]+\.(dbus|dbusv2)""".r
 
   def listSegments(dir: String): Seq[Segment] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq.flatMap { f =>
       f.getName match {
-        case SegName(lo, hi) => Some(Segment(f.getAbsolutePath, lo.toLong, hi.toLong))
+        case SegName(lo, hi, _) => Some(Segment(f.getAbsolutePath, lo.toLong, hi.toLong))
         case _ => None
       }
     }.sortBy(_.minScn)

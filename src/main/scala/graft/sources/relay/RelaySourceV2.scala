@@ -230,8 +230,33 @@ private[relay] case class RelayPartition(file: String, startScn: Long,
     endScn: Long) extends InputPartition
 
 private[relay] class RelayReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RelayPartitionReader(partition.asInstanceOf[RelayPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RelayPartition]
+    if (p.file.endsWith(".dbusv2")) new DbusV2PartitionReader(p)
+    else new RelayPartitionReader(p)
+  }
+}
+
+/** Reader over a segment of reference-layout DbusEventV2 envelopes —
+  * CRC-validated decode + schema-by-digest Avro payload resolution
+  * (DbusV2Log.readSegment does both). */
+private[relay] class DbusV2PartitionReader(p: RelayPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = DbusV2Log.readSegment(p.file, p.startScn, p.endScn)
+  private var rec: DbusV2Log.WireRec = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    rec = it.next()
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow(rec.scn, rec.seq, rec.tsUs, rec.sourceId, rec.partitionId,
+      UTF8String.fromString(rec.opcode), rec.keyLong, rec.value,
+      if (rec.props == null) null else UTF8String.fromString(rec.props))
+
+  override def close(): Unit = ()
 }
 
 private[relay] class RelayPartitionReader(p: RelayPartition)

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AvroCodec, DbusV2}
+import graft.model.VersionedSchemaSet
+import graft.sources.ChangeFeed
+import graft.sources.relay.DbusV2Log
+
+/** DbusEventV2 envelope fidelity — mirrors TestDbusEventV2 (roundtrip all
+  * key types, flags, parts) and DbusEventCorrupter-driven corruption
+  * detection (databus-core/.../test/DbusEventCorrupter.java:1). */
+class DbusV2Spec extends SparkSpec {
+  import DbusV2._
+
+  private val md5 = Array.tabulate[Byte](16)(_.toByte)
+  private val payload = "payload-bytes".getBytes("UTF-8")
+  private val meta = Array[Byte](9, 8, 7)
+
+  private def sample(opcode: Int = OpUpsert): Event = Event(
+    sequence = 12345678L, timestampNs = 1700000000000000000L,
+    sourceId = 42, partitionId = 7, opcode = opcode,
+    keyLong = Some(987654321L),
+    metadata = Some(Part(DigestCrc32, Array[Byte](1, 2, 3, 4), 3, meta)),
+    payload = Some(Part(DigestMd5, md5, 2, payload)))
+
+  test("long-key roundtrip preserves every field") {
+    val bytes = encode(sample())
+    assert(bytes(0) == Version)
+    assert(java.nio.ByteBuffer.wrap(bytes).getInt(1) == Magic)
+    assert(validate(bytes).isEmpty)
+    val e = decode(bytes)
+    assert(e.sequence == 12345678L && e.timestampNs == 1700000000000000000L)
+    assert(e.sourceId == 42 && e.partitionId == 7 && e.opcode == OpUpsert)
+    assert(e.keyLong.contains(987654321L) && e.keyString.isEmpty)
+    assert(e.metadata.get.data.toSeq == meta.toSeq)
+    assert(e.metadata.get.schemaVersion == 3)
+    assert(e.metadata.get.digestType == DigestCrc32)
+    assert(e.payload.get.data.toSeq == payload.toSeq)
+    assert(e.payload.get.digest.toSeq == md5.toSeq)
+    assert(e.payload.get.schemaVersion == 2)
+    // fixed header is exactly 45 bytes + 8-byte long key
+    assert(java.nio.ByteBuffer.wrap(bytes).getInt(HeaderLenOffset) == 45 + 8)
+  }
+
+  test("string-key and schema-key roundtrips") {
+    val sk = sample().copy(keyLong = None,
+      keyString = Some("member:123".getBytes("UTF-8")))
+    val dk = decode(encode(sk))
+    assert(dk.keyString.get.toSeq == "member:123".getBytes("UTF-8").toSeq)
+
+    val pk = sample().copy(keyLong = None,
+      keyPart = Some(Part(DigestMd5, md5, 1, Array[Byte](5, 6))))
+    val dp = decode(encode(pk))
+    assert(dp.keyPart.get.data.toSeq == Seq[Byte](5, 6))
+  }
+
+  test("delete opcode, flags, and EOW control marker") {
+    val del = decode(encode(sample(OpDelete)))
+    assert(del.opcode == OpDelete)
+    val flagged = decode(encode(sample().copy(replicated = true, trace = true)))
+    assert(flagged.replicated && flagged.trace)
+
+    val eow = eowMarker(sequence = 500L, partitionId = 3)
+    assert(validate(eow).isEmpty)
+    val e = decode(eow)
+    assert(e.isControl && e.isEow && e.sequence == 500L && e.partitionId == 3)
+    assert(e.opcode == OpControl && e.payload.isEmpty && e.metadata.isEmpty)
+  }
+
+  test("corruption toggles are detected and are involutions") {
+    def corruptAndRestore(label: String, toggle: Array[Byte] => Unit,
+        expectErr: String): Unit = {
+      val bytes = encode(sample())
+      toggle(bytes)
+      assert(validate(bytes).contains(expectErr), s"$label detection")
+      toggle(bytes) // involution: toggling twice restores the event
+      assert(validate(bytes).isEmpty, s"$label restore")
+    }
+    corruptAndRestore("HEADERCRC", toggleHeaderCrc(_), "header_crc")
+    corruptAndRestore("PAYLOAD", togglePayloadByte(_), "body_crc")
+    // the stored bodyCrc and totalLen fields both sit inside the
+    // header-CRC-covered region [13, headerLen) — DbusEventV2.java:39 —
+    // so corrupting either surfaces as a header CRC mismatch first
+    corruptAndRestore("PAYLOADCRC", toggleBodyCrc(_), "header_crc")
+    corruptAndRestore("LENGTH", toggleLength(_), "header_crc")
+  }
+
+  test("dbusv2 segment log roundtrips the envelope through the wire format") {
+    val dir = Files.createTempDirectory("dbusv2log").toString
+    val raw = ChangeFeed.raw(spark, sf()).limit(200)
+    val schema = VersionedSchemaSet.eventPayloadV1.schemaJson
+    val enc = AvroCodec.encodeEventPayload(schema)
+    val envelope = ChangeFeed.envelope(raw).withColumn("payload",
+      enc(struct(
+        col("seq").as("event_id"), col("key_long").as("user_id"),
+        ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+        col("value"), col("props"))))
+    DbusV2Log.write(envelope, dir, numSegments = 4)
+
+    // segment names carry the scn band; EOW markers are present on disk
+    val segs = graft.sources.relay.RelayBinaryLog.listSegments(dir)
+    assert(segs.nonEmpty && segs.forall(_.path.endsWith(".dbusv2")))
+
+    val back = DbusV2Log.read(spark, dir)
+    val want = envelope.select("scn", "seq", "ts_us", "source_id",
+      "partition_id", "opcode", "key_long", "value")
+    val got = back.select("scn", "seq", "ts_us", "source_id",
+      "partition_id", "opcode", "key_long", "value")
+    assert(got.count() == 200)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("graft-relay DataSource serves .dbusv2 segments with band pruning") {
+    val dir = Files.createTempDirectory("dbusv2src").toString
+    val raw = ChangeFeed.raw(spark, sf()).limit(300)
+    val schema = VersionedSchemaSet.eventPayloadV1.schemaJson
+    val enc = AvroCodec.encodeEventPayload(schema)
+    val envelope = ChangeFeed.envelope(raw).withColumn("payload",
+      enc(struct(
+        col("seq").as("event_id"), col("key_long").as("user_id"),
+        ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+        col("value"), col("props"))))
+    DbusV2Log.write(envelope, dir, numSegments = 4)
+
+    val df = spark.read.format("graft-relay").option("path", dir).load()
+    assert(df.count() == 300)
+    val banded = df.where(col("scn") > 100 && col("scn") <= 200)
+    val want = envelope.where(col("scn") > 100 && col("scn") <= 200).count()
+    assert(banded.count() == want)
+  }
+
+  test("corrupt byte inside a segment fails the read (CRC contract)") {
+    val dir = Files.createTempDirectory("dbusv2corrupt").toString
+    val raw = ChangeFeed.raw(spark, sf()).limit(50)
+    val schema = VersionedSchemaSet.eventPayloadV1.schemaJson
+    val enc = AvroCodec.encodeEventPayload(schema)
+    val envelope = ChangeFeed.envelope(raw).withColumn("payload",
+      enc(struct(
+        col("seq").as("event_id"), col("key_long").as("user_id"),
+        ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+        col("value"), col("props"))))
+    DbusV2Log.write(envelope, dir, numSegments = 1)
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".dbusv2")).head
+    // flip one payload byte mid-file
+    val bytes = Files.readAllBytes(seg.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x55).toByte
+    Files.write(seg.toPath, bytes)
+    val ex = intercept[Exception] {
+      DbusV2Log.readSegment(seg.getAbsolutePath).length
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("corrupt") || m.contains("crc") || m.contains("magic")))
+  }
+}
