@@ -458,6 +458,104 @@ object SparkEntry {
           min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
     }),
 
+    // ---- S9: chained relay — the second relay's producer is the first
+    // relay's served segment log (read back through the DataSource, then
+    // re-served); chaining must be lossless, so the same band aggregation
+    // as q_relay_source hash-matches the same oracle ----
+    "q_chained_relay" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.chainedRelayLogDir(s, dir))
+        .load()
+      log.where(col("scn") > 300)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(col("key_long")).as("sum_keys"))
+    }),
+
+    // ---- K3: dispatcher delivery order materialized as a frame — the
+    // per-physical-partition (scn, seq) total order with its delivery
+    // index (GenericDispatcher.java:420-459 ordering contract) ----
+    "q_dispatch_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("partition_id"))
+        .orderBy(col("scn"), col("seq"))
+      Relay.streamOrdered(envCore(s, dir))
+        .select(col("partition_id"), col("scn"), col("seq"),
+          row_number().over(w).cast("long").as("delivery_idx"))
+    }),
+
+    // ---- P13/J2: schema-by-digest decode of a mixed-version payload
+    // column (even seq → v1 writer schema, odd → v2-with-extra-field);
+    // reader = latest, so v1 rows resolve through Avro evolution ----
+    "q_decode_digest" -> ((s, dir) => {
+      val v1 = graft.model.VersionedSchemaSet.eventPayloadV1
+      val v2 = graft.model.VersionedSchema("events", 2,
+        v1.schemaJson.dropRight(2) +
+          """,{"name":"extra","type":["string","null"],"default":"x"}]}""")
+      val set = graft.model.VersionedSchemaSet(Seq(v1, v2))
+      val encV1 = graft.functions.AvroCodec.encodeEventPayload(v1.schemaJson)
+      val encV2 = graft.functions.AvroCodec.encodeEventPayload(v2.schemaJson)
+      val payloadStruct = struct(
+        col("seq").as("event_id"), col("key_long").as("user_id"),
+        ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+        col("value"), col("props"))
+      val mixed = env(s, dir).select(col("seq"),
+        when(col("seq") % 2 === 0, encV1(payloadStruct))
+          .otherwise(encV2(payloadStruct)).as("payload"),
+        when(col("seq") % 2 === 0, lit(v1.digest))
+          .otherwise(lit(v2.digest)).as("schema_id"))
+      graft.functions.AvroCodec.decodeByDigest(mixed, set, "events")
+        .groupBy(col("payload_rec.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("payload_rec.value") * 100).cast("long"))
+            .as("sum_value_c"),
+          max(col("payload_rec.event_id")).as("max_id"))
+    }),
+
+    // ---- P14: V2→V1 envelope down-conversion (drop metadata shape, ms
+    // timestamps — DbusEventV1.java:166-183 projection) ----
+    "q_to_v1" -> ((s, dir) => Relay.toV1(envCore(s, dir))),
+
+    // ---- B3/B4: startSCN (snapshot-consistent start) + targetSCN (dirty-
+    // read upper bound) as a one-row control frame ----
+    "q_bootstrap_scns" -> ((s, dir) => {
+      val log = envCore(s, dir).withColumnRenamed("scn", "windowscn")
+      val start = Bootstrap.startScn(log, sinceScn = 0L)
+      val target = Bootstrap.targetScn(log)
+      s.range(1).select(lit(start).as("start_scn"),
+        lit(target).as("target_scn"))
+    }),
+
+    // ---- B8: bootstrap DB cleaner — retention drop below the watermark ----
+    "q_clean_log" -> ((s, dir) =>
+      Bootstrap.cleanLog(
+        envCore(s, dir).withColumnRenamed("scn", "windowscn"),
+        scnWatermark = 500L)),
+
+    // ---- B9: Avro container-file bootstrap — read the seeded snapshot
+    // (one task per container file) and prove it serves the full state ----
+    "q_avro_bootstrap" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val snapDir = graft.sources.WireFixtures.avroSnapshotDir(s, dir)
+      graft.sources.AvroFileBootstrap.readSnapshot(s, snapDir).toDF()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          sum(col("srckey")).as("sum_srckey"))
+    }),
+
+    // ---- §2.8: hash partition router — distribution of keys over
+    // consumer instances (DbusHashPartitionRouter.java:1) ----
+    "q_route_partitions" -> ((s, dir) =>
+      envCore(s, dir)
+        .groupBy(Routers.hashPartition(col("key_long"), 8).as("route"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key_long")).as("n_keys"))),
+
+    // ---- A6: observed per-source event rate (RateMonitor measurement
+    // surface; the throttle's feedback signal) ----
+    "q_rate_observed" -> ((s, dir) =>
+      Relay.observedRate(envCore(s, dir))),
+
     // ---- P13/§1.2: reference-layout DbusEventV2 envelope codec — encode
     // every event into the exact 45B-header binary format (magic, CRCs,
     // key, Avro payload part), decode it back, aggregate the recovered
@@ -788,6 +886,48 @@ object SparkEntry {
         " SELECT source_id, count(*) AS n_events, CAST(sum(is_delete) AS BIGINT) AS n_deletes," +
         " min(scn) AS min_scn, max(scn) AS max_scn," +
         " min(seq) AS min_seq, max(seq) AS max_seq FROM b GROUP BY source_id"),
+
+    "q_chained_relay" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +
+        " max(scn) AS max_scn, CAST(sum(key_long) AS BIGINT) AS sum_keys" +
+        " FROM envelope WHERE scn > 300 GROUP BY source_id"),
+
+    "q_dispatch_order" ->
+      (s"$ENV SELECT partition_id, scn, seq," +
+        " CAST(row_number() OVER (PARTITION BY partition_id ORDER BY scn, seq) AS BIGINT) AS delivery_idx" +
+        " FROM envelope"),
+
+    "q_decode_digest" ->
+      ("SELECT event_type, count(*) AS n," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(event_id) AS max_id FROM events GROUP BY event_type"),
+
+    "q_to_v1" ->
+      (s"$ENV SELECT scn, seq, ts_us // 1000 AS ts_ms, source_id," +
+        " partition_id, opcode, key_long, value FROM envelope"),
+
+    "q_bootstrap_scns" ->
+      (s"$ENV SELECT min(scn) AS start_scn, max(scn) AS target_scn" +
+        " FROM envelope"),
+
+    "q_clean_log" ->
+      (s"$ENV SELECT scn AS windowscn, seq, ts_us, source_id, partition_id," +
+        " opcode, key_long, value FROM envelope WHERE scn >= 500"),
+
+    "q_avro_bootstrap" ->
+      (s"$ENV SELECT count(*) AS n_rows, min(seq) AS min_id," +
+        " max(seq) AS max_id, CAST(sum(key_long) AS BIGINT) AS sum_srckey" +
+        " FROM envelope"),
+
+    "q_route_partitions" ->
+      (s"$ENV SELECT CAST(abs(key_long) % 8 AS INT) AS route," +
+        " count(*) AS n, count(DISTINCT key_long) AS n_keys" +
+        " FROM envelope GROUP BY 1"),
+
+    "q_rate_observed" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " round(count(*) * 1000000.0 / (max(ts_us) - min(ts_us)), 4) AS events_per_sec" +
+        " FROM envelope GROUP BY source_id"),
 
     "q_dbusv2_roundtrip" ->
       (s"$ENV SELECT source_id, count(*) AS n_events," +

@@ -123,9 +123,22 @@ object Relay {
   def toV1(envelope: DataFrame): DataFrame =
     envelope.select(
       col("scn"), col("seq"),
-      (col("ts_us") / 1000L).cast("long").as("ts_ms"),
+      // integer div, not fp: a double quotient can round across the
+      // truncation boundary for large timestamps
+      expr("ts_us div 1000").as("ts_ms"),
       col("source_id"), col("partition_id"), col("opcode"), col("key_long"),
       col("value"))
+
+  /** A6 — observed per-source event rate (RateMonitor.java:1;
+    * RateControl.java:1 measures the same events/sec the throttle
+    * enforces): events per second over each source's event-time span. */
+  def observedRate(envelope: DataFrame): DataFrame =
+    envelope.groupBy(col("source_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+      .select(col("source_id"), col("n_events"),
+        round(col("n_events") * lit(1000000.0) /
+          (col("max_ts_us") - col("min_ts_us")), 4).as("events_per_sec"))
 
   /** A1/S6 — last-writer-wins merge of multiple updates to the same key
     * within one transaction window, before append

@@ -111,6 +111,32 @@ object WireFixtures {
         Store.eventLog(spark, sfDir), tmp, numSegments = 8)
     }
 
+  /** S9 — chained relay: a second relay whose event producer is the FIRST
+    * relay's served stream (RelayEventProducer.createDatabusSourcesConnection,
+    * databus2-relay-impl/.../producers/RelayEventProducer.java:75,163-197):
+    * the primary segment log is consumed through the graft-relay DataSource
+    * and re-written as this relay's own segment log. Returns the dir. */
+  def chainedRelayLogDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/relaylog_chained") { tmp =>
+      val first = spark.read.format("graft-relay")
+        .option("path", relayLogDir(spark, sfDir)).load()
+      graft.sources.relay.RelayBinaryLog.write(first, tmp, numSegments = 4)
+    }
+
+  /** B9 — Avro container-file snapshot (BootstrapAvroFileEventReader
+    * shape): the event log seeded as id-ordered `part-NNNNN.avro` files.
+    * Returns the dir. */
+  def avroSnapshotDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/avrosnap") { tmp =>
+      import spark.implicits._
+      val snap = Store.eventLog(spark, sfDir).select(
+          col("seq").as("id"), col("scn"),
+          col("key_long").as("srckey"),
+          coalesce(col("props"), lit("")).cast("binary").as("payload"))
+        .as[AvroFileBootstrap.SnapshotRow]
+      AvroFileBootstrap.writeSnapshot(snap, tmp, numFiles = 4)
+    }
+
   /** Binlog JSON-lines dump: records with (file_no, offset, txn_offset,
     * table, op, key, row) plus one COMMIT marker per transaction —
     * SCN = (file_no << 32) | offset, the reference's composite
