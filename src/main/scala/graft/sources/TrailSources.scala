@@ -30,76 +30,115 @@ case class TrailUpdate(
   */
 object GoldenGateTrail {
 
-  /** Parse one trail XML document into updates (seq = position within the
-    * trail document; scn from the TK-SCN token per dbupdate). */
-  def parseTrailXml(xml: String): Seq[TrailUpdate] = {
+  private def xmlFactory(): XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
-    val out = scala.collection.mutable.ArrayBuffer[TrailUpdate]()
-    var txnTs = ""
-    var table = ""
-    var opType = ""
-    var inColumns = false
-    var inTokens = false
-    var colName: String = null
-    var tokName: String = null
-    var cols = Map.empty[String, String]
-    var toks = Map.empty[String, String]
-    val text = new StringBuilder
-    var seq = 0L
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          r.getLocalName match {
-            case "transaction" =>
-              txnTs = Option(r.getAttributeValue(null, "timestamp")).getOrElse("")
-            case "dbupdate" =>
-              table = Option(r.getAttributeValue(null, "table")).getOrElse("")
-              opType = Option(r.getAttributeValue(null, "type")).getOrElse("")
-              cols = Map.empty; toks = Map.empty
-            case "columns" => inColumns = true
-            case "tokens" => inTokens = true
-            case "column" if inColumns =>
-              colName = r.getAttributeValue(null, "name"); text.clear()
-            case "token" if inTokens =>
-              tokName = r.getAttributeValue(null, "name"); text.clear()
+    f
+  }
+
+  /** Lazy pull-parse: updates stream out of the StAX reader one `dbupdate`
+    * at a time — the whole trail file is never materialized in memory
+    * (real GG trails are GBs; a `wholetext` load would OOM the task).
+    * Closes the reader (and runs `onClose`) at document end. */
+  def parseTrailReader(r: javax.xml.stream.XMLStreamReader,
+      onClose: () => Unit = () => ()): Iterator[TrailUpdate] =
+    new Iterator[TrailUpdate] {
+      private var txnTs = ""
+      private var table = ""
+      private var opType = ""
+      private var inColumns = false
+      private var inTokens = false
+      private var colName: String = null
+      private var tokName: String = null
+      private var cols = Map.empty[String, String]
+      private var toks = Map.empty[String, String]
+      private val text = new StringBuilder
+      private var pos = 0L
+      private var nextUpdate: TrailUpdate = advance()
+
+      private def advance(): TrailUpdate = {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "transaction" =>
+                  txnTs = Option(r.getAttributeValue(null, "timestamp")).getOrElse("")
+                case "dbupdate" =>
+                  table = Option(r.getAttributeValue(null, "table")).getOrElse("")
+                  opType = Option(r.getAttributeValue(null, "type")).getOrElse("")
+                  cols = Map.empty; toks = Map.empty
+                case "columns" => inColumns = true
+                case "tokens" => inTokens = true
+                case "column" if inColumns =>
+                  colName = r.getAttributeValue(null, "name"); text.clear()
+                case "token" if inTokens =>
+                  tokName = r.getAttributeValue(null, "name"); text.clear()
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS => text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "column" if colName != null =>
+                  cols += colName -> text.toString.trim; colName = null
+                case "token" if tokName != null =>
+                  toks += tokName -> text.toString.trim; tokName = null
+                case "columns" => inColumns = false
+                case "tokens" => inTokens = false
+                case "dbupdate" =>
+                  val scn = toks.getOrElse("TK-SCN", "-1").toLong
+                  val u = TrailUpdate(scn, pos, table, opType, txnTs, cols)
+                  pos += 1
+                  return u
+                case _ =>
+              }
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS => text.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT =>
-          r.getLocalName match {
-            case "column" if colName != null =>
-              cols += colName -> text.toString.trim; colName = null
-            case "token" if tokName != null =>
-              toks += tokName -> text.toString.trim; tokName = null
-            case "columns" => inColumns = false
-            case "tokens" => inTokens = false
-            case "dbupdate" =>
-              val scn = toks.getOrElse("TK-SCN", "-1").toLong
-              out += TrailUpdate(scn, seq, table, opType, txnTs, cols)
-              seq += 1
-            case _ =>
-          }
-        case _ =>
+        }
+        r.close(); onClose()
+        null
+      }
+
+      override def hasNext: Boolean = nextUpdate != null
+      override def next(): TrailUpdate = {
+        val u = nextUpdate; nextUpdate = advance(); u
       }
     }
-    r.close()
-    out.toSeq
-  }
+
+  /** Parse one in-memory trail XML document (test/tool surface; the file
+    * path below streams instead). */
+  def parseTrailXml(xml: String): Seq[TrailUpdate] =
+    parseTrailReader(
+      xmlFactory().createXMLStreamReader(new java.io.StringReader(xml))).toSeq
 
   /** Batch read of a trail dir → Dataset[TrailUpdate]; `sinceScn` prunes
     * (TrailFilePositionSetter analog — position = first update with
     * scn > sinceScn). The default admits everything, including updates
     * missing a TK-SCN token (parsed scn = -1) — seeking past them is an
-    * explicit caller choice, not a silent drop. */
+    * explicit caller choice, not a silent drop.
+    *
+    * One task per trail file (the GG unit of concurrent append), each task
+    * pull-parsing from an open InputStream — constant memory per task no
+    * matter the trail size. */
   def read(spark: SparkSession, trailDir: String, sinceScn: Long = Long.MinValue)
       : DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(s"$trailDir/*.xml")
-      .as[String]
-      .flatMap(parseTrailXml _)
+    val files = Option(new java.io.File(trailDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".xml")).map(_.getAbsolutePath).sorted.toSeq
+    spark.createDataset(files)
+      .repartition(math.max(1, files.size))
+      .flatMap { path =>
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(path), 1 << 16)
+        // close on task completion too: limit/take can abandon the iterator
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () }))
+        parseTrailReader(
+          xmlFactory().createXMLStreamReader(in, "UTF-8"),
+          onClose = () => in.close())
+      }
       .where(col("scn") > sinceScn)
       .toDF()
   }

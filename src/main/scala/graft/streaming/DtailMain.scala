@@ -10,15 +10,18 @@ import graft.sources.ChangeFeed
   * Reference: databus-tools/databus-dtail-impl/.../Dtail.java:48,516 and
   * DtailCliBase.java:34-60 (BOB/EOB/SCN start, max events, output format).
   *
-  * Usage: runMain graft.streaming.DtailMain <eventLogDir | sfDir> [sinceScn] [numRows]
+  * Usage: runMain graft.streaming.DtailMain
+  *          <eventLogDir | sfDir> [BOB|EOB|<scn>] [numEvents] [format]
+  *   - format ∈ JSON | AVRO_JSON | AVRO_BIN | EVENT_INFO | NOOP
   *   - if given an sfDir (contains events.parquet), builds a temp event log
   *     from it first (demo mode).
   */
 object DtailMain {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val sinceScn = if (args.length > 1) args(1).toLong else -1L
-    val numRows = if (args.length > 2) args(2).toInt else 20
+    val scnSpec = if (args.length > 1) args(1) else "BOB"
+    val numEvents = if (args.length > 2) args(2).toLong else 20L
+    val fmt = if (args.length > 3) args(3) else "JSON"
 
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -37,10 +40,8 @@ object DtailMain {
 
     val (minScn, maxScn) = RelayStream.bufferInfo(spark, logDir)
     println(s"[dtail] bufferInfo: minScn=$minScn maxScn=$maxScn")
-    val cp = if (sinceScn < 0) Checkpoint.flexible else Checkpoint.online(sinceScn)
-    val q = Dispatcher.dtail(RelayStream.read(spark, logDir, cp,
-      maxFilesPerTrigger = 100), numRows)
-    q.awaitTermination()
+    Dtail.tail(spark, logDir, scnSpec, fmt, maxEvents = numEvents)
+      .awaitTermination()
     spark.stop()
   }
 }

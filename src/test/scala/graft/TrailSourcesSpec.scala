@@ -62,6 +62,51 @@ class TrailSourcesSpec extends SparkSpec {
       (110L, 5, "DELETE", 7L)))
   }
 
+  test("a >100 MB trail file parses with constant memory (streaming StAX)") {
+    val dir = Files.createTempDirectory("trail-big").toString
+    val f = Paths.get(dir, "trail-big.xml")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f.toFile), 1 << 20)
+    w.write("<root>")
+    // ~110 MB of transactions; padded column keeps updates realistic-sized
+    val pad = "x" * 400
+    var bytes = 0L
+    var scn = 0L
+    var n = 0L
+    while (bytes < 110L * 1024 * 1024) {
+      val txn = new StringBuilder(s"""<transaction timestamp="$scn">""")
+      var i = 0
+      while (i < 20) {
+        txn.append(s"""<dbupdate table="click" type="insert"><columns>""")
+          .append(s"""<column name="key">${n % 1000}</column>""")
+          .append(s"""<column name="pad">$pad</column>""")
+          .append("</columns><tokens>")
+          .append(s"""<token name="TK-SCN">$scn</token>""")
+          .append("</tokens></dbupdate>")
+        i += 1; n += 1
+      }
+      txn.append("</transaction>")
+      w.write(txn.toString)
+      bytes += txn.length
+      scn += 10
+    }
+    w.write("</root>")
+    w.close()
+    assert(f.toFile.length() > 100L * 1024 * 1024)
+
+    // wholetext would need the whole file as one 110MB string per task;
+    // the streaming parse pulls updates incrementally off the open stream
+    val parsed = GoldenGateTrail.read(spark, dir)
+    val (cnt, maxScn) = parsed.agg(count(lit(1)), max($"scn"))
+      .as[(Long, Long)].head()
+    assert(cnt == n)
+    assert(maxScn == scn - 10)
+    // sinceScn seek over the same big file prunes to the tail
+    val tail = GoldenGateTrail.read(spark, dir, sinceScn = scn - 30)
+    assert(tail.count() == 40) // last two windows x 20 updates
+    f.toFile.delete()
+    ()
+  }
+
   test("binlog records assemble into envelope with composite SCN windows") {
     val dir = Files.createTempDirectory("binlog").toString
     val lines = Seq(
