@@ -124,10 +124,11 @@ object Bootstrap {
     * per-bucket cumulative offsets (one tiny count job — numBuckets rows
     * to the driver). Bucket assignment is a pure function of the key, so
     * every job sees identical buckets and the composed rank equals the
-    * global-sort semantics exactly. At 100 TB, pass a small non-zero
-    * `relativeError` for a cheaper sketch and near-equal chunks. */
+    * global-sort semantics EXACTLY regardless of sketch error — quantile
+    * accuracy only affects bucket balance, never rank correctness — so the
+    * default uses the cheap sketch. */
   def seederChunks(src: DataFrame, keyCol: String, chunkSize: Long,
-      relativeError: Double = 0.0): DataFrame = {
+      relativeError: Double = 0.001): DataFrame = {
     val nBuckets = math.max(2, src.sparkSession.sparkContext.defaultParallelism)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = src.stat.approxQuantile(keyCol, probs, relativeError)

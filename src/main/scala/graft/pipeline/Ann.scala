@@ -101,32 +101,43 @@ object Ann {
   }
 
   /** IVF-style coarse quantization: assign each corpus vector to its
-    * nearest of `centroids` (a small broadcast table), search only the
-    * probed cells. Centroids come from any upstream clustering (e.g. a
-    * sampled k-means); the engine contract is the cell-probe join. */
+    * nearest of `centroids` (a driver-collectable table — IVF codebooks
+    * are small by construction), search only the probed cells. Centroids
+    * come from any upstream clustering (e.g. a sampled k-means); the
+    * engine contract is the cell-probe join.
+    *
+    * Scale shape: corpus assignment is ONE codegen'd projection — C fused
+    * l2sq kernels and a when-chain argmin over centroid literals — so the
+    * corpus is scanned once with NO crossJoin, no shuffle, and vectors
+    * never leave their scan partition (the earlier corpus×centroids
+    * crossJoin + min_by re-shuffled every embedding once per assignment). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
+    val centRows = centroids.select(col("id").cast("long"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfTopK: empty centroid set")
+    // argmin via array_min over (dist, cell) structs: struct ordering is
+    // lexicographic, so min dist wins and ties break to the smallest cell
+    // (min_by (dist, cell_id) semantics). Each l2sq appears exactly once
+    // in the expression tree — a when-chain fold would duplicate the
+    // accumulator subtree at every level (2^C code-size blowup).
+    def nearestCell(vecCol: org.apache.spark.sql.Column) =
+      array_min(array(centRows.map { case (cid, cv) =>
+        struct(l2sq(vecCol, typedlit(cv)).as("d"), lit(cid).as("c"))
+      }: _*)).getField("c")
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+      .withColumn("cell_id", nearestCell(col("cvec")))
+    // queries probe their nProbe nearest cells (tiny side — a broadcast
+    // crossJoin + per-query window costs nothing at any corpus scale)
     val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
-    def assign(df: DataFrame, idName: String, vecName: String, cells: Int): DataFrame = {
-      val scored = df.select(col("id").as(idName), col("vec").as(vecName))
-        .crossJoin(broadcast(cent))
-        .withColumn("dist", l2sq(col(vecName), col("cent")))
-      if (cells == 1)
-        // nearest cell via partial-aggregating min_by (map-side combine;
-        // no sort, no per-id window shuffle of every (row, centroid) pair)
-        scored.groupBy(col(idName))
-          .agg(min_by(struct(col("cell_id"), col(vecName)),
-            struct(col("dist"), col("cell_id"))).as("best"))
-          .select(col(idName), col(s"best.$vecName").as(vecName),
-            col("best.cell_id").as("cell_id"))
-      else {
-        val w = Window.partitionBy(col(idName)).orderBy(col("dist"), col("cell_id"))
-        scored.withColumn("r", row_number().over(w)).where(col("r") <= cells)
-          .select(col(idName), col(vecName), col("cell_id"))
-      }
-    }
-    val c = assign(corpus, "neighbor_id", "cvec", 1)
-    val q = assign(queries, "query_id", "qvec", nProbe)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", l2sq(col("qvec"), col("cent")))
+      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // candidate dedup on id pairs only (a query probing nProbe cells can
