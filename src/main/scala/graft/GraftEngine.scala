@@ -24,17 +24,27 @@ import graft.streaming.{DatabusConsumer, Dispatcher, RelayStream}
   * | consumer registration     | [[consume]]                   |
   */
 class GraftEngine(val spark: SparkSession, eventLogDir: String,
-    private var schemaSet: VersionedSchemaSet = VersionedSchemaSet.default) {
+    initialSchemas: VersionedSchemaSet = VersionedSchemaSet.default) {
 
   /** `/sources` — the registered logical sources (name↔id). */
   def sources: Seq[LogicalSource] = ChangeFeed.registry.sources
 
+  /** The full SchemaRegistryService surface (fetch by digest / latest /
+    * all versions / id for version — SchemaRegistryService.java:25-75). */
+  val registryService: SchemaRegistry = new SchemaRegistry(initialSchemas)
+
   /** `/register` — schemas served per source (protocol v2-v4 payload). */
   def schemas(sourceName: String): Seq[VersionedSchema] =
-    schemaSet.schemas.filter(_.sourceName == sourceName)
+    registryService.snapshot.schemas.filter(_.sourceName == sourceName)
   def registerSchemas(more: VersionedSchema*): Unit =
-    synchronized { more.foreach(s => schemaSet = schemaSet.add(s)) }
-  def schemaRegistry: VersionedSchemaSet = schemaSet
+    more.foreach(registryService.registerSchema)
+  def schemaRegistry: VersionedSchemaSet = registryService.snapshot
+
+  /** Load `<name>.<version>.avsc` trees into the registry (the
+    * filesystem-backed provider, FileSystemVersionedSchemaSetProvider). */
+  def loadSchemasFrom(dir: String): Unit =
+    FileSystemSchemaProvider.loadSchemas(dir).schemas
+      .foreach(registryService.registerSchema)
 
   /** `/bufferInfo` — SCN range the relay currently retains. */
   def bufferInfo(): (Long, Long) = RelayStream.bufferInfo(spark, eventLogDir)

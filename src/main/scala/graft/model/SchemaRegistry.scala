@@ -41,6 +41,77 @@ case class VersionedSchemaSet(schemas: Seq[VersionedSchema]) {
   def add(s: VersionedSchema): VersionedSchemaSet = copy(schemas = schemas :+ s)
 }
 
+/** Filesystem-backed schema-set provider: recursively loads
+  * `<sourceName>.<version>.avsc` files from one or more directories.
+  *
+  * Reference: FileSystemVersionedSchemaSetProvider.java:1 (file-name
+  * pattern `(.*)\.(\d+).avsc`, recursive directory walk, suffix filter);
+  * files without a parseable version are skipped, unreadable roots throw.
+  */
+object FileSystemSchemaProvider {
+
+  private val FileName = """(.*)\.(\d+)\.avsc""".r
+
+  def loadSchemas(dirs: Seq[java.io.File],
+      suffix: String = ".avsc"): VersionedSchemaSet = {
+    def walk(f: java.io.File): Seq[VersionedSchema] = {
+      if (!f.exists() || !f.canRead)
+        throw new IllegalArgumentException(
+          s"File does not exist or cannot be read: ${f.getAbsolutePath}")
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else if (f.getName.endsWith(suffix)) f.getName match {
+        case FileName(source, version) =>
+          Seq(VersionedSchema(source, version.toShort,
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+        case _ => Seq.empty // suffix matches but no version segment
+      }
+      else Seq.empty
+    }
+    VersionedSchemaSet(dirs.flatMap(walk))
+  }
+
+  def loadSchemas(dir: String): VersionedSchemaSet =
+    loadSchemas(Seq(new java.io.File(dir)))
+}
+
+class NoSuchSchemaException(msg: String) extends RuntimeException(msg)
+
+/** The engine's SchemaRegistryService surface over a [[VersionedSchemaSet]]
+  * (SchemaRegistryService.java:25-75: registerSchema / fetchSchema by
+  * hex digest / latest-by-source / all-versions-by-source / schema id for
+  * (source, version)). Thread-safe; `snapshot` hands the immutable set to
+  * decode paths (AvroCodec.decodeByDigest). */
+class SchemaRegistry(initial: VersionedSchemaSet = VersionedSchemaSet.empty) {
+  @volatile private var set = initial
+
+  def registerSchema(s: VersionedSchema): Unit = synchronized { set = set.add(s) }
+
+  def snapshot: VersionedSchemaSet = set
+
+  def fetchSchema(schemaIdHex: String): String =
+    set.schemas.find(_.digestHex == schemaIdHex.toLowerCase)
+      .getOrElse(throw new NoSuchSchemaException(s"no schema with id $schemaIdHex"))
+      .schemaJson
+
+  def fetchLatestSchemaBySourceName(source: String): String =
+    set.getLatest(source)
+      .getOrElse(throw new NoSuchSchemaException(s"no schemas for $source"))
+      .schemaJson
+
+  def fetchAllSchemaVersionsBySourceName(source: String): Map[Short, String] = {
+    val vs = set.schemas.filter(_.sourceName == source)
+    if (vs.isEmpty) throw new NoSuchSchemaException(s"no schemas for $source")
+    vs.map(v => v.version -> v.schemaJson).toMap
+  }
+
+  def fetchSchemaIdForSourceNameAndVersion(source: String, version: Int): String =
+    set.getByVersion(source, version.toShort)
+      .getOrElse(throw new NoSuchSchemaException(
+        s"no schema for $source v$version"))
+      .digestHex
+}
+
 object VersionedSchemaSet {
   val empty: VersionedSchemaSet = VersionedSchemaSet(Nil)
 

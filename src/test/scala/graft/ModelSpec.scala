@@ -58,6 +58,41 @@ class ModelSpec extends AnyFunSuite {
     assert(v1.digest.length == 16) // MD5 SchemaId width
   }
 
+  test("filesystem provider loads name.version.avsc trees; service surface") {
+    val dir = java.nio.file.Files.createTempDirectory("schemas")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    val v1 = VersionedSchemaSet.eventPayloadV1
+    val v2 = v1.copy(version = 2,
+      schemaJson = v1.schemaJson.replace("EventPayload", "EventPayloadV2"))
+    java.nio.file.Files.writeString(dir.resolve("events.1.avsc"), v1.schemaJson)
+    java.nio.file.Files.writeString(sub.resolve("events.2.avsc"), v2.schemaJson)
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "ignored")
+    java.nio.file.Files.writeString(dir.resolve("noversion.avsc"), "{}")
+
+    val set = FileSystemSchemaProvider.loadSchemas(dir.toString)
+    assert(set.schemas.size == 2) // txt + unversioned skipped
+    assert(set.getLatest("events").map(_.version).contains(2: Short))
+    assert(set.getByVersion("events", 1).map(_.schemaJson).contains(v1.schemaJson))
+    intercept[IllegalArgumentException] {
+      FileSystemSchemaProvider.loadSchemas("/nonexistent-schema-dir")
+    }
+
+    val svc = new SchemaRegistry(set)
+    assert(svc.fetchSchema(v1.digestHex) == v1.schemaJson)
+    assert(svc.fetchLatestSchemaBySourceName("events") == v2.schemaJson)
+    assert(svc.fetchAllSchemaVersionsBySourceName("events").keySet ==
+      Set(1: Short, 2: Short))
+    assert(svc.fetchSchemaIdForSourceNameAndVersion("events", 2) == v2.digestHex)
+    intercept[NoSuchSchemaException] { svc.fetchSchema("00" * 16) }
+    intercept[NoSuchSchemaException] {
+      svc.fetchLatestSchemaBySourceName("nope")
+    }
+    // register a new version; the decode path sees it via snapshot
+    val v3 = v1.copy(version = 3)
+    svc.registerSchema(v3)
+    assert(svc.snapshot.getLatest("events").map(_.version).contains(3: Short))
+  }
+
   test("source registry maps name to id both ways") {
     val r = graft.sources.ChangeFeed.registry
     assert(r.idOf("click") == 1 && r.nameOf(5) == "error")
