@@ -341,6 +341,21 @@ object SparkEntry {
         cosineThreshold = 0.99)
     }),
 
+    // ---- decontamination: drop training docs sharing any word n-gram
+    // with the eval corpus (train/test overlap scrub; n-gram hashes
+    // explode narrow, eval side distinct + broadcast) ----
+    "q_decontaminate" -> ((s, dir) => {
+      val train = docs(s, dir).select("doc_id", "text")
+      val eval = docs(s, dir).where(col("doc_id") < 50).select("doc_id", "text")
+      Dedup.decontaminate(train, eval).select("doc_id")
+    }),
+
+    // ---- sequence packing: concat-and-chunk token layout per language
+    // (absolute token offsets + context-window chunk ids) ----
+    "q_pack_chunks" -> ((s, dir) =>
+      graft.pipeline.Packing.packChunks(
+        docs(s, dir).select("lang", "doc_id", "text"), budgetTokens = 256L)),
+
     // ---- similarity search: brute-force cosine top-k (baseline) ----
     "q_ann_brute" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -828,6 +843,18 @@ object SparkEntry {
 
     "q_dedup_minhash" -> minhashOracleSql,
 
+    "q_decontaminate" -> decontaminateSql,
+
+    "q_pack_chunks" ->
+      ("WITH t AS (SELECT lang, doc_id," +
+        " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens" +
+        " FROM documents)" +
+        " SELECT lang, doc_id, n_tokens," +
+        " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset," +
+        " CAST((sum(n_tokens) OVER w - n_tokens) // 256 AS BIGINT) AS chunk_id" +
+        " FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
     "q_dedup_ngram" -> ngramOracleSql,
 
     "q_ann_brute" -> annBruteSql,
@@ -1018,6 +1045,20 @@ object SparkEntry {
       s"CAST(len(list_filter($toks, t -> t = '$w')) AS DOUBLE)").mkString(" + ")
     val stopScore = s"least((($hits) / $nTok) * 5.0, 1.0)"
     s"SELECT doc_id, round(($lengthScore) * 0.5 + ($punctScore) * 0.3 + ($stopScore) * 0.2, 6) AS quality FROM documents"
+  }
+
+  /** decontamination oracle: train docs sharing any distinct 3-gram with
+    * the eval subset are dropped (same shingle construction as the
+    * minhash oracle). */
+  private lazy val decontaminateSql: String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    "WITH sh AS (SELECT doc_id, " + sh + " AS s FROM" +
+      " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents))," +
+      " ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50)," +
+      " bad AS (SELECT DISTINCT t.doc_id FROM" +
+      " (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN ev USING (g))" +
+      " SELECT doc_id FROM documents" +
+      " WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
   }
 
   /** minhash oracle: ground truth = brute-force exact 3-gram Jaccard ≥ 0.8

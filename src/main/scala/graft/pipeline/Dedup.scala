@@ -197,6 +197,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Cross-corpus decontamination support: training docs sharing ≥ 1 word
+    * n-gram with an evaluation corpus. The standard train/test overlap
+    * scrub an LLM data pipeline runs before training (corpus-scale
+    * recipes use 13-grams; `shingleN` parameterizes).
+    *
+    * Shape at 100 TB: both sides reduce to distinct n-gram *hashes*
+    * (narrow long rows — text never shuffles); the eval side is distinct
+    * and broadcast (eval suites are small by definition; set
+    * `broadcastEval=false` for a giant holdout and it becomes a hash
+    * equi-join), and the contaminated set comes out of one left-semi
+    * join carrying (id, hash) only. */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainGrams = train.select(col(idCol).as("id"),
+      explode(shingleHashes(shingles(col(textCol), shingleN))).as("g"))
+    val evalGrams0 = eval.select(
+      explode(shingleHashes(shingles(col(textCol), shingleN))).as("g"))
+      .distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    trainGrams.join(evalGrams, Seq("g"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
+  /** Drop contaminated training docs (anti-join on the flagged ids). */
+  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame =
+    train.join(
+      contaminatedIds(train, eval, shingleN, textCol, idCol, broadcastEval)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard for a (small) candidate pair set: join shingle
     * arrays back and compute |∩|/|∪| with array intersections. Verification
     * stage only — never run on the full cross product. */

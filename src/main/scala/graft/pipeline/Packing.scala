@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Sequence packing for LLM pretraining: concatenate documents (in id
+  * order, within a group) and split the token stream into fixed-length
+  * context windows — the concat-and-chunk layout that turns a document
+  * corpus into training blocks. Each doc is tagged with its absolute
+  * token offset and the chunk its first token lands in.
+  *
+  * Scale shape: one partitioned window (cumulative token count) per
+  * group — groups (language, source, shard) bound the sort width, so no
+  * global single-partition sort; token counts are codegen'd column
+  * expressions. For a single giant group, pre-shard with a salt column
+  * and use [[graft.operators.Bootstrap.seederChunks]]-style offset
+  * composition instead.
+  */
+object Packing {
+
+  /** (group, doc_id, n_tokens, tok_offset, chunk_id) per document:
+    * `tok_offset` = tokens before this doc inside its group's stream,
+    * `chunk_id` = tok_offset / budget. */
+  def packChunks(docs: DataFrame, budgetTokens: Long,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val nTokens = TextFunctions.tokenCount(col(textCol)).cast("long")
+    docs
+      .select(col(groupCol), col(idCol), nTokens.as("n_tokens"))
+      .withColumn("tok_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"tok_offset div $budgetTokens"))
+  }
+
+  /** Chunk-level view: how many docs and tokens land in each context
+    * window (straddling docs count toward the chunk they start in). */
+  def chunkStats(packed: DataFrame, groupCol: String = "lang"): DataFrame =
+    packed.groupBy(col(groupCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("tok_offset")).as("first_offset"))
+}

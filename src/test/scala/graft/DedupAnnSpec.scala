@@ -175,6 +175,42 @@ class DedupAnnSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("decontamination drops exactly the train docs overlapping eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different sentence with unique words here"),
+      (3L, "shares the quick brown fox fragment with eval"),
+      (4L, "another clean document nothing in common at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    // 3-grams of eval include "the quick brown"/"quick brown fox" → docs 1,3
+    val clean = graft.pipeline.Dedup.decontaminate(train, eval)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+    val flagged = graft.pipeline.Dedup.contaminatedIds(train, eval)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+  }
+
+  test("sequence packing: offsets are cumulative, chunks split on budget") {
+    val docs = Seq(
+      ("en", 1L, "a b c d"),        // 4 tokens, offset 0, chunk 0
+      ("en", 2L, "e f g"),          // 3 tokens, offset 4, chunk 0
+      ("en", 3L, "h i"),            // offset 7 → chunk 1 (budget 6)
+      ("fr", 10L, "un deux trois")  // separate group restarts at 0
+    ).toDF("lang", "doc_id", "text")
+    val packed = graft.pipeline.Packing.packChunks(docs, budgetTokens = 6L)
+      .select("lang", "doc_id", "n_tokens", "tok_offset", "chunk_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(packed == Set(
+      ("en", 1L, 4L, 0L, 0L), ("en", 2L, 3L, 4L, 0L),
+      ("en", 3L, 2L, 7L, 1L), ("fr", 10L, 3L, 0L, 0L)))
+    val stats = graft.pipeline.Packing.chunkStats(
+      graft.pipeline.Packing.packChunks(docs, 6L))
+    assert(stats.where($"lang" === "en" && $"chunk_id" === 0)
+      .select("n_docs").as[Long].head() == 2L)
+  }
+
   test("native expressions compose when used twice in one projection") {
     import graft.functions.GraftFunctions._
     // two instances of each expression in a single codegen'd projection —
