@@ -46,4 +46,48 @@ class PlansSpec extends SparkSpec {
     val n2 = env.where($"source_id" === 3 && $"scn" >= 200).count()
     assert(n1 == n2)
   }
+
+  test("relay DataSource reports the accepted scn band as pushed filters") {
+    val dir = graft.sources.WireFixtures.relayLogDir(spark, sf())
+    val banded = spark.read.format("graft-relay").option("path", dir).load()
+      .where($"scn" > 300 && $"scn" <= 700)
+    val plan = banded.queryExecution.executedPlan.toString
+    // the V2 scan surfaces the accepted band (pushedFilters) so explain
+    // shows the segment pruning instead of hiding it
+    assert(plan.contains("GreaterThan(scn,300)") ||
+      plan.contains("scnBand"), s"band not visible in:\n$plan")
+  }
+
+  test("bucketed fact-fact join runs with no exchange on either side") {
+    val o = graft.sources.Store.bucketedTable(spark, sf(), "orders",
+      "o_orderkey", 8)
+    val l = graft.sources.Store.bucketedTable(spark, sf(), "lineitem",
+      "l_orderkey", 8)
+    val joined = l.hint("merge")
+      .join(o.hint("merge"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only allowed shuffle is the final aggregate's (and bucketing on
+    // the grouping key removes even that); the join itself must have none
+    val planStr = plan.toString
+    val joinIdx = planStr.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SMJ in:\n$planStr")
+    assert(!planStr.substring(joinIdx).contains("Exchange"),
+      s"exchange below the bucketed join in:\n$planStr")
+    assert(exchanges.isEmpty,
+      s"expected zero exchanges end-to-end, got ${exchanges.size}")
+  }
+
+  test("decontamination plan broadcasts the eval n-gram set") {
+    val train = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val eval = train.where($"doc_id" < 10)
+    val clean = graft.pipeline.Dedup.decontaminate(train, eval)
+    val plan = clean.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval side not broadcast in:\n$plan")
+  }
 }
