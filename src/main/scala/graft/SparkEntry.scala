@@ -341,6 +341,13 @@ object SparkEntry {
         cosineThreshold = 0.99)
     }),
 
+    // ---- streaming dedup (batch form): an at-least-once replay (the
+    // envelope unioned with itself) collapses back to exactly-once ----
+    "q_stream_dedup" -> ((s, dir) => {
+      val env = envCore(s, dir)
+      graft.streaming.RelayStream.dedupStream(env.unionAll(env))
+    }),
+
     // ---- decontamination: drop training docs sharing any word n-gram
     // with the eval corpus (train/test overlap scrub; n-gram hashes
     // explode narrow, eval side distinct + broadcast) ----
@@ -842,6 +849,8 @@ object SparkEntry {
         " count(*) AS dup_count FROM corpus GROUP BY md5(text)"),
 
     "q_dedup_minhash" -> minhashOracleSql,
+
+    "q_stream_dedup" -> s"$ENV SELECT * FROM envelope",
 
     "q_decontaminate" -> decontaminateSql,
 

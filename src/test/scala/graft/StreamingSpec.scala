@@ -193,6 +193,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup collapses replayed events across micro-batches") {
+    val logDir = tmp("eventlog_dd")
+    val cpDir = tmp("streamcp_dd")
+    // the same window lands twice (an at-least-once replay): two appends
+    // of identical envelope rows → separate files → separate micro-batches
+    RelayStream.writeEventLog(envelope.where($"scn" < 200), logDir, filesHint = 2)
+    RelayStream.writeEventLog(envelope.where($"scn" < 200), logDir, filesHint = 2)
+    val q = RelayStream.dedupStream(
+        RelayStream.read(spark, logDir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", cpDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream").select("seq").as[Long].collect()
+    val want = envelope.where($"scn" < 200).select("seq").as[Long].collect()
+    assert(got.length == want.length) // every duplicate collapsed
+    assert(got.toSet == want.toSet)
+    // batch form through the same operator equals distinct
+    assert(RelayStream.dedupStream(
+      envelope.unionAll(envelope)).count() == envelope.count())
+  }
+
   test("no fall-off when checkpoint is within retention") {
     val logDir = tmp("eventlog5")
     RelayStream.writeEventLog(envelope, logDir, filesHint = 2)
