@@ -99,7 +99,30 @@ class GraftEngine(val spark: SparkSession, eventLogDir: String,
   def loadDataEvents(envelope: DataFrame, filesHint: Int = 8): Unit =
     RelayStream.writeEventLog(envelope, eventLogDir, filesHint)
 
+  /** `/stream` across multiple physical-partition timelines, each from
+    * its own checkpoint, in CheckpointMult cursor round-robin order. */
+  def streamMult(cpMult: CheckpointMult): DataFrame =
+    Relay.streamMult(
+      spark.read.schema(RelayStream.schema).parquet(eventLogDir), cpMult)
+
+  /** dtail (K4) — tail the engine's event log in any reference output
+    * format (JSON / AVRO_JSON / AVRO_BIN / EVENT_INFO / NOOP), from
+    * BOB / EOB / a given SCN, capped at `maxEvents`. */
+  def dtail(scnSpec: String = "BOB", fmt: String = "JSON",
+      maxEvents: Long = 20L, out: String => Unit = println)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Dtail.tail(spark, eventLogDir, scnSpec, fmt, maxEvents,
+      out = out)
+
   // ---- binary relay log (the graft-relay DataSource V2) ----
+
+  /** DbusEventV2 wire-format segment log (the reference's exact binary
+    * layout, §1.2): write from an envelope-with-payload frame; serve the
+    * segments through [[streamBinary]] — the DataSource dispatches on the
+    * `.dbusv2` extension. */
+  def writeWireLog(envelopeWithPayload: DataFrame, dir: String,
+      numSegments: Int = 8): Unit =
+    graft.sources.relay.DbusV2Log.write(envelopeWithPayload, dir, numSegments)
 
   /** Materialize the engine's binary segment log (DbusEventV2-analog
     * format) from an envelope frame; serve it via [[streamBinary]]. */

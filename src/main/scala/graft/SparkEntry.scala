@@ -341,6 +341,19 @@ object SparkEntry {
         cosineThreshold = 0.99)
     }),
 
+    // ---- K1/C4: CheckpointMult multi-timeline serve — per-partition
+    // checkpoint bands + round-robin visit order after the cursor ----
+    "q_stream_mult" -> ((s, dir) => {
+      val cpMult = graft.model.CheckpointMult(
+        checkpoints = Map(
+          (0: Short) -> Checkpoint.online(200L),
+          (1: Short) -> Checkpoint.online(400L),
+          (2: Short) -> Checkpoint.online(600L),
+          (3: Short) -> Checkpoint.flexible),
+        cursorPartition = Some(1: Short))
+      Relay.streamMult(envCore(s, dir), cpMult)
+    }),
+
     // ---- streaming dedup (batch form): an at-least-once replay (the
     // envelope unioned with itself) collapses back to exactly-once ----
     "q_stream_dedup" -> ((s, dir) => {
@@ -851,6 +864,15 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracleSql,
 
     "q_stream_dedup" -> s"$ENV SELECT * FROM envelope",
+
+    "q_stream_mult" ->
+      (s"$ENV SELECT *," +
+        " CAST(CASE partition_id WHEN 2 THEN 0 WHEN 3 THEN 1" +
+        " WHEN 0 THEN 2 WHEN 1 THEN 3 END AS INT) AS serve_rank" +
+        " FROM envelope WHERE (partition_id = 0 AND scn > 200)" +
+        " OR (partition_id = 1 AND scn > 400)" +
+        " OR (partition_id = 2 AND scn > 600)" +
+        " OR partition_id = 3"),
 
     "q_decontaminate" -> decontaminateSql,
 

@@ -69,6 +69,34 @@ object Relay {
       .repartition(col("partition_id"))
       .sortWithinPartitions(col("partition_id"), col("scn"), col("seq"))
 
+  /** K1/C4 — multi-timeline serve from a [[graft.model.CheckpointMult]]:
+    * every physical partition reads from ITS OWN checkpoint band, and the
+    * `serve_rank` column materializes the round-robin visit order
+    * starting after the cursor partition (CheckpointMult.java:57-67 —
+    * the multi-buffer fairness contract). Partitions without a checkpoint
+    * entry are not served (the reference's buffer-mult only streams
+    * subscribed partitions). */
+  def streamMult(envelope: DataFrame,
+      cpMult: graft.model.CheckpointMult): DataFrame = {
+    val parts = cpMult.checkpoints.keys.toSeq.sorted
+    require(parts.nonEmpty, "streamMult: empty checkpoint mult")
+    val order = cpMult.cursorPartition match {
+      case None => parts
+      case Some(c) => parts.filter(_ > c) ++ parts.filter(_ <= c)
+    }
+    val rankCol = order.zipWithIndex.foldLeft(lit(-1)) { case (acc, (p, i)) =>
+      when(col("partition_id") === p.toInt, lit(i)).otherwise(acc)
+    }
+    val bandCol = parts.foldLeft(lit(false)) { (acc, p) =>
+      when(col("partition_id") === p.toInt,
+        afterCheckpoint(cpMult(p))).otherwise(acc)
+    }
+    envelope
+      .where(col("partition_id").isin(parts.map(_.toInt): _*))
+      .where(bandCol)
+      .withColumn("serve_rank", rankCol)
+  }
+
   /** `/bufferInfo` — min/max SCN + event count per physical partition
     * (BufferInfoRequestProcessor.java:49). */
   def bufferInfo(envelope: DataFrame): DataFrame =

@@ -113,7 +113,8 @@ object Ann {
     * crossJoin + min_by re-shuffled every embedding once per assignment). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int = 2): DataFrame = {
-    val centRows = centroids.select(col("id").cast("long"), col("vec"))
+    val centRows = PlanCache.getOrPersist(centroids, "ivf-centroids",
+        centroids.select(col("id").cast("long"), col("vec")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
