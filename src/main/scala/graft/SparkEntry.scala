@@ -238,6 +238,31 @@ object SparkEntry {
           (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"))
     }),
 
+    // ---- Q5 on the bucketed layout: the fact-fact edge (l⋈o on
+    // orderkey) runs exchange-free over co-located buckets; dims still
+    // broadcast — the same discipline as q3_join_bucketed on the
+    // snowflake shape ----
+    "q5_join_bucketed" -> ((s, dir) => {
+      val r = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = graft.sources.Store.bucketedTable(s, dir, "orders", "o_orderkey", 8)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = graft.sources.Store.bucketedTable(s, dir, "lineitem", "l_orderkey", 8)
+      l.hint("merge").join(o.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_c4"))
+    }),
+
     // ---- engine query surface: per-group top-k window ----
     "q_topk_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -801,16 +826,9 @@ object SparkEntry {
 
     "q3_join_bucketed" -> oracleSqlQ3,
 
-    "q5_join" ->
-      ("SELECT n_name," +
-        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
-        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
-        " JOIN supplier ON l_suppkey = s_suppkey" +
-        " JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey" +
-        " JOIN nation ON s_nationkey = n_nationkey" +
-        " JOIN region ON n_regionkey = r_regionkey" +
-        " WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'" +
-        " AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+    "q5_join_bucketed" -> oracleSqlQ5,
+
+    "q5_join" -> oracleSqlQ5,
 
     "q_topk_orders" ->
       ("SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (SELECT o_custkey," +
@@ -1035,6 +1053,18 @@ object SparkEntry {
       " CASE WHEN greatest(width, height) > 48" +
       "   THEN CAST((height * 48) // greatest(width, height) AS INT) ELSE height END AS new_height" +
       " FROM m")
+
+  /** Q5-shape oracle — shared by the plain and bucketed variants. */
+  private lazy val oracleSqlQ5: String =
+    ("SELECT n_name," +
+      " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4" +
+      " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+      " JOIN supplier ON l_suppkey = s_suppkey" +
+      " JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey" +
+      " JOIN nation ON s_nationkey = n_nationkey" +
+      " JOIN region ON n_regionkey = r_regionkey" +
+      " WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'" +
+      " AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name")
 
   /** Q3-shape oracle — shared by the plain and bucketed variants (identical
     * semantics; the bucketed query differs only in physical layout). */
