@@ -228,4 +228,33 @@ object BinlogFeed {
   def mergedEnvelope(records: DataFrame, registry: graft.model.SourceRegistry)
       : DataFrame =
     graft.operators.Relay.mergeTransaction(toEnvelope(records, registry))
+
+  /** Streaming form: tail the dump dir as a file stream (the reference's
+    * producer is a continuous binlog tailer). */
+  def stream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(recordSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Continuous assembly: per micro-batch, records assemble into envelope
+    * rows and append to the relay event log. Correct window SCNs require
+    * batches to hold whole transactions — guaranteed when dump files are
+    * rotated on txn boundaries (the reference rotates binlogs the same
+    * way; WireFixtures aligns its dump for the same reason). A row whose
+    * COMMIT is missing from its batch falls back to the begin position
+    * (the reference's unresolved-poll contract). */
+  def startAssembled(spark: SparkSession, path: String,
+      registry: graft.model.SourceRegistry, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream(spark, path, maxFilesPerTrigger).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        toEnvelope(batch, registry)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

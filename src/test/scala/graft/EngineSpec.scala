@@ -50,6 +50,30 @@ class EngineSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.key_long.get % 2 == 0))
   }
 
+  test("streamMult serves per-partition checkpoints in cursor order") {
+    val cpMult = graft.model.CheckpointMult(
+      Map((0: Short) -> Checkpoint.online(300L),
+          (2: Short) -> Checkpoint.flexible),
+      cursorPartition = Some(0: Short))
+    val got = engine.streamMult(cpMult)
+    import org.apache.spark.sql.functions._
+    // partition 2 (after cursor) ranks before partition 0 (wrapped)
+    assert(got.where($"partition_id" === 2)
+      .agg(min("serve_rank")).as[Int].head() == 0)
+    assert(got.where($"partition_id" === 0)
+      .agg(min("serve_rank")).as[Int].head() == 1)
+    assert(got.where($"partition_id" === 0 && $"scn" <= 300).count() == 0)
+    assert(got.where($"partition_id" === 1).count() == 0) // unsubscribed
+  }
+
+  test("dtail through the facade renders capped EVENT_INFO lines") {
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    engine.dtail("BOB", "EVENT_INFO", maxEvents = 5, out = out.add(_))
+      .awaitTermination()
+    assert(out.size() == 5)
+    assert(out.iterator().next().startsWith("scn:"))
+  }
+
   test("/bootstrap switchover for a too-old checkpoint is a no-op here") {
     // log retains from scn 0, so no fall-off even for scn 0 checkpoints
     val (state, _, cp) = engine.bootstrap(Checkpoint.online(0L))

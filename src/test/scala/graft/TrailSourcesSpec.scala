@@ -138,4 +138,32 @@ class TrailSourcesSpec extends SparkSpec {
     val k1 = merged.where($"key_long" === 1).select("merged_updates").as[Long].head()
     assert(k1 == 2L)
   }
+
+  test("binlog streaming assembly equals the batch form (txn-aligned files)") {
+    val dir = Files.createTempDirectory("binlog-stream").toString
+    val out = Files.createTempDirectory("binlog-out").toString
+    val cp = Files.createTempDirectory("binlog-cp").toString
+    // two dump files, each holding whole transactions (rotation on txn
+    // boundaries) — micro-batch = file = whole windows
+    Files.writeString(Paths.get(dir, "b-000.jsonl"), Seq(
+      """{"file_no":1,"offset":10,"txn_offset":10,"table":"click","op":"INSERT","key":1,"row":"r1"}""",
+      """{"file_no":1,"offset":12,"txn_offset":10,"table":"view","op":"UPDATE","key":2,"row":"r2"}""",
+      """{"file_no":1,"offset":14,"txn_offset":10,"table":null,"op":"COMMIT","key":null,"row":null}""")
+      .mkString("\n"))
+    Files.writeString(Paths.get(dir, "b-001.jsonl"), Seq(
+      """{"file_no":2,"offset":20,"txn_offset":20,"table":"error","op":"DELETE","key":3,"row":null}""",
+      """{"file_no":2,"offset":22,"txn_offset":20,"table":null,"op":"COMMIT","key":null,"row":null}""")
+      .mkString("\n"))
+
+    BinlogFeed.startAssembled(spark, dir, ChangeFeed.registry, out, cp)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("scn", "seq", "source_id", "opcode", "key_long")
+      .as[(Long, Long, Int, String, Long)].collect().toSet
+    val batch = BinlogFeed.toEnvelope(
+        BinlogFeed.parseJsonLines(spark, s"$dir/*.jsonl"), ChangeFeed.registry)
+      .select("scn", "seq", "source_id", "opcode", "key_long")
+      .as[(Long, Long, Int, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
 }
