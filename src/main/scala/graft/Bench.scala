@@ -72,12 +72,24 @@ object Bench {
     val binSec = (System.nanoTime() - tb) / 1e9
     val binEps = if (binSec > 0) nBin / binSec else 0.0
 
+    // wire-format throughput: the same pipeline over segments in the
+    // reference's exact DbusEventV2 binary layout (CRC-validated decode +
+    // schema-by-digest Avro payload resolution per event)
+    val wireDir = graft.sources.WireFixtures.dbusv2LogDir(spark, sfDir)
+    val tw = System.nanoTime()
+    val nWire = graft.operators.Relay.streamOrdered(
+      spark.read.format("graft-relay").option("path", wireDir).load(),
+      filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count()
+    val wireSec = (System.nanoTime() - tw) / 1e9
+    val wireEps = if (wireSec > 0) nWire / wireSec else 0.0
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""relay_events_per_sec":${eventsPerSec.round},"relay_events":$nEvents,""" +
       s""""relay_binary_events_per_sec":${binEps.round},""" +
+      s""""relay_wire_events_per_sec":${wireEps.round},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

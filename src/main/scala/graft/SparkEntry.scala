@@ -455,6 +455,21 @@ object SparkEntry {
         .crossJoin(bad).where(col("n_bad") === 0).drop("n_bad")
     }),
 
+    // ---- P15: wire-payload gzip roundtrip (CompressUtil analog) — every
+    // non-null payload must survive compress→uncompress bit-exactly ----
+    "q_gzip_roundtrip" -> ((s, dir) => {
+      val e = env(s, dir)
+      val rt = graft.operators.Compression.gunzip(
+        graft.operators.Compression.gzip(col("props").cast("binary")))
+        .cast("string")
+      e.select(col("source_id"), col("props"), rt.as("rt"))
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("props")).as("n_nonnull"),
+          count(when(col("rt") <=> col("props") && col("rt").isNotNull,
+            1)).as("n_match"))
+    }),
+
     // ---- capture-path band scan through the ImpliedScnBandPushdown rule:
     // scn is derived arithmetic on the raw feed, yet the implied event_id
     // bounds reach the parquet scan (PlansSpec asserts the pushed filters)
@@ -927,6 +942,13 @@ object SparkEntry {
 
     "q_capture_band" ->
       s"$ENV SELECT * FROM envelope WHERE scn > 300 AND scn <= 700",
+
+    "q_gzip_roundtrip" ->
+      ("SELECT source_id, count(*) AS n_rows," +
+        " count(props) AS n_nonnull, count(props) AS n_match" +
+        " FROM (SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2" +
+        " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5" +
+        " ELSE -1 END AS source_id, props FROM events) b GROUP BY source_id"),
 
     "q_relay_source" ->
       (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +

@@ -30,9 +30,11 @@ object Integrity {
     envelope.where(!(bodyCrc(col(payloadCol)) <=> col(crcCol)))
 }
 
-/** P15 — transport/storage compression knobs (CompressUtil.java:12-14 gzip
-  * of /register responses). Columnar equivalent: codec selection on the
-  * event-log files. */
+/** P15 — transport/storage compression (CompressUtil.java:12-14: gzip of
+  * /register responses, `compress=true` request param). Columnar
+  * equivalent is codec selection on the event-log files; the row-level
+  * gzip codec covers the wire-payload case (a payload column compressed
+  * before leaving the engine, exactly the reference's response gzip). */
 object Compression {
   /** Session-level default codec for event-log writes. */
   def setCodec(spark: org.apache.spark.sql.SparkSession, codec: String): Unit =
@@ -40,4 +42,36 @@ object Compression {
   val Gzip = "gzip"
   val Snappy = "snappy"
   val Zstd = "zstd"
+
+  /** Gzip a binary column (CompressUtil.compress analog). */
+  val gzip: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(bytes); gz.close()
+        out.toByteArray
+      }
+    }
+    c => f(c)
+  }
+
+  /** Gunzip a binary column (CompressUtil.uncompress analog). */
+  val gunzip: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 14)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out.toByteArray
+      }
+    }
+    c => f(c)
+  }
 }

@@ -123,6 +123,21 @@ object WireFixtures {
       graft.sources.relay.RelayBinaryLog.write(first, tmp, numSegments = 4)
     }
 
+  /** DbusEventV2 wire-format segment log (the reference's exact binary
+    * layout, §1.2) rendered from the event log — Avro payload part with
+    * the registry digest, per-event seq in the metadata part. Returns
+    * the dir. */
+  def dbusv2LogDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/dbusv2log") { tmp =>
+      val schema = graft.model.VersionedSchemaSet.eventPayloadV1
+      val enc = graft.functions.AvroCodec.encodeEventPayload(schema.schemaJson)
+      val env = Store.eventLog(spark, sfDir).withColumn("payload",
+        enc(struct(col("seq").as("event_id"), col("key_long").as("user_id"),
+          ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+          col("value"), col("props"))))
+      graft.sources.relay.DbusV2Log.write(env, tmp, numSegments = 8)
+    }
+
   /** B9 — Avro container-file snapshot (BootstrapAvroFileEventReader
     * shape): the event log seeded as id-ordered `part-NNNNN.avro` files.
     * Returns the dir. */
