@@ -111,19 +111,36 @@ object DbusV2Log {
           }
           val e = DbusV2.decode(bytes)
           if (!e.isControl && e.sequence > startScn && e.sequence <= endScn) {
-            val seq = java.nio.ByteBuffer.wrap(e.metadata.get.data).getLong
-            val payloadPart = e.payload.get
-            val writer = schemas.getByDigest(payloadPart.digest).getOrElse(
-              throw new IllegalStateException("unknown payload schema digest"))
-            val rec = AvroCodec.deserialize(payloadPart.data, writer.schema,
-              writer.schema)
-            def d(f: String): Double = Option(rec.get(f))
-              .map(_.asInstanceOf[java.lang.Double].doubleValue).getOrElse(0.0)
-            def s(f: String): String = Option(rec.get(f)).map(_.toString).orNull
+            // per-event seq rides the metadata part when present; an event
+            // without one serves its window scn (still a valid position)
+            val seq = e.metadata
+              .map(m => java.nio.ByteBuffer.wrap(m.data).getLong)
+              .getOrElse(e.sequence)
+            // string keys: parsed-as-long else hashCode — the reference's
+            // numeric-key coercion (KeyModFilter.java:55-70)
+            val key = e.keyLong.getOrElse {
+              val ks = e.keyString.map(new String(_, "UTF-8")).getOrElse("")
+              try ks.toLong catch { case _: NumberFormatException => ks.hashCode.toLong }
+            }
+            val (value, props) = e.payload match {
+              case Some(payloadPart) =>
+                val writer = schemas.getByDigest(payloadPart.digest).getOrElse(
+                  throw new IllegalStateException(
+                    "unknown payload schema digest"))
+                val rec = AvroCodec.deserialize(payloadPart.data,
+                  writer.schema, writer.schema)
+                def d(f: String): Double = Option(rec.get(f))
+                  .map(_.asInstanceOf[java.lang.Double].doubleValue)
+                  .getOrElse(0.0)
+                def s(f: String): String =
+                  Option(rec.get(f)).map(_.toString).orNull
+                (d("value"), s("props"))
+              case None => (0.0, null) // payload-less data event (deletes)
+            }
             return WireRec(e.sequence, seq, e.timestampNs / 1000L, e.sourceId,
               e.partitionId.toInt,
               if (e.opcode == DbusV2.OpDelete) "DELETE" else "UPSERT",
-              e.keyLong.get, d("value"), s("props"))
+              key, value, props)
           }
         }
         null // unreachable

@@ -88,6 +88,53 @@ class DbusV2Spec extends SparkSpec {
     corruptAndRestore("LENGTH", toggleLength(_), "header_crc")
   }
 
+  test("generative: random events re-encode to identical bytes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genPart: Gen[Part] = for {
+      digType <- Gen.oneOf(DigestMd5, DigestCrc32)
+      ver <- Gen.choose(0, 1023)
+      data <- Gen.choose(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield Part(digType,
+      Array.tabulate[Byte](if (digType == DigestMd5) 16 else 4)(i => (ver + i).toByte),
+      ver.toShort, data.toArray)
+    val genEvent: Gen[Event] = for {
+      seq <- Gen.choose(0L, Long.MaxValue / 2)
+      ts <- Gen.choose(0L, Long.MaxValue / 2)
+      srcId <- Gen.oneOf(Gen.choose(1, 1000), Gen.const(EowSrcId))
+      partId <- Gen.choose(0, 500)
+      op <- Gen.oneOf(OpUpsert, OpDelete)
+      keyKind <- Gen.choose(0, 2)
+      keyL <- Gen.choose(Long.MinValue, Long.MaxValue)
+      keyS <- Gen.alphaNumStr
+      keyP <- genPart
+      metaOpt <- Gen.option(genPart)
+      payloadOpt <- Gen.option(genPart)
+      repl <- Gen.oneOf(true, false)
+      trace <- Gen.oneOf(true, false)
+    } yield Event(seq, ts, srcId, partId.toShort, op,
+      keyLong = if (keyKind == 0) Some(keyL) else None,
+      keyString = if (keyKind == 1) Some(keyS.getBytes("UTF-8")) else None,
+      keyPart = if (keyKind == 2) Some(keyP) else None,
+      metadata = metaOpt, payload = payloadOpt,
+      replicated = repl, trace = trace)
+    (0 until 200).foreach { i =>
+      val e = genEvent(Gen.Parameters.default, Seed(1000L + i)).get
+      val bytes = encode(e)
+      assert(validate(bytes).isEmpty, s"trial $i invalid")
+      val d = decode(bytes)
+      val reenc = encode(d)
+      assert(java.util.Arrays.equals(bytes, reenc),
+        s"trial $i re-encode differs")
+      assert(d.sequence == e.sequence && d.timestampNs == e.timestampNs &&
+        d.sourceId == e.sourceId && d.partitionId == e.partitionId)
+      assert(d.replicated == e.replicated && d.trace == e.trace)
+      // total length recorded in the header equals the byte count
+      assert(eventLength(bytes, 0) == bytes.length)
+    }
+  }
+
   test("dbusv2 segment log roundtrips the envelope through the wire format") {
     val dir = Files.createTempDirectory("dbusv2log").toString
     val raw = ChangeFeed.raw(spark, sf()).limit(200)
