@@ -91,6 +91,11 @@ object SparkEntry {
     "q_stream_checkpoint" -> ((s, dir) =>
       Relay.streamEvents(envCore(s, dir), cp = Checkpoint.online(500L, 3L))),
 
+    // ---- K1: time-based start (flexible checkpoint + tsNsecs) ----
+    "q_stream_since_ts" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir), // 2024-01-15T00:00:00Z
+        cp = Checkpoint(tsNsecs = 1705276800000000000L))),
+
     // ---- K1: /stream with an event budget (size param analog) ----
     "q_stream_budget" -> ((s, dir) =>
       Relay.streamEvents(envCore(s, dir), maxEvents = Some(500))),
@@ -768,6 +773,9 @@ object SparkEntry {
 
     "q_stream_budget" ->
       s"$ENV SELECT * FROM envelope ORDER BY scn, seq LIMIT 500",
+
+    "q_stream_since_ts" ->
+      s"$ENV SELECT * FROM envelope WHERE ts_us >= 1705276800000000",
 
     "q_buffer_info" ->
       (s"$ENV SELECT partition_id, min(scn) AS min_scn, max(scn) AS max_scn," +

@@ -33,8 +33,13 @@ object Relay {
   def afterCheckpoint(cp: Checkpoint): Column =
     // windowOffset < 0 = the checkpoint window is FULLY consumed (the
     // reference's -1 marker, Checkpoint.java:66-68); 0 = nothing of the
-    // window delivered yet, so the whole window replays; > 0 = partial
-    if (cp.isFlexible) lit(true)
+    // window delivered yet, so the whole window replays; > 0 = partial.
+    // A flexible checkpoint with tsNsecs set = time-based start
+    // (Checkpoint.java:75-80 `init from timestamp`): serve events at or
+    // after the wall-clock position instead of an scn position.
+    if (cp.isFlexible && cp.tsNsecs >= 0)
+      col("ts_us") >= cp.tsNsecs / 1000L
+    else if (cp.isFlexible) lit(true)
     else if (cp.windowOffset < 0) col("scn") > cp.windowScn
     else col("scn") > cp.windowScn ||
       (col("scn") === cp.windowScn && (col("seq") - col("scn")) >= cp.windowOffset)

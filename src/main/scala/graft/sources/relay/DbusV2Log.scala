@@ -86,10 +86,13 @@ object DbusV2Log {
   /** Iterate the data events of one `.dbusv2` segment file inside the
     * (startScn, endScn] band, validating every envelope (CRC contract:
     * corrupt events throw, matching readEvents' InvalidEventException
-    * path). Control/EOW events are skipped. */
+    * path). Control/EOW events are skipped. `decodePayload=false` keeps
+    * the payload opaque (no Avro decode — the zero-deserialization
+    * passthrough for projections that don't touch value/props). */
   def readSegment(file: String, startScn: Long = Long.MinValue,
       endScn: Long = Long.MaxValue,
-      schemas: VersionedSchemaSet = VersionedSchemaSet.default)
+      schemas: VersionedSchemaSet = VersionedSchemaSet.default,
+      decodePayload: Boolean = true)
       : Iterator[WireRec] = {
     val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(file), 1 << 16))
@@ -123,6 +126,7 @@ object DbusV2Log {
               try ks.toLong catch { case _: NumberFormatException => ks.hashCode.toLong }
             }
             val (value, props) = e.payload match {
+              case _ if !decodePayload => (0.0, null)
               case Some(payloadPart) =>
                 val writer = schemas.getByDigest(payloadPart.digest).getOrElse(
                   throw new IllegalStateException(

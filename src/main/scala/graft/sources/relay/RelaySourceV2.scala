@@ -72,8 +72,16 @@ private[relay] class RelayTable(path: String) extends Table with SupportsRead {
 
 private[relay] class RelayScan(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
+
+  // column pruning reaches the segment readers: a projection that skips
+  // value/props lets the .dbusv2 reader skip the per-event Avro payload
+  // decode entirely (the dominant cost of the wire path)
+  private var required: StructType = RelaySourceV2.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   // scn band accepted from pushed predicates — segment pruning at planning
   // time, exactly the ScnIndex role (batch analog of the streaming offset
@@ -115,22 +123,24 @@ private[relay] class RelayScan(path: String, options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = this
-  override def readSchema(): StructType = RelaySourceV2.schema
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"RelayScan($path, scnBand=($scnLo, $scnHi])"
+    s"RelayScan($path, scnBand=($scnLo, $scnHi], " +
+      s"ReadSchema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       RelayBinaryLog.listSegments(path)
         .filter(s => s.maxScn > scnLo && s.minScn <= scnHi)
-        .map(s => RelayPartition(s.path, scnLo, scnHi))
+        .map(s => RelayPartition(s.path, scnLo, scnHi,
+          required.fieldNames.toSeq))
         .toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new RelayReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new RelayMicroBatchStream(path, options)
+    new RelayMicroBatchStream(path, options, required.fieldNames.toSeq)
 }
 
 /** Offset = high-watermark scn, JSON `{"scn":N}` (Checkpoint.windowScn). */
@@ -147,7 +157,9 @@ private[graft] object RelayOffset {
 }
 
 private[graft] class RelayMicroBatchStream(path: String,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    options: CaseInsensitiveStringMap,
+    fields: Seq[String] = RelaySourceV2.schema.fieldNames.toSeq)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -186,7 +198,7 @@ private[graft] class RelayMicroBatchStream(path: String,
     // window-budgeted band: never split a window (scn) across batches
     RelayBinaryLog.listSegments(path)
       .filter(s => s.maxScn > lo && s.minScn <= hi)
-      .map(s => RelayPartition(s.path, lo, hi))
+      .map(s => RelayPartition(s.path, lo, hi, fields))
       .toArray
   }
 
@@ -225,9 +237,12 @@ private[graft] class RelayMicroBatchStream(path: String,
   override def reportLatestOffset(): Offset = latestOffset()
 }
 
-/** One segment file restricted to the (startScn, endScn] band. */
+/** One segment file restricted to the (startScn, endScn] band, emitting
+  * only the pruned `fields` (in requested order). */
 private[relay] case class RelayPartition(file: String, startScn: Long,
-    endScn: Long) extends InputPartition
+    endScn: Long,
+    fields: Seq[String] = RelaySourceV2.schema.fieldNames.toSeq)
+    extends InputPartition
 
 private[relay] class RelayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -239,10 +254,17 @@ private[relay] class RelayReaderFactory extends PartitionReaderFactory {
 
 /** Reader over a segment of reference-layout DbusEventV2 envelopes —
   * CRC-validated decode + schema-by-digest Avro payload resolution
-  * (DbusV2Log.readSegment does both). */
+  * (DbusV2Log.readSegment does both). A projection that needs neither
+  * `value` nor `props` skips the per-event Avro decode entirely (the
+  * relay's zero-deserialization passthrough, recovered via column
+  * pruning). */
 private[relay] class DbusV2PartitionReader(p: RelayPartition)
     extends PartitionReader[InternalRow] {
-  private val it = DbusV2Log.readSegment(p.file, p.startScn, p.endScn)
+  private val needsPayload =
+    p.fields.contains("value") || p.fields.contains("props")
+  private val it = DbusV2Log.readSegment(p.file, p.startScn, p.endScn,
+    decodePayload = needsPayload)
+  private val proj = p.fields.map(RelayProjection.index).toArray
   private var rec: DbusV2Log.WireRec = _
 
   override def next(): Boolean = {
@@ -251,18 +273,41 @@ private[relay] class DbusV2PartitionReader(p: RelayPartition)
     true
   }
 
-  override def get(): InternalRow =
-    InternalRow(rec.scn, rec.seq, rec.tsUs, rec.sourceId, rec.partitionId,
-      UTF8String.fromString(rec.opcode), rec.keyLong, rec.value,
-      if (rec.props == null) null else UTF8String.fromString(rec.props))
+  override def get(): InternalRow = {
+    val vals = new Array[Any](proj.length)
+    var i = 0
+    while (i < proj.length) {
+      vals(i) = proj(i) match {
+        case 0 => rec.scn
+        case 1 => rec.seq
+        case 2 => rec.tsUs
+        case 3 => rec.sourceId
+        case 4 => rec.partitionId
+        case 5 => UTF8String.fromString(rec.opcode)
+        case 6 => rec.keyLong
+        case 7 => rec.value
+        case 8 =>
+          if (rec.props == null) null else UTF8String.fromString(rec.props)
+      }
+      i += 1
+    }
+    InternalRow(vals.toIndexedSeq: _*)
+  }
 
   override def close(): Unit = ()
+}
+
+private[relay] object RelayProjection {
+  /** Field name → index in the full 9-column envelope schema. */
+  val index: Map[String, Int] =
+    RelaySourceV2.schema.fieldNames.zipWithIndex.toMap
 }
 
 private[relay] class RelayPartitionReader(p: RelayPartition)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new BufferedInputStream(
     new FileInputStream(p.file), 1 << 16))
+  private val proj = p.fields.map(RelayProjection.index).toArray
   private var rec: RelayBinaryLog.Rec = _
 
   override def next(): Boolean = {
@@ -277,10 +322,25 @@ private[relay] class RelayPartitionReader(p: RelayPartition)
   }
 
   override def get(): InternalRow = {
-    val op = if (rec.opcode == RelayBinaryLog.OpDelete) "DELETE" else "UPSERT"
-    InternalRow(rec.scn, rec.seq, rec.tsUs, rec.sourceId, rec.partitionId,
-      UTF8String.fromString(op), rec.keyLong, rec.value,
-      if (rec.props == null) null else UTF8String.fromString(rec.props))
+    val vals = new Array[Any](proj.length)
+    var i = 0
+    while (i < proj.length) {
+      vals(i) = proj(i) match {
+        case 0 => rec.scn
+        case 1 => rec.seq
+        case 2 => rec.tsUs
+        case 3 => rec.sourceId
+        case 4 => rec.partitionId
+        case 5 => UTF8String.fromString(
+          if (rec.opcode == RelayBinaryLog.OpDelete) "DELETE" else "UPSERT")
+        case 6 => rec.keyLong
+        case 7 => rec.value
+        case 8 =>
+          if (rec.props == null) null else UTF8String.fromString(rec.props)
+      }
+      i += 1
+    }
+    InternalRow(vals.toIndexedSeq: _*)
   }
 
   override def close(): Unit = in.close()
