@@ -75,6 +75,13 @@ object SparkEntry {
       Relay.streamEvents(envCore(s, dir),
         filter = Filters.parseCompositeConfig(compositeFilterJson))),
 
+    // ---- §2.8: subscription URIs → serving filter (modern + legacy
+    // grammars; the consumer's registered union) ----
+    "q_filter_subscription" -> ((s, dir) =>
+      Relay.streamEvents(envCore(s, dir),
+        filter = Filters.fromSubscriptions(
+          "cdc://*/click/*, view:1, purchase", ChangeFeed.registry))),
+
     // ---- P5: physical partition filter with nested filter ----
     "q_filter_physical" -> ((s, dir) =>
       Relay.streamEvents(envCore(s, dir),
@@ -758,6 +765,10 @@ object SparkEntry {
         " WHEN source_id = 3 THEN (key_long >= 0 AND key_long < 75) OR (key_long >= 100 AND key_long < 200)" +
         " WHEN source_id = 1 THEN abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2" +
         " ELSE TRUE END"),
+
+    "q_filter_subscription" ->
+      (s"$ENV SELECT * FROM envelope WHERE source_id = 1" +
+        " OR (source_id = 2 AND partition_id = 1) OR source_id = 3"),
 
     "q_filter_physical" ->
       (s"$ENV SELECT * FROM envelope WHERE partition_id = 2" +

@@ -128,7 +128,36 @@ case class CompositeKeyFilter(bySource: Map[Int, DbusKeyFilter]) extends DbusFil
     }
 }
 
+/** Subscription list → server-side predicate: each subscription's
+  * (physicalPartition, logicalSource, logicalPartition) triple becomes a
+  * conjunct and the list ORs — a consumer registers for the union of its
+  * subscriptions (DbusEventBufferMult.constructFilters,
+  * DbusEventBufferMult.java:561; subscriptions parsed by the
+  * [[graft.model.Subscription]] URI codec). Both partition coordinates
+  * test `partition_id`: this engine's envelope runs one logical partition
+  * per physical timeline (SURVEY §1.5 mapping). */
+case class SubscriptionFilter(subs: Seq[graft.model.Subscription],
+    registry: graft.model.SourceRegistry) extends DbusFilter {
+  require(subs.nonEmpty, "empty subscription list")
+  override def toColumn: Column =
+    subs.map { s =>
+      val pp = s.physicalPartition
+        .map(p => col("partition_id") === p.toInt).getOrElse(lit(true))
+      val ls = s.logicalSource
+        .map(n => col("source_id") === registry.idOf(n)).getOrElse(lit(true))
+      val lp = s.logicalPartition
+        .map(p => col("partition_id") === p.toInt).getOrElse(lit(true))
+      pp && ls && lp
+    }.foldLeft(lit(false))(_ || _)
+}
+
 object Filters {
+
+  /** Parse a subscription CSV (modern or legacy URIs) into the serving
+    * filter (§2.8 SubscriptionUriCodec → engine predicate). */
+  def fromSubscriptions(csv: String,
+      registry: graft.model.SourceRegistry): SubscriptionFilter =
+    SubscriptionFilter(graft.model.Subscription.parseList(csv), registry)
 
   /** Exact Java `String.hashCode` — needed for bucket parity with the
     * reference's mod-partitioning of non-numeric string keys
