@@ -413,6 +413,24 @@ object SparkEntry {
       graft.pipeline.Packing.packChunks(
         docs(s, dir).select("lang", "doc_id", "text"), budgetTokens = 256L)),
 
+    // ---- the end-to-end training-data pipeline, composed: quality
+    // filter → predicted-language filter → exact dedup keep-one →
+    // decontamination vs the eval slice → sequence packing. Every stage
+    // is the first-class operator; the whole composition hash-matches a
+    // DuckDB re-derivation ----
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val filtered = d
+        .where(round(TF.qualityScore(col("text")), 6) >= 0.5)
+        .where(TF.langId(col("text")) === "en")
+      val deduped = Dedup.exactKeepOne(filtered)
+      val eval = docs(s, dir).where(col("doc_id") < 30)
+        .select("doc_id", "text")
+      val clean = Dedup.decontaminate(deduped, eval)
+      graft.pipeline.Packing.packChunks(clean, budgetTokens = 512L)
+        .select("lang", "doc_id", "n_tokens", "tok_offset", "chunk_id")
+    }),
+
     // ---- similarity search: brute-force cosine top-k (baseline) ----
     "q_ann_brute" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -928,6 +946,8 @@ object SparkEntry {
 
     "q_decontaminate" -> decontaminateSql,
 
+    "q_pipeline_e2e" -> pipelineE2eSql,
+
     "q_pack_chunks" ->
       ("WITH t AS (SELECT lang, doc_id," +
         " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens" +
@@ -1136,8 +1156,8 @@ object SparkEntry {
       s"(SELECT doc_id, lang, text, $defs FROM documents))"
   }
 
-  /** quality-score oracle mirroring TF.qualityScore arithmetic exactly. */
-  private lazy val qualityScoreSql: String = {
+  /** TF.qualityScore arithmetic as a bare SQL expression (over `text`). */
+  private lazy val qualityExprSql: String = {
     val toks = "string_split_regex(text, '\\s+')"
     val nTok = s"CAST(len($toks) AS DOUBLE)"
     val lengthScore = s"least($nTok / 50.0, 1.0)"
@@ -1146,8 +1166,12 @@ object SparkEntry {
     val hits = TF.langMarkers("en").map(w =>
       s"CAST(len(list_filter($toks, t -> t = '$w')) AS DOUBLE)").mkString(" + ")
     val stopScore = s"least((($hits) / $nTok) * 5.0, 1.0)"
-    s"SELECT doc_id, round(($lengthScore) * 0.5 + ($punctScore) * 0.3 + ($stopScore) * 0.2, 6) AS quality FROM documents"
+    s"($lengthScore) * 0.5 + ($punctScore) * 0.3 + ($stopScore) * 0.2"
   }
+
+  /** quality-score oracle mirroring TF.qualityScore arithmetic exactly. */
+  private lazy val qualityScoreSql: String =
+    s"SELECT doc_id, round($qualityExprSql, 6) AS quality FROM documents"
 
   /** decontamination oracle: train docs sharing any distinct 3-gram with
     * the eval subset are dropped (same shingle construction as the
@@ -1161,6 +1185,36 @@ object SparkEntry {
       " (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN ev USING (g))" +
       " SELECT doc_id FROM documents" +
       " WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+  }
+
+  /** End-to-end pipeline oracle: the same five stages re-derived in SQL
+    * (quality + predicted-lang filters, md5 keep-one, n-gram
+    * decontamination vs the doc_id<30 eval slice, 512-token packing). */
+  private lazy val pipelineE2eSql: String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    s"WITH lp AS (SELECT doc_id AS lp_id, lang_pred FROM ($langIdSql))," +
+      s" flt AS (SELECT d.doc_id, d.lang, d.text FROM documents d" +
+      s" JOIN lp ON d.doc_id = lp.lp_id" +
+      s" WHERE round($qualityExprSql, 6) >= 0.5 AND lp.lang_pred = 'en')," +
+      " dd AS (SELECT * FROM flt QUALIFY" +
+      " row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)," +
+      s" shdd AS (SELECT doc_id, $sh AS s FROM" +
+      " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM dd))," +
+      s" ev AS (SELECT DISTINCT unnest(s) AS g FROM (SELECT $sh AS s FROM" +
+      " (SELECT string_split_regex(text, '\\s+') AS toks FROM documents" +
+      " WHERE doc_id < 30)))," +
+      " bad AS (SELECT DISTINCT t.doc_id FROM" +
+      " (SELECT doc_id, unnest(s) AS g FROM shdd) t JOIN ev USING (g))," +
+      " clean AS (SELECT doc_id, lang, text FROM dd" +
+      " WHERE doc_id NOT IN (SELECT doc_id FROM bad))," +
+      " tk AS (SELECT lang, doc_id," +
+      " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens" +
+      " FROM clean)" +
+      " SELECT lang, doc_id, n_tokens," +
+      " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset," +
+      " CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_id" +
+      " FROM tk WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
+      " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
   }
 
   /** minhash oracle: ground truth = brute-force exact 3-gram Jaccard ≥ 0.8
