@@ -365,6 +365,34 @@ object SparkEntry {
       Dedup.ngramJaccardVerify(corpus, ids).where(col("jaccard") >= 0.6)
     }),
 
+    // ---- dedup: connected components over the dup-pair edge list —
+    // transitive closure via min-label propagation (cluster assignment
+    // between pair generation and keep-one) ----
+    "q_dedup_components" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ids = corpus.select(col("doc_id").as("id_a"))
+        .crossJoin(corpus.select(col("doc_id").as("id_b")))
+        .where(col("id_a") < col("id_b"))
+      val pairs = Dedup.ngramJaccardVerify(corpus, ids)
+        .where(col("jaccard") >= 0.6)
+      Dedup.connectedComponents(pairs)
+    }),
+
+    // ---- dedup: keep one representative per near-dup cluster ----
+    "q_cluster_keep_one" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ids = corpus.select(col("doc_id").as("id_a"))
+        .crossJoin(corpus.select(col("doc_id").as("id_b")))
+        .where(col("id_a") < col("id_b"))
+      val pairs = Dedup.ngramJaccardVerify(corpus, ids)
+        .where(col("jaccard") >= 0.6)
+      Dedup.keepOnePerComponent(corpus, pairs).select("doc_id")
+    }),
+
     // ---- dedup: simhash blocking pairs (no SQL oracle: xxhash64-based) ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(dupCorpus(s, dir), maxHamming = 3)),
@@ -960,6 +988,14 @@ object SparkEntry {
 
     "q_dedup_ngram" -> ngramOracleSql,
 
+    "q_dedup_components" -> componentsOracleSql(
+      "SELECT id, CAST(min(lbl) AS BIGINT) AS component FROM walk GROUP BY id"),
+
+    "q_cluster_keep_one" -> componentsOracleSql(
+      "SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN" +
+        " (SELECT id FROM (SELECT id, min(lbl) AS component FROM walk" +
+        " GROUP BY id) WHERE id <> component)"),
+
     "q_ann_brute" -> annBruteSql,
 
     "q_embed_norms" ->
@@ -1241,6 +1277,24 @@ object SparkEntry {
       " round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jaccard" +
       " FROM sh a JOIN sh b ON a.doc_id < b.doc_id" +
       " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6"
+  }
+
+  /** Connected-components oracle scaffold: the q_dedup_ngram edge set
+    * (SQL-reproducible exact-Jaccard pairs over the 200-doc subset) made
+    * symmetric, then a recursive CTE floods every reachable label through
+    * the graph; `SELECT ... min(lbl) ... GROUP BY id` is the transitive
+    * min-label — exactly what the Spark propagation converges to. */
+  private def componentsOracleSql(select: String): String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)"
+    "WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 UNION ALL" +
+      " SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100)," +
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))," +
+      s" e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $jac >= 0.6)," +
+      " ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)," +
+      " walk(id, lbl) AS (SELECT DISTINCT src AS id, src AS lbl FROM ee" +
+      " UNION SELECT ee.dst AS id, walk.lbl FROM walk JOIN ee ON ee.src = walk.id) " +
+      select
   }
 
   /** brute-force ANN oracle: same double-precision sequential dot/norm. */

@@ -369,6 +369,78 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a dup-pair edge list — the cluster
+    * assignment step between pair generation (minhash / simhash /
+    * embedding LSH) and keep-one materialization. Pairs only say "a ~ b";
+    * transitive closure is what groups {a,b}, {b,c} into one cluster with
+    * one representative.
+    *
+    * Algorithm: iterative min-label propagation — every vertex adopts the
+    * minimum label in its closed neighborhood each round, so labels
+    * converge to the minimum id reachable in the component. Rounds needed
+    * = component diameter; near-dup clusters produced by LSH blocking are
+    * near-cliques (diameter 1–2), so this settles in 2–3 rounds where the
+    * O(log n) large-star/small-star alternation would pay its constant
+    * factors for nothing. `maxIter` bounds pathological chain graphs.
+    *
+    * Scale shape: each round is one hash-shuffle join on vertex id plus a
+    * map-side-combined min aggregate, carrying (long, long) rows only —
+    * no text, no signatures. The edge list is deduplicated once and
+    * persisted; per-round results are `localCheckpoint`ed so round N's
+    * plan doesn't replay rounds 1..N-1 (and Janino never sees an
+    * iteration-deep expression tree).
+    *
+    * Output: (id, component) for every vertex that appears in `pairs`;
+    * component = min id in the cluster. Isolated docs (no dup edge) are
+    * absent by construction — keep-one treats absence as "keep".
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    val edges = sym.unionByName(
+        sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood: every vertex is some
+      // edge's dst (edges are symmetric), so the inner join covers all
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Keep one representative per near-dup cluster: cluster members whose
+    * id is not the component minimum are dropped; docs without any dup
+    * edge pass through untouched. The drop set is component-sized (small
+    * relative to the corpus), so the anti-join broadcasts at scale. */
+  def keepOnePerComponent(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val drop = connectedComponents(pairs, maxIter = maxIter)
+      .where(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH buckets then cosine verify
     * inside buckets. Same blocking discipline as minhash — the cross
     * product only ever materializes within a bucket. `tables` independent

@@ -51,6 +51,37 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("connected components: transitive closure with min-id labels") {
+    // chain 1-2, 2-3 (diameter 2, forces >1 propagation round), triangle
+    // 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: empty edge list and long chain both converge") {
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+    // a 12-vertex path needs ~11 propagation rounds — exercises maxIter
+    // headroom and lineage truncation
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
+  test("keep-one-per-component over LSH pairs keeps one doc per cluster") {
+    val pairs = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+    val kept = Dedup.keepOnePerComponent(corpus, pairs)
+    // every planted exact (≥100) and near (≥200) copy collapses onto its
+    // base doc; bases and non-duplicated docs survive
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.forall(_ < 100L))
+    assert((0L until 40L).toSet.subsetOf(ids))
+  }
+
   test("exact jaccard verification separates exact from near dups") {
     val cand = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.3)
       .select("id_a", "id_b")
