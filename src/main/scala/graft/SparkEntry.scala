@@ -229,16 +229,23 @@ object SparkEntry {
         .agg(sum(revC4).as("revenue_c4"))
     }),
 
-    // ---- engine query surface: snowflake join (TPC-H Q5 shape) ----
+    // ---- engine query surface: snowflake join (TPC-H Q5 shape). The
+    // fact tables read from the orderkey-bucketed layout BY DEFAULT (the
+    // co-located layout a 100 TB deployment maintains for its hottest
+    // join edge): when the optimizer picks SMJ for l⋈o, matching bucket
+    // specs make it exchange-free; at tiny SF, AQE is free to broadcast
+    // the filtered orders side instead — also shuffle-free. The
+    // merge-hinted twin below pins the SMJ path so both plans stay
+    // exercised. ----
     "q5_join" -> ((s, dir) => {
       val r = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
       val n = s.read.parquet(s"$dir/nation.parquet")
       val su = s.read.parquet(s"$dir/supplier.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
-      val o = tbl(s, dir, "orders")
+      val o = graft.sources.Store.bucketedTable(s, dir, "orders", "o_orderkey", 8)
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = tbl(s, dir, "lineitem")
+      val l = graft.sources.Store.bucketedTable(s, dir, "lineitem", "l_orderkey", 8)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .join(c, col("o_custkey") === col("c_custkey") &&
@@ -367,29 +374,26 @@ object SparkEntry {
 
     // ---- dedup: connected components over the dup-pair edge list —
     // transitive closure via min-label propagation (cluster assignment
-    // between pair generation and keep-one) ----
+    // between pair generation and keep-one). Driven by the PRODUCTION
+    // candidate generator (minhash LSH → Jaccard verify, the same edge
+    // set q_dedup_minhash hash-proves equal to brute-force ≥0.8); the
+    // crossJoin edge definition survives only inside the DuckDB oracle. ----
     "q_dedup_components" -> ((s, dir) => {
-      val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
-      val corpus = d.unionByName(
-        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val ids = corpus.select(col("doc_id").as("id_a"))
-        .crossJoin(corpus.select(col("doc_id").as("id_b")))
-        .where(col("id_a") < col("id_b"))
-      val pairs = Dedup.ngramJaccardVerify(corpus, ids)
-        .where(col("jaccard") >= 0.6)
+      val corpus = dupCorpus(s, dir)
+      val cand = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+      val pairs = Dedup.ngramJaccardVerify(corpus, cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
       Dedup.connectedComponents(pairs)
     }),
 
-    // ---- dedup: keep one representative per near-dup cluster ----
+    // ---- dedup: keep one representative per near-dup cluster (same
+    // LSH-driven composition the spec exercises: lshPairs → components →
+    // keep-one) ----
     "q_cluster_keep_one" -> ((s, dir) => {
-      val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
-      val corpus = d.unionByName(
-        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val ids = corpus.select(col("doc_id").as("id_a"))
-        .crossJoin(corpus.select(col("doc_id").as("id_b")))
-        .where(col("id_a") < col("id_b"))
-      val pairs = Dedup.ngramJaccardVerify(corpus, ids)
-        .where(col("jaccard") >= 0.6)
+      val corpus = dupCorpus(s, dir)
+      val cand = Dedup.minhashLshPairs(corpus, jaccardThreshold = 0.5)
+      val pairs = Dedup.ngramJaccardVerify(corpus, cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
       Dedup.keepOnePerComponent(corpus, pairs).select("doc_id")
     }),
 
@@ -1279,18 +1283,20 @@ object SparkEntry {
       " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6"
   }
 
-  /** Connected-components oracle scaffold: the q_dedup_ngram edge set
-    * (SQL-reproducible exact-Jaccard pairs over the 200-doc subset) made
-    * symmetric, then a recursive CTE floods every reachable label through
-    * the graph; `SELECT ... min(lbl) ... GROUP BY id` is the transitive
-    * min-label — exactly what the Spark propagation converges to. */
+  /** Connected-components oracle scaffold: the brute-force exact-Jaccard
+    * ≥ 0.8 edge set over the full planted-duplicate corpus (the edge-set
+    * definition the LSH pipeline recalls at ≈1 — the same ground truth
+    * q_dedup_minhash's oracle hash-proves), made symmetric, then a
+    * recursive CTE floods every reachable label through the graph;
+    * `SELECT ... min(lbl) ... GROUP BY id` is the transitive min-label —
+    * exactly what the Spark propagation converges to. */
   private def componentsOracleSql(select: String): String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
     val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)"
-    "WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 UNION ALL" +
-      " SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100)," +
+    "WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+      " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
       s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))," +
-      s" e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $jac >= 0.6)," +
+      s" e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $jac >= 0.8)," +
       " ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)," +
       " walk(id, lbl) AS (SELECT DISTINCT src AS id, src AS lbl FROM ee" +
       " UNION SELECT ee.dst AS id, walk.lbl FROM walk JOIN ee ON ee.src = walk.id) " +

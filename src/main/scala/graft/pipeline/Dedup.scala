@@ -388,7 +388,10 @@ object Dedup {
     * no text, no signatures. The edge list is deduplicated once and
     * persisted; per-round results are `localCheckpoint`ed so round N's
     * plan doesn't replay rounds 1..N-1 (and Janino never sees an
-    * iteration-deep expression tree).
+    * iteration-deep expression tree). Convergence detection rides the
+    * SAME job as label materialization: a `CollectMetrics` observation
+    * counts changed labels during the checkpoint scan, so each round is
+    * exactly ONE distributed job (no separate join + isEmpty probe).
     *
     * Output: (id, component) for every vertex that appears in `pairs`;
     * component = min id in the cluster. Isolated docs (no dup edge) are
@@ -414,15 +417,27 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_min"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true) // the one job; fires the observation too
+      // the checkpoint is synchronous, so the metric is normally already
+      // here; bounded wait + a probe over the checkpointed (in-memory)
+      // partitions as the fallback, never a hang
+      var metrics = obs.getOrEmpty
+      val deadline = System.nanoTime + 5L * 1000000000L
+      while (metrics.isEmpty && System.nanoTime < deadline) {
+        Thread.sleep(5); metrics = obs.getOrEmpty
+      }
+      converged = metrics.get("changed") match {
+        case Some(c) => c.asInstanceOf[Long] == 0L
+        case None => next.where(col("label") =!= col("prev")).isEmpty
+      }
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
