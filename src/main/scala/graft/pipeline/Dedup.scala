@@ -426,16 +426,19 @@ object Dedup {
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true) // the one job; fires the observation too
       // the checkpoint is synchronous, so the metric is normally already
-      // here; bounded wait + a probe over the checkpointed (in-memory)
-      // partitions as the fallback, never a hang
-      var metrics = obs.getOrEmpty
-      val deadline = System.nanoTime + 5L * 1000000000L
-      while (metrics.isEmpty && System.nanoTime < deadline) {
-        Thread.sleep(5); metrics = obs.getOrEmpty
-      }
+      // here; `obs.get` blocks until the observation fires, so bound it
+      // with a timed Future and fall back to a probe over the
+      // checkpointed (in-memory) partitions — never a hang
+      val metrics: Map[String, Any] =
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.DurationInt
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future(obs.get), 5.seconds)
+        } catch { case _: java.util.concurrent.TimeoutException => Map.empty }
       converged = metrics.get("changed") match {
-        case Some(c) => c.asInstanceOf[Long] == 0L
-        case None => next.where(col("label") =!= col("prev")).isEmpty
+        case Some(c: java.lang.Long) => c.longValue == 0L
+        case _ => next.where(col("label") =!= col("prev")).isEmpty
       }
       labels = next.select("id", "label")
       iter += 1
