@@ -735,6 +735,106 @@ object SparkEntry {
         .groupBy(col("err")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---- §1.2 full key model: LONG | STRING | SCHEMA keys through the
+    // wire segment log and the graft-relay DataSource (DbusEventKey.java:
+    // 30-35). key_long carries the reference's numeric coercion for
+    // string/schema keys (parse-as-long else Java String.hashCode,
+    // KeyModFilter.java:55-70) — the oracle recomputes the hashCode
+    // arithmetically, so the coercion itself is hash-verified. ----
+    "q_dbusv2_mixed_roundtrip" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.dbusv2MixedLogDir(s, dir))
+        .load()
+      log.groupBy(col("source_id"),
+          when(col("key_string").isNotNull, "STRING")
+            .when(col("key_schema").isNotNull, "SCHEMA")
+            .otherwise("LONG").as("key_kind"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("key_long")).as("sum_keys"),
+          min(col("key_string")).as("min_key_string"),
+          max(col("key_string")).as("max_key_string"),
+          coalesce(sum(length(col("key_schema"))), lit(0L)).as("sum_schema_len"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+          max(col("seq")).as("max_seq"))
+    }),
+
+    // ---- P8 on STRING keys: the serving mod-filter over a string-keyed
+    // stream — the parse-as-long-else-hashCode bucket rule end-to-end
+    // (KeyModFilter.java:55-70). Projection skips value/props, so the
+    // source's column pruning skips the Avro payload decode entirely. ----
+    "q_filter_keymod_string" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.dbusv2MixedLogDir(s, dir))
+        .load()
+        .select("scn", "seq", "source_id", "partition_id", "opcode",
+          "key_long", "key_string")
+      Relay.streamEvents(log, filter = KeyModFilter(4, 0, 2))
+    }),
+
+    // ---- metadata DbusEventPart surfaced as an envelope column
+    // (DbusEventPart.java:41; DbusEventAvroDecoder.getMetadata): user
+    // metadata rides behind the engine's seq prefix and decodes back. ----
+    "q_dbusv2_metadata" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.dbusv2MixedLogDir(s, dir))
+        .load()
+      log.where(col("meta").isNotNull)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_meta"),
+          countDistinct(col("meta").cast("string")).as("n_distinct_meta"),
+          min(col("meta").cast("string")).as("min_meta"),
+          max(col("meta").cast("string")).as("max_meta"),
+          sum(col("seq")).as("sum_seq"))
+    }),
+
+    // ---- §1.2 legacy wire: DbusEventV1 exact binary layout
+    // (DbusEventV1.java:166-183) through the segment log and the
+    // graft-relay DataSource — per-event seq recovered from the payload
+    // (V1 has no metadata part), string-key coercion hash-oracled. ----
+    "q_dbusv1_roundtrip" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.dbusv1LogDir(s, dir))
+        .load()
+      log.groupBy(col("source_id"),
+          when(col("key_string").isNotNull, "STRING")
+            .otherwise("LONG").as("key_kind"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("key_long")).as("sum_keys"),
+          min(col("key_string")).as("min_key_string"),
+          max(col("key_string")).as("max_key_string"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+          max(col("seq")).as("max_seq"))
+    }),
+
+    // ---- version negotiation: the `/stream` max-event-version=1 serve
+    // path (ReadEventsRequestProcessor.java:125-128) — V2 wire events
+    // down-converted to exact V1 wire bytes
+    // (DbusEventBuffer.convertToDifferentVersion:2411-2416), decoded
+    // back as V1, payload resolved; must reproduce the V2 roundtrip. ----
+    "q_serve_v1_downconvert" -> ((s, dir) => {
+      val wire = dbusV2Wire(s, dir)
+      val dec = graft.functions.DbusV1.decodeUdf(
+        graft.functions.DbusV1.downConvertUdf(col("wire")))
+      val pdec = graft.functions.AvroCodec.decodeEventPayload(
+        graft.model.VersionedSchemaSet.eventPayloadV1.schemaJson)
+      wire.select(dec.as("e"))
+        .select(col("e.sequence").as("scn"), col("e.source_id"),
+          col("e.opcode"), col("e.key_long"),
+          expr("e.ts_ns div 1000").as("ts_us"),
+          pdec(col("e.payload")).as("p"))
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(col("key_long")).as("sum_keys"),
+          min(col("p.event_id")).as("min_seq"),
+          max(col("p.event_id")).as("max_seq"),
+          sum(round(col("p.value") * 100).cast("long")).as("sum_value_c"),
+          max(col("ts_us")).as("max_ts_us"))
+    }),
+
     // ---- similarity search: IVF cell-probe variant (rows-only) ----
     "q_ann_ivf" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -798,7 +898,90 @@ object SparkEntry {
       | user_id AS key_long, value AS value FROM events)"""
       .stripMargin.replaceAll("\n", "")
 
+  /** Mixed-key envelope oracle (see WireFixtures.dbusv2MixedLogDir): the
+    * key kind cycles by seq%3, and `key_long` reproduces the reference's
+    * parse-as-long-else-`String.hashCode` coercion (KeyModFilter.java:
+    * 55-70). Keys are ≤5 ASCII chars, so Java's 32-bit hash never wraps
+    * and equals the plain polynomial Σ c_i·31^(n-i) — computed here with
+    * DuckDB list arithmetic. */
+  private val MIXED =
+    """WITH base AS (SELECT *, CASE WHEN event_id % 3 = 1 AND user_id % 2 <> 0
+      |  THEN 'u' || CAST(user_id % 1000 AS VARCHAR) || 'x' END AS odd_key FROM events),
+      |envelope AS (SELECT event_id - event_id % 10 AS scn, event_id AS seq,
+      | epoch_us(ts) AS ts_us,
+      | CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+      |   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1 END AS source_id,
+      | CAST(user_id % 4 AS INT) AS partition_id,
+      | CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS opcode,
+      | CASE WHEN event_id % 3 = 1 THEN coalesce(odd_key, CAST(user_id AS VARCHAR)) END AS key_string,
+      | CASE WHEN event_id % 3 = 2 THEN CAST(user_id AS VARCHAR) END AS key_schema_str,
+      | CAST(CASE WHEN odd_key IS NULL THEN user_id
+      |   ELSE list_sum(list_transform(range(1, length(odd_key) + 1),
+      |     i -> unicode(odd_key[i]) * CAST(round(31 ** (length(odd_key) - i)) AS BIGINT)))
+      |   END AS BIGINT) AS key_long,
+      | value FROM base)"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** V1 envelope oracle (WireFixtures.dbusv1LogDir): key kind alternates
+    * by seq%2, same hashCode coercion arithmetic as [[MIXED]]. */
+  private val V1ENV =
+    """WITH base AS (SELECT *, CASE WHEN event_id % 2 = 1 AND user_id % 2 <> 0
+      |  THEN 'u' || CAST(user_id % 1000 AS VARCHAR) || 'x' END AS odd_key FROM events),
+      |envelope AS (SELECT event_id - event_id % 10 AS scn, event_id AS seq,
+      | CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+      |   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE -1 END AS source_id,
+      | CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS opcode,
+      | CASE WHEN event_id % 2 = 1 THEN coalesce(odd_key, CAST(user_id AS VARCHAR)) END AS key_string,
+      | CAST(CASE WHEN odd_key IS NULL THEN user_id
+      |   ELSE list_sum(list_transform(range(1, length(odd_key) + 1),
+      |     i -> unicode(odd_key[i]) * CAST(round(31 ** (length(odd_key) - i)) AS BIGINT)))
+      |   END AS BIGINT) AS key_long,
+      | value FROM base)"""
+      .stripMargin.replaceAll("\n", "")
+
   def oracleSql: Map[String, String] = Map(
+    "q_dbusv2_mixed_roundtrip" ->
+      (s"$MIXED SELECT source_id," +
+        " CASE WHEN key_string IS NOT NULL THEN 'STRING'" +
+        " WHEN key_schema_str IS NOT NULL THEN 'SCHEMA' ELSE 'LONG' END AS key_kind," +
+        " count(*) AS n_events, CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " min(key_string) AS min_key_string, max(key_string) AS max_key_string," +
+        " CAST(coalesce(sum(length(key_schema_str)), 0) AS BIGINT) AS sum_schema_len," +
+        " min(scn) AS min_scn, max(scn) AS max_scn," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(seq) AS max_seq FROM envelope GROUP BY 1, 2"),
+
+    "q_filter_keymod_string" ->
+      (s"$MIXED SELECT scn, seq, source_id, partition_id, opcode, key_long," +
+        " key_string FROM envelope" +
+        " WHERE abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2"),
+
+    "q_dbusv1_roundtrip" ->
+      (s"$V1ENV SELECT source_id," +
+        " CASE WHEN key_string IS NOT NULL THEN 'STRING' ELSE 'LONG' END AS key_kind," +
+        " count(*) AS n_events, CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " min(key_string) AS min_key_string, max(key_string) AS max_key_string," +
+        " min(scn) AS min_scn, max(scn) AS max_scn," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(seq) AS max_seq FROM envelope GROUP BY 1, 2"),
+
+    "q_serve_v1_downconvert" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
+        " min(scn) AS min_scn, max(scn) AS max_scn," +
+        " CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " min(seq) AS min_seq, max(seq) AS max_seq," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(ts_us) AS max_ts_us FROM envelope GROUP BY source_id"),
+
+    "q_dbusv2_metadata" ->
+      (s"$ENV SELECT source_id, count(*) AS n_meta," +
+        " count(DISTINCT 'm' || CAST(seq % 97 AS VARCHAR)) AS n_distinct_meta," +
+        " min('m' || CAST(seq % 97 AS VARCHAR)) AS min_meta," +
+        " max('m' || CAST(seq % 97 AS VARCHAR)) AS max_meta," +
+        " CAST(sum(seq) AS BIGINT) AS sum_seq" +
+        " FROM envelope WHERE seq % 5 = 0 GROUP BY source_id"),
+
     "q_envelope" -> s"$ENV SELECT * FROM envelope",
 
     "q_filter_source" ->

@@ -270,10 +270,13 @@ object DbusV2 {
 
   // ---- column codec surface ----
 
-  /** Decoded envelope struct (column shape of [[decode]]). */
+  /** Decoded envelope struct (column shape of [[decode]]). `key_schema`
+    * carries a SCHEMA key's part data (DbusEventKey.java:30-35 third key
+    * kind); exactly one of key_long / key_string / key_schema is set. */
   case class DecodedV2(
       sequence: Long, ts_ns: Long, source_id: Int, partition_id: Int,
       opcode: String, key_long: Option[Long], key_string: Option[Array[Byte]],
+      key_schema: Option[Array[Byte]],
       schema_version: Int, schema_digest: Option[Array[Byte]],
       payload: Option[Array[Byte]], meta: Option[Array[Byte]],
       total_len: Int, replicated: Boolean, trace: Boolean)
@@ -306,12 +309,36 @@ object DbusV2 {
       DecodedV2(e.sequence, e.timestampNs, e.sourceId, e.partitionId.toInt,
         if (e.isControl) "CONTROL"
         else if (e.opcode == OpDelete) "DELETE" else "UPSERT",
-        e.keyLong, e.keyString,
+        e.keyLong, e.keyString, e.keyPart.map(_.data),
         e.payload.map(_.schemaVersion.toInt).getOrElse(0),
         e.payload.map(_.digest), e.payload.map(_.data), e.metadata.map(_.data),
         eventLength(bytes, 0), e.replicated, e.trace)
     }
     bytes => f(bytes)
+  }
+
+  /** Encode with the full key model: exactly one of keyLong / keyString /
+    * keySchema non-null selects the key kind (DbusEventKey.java:30-35).
+    * A SCHEMA key is carried as an MD5-digest-less CRC32 part (digest
+    * zeroed; the reference hashes the key schema into the digest slot —
+    * the bytes layout is identical). Column order: (seq, tsNs, srcId,
+    * partId, opcode, keyLong, keyString, keySchema, payload). */
+  def encodeMixedUdf(digest: Array[Byte], schemaVersion: Short)
+      : Seq[Column] => Column = {
+    val f = udf { (seq: Long, tsNs: Long, srcId: Int, partId: Int,
+        opcode: String, keyLong: java.lang.Long, keyString: String,
+        keySchema: Array[Byte], payload: Array[Byte]) =>
+      encode(Event(seq, tsNs, srcId, partId.toShort,
+        if (opcode == "DELETE") OpDelete else OpUpsert,
+        keyLong = if (keyString == null && keySchema == null)
+          Some(keyLong.longValue) else None,
+        keyString = Option(keyString).map(_.getBytes("UTF-8")),
+        keyPart = Option(keySchema).map(k =>
+          Part(DigestCrc32, new Array[Byte](4), 1, k)),
+        payload = Option(payload).map(p => Part(DigestMd5, digest,
+          schemaVersion, p))))
+    }
+    cols => f(cols: _*)
   }
 
   /** Validation error as a nullable string column (null = intact). */

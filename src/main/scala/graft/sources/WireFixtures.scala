@@ -22,8 +22,9 @@ object WireFixtures {
 
   /** Version segment in the cache path: bump when a fixture's rendered
     * format changes so stale copies from older code self-invalidate
-    * (v2: binlog offsets doubled + commit-offset SCNs). */
-  val Root = "/tmp/graft_fixtures/v2"
+    * (v2: binlog offsets doubled + commit-offset SCNs; v3: .dbus records
+    * carry the optional key_string/meta tail). */
+  val Root = "/tmp/graft_fixtures/v3"
 
   /** Offsets-per-binlog-file; a multiple of the txn window size so a
     * transaction never straddles a file (the reference rotates binlogs on
@@ -136,6 +137,58 @@ object WireFixtures {
           ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
           col("value"), col("props"))))
       graft.sources.relay.DbusV2Log.write(env, tmp, numSegments = 8)
+    }
+
+  /** DbusEventV2 segment log exercising the FULL key model + metadata
+    * part: key kind cycles by seq%3 (0 → LONG user key; 1 → STRING, a
+    * numeric string for even keys / a short non-numeric `u<k%1000>x` for
+    * odd ones, driving both branches of the parse-as-long-else-hashCode
+    * coercion, KeyModFilter.java:55-70; 2 → SCHEMA, the key riding a
+    * DbusEventPart, DbusEventKey.java:30-35), and every 5th event carries
+    * user metadata `m<seq%97>` in the metadata part behind the engine's
+    * seq prefix (DbusEventPart.java:41). All values derive from the events
+    * table so a DuckDB oracle can recompute every column, including the
+    * Java `String.hashCode` coercion (keys are ≤5 ASCII chars — the hash
+    * sum stays below 2^31, no overflow wrap needed). Returns the dir. */
+  def dbusv2MixedLogDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/dbusv2mixed") { tmp =>
+      val schema = graft.model.VersionedSchemaSet.eventPayloadV1
+      val enc = graft.functions.AvroCodec.encodeEventPayload(schema.schemaJson)
+      val env = Store.eventLog(spark, sfDir)
+        .withColumn("key_string", when(col("seq") % 3 === 1,
+          when(col("key_long") % 2 === 0, col("key_long").cast("string"))
+            .otherwise(concat(lit("u"), (col("key_long") % 1000).cast("string"),
+              lit("x")))))
+        .withColumn("key_schema", when(col("seq") % 3 === 2,
+          col("key_long").cast("string").cast("binary")))
+        .withColumn("meta", when(col("seq") % 5 === 0,
+          concat(lit("m"), (col("seq") % 97).cast("string")).cast("binary")))
+        .withColumn("payload", enc(struct(
+          col("seq").as("event_id"), col("key_long").as("user_id"),
+          ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+          col("value"), col("props"))))
+      graft.sources.relay.DbusV2Log.write(env, tmp, numSegments = 8)
+    }
+
+  /** Legacy DbusEventV1 segment log (the reference's V1 wire layout,
+    * DbusEventV1.java:166-183): key kind alternates by seq%2 (even →
+    * LONG; odd → STRING, numeric for even user keys / short non-numeric
+    * `u<k%1000>x` otherwise — same coercion-oracle construction as the
+    * mixed V2 log; V1 has no SCHEMA keys). Returns the dir. */
+  def dbusv1LogDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/dbusv1log") { tmp =>
+      val schema = graft.model.VersionedSchemaSet.eventPayloadV1
+      val enc = graft.functions.AvroCodec.encodeEventPayload(schema.schemaJson)
+      val env = Store.eventLog(spark, sfDir)
+        .withColumn("key_string", when(col("seq") % 2 === 1,
+          when(col("key_long") % 2 === 0, col("key_long").cast("string"))
+            .otherwise(concat(lit("u"), (col("key_long") % 1000).cast("string"),
+              lit("x")))))
+        .withColumn("payload", enc(struct(
+          col("seq").as("event_id"), col("key_long").as("user_id"),
+          ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+          col("value"), col("props"))))
+      graft.sources.relay.DbusV1Log.write(env, tmp, numSegments = 8)
     }
 
   /** B9 — Avro container-file snapshot (BootstrapAvroFileEventReader

@@ -25,20 +25,31 @@ import graft.model.VersionedSchemaSet
 object DbusV2Log {
 
   /** Write an envelope frame (scn, seq, ts_us, source_id, partition_id,
-    * opcode, key_long, payload:binary) into `.dbusv2` segments under
-    * `dir`. Distributed: range-partitioned on scn (whole windows per
-    * segment), EOW marker after every window. */
+    * opcode, key_long, payload:binary [, key_string, meta]) into `.dbusv2`
+    * segments under `dir`. Distributed: range-partitioned on scn (whole
+    * windows per segment), EOW marker after every window.
+    *
+    * Key kind per event mirrors DbusEventKey (DbusEventKey.java:30-35): a
+    * non-null `key_string` writes a STRING-keyed envelope (UTF-8 bytes);
+    * otherwise `key_long` writes a LONG key. The metadata part's data is
+    * `seq(8 BE) ++ meta` — the engine's per-event position always rides
+    * first, any user metadata follows (DbusEventPart is an opaque
+    * schema-versioned carrier, DbusEventPart.java:41). */
   def write(envelope: DataFrame, dir: String, numSegments: Int = 8): Unit = {
     import envelope.sparkSession.implicits._
     new java.io.File(dir).mkdirs()
+    def opt(name: String, typ: String) =
+      if (envelope.columns.contains(name)) col(name).cast(typ)
+      else org.apache.spark.sql.functions.lit(null).cast(typ)
     envelope.select(col("scn"), col("seq"), col("ts_us"), col("source_id"),
         col("partition_id").cast("int"), col("opcode"), col("key_long"),
-        col("payload"))
-      .as[(Long, Long, Long, Int, Int, String, Long, Array[Byte])]
+        col("payload"), opt("key_string", "string"), opt("meta", "binary"),
+        opt("key_schema", "binary"))
+      .as[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte])]
       .repartitionByRange(numSegments, col("scn"))
       .sortWithinPartitions("scn", "seq")
       .foreachPartition {
-          (it: Iterator[(Long, Long, Long, Int, Int, String, Long, Array[Byte])]) =>
+          (it: Iterator[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte])]) =>
         if (it.hasNext) {
           val tmp = java.io.File.createTempFile("seg", ".tmp",
             new java.io.File(dir))
@@ -49,17 +60,24 @@ object DbusV2Log {
           var maxScn = Long.MinValue
           var openScn = Long.MinValue
           var lastPart = 0
-          it.foreach { case (scn, seq, tsUs, srcId, partId, op, key, payload) =>
+          it.foreach { case (scn, seq, tsUs, srcId, partId, op, key, payload, keyStr, userMeta, keySchema) =>
             if (openScn != Long.MinValue && scn != openScn)
               out.write(DbusV2.eowMarker(openScn, lastPart.toShort))
             openScn = scn; lastPart = partId
             minScn = math.min(minScn, scn); maxScn = math.max(maxScn, scn)
-            val meta = java.nio.ByteBuffer.allocate(8).putLong(seq).array()
+            val metaLen = 8 + (if (userMeta == null) 0 else userMeta.length)
+            val metaBuf = java.nio.ByteBuffer.allocate(metaLen).putLong(seq)
+            if (userMeta != null) metaBuf.put(userMeta)
+            val meta = metaBuf.array()
             out.write(DbusV2.encode(DbusV2.Event(
               sequence = scn, timestampNs = tsUs * 1000L, sourceId = srcId,
               partitionId = partId.toShort,
               opcode = if (op == "DELETE") DbusV2.OpDelete else DbusV2.OpUpsert,
-              keyLong = Some(key),
+              keyLong = if (keyStr == null && keySchema == null) Some(key)
+                else None,
+              keyString = Option(keyStr).map(_.getBytes("UTF-8")),
+              keyPart = Option(keySchema).map(k =>
+                DbusV2.Part(DbusV2.DigestCrc32, new Array[Byte](4), 1, k)),
               metadata = Some(DbusV2.Part(DbusV2.DigestCrc32,
                 new Array[Byte](4), 1, meta)),
               payload = Some(DbusV2.Part(DbusV2.DigestMd5, digest, 1,
@@ -78,10 +96,15 @@ object DbusV2Log {
   }
 
   /** Parsed wire event in the relay envelope shape (value/props decoded
-    * from the Avro payload via digest lookup). */
+    * from the Avro payload via digest lookup). `keyLong` is always set:
+    * the key itself for LONG keys, the parse-as-long-else-`String.hashCode`
+    * coercion for STRING/SCHEMA keys (KeyModFilter.java:55-70). `meta` is
+    * the user slice of the metadata part (bytes after the engine's 8-byte
+    * seq prefix), null when empty. */
   case class WireRec(scn: Long, seq: Long, tsUs: Long, sourceId: Int,
       partitionId: Int, opcode: String, keyLong: Long, value: Double,
-      props: String)
+      props: String, keyString: String = null,
+      keySchema: Array[Byte] = null, meta: Array[Byte] = null)
 
   /** Iterate the data events of one `.dbusv2` segment file inside the
     * (startScn, endScn] band, validating every envelope (CRC contract:
@@ -114,15 +137,26 @@ object DbusV2Log {
           }
           val e = DbusV2.decode(bytes)
           if (!e.isControl && e.sequence > startScn && e.sequence <= endScn) {
-            // per-event seq rides the metadata part when present; an event
-            // without one serves its window scn (still a valid position)
-            val seq = e.metadata
-              .map(m => java.nio.ByteBuffer.wrap(m.data).getLong)
-              .getOrElse(e.sequence)
-            // string keys: parsed-as-long else hashCode — the reference's
-            // numeric-key coercion (KeyModFilter.java:55-70)
+            // per-event seq rides the first 8 bytes of the metadata part
+            // when present; the rest is user metadata. An event without
+            // one serves its window scn (still a valid position).
+            val (seq, userMeta) = e.metadata match {
+              case Some(m) if m.data.length >= 8 =>
+                (java.nio.ByteBuffer.wrap(m.data).getLong,
+                  if (m.data.length > 8)
+                    java.util.Arrays.copyOfRange(m.data, 8, m.data.length)
+                  else null)
+              case Some(m) => (e.sequence, if (m.data.isEmpty) null else m.data)
+              case None => (e.sequence, null)
+            }
+            // string/schema keys: parsed-as-long else hashCode — the
+            // reference's numeric-key coercion (KeyModFilter.java:55-70);
+            // schema keys coerce their part data the same way (engine
+            // extension — the reference never mod-partitions schema keys)
+            val keyStr = e.keyString.map(new String(_, "UTF-8"))
             val key = e.keyLong.getOrElse {
-              val ks = e.keyString.map(new String(_, "UTF-8")).getOrElse("")
+              val ks = keyStr.getOrElse(
+                new String(e.keyPart.map(_.data).getOrElse(Array.emptyByteArray), "UTF-8"))
               try ks.toLong catch { case _: NumberFormatException => ks.hashCode.toLong }
             }
             val (value, props) = e.payload match {
@@ -144,7 +178,8 @@ object DbusV2Log {
             return WireRec(e.sequence, seq, e.timestampNs / 1000L, e.sourceId,
               e.partitionId.toInt,
               if (e.opcode == DbusV2.OpDelete) "DELETE" else "UPSERT",
-              key, value, props)
+              key, value, props, keyStr.orNull,
+              e.keyPart.map(_.data).orNull, userMeta)
           }
         }
         null // unreachable
@@ -170,6 +205,7 @@ object DbusV2Log {
       .select(col("scn"), col("seq"), col("tsUs").as("ts_us"),
         col("sourceId").as("source_id"), col("partitionId").as("partition_id"),
         col("opcode"), col("keyLong").as("key_long"), col("value"),
-        col("props"))
+        col("props"), col("keyString").as("key_string"),
+        col("keySchema").as("key_schema"), col("meta"))
   }
 }

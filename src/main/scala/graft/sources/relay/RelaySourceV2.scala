@@ -48,6 +48,16 @@ class RelaySourceV2 extends TableProvider with DataSourceRegister {
 }
 
 object RelaySourceV2 {
+  /** Envelope served by the source. Key model mirrors the reference's
+    * DbusEventKey (LONG | STRING | SCHEMA, DbusEventKey.java:30-35):
+    * `key_long` is always set — for STRING keys it carries the reference's
+    * numeric coercion (parsed-as-long else Java `String.hashCode`,
+    * KeyModFilter.java:55-70) so the serving filters (KeyMod/KeyRange)
+    * apply to every key kind as pure pushable arithmetic; `key_string`
+    * carries the UTF-8 text of STRING keys (null for LONG); `key_schema`
+    * carries a SCHEMA key's part data (null otherwise); `meta` carries the
+    * event's metadata DbusEventPart payload (DbusEventPart.java:41) when
+    * present. */
   val schema: StructType = StructType(Seq(
     StructField("scn", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
@@ -57,7 +67,10 @@ object RelaySourceV2 {
     StructField("opcode", StringType, nullable = false),
     StructField("key_long", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false),
-    StructField("props", StringType, nullable = true)))
+    StructField("props", StringType, nullable = true),
+    StructField("key_string", StringType, nullable = true),
+    StructField("key_schema", BinaryType, nullable = true),
+    StructField("meta", BinaryType, nullable = true)))
 }
 
 private[relay] class RelayTable(path: String) extends Table with SupportsRead {
@@ -248,6 +261,7 @@ private[relay] class RelayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RelayPartition]
     if (p.file.endsWith(".dbusv2")) new DbusV2PartitionReader(p)
+    else if (p.file.endsWith(".dbusv1")) new DbusV1PartitionReader(p)
     else new RelayPartitionReader(p)
   }
 }
@@ -258,13 +272,32 @@ private[relay] class RelayReaderFactory extends PartitionReaderFactory {
   * `value` nor `props` skips the per-event Avro decode entirely (the
   * relay's zero-deserialization passthrough, recovered via column
   * pruning). */
+private[relay] object RelayProjection {
+  /** Field name → index in the full envelope schema. */
+  val index: Map[String, Int] =
+    RelaySourceV2.schema.fieldNames.zipWithIndex.toMap
+
+  // opcode strings are a tiny closed set — intern them once per JVM so the
+  // hot loop never re-encodes (UTF8String.fromString was a measurable
+  // per-event cost in the 300k+ events/s range)
+  val Upsert: UTF8String = UTF8String.fromString("UPSERT")
+  val Delete: UTF8String = UTF8String.fromString("DELETE")
+}
+
 private[relay] class DbusV2PartitionReader(p: RelayPartition)
     extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
   private val needsPayload =
     p.fields.contains("value") || p.fields.contains("props")
   private val it = DbusV2Log.readSegment(p.file, p.startScn, p.endScn,
     decodePayload = needsPayload)
   private val proj = p.fields.map(RelayProjection.index).toArray
+  // one mutable row reused across get() calls — the scan copies rows into
+  // unsafe format before buffering, so reuse is safe (same contract the
+  // built-in file-source readers rely on) and removes the per-event
+  // InternalRow + IndexedSeq allocation the r2 bench flagged
+  private val row = new GenericInternalRow(proj.length)
   private var rec: DbusV2Log.WireRec = _
 
   override def next(): Boolean = {
@@ -274,40 +307,93 @@ private[relay] class DbusV2PartitionReader(p: RelayPartition)
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](proj.length)
     var i = 0
     while (i < proj.length) {
-      vals(i) = proj(i) match {
+      val v: Any = proj(i) match {
         case 0 => rec.scn
         case 1 => rec.seq
         case 2 => rec.tsUs
         case 3 => rec.sourceId
         case 4 => rec.partitionId
-        case 5 => UTF8String.fromString(rec.opcode)
+        case 5 => if (rec.opcode == "DELETE") RelayProjection.Delete
+          else RelayProjection.Upsert
         case 6 => rec.keyLong
         case 7 => rec.value
         case 8 =>
           if (rec.props == null) null else UTF8String.fromString(rec.props)
+        case 9 => if (rec.keyString == null) null
+          else UTF8String.fromString(rec.keyString)
+        case 10 => rec.keySchema
+        case 11 => rec.meta
       }
+      row.update(i, v)
       i += 1
     }
-    InternalRow(vals.toIndexedSeq: _*)
+    row
   }
 
   override def close(): Unit = ()
 }
 
-private[relay] object RelayProjection {
-  /** Field name → index in the full 9-column envelope schema. */
-  val index: Map[String, Int] =
-    RelaySourceV2.schema.fieldNames.zipWithIndex.toMap
+/** Reader over a segment of legacy DbusEventV1 envelopes. V1 carries no
+  * metadata part, so the per-event seq lives only in the Avro payload —
+  * a projection requesting `seq` forces the payload decode so the served
+  * rows are identical across projections (DbusV1Log doc). */
+private[relay] class DbusV1PartitionReader(p: RelayPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private val needsPayload = p.fields.contains("value") ||
+    p.fields.contains("props") || p.fields.contains("seq")
+  private val it = DbusV1Log.readSegment(p.file, p.startScn, p.endScn,
+    decodePayload = needsPayload)
+  private val proj = p.fields.map(RelayProjection.index).toArray
+  private val row = new GenericInternalRow(proj.length)
+  private var rec: DbusV2Log.WireRec = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    rec = it.next()
+    true
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < proj.length) {
+      val v: Any = proj(i) match {
+        case 0 => rec.scn
+        case 1 => rec.seq
+        case 2 => rec.tsUs
+        case 3 => rec.sourceId
+        case 4 => rec.partitionId
+        case 5 => if (rec.opcode == "DELETE") RelayProjection.Delete
+          else RelayProjection.Upsert
+        case 6 => rec.keyLong
+        case 7 => rec.value
+        case 8 =>
+          if (rec.props == null) null else UTF8String.fromString(rec.props)
+        case 9 => if (rec.keyString == null) null
+          else UTF8String.fromString(rec.keyString)
+        case 10 => null // V1 has no SCHEMA key kind
+        case 11 => null // V1 has no metadata part
+      }
+      row.update(i, v)
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
 }
 
 private[relay] class RelayPartitionReader(p: RelayPartition)
     extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
   private val in = new DataInputStream(new BufferedInputStream(
     new FileInputStream(p.file), 1 << 16))
   private val proj = p.fields.map(RelayProjection.index).toArray
+  private val row = new GenericInternalRow(proj.length)
   private var rec: RelayBinaryLog.Rec = _
 
   override def next(): Boolean = {
@@ -322,25 +408,29 @@ private[relay] class RelayPartitionReader(p: RelayPartition)
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](proj.length)
     var i = 0
     while (i < proj.length) {
-      vals(i) = proj(i) match {
+      val v: Any = proj(i) match {
         case 0 => rec.scn
         case 1 => rec.seq
         case 2 => rec.tsUs
         case 3 => rec.sourceId
         case 4 => rec.partitionId
-        case 5 => UTF8String.fromString(
-          if (rec.opcode == RelayBinaryLog.OpDelete) "DELETE" else "UPSERT")
+        case 5 => if (rec.opcode == RelayBinaryLog.OpDelete)
+          RelayProjection.Delete else RelayProjection.Upsert
         case 6 => rec.keyLong
         case 7 => rec.value
         case 8 =>
           if (rec.props == null) null else UTF8String.fromString(rec.props)
+        case 9 => if (rec.keyString == null) null
+          else UTF8String.fromString(rec.keyString)
+        case 10 => null // .dbus has no schema-key kind
+        case 11 => rec.meta
       }
+      row.update(i, v)
       i += 1
     }
-    InternalRow(vals.toIndexedSeq: _*)
+    row
   }
 
   override def close(): Unit = in.close()

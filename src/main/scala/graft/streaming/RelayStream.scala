@@ -27,7 +27,12 @@ import graft.operators.{AllowAllFilter, Bootstrap, DbusFilter}
 object RelayStream {
 
   /** Envelope schema at the streaming surface (file sources need an
-    * explicit schema). */
+    * explicit schema). Key model: `key_long` always set (for STRING keys
+    * it is the reference's parse-as-long-else-`String.hashCode` coercion,
+    * KeyModFilter.java:55-70, so serving filters stay pure arithmetic);
+    * `key_string`/`key_schema`/`meta` are nullable and read as null from
+    * event logs written before they existed (parquet fills missing
+    * columns). */
   val schema: StructType = StructType(Seq(
     StructField("scn", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
@@ -37,7 +42,10 @@ object RelayStream {
     StructField("opcode", StringType, nullable = true),
     StructField("key_long", LongType, nullable = true),
     StructField("value", DoubleType, nullable = true),
-    StructField("props", StringType, nullable = true)))
+    StructField("props", StringType, nullable = true),
+    StructField("key_string", StringType, nullable = true),
+    StructField("key_schema", BinaryType, nullable = true),
+    StructField("meta", BinaryType, nullable = true)))
 
   /** Persist an envelope DataFrame as a window-aligned event log.
     *
