@@ -583,6 +583,31 @@ object SparkEntry {
           min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"))
     }),
 
+    // ---- S5 streaming: the graft-ggtrail micro-batch source drained over
+    // the same fixture trail — tailing must be lossless, so the identical
+    // aggregation hash-matches q_ggtrail_parse's oracle ----
+    "q_ggtrail_stream" -> ((s, dir) => {
+      val trailDir = graft.sources.WireFixtures.goldenGateTrailDir(s, dir)
+      val outDir = java.nio.file.Files.createTempDirectory("ggstream").toString
+      val q = graft.sources.GoldenGateTrail.stream(s, trailDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$outDir/out")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.GoldenGateTrail.toEnvelope(
+          s.read.parquet(s"$outDir/out"), ChangeFeed.registry)
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
+          countDistinct(col("key_long")).as("n_keys"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"))
+    }),
+
     // ---- S3/S4: binlog dump parse → composite-SCN envelope ----
     "q_binlog_parse" -> ((s, dir) => {
       val recs = graft.sources.BinlogFeed.parseJsonLines(
@@ -619,6 +644,169 @@ object SparkEntry {
       Relay.streamOrdered(envCore(s, dir))
         .select(col("partition_id"), col("scn"), col("seq"),
           row_number().over(w).cast("long").as("delivery_idx"))
+    }),
+
+    // ---- K4: dtail output formats as pure frames (DtailCliBase.java:
+    // 34-60; the XxxDtailPrinter family). EVENT_INFO is plain string
+    // arithmetic → hash-oracled line-for-line; JSON and AVRO_BIN are
+    // proven by round-trip (parse/decode the rendered line back and
+    // aggregate the typed fields against the envelope oracle) ----
+    "q_dtail_event_info" -> ((s, dir) =>
+      graft.streaming.Dtail.format(envCore(s, dir), "EVENT_INFO")),
+
+    "q_dtail_json" -> ((s, dir) => {
+      val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("scn", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source_id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("partition_id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("opcode", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("key_long", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      graft.streaming.Dtail.format(env(s, dir), "JSON")
+        .select(from_json(col("line"), lineSchema).as("e"))
+        .select(col("e.*"))
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("seq")).as("sum_seq"),
+          sum(col("key_long")).as("sum_keys"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
+          max(col("ts_us")).as("max_ts_us"),
+          sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"))
+    }),
+
+    "q_dtail_avro_bin" -> ((s, dir) => {
+      val dec = graft.functions.AvroCodec.decodeEventPayload(
+        graft.model.VersionedSchemaSet.eventPayloadV1.schemaJson)
+      graft.streaming.Dtail.format(env(s, dir), "AVRO_BIN")
+        .select(dec(unbase64(col("line"))).as("p"))
+        .select(col("p.*"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"),
+          sum(col("user_id")).as("sum_keys"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+    }),
+
+    // ---- P17: FNV-1a 64 key-hash parity — the native codegen expression
+    // against independent modular arithmetic in the oracle (reference
+    // util/Fnv1aHashImpl.java constants: offset 0xcbf29ce484222325,
+    // prime 0x100000001b3) ----
+    "q_fnv_parity" -> ((s, dir) =>
+      ChangeFeed.raw(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("fnv",
+          graft.functions.GraftFunctions.fnv_hash64(col("event_type")))),
+
+    // ---- C2: checkpoint persistence roundtrip — per-partition high-
+    // watermark checkpoints stored + loaded through the FileSystem store
+    // (FileSystemCheckpointPersistenceProvider staging-file protocol),
+    // with the CheckpointMult round-robin cursor
+    // (CheckpointMult.java:57-67) ----
+    "q_checkpoint_store" -> ((s, dir) => {
+      import s.implicits._
+      val bounds = envCore(s, dir).groupBy(col("partition_id"))
+        .agg(max(col("scn")).as("w"), min(col("scn")).as("p"))
+        .collect() // bounded: one row per physical partition
+      val mult = graft.model.CheckpointMult(
+        bounds.map(r => r.getInt(0).toShort ->
+          graft.model.Checkpoint.online(r.getLong(1), windowOffset = -1L,
+            prevScn = r.getLong(2))).toMap,
+        cursorPartition = Some(bounds.map(_.getInt(0)).min.toShort))
+      val root = java.nio.file.Files.createTempDirectory("ckptstore").toString
+      val store = new graft.model.FileSystemCheckpointStore(root)
+      store.store("driver-consumer", mult)
+      val loaded = store.load("driver-consumer").get
+      val cursor = loaded.nextCursor.get.toInt
+      loaded.checkpoints.toSeq
+        .map { case (p, cp) => (p.toInt, cp.consumption_mode, cp.windowScn,
+          cp.prevScn, cp.windowOffset, cursor) }
+        .toDF("partition_id", "mode", "window_scn", "prev_scn",
+          "window_offset", "next_cursor")
+    }),
+
+    // ---- C5: SCN-regress detection as a control frame — a log whose
+    // second segment regresses below the delivered watermark must fire
+    // onRollback with the regressed batch's start (SCNRegressMessage.java:
+    // 31; DbusEventBuffer.reset(prevScn)) between the two checkpoints ----
+    "q_scn_regress" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("regress").toString
+      val e = envCore(s, dir)
+      val split = 500L
+      graft.streaming.RelayStream.writeEventLog(
+        e.where(col("scn") >= split), s"$root/log", filesHint = 1)
+      graft.streaming.RelayStream.writeEventLog(
+        e.where(col("scn") < split), s"$root/log", filesHint = 1)
+      val rec = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+      val consumer = new graft.streaming.DatabusConsumer {
+        override def onEvent(ev: graft.streaming.EnvelopeRow): Boolean = true
+        override def onCheckpoint(cp: graft.model.Checkpoint): Unit = {
+          rec.add(("checkpoint", cp.windowScn)); ()
+        }
+        override def onRollback(cp: graft.model.Checkpoint): Unit = {
+          rec.add(("rollback", cp.windowScn)); ()
+        }
+      }
+      graft.streaming.Dispatcher.start(
+        graft.streaming.RelayStream.read(s, s"$root/log",
+          maxFilesPerTrigger = 1),
+        consumer, s"$root/cp").awaitTermination()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(rec.iterator).asScala
+        .toSeq.zipWithIndex
+        .map { case ((kind, scn), i) => (i + 1, kind, scn) }
+        .toDF("ord", "kind", "scn")
+    }),
+
+    // ---- K5: file-logging consumer — every delivered event persisted by
+    // the parquet sink, read back and proven complete ----
+    "q_file_log_consumer" -> ((s, dir) => {
+      val logDir = graft.sources.Store.eventLogDir(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("filelog").toString
+      graft.streaming.Dispatcher.fileLog(
+        graft.streaming.RelayStream.read(s, logDir, maxFilesPerTrigger = 8),
+        s"$root/out", s"$root/cp").awaitTermination()
+      s.read.schema(graft.streaming.RelayStream.schema).parquet(s"$root/out")
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("seq")).as("sum_seq"),
+          sum(col("key_long")).as("sum_keys"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"))
+    }),
+
+    // ---- §3.3: fall-off switchover — a checkpoint below retention
+    // triggers bootstrap (snapshot+catchup to the log head) and resumes
+    // online from the head (ScnNotFoundException → BOOTSTRAP,
+    // RelayPullThread.java:96-121); the materialized bootstrap state and
+    // resume point, hash-oracled ----
+    "q_falloff_bootstrap" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("falloff").toString
+      val retained = envCore(s, dir).where(col("scn") >= 300)
+      graft.streaming.RelayStream.writeEventLog(retained, s"$root/log",
+        filesHint = 4)
+      val (state, _, resumeCp) = graft.streaming.RelayStream
+        .streamWithBootstrap(s, s"$root/log",
+          graft.model.Checkpoint.online(100L))
+      state.get
+        .select("scn", "seq", "ts_us", "source_id", "partition_id",
+          "opcode", "key_long", "value")
+        .withColumn("resume_scn", lit(resumeCp.windowScn))
+    }),
+
+    // ---- §2.10: engine facade smoke — /bufferInfo, /stream after a
+    // checkpoint, /targetSCN and /sources through one GraftEngine over a
+    // log it loaded itself (loadDataEvents) ----
+    "q_engine_facade" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("engine").toString
+      val engine = new graft.GraftEngine(s, s"$root/log")
+      engine.loadDataEvents(envCore(s, dir), filesHint = 4)
+      val (minScn, maxScn) = engine.bufferInfo()
+      engine.stream(graft.model.Checkpoint.online(500L))
+        .agg(count(lit(1)).as("n_after_cp"),
+          sum(col("key_long")).as("sum_keys_after"))
+        .withColumn("min_scn", lit(minScn))
+        .withColumn("max_scn", lit(maxScn))
+        .withColumn("target_scn", lit(engine.targetScn()))
+        .withColumn("n_sources", lit(engine.sources.size))
     }),
 
     // ---- P13/J2: schema-by-digest decode of a mixed-version payload
@@ -1235,6 +1423,89 @@ object SparkEntry {
         " min(scn) AS min_scn, max(scn) AS max_scn" +
         " FROM envelope GROUP BY source_id"),
 
+    "q_ggtrail_stream" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes," +
+        " count(DISTINCT key_long) AS n_keys," +
+        " min(scn) AS min_scn, max(scn) AS max_scn" +
+        " FROM envelope GROUP BY source_id"),
+
+    // P16: every CRC validates, so per-type valid counts = raw counts
+    "q_crc_integrity" ->
+      "SELECT event_type, count(*) AS n_valid FROM events GROUP BY event_type",
+
+    "q_dtail_event_info" ->
+      (s"$ENV SELECT 'scn:' || scn || ' seq:' || seq || ' ts_us:' || ts_us" +
+        " || ' src:' || source_id || ' part:' || partition_id" +
+        " || ' op:' || opcode || ' key:' || key_long AS line FROM envelope"),
+
+    "q_dtail_json" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " CAST(sum(seq) AS BIGINT) AS sum_seq," +
+        " CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
+        " max(ts_us) AS max_ts_us," +
+        " CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes" +
+        " FROM envelope GROUP BY source_id"),
+
+    "q_dtail_avro_bin" ->
+      ("SELECT event_type, count(*) AS n_events," +
+        " CAST(sum(event_id) AS BIGINT) AS sum_ids," +
+        " CAST(sum(user_id) AS BIGINT) AS sum_keys," +
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c" +
+        " FROM events GROUP BY event_type"),
+
+    // P17: FNV-1a 64 recomputed with independent HUGEINT modular
+    // arithmetic (offset 14695981039346656037 = 0xcbf29ce484222325,
+    // prime 1099511628211 = 0x100000001b3, mod 2^64, two's-complement map)
+    "q_fnv_parity" ->
+      ("WITH RECURSIVE t AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)," +
+        " f AS (SELECT event_type, 1 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM t" +
+        " UNION ALL SELECT event_type, i + 1," +
+        " ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), unicode(event_type[i]))) * 1099511628211)" +
+        " % 18446744073709551616 FROM f WHERE i <= length(event_type))" +
+        " SELECT t.event_type, t.n_events," +
+        " CAST(CASE WHEN fh.h >= 9223372036854775808 THEN fh.h - 18446744073709551616" +
+        " ELSE fh.h END AS BIGINT) AS fnv FROM t" +
+        " JOIN (SELECT event_type, h FROM f WHERE i = length(event_type) + 1) fh USING (event_type)"),
+
+    "q_checkpoint_store" ->
+      (s"$ENV SELECT CAST(partition_id AS INT) AS partition_id," +
+        " 'ONLINE_CONSUMPTION' AS mode, max(scn) AS window_scn," +
+        " min(scn) AS prev_scn, CAST(-1 AS BIGINT) AS window_offset," +
+        " (SELECT CAST(min(p2.partition_id) AS INT) FROM envelope p2" +
+        "  WHERE p2.partition_id > (SELECT min(p3.partition_id) FROM envelope p3))" +
+        " AS next_cursor FROM envelope GROUP BY partition_id"),
+
+    "q_scn_regress" ->
+      (s"$ENV SELECT 1 AS ord, 'checkpoint' AS kind," +
+        " (SELECT max(scn) FROM envelope WHERE scn >= 500) AS scn" +
+        " UNION ALL SELECT 2, 'rollback'," +
+        " (SELECT min(scn) FROM envelope WHERE scn < 500)" +
+        " UNION ALL SELECT 3, 'checkpoint'," +
+        " (SELECT max(scn) FROM envelope WHERE scn < 500)"),
+
+    "q_file_log_consumer" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events," +
+        " CAST(sum(seq) AS BIGINT) AS sum_seq," +
+        " CAST(sum(key_long) AS BIGINT) AS sum_keys," +
+        " min(scn) AS min_scn, max(scn) AS max_scn" +
+        " FROM envelope GROUP BY source_id"),
+
+    "q_falloff_bootstrap" ->
+      (s"$ENV SELECT *, (SELECT max(scn) FROM envelope) AS resume_scn FROM" +
+        " (SELECT * FROM envelope WHERE scn >= 300 QUALIFY" +
+        " row_number() OVER (PARTITION BY key_long ORDER BY scn DESC, seq DESC) = 1)" +
+        " WHERE opcode <> 'DELETE'"),
+
+    "q_engine_facade" ->
+      (s"$ENV SELECT (SELECT count(*) FROM envelope WHERE scn > 500) AS n_after_cp," +
+        " CAST((SELECT sum(key_long) FROM envelope WHERE scn > 500) AS BIGINT) AS sum_keys_after," +
+        " (SELECT min(scn) FROM envelope) AS min_scn," +
+        " (SELECT max(scn) FROM envelope) AS max_scn," +
+        " (SELECT max(scn) FROM envelope) AS target_scn," +
+        " 5 AS n_sources"),
+
     "q_binlog_parse" ->
       ("WITH b AS (SELECT" +
         " CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3" +
@@ -1443,15 +1714,24 @@ object SparkEntry {
   /** minhash oracle: ground truth = brute-force exact 3-gram Jaccard ≥ 0.8
     * over the planted-duplicate corpus (the LSH pipeline's recall at
     * j ≥ 0.8 with k=64/bands=16 is ≈ 1, and planted dups have j = 1). */
+  /** Exact-Jaccard ≥ 0.8 pairs, derived by shared-shingle equi-join
+    * instead of the all-pairs cross join: any pair at Jaccard > 0 shares a
+    * shingle, and with distinct shingle sets |A∩B| = the shared count and
+    * |A∪B| = |A|+|B|−shared, so the result is IDENTICAL to the brute
+    * force (verified) at ~100× less oracle wall time (the advisor flagged
+    * the cross-join form at >7 min per evaluation at sf0.1). */
   private lazy val minhashOracleSql: String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
     "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
       " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
-      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))" +
-      " SELECT a.doc_id AS id_a, b.doc_id AS id_b," +
-      " round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jaccard" +
-      " FROM sh a JOIN sh b ON a.doc_id < b.doc_id" +
-      " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8"
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))," +
+      " u AS (SELECT doc_id, unnest(s) AS g FROM sh)," +
+      " pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared" +
+      " FROM u x JOIN u y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)" +
+      " SELECT p.id_a, p.id_b," +
+      " round(CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE), 6) AS jaccard" +
+      " FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b" +
+      " WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= 0.8"
   }
 
   /** n-gram Jaccard oracle: brute force over the same 200-doc subset. */
@@ -1475,11 +1755,17 @@ object SparkEntry {
     * exactly what the Spark propagation converges to. */
   private def componentsOracleSql(select: String): String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
-    val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)"
+    // same shared-shingle equi-join derivation as minhashOracleSql (exact,
+    // identical to the all-pairs form, ~100× cheaper per evaluation)
     "WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
       " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
       s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))," +
-      s" e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $jac >= 0.8)," +
+      " u AS (SELECT doc_id, unnest(s) AS g FROM sh)," +
+      " pairs AS (SELECT x.doc_id AS src, y.doc_id AS dst, count(*) AS shared" +
+      " FROM u x JOIN u y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)," +
+      " e AS (SELECT p.src, p.dst FROM pairs p JOIN sh a ON a.doc_id = p.src" +
+      " JOIN sh b ON b.doc_id = p.dst" +
+      " WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= 0.8)," +
       " ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)," +
       " walk(id, lbl) AS (SELECT DISTINCT src AS id, src AS lbl FROM ee" +
       " UNION SELECT ee.dst AS id, walk.lbl FROM walk JOIN ee ON ee.src = walk.id) " +

@@ -81,6 +81,13 @@ object Store {
     spark.read.parquet(dest)
   }
 
+  /** Directory of the materialized event log (ensured first) — for
+    * path-addressed consumers (streaming reads, dtail, the dispatcher). */
+  def eventLogDir(spark: SparkSession, sfDir: String): String = {
+    eventLog(spark, sfDir)
+    s"$Root/${key(sfDir)}/eventlog"
+  }
+
   /** Bucketed serving table: rows hash-clustered into `nBuckets` files by
     * `bucketKey` at write time, registered in the session catalog so joins
     * and aggregations on the key run with NO exchange on either side —

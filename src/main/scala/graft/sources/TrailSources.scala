@@ -40,9 +40,16 @@ object GoldenGateTrail {
   /** Lazy pull-parse: updates stream out of the StAX reader one `dbupdate`
     * at a time — the whole trail file is never materialized in memory
     * (real GG trails are GBs; a `wholetext` load would OOM the task).
-    * Closes the reader (and runs `onClose`) at document end. */
+    * Closes the reader (and runs `onClose`) at document end.
+    *
+    * `tolerateTruncation` = treat a malformed tail (EOF mid-element, the
+    * shape of a trail file still being appended by the producer) as
+    * document end after the last COMPLETE `dbupdate` — the contract the
+    * streaming tailer needs. Batch reads of closed files keep the default
+    * (fail loudly on corrupt XML). */
   def parseTrailReader(r: javax.xml.stream.XMLStreamReader,
-      onClose: () => Unit = () => ()): Iterator[TrailUpdate] =
+      onClose: () => Unit = () => (),
+      tolerateTruncation: Boolean = false): Iterator[TrailUpdate] =
     new Iterator[TrailUpdate] {
       private var txnTs = ""
       private var table = ""
@@ -57,7 +64,16 @@ object GoldenGateTrail {
       private var pos = 0L
       private var nextUpdate: TrailUpdate = advance()
 
-      private def advance(): TrailUpdate = {
+      private def advance(): TrailUpdate =
+        try advanceImpl()
+        catch {
+          case _: javax.xml.stream.XMLStreamException if tolerateTruncation =>
+            try r.close() catch { case _: Throwable => () }
+            onClose()
+            null
+        }
+
+      private def advanceImpl(): TrailUpdate = {
         while (r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
@@ -141,6 +157,18 @@ object GoldenGateTrail {
       }
       .where(col("scn") > sinceScn)
       .toDF()
+  }
+
+  /** Streaming tail of the trail dir (continuous form of [[read]]): the
+    * graft-ggtrail micro-batch source follows concurrently-appended trail
+    * files and seeks past `sinceScn` (TrailFilePositionSetter protocol) —
+    * see [[GgTrailSourceV2]]. Same output shape as [[read]], so
+    * [[toEnvelope]] composes on top unchanged. */
+  def stream(spark: SparkSession, trailDir: String,
+      sinceScn: Long = Long.MinValue): DataFrame = {
+    val r = spark.readStream.format("graft-ggtrail").option("path", trailDir)
+    (if (sinceScn != Long.MinValue) r.option("sinceScn", sinceScn) else r)
+      .load()
   }
 
   /** Envelope projection of a parsed trail (opcode mapping: GG

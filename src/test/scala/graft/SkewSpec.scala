@@ -35,4 +35,22 @@ class SkewSpec extends SparkSpec {
       .agg(count_distinct($"v").as("distinct_count"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("HLL approx distinct is within its advertised error bound") {
+    // approx_count_distinct's default rsd is 0.05; HLL++'s error is
+    // probabilistic but this seed-free plan is deterministic per input, so
+    // a 3σ band (15%) is a stable regression guard for the q_hll_distinct
+    // surface (approx vs exact ride the same frame there too)
+    val rows = graft.sources.ChangeFeed.envelope(spark, sf())
+      .groupBy($"source_id")
+      .agg(approx_count_distinct($"key_long").as("approx"),
+        count_distinct($"key_long").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+        s"source ${r.getInt(0)}: approx $approx vs exact $exact outside 15%")
+    }
+  }
 }
