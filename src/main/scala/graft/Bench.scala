@@ -52,36 +52,42 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
 
     // relay pipeline throughput: envelope → mod-filter → per-partition
-    // ordered scan, fully consumed
-    val t0 = System.nanoTime()
-    val filtered = graft.operators.Relay.streamOrdered(
-      graft.sources.Store.eventLog(spark, sfDir),
-      filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3))))
-    val nEvents = filtered.count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val eventsPerSec = if (pipeSec > 0) nEvents / pipeSec else 0.0
+    // ordered scan, fully consumed. Like the per-query timings, each
+    // throughput leg runs twice and reports its best pass — single-pass
+    // numbers on a shared box swing ±40% from scheduler/GC glitches that
+    // are not properties of the pipeline.
+    def throughput(consume: () => Long): (Long, Double) = {
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = consume()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (n, if (sec > 0) n / sec else 0.0)
+      }
+      val a = once(); val b = once()
+      if (b._2 > a._2) b else a
+    }
+    val (nEvents, eventsPerSec) = throughput(() =>
+      graft.operators.Relay.streamOrdered(
+        graft.sources.Store.eventLog(spark, sfDir),
+        filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count())
 
     // binary-source throughput: the same pipeline served by the custom
     // DataSource V2 over the engine's own segment format (written in
     // warm-up via the fixture; read + filter + full consume timed here)
     val binDir = graft.sources.WireFixtures.relayLogDir(spark, sfDir)
-    val tb = System.nanoTime()
-    val nBin = graft.operators.Relay.streamOrdered(
-      spark.read.format("graft-relay").option("path", binDir).load(),
-      filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count()
-    val binSec = (System.nanoTime() - tb) / 1e9
-    val binEps = if (binSec > 0) nBin / binSec else 0.0
+    val (_, binEps) = throughput(() =>
+      graft.operators.Relay.streamOrdered(
+        spark.read.format("graft-relay").option("path", binDir).load(),
+        filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count())
 
     // wire-format throughput: the same pipeline over segments in the
     // reference's exact DbusEventV2 binary layout (CRC-validated decode +
     // schema-by-digest Avro payload resolution per event)
     val wireDir = graft.sources.WireFixtures.dbusv2LogDir(spark, sfDir)
-    val tw = System.nanoTime()
-    val nWire = graft.operators.Relay.streamOrdered(
-      spark.read.format("graft-relay").option("path", wireDir).load(),
-      filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count()
-    val wireSec = (System.nanoTime() - tw) / 1e9
-    val wireEps = if (wireSec > 0) nWire / wireSec else 0.0
+    val (_, wireEps) = throughput(() =>
+      graft.operators.Relay.streamOrdered(
+        spark.read.format("graft-relay").option("path", wireDir).load(),
+        filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count())
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -396,20 +396,61 @@ object Dedup {
     * Output: (id, component) for every vertex that appears in `pairs`;
     * component = min id in the cluster. Isolated docs (no dup edge) are
     * absent by construction — keep-one treats absence as "keep".
+    *
+    * Subcritical graphs take a bounded DRIVER fast path: when the
+    * deduplicated edge list fits `maxDriverEdges` (default 4M edges ≈
+    * 64 MB of longs), a single collect + union-find replaces the
+    * iterative job loop — the same driver-metadata trade the seeder makes
+    * (a handful of rows to the driver beats N distributed rounds of fixed
+    * job overhead). The distributed loop remains the path for genuinely
+    * large graphs (a 100 TB dedup's verified pair set), where the edge
+    * list cannot sit on the driver; `maxDriverEdges = 0` forces it.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idBCol: String = "id_b", maxIter: Int = 20,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
     val sym = pairs.select(col(idACol).cast("long").as("src"),
       col(idBCol).cast("long").as("dst"))
     val edges = sym.unionByName(
         sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      // one collect on the (already materialized) half of the symmetric
+      // closure, union-find with path compression, component = min id
+      val half = edges.where(col("src") < col("dst")).collect()
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+        }
+        r
+      }
+      half.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // union by min id so roots ARE the component representatives
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      half.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        out += ((a, find(a))); out += ((b, find(b)))
+      }
+      import pairs.sparkSession.implicits._
+      return out.distinct.toSeq.toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
       // min label over the closed neighborhood: every vertex is some
       // edge's dst (edges are symmetric), so the inner join covers all

@@ -53,23 +53,31 @@ class DedupAnnSpec extends SparkSpec {
 
   test("connected components: transitive closure with min-id labels") {
     // chain 1-2, 2-3 (diameter 2, forces >1 propagation round), triangle
-    // 10-11-12, isolated pair 20-21
+    // 10-11-12, isolated pair 20-21 — identical answers from the driver
+    // union-find fast path and the forced distributed loop
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val fast = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == want && dist == want)
   }
 
   test("connected components: empty edge list and long chain both converge") {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
     // a 12-vertex path needs ~11 propagation rounds — exercises maxIter
-    // headroom and lineage truncation
+    // headroom and lineage truncation on the distributed loop, and path
+    // compression on the union-find
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
-    assert(cc == (0L to 11L).map(_ -> 0L).toMap)
+    val want = (0L to 11L).map(_ -> 0L).toMap
+    assert(Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(Dedup.connectedComponents(chain, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap == want)
   }
 
   test("keep-one-per-component over LSH pairs keeps one doc per cluster") {

@@ -67,6 +67,31 @@ class GgTrailStreamSpec extends SparkSpec {
     assert(GgTrailSourceV2.countCloseTags(f, 0) == 4)
   }
 
+  test("incremental counting is split-invariant: any append boundary sums to the full count") {
+    // the incremental scan (carry band + endAfter threshold) must count
+    // every close tag exactly once no matter where the producer's append
+    // boundary lands — including boundaries INSIDE a close tag
+    val dir = tmp("ggsplit")
+    val content = "<root><transaction timestamp=\"1\">" +
+      (1 to 7).map(i => upd(i * 10L, i.toLong, 0.5)).mkString + "<dbupdate half"
+    val full = new File(dir, "full.xml")
+    write(full.getPath, content)
+    val total = GgTrailSourceV2.countCloseTags(full, 0)
+    assert(total == 7)
+    val tagLen = GgTrailSourceV2.CloseTag.length
+    (1 until content.length by 13).foreach { split =>
+      val f = new File(dir, s"part$split.xml")
+      write(f.getPath, content.substring(0, split))
+      val firstLen = f.length()
+      val first = GgTrailSourceV2.countCloseTags(f, 0)
+      append(f.getPath, content.substring(split))
+      val carry = math.max(0L, firstLen - (tagLen - 1))
+      val second = GgTrailSourceV2.countCloseTags(f, carry, endAfter = firstLen)
+      assert(first + second == total,
+        s"split at $split: $first + $second != $total")
+    }
+  }
+
   test("tail follows appends to the live file and rotated files, exactly once") {
     val trailDir = tmp("ggtail")
     val outDir = s"${tmp("ggout")}/out"
