@@ -105,6 +105,16 @@ class GraftEngine(val spark: SparkSession, eventLogDir: String,
     Relay.streamMult(
       spark.read.schema(RelayStream.schema).parquet(eventLogDir), cpMult)
 
+  /** `/physicalSources` + `/physicalBuffers` — the per-timeline buffer map
+    * (one row per physical partition: scn band + event count;
+    * PhysicalBuffersRequestProcessor.java:1). */
+  def physicalBuffers(): DataFrame = Relay.bufferInfo(stream())
+
+  /** `/relayStats` outbound totals (per-source volumes/scn bands —
+    * DbusEventsTotalStats surface; `/echo`, `/sleep` and the container
+    * stats are Netty diagnostics with no engine analog). */
+  def relayStats(): DataFrame = Relay.statsTotals(stream())
+
   /** dtail (K4) — tail the engine's event log in any reference output
     * format (JSON / AVRO_JSON / AVRO_BIN / EVENT_INFO / NOOP), from
     * BOB / EOB / a given SCN, capped at `maxEvents`. */

@@ -54,7 +54,16 @@ object SparkEntry {
     * PlanCache (same discipline as the signature tables): the production
     * composition computes pairs ONCE and feeds both the component
     * assignment and keep-one materialization from them, so the two driver
-    * queries share this frame instead of re-blocking the corpus each. */
+    * queries share this frame instead of re-blocking the corpus each.
+    *
+    * Oracle-equality caveat: the component/keep-one oracles define the
+    * edge set by brute-force exact Jaccard, so their match depends on the
+    * LSH prefilter (k=64, 16 bands, est ≥ 0.5) recalling every true
+    * ≥ 0.8 pair — deterministic (hashing is seedless) and hash-proven on
+    * the current corpora by q_dedup_minhash, but a NEW document corpus
+    * with borderline ~0.8 pairs must re-validate q_dedup_minhash before
+    * the component queries' oracle equality can be trusted (a band-miss
+    * there is ~2e-4 per borderline pair and would diverge permanently). */
   private def verifiedDupPairs(s: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(s, dir)
     pipeline.PlanCache.getOrPersist(corpus, "verified_pairs|0.8", {
@@ -337,6 +346,12 @@ object SparkEntry {
       envCore(s, dir).groupBy(col("source_id"))
         .agg(approx_count_distinct(col("key_long")).as("approx_keys"),
           countDistinct(col("key_long")).as("exact_keys"))),
+
+    // ---- text analysis: Gopher-style repetition quality signals ----
+    "q_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TF.duplicateTokenFraction(col("text")), 6).as("dup_token_frac"),
+        round(TF.topBigramFraction(col("text")), 6).as("top_bigram_frac"))),
 
     // ---- text analysis: per-doc stats ----
     "q_text_stats" -> ((s, dir) =>
@@ -1570,6 +1585,17 @@ object SparkEntry {
 
     // streaming assembly is lossless → same derivation
     "q_binlog_stream" -> binlogParseSql,
+
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)," +
+        " b AS (SELECT doc_id, toks," +
+        " list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg FROM t)" +
+        " SELECT doc_id," +
+        " round(CASE WHEN len(toks) = 0 THEN 0.0" +
+        "  ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS dup_token_frac," +
+        " round(CASE WHEN len(toks) < 2 THEN 0.0" +
+        "  ELSE CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)" +
+        "   / (len(toks) - 1) END, 6) AS top_bigram_frac FROM b"),
 
     "q_dtail_avro_json" ->
       ("SELECT event_type, count(*) AS n_events," +

@@ -206,6 +206,8 @@ object GraftFunctions {
       "fnv_hash64", exprs => FnvHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq", exprs => L2SqDistance(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -224,6 +226,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[L2SqDistance].getName, "l2sq"),
+      (exprs: Seq[Expression]) => L2SqDistance(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }

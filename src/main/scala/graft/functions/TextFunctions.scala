@@ -100,6 +100,30 @@ object TextFunctions {
     * shuffle. Runs as a native Catalyst expression via crc32/md5 composition:
     * we use the first 16 hex chars of md5 as a 64-bit fingerprint (md5 is
     * codegen'd and available in every SQL engine for oracle parity). */
+  /** Gopher-style repetition signal: fraction of tokens that are repeats
+    * of an earlier token — (n − distinct)/n. High values flag boilerplate
+    * / degenerate documents in training-data quality filters. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - size(array_distinct(toks))).cast("double") / n.cast("double"))
+  }
+
+  /** Gopher-style repetition signal: the most frequent word bigram's share
+    * of all bigrams. Pure array expressions — counts are O(distinct ×
+    * bigrams) per document, linear in the scan overall, no shuffle. */
+  def topBigramFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), n - 1), i =>
+      concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val counts = transform(array_distinct(bigrams), b =>
+      size(filter(bigrams, x => x === b)))
+    when(n < 2, lit(0.0)).otherwise(
+      array_max(counts).cast("double") / (n - 1).cast("double"))
+  }
+
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 16), 16, 10).cast("decimal(20,0)")
 

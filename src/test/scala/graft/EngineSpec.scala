@@ -32,6 +32,16 @@ class EngineSpec extends SparkSpec {
     assert(engine.startScn(sinceScn = 10L) == 0L)
   }
 
+  test("/physicalBuffers and /relayStats project the served log") {
+    val buffers = engine.physicalBuffers().collect()
+    assert(buffers.length == 4) // one row per physical partition
+    assert(buffers.map(_.getAs[Long]("num_events")).sum == 500L)
+    val stats = engine.relayStats()
+    assert(stats.count() == 5) // one row per logical source
+    assert(stats.agg(org.apache.spark.sql.functions.sum("num_events"))
+      .as[Long].head() == 500L)
+  }
+
   test("/stream batch with filter and budget") {
     val got = engine.stream(Checkpoint.online(400L),
       filter = SourceFilter(Set(1, 2, 3, 4, 5)), maxEvents = Some(50))

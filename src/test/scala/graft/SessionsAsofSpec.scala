@@ -77,4 +77,14 @@ class SessionsAsofSpec extends SparkSpec {
     assert(s2.sql("SELECT fnv_hash64('x')").head().getLong(0) ==
       FnvHash64.hash("x"))
   }
+
+  test("cosine_sim and l2sq are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))," +
+        " l2sq(array(CAST(1.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 4.0) < 1e-9)
+  }
 }

@@ -19,6 +19,22 @@ class TextAvroSpec extends SparkSpec {
     assert(got(1)._2 == 3)
   }
 
+  test("repetition signals: duplicate-token and top-bigram fractions") {
+    val df = Seq(
+      "a b c d",        // all unique: dup 0, every bigram unique → 1/3
+      "a a a a",        // dup 3/4, bigram "a a" ×3 of 3 → 1.0
+      "x y x y x",      // dup 3/5; "x y" ×2 of 4 → 0.5
+      "solo").toDF("text")
+    val got = df.select(
+      TF.duplicateTokenFraction($"text").as("d"),
+      TF.topBigramFraction($"text").as("b"))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((0.0, 1.0 / 3)))
+    assert(got(1) == ((0.75, 1.0)))
+    assert(got(2) == ((0.6, 0.5)))
+    assert(got(3) == ((0.0, 0.0)))
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       "the cat and the dog of a house",
