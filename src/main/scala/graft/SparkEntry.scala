@@ -342,10 +342,18 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))),
 
     // ---- sketch aggregates: HLL distinct (approximate; rows-only) ----
+    // HLL++ estimates aren't SQL-reproducible across engines, but the
+    // error CONTRACT is: emit the exact count plus a bound check (3× the
+    // default 5% rsd), so the driver hash-verifies the approximation is
+    // within its advertised envelope instead of a rows-only count
     "q_hll_distinct" -> ((s, dir) =>
       envCore(s, dir).groupBy(col("source_id"))
-        .agg(approx_count_distinct(col("key_long")).as("approx_keys"),
-          countDistinct(col("key_long")).as("exact_keys"))),
+        .agg(approx_count_distinct(col("key_long")).as("approx"),
+          countDistinct(col("key_long")).as("exact_keys"))
+        .select(col("source_id"), col("exact_keys"),
+          (abs(col("approx") - col("exact_keys")) <=
+            greatest(lit(1L), (col("exact_keys") * 0.15).cast("long")))
+            .as("within_bound"))),
 
     // ---- text analysis: Gopher-style repetition quality signals ----
     "q_repetition" -> ((s, dir) =>
@@ -1286,6 +1294,10 @@ object SparkEntry {
     "q_buffer_info" ->
       (s"$ENV SELECT partition_id, min(scn) AS min_scn, max(scn) AS max_scn," +
         " count(*) AS num_events FROM envelope GROUP BY partition_id"),
+
+    "q_hll_distinct" ->
+      (s"$ENV SELECT source_id, count(DISTINCT key_long) AS exact_keys," +
+        " TRUE AS within_bound FROM envelope GROUP BY source_id"),
 
     "q_stats_totals" ->
       (s"$ENV SELECT source_id, count(*) AS num_events," +
