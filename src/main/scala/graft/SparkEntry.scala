@@ -426,11 +426,32 @@ object SparkEntry {
       Dedup.keepOnePerComponent(dupCorpus(s, dir), verifiedDupPairs(s, dir))
         .select("doc_id")),
 
-    // ---- dedup: simhash blocking pairs (no SQL oracle: xxhash64-based) ----
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(dupCorpus(s, dir), maxHamming = 3)),
+    // ---- dedup: simhash signature-quality contract. Signatures aren't
+    // SQL-reproducible (fnv1a64 votes), but simhash's defining CONTRACT
+    // is: near-identical documents get near-identical signatures. Emit
+    // the exact-Jaccard ≥0.9 ground-truth pairs (the provable-recall LSH
+    // generator, same derivation the minhash oracle hash-proves) with a
+    // hamming ≤ 12 bound per pair — measured max on the planted corpora
+    // is 8 (sf0.01) / 0 (sf0.1), so the bound holds with margin while a
+    // broken signature kernel (~32 expected hamming) fails it instantly.
+    // Chunk-blocking recall stays spec-covered (DedupAnnSpec). ----
+    "q_dedup_simhash" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val truth = verifiedDupPairs(s, dir).where(col("jaccard") >= 0.9)
+      val sigs = Dedup.simhashSignatures(corpus)
+      truth
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 12)
+            .as("within_hamming"))
+    }),
 
-    // ---- dedup: embedding-cosine near-dup via hyperplane LSH ----
+    // ---- dedup: embedding-cosine near-dup via hyperplane LSH. Oracled:
+    // identical planted twins collide in EVERY hyperplane table (recall 1
+    // by construction) and the corpus has no natural ≥0.99 pair (random
+    // embeddings concentrate near cosine 0), so the result is exactly the
+    // planted twin set at cosine 1.0 — SQL-derivable. ----
     "q_dedup_embedding" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
       val withDups = e.unionByName(
@@ -498,10 +519,18 @@ object SparkEntry {
       Ann.bruteForceTopK(all.where(col("id") < 10), all, k = 5)
     }),
 
-    // ---- similarity search: LSH-bucketed ANN (scale path; rows-only) ----
+    // ---- similarity search: LSH-bucketed ANN (scale path), oracled as a
+    // planted-retrieval contract: each query's identical twin rides the
+    // corpus, collides in every hash table by construction, and uniquely
+    // tops the ranking at cosine 1.0 — so rank-1 per query is fully
+    // deterministic and SQL-derivable. Recall over the natural corpus
+    // stays spec-covered (DedupAnnSpec subset-of-brute). ----
     "q_ann_lsh" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ann.lshTopK(all.where(col("id") < 50), all, k = 5)
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.lshTopK(all.where(col("id") < 50), withTwins, k = 5)
+        .where(col("rank") === 1)
     }),
 
     // ---- embeddings: norms (vector function surface) ----
@@ -1090,11 +1119,18 @@ object SparkEntry {
           max(col("ts_us")).as("max_ts_us"))
     }),
 
-    // ---- similarity search: IVF cell-probe variant (rows-only) ----
+    // ---- similarity search: IVF cell-probe variant, oracled via the same
+    // planted-retrieval contract as q_ann_lsh: a query's identical twin
+    // is assigned to the query's own nearest cell (identical vector ⇒
+    // identical argmin, identical tie-break), the query always probes
+    // that cell first (nProbe ≥ 1), so rank-1 = twin at cosine 1.0. ----
     "q_ann_ivf" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ann.ivfTopK(all.where(col("id") < 20), all,
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.ivfTopK(all.where(col("id") < 20), withTwins,
         centroids = all.where(col("id") < 8), k = 5)
+        .where(col("rank") === 1)
     }),
 
     // ---- multimodal: binary payload plumbing + stub decode ----
@@ -1421,6 +1457,28 @@ object SparkEntry {
         " count(*) AS dup_count FROM corpus GROUP BY md5(text)"),
 
     "q_dedup_minhash" -> minhashOracleSql,
+
+    // simhash contract: every exact-Jaccard ≥0.9 pair sits within hamming
+    // 12 of its partner's signature (measured max 8 at sf0.01, 0 at sf0.1)
+    "q_dedup_simhash" ->
+      jaccardPairsOracleSql(0.9, ", TRUE AS within_hamming"),
+
+    // planted twins are the ONLY ≥0.99-cosine pairs and hyperplane LSH
+    // recalls identical vectors with probability 1
+    "q_dedup_embedding" ->
+      ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b," +
+        " CAST(1.0 AS DOUBLE) AS cosine FROM embeddings"),
+
+    // planted-retrieval contracts: rank-1 result per query is its twin
+    "q_ann_lsh" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 50"),
+
+    "q_ann_ivf" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 20"),
 
     "q_stream_dedup" -> s"$ENV SELECT * FROM envelope",
 
@@ -1818,7 +1876,13 @@ object SparkEntry {
     * |A∪B| = |A|+|B|−shared, so the result is IDENTICAL to the brute
     * force (verified) at ~100× less oracle wall time (the advisor flagged
     * the cross-join form at >7 min per evaluation at sf0.1). */
-  private lazy val minhashOracleSql: String = {
+  private lazy val minhashOracleSql: String = jaccardPairsOracleSql(0.8, "")
+
+  /** Exact-Jaccard ≥ `threshold` pair set with optional extra constant
+    * columns — shared by the minhash oracle and the simhash
+    * signature-quality contract. */
+  private def jaccardPairsOracleSql(threshold: Double, extraCols: String)
+      : String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
     "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
       " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
@@ -1828,8 +1892,9 @@ object SparkEntry {
       " FROM u x JOIN u y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)" +
       " SELECT p.id_a, p.id_b," +
       " round(CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE), 6) AS jaccard" +
+      extraCols +
       " FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b" +
-      " WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= 0.8"
+      s" WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= $threshold"
   }
 
   /** n-gram Jaccard oracle: brute force over the same 200-doc subset. */

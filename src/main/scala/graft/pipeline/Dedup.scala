@@ -340,18 +340,25 @@ object Dedup {
     sig
   }
 
-  /** SimHash near-dup pairs via 16-bit chunk blocking + hamming verify. */
-  def simhashPairs(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+  /** (id, sig) 64-bit simhash signature table — the shared first stage of
+    * [[simhashPairs]] and of signature-quality contracts (near-dup pairs
+    * have near-equal signatures). Persisted: blocking reads it from both
+    * sides of a self-join, and the text kernel must run once. */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     import docs.sparkSession.implicits._
-    // cached: both sides of the blocking self-join read the signatures,
-    // and without the cache the text kernel would run once per side
-    val sigs = PlanCache.getOrPersist(docs, s"simhash|$textCol|$idCol", {
+    PlanCache.getOrPersist(docs, s"simhash|$textCol|$idCol", {
       docs.select(col(idCol).as("id"), col(textCol).as("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) => (id, simhash64Kernel(text)) })
         .toDF("id", "sig")
     })
+  }
+
+  /** SimHash near-dup pairs via 16-bit chunk blocking + hamming verify. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
