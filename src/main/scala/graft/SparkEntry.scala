@@ -495,6 +495,29 @@ object SparkEntry {
       graft.pipeline.Packing.packChunks(
         docs(s, dir).select("lang", "doc_id", "text"), budgetTokens = 256L)),
 
+    // ---- span-level exact dedup (the line/paragraph-dedup stage of
+    // CCNet/RefinedWeb over 20-token blocks): every repeated span keeps
+    // only its corpus-wide first occurrence; planted duplicate docs lose
+    // every span ----
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(dupCorpus(s, dir), spanTokens = 20)),
+
+    // ---- deterministic stratified sampling: per-language basis-point
+    // rates over an integer-exact hash stream — map-only, resumable,
+    // re-derivable in plain SQL (upsample en, downsample zh) ----
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratifiedSample(
+        docs(s, dir).select("doc_id", "lang"), keyCol = "doc_id",
+        stratumCol = "lang", ratesBp = Map("en" -> 8000, "zh" -> 2500),
+        defaultBp = 1000, salt = 42L)),
+
+    // ---- deterministic global training order: exact distributed rank
+    // over the per-key hash (reproducible corpus shuffle, no
+    // single-partition sort) ----
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.pipeline.Sampling.shuffleOrder(
+        docs(s, dir).select("doc_id"), keyCol = "doc_id", salt = 7L)),
+
     // ---- the end-to-end training-data pipeline, composed: quality
     // filter → predicted-language filter → exact dedup keep-one →
     // decontamination vs the eval slice → sequence packing. Every stage
@@ -952,6 +975,25 @@ object SparkEntry {
       Bootstrap.cleanLog(
         envCore(s, dir).withColumnRenamed("scn", "windowscn"),
         scnWatermark = 500L)),
+
+    // ---- snapshot diff → CDC events: the seeding/audit direction — the
+    // minimal UPSERT/DELETE stream carrying one table state to another
+    // (before/after are deterministic slices of orders with planted
+    // changes) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val before = base.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val after = base.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("price_c",
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("price_c") + 1000L).otherwise(col("price_c")))
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(11)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Bootstrap.snapshotDiff(before, after, keyCols = Seq("o_orderkey"))
+    }),
 
     // ---- B9: Avro container-file bootstrap — read the seeded snapshot
     // (one task per container file) and prove it serves the full state ----
@@ -1505,6 +1547,35 @@ object SparkEntry {
         " FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
 
+    "q_span_dedup" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+        " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
+        " toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM corpus)," +
+        " spans AS (SELECT doc_id, i AS span_idx," +
+        " array_to_string(t[i*20+1 : i*20+20], ' ') AS span" +
+        " FROM toks, unnest(generate_series(0," +
+        " CAST(ceil(len(t) / 20.0) AS BIGINT) - 1)) AS u(i))," +
+        " ranked AS (SELECT doc_id, span_idx, span," +
+        " row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn" +
+        " FROM spans)" +
+        " SELECT doc_id, count(*) AS n_spans," +
+        " CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept," +
+        " coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '" +
+        " ORDER BY span_idx), '') AS kept_text" +
+        " FROM ranked GROUP BY doc_id"),
+
+    // MINSTD hash stream: ((key + salt) % (2^31-1)) * 48271 % (2^31-1) —
+    // integer-exact in both engines
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents" +
+        " WHERE ((doc_id + 42) % 2147483647) * 48271 % 2147483647 % 10000" +
+        " < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 2500 ELSE 1000 END"),
+
+    "q_shuffle_order" ->
+      ("SELECT doc_id, row_number() OVER (ORDER BY" +
+        " ((doc_id + 7) % 2147483647) * 48271 % 2147483647, doc_id) - 1" +
+        " AS order_idx FROM documents"),
+
     "q_dedup_ngram" -> ngramOracleSql,
 
     "q_dedup_components" -> componentsOracleSql(
@@ -1700,6 +1771,25 @@ object SparkEntry {
     "q_clean_log" ->
       (s"$ENV SELECT scn AS windowscn, seq, ts_us, source_id, partition_id," +
         " opcode, key_long, value FROM envelope WHERE scn >= 500"),
+
+    "q_snapshot_diff" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus," +
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)," +
+        " b AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0)," +
+        " a AS (SELECT o_orderkey, o_custkey," +
+        " CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus," +
+        " CASE WHEN o_orderkey % 3 = 0 THEN price_c + 1000 ELSE price_c END AS price_c" +
+        " FROM base WHERE o_orderkey % 7 <> 0)" +
+        " SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey," +
+        " CASE WHEN a.o_orderkey IS NULL THEN 'DELETE' ELSE 'UPSERT' END AS opcode," +
+        " CASE WHEN a.o_orderkey IS NULL THEN b.o_custkey ELSE a.o_custkey END AS o_custkey," +
+        " CASE WHEN a.o_orderkey IS NULL THEN b.o_orderstatus ELSE a.o_orderstatus END AS o_orderstatus," +
+        " CASE WHEN a.o_orderkey IS NULL THEN b.price_c ELSE a.price_c END AS price_c" +
+        " FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey" +
+        " WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL" +
+        " OR a.o_custkey IS DISTINCT FROM b.o_custkey" +
+        " OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus" +
+        " OR a.price_c IS DISTINCT FROM b.price_c"),
 
     "q_avro_bootstrap" ->
       (s"$ENV SELECT count(*) AS n_rows, min(seq) AS min_id," +

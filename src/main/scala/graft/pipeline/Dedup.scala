@@ -36,6 +36,49 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Span-level exact dedup — the line/paragraph-dedup stage of web-scale
+    * pipelines (CCNet, RefinedWeb), expressed over fixed `spanTokens`-token
+    * blocks (the corpus carries no line structure; for documents with
+    * newlines, substitute the splitter). A span OCCURRENCE survives iff it
+    * is the corpus-wide first occurrence of that block, first = minimum
+    * (doc id, span index) — so boilerplate repeated across documents is
+    * stripped everywhere but its first appearance, and an exact duplicate
+    * document loses every span.
+    *
+    * Output, one row per input doc: `(doc_id, n_spans, n_kept,
+    * kept_text)` with `kept_text` the surviving spans re-joined in
+    * order ("" when everything was dropped).
+    *
+    * Scale shape: one explode (narrow), one hash-shuffle window keyed on
+    * the span fingerprint (md5 — 16 B keys, never full text, the same
+    * discipline as [[exact]]), one groupBy doc. No self-joins, no
+    * collect. */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val spansArr = transform(
+      sequence(lit(0),
+        ceil(size(toks).cast("double") / spanTokens).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
+    val spans = docs
+      .select(col(idCol).as("doc_id"), posexplode(spansArr))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    val w = Window.partitionBy(md5(col("span").cast("binary")))
+      .orderBy(col("doc_id"), col("span_idx"))
+    spans
+      .withColumn("is_first", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_first"), struct(col("span_idx"), col("span"))))),
+            x => x.getField("span")),
+          " ").as("kept_text"))
+  }
+
   /** Word n-gram shingles of a document (distinct). HOFs are interpreted
     * (no codegen), so the lambda body is kept to two nodes — slice +
     * concat_ws beats per-position element_at chains. */

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and ordering for training-data pipelines.
+  *
+  * Everything here is driven by an integer-exact per-key hash stream
+  * (MINSTD/Lehmer), NOT an RNG: the same row always samples the same way
+  * under the same salt, so pipelines are resumable and re-runs are
+  * reproducible across engines — a property `rand(seed)` cannot give
+  * (it is plan- and partitioning-dependent), and the reason external
+  * systems can re-derive every decision in plain SQL.
+  *
+  * Scale shape: [[hashSample]] / [[stratifiedSample]] are map-only
+  * (codegen'd predicate on the scan — no shuffle, no state);
+  * [[shuffleOrder]] is the one genuinely global operation, implemented as
+  * an exact distributed rank (hash-uniform fixed-width buckets + one
+  * count job + per-bucket window), never a single-partition sort.
+  */
+object Sampling {
+
+  private val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** MINSTD (Lehmer) hash of a non-negative integer key:
+    * `((key + salt) mod M) * 48271 mod M`, M = 2^31 − 1. The product is
+    * bounded by (M−1)·48271 ≈ 1.04e14, so the arithmetic is exact in any
+    * 64-bit integer engine — external SQL reproduces it verbatim. */
+  def minstd(key: Column, salt: Long = 0L): Column =
+    pmod(pmod(key + lit(salt), lit(M)) * lit(48271L), lit(M))
+
+  /** Uniform bucket in [0, 10000) — basis points of the key's hash. */
+  def hashBp(key: Column, salt: Long = 0L): Column =
+    pmod(minstd(key, salt), lit(10000L))
+
+  /** Deterministic Bernoulli sample: keep rows whose hash stream lands
+    * under `rateBp` basis points (rateBp = 500 ⇒ ~5%). Map-only. */
+  def hashSample(df: DataFrame, keyCol: String, rateBp: Int,
+      salt: Long = 0L): DataFrame =
+    df.where(hashBp(col(keyCol), salt) < lit(rateBp.toLong))
+
+  /** Stratified variant: a per-stratum basis-point rate (e.g. upsample a
+    * rare language, downsample boilerplate-heavy sources). Unlisted
+    * strata fall back to `defaultBp`. Still map-only: the rate lookup is
+    * a codegen'd CASE chain, not a join. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int = 0,
+      salt: Long = 0L): DataFrame = {
+    val rate = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp.toLong)) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(r.toLong)).otherwise(acc)
+    }
+    df.where(hashBp(col(keyCol), salt) < rate)
+  }
+
+  /** Deterministic global training order: rank every row by
+    * (minstd(key), key) — a reproducible corpus shuffle. `order_idx` is
+    * the exact 0-based global rank.
+    *
+    * Scale shape: the hash is uniform on [0, M), so FIXED-WIDTH hash
+    * ranges give balanced buckets without a quantile pass; one count job
+    * computes bucket offsets (numBuckets rows to the driver), then a
+    * per-bucket window sorts locally — the global sort never lands on one
+    * task. Ties are impossible across buckets (bucket is a function of
+    * the hash) and broken within a bucket by the key. */
+  def shuffleOrder(df: DataFrame, keyCol: String, salt: Long = 0L,
+      numBuckets: Int = 0): DataFrame = {
+    val n =
+      if (numBuckets > 0) numBuckets
+      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val width = M / n + 1
+    val withH = df
+      .withColumn("__h", minstd(col(keyCol), salt))
+      .withColumn("__bkt", expr(s"__h div $width"))
+    val counts = withH.groupBy(col("__bkt")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = counts.map(_._1).foldLeft(lit(0L)) { (acc, b) =>
+      when(col("__bkt") === b, lit(offsets(b))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__h"), col(keyCol))
+    withH
+      .withColumn("order_idx",
+        row_number().over(w).cast("long") + offCol - 1L)
+      .drop("__h", "__bkt")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bootstrap
+import graft.pipeline.{Dedup, Sampling}
+
+/** Sampling / ordering / span-dedup / snapshot-diff operators. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic and near the nominal rate") {
+    val df = spark.range(100000).toDF("id")
+    val a = Sampling.hashSample(df, "id", rateBp = 1000, salt = 5L)
+    val b = Sampling.hashSample(df, "id", rateBp = 1000, salt = 5L)
+    val na = a.count()
+    assert(na === b.count()) // same rows, not just same count
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(math.abs(na - 10000L) < 500, s"rate off: $na/100000 at 10%")
+    // a different salt samples a genuinely different subset
+    val c = Sampling.hashSample(df, "id", rateBp = 1000, salt = 6L)
+    assert(a.intersect(c).count() < na)
+  }
+
+  test("stratifiedSample applies per-stratum rates with default fallback") {
+    val df = spark.range(30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp"))
+    val s = Sampling.stratifiedSample(df, "id", "grp",
+      ratesBp = Map("0" -> 5000, "1" -> 500), defaultBp = 0)
+    val byGrp = s.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byGrp("0") - 5000L) < 400)
+    assert(math.abs(byGrp("1") - 500L) < 150)
+    assert(!byGrp.contains("2")) // defaultBp = 0 drops the stratum
+  }
+
+  test("shuffleOrder is the exact global rank over (hash, key)") {
+    val df = spark.range(5000).toDF("id")
+    val got = Sampling.shuffleOrder(df, "id", salt = 3L, numBuckets = 7)
+    // reference: single-partition window over the same sort key
+    val h = Sampling.minstd(col("id"), 3L)
+    val ref = df.select(col("id"), h.as("h"))
+      .withColumn("order_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("id"))).cast("long") - 1L)
+      .select("id", "order_idx")
+    assert(got.select("id", "order_idx").except(ref).isEmpty)
+    assert(ref.except(got.select("id", "order_idx")).isEmpty)
+    // order_idx is a permutation of 0..n-1
+    assert(got.agg(min("order_idx"), max("order_idx"),
+      countDistinct("order_idx")).as[(Long, Long, Long)].head() ===
+      ((0L, 4999L, 5000L)))
+  }
+
+  test("spanDedup keeps only corpus-wide first occurrences of spans") {
+    // doc 1: spans A B; doc 2: spans B C (B repeats); doc 3 = copy of doc 1
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val c = (1 to 7).map(i => s"c$i").mkString(" ") // short tail span
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 2L, 2L, s"$a $b")))   // first owner keeps all
+    assert(out(1) === ((2L, 2L, 1L, c)))          // B dropped, C kept
+    assert(out(2) === ((3L, 2L, 0L, "")))         // exact copy loses all
+  }
+
+  test("snapshotDiff emits the minimal UPSERT/DELETE stream") {
+    val before = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, null, 40L)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 10L),       // unchanged — absent from the diff
+      (2L, "b2", 20L),      // value change -> UPSERT
+      (4L, "d", 40L),       // null -> value change -> UPSERT
+      (5L, "e", 50L),       // insert -> UPSERT
+      (6L, null, 60L)       // insert carrying a legit NULL -> UPSERT(null)
+    ).toDF("k", "s", "v")
+    val got = Bootstrap.snapshotDiff(before, after, Seq("k"))
+      .orderBy("k").as[(Long, String, String, Long)].collect()
+    assert(got === Array(
+      (2L, "UPSERT", "b2", 20L),
+      (3L, "DELETE", "c", 30L),
+      (4L, "UPSERT", "d", 40L),
+      (5L, "UPSERT", "e", 50L),
+      (6L, "UPSERT", null, 60L)))
+  }
+
+  test("snapshotDiff round-trips: applying the diff reproduces `after`") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val after = Seq((1L, "a2"), (3L, "c"), (9L, "z")).toDF("k", "v")
+    val diff = Bootstrap.snapshotDiff(before, after, Seq("k"))
+    val applied = before.join(diff.select(col("k")), Seq("k"), "left_anti")
+      .unionByName(diff.where(col("opcode") === "UPSERT").drop("opcode"))
+    assert(applied.except(after).isEmpty && after.except(applied).isEmpty)
+  }
+}
