@@ -376,6 +376,19 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang"),
         TF.langId(col("text")).as("lang_pred"))),
 
+    // ---- text analysis: per-language vocabulary top-k. The token-count
+    // aggregate is Zipf-skewed (stopwords dominate) — partial map-side
+    // combine absorbs the skew before the shuffle; the top-k window runs
+    // per language over the already-aggregated counts ----
+    "q_vocab_topk" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token"))
+      counts.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+    }),
+
     // ---- text analysis: quality score ----
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1175,6 +1188,34 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- IVF codebook training: Lloyd's k-means, oracled through the
+    // algorithm's own invariant — WCSS never increases across iterations
+    // (fp-tolerant; parallel double sums are last-bit nondeterministic) ----
+    "q_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val (_, wcss) = Ann.trainCentroids(all, k = 8, iters = 5)
+      wcss.sliding(2).zipWithIndex.map { case (pair, i) =>
+        (i + 1, pair(1) <= pair(0) * (1 + 1e-9) + 1e-9)
+      }.toSeq.toDF("iter", "wcss_non_increasing")
+    }),
+
+    // ---- the composed index pipeline: train codebook → build IVF →
+    // retrieve. The planted-twin contract holds for ANY codebook
+    // (identical vectors share every argmin), so the trained index is
+    // still exactly SQL-checkable ----
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val (codebook, _) = Ann.trainCentroids(all, k = 8, iters = 3)
+      Ann.ivfTopK(all.where(col("id") < 15), withTwins,
+        centroids = Ann.centroidsDf(s, codebook), k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- multimodal: binary payload plumbing + stub decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1521,6 +1562,24 @@ object SparkEntry {
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 20"),
+
+    "q_ann_ivf_trained" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // Lloyd's invariant: assignment-time WCSS is non-increasing
+    "q_kmeans_train" ->
+      ("SELECT CAST(range AS INT) AS iter, TRUE AS wcss_non_increasing" +
+        " FROM range(1, 5)"),
+
+    "q_vocab_topk" ->
+      ("WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token" +
+        " FROM documents)," +
+        " c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2)" +
+        " SELECT lang, token, n," +
+        " CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rnk" +
+        " FROM c QUALIFY rnk <= 5"),
 
     "q_stream_dedup" -> s"$ENV SELECT * FROM envelope",
 

@@ -100,6 +100,65 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Lloyd's k-means over an (id, vec) frame — trains the IVF codebook
+    * [[ivfTopK]] probes. Deterministic init: the k lowest-id vectors.
+    * Each iteration is one corpus scan: assignment reuses the fused
+    * argmin-over-centroid-literals projection (no crossJoin, no shuffle
+    * of vectors), then cell means come back as one (cell, dim) aggregate
+    * — k·dim rows to the driver, the codebook's natural size. Empty
+    * cells keep their previous centroid.
+    *
+    * Returns the codebook plus the per-iteration WCSS (sum of squared
+    * distance to the assigned centroid, measured at assignment time).
+    * Lloyd's invariant — WCSS never increases — is the training contract
+    * the driver query exposes (fp-tolerant: parallel double sums are
+    * last-bit nondeterministic).
+    *
+    * Scale shape: codebooks are small by construction, so at 100 TB this
+    * runs on a [[Sampling.hashSample]] of the corpus (a deterministic
+    * sample trains the same codebook every run); the full corpus is only
+    * ever touched by the single assignment pass inside [[ivfTopK]]. */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int)
+      : (Array[(Long, Seq[Float])], Seq[Double]) = {
+    val c = PlanCache.getOrPersist(corpus, s"kmeans-corpus|$k",
+      corpus.select(col("id").cast("long").as("id"), col("vec")))
+    var cents = c.orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toSeq) }
+    val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val best = array_min(array(cents.map { case (cid, cv) =>
+        struct(l2sq(col("vec"), typedlit(cv)).as("d"), lit(cid).as("c"))
+      }: _*))
+      val stats = c
+        .select(best.getField("c").as("cell"), best.getField("d").as("dist"),
+          posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"),
+          sum(col("dist")).as("dsum"))
+        .collect()
+      // dist rides every (cell, pos) group; count it once via pos == 0
+      wcss += stats.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
+      val means = stats
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getDouble(2) / r.getLong(3)).toFloat).toSeq
+        }
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    (cents, wcss.toSeq)
+  }
+
+  /** The trained codebook as the (id, vec) frame [[ivfTopK]] expects. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    codebook.toSeq.toDF("id", "vec")
+  }
+
   /** IVF-style coarse quantization: assign each corpus vector to its
     * nearest of `centroids` (a driver-collectable table — IVF codebooks
     * are small by construction), search only the probed cells. Centroids

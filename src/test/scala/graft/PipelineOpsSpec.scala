@@ -68,6 +68,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2) === ((3L, 2L, 0L, "")))         // exact copy loses all
   }
 
+  test("trainCentroids: WCSS non-increasing, codebook converges on planted clusters") {
+    import graft.pipeline.Ann
+    // two tight planted clusters around (0,0,..) and (10,10,..)
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Seq.fill(8)(base + (i % 5) * 0.01f))
+    }
+    val df = pts.toDF("id", "vec")
+    val (codebook, wcss) = Ann.trainCentroids(df, k = 2, iters = 4)
+    assert(codebook.length === 2 && wcss.length === 4)
+    wcss.sliding(2).foreach { case Seq(p, n) =>
+      assert(n <= p * (1 + 1e-9) + 1e-9, s"WCSS increased: $p -> $n")
+    }
+    // after convergence the two centroids sit near the planted means
+    val means = codebook.map(_._2.head).sorted
+    assert(math.abs(means(0) - 0.02f) < 0.5 && math.abs(means(1) - 10.02f) < 0.5)
+  }
+
   test("snapshotDiff emits the minimal UPSERT/DELETE stream") {
     val before = Seq(
       (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, null, 40L)
