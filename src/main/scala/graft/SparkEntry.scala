@@ -502,6 +502,16 @@ object SparkEntry {
       Dedup.decontaminate(train, eval).select("doc_id")
     }),
 
+    // ---- decontamination, giant-holdout scale path: bloom prefilter on
+    // the train grams, exact confirming join — bit-identical output to
+    // q_decontaminate (shared oracle) with the shuffle pruned to
+    // suspected grams only ----
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val train = docs(s, dir).select("doc_id", "text")
+      val eval = docs(s, dir).where(col("doc_id") < 50).select("doc_id", "text")
+      Dedup.decontaminateBloom(train, eval).select("doc_id")
+    }),
+
     // ---- sequence packing: concat-and-chunk token layout per language
     // (absolute token offsets + context-window chunk ids) ----
     "q_pack_chunks" -> ((s, dir) =>
@@ -1593,6 +1603,10 @@ object SparkEntry {
         " OR partition_id = 3"),
 
     "q_decontaminate" -> decontaminateSql,
+
+    // bloom path is bit-identical to the exact path (false positives die
+    // in the confirming join) — same oracle
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     "q_pipeline_e2e" -> pipelineE2eSql,
 

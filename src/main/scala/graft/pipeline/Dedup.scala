@@ -292,6 +292,36 @@ object Dedup {
         .withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
 
+  /** Bloom-prefiltered decontamination — the giant-holdout scale path.
+    * When the eval gram set is too big to broadcast, the exact path pays
+    * a full shuffle of EVERY training gram. Here a Bloom filter over the
+    * eval gram hashes (distributed build, driver-merged, broadcast
+    * reference) prunes the train side FIRST, so the exact confirming
+    * join shuffles only suspected grams (true contamination + fpp).
+    * False positives die in the exact join — output is bit-identical to
+    * [[decontaminate]], which is why the same SQL oracle verifies both.
+    *
+    * At 100 TB: train grams ≫ eval grams; the bloom reference is
+    * MB-scale for billions of eval grams at 1% fpp, and the shuffled
+    * volume drops by ~(1 − contamination − fpp). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      fpp: Double = 0.01): DataFrame = {
+    // PlanCache (not bare persist): three consumers — count, bloom build,
+    // confirming join — and library-safe eviction on re-invocation
+    val evalGrams = PlanCache.getOrPersist(eval, s"decon-grams|$shingleN",
+      gramHashes(eval, textCol, idCol, shingleN).select("g").distinct())
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    val suspects = gramHashes(train, textCol, idCol, shingleN)
+      .where(mightContain(col("g")))
+    val flagged = suspects.join(evalGrams, Seq("g"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for a (small) candidate pair set: join shingle
     * arrays back and compute |∩|/|∪| with array intersections. Verification
     * stage only — never run on the full cross product. */

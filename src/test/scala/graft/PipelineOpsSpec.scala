@@ -86,6 +86,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(means(0) - 0.02f) < 0.5 && math.abs(means(1) - 10.02f) < 0.5)
   }
 
+  test("decontaminateBloom is bit-identical to the exact path") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.where(col("doc_id") < 20)
+    val exact = Dedup.decontaminate(docs, eval).select("doc_id")
+    val bloom = Dedup.decontaminateBloom(docs, eval).select("doc_id")
+    assert(exact.except(bloom).isEmpty && bloom.except(exact).isEmpty)
+    assert(exact.count() > 0)
+  }
+
   test("snapshotDiff emits the minimal UPSERT/DELETE stream") {
     val before = Seq(
       (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, null, 40L)
