@@ -660,6 +660,25 @@ object SparkEntry {
           sum(col("key_long")).as("sum_keys"))
     }),
 
+    // ---- log compaction: an append-fragmented event log (5 generations)
+    // compacted back to scn-banded segments serves the identical event
+    // set — the small-file remedy an append-heavy stream needs at scale ----
+    "q_compact_log" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("compact").toString
+      val e = envCore(s, dir).where(col("scn") < 3000)
+      // 5 append generations fragment the log...
+      (0 until 5).foreach { g =>
+        graft.streaming.RelayStream.writeEventLog(
+          e.where(pmod(col("scn"), lit(5)) === g), s"$root/log", filesHint = 4)
+      }
+      graft.streaming.RelayStream.compactEventLog(s, s"$root/log", filesHint = 4)
+      s.read.schema(graft.streaming.RelayStream.schema).parquet(s"$root/log")
+        .groupBy(col("source_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("scn")).as("min_scn"), max(col("scn")).as("max_scn"),
+          sum(col("key_long")).as("sum_keys"))
+    }),
+
     // ---- skew discipline: per-source exact distinct keys via value-space
     // salting (hot group's state splits across slices; equals countDistinct)
     "q_salted_distinct" -> ((s, dir) =>
@@ -1687,6 +1706,11 @@ object SparkEntry {
         " FROM (SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2" +
         " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5" +
         " ELSE -1 END AS source_id, props FROM events) b GROUP BY source_id"),
+
+    "q_compact_log" ->
+      (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +
+        " max(scn) AS max_scn, CAST(sum(key_long) AS BIGINT) AS sum_keys" +
+        " FROM envelope WHERE scn < 3000 GROUP BY source_id"),
 
     "q_relay_source" ->
       (s"$ENV SELECT source_id, count(*) AS n_events, min(scn) AS min_scn," +

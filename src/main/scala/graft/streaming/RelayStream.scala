@@ -95,6 +95,40 @@ object RelayStream {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
     else if (f.exists()) Seq(f) else Seq.empty
 
+  /** Compact an appended event log back to `filesHint` scn-banded
+    * segments — the small-file remedy for an append-heavy stream (every
+    * micro-batch append adds a file generation; a day of 10 s triggers is
+    * ~8,640 generations, and scan/listing cost grows with file count, not
+    * data size). Rewrites through a sibling tmp dir + atomic rename, so a
+    * concurrent reader sees either the old or the new generation, never a
+    * mix; window alignment and per-band ordering are re-established by
+    * the same `repartitionByRange(scn)` write discipline.
+    *
+    * Content-preserving: the compacted log serves byte-identical events
+    * (CompactSpec proves set equality; ordering is re-derived from scn
+    * bands exactly as the original write did). */
+  def compactEventLog(spark: SparkSession, dir: String,
+      filesHint: Int = 8): Unit = {
+    val src = new java.io.File(dir)
+    require(src.isDirectory, s"compactEventLog: no log at $dir")
+    val tmp = new java.io.File(src.getParentFile, src.getName + ".compact-tmp")
+    val old = new java.io.File(src.getParentFile, src.getName + ".compact-old")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    // materialize BEFORE touching the source dir: the plan reads from it
+    val snapshot = spark.read.schema(schema).parquet(dir)
+    writeEventLog(snapshot, tmp.getAbsolutePath, filesHint)
+    // swap: source -> .old, tmp -> source, drop .old
+    if (!src.renameTo(old))
+      throw new java.io.IOException(s"compactEventLog: cannot move $src aside")
+    if (!tmp.renameTo(src)) {
+      old.renameTo(src) // restore
+      throw new java.io.IOException(s"compactEventLog: swap failed for $dir")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    ()
+  }
+
   /** Min/max SCN available in the log — `/bufferInfo` for the persisted
     * buffer; also the retention boundary for fall-off detection. */
   def bufferInfo(spark: SparkSession, dir: String): (Long, Long) = {

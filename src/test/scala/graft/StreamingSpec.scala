@@ -22,6 +22,35 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val envelope = ChangeFeed.envelope(spark, sf()) // 1000 events
 
+  test("compactEventLog collapses append generations, content-identical") {
+    val logDir = tmp("compactlog")
+    (0 until 5).foreach { g =>
+      RelayStream.writeEventLog(
+        envelope.where(pmod($"scn", lit(5)) === g), logDir, filesHint = 3)
+    }
+    def parts = new java.io.File(logDir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val before = spark.read.schema(RelayStream.schema).parquet(logDir)
+      .collect().toSet
+    val fragmented = parts
+    RelayStream.compactEventLog(spark, logDir, filesHint = 3)
+    assert(parts < fragmented, s"still $parts files after compaction")
+    assert(parts <= 3)
+    val after = spark.read.schema(RelayStream.schema).parquet(logDir)
+      .collect().toSet
+    assert(after == before)
+    // no stray tmp/old dirs left behind
+    val siblings = new java.io.File(logDir).getParentFile.listFiles()
+      .map(_.getName).filter(_.startsWith(new java.io.File(logDir).getName + "."))
+    assert(siblings.isEmpty, siblings.mkString(","))
+    // a streaming reader still sees whole windows in order
+    val cpDir = tmp("compactcp")
+    Collector.clear()
+    Dispatcher.start(RelayStream.read(spark, logDir, maxFilesPerTrigger = 1),
+      new CollectingConsumer, cpDir).awaitTermination()
+    assert(Collector.events.size == before.size)
+  }
+
   test("event log is window-aligned and serves ordered windowed delivery") {
     val logDir = tmp("eventlog")
     val cpDir = tmp("streamcp")
