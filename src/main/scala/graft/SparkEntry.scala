@@ -559,6 +559,29 @@ object SparkEntry {
         .select("lang", "doc_id", "n_tokens", "tok_offset", "chunk_id")
     }),
 
+    // ---- the NEAR-DUP composed pipeline: quality filter → minhash-LSH
+    // verified pairs (restricted to surviving docs) → connected-components
+    // keep-one → sequence packing. The second flagship composition: where
+    // q_pipeline_e2e dedups exactly, this one runs the full fuzzy-dedup
+    // graph machinery end-to-end, hash-matched against a DuckDB
+    // re-derivation (shared-shingle ≥0.8 edges + recursive-CTE closure) ----
+    "q_pipeline_neardup" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val corpus = d0.unionByName(d0.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+      val filtered = corpus
+        .where(round(TF.qualityScore(col("text")), 6) >= 0.5)
+      // near-dup edges among survivors: the cached verified pair set
+      // (computed ONCE for all dedup queries) restricted per endpoint
+      val ids = filtered.select(col("doc_id"))
+      val pairs = verifiedDupPairs(s, dir)
+        .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      val kept = Dedup.keepOnePerComponent(filtered, pairs)
+      graft.pipeline.Packing.packChunks(
+        kept.select("lang", "doc_id", "text"), budgetTokens = 512L)
+    }),
+
     // ---- similarity search: brute-force cosine top-k (baseline) ----
     "q_ann_brute" -> ((s, dir) => {
       val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1621,6 +1644,8 @@ object SparkEntry {
         " OR (partition_id = 2 AND scn > 600)" +
         " OR partition_id = 3"),
 
+    "q_pipeline_neardup" -> pipelineNeardupSql,
+
     "q_decontaminate" -> decontaminateSql,
 
     // bloom path is bit-identical to the exact path (false positives die
@@ -2047,6 +2072,37 @@ object SparkEntry {
       " tk AS (SELECT lang, doc_id," +
       " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens" +
       " FROM clean)" +
+      " SELECT lang, doc_id, n_tokens," +
+      " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset," +
+      " CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_id" +
+      " FROM tk WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
+      " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  }
+
+  /** near-dup pipeline oracle: quality filter → shared-shingle ≥0.8 edge
+    * set among survivors → recursive-CTE transitive closure → keep-one →
+    * packing window. Same LSH-recall caveat as the component queries. */
+  private lazy val pipelineNeardupSql: String = {
+    val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
+    "WITH RECURSIVE corpus AS (SELECT doc_id, lang, text FROM documents" +
+      " UNION ALL SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents)," +
+      s" flt AS (SELECT doc_id, lang, text FROM corpus WHERE round($qualityExprSql, 6) >= 0.5)," +
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM flt))," +
+      " u AS (SELECT doc_id, unnest(s) AS g FROM sh)," +
+      " pairs AS (SELECT x.doc_id AS src, y.doc_id AS dst, count(*) AS shared" +
+      " FROM u x JOIN u y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)," +
+      " e AS (SELECT p.src, p.dst FROM pairs p JOIN sh a ON a.doc_id = p.src" +
+      " JOIN sh b ON b.doc_id = p.dst" +
+      " WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= 0.8)," +
+      " ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)," +
+      " walk(id, lbl) AS (SELECT DISTINCT src AS id, src AS lbl FROM ee" +
+      " UNION SELECT ee.dst AS id, walk.lbl FROM walk JOIN ee ON ee.src = walk.id)," +
+      " dropids AS (SELECT id FROM (SELECT id, min(lbl) AS component FROM walk" +
+      " GROUP BY id) WHERE id <> component)," +
+      " kept AS (SELECT doc_id, lang, text FROM flt" +
+      " WHERE doc_id NOT IN (SELECT id FROM dropids))," +
+      " tk AS (SELECT lang, doc_id," +
+      " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM kept)" +
       " SELECT lang, doc_id, n_tokens," +
       " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset," +
       " CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_id" +
