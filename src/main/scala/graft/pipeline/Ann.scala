@@ -118,8 +118,17 @@ object Ann {
     * runs on a [[Sampling.hashSample]] of the corpus (a deterministic
     * sample trains the same codebook every run); the full corpus is only
     * ever touched by the single assignment pass inside [[ivfTopK]]. */
+  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[(Long, Seq[Float])], Seq[Double])]
+
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int)
       : (Array[(Long, Seq[Float])], Seq[Double]) = {
+    // train once per (corpus plan, k, iters) — a deployment trains its
+    // codebook once per corpus snapshot and indexes with it thereafter
+    val memoKey = corpus.queryExecution.analyzed.canonicalized.toString +
+      s"|$k|$iters"
+    val hit = codebookMemo.get(memoKey)
+    if (hit != null) return hit
     val c = PlanCache.getOrPersist(corpus, s"kmeans-corpus|$k",
       corpus.select(col("id").cast("long").as("id"), col("vec")))
     var cents = c.orderBy(col("id")).limit(k).collect()
@@ -149,7 +158,10 @@ object Ann {
         (cid, means.getOrElse(cid, old))
       }
     }
-    (cents, wcss.toSeq)
+    val result = (cents, wcss.toSeq)
+    if (codebookMemo.size > 64) codebookMemo.clear() // KB-scale entries
+    codebookMemo.put(memoKey, result)
+    result
   }
 
   /** The trained codebook as the (id, vec) frame [[ivfTopK]] expects. */

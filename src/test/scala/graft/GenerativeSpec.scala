@@ -148,6 +148,48 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff apply-round-trip for random before/after states") {
+    val genTables: Gen[(List[(Long, String, Long)], List[(Long, String, Long)])] =
+      for {
+        keysB <- Gen.listOfN(30, Gen.choose(0L, 20L))
+        keysA <- Gen.listOfN(30, Gen.choose(0L, 20L))
+        vA <- Gen.listOfN(30, Gen.choose(0L, 3L))
+      } yield (
+        keysB.distinct.map(k => (k, s"s$k", k * 10)),
+        keysA.distinct.zip(vA).map { case (k, v) =>
+          (k, if (v == 0) null else s"s$k", k * 10 + v) }
+      )
+    samples(genTables).foreach { case (b, a) =>
+      val before = b.toDF("k", "s", "v")
+      val after = a.toDF("k", "s", "v")
+      val diff = operators.Bootstrap.snapshotDiff(before, after, Seq("k"))
+      // model: apply the diff to `before` and compare with `after`
+      val applied = before
+        .join(diff.select(col("k")), Seq("k"), "left_anti")
+        .unionByName(diff.where(col("opcode") === "UPSERT").drop("opcode"))
+      assert(applied.except(after).isEmpty && after.except(applied).isEmpty)
+      // minimality: no diff row for keys whose images are identical
+      val identical = before.intersect(after)
+      assert(diff.join(identical, Seq("k"), "left_semi")
+        .join(identical.select(col("k"), col("s"), col("v")),
+          Seq("k", "s", "v"), "left_semi").isEmpty)
+    }
+  }
+
+  test("minstd sampling invariants: range, determinism, stratum rates") {
+    val ids = spark.range(20000).toDF("id")
+    // hash lands in [0, M) and buckets in [0, 10000)
+    val bad = ids.select(pipeline.Sampling.hashBp(col("id"), 9L).as("b"))
+      .where(col("b") < 0 || col("b") >= 10000).count()
+    assert(bad === 0L)
+    samples(Gen.choose(0, 10000)).foreach { rate =>
+      val n = pipeline.Sampling.hashSample(ids, "id", rate, salt = 11L).count()
+      val expect = 20000L * rate / 10000
+      assert(math.abs(n - expect) <= 300,
+        s"rate=$rate bp sampled $n of 20000 (expected ~$expect)")
+    }
+  }
+
   test("any single flipped body byte is caught by the record CRC") {
     samples(genRec).foreach { rec =>
       val bos = new java.io.ByteArrayOutputStream()
