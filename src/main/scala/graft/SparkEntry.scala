@@ -394,6 +394,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TF.qualityScore(col("text")).as("quality"))),
 
+    // ---- text analysis: Gopher rule battery — per-rule booleans + the
+    // keep conjunction, auditable per doc ----
+    "q_gopher_rules" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TF.gopherRules(col("text")).as("r"))
+        .select(col("doc_id"), col("r.len_ok"), col("r.mean_len_ok"),
+          col("r.dup_ok"), col("r.bigram_ok"), col("r.punct_ok"),
+          col("r.stop_ok"), col("r.keep"))),
+
     // ---- text analysis: content fingerprint ----
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1646,6 +1655,8 @@ object SparkEntry {
 
     "q_pipeline_neardup" -> pipelineNeardupSql,
 
+    "q_gopher_rules" -> gopherRulesSql,
+
     "q_decontaminate" -> decontaminateSql,
 
     // bloom path is bit-identical to the exact path (false positives die
@@ -2077,6 +2088,36 @@ object SparkEntry {
       " CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_id" +
       " FROM tk WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  }
+
+  /** Gopher-rule oracle: each rule's ratio arithmetic mirrored exactly
+    * (integer sums cast to double, IEEE division — identical doubles). */
+  private lazy val gopherRulesSql: String = {
+    val stops = TF.langMarkers("en")
+      .map(w => s"(len(string_split(' ' || text || ' ', ' $w ')) - 1)")
+      .mkString(" + ")
+    val punct = "CAST(length(text) - length(regexp_replace(text," +
+      " '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    "WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks" +
+      " FROM documents)," +
+      " s AS (SELECT doc_id, text, toks, len(toks) AS n," +
+      " list_transform(generate_series(1, len(toks) - 1)," +
+      " i -> toks[i] || ' ' || toks[i+1]) AS bg FROM t)" +
+      " SELECT doc_id," +
+      " n BETWEEN 25 AND 100000 AS len_ok," +
+      " (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)" +
+      " / CAST(n AS DOUBLE)) BETWEEN 3.0 AND 10.0 AS mean_len_ok," +
+      " CAST(n - len(list_distinct(toks)) AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " <= 0.55 AS dup_ok," +
+      " (CASE WHEN n < 2 THEN 0.0 ELSE" +
+      " CAST(list_max(list_transform(list_distinct(bg)," +
+      " b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)" +
+      " / CAST(n - 1 AS DOUBLE) END) <= 0.125 AS bigram_ok," +
+      s" ($punct) <= 0.2 AS punct_ok," +
+      s" ($stops) >= 1 AS stop_ok," +
+      " len_ok AND mean_len_ok AND dup_ok AND bigram_ok AND punct_ok" +
+      " AND stop_ok AS keep" +
+      " FROM s"
   }
 
   /** near-dup pipeline oracle: quality filter → shared-shingle ≥0.8 edge

@@ -124,6 +124,33 @@ object TextFunctions {
       array_max(counts).cast("double") / (n - 1).cast("double"))
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
+    * explicit per-rule booleans plus the conjunction, emitted per doc so
+    * downstream can audit WHICH rule dropped a document (production
+    * pipelines track per-rule drop rates — a sudden shift flags corpus
+    * drift). All arithmetic is integer/ratio exact, so external engines
+    * re-derive every verdict bit-for-bit; thresholds parameterized with
+    * corpus-calibrated defaults. */
+  def gopherRules(text: Column, minTokens: Long = 25L,
+      maxTokens: Long = 100000L, minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0, maxDupFrac: Double = 0.55,
+      maxTopBigram: Double = 0.125, maxPunct: Double = 0.2): Column = {
+    val n = tokenCount(text).cast("long")
+    val lenOk = n >= minTokens && n <= maxTokens
+    val meanOk = meanTokenLen(text).between(minMeanLen, maxMeanLen)
+    val dupOk = duplicateTokenFraction(text) <= maxDupFrac
+    val bigramOk = topBigramFraction(text) <= maxTopBigram
+    val punctOk = punctRatio(text) <= maxPunct
+    val stopOk = langMarkers("en")
+      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
+      .reduce(_ + _) >= 1
+    struct(
+      lenOk.as("len_ok"), meanOk.as("mean_len_ok"), dupOk.as("dup_ok"),
+      bigramOk.as("bigram_ok"), punctOk.as("punct_ok"),
+      stopOk.as("stop_ok"),
+      (lenOk && meanOk && dupOk && bigramOk && punctOk && stopOk).as("keep"))
+  }
+
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 16), 16, 10).cast("decimal(20,0)")
 
