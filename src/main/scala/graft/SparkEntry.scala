@@ -413,6 +413,18 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir))),
 
+    // ---- dedup: normalize-before-hash — planted copies perturbed with
+    // spacing/punctuation jitter defeat raw content hashing (dup_count 1)
+    // but collapse under normalized hashing (dup_count 2+) ----
+    "q_dedup_normalized" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val perturbed = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(regexp_replace(col("text"), " ", "  "), lit(" !!")).as("text"))
+      val corpus = d.unionByName(perturbed)
+        .select(col("doc_id"), TF.normalizeText(col("text")).as("text"))
+      Dedup.exact(corpus)
+    }),
+
     // ---- dedup: minhash LSH candidates → exact n-gram-Jaccard verify ----
     "q_dedup_minhash" -> ((s, dir) => {
       val corpus = dupCorpus(s, dir)
@@ -1599,6 +1611,16 @@ object SparkEntry {
         " SELECT doc_id + 1000000 AS doc_id, text FROM documents)" +
         " SELECT md5(text) AS content_hash, min(doc_id) AS rep_id," +
         " count(*) AS dup_count FROM corpus GROUP BY md5(text)"),
+
+    "q_dedup_normalized" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+        " SELECT doc_id + 1000000 AS doc_id," +
+        " replace(text, ' ', '  ') || ' !!' AS text FROM documents)," +
+        " norm AS (SELECT doc_id, lower(trim(regexp_replace(" +
+        "regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', ' ', 'g')," +
+        " '\\s+', ' ', 'g'))) AS text FROM corpus)" +
+        " SELECT md5(text) AS content_hash, min(doc_id) AS rep_id," +
+        " count(*) AS dup_count FROM norm GROUP BY md5(text)"),
 
     "q_dedup_minhash" -> minhashOracleSql,
 

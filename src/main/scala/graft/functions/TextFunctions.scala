@@ -151,6 +151,16 @@ object TextFunctions {
       (lenOk && meanOk && dupOk && bigramOk && punctOk && stopOk).as("keep"))
   }
 
+  /** Dedup-grade text normalization: punctuation → space, whitespace
+    * runs collapsed, trimmed, lowercased. Exact dedup over the normalized
+    * form catches the near-identical variants (spacing/punctuation/case
+    * jitter) that raw content hashing misses — the standard normalize-
+    * before-hash stage of web-scale dedup. Pure codegen'd string
+    * expressions; the oracle mirrors each step with the same regexes. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", " "), "\\s+", " ")))
+
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 16), 16, 10).cast("decimal(20,0)")
 
