@@ -316,6 +316,25 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
     }),
 
+    // ---- engine query surface: TPC-H Q18 shape (large-volume orders) —
+    // agg-then-semi-join: the qualifying key set comes out of a grouped
+    // HAVING and re-joins the facts. AQE broadcasts the (small) qualifying
+    // set into the fact join; the heavy groupBy gets map-side combine ----
+    "q18_large_orders" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val qualifying = l.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 250L)
+      tbl(s, dir, "orders")
+        .join(qualifying, col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_c"),
+          col("sum_qty"))
+    }),
+
     // ---- stateful analytics: gap sessionization ----
     "q_sessionize" -> ((s, dir) =>
       Sessions.sessionSummary(
@@ -628,6 +647,24 @@ object SparkEntry {
       emb(s, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(VF.norm2(col("embedding")), 6).as("norm"))),
+
+    // ---- embeddings: int8 quantization contract — reconstruction error
+    // is bounded by half a quantum per element BY CONSTRUCTION (round
+    // error ≤ 0.5·scale), and quantized values stay in [-127, 127] ----
+    "q_quantize_int8" -> ((s, dir) =>
+      emb(s, dir)
+        .withColumn("scale", VF.int8Scale(col("embedding")))
+        .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
+        .withColumn("deq", VF.dequantizeInt8(col("q"), col("scale")))
+        .select(col("vec_id"),
+          size(col("q")).cast("long").as("dim"),
+          (aggregate(
+            zip_with(col("embedding"), col("deq"),
+              (a, b) => abs(a.cast("double") - b)),
+            lit(0.0), (acc, x) => greatest(acc, x))
+            <= col("scale") * 0.5000001).as("within_bound"),
+          (array_max(transform(col("q"), x => abs(x))) <= 127)
+            .as("range_ok"))),
 
     // ---- S7: deterministic synthetic generator (load harness) ----
     "q_synthetic_feed" -> ((s, dir) =>
@@ -1563,6 +1600,15 @@ object SparkEntry {
 
     "q5_join" -> oracleSqlQ5,
 
+    "q18_large_orders" ->
+      ("WITH q AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty" +
+        " FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)" +
+        " SELECT c_custkey, c_name, o_orderkey," +
+        " strftime(o_orderdate, '%Y-%m-%d') AS orderdate," +
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c, sum_qty" +
+        " FROM orders JOIN q ON o_orderkey = l_orderkey" +
+        " JOIN customer ON o_custkey = c_custkey"),
+
     "q_topk_orders" ->
       ("SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (SELECT o_custkey," +
         " o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey" +
@@ -1628,6 +1674,10 @@ object SparkEntry {
     // 12 of its partner's signature (measured max 8 at sf0.01, 0 at sf0.1)
     "q_dedup_simhash" ->
       jaccardPairsOracleSql(0.9, ", TRUE AS within_hamming"),
+
+    "q_quantize_int8" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim," +
+        " TRUE AS within_bound, TRUE AS range_ok FROM embeddings"),
 
     // planted twins are the ONLY ≥0.99-cosine pairs and hyperplane LSH
     // recalls identical vectors with probability 1

@@ -118,6 +118,24 @@ object VectorFunctions {
     bucket
   }
 
+  /** Per-vector symmetric int8 quantization scale: max|v| / 127. A
+    * vector quantized at this scale reconstructs within ±scale/2 per
+    * element — the storage tier that shrinks an embedding corpus 4×
+    * (float32 → int8 + one scale) before ANN scanning; exact re-rank
+    * restores full precision for survivors. */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, v => abs(v.cast("double")))) / 127.0
+
+  /** Elementwise quantize to [-127, 127] ints at the given scale. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v =>
+      when(scale === 0.0, 0)
+        .otherwise(round(v.cast("double") / scale).cast("int")))
+
+  /** Dequantize back to doubles. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** (id, vec) frame → (id, vec, table, bucket) rows for `tables`
     * independent hash tables — one tight pass per row, no interpreted
     * HOF trees. Seeds are `seedBase + t*1000` per table. */
