@@ -452,6 +452,18 @@ object SparkEntry {
         .where(col("jaccard") >= 0.8)
     }),
 
+    // ---- dedup: INCREMENTAL near-dup — the shifted copies arrive as a
+    // new batch against the already-signed original corpus; only pairs
+    // touching the batch are (re)computed and verified ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val old = docs(s, dir).select("doc_id", "text")
+      val fresh = old.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val cand = Dedup.incrementalMinhashPairs(fresh, old, jaccardThreshold = 0.5)
+      Dedup.ngramJaccardVerify(old.unionByName(fresh),
+          cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
+    }),
+
     // ---- dedup: exact n-gram Jaccard (brute, small subset baseline) ----
     "q_dedup_ngram" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
@@ -1669,6 +1681,11 @@ object SparkEntry {
         " SELECT md5(text) AS content_hash, min(doc_id) AS rep_id," +
         " count(*) AS dup_count FROM corpus GROUP BY md5(text)"),
 
+    // only pairs touching the new batch (ids >= 1,000,000)
+    "q_dedup_incremental" ->
+      jaccardPairsOracleSql(0.8, "",
+        " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)"),
+
     "q_dedup_normalized" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
         " SELECT doc_id + 1000000 AS doc_id," +
@@ -2253,8 +2270,8 @@ object SparkEntry {
   /** Exact-Jaccard ≥ `threshold` pair set with optional extra constant
     * columns — shared by the minhash oracle and the simhash
     * signature-quality contract. */
-  private def jaccardPairsOracleSql(threshold: Double, extraCols: String)
-      : String = {
+  private def jaccardPairsOracleSql(threshold: Double, extraCols: String,
+      extraWhere: String = ""): String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
     "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
       " SELECT doc_id + 1000000 AS doc_id, text FROM documents)," +
@@ -2266,7 +2283,8 @@ object SparkEntry {
       " round(CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE), 6) AS jaccard" +
       extraCols +
       " FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b" +
-      s" WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= $threshold"
+      s" WHERE CAST(p.shared AS DOUBLE) / CAST(len(a.s) + len(b.s) - p.shared AS DOUBLE) >= $threshold" +
+      extraWhere
   }
 
   /** n-gram Jaccard oracle: brute force over the same 200-doc subset. */

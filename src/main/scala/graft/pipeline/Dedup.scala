@@ -208,9 +208,22 @@ object Dedup {
       s"bands must divide k (got k=$k, bands=$bands) — rows-per-band 0 " +
         "would make every bucket constant and the join a cross product")
     val rows = k / bands
-    import docs.sparkSession.implicits._
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
-    val banded = sigs.as[(Long, Array[Long])]
+    val banded = bandedBuckets(sigs, bands, rows)
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    estimatePairs(cand, sigs, k, jaccardThreshold)
+  }
+
+  /** (id, band, bucket) rows — one FNV fold per band over the signature
+    * slice (the banded-LSH blocking key). */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int)
+      : DataFrame = {
+    import sigs.sparkSession.implicits._
+    sigs.as[(Long, Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (id, sig) =>
           (0 until bands).iterator.map { band =>
@@ -221,23 +234,57 @@ object Dedup {
           }
         }
       }.toDF("id", "band", "bucket")
-    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val withSigs = cand
+  }
+
+  /** Kernel signature-match estimate over a candidate id-pair set. */
+  private def estimatePairs(cand: DataFrame, sigs: DataFrame, k: Int,
+      jaccardThreshold: Double): DataFrame = {
+    import sigs.sparkSession.implicits._
+    cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select("id_a", "id_b", "sig_a", "sig_b")
       .as[(Long, Long, Array[Long], Array[Long])]
-    withSigs.mapPartitions(_.map { case (ia, ib, sa, sb) =>
-      var m = 0; var i = 0
-      while (i < k) { if (sa(i) == sb(i)) m += 1; i += 1 }
-      (ia, ib, m.toDouble / k)
-    }).toDF("id_a", "id_b", "est_jaccard")
+      .mapPartitions(_.map { case (ia, ib, sa, sb) =>
+        var m = 0; var i = 0
+        while (i < k) { if (sa(i) == sb(i)) m += 1; i += 1 }
+        (ia, ib, m.toDouble / k)
+      }).toDF("id_a", "id_b", "est_jaccard")
       .where(col("est_jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Incremental near-dup candidates — dedup a NEW batch against a
+    * corpus that is already signed, emitting only pairs that touch the
+    * batch (old×old pairs are the previous increments' output). This is
+    * the 100 TB operating mode: a growing corpus signs each increment
+    * once (existing signatures come from the persisted table), so
+    * signature cost is proportional to the increment and the collision
+    * join is (new × all) banded buckets, never a full re-block.
+    *
+    * Output orientation: (id_a, id_b) = (min, max), same as the batch
+    * path, so downstream verify/components compose unchanged. */
+  def incrementalMinhashPairs(newDocs: DataFrame, existing: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3,
+      k: Int = 64, bands: Int = 16, jaccardThreshold: Double = 0.5)
+      : DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
+    val rows = k / bands
+    val sigsNew = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
+    val sigsOld = minhashSignatures(existing, textCol, idCol, shingleN, k)
+    val sigsAll = sigsOld.unionByName(sigsNew)
+    val bNew = bandedBuckets(sigsNew, bands, rows)
+      .select(col("id").as("id_n"), col("band"), col("bucket"))
+    val bAll = bandedBuckets(sigsAll, bands, rows)
+      .select(col("id").as("id_o"), col("band"), col("bucket"))
+    val cand = bNew.join(bAll, Seq("band", "bucket"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    estimatePairs(cand, sigsAll, k, jaccardThreshold)
   }
 
   /** Cross-corpus decontamination support: training docs sharing ≥ 1 word

@@ -96,6 +96,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("incremental minhash pairs + old-batch pairs = full-batch pairs") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val fresh = d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val full = Dedup.minhashLshPairs(d.unionByName(fresh),
+      jaccardThreshold = 0.5).select("id_a", "id_b")
+    val oldOnly = Dedup.minhashLshPairs(d, jaccardThreshold = 0.5)
+      .select("id_a", "id_b")
+    val inc = Dedup.incrementalMinhashPairs(fresh, d, jaccardThreshold = 0.5)
+      .select("id_a", "id_b")
+    val combined = oldOnly.unionByName(inc).distinct()
+    assert(combined.except(full).isEmpty && full.except(combined).isEmpty)
+    assert(inc.count() > 0)
+    // incremental emits no old-old pair
+    assert(inc.where(col("id_a") < 1000000L && col("id_b") < 1000000L).isEmpty)
+  }
+
   test("quantizedTopK with full re-rank equals exact brute force") {
     import graft.pipeline.Ann
     val all = spark.read.parquet(sf() + "/embeddings.parquet")
