@@ -395,6 +395,14 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang"),
         TF.langId(col("text")).as("lang_pred"))),
 
+    // ---- heavy hitters: tokens above 1% corpus share, EXACT via
+    // Misra-Gries candidates (provable superset for freq > n/k) + a
+    // broadcast recount — the full-vocabulary shuffle never happens ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.pipeline.Sketches.heavyHitters(
+        docs(s, dir).select(explode(TF.tokens(col("text"))).as("token")),
+        valueCol = "token", minShareBp = 100)),
+
     // ---- text analysis: per-language vocabulary top-k. The token-count
     // aggregate is Zipf-skewed (stopwords dominate) — partial map-side
     // combine absorbs the skew before the shuffle; the top-k window runs
@@ -1738,6 +1746,13 @@ object SparkEntry {
     "q_kmeans_train" ->
       ("SELECT CAST(range AS INT) AS iter, TRUE AS wcss_non_increasing" +
         " FROM range(1, 5)"),
+
+    "q_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token" +
+        " FROM documents)," +
+        " n AS (SELECT count(*) AS total FROM t)" +
+        " SELECT token, count(*) AS cnt FROM t GROUP BY token" +
+        " HAVING count(*) * 10000 > (SELECT total FROM n) * 100"),
 
     "q_vocab_topk" ->
       ("WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token" +

@@ -96,6 +96,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("heavyHitters equals the exact grouped count above threshold") {
+    import graft.pipeline.Sketches
+    // skewed stream: token t0 at ~30%, t1 at ~5%, long tail below 1%
+    val vals = (0 until 20000).map { i =>
+      if (i % 10 < 3) "t0" else if (i % 20 == 3) "t1" else s"tail${i % 3000}"
+    }
+    val df = vals.toDF("token").repartition(8)
+    val got = Sketches.heavyHitters(df, "token", minShareBp = 100)
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("token").count()
+      .where(col("count") * 10000L > 20000L * 100)
+      .as[(String, Long)].collect().toMap
+    assert(got === exact)
+    assert(got.contains("t0") && got.contains("t1"))
+  }
+
   test("incremental minhash pairs + old-batch pairs = full-batch pairs") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
       .select("doc_id", "text").where(col("doc_id") < 60)
