@@ -578,6 +578,12 @@ object SparkEntry {
       graft.pipeline.Packing.packChunks(
         docs(s, dir).select("lang", "doc_id", "text"), budgetTokens = 256L)),
 
+    // ---- sliding context windows: 32-token chunks advancing by 24
+    // (overlap 8) within each doc — the RAG/long-context layout ----
+    "q_sliding_chunks" -> ((s, dir) =>
+      graft.pipeline.Packing.slidingChunks(
+        docs(s, dir).select("doc_id", "text"), window = 32, stride = 24)),
+
     // ---- span-level exact dedup (the line/paragraph-dedup stage of
     // CCNet/RefinedWeb over 20-token blocks): every repeated span keeps
     // only its corpus-wide first occurrence; planted duplicate docs lose
@@ -1794,6 +1800,17 @@ object SparkEntry {
         " CAST((sum(n_tokens) OVER w - n_tokens) // 256 AS BIGINT) AS chunk_id" +
         " FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id" +
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    "q_sliding_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents)," +
+        " s AS (SELECT doc_id, toks, len(toks) AS n," +
+        " CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) + 1 AS nc FROM t)" +
+        " SELECT doc_id, CAST(i AS INT) AS chunk_idx," +
+        " CAST(i * 24 AS BIGINT) AS tok_start," +
+        " CAST(least(32, n - i * 24) AS BIGINT) AS tok_len," +
+        " array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text" +
+        " FROM s, unnest(generate_series(0, nc - 1)) AS u(i)"),
 
     "q_span_dedup" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +

@@ -42,4 +42,36 @@ object Packing {
     packed.groupBy(col(groupCol), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("tok_offset")).as("first_offset"))
+
+  /** Sliding context windows WITHIN each document: `window` tokens per
+    * chunk advancing by `stride` (stride < window ⇒ overlap — the RAG /
+    * long-context training layout where adjacent chunks share context).
+    * Chunk starts are 0, stride, 2·stride, … while start < n_tokens; the
+    * last chunk clips at the document end. Emits one row per chunk with
+    * its token span and text.
+    *
+    * Scale shape: a single narrow explode (documents → chunks), no
+    * shuffle at all — chunk extraction is a codegen'd slice per row. */
+  def slidingChunks(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    val toks = TextFunctions.tokens(col(textCol))
+    // number of chunks = ceil(max(n - window, 0) / stride) + 1
+    val nChunks = (ceil(greatest(col("n_tokens") - window, lit(0))
+      .cast("double") / stride).cast("int") + 1)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("t"),
+        size(toks).as("n_tokens"))
+      .select(col("doc_id"), col("t"), col("n_tokens"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => i * stride)))
+      .select(col("doc_id"),
+        col("pos").as("chunk_idx"),
+        col("col").cast("long").as("tok_start"),
+        least(lit(window), col("n_tokens") - col("col")).cast("long")
+          .as("tok_len"),
+        concat_ws(" ", slice(col("t"), col("col") + 1, lit(window)))
+          .as("chunk_text"))
+  }
 }

@@ -96,6 +96,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("slidingChunks: coverage, overlap, and clipping") {
+    import graft.pipeline.Packing
+    val text = (1 to 50).map(i => s"w$i").mkString(" ") // 50 tokens
+    val out = Packing.slidingChunks(Seq((7L, text)).toDF("doc_id", "text"),
+        window = 20, stride = 15)
+      .orderBy("chunk_idx")
+      .as[(Long, Int, Long, Long, String)].collect()
+    // chunks start at 0, 15, 30 — ceil((50-20)/15)+1 = 3
+    assert(out.map(_._3).toSeq === Seq(0L, 15L, 30L))
+    assert(out.map(_._4).toSeq === Seq(20L, 20L, 20L))
+    // adjacent chunks overlap by window - stride = 5 tokens
+    assert(out(0)._5.split(" ").takeRight(5).toSeq ===
+      out(1)._5.split(" ").take(5).toSeq)
+    // the final chunk ends exactly at the document end
+    assert(out(2)._5.split(" ").last === "w50")
+    // short doc: one clipped chunk
+    val short = Packing.slidingChunks(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      window = 20, stride = 15).as[(Long, Int, Long, Long, String)].collect()
+    assert(short.length === 1 && short(0)._4 === 3L && short(0)._5 === "a b c")
+  }
+
   test("heavyHitters equals the exact grouped count above threshold") {
     import graft.pipeline.Sketches
     // skewed stream: token t0 at ~30%, t1 at ~5%, long tail below 1%
