@@ -472,6 +472,42 @@ object SparkEntry {
         .where(col("jaccard") >= 0.8)
     }),
 
+    // ---- dedup: STREAMING incremental — the fresh batch arrives as a
+    // file stream in micro-batches; each batch dedups against the corpus
+    // grown so far (foreachBatch = the production incremental protocol),
+    // so the union over batches is exactly the touching-new edge set
+    // (same oracle as q_dedup_incremental) ----
+    "q_dedup_stream_incr" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("streamincr").toString
+      val old = docs(s, dir).select("doc_id", "text")
+      old.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .repartition(6).write.parquet(s"$root/in")
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$root/in")
+      var corpus = old
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // detach the micro-batch from the stream so the grown corpus
+          // stays valid across triggers
+          val b = batch.localCheckpoint(true)
+          val cand = Dedup.incrementalMinhashPairs(b, corpus,
+            jaccardThreshold = 0.5)
+          Dedup.ngramJaccardVerify(corpus.unionByName(b),
+              cand.select("id_a", "id_b"))
+            .where(col("jaccard") >= 0.8)
+            .write.mode("append").parquet(s"$root/pairs")
+          corpus = corpus.unionByName(b)
+          ()
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/pairs").distinct()
+    }),
+
     // ---- dedup: exact n-gram Jaccard (brute, small subset baseline) ----
     "q_dedup_ngram" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
@@ -1697,6 +1733,11 @@ object SparkEntry {
 
     // only pairs touching the new batch (ids >= 1,000,000)
     "q_dedup_incremental" ->
+      jaccardPairsOracleSql(0.8, "",
+        " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)"),
+
+    // streaming form accumulates the identical touching-new edge set
+    "q_dedup_stream_incr" ->
       jaccardPairsOracleSql(0.8, "",
         " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)"),
 

@@ -148,7 +148,7 @@ object Bootstrap {
       chunkMemo.computeIfAbsent(src.sparkSession, _ =>
         new java.util.concurrent.ConcurrentHashMap)
     }
-    val memoKey = src.queryExecution.analyzed.canonicalized.toString +
+    val memoKey = graft.pipeline.PlanCache.planKey(src) +
       s"|$keyCol|$relativeError|$nBuckets"
     val (bounds, counts) = memo.computeIfAbsent(memoKey, _ => {
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray

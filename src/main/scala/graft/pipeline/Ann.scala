@@ -165,8 +165,7 @@ object Ann {
       : (Array[(Long, Seq[Float])], Seq[Double]) = {
     // train once per (corpus plan, k, iters) — a deployment trains its
     // codebook once per corpus snapshot and indexes with it thereafter
-    val memoKey = corpus.queryExecution.analyzed.canonicalized.toString +
-      s"|$k|$iters"
+    val memoKey = PlanCache.planKey(corpus) + s"|$k|$iters"
     val hit = codebookMemo.get(memoKey)
     if (hit != null) return hit
     val c = PlanCache.getOrPersist(corpus, s"kmeans-corpus|$k",

@@ -44,8 +44,7 @@ private[graft] object PlanCache {
             true
           } else false
       })
-    val key = params + "|" +
-      input.queryExecution.analyzed.canonicalized.toString
+    val key = params + "|" + planKey(input)
     val hit = perSession.get(key)
     if (hit != null) hit
     else {
@@ -53,6 +52,20 @@ private[graft] object PlanCache {
       perSession.put(key, df)
       df
     }
+  }
+
+  /** Identity key for a DataFrame's source data. Canonicalized plans are
+    * NOT unique for RDD-backed leaves: two different localCheckpoint()/
+    * rdd frames with the same schema canonicalize identically (exprIds
+    * are normalized away), so a micro-batch would silently reuse the
+    * previous batch's cache entry. Each leaf RDD's id joins the key to
+    * keep those distinct. */
+  private[graft] def planKey(df: DataFrame): String = {
+    val leafIds = df.queryExecution.analyzed.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${l.rdd.id}"
+      case _ => ""
+    }.mkString(",")
+    leafIds + "|" + df.queryExecution.analyzed.canonicalized.toString
   }
 
   /** Drop every cached signature table (tests / memory pressure). */
