@@ -481,7 +481,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("streamincr").toString
       val old = docs(s, dir).select("doc_id", "text")
       old.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        .repartition(6).write.parquet(s"$root/in")
+        .repartition(4).write.parquet(s"$root/in")
       val stream = s.readStream
         .schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 2)
