@@ -1152,6 +1152,62 @@ object SparkEntry {
           max(col("payload_rec.event_id")).as("max_id"))
     }),
 
+    // ---- S2 generic form: schema-WALKING payload codec over a second
+    // registered source with a nested schema — every simple type the
+    // reference factory supports (BOOLEAN, BYTES/BLOB, DOUBLE, FLOAT, INT,
+    // LONG/TIMESTAMP-as-millis, STRING/CLOB with planted nulls through the
+    // nullable union) plus ARRAY-of-RECORD, encoded → decoded → re-flattened
+    // and verified field-by-field against the base tables ----
+    "q_decode_generic" -> ((s, dir) => {
+      val vs = graft.model.VersionedSchemaSet.orderWithItemsV1
+      val items = tbl(s, dir, "lineitem")
+        // same predicate as the orders side, stated where the scan can use
+        // it — the collect_list agg then sees 1/5th of the fact rows
+        .where(col("l_orderkey") % 5 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_returnflag")))).as("items"))
+      val rec = tbl(s, dir, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(struct(
+          col("o_orderkey"),
+          (col("o_totalprice") > 150000.0).as("o_urgent"),
+          (col("o_orderkey") % 97).cast("int").as("o_bucket"),
+          (col("o_totalprice") / 1000.0).cast("float").as("o_rate"),
+          col("o_totalprice"),
+          concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+            .cast("binary").as("o_blob"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("o_clob"),
+          // parquet dates are TIMESTAMP_NTZ; session TZ is pinned UTC, so
+          // the cast matches DuckDB's epoch_ms over the naive timestamp
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+          col("items")).as("rec"))
+      val enc = graft.functions.GenericAvroCodec.encode(vs.schemaJson)
+      val dec = graft.functions.GenericAvroCodec.decode(vs.schemaJson)
+      rec.select(dec(enc(col("rec"))).as("r"))
+        .select(col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_urgent").as("o_urgent"),
+          col("r.o_bucket").as("o_bucket"),
+          // float widens exactly to double; floor(×1e4) is deterministic on
+          // both engines where round-half could straddle representations
+          floor(col("r.o_rate").cast("double") * 10000).cast("long")
+            .as("o_rate_e4"),
+          round(col("r.o_totalprice") * 100).cast("long").as("price_c"),
+          col("r.o_blob").cast("string").as("o_blob_text"),
+          col("r.o_clob").as("o_clob"),
+          col("r.o_date_ms").as("o_date_ms"),
+          explode(col("r.items")).as("item"))
+        .select(col("o_orderkey"), col("o_urgent"), col("o_bucket"),
+          col("o_rate_e4"), col("price_c"), col("o_blob_text"), col("o_clob"),
+          col("o_date_ms"), col("item.l_linenumber").as("l_linenumber"),
+          col("item.l_quantity").as("l_quantity"),
+          col("item.l_returnflag").as("l_returnflag"))
+    }),
+
     // ---- P14: V2→V1 envelope down-conversion (drop metadata shape, ms
     // timestamps — DbusEventV1.java:166-183 projection) ----
     "q_to_v1" -> ((s, dir) => Relay.toV1(envCore(s, dir))),
@@ -2070,6 +2126,18 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS n," +
         " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c," +
         " max(event_id) AS max_id FROM events GROUP BY event_type"),
+
+    "q_decode_generic" ->
+      ("SELECT o.o_orderkey, (o.o_totalprice > 150000.0) AS o_urgent," +
+        " CAST(o.o_orderkey % 97 AS INTEGER) AS o_bucket," +
+        " CAST(floor(CAST(CAST(o.o_totalprice / 1000.0 AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS o_rate_e4," +
+        " CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c," +
+        " o.o_orderstatus || '|' || o.o_orderpriority AS o_blob_text," +
+        " CASE WHEN o.o_orderkey % 7 = 0 THEN NULL ELSE o.o_orderpriority END AS o_clob," +
+        " epoch_ms(o.o_orderdate) AS o_date_ms," +
+        " l.l_linenumber, l.l_quantity, l.l_returnflag" +
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey" +
+        " WHERE o.o_orderkey % 5 = 0"),
 
     "q_to_v1" ->
       (s"$ENV SELECT scn, seq, ts_us // 1000 AS ts_ms, source_id," +

@@ -3,15 +3,9 @@ package graft.functions
 import java.io.ByteArrayOutputStream
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
-
-/** Decoded events-payload record (struct column shape). */
-case class DecodedEventPayload(
-    event_id: Option[Long], user_id: Option[Long], event_type: Option[String],
-    value: Option[Double], props: Option[String])
 
 /** Avro-binary payload codec.
   *
@@ -29,70 +23,25 @@ case class DecodedEventPayload(
   */
 object AvroCodec {
 
-  /** Encode (event_id, user_id, event_type, value, props) → Avro binary with
-    * the events payload schema. Fields are nullable unions [type, null],
-    * matching the reference's factory output (OracleAvroGenericEventFactory
-    * .java:528-702). */
-  def encodeEventPayload(schemaJson: String): Column => Column = {
-    val enc = udf { (eventId: java.lang.Long, userId: java.lang.Long,
-                     eventType: String, value: java.lang.Double, props: String) =>
-      val schema = SchemaHolder.get(schemaJson)
-      val rec = new GenericData.Record(schema)
-      rec.put("event_id", eventId)
-      rec.put("user_id", userId)
-      rec.put("event_type", eventType)
-      rec.put("value", value)
-      rec.put("props", props)
-      serialize(rec, schema)
-    }
-    (payloadStruct: Column) => enc(
-      payloadStruct.getField("event_id"), payloadStruct.getField("user_id"),
-      payloadStruct.getField("event_type"), payloadStruct.getField("value"),
-      payloadStruct.getField("props"))
-  }
+  /** Encode a payload struct → Avro binary. Delegates to the schema-walking
+    * [[GenericAvroCodec]] (fields resolve by name against the struct), so
+    * the same path carries the fixture `events` record and any user-
+    * registered schema (OracleAvroGenericEventFactory.java:528-702). */
+  def encodeEventPayload(schemaJson: String): Column => Column =
+    GenericAvroCodec.encode(schemaJson)
 
   /** Decode Avro binary back to a struct column (writer schema = reader
     * schema here; schema-evolution resolution goes through
-    * `decodeWith(writer, reader)`). */
-  def decodeEventPayload(schemaJson: String): Column => Column = {
-    val dec = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) None
-      else {
-        val schema = SchemaHolder.get(schemaJson)
-        val rec = deserialize(bytes, schema, schema)
-        def l(f: String): Option[Long] =
-          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Long].longValue)
-        def s(f: String): Option[String] = Option(rec.get(f)).map(_.toString)
-        def d(f: String): Option[Double] =
-          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Double].doubleValue)
-        Some(DecodedEventPayload(l("event_id"), l("user_id"), s("event_type"),
-          d("value"), s("props")))
-      }
-    }
-    (bytes: Column) => dec(bytes)
-  }
+    * [[decodeEventPayloadEvolved]]). */
+  def decodeEventPayload(schemaJson: String): Column => Column =
+    GenericAvroCodec.decode(schemaJson)
 
   /** Decode with schema *evolution*: writer schema resolved per row group,
-    * reader schema fixed (Avro resolution drops/defaults fields). */
+    * reader schema fixed (Avro resolution drops/defaults fields; output
+    * shape = READER schema, so a v2 reader surfaces defaulted new fields). */
   def decodeEventPayloadEvolved(writerJson: String, readerJson: String)
-      : Column => Column = {
-    val dec = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) None
-      else {
-        val writer = SchemaHolder.get(writerJson)
-        val reader = SchemaHolder.get(readerJson)
-        val rec = deserialize(bytes, writer, reader)
-        def l(f: String): Option[Long] =
-          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Long].longValue)
-        def s(f: String): Option[String] = Option(rec.get(f)).map(_.toString)
-        def d(f: String): Option[Double] =
-          Option(rec.get(f)).map(_.asInstanceOf[java.lang.Double].doubleValue)
-        Some(DecodedEventPayload(l("event_id"), l("user_id"), s("event_type"),
-          d("value"), s("props")))
-      }
-    }
-    (bytes: Column) => dec(bytes)
-  }
+      : Column => Column =
+    GenericAvroCodec.decodeEvolved(writerJson, readerJson)
 
   /** J2 / SURVEY §7.4 — schema-by-digest decode of mixed-version payloads
     * in one column: the writer schema of each event is identified by the
@@ -132,11 +81,4 @@ object AvroCodec {
     new GenericDatumReader[GenericRecord](writer, reader).read(null, decoder)
   }
 
-  /** Per-executor schema parse cache (Schema isn't serializable-friendly to
-    * close over; ship JSON, parse once per JVM). */
-  private object SchemaHolder {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Schema]()
-    def get(json: String): Schema =
-      cache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
-  }
 }

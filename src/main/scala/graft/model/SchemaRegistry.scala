@@ -130,5 +130,31 @@ object VersionedSchemaSet {
       |{"name":"props","type":["string","null"],"meta":"dbFieldPosition=4"}
       |]}""".stripMargin.replaceAll("\n", ""))
 
-  val default: VersionedSchemaSet = VersionedSchemaSet(Seq(eventPayloadV1))
+  /** A second registered source with a NESTED payload schema — flat fields
+    * of every simple type the reference factory supports (BOOLEAN, BYTES/
+    * BLOB, DOUBLE, FLOAT, INT, LONG incl. DATE/TIMESTAMP-as-millis, STRING/
+    * CLOB) plus an ARRAY-of-RECORD collection, the exact shape
+    * OracleAvroGenericEventFactory walks (putSimpleValue :519-612,
+    * putArray :348-392). Exercised end-to-end by q_decode_generic. */
+  val orderWithItemsV1: VersionedSchema = VersionedSchema(
+    "orders_nested", 1,
+    """{"type":"record","name":"OrderWithItems","namespace":"graft.orders",
+      |"fields":[
+      |{"name":"o_orderkey","type":["long","null"]},
+      |{"name":"o_urgent","type":["boolean","null"]},
+      |{"name":"o_bucket","type":["int","null"]},
+      |{"name":"o_rate","type":["float","null"]},
+      |{"name":"o_totalprice","type":["double","null"]},
+      |{"name":"o_blob","type":["bytes","null"]},
+      |{"name":"o_clob","type":["string","null"]},
+      |{"name":"o_date_ms","type":["long","null"]},
+      |{"name":"items","type":{"type":"array","items":
+      |{"type":"record","name":"OrderItem","fields":[
+      |{"name":"l_linenumber","type":["int","null"]},
+      |{"name":"l_quantity","type":["double","null"]},
+      |{"name":"l_returnflag","type":["string","null"]}]}}}
+      |]}""".stripMargin.replaceAll("\n", ""))
+
+  val default: VersionedSchemaSet =
+    VersionedSchemaSet(Seq(eventPayloadV1, orderWithItemsV1))
 }
