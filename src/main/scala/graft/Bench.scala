@@ -14,6 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration: time only the named queries (skips throughput legs)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,8 +32,10 @@ object Bench {
     // warm-up and the per-query numbers are noise, not plans); (b) touch
     // each measured table so parquet footer/file-listing caches are hot.
     val warmDir = "/root/testdata/sf0.001"
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     Seq("events", "lineitem", "orders", "customer", "supplier", "nation",
@@ -43,7 +48,7 @@ object Bench {
     // intermittent multi-second scheduler/compilation glitches that are
     // not properties of the plan — min-of-2 reports the plan's real cost.
     def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      picked.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -66,6 +71,17 @@ object Bench {
       val a = once(); val b = once()
       if (b._2 > a._2) b else a
     }
+    if (only.isDefined) {
+      // iteration mode: per-query timings only, skip the throughput legs
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${results.values.sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val (nEvents, eventsPerSec) = throughput(() =>
       graft.operators.Relay.streamOrdered(
         graft.sources.Store.eventLog(spark, sfDir),
@@ -89,14 +105,27 @@ object Bench {
         spark.read.format("graft-relay").option("path", wireDir).load(),
         filter = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))).count())
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // rounded-ms compact values keep the single JSON line well inside the
+    // driver's tail capture (the full-precision doubles once tipped it
+    // past the limit and the round lost its bench record); the same line
+    // is also written to a file so a truncated tail can never lose it
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val total =
+      if (results.nonEmpty) math.round(results.values.sum * 1000) / 1000.0
+      else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""relay_events_per_sec":${eventsPerSec.round},"relay_events":$nEvents,""" +
       s""""relay_binary_events_per_sec":${binEps.round},""" +
       s""""relay_wire_events_per_sec":${wireEps.round},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
+    System.err.println("[bench] json also written to /tmp/graft_bench.json")
     spark.stop()
   }
 }

@@ -154,13 +154,29 @@ object Dedup {
     PlanCache.getOrPersist(docs, s"minhash|$textCol|$idCol|$shingleN|$k",
       minhashSignaturesUncached(docs, textCol, idCol, shingleN, k))
 
+  /** Per-session count of documents run through the signature kernel —
+    * instrumentation for the O(increment) signing contract of the
+    * persisted-signature protocol (approximate under task retries /
+    * cache-evicted recomputation; exact in a clean run). */
+  private val signAccs =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.util.LongAccumulator]
+  private[graft] def signedDocsAccumulator(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.LongAccumulator = synchronized {
+    signAccs.computeIfAbsent(spark,
+      s => s.sparkContext.longAccumulator("graft.dedup.signedDocs"))
+  }
+
   private def minhashSignaturesUncached(docs: DataFrame, textCol: String,
       idCol: String, shingleN: Int, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    val signed = signedDocsAccumulator(docs.sparkSession)
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
+          signed.add(1L)
           val toks = text.split("\\s+")
           val nSh = math.max(toks.length - shingleN + 1, 1)
           val seen = new java.util.HashSet[String](nSh * 2)
@@ -269,23 +285,93 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3,
       k: Int = 64, bands: Int = 16, jaccardThreshold: Double = 0.5)
       : DataFrame = {
+    val sigsNew = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
+    val sigsOld = minhashSignatures(existing, textCol, idCol, shingleN, k)
+    incrementalPairsFromSignatures(sigsNew, sigsOld, k, bands,
+      jaccardThreshold)
+  }
+
+  /** Incremental near-dup candidates from SIGNATURE frames — the
+    * persisted-signature-table operating mode (the protocol a streaming /
+    * repeatedly-incrementing corpus must run at 100 TB). `sigsNew` is the
+    * increment's signature frame (sign ONLY the increment — one
+    * [[minhashSignatures]] call on the batch), `sigsExisting` is the
+    * signature TABLE accumulated so far, e.g. a parquet store appended
+    * once per prior increment: the existing corpus is never re-signed, so
+    * per-increment signing cost is O(increment) by construction. The
+    * stored side still re-bands each call — a scan of (id, 64×8 B)
+    * signature rows, no text — persist the banded frame too if even that
+    * scan matters.
+    *
+    * Both frames are (id LONG, sig ARRAY<LONG(k)>), the exact schema
+    * [[minhashSignatures]] emits and parquet roundtrips. Emits pairs that
+    * touch the increment (including within-increment), oriented
+    * (min, max) like the batch path. */
+  def incrementalPairsFromSignatures(sigsNew: DataFrame,
+      sigsExisting: DataFrame, k: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.5): DataFrame =
+    estimatePairs(
+      incrementalCandidatesFromSignatures(sigsNew, sigsExisting, k, bands),
+      sigsExisting.unionByName(sigsNew), k, jaccardThreshold)
+
+  /** Candidate HALF of the signature-store protocol: banded (new × all)
+    * collision pairs, no signature-match estimate. Split out so a
+    * streaming caller can keep the per-trigger path to sign + band +
+    * append and run ONE estimate/verify over the accumulated candidates
+    * at the end — signatures are immutable per id, so estimating against
+    * the final store is bit-identical to estimating per increment. */
+  def incrementalCandidatesFromSignatures(sigsNew: DataFrame,
+      sigsExisting: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
     val rows = k / bands
-    val sigsNew = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
-    val sigsOld = minhashSignatures(existing, textCol, idCol, shingleN, k)
-    val sigsAll = sigsOld.unionByName(sigsNew)
     val bNew = bandedBuckets(sigsNew, bands, rows)
+    incrementalCandidatesFromBanded(bNew,
+      bandedBuckets(sigsExisting, bands, rows).unionByName(bNew))
+  }
+
+  /** (id, band, bucket) blocking rows for a signature frame — the banded
+    * table a store-protocol pipeline persists alongside the signatures so
+    * an increment bands ONLY itself (the stored side is never re-scanned
+    * through the banding kernel). */
+  def bandedBucketsFromSignatures(sigs: DataFrame, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
+    bandedBuckets(sigs, bands, k / bands)
+  }
+
+  /** Collision candidates of a new banded frame against the full banded
+    * table (which must already include the new rows for within-increment
+    * pairs), oriented (min, max).
+    *
+    * `broadcastNew` picks the join strategy for the normal incremental
+    * operating point — increment ≪ corpus: broadcasting the increment's
+    * (id, band, bucket) rows lets the stored table stream through a
+    * broadcast hash join with NO shuffle and no sort of the store (24 B ×
+    * bands rows per new doc — fine up to ~10⁶-doc increments). Leave it
+    * false when the increment is itself corpus-sized and the shuffle
+    * equi-join is the right plan. */
+  def incrementalCandidatesFromBanded(bandedNew: DataFrame,
+      bandedAll: DataFrame, broadcastNew: Boolean = false): DataFrame = {
+    val newSide0 = bandedNew
       .select(col("id").as("id_n"), col("band"), col("bucket"))
-    val bAll = bandedBuckets(sigsAll, bands, rows)
-      .select(col("id").as("id_o"), col("band"), col("bucket"))
-    val cand = bNew.join(bAll, Seq("band", "bucket"))
+    val newSide = if (broadcastNew) broadcast(newSide0) else newSide0
+    newSide
+      .join(bandedAll.select(col("id").as("id_o"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("id_n") =!= col("id_o"))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
-    estimatePairs(cand, sigsAll, k, jaccardThreshold)
   }
+
+  /** Signature-match estimate + threshold over a candidate pair set,
+    * given the signature table (public face of the estimate stage for
+    * store-protocol callers). */
+  def estimatePairsFromSignatures(cand: DataFrame, sigs: DataFrame,
+      k: Int = 64, jaccardThreshold: Double = 0.5): DataFrame =
+    estimatePairs(cand.select("id_a", "id_b"), sigs, k, jaccardThreshold)
 
   /** Cross-corpus decontamination support: training docs sharing ≥ 1 word
     * n-gram with an evaluation corpus. The standard train/test overlap

@@ -104,6 +104,23 @@ object WireFixtures {
       }
     }
 
+  /** Minhash signature + banded-blocking stores for the documents corpus —
+    * the one-time onboarding a signature-store dedup pipeline performs
+    * when a corpus is first signed (long before any increment arrives).
+    * Contains `sigs/` (id, sig[64]) and `banded/` (id, band, bucket).
+    * Streaming/incremental demos treat these as read-only and land their
+    * per-increment appends in their own overlay dirs. */
+  def minhashStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/minhash_store") { tmp =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val sigs = graft.pipeline.Dedup.minhashSignatures(
+        docs, "text", "doc_id", 3, 64)
+      sigs.coalesce(4).write.parquet(s"$tmp/sigs")
+      graft.pipeline.Dedup.bandedBucketsFromSignatures(sigs)
+        .coalesce(4).write.parquet(s"$tmp/banded")
+    }
+
   /** Binary relay event-log segments (the graft-relay DataSource's
     * storage), written once from the envelope. Returns the segment dir. */
   def relayLogDir(spark: SparkSession, sfDir: String): String =

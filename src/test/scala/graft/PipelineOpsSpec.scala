@@ -150,6 +150,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inc.where(col("id_a") < 1000000L && col("id_b") < 1000000L).isEmpty)
   }
 
+  test("persisted-signature protocol signs only the increments (O(batch))") {
+    val root = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 60)
+    val nOld = d.count()
+    // batch-path reference output, materialized EAGERLY so its signature
+    // work (d + full fresh set) lands before the accumulator snapshot
+    val expected = Dedup.incrementalMinhashPairs(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")), d,
+      jaccardThreshold = 0.5).select("id_a", "id_b").localCheckpoint(true)
+    val acc = Dedup.signedDocsAccumulator(spark)
+    val before = acc.value
+    // onboard: corpus signatures into the store (PlanCache hit — no re-sign)
+    Dedup.minhashSignatures(d, "text", "doc_id", 3, 64)
+      .write.parquet(s"$root/sigs")
+    // two increments, each signed once, banded against the STORE
+    var got: org.apache.spark.sql.DataFrame = null
+    Seq(0L, 30L).foreach { lo =>
+      val batch = d.where(col("doc_id") >= lo && col("doc_id") < lo + 30)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val sigsNew = Dedup.minhashSignatures(batch, "text", "doc_id", 3, 64)
+      val pairs = Dedup.incrementalPairsFromSignatures(sigsNew,
+        spark.read.parquet(s"$root/sigs"), jaccardThreshold = 0.5)
+        .select("id_a", "id_b").localCheckpoint(true)
+      sigsNew.write.mode("append").parquet(s"$root/sigs")
+      got = if (got == null) pairs else got.unionByName(pairs)
+    }
+    // union over increments = the batch incremental edge set: increment 1
+    // emits old×f1 + f1×f1, increment 2 (store now holds f1) emits
+    // old×f2 + f1×f2 + f2×f2; old×old never re-emitted
+    val gotD = got.distinct()
+    assert(gotD.except(expected).isEmpty && expected.except(gotD).isEmpty)
+    // ONLY the two 30-doc increments went through the signature kernel —
+    // the stored corpus was never re-signed
+    assert(acc.value - before == nOld)
+  }
+
   test("quantizedTopK with full re-rank equals exact brute force") {
     import graft.pipeline.Ann
     val all = spark.read.parquet(sf() + "/embeddings.parquet")
