@@ -805,6 +805,47 @@ object SparkEntry {
         .select("txn", "scn", "l_partkey", "l_quantity")
     }),
 
+    // ---- S1 LIVE form: the same capture against an actual JDBC database
+    // (embedded Derby; the reference's sy$view ⋈ sy$txlog poll query with
+    // scn > lastScn pushed into the database, split into 4 parallel scn
+    // bands — OracleTxlogEventReader.java:613-704) ----
+    "q_capture_jdbc" -> ((s, dir) => {
+      val db = graft.sources.DerbyTxlogFixture.ensure(s, dir)
+      graft.sources.JdbcTxlogCapture.read(s, db.url, db.viewTable,
+          db.txlogTable, sinceScn = 100000L, numPartitions = 4)
+        .select(col("txn"), col("scn"), col("l_partkey"), col("l_quantity"))
+    }),
+
+    // ---- S1 LIVE streaming form: the capture as a MicroBatchStream —
+    // offsets are txlog high-watermark SCNs, each micro-batch pulls one
+    // (start, end] band from the database (the reference's poll loop as
+    // streaming offset algebra); drained with AvailableNow in ~3 bounded
+    // batches via the scn admission cap ----
+    "q_capture_jdbc_stream" -> ((s, dir) => {
+      val db = graft.sources.DerbyTxlogFixture.ensure(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("jdbccap").toString
+      val span = graft.sources.JdbcTxlogCapture.maxScn(db.url,
+        db.txlogTable) - 100000L
+      val q = s.readStream.format("graft-jdbc-capture")
+        .option("url", db.url).option("view", db.viewTable)
+        .option("txlog", db.txlogTable)
+        .option("startingScn", 100000L)
+        .option("maxScnPerBatch", math.max(span / 3 + 1, 1L))
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("txn"), col("scn"), col("l_partkey"),
+              col("l_quantity"))
+            .coalesce(4).write.mode("append").parquet(s"$root/out")
+          ()
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+    }),
+
     // ---- P16: CRC stamp + validate (self-checking; no SQL oracle) ----
     "q_crc_integrity" -> ((s, dir) => {
       val schema = graft.model.VersionedSchemaSet.eventPayloadV1.schemaJson
@@ -2017,6 +2058,16 @@ object SparkEntry {
       ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         " WHERE o_orderkey * 10 > 100000"),
+
+    "q_capture_jdbc" ->
+      ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " WHERE o_orderkey * 10 > 100000 AND o_orderkey % 20 = 0"),
+
+    "q_capture_jdbc_stream" ->
+      ("SELECT l_orderkey AS txn, o_orderkey * 10 AS scn, l_partkey, l_quantity" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " WHERE o_orderkey * 10 > 100000 AND o_orderkey % 20 = 0"),
 
     "q_capture_band" ->
       s"$ENV SELECT * FROM envelope WHERE scn > 300 AND scn <= 700",
