@@ -445,11 +445,28 @@ object Dedup {
     val evalGrams = PlanCache.getOrPersist(eval, s"decon-grams|$shingleN",
       gramHashes(eval, textCol, idCol, shingleN).select("g").distinct())
     val nEval = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    // native bloom expressions: bloom_filter_agg builds the filter as a
+    // distributed aggregate (no driver-side merge of per-partition
+    // filters), and might_contain over the byte-literal keeps the prune
+    // INSIDE whole-stage codegen on the train-side scan — no ScalaUDF on
+    // the 100 TB side (PlansSpec asserts this). Bits sized like
+    // BloomFilter.optimalNumOfBits(n, fpp).
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = math.max(64L,
+      (-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = evalGrams
+      .agg(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(ColumnBridge.expression(col("g")),
+            ColumnBridge.expression(lit(nEval)),
+            ColumnBridge.expression(lit(numBits)))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val suspects = gramHashes(train, textCol, idCol, shingleN)
-      .where(mightContain(col("g")))
+      .where(ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bloomBytes)),
+          ColumnBridge.expression(col("g")))))
     val flagged = suspects.join(evalGrams, Seq("g"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     train.join(flagged, Seq(idCol), "left_anti")

@@ -90,4 +90,21 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"eval side not broadcast in:\n$plan")
   }
+
+  test("bloom decontamination gates the train gram scan WITHOUT a ScalaUDF") {
+    val train = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val eval = train.where($"doc_id" < 10)
+    val clean = graft.pipeline.Dedup.decontaminateBloom(train, eval)
+    val plan = clean.queryExecution.executedPlan.toString
+    // the prune must be the NATIVE might_contain expression inside
+    // codegen, never an interpreted Scala UDF on the 100 TB-side scan
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF in bloom plan:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"native bloom prune missing in:\n$plan")
+    // same output as the exact path (bit-identical contract)
+    val exact = graft.pipeline.Dedup.decontaminate(train, eval)
+    assert(clean.select("doc_id").except(exact.select("doc_id")).isEmpty &&
+      exact.select("doc_id").except(clean.select("doc_id")).isEmpty)
+  }
 }
