@@ -341,6 +341,67 @@ object SparkEntry {
         envCore(s, dir).select("key_long", "ts_us"),
         keyCol = "key_long", tsCol = "ts_us", gap = 4L * 3600L * 1000000L)),
 
+    // ---- stateful analytics, STREAMING form: flatMapGroupsWithState
+    // sessionizer driven over the event log in three resumed runs (two
+    // time-slices + a per-key sentinel past the gap that closes every
+    // open session) — per-key open-session state survives each restart
+    // through the checkpointed state store; the emitted closed sessions
+    // at completion equal the batch q_sessionize derivation (same
+    // oracle) with session_seq re-derived from session order ----
+    "q_sessionize_stream" -> ((s, dir) => {
+      val gapUs = 4L * 3600L * 1000000L
+      val root = java.nio.file.Files.createTempDirectory("sessstream").toString
+      // a 20% key slice: the state-machine demo needs stateful coverage,
+      // not the full envelope volume (the batch form q_sessionize covers
+      // that); oracle mirrors the slice
+      val ev = envCore(s, dir).where(col("key_long") % 5 === 0)
+        .select(col("key_long").as("key"), col("ts_us").as("ts"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
+      val mid = tMin + (tMax - tMin) / 2
+      // three time-ordered micro-batches inside ONE AvailableNow run
+      // (FileStreamSource admits oldest-modification-time first, two
+      // files per trigger): first half of event time, second half, then
+      // per-key sentinels past the gap that close every session still
+      // open — per-key state flows batch → batch through the state store
+      ev.where(col("ts") <= mid).coalesce(2).write.parquet(s"$root/in")
+      Thread.sleep(100) // distinct mtimes: slice order IS batch order
+      ev.where(col("ts") > mid).coalesce(2)
+        .write.mode("append").parquet(s"$root/in")
+      Thread.sleep(100)
+      ev.select(col("key")).distinct()
+        .select(col("key"), lit(tMax + gapUs + 1).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      // the stateful shuffle/state-store width follows the session's
+      // shuffle partitions; this demo's state is thousands of keys, so a
+      // session clone pinned to 4 partitions cuts 32× state-store commit
+      // overhead per micro-batch (at 100 TB you'd size it to the cluster)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      import s2.implicits._
+      val q = s2.readStream.schema("key LONG, ts LONG")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$root/in")
+        .as[graft.operators.Sessions.SessionEvent]
+        .transform(in => Sessions.sessionizeStream(in, gapMs = gapUs,
+          useTimeout = false).toDF())
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.coalesce(1).write.mode("append").parquet(s"$root/out"); ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("session_start"))
+      s.read.parquet(s"$root/out")
+        .withColumn("session_seq", row_number().over(w).cast("long") - 1L)
+        .select(col("key").as("key_long"), col("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"))
+    }),
+
     // ---- as-of join: latest purchase at-or-before each event ----
     "q_asof_join" -> ((s, dir) => {
       val env = envCore(s, dir)
@@ -1840,6 +1901,15 @@ object SparkEntry {
         " (SELECT key_long, ts_us, CASE WHEN ts_us - lag(ts_us, 1) OVER" +
         " (PARTITION BY key_long ORDER BY ts_us) > 14400000000 THEN 1 ELSE 0 END AS new_session" +
         " FROM envelope)) GROUP BY key_long, session_seq"),
+
+    "q_sessionize_stream" ->
+      (s"$ENV SELECT key_long, session_seq, min(ts_us) AS session_start," +
+        " max(ts_us) AS session_end, count(*) AS n_events FROM" +
+        " (SELECT key_long, ts_us, CAST(sum(new_session) OVER" +
+        " (PARTITION BY key_long ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM" +
+        " (SELECT key_long, ts_us, CASE WHEN ts_us - lag(ts_us, 1) OVER" +
+        " (PARTITION BY key_long ORDER BY ts_us) > 14400000000 THEN 1 ELSE 0 END AS new_session" +
+        " FROM envelope WHERE key_long % 5 = 0)) GROUP BY key_long, session_seq"),
 
     "q_asof_join" ->
       (s"$ENV SELECT a.seq, a.key_long, b.pseq AS asof_pseq FROM" +
