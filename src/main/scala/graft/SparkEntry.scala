@@ -1499,6 +1499,21 @@ object SparkEntry {
       Relay.streamEvents(log, filter = KeyModFilter(4, 0, 2))
     }),
 
+    // ---- P7 on STRING keys: KeyRange over the mixed-key wire log — the
+    // reference's range filter is parse-as-long ONLY (an unparseable
+    // string key throws, KeyRangeFilter.java:50-57, no hashCode fallback
+    // like KeyMod), so the serving range EXCLUDES events whose string key
+    // doesn't parse instead of silently ranging over their hash ----
+    "q_filter_keyrange_string" -> ((s, dir) => {
+      val log = s.read.format("graft-relay")
+        .option("path", graft.sources.WireFixtures.dbusv2MixedLogDir(s, dir))
+        .load()
+        .select("scn", "seq", "source_id", "partition_id", "opcode",
+          "key_long", "key_string")
+      Relay.streamEvents(log,
+        filter = DbusKeyFilter("RANGE", Seq(KeyRangeFilter(100L, 600L))))
+    }),
+
     // ---- metadata DbusEventPart surfaced as an envelope column
     // (DbusEventPart.java:41; DbusEventAvroDecoder.getMetadata): user
     // metadata rides behind the engine's seq prefix and decodes back. ----
@@ -1732,6 +1747,13 @@ object SparkEntry {
       (s"$MIXED SELECT scn, seq, source_id, partition_id, opcode, key_long," +
         " key_string FROM envelope" +
         " WHERE abs(key_long) % 4 >= 0 AND abs(key_long) % 4 < 2"),
+
+    "q_filter_keyrange_string" ->
+      (s"$MIXED SELECT scn, seq, source_id, partition_id, opcode, key_long," +
+        " key_string FROM envelope" +
+        " WHERE (key_string IS NULL OR (regexp_full_match(key_string, '-?\\d+')" +
+        " AND TRY_CAST(key_string AS BIGINT) IS NOT NULL))" +
+        " AND key_long >= 100 AND key_long < 600"),
 
     "q_dbusv1_roundtrip" ->
       (s"$V1ENV SELECT source_id," +

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
 sealed trait DbusFilter {
   /** The predicate as a Catalyst column expression. */
   def toColumn: Column
+  /** Schema-aware form: serving paths pass the envelope's column names so
+    * filters whose semantics depend on the KEY KIND (KeyRange over mixed
+    * LONG/STRING keys) can qualify themselves; every other filter ignores
+    * it. Default = [[toColumn]]. */
+  def toColumnFor(fields: Seq[String]): Column = toColumn
   /** SQL WHERE text for external-store pushdown, where expressible —
     * FilterToSQL fidelity (filter/FilterToSQL.java:27-77). `keyCol` is the
     * store's key column name (the reference hardcodes `srckey`). */
@@ -37,6 +42,8 @@ case object AllowAllFilter extends DbusFilter {
 case class ConjunctionFilter(filters: Seq[DbusFilter]) extends DbusFilter {
   override def toColumn: Column =
     filters.map(_.toColumn).foldLeft(lit(true))(_ && _)
+  override def toColumnFor(fields: Seq[String]): Column =
+    filters.map(_.toColumnFor(fields)).foldLeft(lit(true))(_ && _)
 }
 
 /** srcId ∈ set (filter/SourceDbusFilter.java:26-37). */
@@ -52,6 +59,10 @@ case class PhysicalPartitionFilter(
   override def toColumn: Column = {
     val p = partition.map(col("partition_id") === _).getOrElse(lit(true))
     nested.map(n => p && n.toColumn).getOrElse(p)
+  }
+  override def toColumnFor(fields: Seq[String]): Column = {
+    val p = partition.map(col("partition_id") === _).getOrElse(lit(true))
+    nested.map(n => p && n.toColumnFor(fields)).getOrElse(p)
   }
 }
 
@@ -74,11 +85,24 @@ case class LogicalSourceAndPartitionFilter(
 
 /** Numeric key ∈ [min, max) — `Range.contains` is half-open
   * (filter/KeyRangeFilter.java:25-40; util/Range.java:30-44). String keys
-  * are parsed-as-long in the reference; our envelope keeps numeric keys in
-  * `key_long` so the range applies directly. */
+  * are ONLY parse-as-long in the reference — an unparseable string key
+  * throws there (KeyRangeFilter.java:50-57, no hashCode fallback, unlike
+  * KeyMod) — so on a mixed-key envelope the range must never range over
+  * the source's hashCode coercion: [[toColumnFor]] EXCLUDES events whose
+  * key_string does not parse as a long (the columnar analog of the
+  * reference's per-event throw; overflowing numeric strings are excluded
+  * too, matching Long.parseLong's NumberFormatException). Envelopes
+  * without `key_string` carry numeric keys in `key_long`, where the range
+  * applies directly. */
 case class KeyRangeFilter(minKey: Long, maxKey: Long) extends DbusFilter {
   override def toColumn: Column =
     col("key_long") >= minKey && col("key_long") < maxKey
+  override def toColumnFor(fields: Seq[String]): Column =
+    if (fields.contains("key_string"))
+      (col("key_string").isNull ||
+        (col("key_string").rlike("^-?\\d+$") &&
+          col("key_string").try_cast("long").isNotNull)) && toColumn
+    else toColumn
   override def toSql(keyCol: String): Option[String] =
     Some(s"($keyCol >= $minKey AND $keyCol < $maxKey)")
 }
@@ -108,6 +132,9 @@ case class DbusKeyFilter(partitionType: String, filters: Seq[DbusFilter])
   override def toColumn: Column =
     if (partitionType == "NONE" || filters.isEmpty) lit(true)
     else filters.map(_.toColumn).foldLeft(lit(false))(_ || _)
+  override def toColumnFor(fields: Seq[String]): Column =
+    if (partitionType == "NONE" || filters.isEmpty) lit(true)
+    else filters.map(_.toColumnFor(fields)).foldLeft(lit(false))(_ || _)
   override def toSql(keyCol: String): Option[String] =
     if (partitionType == "NONE" || filters.isEmpty) Some("")
     else {
@@ -125,6 +152,10 @@ case class CompositeKeyFilter(bySource: Map[Int, DbusKeyFilter]) extends DbusFil
   override def toColumn: Column =
     bySource.toSeq.sortBy(_._1).foldLeft(lit(true)) { case (acc, (src, f)) =>
       when(col("source_id") === src, f.toColumn).otherwise(acc)
+    }
+  override def toColumnFor(fields: Seq[String]): Column =
+    bySource.toSeq.sortBy(_._1).foldLeft(lit(true)) { case (acc, (src, f)) =>
+      when(col("source_id") === src, f.toColumnFor(fields)).otherwise(acc)
     }
 }
 

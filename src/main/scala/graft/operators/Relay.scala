@@ -55,7 +55,7 @@ object Relay {
       maxEvents: Option[Int] = None): DataFrame = {
     val scanned = envelope
       .where(afterCheckpoint(cp))
-      .where(filter.toColumn)
+      .where(filter.toColumnFor(envelope.columns.toSeq))
     val bounded = maxEvents match {
       // window-at-a-time budget: take the first N events in scn order.
       // orderBy+limit is a TakeOrderedAndProject — no full sort at scale.

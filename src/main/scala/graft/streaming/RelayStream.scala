@@ -154,7 +154,7 @@ object RelayStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
       .where(graft.operators.Relay.afterCheckpoint(cp))
-      .where(filter.toColumn)
+      .where(filter.toColumnFor(schema.fieldNames.toSeq))
 
   /** Event-time windowed stats with a watermark — the streaming analog of
     * the A3 totals for wall-clock dashboards (events/sec, per-source
@@ -218,7 +218,8 @@ object RelayStream {
     if (!fellOff) (None, read(spark, dir, cp, filter, maxFilesPerTrigger), cp)
     else {
       // BOOTSTRAP: snapshot consistent at minScn + catchup to maxScn
-      val log = spark.read.schema(schema).parquet(dir).where(filter.toColumn)
+      val log = spark.read.schema(schema).parquet(dir)
+        .where(filter.toColumnFor(schema.fieldNames.toSeq))
       val state = Bootstrap.snapshotPlusCatchup(log, startScn = minScn,
         targetScn = maxScn)
       val resumeCp = Checkpoint.online(maxScn)

@@ -102,6 +102,30 @@ class FiltersSpec extends SparkSpec {
     assert(mods.map(keys).map(_.size).sum == 8) // disjoint
   }
 
+  test("key range over mixed keys excludes unparseable string keys") {
+    // key_long carries the source coercion (parse-as-long else hashCode);
+    // the reference's KeyRangeFilter has NO hashCode fallback
+    // (KeyRangeFilter.java:50-57 throws on NumberFormatException), so a
+    // range must never match an event via its hash coercion
+    val mixed = Seq(
+      // (key_long, key_string): LONG key, parseable strings, junk string
+      (150L, null.asInstanceOf[String]), // LONG key in range
+      (150L, "150"),                     // STRING key, parses, in range
+      (999L, "999"),                     // parses, out of range
+      (150L, "u42x"),                    // junk — 150 is its fake coercion
+      (150L, "9223372036854775808"))     // overflows Long.parseLong
+      .toDF("key_long", "key_string")
+    val inRange = KeyRangeFilter(100L, 600L)
+      .toColumnFor(mixed.columns.toSeq)
+    val got = mixed.where(inRange)
+      .select("key_long", "key_string").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((150L, null), (150L, "150")))
+    // schema-unaware form (numeric envelope) unchanged
+    assert(keys(KeyRangeFilter(5, 120)) ==
+      keys(ConjunctionFilter(Seq(KeyRangeFilter(5, 120)))))
+  }
+
   test("java string hash parity for string-key bucketing") {
     assert(Filters.javaStringHash("databus") == "databus".hashCode)
     val df = Seq("123", "-7", "abc").toDF("k")
