@@ -55,10 +55,18 @@ object Dedup {
     * collect. */
   def spanDedup(docs: DataFrame, spanTokens: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // null text reads as empty (explicit choice: a doc row is NEVER
+    // silently dropped — null-text docs come out as one empty span)
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    // degenerate-input guard: sequence(0, -1) is DESCENDING in Spark
+    // ([0,-1] — two phantom spans) while generate_series(0,-1) is empty
+    // in the SQL oracle; clamping the upper bound to ≥ 0 keeps "one span
+    // row per doc" for empty docs (split('') yields [""], so n ≥ 1)
     val spansArr = transform(
       sequence(lit(0),
-        ceil(size(toks).cast("double") / spanTokens).cast("int") - 1),
+        greatest(
+          ceil(size(toks).cast("double") / spanTokens).cast("int") - 1,
+          lit(0))),
       i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
     val spans = docs
       .select(col(idCol).as("doc_id"), posexplode(spansArr))
@@ -628,8 +636,9 @@ object Dedup {
     * absent by construction — keep-one treats absence as "keep".
     *
     * Subcritical graphs take a bounded DRIVER fast path: when the
-    * deduplicated edge list fits `maxDriverEdges` (default 4M edges ≈
-    * 64 MB of longs), a single collect + union-find replaces the
+    * deduplicated edge list fits `maxDriverEdges` (default 4M edges —
+    * 16 B/edge on the wire, ~320 MB boxed on the driver heap at peak), a
+    * single collect + union-find replaces the
     * iterative job loop — the same driver-metadata trade the seeder makes
     * (a handful of rows to the driver beats N distributed rounds of fixed
     * job overhead). The distributed loop remains the path for genuinely
@@ -648,8 +657,17 @@ object Dedup {
     val nEdges = edges.count()
     if (nEdges <= maxDriverEdges) {
       // one collect on the (already materialized) half of the symmetric
-      // closure, union-find with path compression, component = min id
-      val half = edges.where(col("src") < col("dst")).collect()
+      // closure, union-find with path compression, component = min id.
+      // Primitives via the tuple encoder — 16 B/edge on the wire; the
+      // collected Array[(Long, Long)] boxes to ~80 B/edge on-heap, so the
+      // 4M-edge default ceiling peaks around ~320 MB of driver heap —
+      // bounded driver metadata (the same trade the seeder makes), but
+      // size `maxDriverEdges` down on small drivers, or 0 to force the
+      // distributed loop. Self-loops (a, a) surface as a vertex with
+      // itself as component, exactly what the distributed loop emits.
+      import pairs.sparkSession.implicits._
+      val half = edges.where(col("src") <= col("dst"))
+        .as[(Long, Long)].collect()
       edges.unpersist()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -661,19 +679,16 @@ object Dedup {
         }
         r
       }
-      half.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      half.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         // union by min id so roots ARE the component representatives
         if (ra < rb) parent.put(rb, ra)
         else if (rb < ra) parent.put(ra, rb)
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      half.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      half.foreach { case (a, b) =>
         out += ((a, find(a))); out += ((b, find(b)))
       }
-      import pairs.sparkSession.implicits._
       return out.distinct.toSeq.toDF("id", "component")
     }
     var labels = edges.select(col("src").as("id")).distinct()

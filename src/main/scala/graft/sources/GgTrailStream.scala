@@ -261,11 +261,16 @@ private[sources] class GgTrailPartitionReader(p: GgTrailPartition)
 
   // parse from the file start, emit the [startIdx, endIdx) slice: index
   // positions are stable under append, and a live tail file is bounded by
-  // GG's rotation size, so the re-parse cost per trigger is bounded
+  // GG's rotation size, so the re-parse cost per trigger is bounded.
+  // Iterator.slice takes Int — a trail file beyond 2^31 updates cannot be
+  // addressed, so FAIL loudly rather than silently dropping the tail
+  // (rotation bounds make the limit unreachable in practice)
+  require(p.endIdx <= Int.MaxValue && p.startIdx <= Int.MaxValue,
+    s"trail slice [${p.startIdx}, ${p.endIdx}) exceeds Int.MaxValue " +
+      s"updates in one file (${p.file}) — rotate the trail")
   private val raw = new TolerantTrailIterator(new java.io.File(p.file))
   private val it = raw
-    .slice(if (p.startIdx > Int.MaxValue) Int.MaxValue else p.startIdx.toInt,
-      if (p.endIdx > Int.MaxValue) Int.MaxValue else p.endIdx.toInt)
+    .slice(p.startIdx.toInt, p.endIdx.toInt)
     .filter(_.scn > p.sinceScn)
 
   private val row = new GenericInternalRow(6)

@@ -99,10 +99,19 @@ object RelayStream {
     * segments — the small-file remedy for an append-heavy stream (every
     * micro-batch append adds a file generation; a day of 10 s triggers is
     * ~8,640 generations, and scan/listing cost grows with file count, not
-    * data size). Rewrites through a sibling tmp dir + atomic rename, so a
-    * concurrent reader sees either the old or the new generation, never a
-    * mix; window alignment and per-band ordering are re-established by
-    * the same `repartitionByRange(scn)` write discipline.
+    * data size). Window alignment and per-band ordering are
+    * re-established by the same `repartitionByRange(scn)` write
+    * discipline.
+    *
+    * CONCURRENCY CONTRACT: the appending stream must be QUIESCED for the
+    * duration of the call. The rewrite snapshots the source file list at
+    * read time, so a file appended after that listing would be deleted
+    * with the old generation — compaction detects any such late file
+    * after the swap and fails (restoring the original dir) rather than
+    * lose it. Readers: the swap is two renames, so there is a
+    * microseconds-wide window where the dir is absent; a reader that
+    * lists in that window fails cleanly and retries (no torn mix of
+    * generations is ever visible — a listing sees old, new, or nothing).
     *
     * Content-preserving: the compacted log serves byte-identical events
     * (CompactSpec proves set equality; ordering is re-derived from scn
@@ -115,15 +124,35 @@ object RelayStream {
     val old = new java.io.File(src.getParentFile, src.getName + ".compact-old")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     org.apache.commons.io.FileUtils.deleteQuietly(old)
-    // materialize BEFORE touching the source dir: the plan reads from it
+    // snapshot the file list, then materialize from EXACTLY those files
+    // (not the dir) so the compacted generation's provenance is the list
+    // we can re-check after the swap
+    def listData(d: java.io.File): Set[String] =
+      walk(d).filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val snapshotFiles = listData(src)
     val snapshot = spark.read.schema(schema).parquet(dir)
     writeEventLog(snapshot, tmp.getAbsolutePath, filesHint)
-    // swap: source -> .old, tmp -> source, drop .old
+    // swap: source -> .old, tmp -> source
     if (!src.renameTo(old))
       throw new java.io.IOException(s"compactEventLog: cannot move $src aside")
     if (!tmp.renameTo(src)) {
       old.renameTo(src) // restore
       throw new java.io.IOException(s"compactEventLog: swap failed for $dir")
+    }
+    // late-append detection: any data file in the retired generation that
+    // was NOT in the read-time snapshot was appended mid-compaction —
+    // roll back instead of silently deleting it with .compact-old
+    val late = listData(old) -- snapshotFiles
+    if (late.nonEmpty) {
+      val compacted = new java.io.File(src.getParentFile,
+        src.getName + ".compact-tmp")
+      src.renameTo(compacted)
+      old.renameTo(src)
+      org.apache.commons.io.FileUtils.deleteQuietly(compacted)
+      throw new IllegalStateException(
+        s"compactEventLog: ${late.size} file(s) were appended during " +
+          s"compaction (stream not quiesced): ${late.take(3).mkString(", ")}…" +
+          " — original log restored")
     }
     org.apache.commons.io.FileUtils.deleteQuietly(old)
     ()
