@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 scaling probe (SCALING.md).
+  *
+  * Derives a 10× dataset from sf0.1 by key-shifted replication — fact
+  * tables replicate with disjoint key ranges, dimensions stay fixed —
+  * then times the heavy query families at both scales. Replication
+  * details chosen so per-operator WORK scales linearly instead of
+  * super-linearly by fixture accident:
+  *  - documents: each replica's text goes through a replica-specific
+  *    `translate` of the most frequent letters, so shingles are disjoint
+  *    ACROSS replicas — near-dup structure within a replica is identical
+  *    to sf0.1 and total pair count scales exactly 10× (replicating text
+  *    verbatim would instead create 10-cliques: pair count ∝ factor²);
+  *  - embeddings: first component nudged per replica — no cross-replica
+  *    exact twins, so planted-twin top-1 stays unique;
+  *  - orders/lineitem/customer: key-shifted copies (join fan-out per key
+  *    unchanged).
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"` (optionally SPARK_GRAFT_CPUS).
+  */
+object ScaleProbe {
+
+  val DerivedDir = "/tmp/graft_sf1"
+  val Factor = 10
+
+  private val Probes = Seq(
+    "q1_agg", "q3_join", "q5_join", "q18_large_orders",
+    "q_span_dedup", "q_dedup_minhash", "q_dedup_components",
+    "q_cluster_keep_one", "q_ann_ivf", "q_ann_quantized",
+    "q_heavy_hitters")
+
+  def derive(spark: SparkSession, src: String, dest: String): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
+      return
+    val d = new java.io.File(dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    d.mkdirs()
+
+    def reps(f: Int => DataFrame): DataFrame =
+      (0 until Factor).map(f).reduce(_ unionByName _)
+
+    // dimensions: unchanged cardinality
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dest/$t.parquet")
+    }
+    reps { i =>
+      spark.read.parquet(s"$src/customer.parquet")
+        .withColumn("c_custkey", col("c_custkey") + i * 15000L)
+    }.write.parquet(s"$dest/customer.parquet")
+    reps { i =>
+      spark.read.parquet(s"$src/orders.parquet")
+        .withColumn("o_orderkey", col("o_orderkey") + i * 150000L)
+        .withColumn("o_custkey", col("o_custkey") + i * 15000L)
+    }.write.parquet(s"$dest/orders.parquet")
+    reps { i =>
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("l_orderkey", col("l_orderkey") + i * 150000L)
+    }.write.parquet(s"$dest/lineitem.parquet")
+    // per-replica letter rotation ⇒ cross-replica shingle disjointness
+    val alpha = "etaoinshr"
+    reps { i =>
+      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + i * 10000L)
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }.write.parquet(s"$dest/documents.parquet")
+    reps { i =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + i * 10000L)
+        .withColumn("embedding", concat(
+          array((element_at(col("embedding"), 1) + lit(i * 0.0017f))
+            .cast("float")),
+          slice(col("embedding"), 2, 10000)))
+    }.write.parquet(s"$dest/embeddings.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    derive(spark, base, DerivedDir)
+
+    // warm codegen/JIT on the tiny SF first (same rationale as Bench)
+    Probes.foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    def time(q: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
+    Probes.foreach { q =>
+      val a = time(q, base)
+      val b = time(q, DerivedDir)
+      println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+    }
+    spark.stop()
+  }
+}

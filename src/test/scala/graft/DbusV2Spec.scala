@@ -57,6 +57,43 @@ class DbusV2Spec extends SparkSpec {
     assert(dp.keyPart.get.data.toSeq == Seq[Byte](5, 6))
   }
 
+  test("an arbitrary nested generic payload rides the wire opaquely and resolves by digest") {
+    // the engine never deserializes payloads in the serving path — so ANY
+    // registered source's record (here the nested orders_nested shape)
+    // must roundtrip bit-exactly through a DbusEventV2 envelope and
+    // resolve its writer schema from the digest it carries
+    import graft.functions.GenericAvroCodec
+    import graft.model.VersionedSchemaSet
+    val vs = VersionedSchemaSet.orderWithItemsV1
+    val df = spark.range(1).selectExpr(
+      """named_struct(
+        'o_orderkey', 7L, 'o_urgent', true, 'o_bucket', 3,
+        'o_rate', CAST(1.5 AS FLOAT), 'o_totalprice', 99.25D,
+        'o_blob', CAST('BB' AS BINARY), 'o_clob', 'clob',
+        'o_date_ms', 86400000L,
+        'items', array(named_struct('l_linenumber', 1,
+          'l_quantity', 2.0D, 'l_returnflag', 'R'))) AS rec""")
+    val enc = GenericAvroCodec.encode(vs.schemaJson)
+    val payloadBytes = df.select(enc(org.apache.spark.sql.functions.col("rec"))
+      .as("p")).head().getAs[Array[Byte]](0)
+    val ev = sample().copy(payload = Some(Part(DigestMd5, vs.digest, 1,
+      payloadBytes)))
+    val back = decode(encode(ev))
+    assert(back.payload.get.data.toSeq == payloadBytes.toSeq)
+    // digest → schema resolution through the default registry set
+    val resolved = VersionedSchemaSet.default
+      .getByDigest(back.payload.get.digest)
+    assert(resolved.exists(_.sourceName == "orders_nested"))
+    // client-side decode of the served bytes reproduces the record
+    val dec = GenericAvroCodec.decode(resolved.get.schemaJson)
+    val row = spark.createDataset(Seq(back.payload.get.data))(
+        org.apache.spark.sql.Encoders.BINARY).toDF("p")
+      .select(dec(org.apache.spark.sql.functions.col("p")).as("r"))
+      .select("r.o_orderkey", "r.o_clob", "r.items").head()
+    assert(row.getLong(0) == 7L && row.getString(1) == "clob")
+    assert(row.getSeq[org.apache.spark.sql.Row](2).head.getInt(0) == 1)
+  }
+
   test("delete opcode, flags, and EOW control marker") {
     val del = decode(encode(sample(OpDelete)))
     assert(del.opcode == OpDelete)
