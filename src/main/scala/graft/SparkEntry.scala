@@ -497,6 +497,32 @@ object SparkEntry {
         TF.fingerprintHex(col("text")).as("fp_hex"),
         substring(TF.fingerprintHex(col("text")), 1, 16).as("fp16"))),
 
+    // ---- text analysis: PII scrub — emails/IPv4s/phones → placeholder
+    // tokens, with per-kind audit counts. PII is PLANTED deterministically
+    // (doc_id mod 4 picks the kind) so the oracle re-derives both the
+    // counts and the byte-exact scrubbed text; the scrub itself is a pure
+    // codegen regexp_replace chain with RE2-safe patterns ----
+    "q_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" server 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 logged")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" call +1 (555) 123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .otherwise(lit(""))).as("text"))
+      val c = TF.piiCounts(col("text"))
+      injected.select(col("doc_id"),
+        c.getField("n_emails").cast("long").as("n_emails"),
+        c.getField("n_phones").cast("long").as("n_phones"),
+        c.getField("n_ips").cast("long").as("n_ips"),
+        md5(TF.scrubPii(col("text")).cast("binary")).as("scrubbed_md5"))
+    }),
+
     // ---- dedup: exact content-hash ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir))),
@@ -1960,6 +1986,21 @@ object SparkEntry {
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_hex, substr(md5(text), 1, 16) AS fp16" +
         " FROM documents"),
+
+    "q_pii_scrub" ->
+      ("WITH inj AS (SELECT doc_id, text ||" +
+        " CASE WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'" +
+        " WHEN doc_id % 4 = 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'" +
+        " WHEN doc_id % 4 = 2 THEN ' call +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'" +
+        " ELSE '' END AS text FROM documents)" +
+        " SELECT doc_id," +
+        " CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails," +
+        " CAST(len(regexp_extract_all(text, '\\+\\d{1,2} \\(\\d{3}\\) \\d{3}-\\d{4}')) AS BIGINT) AS n_phones," +
+        " CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips," +
+        " md5(regexp_replace(regexp_replace(regexp_replace(text," +
+        " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')," +
+        " '\\+\\d{1,2} \\(\\d{3}\\) \\d{3}-\\d{4}', '<PHONE>', 'g')," +
+        " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrubbed_md5 FROM inj"),
 
     "q_dedup_exact" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +

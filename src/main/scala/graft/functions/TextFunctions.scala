@@ -166,4 +166,31 @@ object TextFunctions {
 
   /** Hex md5 fingerprint (full). */
   def fingerprintHex(text: Column): Column = md5(text.cast("binary"))
+
+  // ---- PII scrub — the redaction stage a web-scale training pipeline
+  // runs before packing (emails / IPv4 addresses / phone numbers →
+  // placeholder tokens). Patterns are deliberately RE2-expressible (no
+  // lookahead, no backrefs) so external engines — and the DuckDB oracle —
+  // reproduce the scrub byte-for-byte. Pure codegen'd regexp_replace
+  // chain: runs inside the scan at 100 TB, no UDF. ----
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2} \\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phone numbers →
+    * `<PHONE>`. Email runs first so an address's host part is never
+    * half-eaten by the IP pass. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind PII hit counts (pre-scrub), for redaction audit stats. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ips"))
 }

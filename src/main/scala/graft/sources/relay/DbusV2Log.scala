@@ -34,7 +34,13 @@ object DbusV2Log {
     * otherwise `key_long` writes a LONG key. The metadata part's data is
     * `seq(8 BE) ++ meta` — the engine's per-event position always rides
     * first, any user metadata follows (DbusEventPart is an opaque
-    * schema-versioned carrier, DbusEventPart.java:41). */
+    * schema-versioned carrier, DbusEventPart.java:41).
+    *
+    * An optional `schema_id` (16-byte MD5) column sets each event's
+    * payload-part digest — a mixed-SOURCE log carries every payload with
+    * its own writer schema (the per-event digest contract,
+    * DbusEventAvroDecoder.getGenericRecord); rows without one default to
+    * the fixture `events` schema. */
   def write(envelope: DataFrame, dir: String, numSegments: Int = 8): Unit = {
     import envelope.sparkSession.implicits._
     new java.io.File(dir).mkdirs()
@@ -44,12 +50,12 @@ object DbusV2Log {
     envelope.select(col("scn"), col("seq"), col("ts_us"), col("source_id"),
         col("partition_id").cast("int"), col("opcode"), col("key_long"),
         col("payload"), opt("key_string", "string"), opt("meta", "binary"),
-        opt("key_schema", "binary"))
-      .as[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte])]
+        opt("key_schema", "binary"), opt("schema_id", "binary"))
+      .as[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte], Array[Byte])]
       .repartitionByRange(numSegments, col("scn"))
       .sortWithinPartitions("scn", "seq")
       .foreachPartition {
-          (it: Iterator[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte])]) =>
+          (it: Iterator[(Long, Long, Long, Int, Int, String, Long, Array[Byte], String, Array[Byte], Array[Byte], Array[Byte])]) =>
         if (it.hasNext) {
           val tmp = java.io.File.createTempFile("seg", ".tmp",
             new java.io.File(dir))
@@ -60,7 +66,7 @@ object DbusV2Log {
           var maxScn = Long.MinValue
           var openScn = Long.MinValue
           var lastPart = 0
-          it.foreach { case (scn, seq, tsUs, srcId, partId, op, key, payload, keyStr, userMeta, keySchema) =>
+          it.foreach { case (scn, seq, tsUs, srcId, partId, op, key, payload, keyStr, userMeta, keySchema, schemaId) =>
             if (openScn != Long.MinValue && scn != openScn)
               out.write(DbusV2.eowMarker(openScn, lastPart.toShort))
             openScn = scn; lastPart = partId
@@ -80,7 +86,8 @@ object DbusV2Log {
                 DbusV2.Part(DbusV2.DigestCrc32, new Array[Byte](4), 1, k)),
               metadata = Some(DbusV2.Part(DbusV2.DigestCrc32,
                 new Array[Byte](4), 1, meta)),
-              payload = Some(DbusV2.Part(DbusV2.DigestMd5, digest, 1,
+              payload = Some(DbusV2.Part(DbusV2.DigestMd5,
+                if (schemaId != null) schemaId else digest, 1,
                 payload)))))
           }
           if (openScn != Long.MinValue)

@@ -197,6 +197,76 @@ class DbusV2Spec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("mixed-SOURCE segment log: per-event schema_id rides the payload part") {
+    import graft.functions.GenericAvroCodec
+    val dir = Files.createTempDirectory("dbusv2mixedsrc").toString
+    val vsEv = VersionedSchemaSet.eventPayloadV1
+    val vsOrd = VersionedSchemaSet.orderWithItemsV1
+    val encEv = AvroCodec.encodeEventPayload(vsEv.schemaJson)
+    val encOrd = GenericAvroCodec.encode(vsOrd.schemaJson)
+    val raw = ChangeFeed.raw(spark, sf()).limit(100)
+    // even seq = events payload, odd seq = nested orders payload — each
+    // row stamps its own writer-schema digest
+    val envelope = ChangeFeed.envelope(raw)
+      .withColumn("payload",
+        when(col("seq") % 2 === 0, encEv(struct(
+          col("seq").as("event_id"), col("key_long").as("user_id"),
+          ChangeFeed.registry.nameCol(col("source_id")).as("event_type"),
+          col("value"), col("props"))))
+        .otherwise(encOrd(struct(
+          col("seq").as("o_orderkey"),
+          (col("value") > 50.0).as("o_urgent"),
+          col("source_id").as("o_bucket"),
+          col("value").cast("float").as("o_rate"),
+          col("value").as("o_totalprice"),
+          col("props").cast("binary").as("o_blob"),
+          col("props").as("o_clob"),
+          col("ts_us").as("o_date_ms"),
+          array().cast("array<struct<l_linenumber:int,l_quantity:double,l_returnflag:string>>")
+            .as("items")))))
+      .withColumn("schema_id",
+        when(col("seq") % 2 === 0, lit(vsEv.digest)).otherwise(lit(vsOrd.digest)))
+    DbusV2Log.write(envelope, dir, numSegments = 2)
+
+    // every wire event carries ITS OWN digest; both resolve from the
+    // default registry and the nested payloads client-decode intact
+    val segs = graft.sources.relay.RelayBinaryLog.listSegments(dir)
+    def walk(path: String): Seq[Event] = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+      var off = 0
+      while (off < bytes.length) {
+        out += decode(bytes, off)
+        off += eventLength(bytes, off)
+      }
+      out.toSeq
+    }
+    val events = segs.flatMap(s => walk(s.path))
+      .filter(_.sourceId != EowSrcId)
+    assert(events.nonEmpty)
+    // every wire event's digest resolves; per-event seq lives in the
+    // metadata part (sequence carries the window scn), so assert each
+    // event against ITS seq rather than scn parity
+    events.foreach { e =>
+      val seq = java.nio.ByteBuffer.wrap(e.metadata.get.data).getLong(0)
+      val resolved = VersionedSchemaSet.default
+        .getByDigest(e.payload.get.digest)
+      assert(resolved.isDefined)
+      val expect = if (seq % 2 == 0) "events" else "orders_nested"
+      assert(resolved.get.sourceName == expect)
+    }
+    val names = events.map(e => VersionedSchemaSet.default
+      .getByDigest(e.payload.get.digest).get.sourceName).toSet
+    assert(names == Set("events", "orders_nested"))
+    // client decode of one nested payload through its resolved schema
+    val ordEv = events.find(e => VersionedSchemaSet.default
+      .getByDigest(e.payload.get.digest).get.sourceName == "orders_nested").get
+    val rec = AvroCodec.deserialize(ordEv.payload.get.data,
+      vsOrd.schema, vsOrd.schema)
+    assert(rec.get("o_orderkey") != null)
+  }
+
   test("graft-relay DataSource serves .dbusv2 segments with band pruning") {
     val dir = Files.createTempDirectory("dbusv2src").toString
     val raw = ChangeFeed.raw(spark, sf()).limit(300)

@@ -55,6 +55,27 @@ class TextAvroSpec extends SparkSpec {
     assert(m("good") > m("short"))
   }
 
+  test("PII scrub redacts emails/phones/IPs and counts them") {
+    val df = Seq(
+      ("mail a.b+c@sub.example.org mid x@y.io end", 2, 0, 0),
+      ("ping 192.168.0.1 and 10.0.0.255 done", 0, 0, 2),
+      ("call +1 (555) 123-4567 or +44 (020) 555-1234", 0, 2, 0),
+      ("clean text with no identifiers at all", 0, 0, 0))
+      .toDF("text", "e", "p", "i")
+    val c = TF.piiCounts(col("text"))
+    val got = df.select(TF.scrubPii(col("text")).as("s"),
+      c.getField("n_emails").as("ne"), c.getField("n_phones").as("np"),
+      c.getField("n_ips").as("ni"), col("e"), col("p"), col("i")).collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(4) && r.getInt(2) == r.getInt(5) &&
+        r.getInt(3) == r.getInt(6), r.toString)
+    }
+    assert(got(0).getString(0) == "mail <EMAIL> mid <EMAIL> end")
+    assert(got(1).getString(0) == "ping <IP> and <IP> done")
+    assert(got(2).getString(0) == "call <PHONE> or <PHONE>")
+    assert(got(3).getString(0) == "clean text with no identifiers at all")
+  }
+
   test("fingerprints are deterministic and content-addressed") {
     val df = Seq("same text", "same text", "other").toDF("text")
     val fps = df.select(TF.fingerprintHex($"text")).as[String].collect().toSeq
