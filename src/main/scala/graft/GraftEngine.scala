@@ -99,6 +99,18 @@ class GraftEngine(val spark: SparkSession, eventLogDir: String,
   def loadDataEvents(envelope: DataFrame, filesHint: Int = 8): Unit =
     RelayStream.writeEventLog(envelope, eventLogDir, filesHint)
 
+  /** S1 live — one poll cycle against a JDBC txlog database: the
+    * reference's `sy$view ⋈ sy$txlog WHERE scn > lastScn` capture pulled
+    * through `spark.read.jdbc` (OracleTxlogEventReader.java:613-704).
+    * Returns the captured frame (scn, event_timestamp, txn, <view cols>);
+    * map it to the envelope shape and [[loadDataEvents]] it to complete
+    * the capture → buffer → serve circuit (EngineSpec drives the full
+    * loop). `numPartitions` > 1 splits the pull into even scn bands. */
+  def captureJdbc(url: String, viewTable: String, txlogTable: String,
+      sinceScn: Long, numPartitions: Int = 1): DataFrame =
+    graft.sources.JdbcTxlogCapture.read(spark, url, viewTable, txlogTable,
+      sinceScn, numPartitions)
+
   /** `/stream` across multiple physical-partition timelines, each from
     * its own checkpoint, in CheckpointMult cursor round-robin order. */
   def streamMult(cpMult: CheckpointMult): DataFrame =

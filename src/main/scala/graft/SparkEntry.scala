@@ -523,6 +523,30 @@ object SparkEntry {
         md5(TF.scrubPii(col("text")).cast("binary")).as("scrubbed_md5"))
     }),
 
+    // ---- text analysis: per-DOMAIN corpus stats — URLs planted
+    // deterministically (doc_id picks domain + count), extracted,
+    // domain-normalized (lowercase, www-stripped), aggregated: the
+    // grouping/provenance stage of a web-corpus pipeline ----
+    "q_domain_stats" -> ((s, dir) => {
+      val domains = Seq("example.com", "WWW.Example.com", "data.example.org",
+        "news.site.net", "www.site.net")
+      val injected = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" see https://"),
+        element_at(array(domains.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int")),
+        lit("/p/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" and http://mirror.example.com/x"),
+            (col("doc_id") % 11).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      injected
+        .select(col("doc_id"), explode(TF.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"), TF.domainOf(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // ---- dedup: exact content-hash ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir))),
@@ -2001,6 +2025,20 @@ object SparkEntry {
         " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')," +
         " '\\+\\d{1,2} \\(\\d{3}\\) \\d{3}-\\d{4}', '<PHONE>', 'g')," +
         " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS scrubbed_md5 FROM inj"),
+
+    "q_domain_stats" ->
+      ("WITH inj AS (SELECT doc_id, text || ' see https://' ||" +
+        " (['example.com','WWW.Example.com','data.example.org','news.site.net','www.site.net'])[CAST(doc_id % 5 + 1 AS INT)]" +
+        " || '/p/' || CAST(doc_id % 7 AS VARCHAR) ||" +
+        " CASE WHEN doc_id % 3 = 0 THEN ' and http://mirror.example.com/x' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END AS text" +
+        " FROM documents)," +
+        " urls AS (SELECT doc_id, unnest(regexp_extract_all(text," +
+        " 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._%/-]*)?', 0)) AS url FROM inj)," +
+        " doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url," +
+        " 'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '') AS domain FROM urls)" +
+        " SELECT domain, count(*) AS n_urls," +
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs" +
+        " FROM doms GROUP BY domain"),
 
     "q_dedup_exact" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +

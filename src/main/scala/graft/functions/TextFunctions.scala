@@ -193,4 +193,20 @@ object TextFunctions {
     regexp_count(text, lit(EmailRe)).as("n_emails"),
     regexp_count(text, lit(PhoneRe)).as("n_phones"),
     regexp_count(text, lit(Ipv4Re)).as("n_ips"))
+
+  // ---- URL / domain analysis — web-corpus pipelines group, weight, and
+  // dedup BY DOMAIN (per-domain quotas, blocklists, provenance stats).
+  // RE2-safe patterns, same cross-engine-parity discipline as the scrub.
+
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._%/-]*)?"
+
+  /** All http(s) URLs in a document, in order. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable-ish domain of a URL: host, lowercased, `www.` stripped
+    * (the grouping key of per-domain corpus stats). */
+  def domainOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)),
+      "^www\\.", "")
 }

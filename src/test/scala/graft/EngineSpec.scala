@@ -89,4 +89,45 @@ class EngineSpec extends SparkSpec {
     val (state, _, cp) = engine.bootstrap(Checkpoint.online(0L))
     assert(state.isEmpty && cp.windowScn == 0L)
   }
+  test("live JDBC capture feeds the buffer and serves through /stream") {
+    import java.sql.DriverManager
+    import org.apache.spark.sql.functions._
+    val url = "jdbc:derby:memory:graft_engine_spec"
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "SY$FEED" (txn BIGINT, k BIGINT, v DOUBLE)""")
+      st.executeUpdate(
+        """CREATE TABLE "SY$TXLOG" (txn BIGINT, scn BIGINT, ts TIMESTAMP)""")
+      (1L to 20L).foreach { t =>
+        st.executeUpdate(s"""INSERT INTO "SY$$FEED" VALUES ($t, ${t % 4}, ${t * 0.5})""")
+        st.executeUpdate(s"""INSERT INTO "SY$$TXLOG" VALUES ($t, ${t * 10}, TIMESTAMP('2024-01-01 00:00:00'))""")
+      }
+    } finally conn.close()
+
+    val dir = Files.createTempDirectory("engine-jdbc").toString
+    val e = new GraftEngine(spark, dir)
+    // poll cycle: capture the txlog tail, map to the envelope, buffer it
+    val captured = e.captureJdbc(url, "\"SY$FEED\"", "\"SY$TXLOG\"",
+      sinceScn = 100L)
+    assert(captured.count() == 10) // txns 11..20
+    val envelope = captured.select(
+      col("scn"), col("txn").as("seq"),
+      (unix_micros(col("event_timestamp").cast("timestamp"))).as("ts_us"),
+      lit(1).as("source_id"),
+      (col("k") % 4).cast("int").as("partition_id"),
+      lit("UPSERT").as("opcode"), col("k").as("key_long"),
+      col("v").as("value"), lit(null).cast("string").as("props"))
+    e.loadDataEvents(envelope)
+    // the buffered capture serves through the standard /stream path
+    val served = e.stream(Checkpoint.online(0L))
+    assert(served.count() == 10)
+    assert(served.agg(min(col("scn")), max(col("scn"))).head() match {
+      case r => r.getLong(0) == 110L && r.getLong(1) == 200L
+    })
+    try DriverManager.getConnection(s"$url;drop=true")
+    catch { case _: java.sql.SQLException => () }
+  }
+
 }

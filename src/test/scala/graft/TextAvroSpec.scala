@@ -76,6 +76,19 @@ class TextAvroSpec extends SparkSpec {
     assert(got(3).getString(0) == "clean text with no identifiers at all")
   }
 
+  test("URL extraction and domain normalization") {
+    val df = Seq(
+      "a https://WWW.Example.com/Path/x b http://sub.site.net c",
+      "bare text, no links").toDF("text")
+    val got = df.select(TF.extractUrls(col("text")).as("u")).collect()
+    assert(got(0).getSeq[String](0) ==
+      Seq("https://WWW.Example.com/Path/x", "http://sub.site.net"))
+    assert(got(1).getSeq[String](0).isEmpty)
+    val doms = df.select(explode(TF.extractUrls(col("text"))).as("u"))
+      .select(TF.domainOf(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(doms == Seq("example.com", "sub.site.net"))
+  }
+
   test("fingerprints are deterministic and content-addressed") {
     val df = Seq("same text", "same text", "other").toDF("text")
     val fps = df.select(TF.fingerprintHex($"text")).as[String].collect().toSeq
