@@ -55,16 +55,31 @@ private[graft] object PlanCache {
   }
 
   /** Identity key for a DataFrame's source data. Canonicalized plans are
-    * NOT unique for RDD-backed leaves: two different localCheckpoint()/
-    * rdd frames with the same schema canonicalize identically (exprIds
-    * are normalized away), so a micro-batch would silently reuse the
-    * previous batch's cache entry. Each leaf RDD's id joins the key to
-    * keep those distinct. */
+    * NOT unique for leaves:
+    *  - two different localCheckpoint()/rdd frames with the same schema
+    *    canonicalize identically (exprIds are normalized away), so a
+    *    micro-batch would silently reuse the previous batch's entry —
+    *    each leaf RDD's id joins the key;
+    *  - two FILE relations over DIFFERENT directories with the same
+    *    schema ALSO canonicalize to identical strings (the relation's
+    *    location doesn't survive `canonicalized.toString`), so a session
+    *    that touches the same table at two scale factors — exactly what
+    *    Bench does (sf0.001 warm-up, then sf0.1 passes) — would reuse the
+    *    small SF's signature table for the big one. Each file leaf's root
+    *    paths join the key. */
   private[graft] def planKey(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val leafIds = df.queryExecution.analyzed.collectLeaves().map {
       case l: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${l.rdd.id}"
-      case _ => ""
-    }.mkString(",")
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation =>
+          "fs:" + fs.location.rootPaths.mkString(",")
+        case other => "rel:" + other.toString
+      }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        "v2:" + v2.table.name()
+      case other => "leaf:" + other.nodeName
+    }.mkString(";")
     leafIds + "|" + df.queryExecution.analyzed.canonicalized.toString
   }
 

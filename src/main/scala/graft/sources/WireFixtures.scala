@@ -110,15 +110,19 @@ object WireFixtures {
     * Contains `sigs/` (id, sig[64]) and `banded/` (id, band, bucket).
     * Streaming/incremental demos treat these as read-only and land their
     * per-increment appends in their own overlay dirs. */
-  def minhashStoreDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/minhash_store") { tmp =>
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text")
-      val sigs = graft.pipeline.Dedup.minhashSignatures(
-        docs, "text", "doc_id", 3, 64)
-      sigs.coalesce(4).write.parquet(s"$tmp/sigs")
-      graft.pipeline.Dedup.bandedBucketsFromSignatures(sigs)
-        .coalesce(4).write.parquet(s"$tmp/banded")
+  def minhashStoreDir(spark: SparkSession, sfDir: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): String =
+    // algorithm params in the cache path: a future shingle/k/bands change
+    // must never silently reuse a store signed under the old parameters
+    writeOnce(s"$Root/${key(sfDir)}/minhash_store_n${shingleN}k${k}b$bands") {
+      tmp =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val sigs = graft.pipeline.Dedup.minhashSignatures(
+          docs, "text", "doc_id", shingleN, k)
+        sigs.coalesce(4).write.parquet(s"$tmp/sigs")
+        graft.pipeline.Dedup.bandedBucketsFromSignatures(sigs, k, bands)
+          .coalesce(4).write.parquet(s"$tmp/banded")
     }
 
   /** Binary relay event-log segments (the graft-relay DataSource's

@@ -87,4 +87,27 @@ class StoreSpec extends SparkSpec {
     assert(!(a eq c)) // different params → different entry
     PlanCache.clear()
   }
+
+  test("plan cache keys distinguish SAME-SCHEMA tables at different paths") {
+    // canonicalized.toString erases file-relation locations, so two scale
+    // factors of the same table canonicalize identically — the exact
+    // session shape Bench runs (sf0.001 warm-up, then sf0.1 passes). A
+    // colliding key would silently reuse the small SF's signature table
+    // for the big one (this bit round 5's streaming dedup store at sf0.1).
+    import graft.pipeline.{Dedup, PlanCache}
+    val small = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val big = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    assert(PlanCache.planKey(small) != PlanCache.planKey(big))
+    val sa = Dedup.minhashSignatures(small, "text", "doc_id", 3, 64)
+    val sb = Dedup.minhashSignatures(big, "text", "doc_id", 3, 64)
+    assert(!(sa eq sb)) // separate entries — each corpus signed itself
+    // the corpora happen to share ids/count across SFs; the signatures
+    // must still differ because the texts do
+    assert(sa.select("sig").exceptAll(sb.select("sig")).count() > 0)
+    PlanCache.clear()
+  }
 }
