@@ -732,6 +732,21 @@ object SparkEntry {
         cosineThreshold = 0.99)
     }),
 
+    // ---- semantic dedup (SemDeDup shape): k-means cells + within-cell
+    // cosine pair search, greedy lowest-id-wins. Oracled by the planted-
+    // twin contract: identical twins share every argmin (same cell,
+    // deterministic expression) at cosine 1.0 ≥ 0.99, and the corpus has
+    // no natural ≥0.99 pair (q_dedup_embedding hash-proves that corpus
+    // fact) — so kept = "original ids true, +1M copies false" exactly. ----
+    "q_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withDups = e.unionByName(
+        e.select((col("id") + 1000000L).as("id"), col("vec")))
+      graft.pipeline.Semantic.semanticDedup(withDups, k = 8, iters = 3,
+        cosineThreshold = 0.99)
+    }),
+
     // ---- K1/C4: CheckpointMult multi-timeline serve — per-partition
     // checkpoint bands + round-robin visit order after the cursor ----
     "q_stream_mult" -> ((s, dir) => {
@@ -805,6 +820,32 @@ object SparkEntry {
     "q_shuffle_order" -> ((s, dir) =>
       graft.pipeline.Sampling.shuffleOrder(
         docs(s, dir).select("doc_id"), keyCol = "doc_id", salt = 7L)),
+
+    // ---- soft dedup: down-weight instead of drop — weight_bp =
+    // floor(10000/|component|) over the shared verified-pair set (each
+    // near-dup component carries one doc's worth of training mass) ----
+    "q_dedup_softweight" -> ((s, dir) =>
+      graft.pipeline.Semantic.softDedupWeights(
+        dupCorpus(s, dir), verifiedDupPairs(s, dir).select("id_a", "id_b"))),
+
+    // ---- DSIR-shaped hashed-bigram importance selection: target = the
+    // en subset of the corpus; selection is the integer-exact
+    // cross-multiplied average-likelihood-ratio test ----
+    "q_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      graft.pipeline.Weighting.importanceWeights(
+        d.select("doc_id", "text"),
+        d.where(col("lang") === "en").select("doc_id", "text"))
+    }),
+
+    // ---- token-budget domain mixing: per-language token budgets filled
+    // in MINSTD hash order (the data-mixture stage; integer-exact) ----
+    "q_mix_budget" -> ((s, dir) =>
+      graft.pipeline.Sampling.mixToBudget(
+        docs(s, dir).select("doc_id", "lang", "text"),
+        idCol = "doc_id", domainCol = "lang", textCol = "text",
+        budgetTokens = Map("en" -> 1500L, "de" -> 400L, "zh" -> 300L),
+        defaultBudget = 250L, salt = 11L)),
 
     // ---- the end-to-end training-data pipeline, composed: quality
     // filter → predicted-language filter → exact dedup keep-one →
@@ -2097,6 +2138,14 @@ object SparkEntry {
       ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b," +
         " CAST(1.0 AS DOUBLE) AS cosine FROM embeddings"),
 
+    // semdedup planted-twin contract: identical vectors share every
+    // argmin (same k-means cell) at cosine 1.0, the corpus has no natural
+    // ≥0.99 pair, and the greedy policy keeps the lower id of each pair
+    "q_semdedup" ->
+      ("SELECT vec_id AS doc_id, TRUE AS kept FROM embeddings" +
+        " UNION ALL" +
+        " SELECT vec_id + 1000000 AS doc_id, FALSE AS kept FROM embeddings"),
+
     // planted-retrieval contracts: rank-1 result per query is its twin
     "q_ann_lsh" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
@@ -2210,6 +2259,59 @@ object SparkEntry {
 
     "q_dedup_components" -> componentsOracleSql(
       "SELECT id, CAST(min(lbl) AS BIGINT) AS component FROM walk GROUP BY id"),
+
+    // soft dedup: singleton docs weight 10000 bp; component members
+    // weight floor(10000/csize) — same recursive-CTE component derivation
+    "q_dedup_softweight" -> componentsOracleSql(
+      ", comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)," +
+        " cs AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)" +
+        " SELECT c.doc_id," +
+        " CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component," +
+        " CAST(coalesce(cs.csize, 1) AS BIGINT) AS csize," +
+        " CAST(10000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_bp" +
+        " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id" +
+        " LEFT JOIN cs ON cs.component = comp.component"),
+
+    // DSIR selection: same md5-derived bucket hash, integer-exact
+    // cross-multiplied average-likelihood-ratio test
+    "q_dsir_select" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t" +
+        " FROM documents)," +
+        " grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g" +
+        " FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i))," +
+        " gb AS (SELECT doc_id," +
+        " CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b" +
+        " FROM grams)," +
+        " tgt AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)" +
+        " WHERE lang = 'en' GROUP BY b)," +
+        " rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b)," +
+        " tot AS (SELECT (SELECT count(*) FROM gb) AS nr," +
+        " (SELECT count(*) FROM gb JOIN documents USING (doc_id)" +
+        " WHERE lang = 'en') AS nt)," +
+        " agg AS (SELECT doc_id, count(*) AS n_grams," +
+        " sum(coalesce(ct, 0)) AS st, sum(coalesce(cr, 0)) AS sr" +
+        " FROM gb LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)" +
+        " GROUP BY doc_id)" +
+        " SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams," +
+        " CAST(coalesce(a.st, 0) AS BIGINT) AS sum_target," +
+        " CAST(coalesce(a.sr, 0) AS BIGINT) AS sum_raw," +
+        " (coalesce(a.st, 0) * (SELECT nr FROM tot) >" +
+        " coalesce(a.sr, 0) * (SELECT nt FROM tot)) AS selected" +
+        " FROM documents d LEFT JOIN agg a USING (doc_id)"),
+
+    // token-budget mixing: same MINSTD hash order, budget as CASE chain
+    "q_mix_budget" ->
+      ("WITH t AS (SELECT doc_id, lang AS domain," +
+        " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " ((doc_id + 11) % 2147483647) * 48271 % 2147483647 AS h" +
+        " FROM documents)" +
+        " SELECT doc_id, domain, n_tokens," +
+        " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS cum_before," +
+        " (sum(n_tokens) OVER w - n_tokens) <" +
+        " (CASE domain WHEN 'en' THEN 1500 WHEN 'de' THEN 400" +
+        " WHEN 'zh' THEN 300 ELSE 250 END) AS selected" +
+        " FROM t WINDOW w AS (PARTITION BY domain ORDER BY h, doc_id" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
 
     "q_cluster_keep_one" -> componentsOracleSql(
       "SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN" +

@@ -111,17 +111,38 @@ object TextFunctions {
   }
 
   /** Gopher-style repetition signal: the most frequent word bigram's share
-    * of all bigrams. Pure array expressions — counts are O(distinct ×
-    * bigrams) per document, linear in the scan overall, no shuffle. */
+    * of all bigrams. Pure array expressions, no shuffle.
+    *
+    * Shape matters here: the naive `transform(sequence(1, n-1), i ->
+    * element_at(toks, i)...)` + `filter`-count form re-embeds the split
+    * subtree inside every lambda invocation — O(tokens³) regex work per
+    * document (each element_at re-tokenizes, each distinct-bigram count
+    * re-builds the bigram list). This form is O(n log n): bigrams via
+    * zip_with over two slices (constant splits per row), then the mode
+    * count is the longest equal-adjacent run of the SORTED bigram array,
+    * folded in one `aggregate` pass that evaluates its input exactly
+    * once. */
   def topBigramFraction(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    val bigrams = transform(sequence(lit(1), n - 1), i =>
-      concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
-    val counts = transform(array_distinct(bigrams), b =>
-      size(filter(bigrams, x => x === b)))
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val sorted = array_sort(bigrams)
+    // adjacent-equality flags of the sorted list; max run = mode count − 1
+    val flags = zip_with(
+      slice(sorted, lit(1), size(sorted) - 1),
+      slice(sorted, lit(2), size(sorted) - 1),
+      (a, b) => when(a === b, 1).otherwise(0))
+    val maxRun = aggregate(flags,
+      struct(lit(0).as("cur"), lit(0).as("best")),
+      (acc, x) => {
+        val cur = when(x === 1, acc.getField("cur") + 1).otherwise(lit(0))
+        struct(cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best") + 1)
     when(n < 2, lit(0.0)).otherwise(
-      array_max(counts).cast("double") / (n - 1).cast("double"))
+      maxRun.cast("double") / (n - 1).cast("double"))
   }
 
   /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):

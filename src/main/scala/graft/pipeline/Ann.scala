@@ -210,6 +210,23 @@ object Ann {
     codebook.toSeq.toDF("id", "vec")
   }
 
+  /** Nearest-codebook-cell assignment as ONE codegen projection — argmin
+    * via array_min over (dist, cell) structs: struct ordering is
+    * lexicographic, so min dist wins and ties break to the smallest cell
+    * (min_by (dist, cell_id) semantics). Each l2sq appears exactly once
+    * in the expression tree — a when-chain fold would duplicate the
+    * accumulator subtree at every level (2^C code-size blowup). The
+    * corpus is scanned once with NO crossJoin and no shuffle; vectors
+    * never leave their scan partition. Deterministic: identical vectors
+    * always land in the same cell. */
+  def nearestCellExpr(codebook: Array[(Long, Seq[Float])],
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    require(codebook.nonEmpty, "nearestCellExpr: empty codebook")
+    array_min(array(codebook.map { case (cid, cv) =>
+      struct(l2sq(vecCol, typedlit(cv)).as("d"), lit(cid).as("c"))
+    }: _*)).getField("c")
+  }
+
   /** IVF-style coarse quantization: assign each corpus vector to its
     * nearest of `centroids` (a driver-collectable table — IVF codebooks
     * are small by construction), search only the probed cells. Centroids
@@ -229,15 +246,8 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
     require(centRows.nonEmpty, "ivfTopK: empty centroid set")
-    // argmin via array_min over (dist, cell) structs: struct ordering is
-    // lexicographic, so min dist wins and ties break to the smallest cell
-    // (min_by (dist, cell_id) semantics). Each l2sq appears exactly once
-    // in the expression tree — a when-chain fold would duplicate the
-    // accumulator subtree at every level (2^C code-size blowup).
     def nearestCell(vecCol: org.apache.spark.sql.Column) =
-      array_min(array(centRows.map { case (cid, cv) =>
-        struct(l2sq(vecCol, typedlit(cv)).as("d"), lit(cid).as("c"))
-      }: _*)).getField("c")
+      nearestCellExpr(centRows, vecCol)
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
       .withColumn("cell_id", nearestCell(col("cvec")))
     // queries probe their nProbe nearest cells (tiny side — a broadcast

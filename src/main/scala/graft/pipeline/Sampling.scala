@@ -64,6 +64,44 @@ object Sampling {
     * per-bucket window sorts locally — the global sort never lands on one
     * task. Ties are impossible across buckets (bucket is a function of
     * the hash) and broken within a bucket by the key. */
+  /** Token-budget domain mixing: fill each domain's token budget with a
+    * deterministic, reproducible document subset (the "data mixture"
+    * stage of a pretraining pipeline — e.g. 100 B tokens of web, 20 B of
+    * code, 5 B of a rare language). Documents visit in MINSTD-hash order
+    * (the same reproducible corpus shuffle [[shuffleOrder]] uses), each
+    * carrying its whitespace token count; a doc is selected iff the token
+    * mass BEFORE it in its domain's hash order is still strictly under
+    * the domain's budget — so the first doc to cross the budget line is
+    * the last one selected and the decision is integer-exact (external
+    * SQL re-derives every row from the same window sum).
+    *
+    * Scale shape: one shuffle — the per-domain window (partitionBy
+    * domain). Domains are few and the window needs no global sort across
+    * domains; a skew-heavy domain can be pre-split by hash range and the
+    * per-range cumulative offsets merged the way [[shuffleOrder]] merges
+    * bucket offsets. Budgets arrive as a literal CASE chain, not a join.
+    *
+    * Returns (doc_id, domain, n_tokens, cum_before, selected) — one row
+    * per input doc. */
+  def mixToBudget(df: DataFrame, idCol: String, domainCol: String,
+      textCol: String, budgetTokens: Map[String, Long],
+      defaultBudget: Long = 0L, salt: Long = 0L): DataFrame = {
+    val budget = budgetTokens.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (d, b)) => when(col("domain") === d, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).as("domain"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("__h", minstd(col("doc_id"), salt))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("selected", col("cum_before") < budget)
+      .select("doc_id", "domain", "n_tokens", "cum_before", "selected")
+  }
+
   def shuffleOrder(df: DataFrame, keyCol: String, salt: Long = 0L,
       numBuckets: Int = 0): DataFrame = {
     val n =

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** Semantic (embedding-space) deduplication policies.
+  *
+  * Two complementary treatments of the same near-duplicate evidence:
+  *  - [[semanticDedup]] — SemDeDup-shaped hard dedup: k-means-cluster the
+  *    embedding space, search for near-duplicate pairs ONLY within each
+  *    cluster, keep the lowest-id member of every near-dup relation.
+  *  - [[softDedupWeights]] — soft dedup: nothing is dropped; each doc is
+  *    down-weighted by the size of its near-dup component (weight
+  *    1/|component|), so a cluster of n copies contributes one document's
+  *    worth of training mass in aggregate.
+  */
+object Semantic {
+
+  /** SemDeDup-style semantic deduplication (the k-means-then-intra-cluster
+    * pairwise search published for web-scale embedding dedup): train a
+    * codebook over the embeddings, assign every vector to its nearest
+    * centroid with the fused argmin projection (one scan, no shuffle —
+    * [[Ann.nearestCellExpr]]), then compare pairs only WITHIN a cell. The
+    * cross product never leaves a cell, so the pair search costs
+    * Σ|cell|² instead of N²; `k` is the knob that bounds cell size (at
+    * 100 TB pick k ∝ N / targetCellSize — the within-cell join shuffles
+    * both sides once on cell_id and each cell's block is a bounded
+    * in-partition product; for very hot cells, compose with the
+    * hyperplane-LSH blocking of [[Dedup.embeddingNearDups]] inside the
+    * cell). Drop policy is greedy lowest-id-wins: a doc is dropped iff
+    * some lower-id doc in its cell has cosine ≥ `cosineThreshold` — for
+    * identical twins this is exactly "the original survives, the copy
+    * drops", and it never drops two docs of a pair (the lower endpoint of
+    * every ≥-threshold relation is kept unless it loses to a still-lower
+    * id, which keeps THAT one — every near-dup relation retains a
+    * representative).
+    *
+    * Returns one row per input doc: (doc_id, kept). Codebook training is
+    * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is
+    * computed once and reused for both join sides through [[PlanCache]].
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String = "id",
+      vecCol: String = "vec", k: Int = 8, iters: Int = 4,
+      cosineThreshold: Double = 0.99): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val (codebook, _) = Ann.trainCentroids(base, k, iters)
+    val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
+      base.withColumn("cell_id", Ann.nearestCellExpr(codebook, col("vec"))))
+    // within-cell pair search: the join key is the cell id alone, so the
+    // only rows that ever meet are cluster-mates; vectors ride exactly one
+    // join (no candidate/fetch round-trip — cells are already bounded)
+    val left = cells.select(col("cell_id"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val right = cells.select(col("cell_id"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    val dropped = left.join(right, "cell_id")
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
+      .select(col("id_b").as("id")).distinct()
+    // drop set is small relative to the corpus (it IS the duplicate mass)
+    // → the exclusion join broadcasts at scale
+    cells.select("id")
+      .join(broadcast(dropped.withColumn("dup", lit(true))), Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("dup").isNull.as("kept"))
+  }
+
+  /** Soft deduplication: down-weight near-duplicates instead of dropping
+    * them (the "one document's worth of mass per component" policy some
+    * pretraining pipelines prefer over hard dedup — repeated text still
+    * appears, but no cluster dominates the loss). Each doc's weight is
+    * `1/|near-dup component|`, emitted integer-exactly as basis points
+    * (`weight_bp = floor(10000 / csize)`) so external engines re-derive
+    * the exact value. Docs with no dup edge are singletons at weight
+    * 10000.
+    *
+    * `pairs` is the verified near-dup edge set ((id_a, id_b), e.g. the
+    * MinHash-LSH → exact-Jaccard pipeline's output); components come from
+    * [[Dedup.connectedComponents]]. Scale shape: component labels +
+    * sizes are component-mass-sized (small relative to the corpus — the
+    * same argument as keep-one's anti-join), so the weight join
+    * broadcasts; the corpus itself is never shuffled. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    val labeled = comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("csize"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        floor(lit(10000.0) / coalesce(col("csize"), lit(1L)))
+          .cast("long").as("weight_bp"))
+  }
+}

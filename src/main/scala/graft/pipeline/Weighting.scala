@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style hashed n-gram importance selection (the
+  * importance-resampling family of data-selection methods: score raw web
+  * documents by how much more likely their hashed n-gram features are
+  * under a small curated target corpus than under the raw corpus itself,
+  * then keep the high-ratio docs).
+  *
+  * The feature space is `buckets` hashed word-bigram buckets. Both
+  * distributions reduce to one tiny (bucket, count) table each — at most
+  * `buckets` rows regardless of corpus size — so scoring a 100 TB raw
+  * corpus is: one map-side gram explode, two BROADCAST joins against the
+  * bucket tables, one groupBy(doc_id). No corpus-sized shuffle beyond the
+  * per-doc aggregation, and the target corpus (small by definition) is
+  * read twice at most.
+  *
+  * Integer-exact contract (what makes the op externally re-derivable):
+  * instead of summing floating log-ratios — whose accumulation order
+  * differs across engines — the score keeps the integer numerator and
+  * denominator separately: `sum_target` = Σ per-gram target-bucket
+  * counts, `sum_raw` = Σ per-gram raw-bucket counts, and the selection
+  * `sum_target * total_raw > sum_raw * total_target` is the
+  * cross-multiplied form of "average target likelihood ratio of this
+  * doc's grams exceeds 1" — every quantity a BIGINT, bit-identical in any
+  * engine. (At extreme corpus sizes move the comparison to DECIMAL:
+  * `sum_target ≤ n_grams_doc · total_target`, so the product is bounded
+  * by n_grams_doc · total_target · total_raw.)
+  *
+  * The bucket hash is md5-based so plain SQL reproduces it verbatim —
+  * see [[md5Bucket]].
+  */
+object Weighting {
+
+  /** Hashed feature bucket in [0, `buckets`): the top 15 hex chars (60
+    * bits, always non-negative) of md5(gram), mod the bucket count.
+    * DuckDB reproduces it as
+    * `CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % buckets`. */
+  def md5Bucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  /** Word-bigram list of `textCol` (whitespace tokenization — the same
+    * `split('\\s+')` every text op here uses). Empty for docs with fewer
+    * than two tokens (slice length 0 on both sides).
+    *
+    * Deliberately `zip_with(slice, slice)` and NOT
+    * `transform(sequence(1, n-1), i -> element_at(toks, i) ...)`: the
+    * lambda body embeds the full `split` subtree, so the indexed form
+    * re-tokenizes the document once PER GRAM — O(tokens²) per doc (a
+    * measured 20× slowdown at sf0.1). The two slices evaluate the split
+    * a constant number of times per row. */
+  def wordBigrams(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** One row per (doc, gram) with its feature bucket; a doc with no
+    * grams keeps exactly one row with a null gram/bucket (a doc row is
+    * never silently dropped). */
+  private def docGramBuckets(docs: DataFrame, textCol: String,
+      idCol: String, buckets: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        wordBigrams(col(textCol)).as("grams"))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .withColumn("bucket",
+        when(col("gram").isNotNull, md5Bucket(col("gram"), buckets)))
+
+  /** Score every doc of `raw` against the `target` distribution. Returns
+    * one row per raw doc: (doc_id, n_grams, sum_target, sum_raw,
+    * selected). Docs with no grams are never selected (their average
+    * ratio is vacuously 0 > 0 = false). */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 1024): DataFrame = {
+    val rawG = docGramBuckets(raw, textCol, idCol, buckets)
+    val tgtG = docGramBuckets(target, textCol, idCol, buckets)
+    // the two distributions: ≤ `buckets` rows each — broadcast dims.
+    // Persisted (PlanCache): each feeds BOTH the per-gram join and the
+    // totals row; without the persist the raw-corpus gram explode (md5
+    // per gram over the 100 TB side) would re-run once per consumer.
+    val rawCnt = PlanCache.getOrPersist(raw, s"dsir-raw-dist|$buckets",
+      rawG.where(col("gram").isNotNull)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt_raw")))
+    val tgtCnt = PlanCache.getOrPersist(target, s"dsir-target-dist|$buckets",
+      tgtG.where(col("gram").isNotNull)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt_target")))
+    val totals = rawCnt.agg(sum(col("cnt_raw")).as("total_raw"))
+      .crossJoin(tgtCnt.agg(sum(col("cnt_target")).as("total_target")))
+    rawG
+      .join(broadcast(tgtCnt), Seq("bucket"), "left")
+      .join(broadcast(rawCnt), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+        sum(coalesce(col("cnt_target"), lit(0L))).as("sum_target"),
+        sum(coalesce(col("cnt_raw"), lit(0L))).as("sum_raw"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_grams"), col("sum_target"), col("sum_raw"),
+        (col("sum_target") * col("total_raw") >
+          col("sum_raw") * col("total_target")).as("selected"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Sampling, Semantic, Weighting}
+
+/** Semantic dedup (SemDeDup shape), soft dedup weighting, DSIR-style
+  * importance selection, and token-budget domain mixing. */
+class SemanticWeightingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDedup drops exactly the higher-id member of a twin pair") {
+    // three well-separated base vectors + an exact copy of each
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f)))
+    val vecs = (base ++ base.map { case (id, v) => (id + 100L, v) })
+      .toDF("id", "vec")
+    val out = Semantic.semanticDedup(vecs, k = 2, iters = 2,
+        cosineThreshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === 6)
+    assert(Seq(0L, 1L, 2L).forall(out(_)), "originals must be kept")
+    assert(Seq(100L, 101L, 102L).forall(!out(_)), "copies must drop")
+  }
+
+  test("semanticDedup keeps a representative of every near-dup relation") {
+    // a chain of identical vectors: greedy lowest-id-wins keeps only the
+    // minimum (all three share a cell and pairwise cosine 1.0)
+    val vecs = Seq((7L, Seq(1.0f, 2.0f)), (8L, Seq(1.0f, 2.0f)),
+      (9L, Seq(1.0f, 2.0f)), (50L, Seq(-3.0f, 1.0f)))
+      .toDF("id", "vec")
+    val kept = Semantic.semanticDedup(vecs, k = 2, iters = 1)
+      .where(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(7L, 50L))
+  }
+
+  test("softDedupWeights: floor(10000/csize), singletons at 10000") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Semantic.softDedupWeights(docs, pairs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 3L, 3333L)))
+    assert(out(2L) === ((1L, 3L, 3333L)))
+    assert(out(3L) === ((1L, 3L, 3333L)))
+    assert(out(4L) === ((4L, 1L, 10000L))) // no dup edge → singleton
+    assert(out(5L) === ((5L, 2L, 5000L)))
+    assert(out(6L) === ((5L, 2L, 5000L)))
+  }
+
+  test("md5Bucket matches the DuckDB hex-cast derivation") {
+    // DuckDB: CAST(CONCAT('0x', substr(md5('hello'),1,15)) AS BIGINT)
+    //       = 419982666956583591
+    val v = spark.range(1)
+      .select(conv(substring(md5(lit("hello").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("v"))
+      .head().getLong(0)
+    assert(v === 419982666956583591L)
+    val b = spark.range(1)
+      .select(Weighting.md5Bucket(lit("hello"), 1024).as("b"))
+      .head().getLong(0)
+    assert(b === 419982666956583591L % 1024)
+  }
+
+  test("importanceWeights: target-like docs selected, others not") {
+    // target distribution = gram "a b"; doc 1 is pure target grams, doc 2
+    // shares none, doc 3 has a single token (no grams — never selected)
+    val raw = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y x y"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val out = Weighting.importanceWeights(raw, target, buckets = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // doc 1: grams [a b, b a, a b, b a, a b]; target has [a b, b a, a b]
+    //   → every gram's bucket is populated in the target
+    assert(out(1L)._1 === 5L && out(1L)._4, s"doc1: ${out(1L)}")
+    // doc 2's grams never occur in the target corpus (sum_target = 0
+    //   barring md5 bucket collisions at 64 buckets — none for these);
+    //   sum_raw: grams [x y, y x, x y] meet raw counts 2 + 1 + 2 = 5
+    assert(out(2L) === ((3L, 0L, 5L, false)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((0L, 0L, 0L, false)), s"doc3: ${out(3L)}")
+  }
+
+  test("importanceWeights selection is the cross-multiplied ratio test") {
+    val raw = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b")).toDF("doc_id", "text")
+    val rows = Weighting.importanceWeights(raw, target, buckets = 256)
+      .collect()
+    // total_raw = 6 grams, total_target = 1 gram
+    rows.foreach { r =>
+      val (st, sr, sel) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(sel === (st * 6L > sr * 1L),
+        s"doc ${r.getLong(0)}: st=$st sr=$sr sel=$sel")
+    }
+  }
+
+  test("mixToBudget fills each domain budget in hash order, integer-exact") {
+    val docs = Seq(
+      (1L, "en", "one two three"), // 3 tokens
+      (2L, "en", "four five"), // 2
+      (3L, "en", "six seven eight nine"), // 4
+      (4L, "de", "zehn elf")).toDF("doc_id", "lang", "text") // 2
+    val out = Sampling.mixToBudget(docs, "doc_id", "lang", "text",
+      budgetTokens = Map("en" -> 5L), defaultBudget = 0L, salt = 11L)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(rows.size === 4)
+    // hash order within en is deterministic; re-derive it here
+    val h = (id: Long) => ((id + 11L) % 2147483647L) * 48271L % 2147483647L
+    val enOrder = Seq(1L, 2L, 3L).sortBy(id => (h(id), id))
+    val toks = Map(1L -> 3L, 2L -> 2L, 3L -> 4L)
+    var cum = 0L
+    enOrder.foreach { id =>
+      assert(rows(id)._3 === cum, s"cum_before of $id")
+      assert(rows(id)._4 === (cum < 5L), s"selected of $id")
+      cum += toks(id)
+    }
+    // default budget 0 → nothing selected in de
+    assert(rows(4L)._4 === false && rows(4L)._3 === 0L)
+    // budget binds: at least one en doc selected, at least one not
+    val enSel = Seq(1L, 2L, 3L).map(rows(_)._4)
+    assert(enSel.contains(true) && enSel.contains(false))
+  }
+}
