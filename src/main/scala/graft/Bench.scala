@@ -11,6 +11,16 @@ import graft.sources.ChangeFeed
   * ordered dispatch — the BASELINE.md "thousands of events/sec/server"
   * comparison point). Prints ONE JSON line. */
 object Bench {
+
+  /** Execute the FULL plan, all columns. `df.count()` would let the
+    * optimizer prune subtrees no counted column depends on (e.g. a left
+    * join against a distinct/aggregated right side is eliminated under
+    * count — q_semdedup's whole pair search vanished from the timing);
+    * running the frame's own physical plan as an RDD forces every
+    * operator the consumer of the query would pay for. */
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,7 +46,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory)
       picked.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     Seq("events", "lineitem", "orders", "customer", "supplier", "nation",
         "region", "part", "documents", "embeddings").foreach { t =>
@@ -50,7 +60,7 @@ object Bench {
     def pass(): Map[String, Double] =
       picked.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val p1 = pass(); val p2 = pass()

@@ -31,7 +31,8 @@ object ScaleProbe {
     "q1_agg", "q3_join", "q5_join", "q18_large_orders",
     "q_span_dedup", "q_dedup_minhash", "q_dedup_components",
     "q_cluster_keep_one", "q_ann_ivf", "q_ann_quantized",
-    "q_heavy_hitters")
+    "q_heavy_hitters", "q_dedup_softweight", "q_dsir_select",
+    "q_mix_budget")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
@@ -93,14 +94,14 @@ object ScaleProbe {
 
     // warm codegen/JIT on the tiny SF first (same rationale as Bench)
     Probes.foreach { q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      try Bench.force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
 
     def time(q: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
+        Bench.force(SparkEntry.queries(q)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once())
@@ -111,6 +112,24 @@ object ScaleProbe {
       val b = time(q, DerivedDir)
       println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
     }
+    // semdedup probed with k ∝ N (the documented cell-size knob): fixed k
+    // at 10× data means 10× cells → 100× within-cell pairs; scaling k
+    // keeps expected cell size constant, so pair work scales linearly
+    def semdedup(dir: String, k: Int): Double = {
+      def once(): Double = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val withDups = e.unionByName(
+          e.select((col("id") + 1000000L).as("id"), col("vec")))
+        val t0 = System.nanoTime()
+        Bench.force(graft.pipeline.Semantic.semanticDedup(withDups, k = k, iters = 3))
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val sa = semdedup(base, 8)
+    val sb = semdedup(DerivedDir, 80)
+    println(f"${"q_semdedup (k∝N)"}%-22s $sa%8.2f $sb%8.2f  ${sb / sa}%5.1f×")
     spark.stop()
   }
 }

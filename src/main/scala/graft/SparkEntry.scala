@@ -805,6 +805,25 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(dupCorpus(s, dir), spanTokens = 20)),
 
+    // ---- exact-substring duplication detection: sliding 16-token
+    // windows at stride 1 catch shifted duplicates the fixed span grid
+    // misses; corpus = documents + planted copies of the first 100 docs,
+    // so the flagged mass is a strict, oracle-re-derivable subset ----
+    "q_substring_dup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(d.where(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.substringDupStats(corpus, windowTokens = 16)
+    }),
+
+    // ---- per-language EXACT-quantile quality threshold (median): the
+    // calibration stage — cutoffs adapt per stratum, ties integer-decided ----
+    "q_quality_quantile" -> ((s, dir) =>
+      graft.pipeline.Weighting.quantileThreshold(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality")),
+        scoreCol = "quality", stratumCol = "lang", qBp = 5000)),
+
     // ---- deterministic stratified sampling: per-language basis-point
     // rates over an integer-exact hash stream — map-only, resumable,
     // re-derivable in plain SQL (upsample en, downsample zh) ----
@@ -2298,6 +2317,39 @@ object SparkEntry {
         " (coalesce(a.st, 0) * (SELECT nr FROM tot) >" +
         " coalesce(a.sr, 0) * (SELECT nt FROM tot)) AS selected" +
         " FROM documents d LEFT JOIN agg a USING (doc_id)"),
+
+    // exact-substring sliding-window duplication: same md5 window hash
+    "q_substring_dup" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
+        " SELECT doc_id + 1000000 AS doc_id, text FROM documents" +
+        " WHERE doc_id < 100)," +
+        " t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t" +
+        " FROM corpus)," +
+        " w AS (SELECT doc_id, md5(array_to_string(t[i+1:i+16], ' ')) AS h" +
+        " FROM t, unnest(generate_series(0, len(t) - 16)) AS u(i))," +
+        " c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h)," +
+        " a AS (SELECT doc_id, count(*) AS n_windows," +
+        " sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup" +
+        " FROM w JOIN c USING (h) GROUP BY doc_id)" +
+        " SELECT d.doc_id," +
+        " CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows," +
+        " CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_windows," +
+        " (coalesce(a.n_dup, 0) > 0) AS has_dup" +
+        " FROM corpus d LEFT JOIN a USING (doc_id)"),
+
+    // exact per-stratum quantile: rank−1 ties decide identically in any
+    // engine; selection is the integer cross-multiplied comparison
+    "q_quality_quantile" ->
+      (s"WITH s AS (SELECT doc_id, lang, round($qualityExprSql, 6) AS quality" +
+        " FROM documents)" +
+        " SELECT doc_id, lang, quality," +
+        " CAST(rank() OVER (PARTITION BY lang ORDER BY quality) - 1 AS BIGINT)" +
+        " AS cnt_below," +
+        " CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n," +
+        " ((rank() OVER (PARTITION BY lang ORDER BY quality) - 1) * 10000 >=" +
+        " 5000 * count(*) OVER (PARTITION BY lang)) AS selected" +
+        " FROM s"),
 
     // token-budget mixing: same MINSTD hash order, budget as CASE chain
     "q_mix_budget" ->

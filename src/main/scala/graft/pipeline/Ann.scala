@@ -178,9 +178,21 @@ object Ann {
       val best = array_min(array(cents.map { case (cid, cv) =>
         struct(l2sq(col("vec"), typedlit(cv)).as("d"), lit(cid).as("c"))
       }: _*))
-      val stats = c
-        .select(best.getField("c").as("cell"), best.getField("d").as("dist"),
-          posexplode(col("vec")))
+      // localCheckpoint = a materialization BARRIER between assignment and
+      // the per-dimension explode. Without it, ExtractGenerator hoists this
+      // projection ABOVE the posexplode (generator output can't ride a
+      // child Project), so the k-way argmin re-runs once per exploded
+      // DIMENSION — a dim× work blow-up (k=80, dim=64: observed ~5000×
+      // slower stats job; every worker pinned in project_subExpr inside
+      // generate_doConsume). With the barrier the assignment is evaluated
+      // exactly once per vector — the "each iteration is one corpus scan"
+      // contract the scaladoc promises.
+      val assigned = c
+        .select(col("vec"), best.getField("c").as("cell"),
+          best.getField("d").as("dist"))
+        .localCheckpoint(true)
+      val stats = assigned
+        .select(col("cell"), col("dist"), posexplode(col("vec")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"),
           sum(col("dist")).as("dsum"))

@@ -87,6 +87,61 @@ object Dedup {
           " ").as("kept_text"))
   }
 
+  /** Exact-substring duplication detection over SLIDING L-token windows
+    * (stride 1) — the suffix-array-free form of "find every repeated
+    * substring of ≥ L tokens" that exact-substring training-data dedup
+    * prescribes. [[spanDedup]]'s fixed 20-token blocks miss duplicates
+    * that are shifted relative to the block grid; sliding windows catch
+    * every alignment: a window whose hash occurs more than once
+    * corpus-wide IS a repeated ≥L-token substring occurrence.
+    *
+    * Emits one row per input doc: (doc_id, n_tokens, n_windows,
+    * n_dup_windows, has_dup) — docs shorter than L tokens report zero
+    * windows and are never flagged. Detection-level output (which docs,
+    * how much): the clipping/removal policy is downstream's choice.
+    *
+    * Shape: tokens are POSEXPLODED to narrow (doc_id, pos, tok) rows and
+    * windows built with a per-doc window-function collect_list — NOT a
+    * `transform(sequence(...), i -> slice(toks, ...))` lambda, which
+    * would re-embed the tokenizer per window (O(tokens²) per doc; the
+    * same pitfall fixed in topBigramFraction/wordBigrams). Cost: one
+    * shuffle by doc_id (windowing), one by window hash (occurrence
+    * counts), one per-doc aggregate — all over rows that carry a 16-byte
+    * hash, never window text. Row count equals corpus token count; that
+    * is the honest price of exactness at stride 1 (suffix-array engines
+    * pay the same linear blow-up) — raise L or sample strides when the
+    * budget demands approximation. */
+  def substringDupStats(docs: DataFrame, windowTokens: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toksed = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val ex = toksed
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(col("toks")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        col("col").as("tok"))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, windowTokens - 1)
+    val wins = ex
+      .withColumn("wtext",
+        concat_ws(" ", collect_list(col("tok")).over(wspec)))
+      .where(col("pos") <= col("n_tokens") - windowTokens)
+      .select(col("doc_id"),
+        md5(col("wtext").cast("binary")).as("whash"))
+    val occurrences = Window.partitionBy(col("whash"))
+    val agg = wins
+      .withColumn("cnt", count(lit(1)).over(occurrences))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    toksed.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) > 0L).as("has_dup"))
+  }
+
   /** Word n-gram shingles of a document (distinct). HOFs are interpreted
     * (no codegen), so the lambda body is kept to two nodes — slice +
     * concat_ws beats per-position element_at chains. */

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR-style hashed n-gram importance selection (the
@@ -69,6 +70,32 @@ object Weighting {
       .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
       .withColumn("bucket",
         when(col("gram").isNotNull, md5Bucket(col("gram"), buckets)))
+
+  /** Per-stratum EXACT-quantile thresholding: keep rows whose score sits
+    * at or above their stratum's `qBp`-basis-point quantile (qBp = 5000 ⇒
+    * per-stratum median). The quality-calibration stage of a filtering
+    * pipeline: a fixed global score cutoff over-prunes low-resource
+    * strata, so the cutoff adapts per stratum instead.
+    *
+    * Exact and integer-decided: `cnt_below` is rank−1 over the stratum
+    * (ties share a rank in every SQL engine, so tied scores decide
+    * identically), and selection is `cnt_below · 10000 ≥ qBp · n` — no
+    * floating quantile interpolation, re-derivable externally.
+    *
+    * Scale shape: one shuffle (the per-stratum window); the per-stratum
+    * sort is the honest cost of exactness — swap in percentile_approx
+    * when a sketch suffices. A skew-heavy stratum pre-splits by hash
+    * range exactly like [[Sampling.shuffleOrder]]'s buckets. */
+  def quantileThreshold(df: DataFrame, scoreCol: String, stratumCol: String,
+      qBp: Int, idCol: String = "doc_id"): DataFrame = {
+    val byScore = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol))
+    val whole = Window.partitionBy(col(stratumCol))
+    df.select(col(idCol), col(stratumCol), col(scoreCol))
+      .withColumn("cnt_below", rank().over(byScore).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("selected",
+        col("cnt_below") * 10000L >= lit(qBp.toLong) * col("n"))
+  }
 
   /** Score every doc of `raw` against the `target` distribution. Returns
     * one row per raw doc: (doc_id, n_grams, sum_target, sum_raw,

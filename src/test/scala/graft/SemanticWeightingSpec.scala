@@ -99,6 +99,45 @@ class SemanticWeightingSpec extends SparkSpec {
     }
   }
 
+  test("substringDupStats flags shifted duplicates the span grid misses") {
+    // doc 2 repeats doc 1's 6-token phrase OFFSET by two tokens — a
+    // 20-token fixed span grid would never align them; a 4-token sliding
+    // window must. doc 3 shares nothing; doc 4 is too short for windows.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high over all walls today"),
+      (2L, "xx yy the quick brown fox jumps high zz ww vv uu"),
+      (3L, "completely different words in this document right here now ok"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.substringDupStats(docs, windowTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // doc 1: 10 tokens → 7 windows; shared 6-token run ⇒ 3 dup windows
+    assert(out(1L) === ((10L, 7L, 3L, true)), s"doc1: ${out(1L)}")
+    // doc 2: 12 tokens → 9 windows; same 3 shared windows at offset 2
+    assert(out(2L) === ((12L, 9L, 3L, true)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((10L, 7L, 0L, false)), s"doc3: ${out(3L)}")
+    assert(out(4L) === ((2L, 0L, 0L, false)), s"doc4: ${out(4L)}")
+  }
+
+  test("quantileThreshold: exact per-stratum median, ties decide together") {
+    val df = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.3), (4L, "a", 0.4),
+      (5L, "b", 0.5), (6L, "b", 0.5), (7L, "b", 0.9))
+      .toDF("doc_id", "lang", "score")
+    val out = graft.pipeline.Weighting
+      .quantileThreshold(df, "score", "lang", qBp = 5000)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    // stratum a (n=4): cnt_below 0,1,2,3 → selected iff cnt_below*1e4 >= 5000*4
+    assert(!out(1L)._3 && !out(2L)._3 && out(3L)._3 && out(4L)._3)
+    // stratum b: the 0.5 tie shares rank 1 → cnt_below 0 for both → both out
+    assert(out(5L) === ((0L, 3L, false)))
+    assert(out(6L) === ((0L, 3L, false)))
+    assert(out(7L) === ((2L, 3L, true)))
+  }
+
   test("mixToBudget fills each domain budget in hash order, integer-exact") {
     val docs = Seq(
       (1L, "en", "one two three"), // 3 tokens
