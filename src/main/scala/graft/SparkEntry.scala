@@ -1719,6 +1719,35 @@ object SparkEntry {
       }.toSeq.toDF("iter", "wcss_non_increasing")
     }),
 
+    // ---- distributed PCA by power iteration, contract-oracled: the
+    // Rayleigh quotient is non-decreasing on a PSD covariance (the power-
+    // iteration invariant, fp-tolerant like WCSS), and with dimension 7's
+    // variance inflated 100× the learned top component must align to the
+    // planted axis (|v₇| ≥ 0.95 — measured ≈0.999; an isotropic-corpus
+    // accident cannot produce it) ----
+    "q_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val planted = emb(s, dir).select(
+        transform(col("embedding"),
+          (x, i) => when(i === 7, x * lit(10.0f)).otherwise(x)).as("vec"))
+      val (v, ray) = graft.pipeline.Pca.topComponent(planted, "vec", iters = 5)
+      val aligned = math.abs(v(7)) >= 0.95
+      ray.sliding(2).zipWithIndex.map { case (pair, i) =>
+        (i + 1, pair(1) >= pair(0) * (1 - 1e-9) - 1e-9, aligned)
+      }.toSeq.toDF("iter", "rayleigh_non_decreasing", "aligned_to_planted")
+    }),
+
+    // ---- ingestion drift monitor: per-bucket chi-square between the
+    // reference corpus and an incoming batch over hashed token buckets —
+    // counts integer-exact, expected/contribution in floored micro-units
+    // over an identical double op chain ----
+    "q_drift_stats" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.pipeline.Monitor.tokenDrift(
+        reference = d.where(col("doc_id") % 5 =!= 0),
+        batch = d.where(col("doc_id") % 5 === 0), buckets = 256)
+    }),
+
     // ---- the composed index pipeline: train codebook → build IVF →
     // retrieve. The planted-twin contract holds for ANY codebook
     // (identical vectors share every argmin), so the trained index is
@@ -2180,6 +2209,41 @@ object SparkEntry {
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
+
+    // power-iteration invariant (Rayleigh non-decreasing on PSD) + the
+    // planted-anisotropy alignment — both contract booleans
+    "q_pca_power" ->
+      ("SELECT CAST(range AS INT) AS iter, TRUE AS rayleigh_non_decreasing," +
+        " TRUE AS aligned_to_planted FROM range(1, 5)"),
+
+    // drift monitor: identical integer counts + identical double op chain
+    // floored to micro-units
+    "q_drift_stats" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+'))" +
+        " AS tok FROM documents)," +
+        " gb AS (SELECT doc_id," +
+        " CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS b" +
+        " FROM tok)," +
+        " r AS (SELECT b, count(*) AS cnt_ref FROM gb WHERE doc_id % 5 <> 0" +
+        " GROUP BY b)," +
+        " bt AS (SELECT b, count(*) AS cnt_batch FROM gb WHERE doc_id % 5 = 0" +
+        " GROUP BY b)," +
+        " tot AS (SELECT" +
+        " (SELECT count(*) FROM gb WHERE doc_id % 5 <> 0) AS tr," +
+        " (SELECT count(*) FROM gb WHERE doc_id % 5 = 0) AS tb)," +
+        " al AS (SELECT b AS bucket, coalesce(cnt_ref, 0) AS cnt_ref," +
+        " coalesce(cnt_batch, 0) AS cnt_batch" +
+        " FROM r FULL OUTER JOIN bt USING (b))" +
+        " SELECT bucket, cnt_ref, cnt_batch," +
+        " CAST(floor(CAST(cnt_ref * (SELECT tb FROM tot) AS DOUBLE)" +
+        " * 1000000.0 / (SELECT tr FROM tot)) AS BIGINT) AS expected_e6," +
+        " CAST(floor((CAST(cnt_batch AS DOUBLE) - CAST(cnt_ref AS DOUBLE)" +
+        " * (SELECT tb FROM tot) / (SELECT tr FROM tot))" +
+        " * (CAST(cnt_batch AS DOUBLE) - CAST(cnt_ref AS DOUBLE)" +
+        " * (SELECT tb FROM tot) / (SELECT tr FROM tot))" +
+        " / greatest(CAST(cnt_ref AS DOUBLE) * (SELECT tb FROM tot)" +
+        " / (SELECT tr FROM tot), 1.0) * 1000000.0) AS BIGINT)" +
+        " AS chi2_contrib_e6 FROM al"),
 
     // Lloyd's invariant: assignment-time WCSS is non-increasing
     "q_kmeans_train" ->

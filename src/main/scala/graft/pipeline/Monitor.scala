@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution monitoring: detect DRIFT between a reference
+  * corpus and an incoming batch before the batch pollutes training data
+  * (a vocabulary shift, a new boilerplate source, an encoding bug —
+  * production ingestion pipelines gate on exactly this signal).
+  *
+  * The statistic is the classic Pearson chi-square over `buckets` hashed
+  * token buckets: both corpora reduce to one (bucket, count) table each
+  * (≤ `buckets` rows regardless of corpus size — the same scale shape as
+  * [[Weighting.importanceWeights]]'s distributions), expected batch
+  * counts follow the reference shares, and each bucket's contribution
+  * `(observed − expected)² / expected` is emitted per bucket so an alarm
+  * can point at WHICH part of the distribution moved, not just that it
+  * did. Everything after the two token scans is bucket-table-sized
+  * arithmetic.
+  */
+object Monitor {
+
+  /** Per-bucket drift rows between `reference` and `batch`:
+    * (bucket, cnt_ref, cnt_batch, expected_e6, chi2_contrib_e6).
+    *
+    * `expected` = reference share × batch total; emitted (like the
+    * contribution) as integer MICRO-units (×1e6, floored) so the oracle
+    * comparison is exact — floating division order never differs because
+    * each value is a single division/multiplication chain on integers,
+    * floored. Buckets the reference never saw get expected 0 and, by
+    * convention, contribute `cnt_batch² × 1e6` (expected clamped to 1
+    * token) — a loud, finite alarm instead of a division by zero. */
+  def tokenDrift(reference: DataFrame, batch: DataFrame,
+      textCol: String = "text", buckets: Int = 256): DataFrame = {
+    def bucketCounts(df: DataFrame, cntName: String): DataFrame =
+      df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+        .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cntName))
+    val ref = bucketCounts(reference, "cnt_ref")
+    val bat = bucketCounts(batch, "cnt_batch")
+    // bucket tables are tiny; the full-outer alignment and the scalar
+    // totals cross-join cost nothing at any corpus scale
+    val totals = ref.agg(sum(col("cnt_ref")).as("total_ref"))
+      .crossJoin(bat.agg(sum(col("cnt_batch")).as("total_batch")))
+    val aligned = ref.join(bat, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_batch"), lit(0L)).as("cnt_batch"))
+      .crossJoin(broadcast(totals))
+    // expected = cnt_ref / total_ref * total_batch, in exact micro-units:
+    // floor((cnt_ref * total_batch * 1e6) / total_ref) — one integer
+    // multiply chain and one floored division, bit-identical anywhere
+    val expectedE6 = floor(
+      (col("cnt_ref") * col("total_batch")).cast("double") * 1e6
+        / col("total_ref")).cast("long")
+    val expTok = greatest(
+      col("cnt_ref").cast("double") * col("total_batch") / col("total_ref"),
+      lit(1.0))
+    val diff = col("cnt_batch").cast("double") -
+      col("cnt_ref").cast("double") * col("total_batch") / col("total_ref")
+    aligned
+      .withColumn("expected_e6", expectedE6)
+      .withColumn("chi2_contrib_e6",
+        floor(diff * diff / expTok * 1e6).cast("long"))
+      .select("bucket", "cnt_ref", "cnt_batch", "expected_e6",
+        "chi2_contrib_e6")
+  }
+}

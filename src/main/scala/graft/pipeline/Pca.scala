@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA (top principal component) by power iteration — the
+  * embedding-compression / whitening stage of a vector pipeline, at the
+  * scale shape a 100 TB corpus demands: the covariance matrix is NEVER
+  * materialized (d×d would be fine, but n×d against it per multiply is
+  * the cost) — instead each iteration computes `C·v = Σᵢ xᵢ (xᵢ·v)`
+  * directly in one corpus scan: a codegen dot product per row, then a
+  * per-dimension weighted sum (d rows to the driver, the vector's
+  * natural size). Centering is folded into a persisted projection, so
+  * the corpus is read once per iteration plus once for the mean.
+  *
+  * Returns the unit top component and the per-iteration Rayleigh
+  * quotient `vᵀCv` — non-decreasing under power iteration on a PSD
+  * matrix, which is the training contract the driver query exposes
+  * (fp-tolerant, like Lloyd's WCSS).
+  */
+object Pca {
+
+  def topComponent(vecs: DataFrame, vecCol: String = "vec", iters: Int = 5)
+      : (Array[Double], Seq[Double]) = {
+    val base = vecs.select(col(vecCol).as("vec"))
+    val d = base.select(size(col("vec"))).head().getInt(0)
+    require(d > 0 && iters > 0, "topComponent: empty vectors or iters")
+    val mean = base.select(posexplode(col("vec")))
+      .groupBy("pos").agg(avg(col("col").cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val centered = PlanCache.getOrPersist(vecs, s"pca-centered|$vecCol",
+      base.select(zip_with(col("vec"), typedlit(mean.toSeq),
+        (x, m) => x.cast("double") - m).as("cvec")))
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    val rayleigh = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val dotV = aggregate(
+        zip_with(col("cvec"), typedlit(v.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, t) => acc + t)
+      // localCheckpoint = materialization barrier: without it,
+      // ExtractGenerator hoists this projection above the posexplode and
+      // the d-dim dot product re-runs once per exploded dimension
+      // (the Ann.trainCentroids blow-up)
+      val assigned = centered.select(col("cvec"), dotV.as("s"))
+        .localCheckpoint(true)
+      val w = assigned.select(col("s"), posexplode(col("cvec")))
+        .groupBy("pos").agg(sum(col("col") * col("s")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+        .map(_._2)
+      rayleigh += v.zip(w).map { case (a, b) => a * b }.sum
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "topComponent: zero-variance corpus")
+      v = w.map(_ / norm)
+    }
+    (v, rayleigh.toSeq)
+  }
+}

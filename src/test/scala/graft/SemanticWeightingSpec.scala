@@ -138,6 +138,48 @@ class SemanticWeightingSpec extends SparkSpec {
     assert(out(7L) === ((2L, 3L, true)))
   }
 
+  test("Pca.topComponent recovers a planted dominant direction") {
+    // 200 vectors in R^4: component 2 has variance ~400, others ~1.
+    // Deterministic fixture (no RNG): component j = ±small lattice noise.
+    val rows = (0 until 200).map { i =>
+      Seq((i % 7 - 3).toFloat, (i % 5 - 2).toFloat,
+        ((i % 2) * 2 - 1) * (20.0f + (i % 3)), (i % 3 - 1).toFloat)
+    }.map(Tuple1(_))
+    val df = rows.toDF("vec")
+    val (v, ray) = graft.pipeline.Pca.topComponent(df, "vec", iters = 4)
+    assert(math.abs(v(2)) > 0.99, s"component: ${v.toSeq}")
+    assert(math.abs(v(0)) < 0.2 && math.abs(v(3)) < 0.2)
+    // power-iteration invariant
+    ray.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a * (1 - 1e-9) - 1e-9, s"rayleigh dropped: $ray")
+    }
+    // the unit-norm contract
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("tokenDrift: zero drift on identical corpora, loud on novel tokens") {
+    val ref = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val same = graft.pipeline.Monitor.tokenDrift(ref, ref, buckets = 64)
+      .collect()
+    // identical distribution: expected == observed in every bucket
+    same.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"counts differ: $r")
+      assert(r.getLong(4) === 0L, s"nonzero contrib: $r")
+    }
+    // a batch of entirely novel tokens: every batch bucket alarms with
+    // the clamped-expected convention cnt² × 1e6
+    val novel = Seq((3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val drift = graft.pipeline.Monitor.tokenDrift(ref, novel, buckets = 64)
+      .collect()
+    val alarms = drift.filter(r => r.getLong(2) > 0 && r.getLong(1) == 0)
+    assert(alarms.nonEmpty)
+    alarms.foreach { r =>
+      val c = r.getLong(2)
+      assert(r.getLong(3) === 0L) // expected 0 from an unseen bucket
+      assert(r.getLong(4) === c * c * 1000000L, s"clamped contrib: $r")
+    }
+  }
+
   test("mixToBudget fills each domain budget in hash order, integer-exact") {
     val docs = Seq(
       (1L, "en", "one two three"), // 3 tokens
