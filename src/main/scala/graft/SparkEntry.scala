@@ -866,6 +866,34 @@ object SparkEntry {
         budgetTokens = Map("en" -> 1500L, "de" -> 400L, "zh" -> 300L),
         defaultBudget = 250L, salt = 11L)),
 
+    // ---- the composed CURATION pipeline: DSIR importance selection →
+    // per-language quantile calibration over the survivors → token-budget
+    // mixing of what remains. Three selection ops chained the way a
+    // production curation run chains them; every stage's decision is
+    // integer-exact, so the composition stays hash-oracled ----
+    "q_pipeline_curation" -> ((s, dir) => {
+      val W = graft.pipeline.Weighting
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      val dsirKeep = W.importanceWeights(
+          d.select("doc_id", "text"),
+          d.where(col("lang") === "en").select("doc_id", "text"))
+        .where(col("selected")).select("doc_id")
+      val scored = d.join(dsirKeep, "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TF.qualityScore(col("text")).as("quality"))
+      val qualKeep = W.quantileThreshold(
+          scored.select("doc_id", "lang", "quality"),
+          scoreCol = "quality", stratumCol = "lang", qBp = 2500)
+        .where(col("selected")).select("doc_id")
+      graft.pipeline.Sampling.mixToBudget(
+          scored.join(qualKeep, "doc_id").select("doc_id", "lang", "text"),
+          idCol = "doc_id", domainCol = "lang", textCol = "text",
+          budgetTokens = Map("en" -> 800L, "de" -> 300L),
+          defaultBudget = 200L, salt = 13L)
+        .where(col("selected"))
+        .select("doc_id", "domain", "n_tokens", "cum_before")
+    }),
+
     // ---- the end-to-end training-data pipeline, composed: quality
     // filter → predicted-language filter → exact dedup keep-one →
     // decontamination vs the eval slice → sequence packing. Every stage
@@ -2358,29 +2386,36 @@ object SparkEntry {
     // DSIR selection: same md5-derived bucket hash, integer-exact
     // cross-multiplied average-likelihood-ratio test
     "q_dsir_select" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t" +
-        " FROM documents)," +
-        " grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g" +
-        " FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i))," +
-        " gb AS (SELECT doc_id," +
-        " CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b" +
-        " FROM grams)," +
-        " tgt AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)" +
-        " WHERE lang = 'en' GROUP BY b)," +
-        " rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b)," +
-        " tot AS (SELECT (SELECT count(*) FROM gb) AS nr," +
-        " (SELECT count(*) FROM gb JOIN documents USING (doc_id)" +
-        " WHERE lang = 'en') AS nt)," +
-        " agg AS (SELECT doc_id, count(*) AS n_grams," +
-        " sum(coalesce(ct, 0)) AS st, sum(coalesce(cr, 0)) AS sr" +
-        " FROM gb LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)" +
-        " GROUP BY doc_id)" +
+      (s"WITH $dsirCtes" +
         " SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams," +
         " CAST(coalesce(a.st, 0) AS BIGINT) AS sum_target," +
         " CAST(coalesce(a.sr, 0) AS BIGINT) AS sum_raw," +
         " (coalesce(a.st, 0) * (SELECT nr FROM tot) >" +
         " coalesce(a.sr, 0) * (SELECT nt FROM tot)) AS selected" +
         " FROM documents d LEFT JOIN agg a USING (doc_id)"),
+
+    // the composed curation pipeline: each stage is the already-proven
+    // oracle derivation chained over the previous stage's survivors
+    "q_pipeline_curation" ->
+      (s"WITH $dsirCtes," +
+        " sel1 AS (SELECT doc_id FROM agg" +
+        " WHERE st * (SELECT nr FROM tot) > sr * (SELECT nt FROM tot))," +
+        s" q1 AS (SELECT d.doc_id, d.lang, round($qualityExprSql, 6) AS quality" +
+        " FROM documents d JOIN sel1 USING (doc_id))," +
+        " qsel AS (SELECT doc_id FROM (SELECT doc_id," +
+        " rank() OVER (PARTITION BY lang ORDER BY quality) - 1 AS cb," +
+        " count(*) OVER (PARTITION BY lang) AS n FROM q1)" +
+        " WHERE cb * 10000 >= 2500 * n)," +
+        " m AS (SELECT d.doc_id, d.lang AS domain," +
+        " CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " ((d.doc_id + 13) % 2147483647) * 48271 % 2147483647 AS h" +
+        " FROM documents d JOIN qsel USING (doc_id))" +
+        " SELECT doc_id, domain, n_tokens," +
+        " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS cum_before" +
+        " FROM m WINDOW w AS (PARTITION BY domain ORDER BY h, doc_id" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+        " QUALIFY (sum(n_tokens) OVER w - n_tokens) <" +
+        " CASE domain WHEN 'en' THEN 800 WHEN 'de' THEN 300 ELSE 200 END"),
 
     // exact-substring sliding-window duplication: same md5 window hash
     "q_substring_dup" ->
@@ -2772,6 +2807,28 @@ object SparkEntry {
   }
 
   /** TF.qualityScore arithmetic as a bare SQL expression (over `text`). */
+  /** Shared DSIR oracle CTEs: hashed-bigram buckets, the two bucket
+    * distributions (target = the en subset), totals, and the per-doc
+    * integer sums — reused by q_dsir_select and the curation pipeline. */
+  private lazy val dsirCtes: String =
+    "toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t" +
+      " FROM documents)," +
+      " grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g" +
+      " FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i))," +
+      " gb AS (SELECT doc_id," +
+      " CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b" +
+      " FROM grams)," +
+      " tgt AS (SELECT b, count(*) AS ct FROM gb JOIN documents USING (doc_id)" +
+      " WHERE lang = 'en' GROUP BY b)," +
+      " rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b)," +
+      " tot AS (SELECT (SELECT count(*) FROM gb) AS nr," +
+      " (SELECT count(*) FROM gb JOIN documents USING (doc_id)" +
+      " WHERE lang = 'en') AS nt)," +
+      " agg AS (SELECT doc_id, count(*) AS n_grams," +
+      " sum(coalesce(ct, 0)) AS st, sum(coalesce(cr, 0)) AS sr" +
+      " FROM gb LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)" +
+      " GROUP BY doc_id)"
+
   private lazy val qualityExprSql: String = {
     val toks = "string_split_regex(text, '\\s+')"
     val nTok = s"CAST(len($toks) AS DOUBLE)"

@@ -91,6 +91,37 @@ class PlansSpec extends SparkSpec {
       s"eval side not broadcast in:\n$plan")
   }
 
+  test("importanceWeights broadcasts both bucket distributions") {
+    val raw = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val target = raw.where($"doc_id" < 50)
+    val scored = graft.pipeline.Weighting.importanceWeights(raw, target)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the (bucket, count) dims must broadcast — a shuffled join here
+    // would shuffle the raw-corpus gram explode at 100 TB
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"bucket dims not broadcast ($broadcasts):\n$plan")
+  }
+
+  test("semanticDedup's exclusion join broadcasts the drop set") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val out = graft.pipeline.Semantic.semanticDedup(e, k = 2, iters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"drop set not broadcast in:\n$plan")
+  }
+
+  test("mixToBudget plans exactly one exchange (the per-domain window)") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val out = graft.pipeline.Sampling.mixToBudget(d, "doc_id", "lang",
+      "text", budgetTokens = Map("en" -> 100L))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("bloom decontamination gates the train gram scan WITHOUT a ScalaUDF") {
     val train = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")
