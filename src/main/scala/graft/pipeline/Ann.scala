@@ -197,6 +197,7 @@ object Ann {
         .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"),
           sum(col("dist")).as("dsum"))
         .collect()
+      PlanCache.freeLocalCheckpoint(assigned) // stats landed — free blocks
       // dist rides every (cell, pos) group; count it once via pos == 0
       wcss += stats.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
       val means = stats

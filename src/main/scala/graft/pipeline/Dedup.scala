@@ -781,6 +781,9 @@ object Dedup {
         case Some(c: java.lang.Long) => c.longValue == 0L
         case _ => next.where(col("label") =!= col("prev")).isEmpty
       }
+      // next is materialized (eager checkpoint) — the previous round's
+      // blocks are dead; free them instead of waiting on ContextCleaner
+      PlanCache.freeLocalCheckpoint(labels)
       labels = next.select("id", "label")
       iter += 1
     }

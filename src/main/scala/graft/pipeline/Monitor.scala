@@ -29,19 +29,27 @@ object Monitor {
     * each value is a single division/multiplication chain on integers,
     * floored. Buckets the reference never saw get expected 0 and, by
     * convention, contribute `cnt_batch² × 1e6` (expected clamped to 1
-    * token) — a loud, finite alarm instead of a division by zero. */
+    * token) — a loud, finite alarm instead of a division by zero. An
+    * EMPTY reference corpus degrades the same way on purpose: totals
+    * coalesce to 0, every batch bucket alarms at `cnt_batch² × 1e6` — a
+    * broken reference feed must trip the monitor, never NULL it into
+    * silence. */
   def tokenDrift(reference: DataFrame, batch: DataFrame,
       textCol: String = "text", buckets: Int = 256): DataFrame = {
     def bucketCounts(df: DataFrame, cntName: String): DataFrame =
-      df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("tok"))
         .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cntName))
     val ref = bucketCounts(reference, "cnt_ref")
     val bat = bucketCounts(batch, "cnt_batch")
     // bucket tables are tiny; the full-outer alignment and the scalar
-    // totals cross-join cost nothing at any corpus scale
-    val totals = ref.agg(sum(col("cnt_ref")).as("total_ref"))
-      .crossJoin(bat.agg(sum(col("cnt_batch")).as("total_batch")))
+    // totals cross-join cost nothing at any corpus scale. sum() over an
+    // empty side is NULL — coalesce both totals to 0.
+    val totals = ref.agg(coalesce(sum(col("cnt_ref")), lit(0L))
+        .as("total_ref"))
+      .crossJoin(bat.agg(coalesce(sum(col("cnt_batch")), lit(0L))
+        .as("total_batch")))
     val aligned = ref.join(bat, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
@@ -49,15 +57,16 @@ object Monitor {
       .crossJoin(broadcast(totals))
     // expected = cnt_ref / total_ref * total_batch, in exact micro-units:
     // floor((cnt_ref * total_batch * 1e6) / total_ref) — one integer
-    // multiply chain and one floored division, bit-identical anywhere
-    val expectedE6 = floor(
-      (col("cnt_ref") * col("total_batch")).cast("double") * 1e6
-        / col("total_ref")).cast("long")
-    val expTok = greatest(
-      col("cnt_ref").cast("double") * col("total_batch") / col("total_ref"),
-      lit(1.0))
-    val diff = col("cnt_batch").cast("double") -
-      col("cnt_ref").cast("double") * col("total_batch") / col("total_ref")
+    // multiply chain and one floored division, bit-identical anywhere.
+    // total_ref = 0 (empty reference) short-circuits to expected 0 so
+    // the 0.0/0 → NaN chain can never reach the floor.
+    val expRaw = when(col("total_ref") === 0L, lit(0.0)).otherwise(
+      col("cnt_ref").cast("double") * col("total_batch") / col("total_ref"))
+    val expectedE6 = when(col("total_ref") === 0L, lit(0L)).otherwise(
+      floor((col("cnt_ref") * col("total_batch")).cast("double") * 1e6
+        / col("total_ref")).cast("long"))
+    val expTok = greatest(expRaw, lit(1.0))
+    val diff = col("cnt_batch").cast("double") - expRaw
     aligned
       .withColumn("expected_e6", expectedE6)
       .withColumn("chi2_contrib_e6",

@@ -83,6 +83,19 @@ private[graft] object PlanCache {
     leafIds + "|" + df.queryExecution.analyzed.canonicalized.toString
   }
 
+  /** Free the persisted blocks behind a `localCheckpoint(true)` frame.
+    * Iterative drivers (k-means stats, power iteration, CC label
+    * propagation) materialize one barrier frame per iteration; without an
+    * explicit release the corpus-sized block sets linger until the
+    * ContextCleaner happens to GC them, crowding the BlockManager. Call
+    * once the iteration's successor no longer reads the frame. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(false) catch { case _: Throwable => () }
+      case _ => ()
+    }
+
   /** Drop every cached signature table (tests / memory pressure). */
   def clear(): Unit = synchronized {
     sessions.values.forEach { m =>

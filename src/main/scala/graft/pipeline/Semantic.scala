@@ -30,12 +30,17 @@ object Semantic {
     * in-partition product; for very hot cells, compose with the
     * hyperplane-LSH blocking of [[Dedup.embeddingNearDups]] inside the
     * cell). Drop policy is greedy lowest-id-wins: a doc is dropped iff
-    * some lower-id doc in its cell has cosine ≥ `cosineThreshold` — for
-    * identical twins this is exactly "the original survives, the copy
-    * drops", and it never drops two docs of a pair (the lower endpoint of
-    * every ≥-threshold relation is kept unless it loses to a still-lower
-    * id, which keeps THAT one — every near-dup relation retains a
-    * representative).
+    * some lower-id doc in its cell has cosine ≥ `cosineThreshold`. For
+    * EXACT-duplicate groups (the planted-twin contract) this keeps
+    * exactly the minimum id. Note the policy is deliberately greedy, not
+    * component-based: similarity is not transitive, so on a chain
+    * A~B~C with A≁C both B and C drop (each has a lower similar
+    * neighbor) and C's only surviving "representative" is A, which it
+    * does not resemble directly — the aggressive end of the dedup
+    * spectrum. Callers needing a guaranteed direct representative per
+    * relation should feed the within-cell pairs to
+    * [[Dedup.keepOnePerComponent]] (keep-min per connected component)
+    * instead.
     *
     * Returns one row per input doc: (doc_id, kept). Codebook training is
     * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is

@@ -54,7 +54,7 @@ object Weighting {
     * measured 20× slowdown at sf0.1). The two slices evaluate the split
     * a constant number of times per row. */
   def wordBigrams(text: Column): Column = {
-    val toks = split(text, "\\s+")
+    val toks = graft.functions.TextFunctions.tokens(text)
     val n = size(toks)
     zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
@@ -110,10 +110,12 @@ object Weighting {
     // Persisted (PlanCache): each feeds BOTH the per-gram join and the
     // totals row; without the persist the raw-corpus gram explode (md5
     // per gram over the 100 TB side) would re-run once per consumer.
-    val rawCnt = PlanCache.getOrPersist(raw, s"dsir-raw-dist|$buckets",
+    val rawCnt = PlanCache.getOrPersist(raw,
+      s"dsir-raw-dist|$buckets|$textCol|$idCol",
       rawG.where(col("gram").isNotNull)
         .groupBy("bucket").agg(count(lit(1)).as("cnt_raw")))
-    val tgtCnt = PlanCache.getOrPersist(target, s"dsir-target-dist|$buckets",
+    val tgtCnt = PlanCache.getOrPersist(target,
+      s"dsir-target-dist|$buckets|$textCol|$idCol",
       tgtG.where(col("gram").isNotNull)
         .groupBy("bucket").agg(count(lit(1)).as("cnt_target")))
     val totals = rawCnt.agg(sum(col("cnt_raw")).as("total_raw"))

@@ -178,6 +178,17 @@ class SemanticWeightingSpec extends SparkSpec {
       assert(r.getLong(3) === 0L) // expected 0 from an unseen bucket
       assert(r.getLong(4) === c * c * 1000000L, s"clamped contrib: $r")
     }
+    // an EMPTY reference must alarm loudly, not NULL the monitor into
+    // silence: every batch bucket contributes cnt² × 1e6
+    val emptyRef = ref.where(col("doc_id") < 0)
+    val broken = graft.pipeline.Monitor.tokenDrift(emptyRef, novel, buckets = 64)
+      .collect()
+    assert(broken.nonEmpty)
+    broken.foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4), s"NULL drift row: $r")
+      val c = r.getLong(2)
+      assert(r.getLong(4) === c * c * 1000000L, s"empty-ref contrib: $r")
+    }
   }
 
   test("mixToBudget fills each domain budget in hash order, integer-exact") {
