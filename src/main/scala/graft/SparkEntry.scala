@@ -1776,6 +1776,41 @@ object SparkEntry {
         batch = d.where(col("doc_id") % 5 === 0), buckets = 256)
     }),
 
+    // ---- drift monitor, STREAMING form: each micro-batch of incoming
+    // documents is chi-squared against the static reference corpus
+    // inside foreachBatch — the per-batch gate a production ingestion
+    // stream runs. Two deterministic micro-batches (one file per
+    // trigger, mtime-ordered); reference is rebuilt from the batch's own
+    // session. Oracle = the batch drift derivation per slice. ----
+    "q_drift_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("driftstream").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      d.where(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$root/in")
+      Thread.sleep(100) // distinct mtimes: slice order IS batch order
+      d.where(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      val q = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val ref = graft.sources.Store.table(b.sparkSession, dir, "documents")
+            .where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+          graft.pipeline.Monitor.tokenDrift(ref, b, buckets = 256)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(s"$root/out")
+          ()
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$root/out")
+        .select("batch_id", "bucket", "cnt_ref", "cnt_batch",
+          "expected_e6", "chi2_contrib_e6")
+    }),
+
     // ---- the composed index pipeline: train codebook → build IVF →
     // retrieve. The planted-twin contract holds for ANY codebook
     // (identical vectors share every argmin), so the trained index is
@@ -2272,6 +2307,9 @@ object SparkEntry {
         " / greatest(CAST(cnt_ref AS DOUBLE) * (SELECT tb FROM tot)" +
         " / (SELECT tr FROM tot), 1.0) * 1000000.0) AS BIGINT)" +
         " AS chi2_contrib_e6 FROM al"),
+
+    // streaming drift: the same derivation once per deterministic slice
+    "q_drift_stream" -> driftStreamSql,
 
     // Lloyd's invariant: assignment-time WCSS is non-increasing
     "q_kmeans_train" ->
@@ -2807,6 +2845,42 @@ object SparkEntry {
   }
 
   /** TF.qualityScore arithmetic as a bare SQL expression (over `text`). */
+  /** Streaming-drift oracle: the q_drift_stats derivation instantiated
+    * once per deterministic micro-batch slice (file mtime order makes
+    * slice = batch), sharing the reference CTEs. */
+  private lazy val driftStreamSql: String = {
+    def batchPart(sfx: String, pred: String, id: Int): (String, String) = {
+      val ctes =
+        s" bt$sfx AS (SELECT b, count(*) AS cnt_batch FROM tokd" +
+          s" WHERE $pred GROUP BY b)," +
+          s" tb$sfx AS (SELECT count(*) AS n FROM tokd WHERE $pred)," +
+          s" al$sfx AS (SELECT b AS bucket, coalesce(cnt_ref, 0) AS cnt_ref," +
+          s" coalesce(cnt_batch, 0) AS cnt_batch" +
+          s" FROM r FULL OUTER JOIN bt$sfx USING (b))"
+      val expRaw = s"CAST(cnt_ref AS DOUBLE) * (SELECT n FROM tb$sfx)" +
+        " / (SELECT n FROM tr)"
+      val sel =
+        s"SELECT CAST($id AS BIGINT) AS batch_id, bucket, cnt_ref, cnt_batch," +
+          s" CAST(floor(CAST(cnt_ref * (SELECT n FROM tb$sfx) AS DOUBLE)" +
+          " * 1000000.0 / (SELECT n FROM tr)) AS BIGINT) AS expected_e6," +
+          s" CAST(floor((CAST(cnt_batch AS DOUBLE) - $expRaw)" +
+          s" * (CAST(cnt_batch AS DOUBLE) - $expRaw)" +
+          s" / greatest($expRaw, 1.0) * 1000000.0) AS BIGINT)" +
+          s" AS chi2_contrib_e6 FROM al$sfx"
+      (ctes, sel)
+    }
+    val (c0, s0) = batchPart("0", "doc_id % 10 = 0", 0)
+    val (c1, s1) = batchPart("1", "doc_id % 10 = 5", 1)
+    "WITH tokd AS (SELECT doc_id," +
+      " CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS b" +
+      " FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok" +
+      " FROM documents))," +
+      " r AS (SELECT b, count(*) AS cnt_ref FROM tokd WHERE doc_id % 5 <> 0" +
+      " GROUP BY b)," +
+      " tr AS (SELECT count(*) AS n FROM tokd WHERE doc_id % 5 <> 0)," +
+      c0 + "," + c1 + " " + s0 + " UNION ALL " + s1
+  }
+
   /** Shared DSIR oracle CTEs: hashed-bigram buckets, the two bucket
     * distributions (target = the en subset), totals, and the per-doc
     * integer sums — reused by q_dsir_select and the curation pipeline. */
