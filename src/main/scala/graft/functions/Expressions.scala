@@ -186,6 +186,69 @@ case class L2SqDistance(left: Expression, right: Expression)
   override def prettyName: String = "l2sq"
 }
 
+/** Dot product of two numeric array columns — same fused-codegen
+  * discipline as [[CosineSimilarity]], but element types may be FLOAT or
+  * DOUBLE independently per side (PCA's centered vectors are double,
+  * raw embeddings float; the accumulation is double either way, with
+  * sequential left-to-right order for cross-engine parity). */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def dataType: DataType = DoubleType
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires ARRAY<FLOAT|DOUBLE> on both sides, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  @inline private def isFloat(t: DataType): Boolean =
+    elemType(t).contains(FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (fa, fb) = (isFloat(left.dataType), isFloat(right.dataType))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (nv, iv, accv) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+      def getter(src: String, t: DataType) =
+        if (isFloat(t)) s"(double) $src.getFloat($iv)" else s"$src.getDouble($iv)"
+      s"""
+         |int $nv = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $accv = 0.0;
+         |for (int $iv = 0; $iv < $nv; $iv++) {
+         |  $accv += ${getter(a, left.dataType)} * ${getter(b, right.dataType)};
+         |}
+         |${ev.value} = $accv;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(newLeft, newRight)
+  override def prettyName: String = "dot_product"
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -199,6 +262,10 @@ object GraftFunctions {
     ColumnBridge.column(
       L2SqDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Register SQL functions on an existing session
     * (`SELECT fnv_hash64(col) ...`, `SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit = {
@@ -208,6 +275,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2sq", exprs => L2SqDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -231,6 +300,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[L2SqDistance].getName, "l2sq"),
       (exprs: Seq[Expression]) => L2SqDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }

@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with left-to-right accumulation in double. */
+  /** Σ aᵢ·bᵢ with left-to-right accumulation in double (HOF reference
+    * form; [[dotNative]] is the codegen twin with the identical
+    * accumulation order). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ·bᵢ — native fused codegen ([[GraftFunctions.dot_product]]);
+    * FLOAT or DOUBLE arrays per side. */
+  def dotNative(a: Column, b: Column): Column =
+    GraftFunctions.dot_product(a, b)
 
   /** ‖a‖₂ */
   def norm2(a: Column): Column =

@@ -43,9 +43,11 @@ object Pca {
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     val rayleigh = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
-      val dotV = aggregate(
-        zip_with(col("cvec"), typedlit(v.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, t) => acc + t)
+      // native fused loop (DotProduct expression) — same sequential
+      // left-to-right double accumulation as the HOF reference form, so
+      // the value is bit-identical, but it stays inside codegen
+      val dotV = graft.functions.GraftFunctions
+        .dot_product(col("cvec"), typedlit(v.toSeq))
       // localCheckpoint = materialization barrier: without it,
       // ExtractGenerator hoists this projection above the posexplode and
       // the d-dim dot product re-runs once per exploded dimension

@@ -177,6 +177,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(0)._4 == 5.0)
   }
 
+  test("native dot_product == HOF dot on float and double arrays") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(13)(rnd.nextFloat() * 2 - 1),
+        Array.fill(13)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("id", "f", "d")
+    // float × float
+    val ff = df.select((VF.dotNative($"f", $"f") === VF.dot($"f", $"f"))
+      .as("eq")).as[Boolean].collect()
+    assert(ff.forall(identity))
+    // double × double (PCA's centered-vector shape)
+    val dd = df.select((VF.dotNative($"d", $"d") === VF.dot($"d", $"d"))
+      .as("eq")).as[Boolean].collect()
+    assert(dd.forall(identity))
+    // mixed float × double
+    val fd = df.select(VF.dotNative($"f", $"d").as("n"),
+      VF.dot($"f", $"d").as("h")).as[(Double, Double)].collect()
+    fd.foreach { case (n, h) => assert(n == h, s"$n != $h") }
+  }
+
   test("native cosine_sim expression: codegen == interpreted == HOF == kernel") {
     import graft.functions.{GraftFunctions, VectorFunctions}
     val rnd = new scala.util.Random(7)
