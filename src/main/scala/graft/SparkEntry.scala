@@ -747,6 +747,22 @@ object SparkEntry {
         cosineThreshold = 0.99)
     }),
 
+    // ---- semantic dedup, hot-cell LSH path: within-cell pair search
+    // blocked by (cell, hyperplane bucket). Identical twins collide in
+    // every table AND share every argmin, so the planted contract (and
+    // oracle) is unchanged — only the candidate cost is bucket-bounded.
+    // Slower than q_semdedup at this SF by design: small cells make
+    // all-pairs cheaper than 4×-table blocking; the blocked path exists
+    // for cells too hot to all-pair at corpus scale ----
+    "q_semdedup_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withDups = e.unionByName(
+        e.select((col("id") + 1000000L).as("id"), col("vec")))
+      graft.pipeline.Semantic.semanticDedup(withDups, k = 8, iters = 3,
+        cosineThreshold = 0.99, intraCellPlanes = 8, intraCellTables = 4)
+    }),
+
     // ---- K1/C4: CheckpointMult multi-timeline serve — per-partition
     // checkpoint bands + round-robin visit order after the cursor ----
     "q_stream_mult" -> ((s, dir) => {
@@ -2253,6 +2269,12 @@ object SparkEntry {
     // argmin (same k-means cell) at cosine 1.0, the corpus has no natural
     // ≥0.99 pair, and the greedy policy keeps the lower id of each pair
     "q_semdedup" ->
+      ("SELECT vec_id AS doc_id, TRUE AS kept FROM embeddings" +
+        " UNION ALL" +
+        " SELECT vec_id + 1000000 AS doc_id, FALSE AS kept FROM embeddings"),
+
+    // twins collide in every hyperplane table too — same contract
+    "q_semdedup_lsh" ->
       ("SELECT vec_id AS doc_id, TRUE AS kept FROM embeddings" +
         " UNION ALL" +
         " SELECT vec_id + 1000000 AS doc_id, FALSE AS kept FROM embeddings"),

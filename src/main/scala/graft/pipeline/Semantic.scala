@@ -46,24 +46,58 @@ object Semantic {
     * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is
     * computed once and reused for both join sides through [[PlanCache]].
     */
+  /** `intraCellPlanes > 0` switches the within-cell pair search to
+    * hyperplane-LSH blocking INSIDE each cell (join key (cell, table,
+    * bucket) instead of the cell alone) — the hot-cell escape hatch for
+    * corpora where even k ∝ N leaves some cells too big for an all-pairs
+    * block. Identical vectors collide in every table, so the
+    * planted-twin/exact-duplicate contract is unchanged; near-pairs
+    * below cosine 1 trade a little recall for bucket-bounded cost,
+    * exactly like [[Dedup.embeddingNearDups]]. Wide ops carry ids only;
+    * vectors rejoin for surviving candidates. */
   def semanticDedup(vecs: DataFrame, idCol: String = "id",
       vecCol: String = "vec", k: Int = 8, iters: Int = 4,
-      cosineThreshold: Double = 0.99): DataFrame = {
+      cosineThreshold: Double = 0.99, intraCellPlanes: Int = 0,
+      intraCellTables: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.{hyperplaneSignature, signatureToBucket}
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val (codebook, _) = Ann.trainCentroids(base, k, iters)
     val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
       base.withColumn("cell_id", Ann.nearestCellExpr(codebook, col("vec"))))
-    // within-cell pair search: the join key is the cell id alone, so the
-    // only rows that ever meet are cluster-mates; vectors ride exactly one
-    // join (no candidate/fetch round-trip — cells are already bounded)
-    val left = cells.select(col("cell_id"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val right = cells.select(col("cell_id"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    val dropped = left.join(right, "cell_id")
-      .where(col("id_a") < col("id_b") &&
-        cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
-      .select(col("id_b").as("id")).distinct()
+    val dropped =
+      if (intraCellPlanes <= 0) {
+        // within-cell pair search: the join key is the cell id alone, so
+        // the only rows that ever meet are cluster-mates; vectors ride
+        // exactly one join (cells are bounded by k ∝ N)
+        val left = cells.select(col("cell_id"), col("id").as("id_a"),
+          col("vec").as("vec_a"))
+        val right = cells.select(col("cell_id"), col("id").as("id_b"),
+          col("vec").as("vec_b"))
+        left.join(right, "cell_id")
+          .where(col("id_a") < col("id_b") &&
+            cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
+          .select(col("id_b").as("id")).distinct()
+      } else {
+        val bucketed = (0 until intraCellTables).map { t =>
+          cells.select(col("cell_id"), col("id"), lit(t).as("table"),
+            signatureToBucket(hyperplaneSignature(col("vec"),
+              intraCellPlanes, 42L + t * 1000L)).as("bucket"))
+        }.reduce(_ unionByName _)
+        val cand = bucketed
+          .select(col("cell_id"), col("table"), col("bucket"),
+            col("id").as("id_a"))
+          .join(bucketed.select(col("cell_id"), col("table"), col("bucket"),
+            col("id").as("id_b")), Seq("cell_id", "table", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")),
+            "id_a")
+          .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")),
+            "id_b")
+          .where(cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
+          .select(col("id_b").as("id")).distinct()
+      }
     // drop set is small relative to the corpus (it IS the duplicate mass)
     // → the exclusion join broadcasts at scale
     cells.select("id")

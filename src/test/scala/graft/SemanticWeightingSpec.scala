@@ -25,6 +25,20 @@ class SemanticWeightingSpec extends SparkSpec {
     assert(Seq(100L, 101L, 102L).forall(!out(_)), "copies must drop")
   }
 
+  test("semanticDedup LSH path: twins still drop, distinct vectors survive") {
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f)))
+    val vecs = (base ++ base.map { case (id, v) => (id + 100L, v) })
+      .toDF("id", "vec")
+    val out = graft.pipeline.Semantic.semanticDedup(vecs, k = 2, iters = 2,
+        cosineThreshold = 0.99, intraCellPlanes = 6, intraCellTables = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_)))
+    assert(Seq(100L, 101L, 102L).forall(!out(_)))
+  }
+
   test("semanticDedup keeps a representative of every near-dup relation") {
     // a chain of identical vectors: greedy lowest-id-wins keeps only the
     // minimum (all three share a cell and pairwise cosine 1.0)
