@@ -1792,6 +1792,24 @@ object SparkEntry {
         batch = d.where(col("doc_id") % 5 === 0), buckets = 256)
     }),
 
+    // ---- PCA top-2 by deflation: two planted anisotropic axes (dim 7
+    // ×10, dim 3 ×5) must come out in order — component 1 aligns to the
+    // stronger axis, component 2 to the weaker after deflation, and the
+    // learned eigenvalue estimates are ordered ----
+    "q_pca_components" -> ((s, dir) => {
+      import s.implicits._
+      val planted = emb(s, dir).select(
+        transform(col("embedding"), (x, i) =>
+          when(i === 7, x * lit(10.0f))
+            .when(i === 3, x * lit(5.0f)).otherwise(x)).as("vec"))
+      val comps = graft.pipeline.Pca.topComponents(planted, c = 2, iters = 5)
+      val ordered = comps(0)._2 >= comps(1)._2 - 1e-9
+      Seq(
+        (1, math.abs(comps(0)._1(7)) >= 0.95, ordered),
+        (2, math.abs(comps(1)._1(3)) >= 0.95, ordered))
+        .toDF("component", "aligned_to_planted", "lambda_ordered")
+    }),
+
     // ---- drift monitor, STREAMING form: each micro-batch of incoming
     // documents is chi-squared against the static reference corpus
     // inside foreachBatch — the per-batch gate a production ingestion
@@ -2329,6 +2347,11 @@ object SparkEntry {
         " / greatest(CAST(cnt_ref AS DOUBLE) * (SELECT tb FROM tot)" +
         " / (SELECT tr FROM tot), 1.0) * 1000000.0) AS BIGINT)" +
         " AS chi2_contrib_e6 FROM al"),
+
+    // deflation contract: both planted axes recovered, in order
+    "q_pca_components" ->
+      ("SELECT CAST(range AS INT) AS component, TRUE AS aligned_to_planted," +
+        " TRUE AS lambda_ordered FROM range(1, 3)"),
 
     // streaming drift: the same derivation once per deterministic slice
     "q_drift_stream" -> driftStreamSql,

@@ -69,4 +69,39 @@ object Pca {
     memo.put(memoKey, result)
     result
   }
+
+  /** Top `c` principal components by DEFLATION: find the leading
+    * component, project it out of every vector (one map-side zip_with —
+    * no shuffle), and recurse on the residual. Classic Hotelling
+    * deflation; each level costs the same iteration loop over a frame
+    * whose plan stacks one projection per level. Returns components in
+    * order with their final Rayleigh quotients (λ̂₁ ≥ λ̂₂ ≥ …). */
+  def topComponents(vecs: DataFrame, c: Int, vecCol: String = "vec",
+      iters: Int = 5): Seq[(Array[Double], Double)] = {
+    require(c > 0, "topComponents: need c > 0")
+    var frame = vecs.select(col(vecCol).as("vec"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    for (level <- 1 to c) {
+      val (v, ray) = topComponent(frame, "vec", iters)
+      out += ((v, ray.last))
+      if (level < c) {
+        // residual: x − (x·v)v, double arrays from level 1 on. The
+        // projection scalar is materialized behind a barrier FIRST —
+        // embedding the dot inside the zip_with lambda would re-run it
+        // once per dimension (the lambda re-embedding pitfall), and
+        // CollapseProject would inline a two-step select right back.
+        // c is small, so one bounded checkpoint per level is the cost.
+        val vLit = typedlit(v.toSeq)
+        val assigned = frame.select(
+            col("vec").cast("array<double>").as("vec"),
+            graft.functions.GraftFunctions.dot_product(col("vec"), vLit)
+              .as("p"))
+          .localCheckpoint(true)
+        frame = assigned.select(
+          zip_with(col("vec"), vLit, (x, vi) => x - col("p") * vi)
+            .as("vec"))
+      }
+    }
+    out.toSeq
+  }
 }

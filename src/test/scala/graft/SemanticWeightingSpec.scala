@@ -171,6 +171,24 @@ class SemanticWeightingSpec extends SparkSpec {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("Pca.topComponents: deflation recovers two planted axes in order") {
+    // variance: dim 2 ≈ 400, dim 0 ≈ 100, dims 1/3 ≈ 1-4
+    val rows = (0 until 200).map { i =>
+      Seq(((i % 2) * 2 - 1) * (10.0f + (i % 5)),
+        (i % 5 - 2).toFloat,
+        ((i % 2) * 2 - 1) * (20.0f + (i % 3)),
+        (i % 3 - 1).toFloat)
+    }.map(Tuple1(_))
+    val df = rows.toDF("vec")
+    val comps = graft.pipeline.Pca.topComponents(df, c = 2, iters = 4)
+    assert(math.abs(comps(0)._1(2)) > 0.99, s"c1: ${comps(0)._1.toSeq}")
+    assert(math.abs(comps(1)._1(0)) > 0.99, s"c2: ${comps(1)._1.toSeq}")
+    assert(comps(0)._2 >= comps(1)._2, "eigenvalue estimates out of order")
+    // components are orthogonal (deflation removed the first direction)
+    val ip = comps(0)._1.zip(comps(1)._1).map { case (a, b) => a * b }.sum
+    assert(math.abs(ip) < 0.05, s"not orthogonal: $ip")
+  }
+
   test("tokenDrift: zero drift on identical corpora, loud on novel tokens") {
     val ref = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
     val same = graft.pipeline.Monitor.tokenDrift(ref, ref, buckets = 64)
