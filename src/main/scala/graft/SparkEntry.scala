@@ -1821,9 +1821,18 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id", "text")
       d.where(col("doc_id") % 10 === 0).coalesce(1)
         .write.parquet(s"$root/in")
-      Thread.sleep(100) // distinct mtimes: slice order IS batch order
+      // slice order IS batch order via mtime — stamped EXPLICITLY (60s
+      // apart) rather than trusting write timing: a coarse-granularity
+      // filesystem could tie the two writes' mtimes and let the source
+      // admit the slices in either order
+      val inDir = new java.io.File(s"$root/in")
+      val t0 = System.currentTimeMillis() - 120000L
+      inDir.listFiles().foreach(_.setLastModified(t0))
+      val firstGen = inDir.listFiles().map(_.getName).toSet
       d.where(col("doc_id") % 10 === 5).coalesce(1)
         .write.mode("append").parquet(s"$root/in")
+      inDir.listFiles().filterNot(f => firstGen.contains(f.getName))
+        .foreach(_.setLastModified(t0 + 60000L))
       val q = s.readStream.schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$root/in")

@@ -190,7 +190,14 @@ case class L2SqDistance(left: Expression, right: Expression)
   * discipline as [[CosineSimilarity]], but element types may be FLOAT or
   * DOUBLE independently per side (PCA's centered vectors are double,
   * raw embeddings float; the accumulation is double either way, with
-  * sequential left-to-right order for cross-engine parity). */
+  * sequential left-to-right order for cross-engine parity).
+  *
+  * Same edge semantics as cosine_sim/l2sq, which differ from the HOF
+  * reference form on malformed input: unequal lengths truncate to the
+  * shorter prefix and arrays are assumed null-element-free (embedding
+  * columns are) — `VectorFunctions.dot` would return NULL in both
+  * cases. On equal-length null-free arrays the two are bit-identical
+  * (spec-checked). */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}

@@ -71,6 +71,13 @@ private[graft] object PlanCache {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val leafIds = df.queryExecution.analyzed.collectLeaves().map {
       case l: org.apache.spark.sql.execution.LogicalRDD => s"rdd:${l.rdd.id}"
+      // LocalRelation canonicalization also erases identity: two
+      // different Seq.toDF frames with the same schema canonicalize to
+      // identical strings, so a plan-keyed memo would serve one local
+      // dataset's result for another (caught when a PCA memo returned a
+      // different test fixture's component) — hash the rows in
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${lr.data.hashCode}"
       case r: LogicalRelation => r.relation match {
         case fs: HadoopFsRelation =>
           "fs:" + fs.location.rootPaths.mkString(",")

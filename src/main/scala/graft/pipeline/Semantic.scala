@@ -42,24 +42,25 @@ object Semantic {
     * [[Dedup.keepOnePerComponent]] (keep-min per connected component)
     * instead.
     *
-    * Returns one row per input doc: (doc_id, kept). Codebook training is
-    * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is
-    * computed once and reused for both join sides through [[PlanCache]].
-    */
-  /** `intraCellPlanes > 0` switches the within-cell pair search to
+    * `intraCellPlanes > 0` switches the within-cell pair search to
     * hyperplane-LSH blocking INSIDE each cell (join key (cell, table,
     * bucket) instead of the cell alone) — the hot-cell escape hatch for
     * corpora where even k ∝ N leaves some cells too big for an all-pairs
     * block. Identical vectors collide in every table, so the
     * planted-twin/exact-duplicate contract is unchanged; near-pairs
     * below cosine 1 trade a little recall for bucket-bounded cost,
-    * exactly like [[Dedup.embeddingNearDups]]. Wide ops carry ids only;
-    * vectors rejoin for surviving candidates. */
+    * exactly like [[Dedup.embeddingNearDups]] (whose bucketing kernel
+    * and verify join this path reuses). Wide ops carry ids only;
+    * vectors rejoin for surviving candidates.
+    *
+    * Returns one row per input doc: (doc_id, kept). Codebook training is
+    * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is
+    * computed once and reused for both join sides through [[PlanCache]].
+    */
   def semanticDedup(vecs: DataFrame, idCol: String = "id",
       vecCol: String = "vec", k: Int = 8, iters: Int = 4,
       cosineThreshold: Double = 0.99, intraCellPlanes: Int = 0,
       intraCellTables: Int = 4): DataFrame = {
-    import graft.functions.VectorFunctions.{hyperplaneSignature, signatureToBucket}
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val (codebook, _) = Ann.trainCentroids(base, k, iters)
     val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
@@ -78,11 +79,15 @@ object Semantic {
             cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
           .select(col("id_b").as("id")).distinct()
       } else {
-        val bucketed = (0 until intraCellTables).map { t =>
-          cells.select(col("cell_id"), col("id"), lit(t).as("table"),
-            signatureToBucket(hyperplaneSignature(col("vec"),
-              intraCellPlanes, 42L + t * 1000L)).as("bucket"))
-        }.reduce(_ unionByName _)
+        // one single-pass kernel scan builds all tables' buckets
+        // (VectorFunctions.hyperplaneBuckets — the designated hot path,
+        // not per-table interpreted HOF scans); cell_id rejoins on the
+        // persisted cells frame, narrow rows only
+        val bucketed = graft.functions.VectorFunctions
+          .hyperplaneBuckets(cells.select("id", "vec"), "id", "vec",
+            intraCellPlanes, intraCellTables)
+          .select("id", "table", "bucket")
+          .join(cells.select(col("id"), col("cell_id")), "id")
         val cand = bucketed
           .select(col("cell_id"), col("table"), col("bucket"),
             col("id").as("id_a"))
@@ -90,12 +95,8 @@ object Semantic {
             col("id").as("id_b")), Seq("cell_id", "table", "bucket"))
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-        cand
-          .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")),
-            "id_a")
-          .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")),
-            "id_b")
-          .where(cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
+        Dedup.embeddingCosineVerify(cells.select("id", "vec"), cand,
+            cosineThreshold)
           .select(col("id_b").as("id")).distinct()
       }
     // drop set is small relative to the corpus (it IS the duplicate mass)

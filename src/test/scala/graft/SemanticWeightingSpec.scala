@@ -172,9 +172,12 @@ class SemanticWeightingSpec extends SparkSpec {
   }
 
   test("Pca.topComponents: deflation recovers two planted axes in order") {
-    // variance: dim 2 ≈ 400, dim 0 ≈ 100, dims 1/3 ≈ 1-4
+    // variance: dim 2 ≈ 400, dim 0 ≈ 100, dims 1/3 ≈ 1-4. Signs for
+    // dims 0 and 2 flip on INDEPENDENT schedules ((i/2)%2 vs i%2) —
+    // sharing one sign factor would correlate the axes and make the true
+    // top component a mixed direction, not the planted axis
     val rows = (0 until 200).map { i =>
-      Seq(((i % 2) * 2 - 1) * (10.0f + (i % 5)),
+      Seq((((i / 2) % 2) * 2 - 1) * (10.0f + (i % 5)),
         (i % 5 - 2).toFloat,
         ((i % 2) * 2 - 1) * (20.0f + (i % 3)),
         (i % 3 - 1).toFloat)
