@@ -118,8 +118,13 @@ object Weighting {
       s"dsir-target-dist|$buckets|$textCol|$idCol",
       tgtG.where(col("gram").isNotNull)
         .groupBy("bucket").agg(count(lit(1)).as("cnt_target")))
-    val totals = rawCnt.agg(sum(col("cnt_raw")).as("total_raw"))
-      .crossJoin(tgtCnt.agg(sum(col("cnt_target")).as("total_target")))
+    // sum() over an empty distribution is NULL — coalesce to 0 so a
+    // gram-less target (or raw) corpus yields selected=false everywhere
+    // instead of NULL-poisoning every selection decision
+    val totals = rawCnt
+      .agg(coalesce(sum(col("cnt_raw")), lit(0L)).as("total_raw"))
+      .crossJoin(tgtCnt
+        .agg(coalesce(sum(col("cnt_target")), lit(0L)).as("total_target")))
     rawG
       .join(broadcast(tgtCnt), Seq("bucket"), "left")
       .join(broadcast(rawCnt), Seq("bucket"), "left")

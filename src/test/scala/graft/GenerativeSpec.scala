@@ -190,6 +190,126 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  // ---- in-memory models of the curation/selection ops ----
+
+  private def md5Bucket(s: String, buckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % buckets
+  }
+  private def minstd(key: Long, salt: Long): Long =
+    ((key + salt) % 2147483647L) * 48271L % 2147483647L
+
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 30)
+    lens <- Gen.listOfN(n, Gen.choose(0, 12))
+  } yield lens.zipWithIndex.map { case (len, i) =>
+    // tiny vocabulary forces real window/bigram collisions across docs
+    (i.toLong, (0 until len).map(j => s"w${(i * 7 + j * 3) % 11}")
+      .mkString(" "))
+  }
+
+  test("mixToBudget equals the in-memory prefix-fill model") {
+    samples(genDocs).foreach { docs =>
+      val domains = docs.map { case (id, t) => (id, if (id % 3 == 0) "a" else "b", t) }
+      val df = domains.toDF("doc_id", "lang", "text")
+      val budgets = Map("a" -> 9L, "b" -> 14L)
+      val got = pipeline.Sampling.mixToBudget(df, "doc_id", "lang", "text",
+          budgets, defaultBudget = 0L, salt = 5L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))).toMap
+      // model: per domain, docs in (minstd, id) order, cumulative tokens
+      domains.groupBy(_._2).foreach { case (dom, rows) =>
+        var cum = 0L
+        rows.sortBy { case (id, _, _) => (minstd(id, 5L), id) }
+          .foreach { case (id, _, text) =>
+            val nTok = text.split("\\s+", -1).length.toLong
+            val (gn, gcum, gsel) = got(id)
+            assert(gn === nTok, s"tokens of $id")
+            assert(gcum === cum, s"cum_before of $id in $dom")
+            assert(gsel === (cum < budgets(dom)), s"selected of $id")
+            cum += nTok
+          }
+      }
+    }
+  }
+
+  test("quantileThreshold equals the in-memory rank model, ties included") {
+    samples(genDocs).foreach { docs =>
+      // coarse scores force ties: score = len % 4
+      val scored = docs.map { case (id, t) =>
+        (id, if (id % 2 == 0) "x" else "y",
+          (t.split("\\s+", -1).length % 4).toDouble)
+      }
+      val df = scored.toDF("doc_id", "lang", "score")
+      val qBp = 5000
+      val got = pipeline.Weighting.quantileThreshold(df, "score", "lang", qBp)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      scored.groupBy(_._2).foreach { case (_, rows) =>
+        val n = rows.size.toLong
+        rows.foreach { case (id, _, s) =>
+          val cntBelow = rows.count(_._3 < s).toLong
+          assert(got(id) === (cntBelow * 10000L >= qBp * n),
+            s"doc $id score $s cntBelow $cntBelow n $n")
+        }
+      }
+    }
+  }
+
+  test("substringDupStats equals the in-memory window model") {
+    val L = 3
+    samples(genDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = pipeline.Dedup.substringDupStats(df, windowTokens = L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val windows = docs.flatMap { case (id, t) =>
+        val toks = t.split("\\s+", -1)
+        (0 to toks.length - L).map(i =>
+          (id, toks.slice(i, i + L).mkString(" ")))
+      }
+      val counts = windows.groupBy(_._2).view.mapValues(_.size).toMap
+      docs.foreach { case (id, t) =>
+        val toks = t.split("\\s+", -1)
+        val mine = windows.filter(_._1 == id)
+        val dups = mine.count(w => counts(w._2) > 1).toLong
+        assert(got(id) === ((toks.length.toLong, mine.size.toLong, dups)),
+          s"doc $id: got ${got(id)}")
+      }
+    }
+  }
+
+  test("importanceWeights equals the in-memory bucket model") {
+    samples(genDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val target = docs.filter(_._1 % 4 == 0)
+      val tdf = target.toDF("doc_id", "text")
+      val B = 64
+      def grams(t: String): Seq[String] = {
+        val toks = t.split("\\s+", -1)
+        (0 until toks.length - 1).map(i => s"${toks(i)} ${toks(i + 1)}")
+      }
+      val rawCnt = docs.flatMap(d => grams(d._2)).groupBy(g => md5Bucket(g, B))
+        .view.mapValues(_.size.toLong).toMap
+      val tgtCnt = target.flatMap(d => grams(d._2)).groupBy(g => md5Bucket(g, B))
+        .view.mapValues(_.size.toLong).toMap
+      val (nr, nt) = (rawCnt.values.sum, tgtCnt.values.sum)
+      val got = pipeline.Weighting.importanceWeights(df, tdf, buckets = B)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))).toMap
+      docs.foreach { case (id, t) =>
+        val gs = grams(t)
+        val st = gs.map(g => tgtCnt.getOrElse(md5Bucket(g, B), 0L)).sum
+        val sr = gs.map(g => rawCnt.getOrElse(md5Bucket(g, B), 0L)).sum
+        assert(got(id) === ((gs.size.toLong, st, sr, st * nr > sr * nt)),
+          s"doc $id: got ${got(id)} want (${gs.size}, $st, $sr)")
+      }
+    }
+  }
+
   test("any single flipped body byte is caught by the record CRC") {
     samples(genRec).foreach { rec =>
       val bos = new java.io.ByteArrayOutputStream()
