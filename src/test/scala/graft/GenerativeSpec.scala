@@ -310,6 +310,60 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift equals the in-memory chi-square model bit-for-bit") {
+    val B = 32
+    samples(genDocs).foreach { docs =>
+      val ref = docs.filter(_._1 % 2 == 0)
+      val bat = docs.filter(_._1 % 2 == 1)
+      val got = pipeline.Monitor.tokenDrift(
+          ref.toDF("doc_id", "text"), bat.toDF("doc_id", "text"), buckets = B)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      def counts(rows: Seq[(Long, String)]): Map[Long, Long] =
+        rows.flatMap(_._2.split("\\s+", -1)).groupBy(md5Bucket(_, B))
+          .view.mapValues(_.size.toLong).toMap
+      val (rc, bc) = (counts(ref), counts(bat))
+      val (tr, tb) = (rc.values.sum, bc.values.sum)
+      (rc.keySet ++ bc.keySet).foreach { b =>
+        val (cr, cb) = (rc.getOrElse(b, 0L), bc.getOrElse(b, 0L))
+        // identical double op chains -> identical floored micro-units
+        val expE6 =
+          if (tr == 0L) 0L else math.floor((cr * tb).toDouble * 1e6 / tr).toLong
+        val expRaw = if (tr == 0L) 0.0 else cr.toDouble * tb / tr
+        val diff = cb.toDouble - expRaw
+        val chiE6 = math.floor(diff * diff / math.max(expRaw, 1.0) * 1e6).toLong
+        assert(got(b) === ((cr, cb, expE6, chiE6)), s"bucket $b: ${got(b)}")
+      }
+    }
+  }
+
+  test("semanticDedup (k=1) equals the all-pairs greedy model") {
+    val genVecs: Gen[List[(Long, Seq[Float])]] = for {
+      n <- Gen.choose(3, 16)
+      raw <- Gen.listOfN(n * 2, Gen.choose(-4, 4))
+    } yield raw.grouped(2).zipWithIndex.map { case (xy, i) =>
+      // coarse lattice vectors force exact duplicates and near-pairs
+      (i.toLong, Seq(xy.head.toFloat, xy(1).toFloat, 1.0f))
+    }.toList
+    samples(genVecs).foreach { vecs =>
+      val got = pipeline.Semantic.semanticDedup(vecs.toDF("id", "vec"),
+          k = 1, iters = 1, cosineThreshold = 0.999)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      vecs.foreach { case (id, v) =>
+        val dropped = vecs.exists { case (oid, ov) =>
+          oid < id && cos(ov, v) >= 0.999
+        }
+        assert(got(id) === !dropped, s"id $id (dropped=$dropped)")
+      }
+    }
+  }
+
   test("any single flipped body byte is caught by the record CRC") {
     samples(genRec).foreach { rec =>
       val bos = new java.io.ByteArrayOutputStream()
