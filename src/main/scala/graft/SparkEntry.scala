@@ -1813,9 +1813,12 @@ object SparkEntry {
     // ---- drift monitor, STREAMING form: each micro-batch of incoming
     // documents is chi-squared against the static reference corpus
     // inside foreachBatch — the per-batch gate a production ingestion
-    // stream runs. Two deterministic micro-batches (one file per
-    // trigger, mtime-ordered); reference is rebuilt from the batch's own
-    // session. Oracle = the batch drift derivation per slice. ----
+    // stream runs. The reference is reduced to its (bucket, count)
+    // distribution ONCE and persisted before the stream starts (the
+    // signature-store discipline); each trigger scans only its own batch
+    // against the stored table. Two deterministic micro-batches (one
+    // file per trigger, mtime-stamped). Oracle = the batch drift
+    // derivation per slice. ----
     "q_drift_stream" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("driftstream").toString
       val d = docs(s, dir).select("doc_id", "text")
@@ -1833,14 +1836,19 @@ object SparkEntry {
         .write.mode("append").parquet(s"$root/in")
       inDir.listFiles().filterNot(f => firstGen.contains(f.getName))
         .foreach(_.setLastModified(t0 + 60000L))
+      // reference distribution: computed + persisted ONCE, ≤256 rows
+      graft.pipeline.Monitor.referenceDistribution(
+          docs(s, dir).where(col("doc_id") % 5 =!= 0).select("text"),
+          buckets = 256)
+        .coalesce(1).write.parquet(s"$root/refdist")
       val q = s.readStream.schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$root/in")
         .writeStream
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val ref = graft.sources.Store.table(b.sparkSession, dir, "documents")
-            .where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
-          graft.pipeline.Monitor.tokenDrift(ref, b, buckets = 256)
+          val refCounts = b.sparkSession.read.parquet(s"$root/refdist")
+          graft.pipeline.Monitor
+            .tokenDriftFromCounts(refCounts, b, buckets = 256)
             .withColumn("batch_id", lit(batchId))
             .coalesce(1).write.mode("append").parquet(s"$root/out")
           ()

@@ -34,15 +34,35 @@ object Monitor {
     * coalesce to 0, every batch bucket alarms at `cnt_batch² × 1e6` — a
     * broken reference feed must trip the monitor, never NULL it into
     * silence. */
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      cntName: String): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cntName))
+
+  /** The reference corpus reduced to its (bucket, cnt_ref) distribution —
+    * the table a monitoring deployment computes ONCE per reference
+    * snapshot and persists; every incoming batch then drifts against the
+    * stored table via [[tokenDriftFromCounts]] without ever re-scanning
+    * the reference (the signature-store discipline, applied to
+    * monitoring). ≤ `buckets` rows regardless of corpus size. */
+  def referenceDistribution(reference: DataFrame, textCol: String = "text",
+      buckets: Int = 256): DataFrame =
+    bucketCounts(reference, textCol, buckets, "cnt_ref")
+
   def tokenDrift(reference: DataFrame, batch: DataFrame,
+      textCol: String = "text", buckets: Int = 256): DataFrame =
+    tokenDriftFromCounts(referenceDistribution(reference, textCol, buckets),
+      batch, textCol, buckets)
+
+  /** Drift of `batch` against an already-computed reference distribution
+    * ((bucket, cnt_ref) — see [[referenceDistribution]]). Only the batch
+    * is scanned. */
+  def tokenDriftFromCounts(refCounts: DataFrame, batch: DataFrame,
       textCol: String = "text", buckets: Int = 256): DataFrame = {
-    def bucketCounts(df: DataFrame, cntName: String): DataFrame =
-      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as("tok"))
-        .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(cntName))
-    val ref = bucketCounts(reference, "cnt_ref")
-    val bat = bucketCounts(batch, "cnt_batch")
+    val ref = refCounts
+    val bat = bucketCounts(batch, textCol, buckets, "cnt_batch")
     // bucket tables are tiny; the full-outer alignment and the scalar
     // totals cross-join cost nothing at any corpus scale. sum() over an
     // empty side is NULL — coalesce both totals to 0.
