@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Monitor {
 
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      cntName: String): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cntName))
+
+  private val BucketsMetaKey = "graft.monitor.buckets"
+
+  /** The reference corpus reduced to its (bucket, cnt_ref) distribution —
+    * the table a monitoring deployment computes ONCE per reference
+    * snapshot and persists; every incoming batch then drifts against the
+    * stored table via [[tokenDriftFromCounts]] without ever re-scanning
+    * the reference (the signature-store discipline, applied to
+    * monitoring). ≤ `buckets` rows regardless of corpus size. The bucket
+    * count is stamped into the column metadata (it survives a parquet
+    * roundtrip), so a mismatched consumer fails loudly. */
+  def referenceDistribution(reference: DataFrame, textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(BucketsMetaKey, buckets.toLong).build()
+    bucketCounts(reference, textCol, buckets, "cnt_ref")
+      .select(col("bucket").as("bucket", md), col("cnt_ref"))
+  }
+
   /** Per-bucket drift rows between `reference` and `batch`:
     * (bucket, cnt_ref, cnt_batch, expected_e6, chi2_contrib_e6).
     *
@@ -34,43 +59,33 @@ object Monitor {
     * coalesce to 0, every batch bucket alarms at `cnt_batch² × 1e6` — a
     * broken reference feed must trip the monitor, never NULL it into
     * silence. */
-  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
-      cntName: String): DataFrame =
-    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as("tok"))
-      .select(Weighting.md5Bucket(col("tok"), buckets).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(cntName))
-
-  /** The reference corpus reduced to its (bucket, cnt_ref) distribution —
-    * the table a monitoring deployment computes ONCE per reference
-    * snapshot and persists; every incoming batch then drifts against the
-    * stored table via [[tokenDriftFromCounts]] without ever re-scanning
-    * the reference (the signature-store discipline, applied to
-    * monitoring). ≤ `buckets` rows regardless of corpus size. */
-  def referenceDistribution(reference: DataFrame, textCol: String = "text",
-      buckets: Int = 256): DataFrame =
-    bucketCounts(reference, textCol, buckets, "cnt_ref")
-
   def tokenDrift(reference: DataFrame, batch: DataFrame,
       textCol: String = "text", buckets: Int = 256): DataFrame =
     tokenDriftFromCounts(referenceDistribution(reference, textCol, buckets),
       batch, textCol, buckets)
 
   /** Drift of `batch` against an already-computed reference distribution
-    * ((bucket, cnt_ref) — see [[referenceDistribution]]). Only the batch
-    * is scanned. */
+    * ((bucket, cnt_ref) — see [[referenceDistribution]]); output contract
+    * as [[tokenDrift]]. Only the batch is scanned. If `refCounts` carries
+    * the bucket-count stamp, a `buckets` mismatch (which would misalign
+    * every bucket silently) is rejected up front. */
   def tokenDriftFromCounts(refCounts: DataFrame, batch: DataFrame,
       textCol: String = "text", buckets: Int = 256): DataFrame = {
-    val ref = refCounts
+    refCounts.schema.fields.find(_.name == "bucket")
+      .filter(_.metadata.contains(BucketsMetaKey))
+      .map(_.metadata.getLong(BucketsMetaKey))
+      .foreach(b => require(b == buckets.toLong,
+        s"refCounts was bucketed with $b buckets but the batch side uses " +
+          s"$buckets — the chi-square would misalign every bucket"))
     val bat = bucketCounts(batch, textCol, buckets, "cnt_batch")
     // bucket tables are tiny; the full-outer alignment and the scalar
     // totals cross-join cost nothing at any corpus scale. sum() over an
     // empty side is NULL — coalesce both totals to 0.
-    val totals = ref.agg(coalesce(sum(col("cnt_ref")), lit(0L))
+    val totals = refCounts.agg(coalesce(sum(col("cnt_ref")), lit(0L))
         .as("total_ref"))
       .crossJoin(bat.agg(coalesce(sum(col("cnt_batch")), lit(0L))
         .as("total_batch")))
-    val aligned = ref.join(bat, Seq("bucket"), "full_outer")
+    val aligned = refCounts.join(bat, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
         coalesce(col("cnt_batch"), lit(0L)).as("cnt_batch"))

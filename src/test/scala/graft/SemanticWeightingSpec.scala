@@ -226,6 +226,28 @@ class SemanticWeightingSpec extends SparkSpec {
     }
   }
 
+  test("tokenDriftFromCounts rejects a bucket-count mismatch, even via parquet") {
+    val ref = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val dist = graft.pipeline.Monitor.referenceDistribution(ref, buckets = 128)
+    // direct frame: mismatch caught
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Monitor.tokenDriftFromCounts(dist, ref, buckets = 256)
+    }
+    // the stamp survives a parquet roundtrip (the persisted-store path)
+    val dir = java.nio.file.Files.createTempDirectory("refdist").toString
+    dist.write.parquet(s"$dir/d")
+    val reloaded = spark.read.parquet(s"$dir/d")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Monitor.tokenDriftFromCounts(reloaded, ref, buckets = 256)
+    }
+    // matching count passes and equals the direct derivation
+    val viaStore = graft.pipeline.Monitor
+      .tokenDriftFromCounts(reloaded, ref, buckets = 128).collect().toSet
+    val direct = graft.pipeline.Monitor
+      .tokenDrift(ref, ref, buckets = 128).collect().toSet
+    assert(viaStore === direct)
+  }
+
   test("mixToBudget fills each domain budget in hash order, integer-exact") {
     val docs = Seq(
       (1L, "en", "one two three"), // 3 tokens
