@@ -1750,6 +1750,20 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- IVF + quantized scan composed (IVF-PQ-lite): cell-bounded
+    // candidates scanned in int8, exact float re-rank. Twins share every
+    // argmin and quantize identically → rank-1 retrieval at cosine 1.0
+    // is still deterministic ----
+    "q_ann_ivf_quantized" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.ivfQuantizedTopK(all.where(col("id") < 20), withTwins,
+        centroids = all.where(col("id") < 8), k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- IVF codebook training: Lloyd's k-means, oracled through the
     // algorithm's own invariant — WCSS never increases across iterations
     // (fp-tolerant; parallel double sums are last-bit nondeterministic) ----
@@ -2321,6 +2335,12 @@ object SparkEntry {
         " FROM embeddings WHERE vec_id < 50"),
 
     "q_ann_ivf" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 20"),
+
+    // IVF+quantized composition: same planted-retrieval contract
+    "q_ann_ivf_quantized" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 20"),

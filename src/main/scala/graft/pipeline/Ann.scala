@@ -140,6 +140,73 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF probing combined with the quantized scan (the IVF-PQ-lite
+    * shape): corpus vectors are assigned to codebook cells by the fused
+    * argmin projection AND stored int8-quantized; each query probes its
+    * `nProbe` nearest cells, scores ONLY those cells' members over the
+    * dequantized int8 bytes (4× less data than float), keeps `rerank`
+    * approximate survivors, and an exact float re-rank restores full
+    * precision for the final top-k. Identical twins share every argmin
+    * and quantize identically, so the planted-retrieval contract holds
+    * end-to-end (same argument as [[ivfTopK]] + [[quantizedTopK]]).
+    *
+    * Scale shape: candidate volume is cell-bounded (IVF) and each
+    * candidate row carries int8 bytes (quantized) — the two savings
+    * compose; only `queries × rerank` rows ever fetch float vectors. */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{dequantizeInt8, int8Scale, quantizeInt8}
+    val centRows = PlanCache.getOrPersist(centroids, "ivfq-centroids",
+        centroids.select(col("id").cast("long"), col("vec")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfQuantizedTopK: empty centroid set")
+    // cell assignment + int8 storage tier in ONE corpus projection
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec"))
+      .withColumn("cell_id", nearestCellExpr(centRows, col("vec")))
+      .withColumn("scale", int8Scale(col("vec")))
+      .withColumn("q", quantizeInt8(col("vec"), col("scale")))
+      .select("cell_id", "neighbor_id", "q", "scale")
+    // query-side probe ranking (tiny: queries × cells)
+    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", l2sq(col("qvec"), col("cent")))
+      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    // approximate scoring over the probed cells' int8 members
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val survivors = c
+      .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .withColumn("approx", cosine(col("qvec"),
+        dequantizeInt8(col("q"), col("scale")).cast("array<float>")))
+      .withColumn("ar", row_number().over(wApprox))
+      .where(col("ar") <= rerank)
+      .select("query_id", "neighbor_id")
+    // exact float re-rank of the survivors only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    survivors
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Lloyd's k-means over an (id, vec) frame — trains the IVF codebook
     * [[ivfTopK]] probes. Deterministic init: the k lowest-id vectors.
     * Each iteration is one corpus scan: assignment reuses the fused

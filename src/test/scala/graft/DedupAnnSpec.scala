@@ -163,6 +163,23 @@ class DedupAnnSpec extends SparkSpec {
     (0L until 5L).foreach(i => assert(m(i) == i + 100L))
   }
 
+  test("ivf+quantized ANN composition still recovers twins at rank 1") {
+    val centroids = (0 until 4).map(i => (i.toLong, vec(1000 + i)))
+      .toDF("id", "vec")
+    val got = Ann.ivfQuantizedTopK(vectors.where($"id" < 5), vectors,
+      centroids, k = 1, nProbe = 4, rerank = 10)
+    val rows = got.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (q, n, cos) =>
+      assert(n == q + 100L, s"query $q retrieved $n")
+      // the fixture's planted neighbors are PERTURBED near-twins
+      // (cosine ≈ 0.99999), not exact copies — the exact-twin
+      // cosine-1.0 contract is the driver query's, on real twins
+      assert(cos > 0.999, s"near-twin cosine $cos")
+    }
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
