@@ -364,6 +364,59 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("generic Avro codec roundtrips arbitrary flat schemas value-exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val menu = Seq("boolean", "int", "long", "float", "double", "string", "bytes")
+    val genSchema: Gen[List[(String, String, Boolean)]] = for {
+      n <- Gen.choose(3, 8)
+      ts <- Gen.listOfN(n, Gen.oneOf(menu))
+      nl <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield ts.zip(nl).zipWithIndex.map { case ((t, nu), i) => (s"f$i", t, nu) }
+    samples(genSchema).foreach { fields =>
+      val fieldJson = fields.map { case (name, t, nullable) =>
+        val tpe = if (nullable) s"""["null", "$t"]""" else s""""$t""""
+        s"""{"name": "$name", "type": $tpe}"""
+      }.mkString(",")
+      val schemaJson =
+        s"""{"type": "record", "name": "R", "fields": [$fieldJson]}"""
+      val st = functions.GenericAvroCodec.structTypeFor(schemaJson)
+      def value(t: String, i: Int): Any = t match {
+        case "boolean" => i % 2 == 0
+        case "int" => i * 7 - 3
+        case "long" => i * 1000L - 5L
+        case "float" => i * 0.5f - 1.0f
+        case "double" => i * 0.25 - 2.0
+        case "string" => s"s$i"
+        case "bytes" => Array[Byte](i.toByte, (i + 1).toByte)
+      }
+      val rows = (0 until 5).map { i =>
+        Row.fromSeq(fields.zipWithIndex.map { case ((_, t, nullable), j) =>
+          if (nullable && (i + j) % 3 == 0) null else value(t, i)
+        })
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), st)
+      val enc = functions.GenericAvroCodec.encode(schemaJson)
+      val dec = functions.GenericAvroCodec.decode(schemaJson)
+      val out = df
+        .select(dec(enc(org.apache.spark.sql.functions.struct(
+          st.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+          .as("r"))
+        .select("r.*").collect()
+      out.zip(rows).foreach { case (got, want) =>
+        fields.zipWithIndex.foreach { case ((name, t, _), j) =>
+          (got.get(j), want.get(j)) match {
+            case (null, null) => ()
+            case (a: Array[Byte], b: Array[Byte]) =>
+              assert(a.sameElements(b), s"$name bytes differ")
+            case (a, b) => assert(a == b, s"$name: $a != $b (type $t)")
+          }
+        }
+      }
+    }
+  }
+
   test("any single flipped body byte is caught by the record CRC") {
     samples(genRec).foreach { rec =>
       val bos = new java.io.ByteArrayOutputStream()
