@@ -3,8 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.cosine
-
 /** Semantic (embedding-space) deduplication policies.
   *
   * Two complementary treatments of the same near-duplicate evidence:
@@ -50,8 +48,19 @@ object Semantic {
     * planted-twin/exact-duplicate contract is unchanged; near-pairs
     * below cosine 1 trade a little recall for bucket-bounded cost,
     * exactly like [[Dedup.embeddingNearDups]] (whose bucketing kernel
-    * and verify join this path reuses). Wide ops carry ids only;
-    * vectors rejoin for surviving candidates.
+    * and verify join this path reuses).
+    *
+    * Scale shape: BOTH candidate paths carry ids only through the wide
+    * (cell- or bucket-keyed) pair join; vectors enter exactly one
+    * id-keyed linear join at verify time ([[Dedup.embeddingCosineVerify]]),
+    * so the shuffle that can go quadratic never carries an embedding.
+    * The final exclusion join is a plain (unhinted) left join: at web
+    * scale the drop set is proportional to duplicate mass, which is
+    * routinely 30-50% of the corpus — corpus-order, NOT broadcastable by
+    * assumption. AQE picks broadcast from measured sizes when the drop
+    * set really is small, and falls back to a shuffled join when it
+    * isn't; forcing the hint here would OOM exactly the workloads this
+    * module targets.
     *
     * Returns one row per input doc: (doc_id, kept). Codebook training is
     * memoized per corpus plan ([[Ann.trainCentroids]]); assignment is
@@ -65,19 +74,16 @@ object Semantic {
     val (codebook, _) = Ann.trainCentroids(base, k, iters)
     val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
       base.withColumn("cell_id", Ann.nearestCellExpr(codebook, col("vec"))))
-    val dropped =
+    val candidates =
       if (intraCellPlanes <= 0) {
         // within-cell pair search: the join key is the cell id alone, so
-        // the only rows that ever meet are cluster-mates; vectors ride
-        // exactly one join (cells are bounded by k ∝ N)
-        val left = cells.select(col("cell_id"), col("id").as("id_a"),
-          col("vec").as("vec_a"))
-        val right = cells.select(col("cell_id"), col("id").as("id_b"),
-          col("vec").as("vec_b"))
-        left.join(right, "cell_id")
-          .where(col("id_a") < col("id_b") &&
-            cosine(col("vec_a"), col("vec_b")) >= cosineThreshold)
-          .select(col("id_b").as("id")).distinct()
+        // the only rows that ever meet are cluster-mates. Candidate rows
+        // are id-only — the Σ|cell|² product carries two longs per row,
+        // never the vectors (those join once, id-keyed, at verify)
+        cells.select(col("cell_id"), col("id").as("id_a"))
+          .join(cells.select(col("cell_id"), col("id").as("id_b")), "cell_id")
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
       } else {
         // one single-pass kernel scan builds all tables' buckets
         // (VectorFunctions.hyperplaneBuckets — the designated hot path,
@@ -88,21 +94,22 @@ object Semantic {
             intraCellPlanes, intraCellTables)
           .select("id", "table", "bucket")
           .join(cells.select(col("id"), col("cell_id")), "id")
-        val cand = bucketed
+        bucketed
           .select(col("cell_id"), col("table"), col("bucket"),
             col("id").as("id_a"))
           .join(bucketed.select(col("cell_id"), col("table"), col("bucket"),
             col("id").as("id_b")), Seq("cell_id", "table", "bucket"))
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-        Dedup.embeddingCosineVerify(cells.select("id", "vec"), cand,
-            cosineThreshold)
-          .select(col("id_b").as("id")).distinct()
       }
-    // drop set is small relative to the corpus (it IS the duplicate mass)
-    // → the exclusion join broadcasts at scale
+    val dropped = Dedup.embeddingCosineVerify(cells.select("id", "vec"),
+        candidates, cosineThreshold)
+      .select(col("id_b").as("id")).distinct()
+    // plain left join — the drop set is duplicate-mass-sized, which at
+    // web scale can be a large fraction of the corpus; AQE broadcasts it
+    // only when its measured size permits (see scaladoc)
     cells.select("id")
-      .join(broadcast(dropped.withColumn("dup", lit(true))), Seq("id"), "left")
+      .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id").as("doc_id"), col("dup").isNull.as("kept"))
   }
 
@@ -117,10 +124,12 @@ object Semantic {
     *
     * `pairs` is the verified near-dup edge set ((id_a, id_b), e.g. the
     * MinHash-LSH → exact-Jaccard pipeline's output); components come from
-    * [[Dedup.connectedComponents]]. Scale shape: component labels +
-    * sizes are component-mass-sized (small relative to the corpus — the
-    * same argument as keep-one's anti-join), so the weight join
-    * broadcasts; the corpus itself is never shuffled. */
+    * [[Dedup.connectedComponents]]. Scale shape: the label table has one
+    * row per doc that appears in ANY dup relation — duplicate mass, which
+    * at web scale can be 30-50% of the corpus, so the weight join is a
+    * plain (unhinted) left join and AQE broadcasts only when the measured
+    * label-side size permits, shuffling otherwise (same policy as
+    * [[Dedup.keepOnePerComponent]]'s anti-join). */
   def softDedupWeights(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)
@@ -128,7 +137,7 @@ object Semantic {
     val labeled = comp.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component"), col("csize"))
     docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .join(labeled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"),
         coalesce(col("csize"), lit(1L)).as("csize"),

@@ -48,9 +48,11 @@ object ChangeFeed {
     LogicalSource(5, "error")))
 
   def raw(spark: SparkSession, sfDir: String): DataFrame = {
-    // The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    // reader rejects by default; the legacy conf maps it to LongType
-    // (ns-since-epoch) — exactly the envelope's timestampNs representation.
+    // Generator vintages differ on the ts column's physical type:
+    // TIMESTAMP(NANOS) (rejected by Spark's reader unless the legacy conf
+    // maps it to LongType ns-since-epoch), TIMESTAMP(MICROS) with or
+    // without UTC adjustment. Set the nanos conf unconditionally (it only
+    // affects NANOS files) and let [[envelope]] normalize per-type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
@@ -68,10 +70,7 @@ object ChangeFeed {
     raw.select(
       (col("event_id") - col("event_id") % WindowSize).as("scn"),
       col("event_id").as("seq"),
-      // ts arrives as LongType ns (legacy nanos conf); serve µs — external
-      // engines (and parquet TIMESTAMP readers generally) are µs-resolution,
-      // so µs is the portable envelope timestamp. Exact integer division.
-      expr("ts div 1000").as("ts_us"),
+      tsMicrosCol(raw).as("ts_us"),
       sourceIdCol(col("event_type")).as("source_id"),
       (col("user_id") % NumPartitions).cast("int").as("partition_id"),
       opcodeCol(col("event_type")).as("opcode"),
@@ -81,4 +80,21 @@ object ChangeFeed {
 
   def envelope(spark: SparkSession, sfDir: String): DataFrame =
     envelope(raw(spark, sfDir))
+
+  /** `ts` normalized to µs-since-epoch (LongType), whatever the physical
+    * type the generator wrote: LongType is legacy-nanos (exact integer
+    * division by 1000); TIMESTAMP is unix_micros; TIMESTAMP_NTZ is
+    * µs since the NTZ epoch via timestampdiff — deliberately timezone-
+    * independent (NO cast through TimestampType, which would re-interpret
+    * the wall-clock value in the session zone), matching how DuckDB's
+    * epoch_us reads the same naive column in the oracle. µs is the
+    * portable envelope resolution — external engines and parquet
+    * TIMESTAMP readers generally are µs-native. */
+  private def tsMicrosCol(raw: DataFrame): Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
 }

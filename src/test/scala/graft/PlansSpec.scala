@@ -103,13 +103,59 @@ class PlansSpec extends SparkSpec {
     assert(broadcasts >= 2, s"bucket dims not broadcast ($broadcasts):\n$plan")
   }
 
-  test("semanticDedup's exclusion join broadcasts the drop set") {
+  test("semanticDedup: no forced broadcast; wide pair shuffles carry no " +
+      "vectors") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
+
+    def assertUnhinted(df: org.apache.spark.sql.DataFrame): Unit = {
+      // the drop-set / label side is duplicate-mass-sized (corpus-order at
+      // web scale) — no broadcast hint may survive to any join; AQE must
+      // stay free to pick a shuffled join from measured sizes
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+      assert(hinted.isEmpty,
+        s"forced join hint survives:\n${df.queryExecution.optimizedPlan}")
+    }
+
     val out = graft.pipeline.Semantic.semanticDedup(e, k = 2, iters = 1)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"drop set not broadcast in:\n$plan")
+    assertUnhinted(out)
+    val lsh = graft.pipeline.Semantic.semanticDedup(e, k = 2, iters = 1,
+      intraCellPlanes = 4, intraCellTables = 2)
+    assertUnhinted(lsh)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assertUnhinted(graft.pipeline.Semantic.softDedupWeights(
+      e.select($"id".as("doc_id")), pairs))
+
+    // the shuffle that can go quadratic (keyed on cell_id / bucket) must
+    // carry ids only — vectors ride one id-keyed linear join at verify.
+    // AQE off + broadcast threshold -1 = the plan the 100 TB run would
+    // get when nothing fits in a broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (df <- Seq(out, lsh)) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case x: ShuffleExchangeExec => x
+        }
+        val wide = exchanges.filter { x =>
+          val p = x.outputPartitioning.toString
+          p.contains("cell_id") || p.contains("bucket")
+        }
+        assert(wide.nonEmpty, "expected a cell/bucket-keyed pair shuffle")
+        for (x <- wide)
+          assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"vector column in wide shuffle: ${x.output}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("mixToBudget plans exactly one exchange (the per-domain window)") {
