@@ -364,14 +364,27 @@ object SparkEntry {
       // files per trigger): first half of event time, second half, then
       // per-key sentinels past the gap that close every session still
       // open — per-key state flows batch → batch through the state store
+      // slice order IS batch order via mtime — stamped EXPLICITLY (60s
+      // apart, same pattern as q_drift_stream) rather than trusting
+      // write timing: a coarse-granularity filesystem could tie the
+      // writes' mtimes and let the source admit slices interleaved,
+      // feeding the sessionizer out-of-time-order events
+      val inDir = new java.io.File(s"$root/in")
+      val t0 = System.currentTimeMillis() - 180000L
+      def stampNew(seen: Set[String], t: Long): Set[String] = {
+        val fs = inDir.listFiles()
+        fs.filterNot(f => seen.contains(f.getName)).foreach(_.setLastModified(t))
+        fs.map(_.getName).toSet
+      }
       ev.where(col("ts") <= mid).coalesce(2).write.parquet(s"$root/in")
-      Thread.sleep(100) // distinct mtimes: slice order IS batch order
+      val gen1 = stampNew(Set.empty, t0)
       ev.where(col("ts") > mid).coalesce(2)
         .write.mode("append").parquet(s"$root/in")
-      Thread.sleep(100)
+      val gen2 = stampNew(gen1, t0 + 60000L)
       ev.select(col("key")).distinct()
         .select(col("key"), lit(tMax + gapUs + 1).as("ts"))
         .coalesce(1).write.mode("append").parquet(s"$root/in")
+      stampNew(gen2, t0 + 120000L)
       // the stateful shuffle/state-store width follows the session's
       // shuffle partitions; this demo's state is thousands of keys, so a
       // session clone pinned to 4 partitions cuts 32× state-store commit

@@ -100,7 +100,7 @@ case class KeyRangeFilter(minKey: Long, maxKey: Long) extends DbusFilter {
   override def toColumnFor(fields: Seq[String]): Column =
     if (fields.contains("key_string"))
       (col("key_string").isNull ||
-        (col("key_string").rlike("^-?\\d+$") &&
+        (col("key_string").rlike("^[+-]?\\d+$") &&
           col("key_string").try_cast("long").isNotNull)) && toColumn
     else toColumn
   override def toSql(keyCol: String): Option[String] =
@@ -206,7 +206,9 @@ object Filters {
     // reference catches NumberFormatException and falls back to hashCode
     // (KeyModFilter.java:55-70), so the hash branch is the null-fallback
     // too (otherwise an overflowing key would match no bucket at all)
-    when(keyString.rlike("^-?\\d+$") && keyString.cast("long").isNotNull,
+    // [+-]? — Long.parseLong accepts a leading '+' as well as '-', so a
+    // "+123" key is RANGED/bucketed as 123, not hash-coerced/excluded
+    when(keyString.rlike("^[+-]?\\d+$") && keyString.cast("long").isNotNull,
       pmod(abs(keyString.cast("long")), lit(numBuckets)))
       .otherwise(pmod(abs(javaStringHashUdf(keyString).cast("long")), lit(numBuckets)))
 

@@ -515,8 +515,17 @@ object Dedup {
     // the 100 TB side (PlansSpec asserts this). Bits sized like
     // BloomFilter.optimalNumOfBits(n, fpp).
     import org.apache.spark.sql.graft.ColumnBridge
-    val numBits = math.max(64L,
-      (-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate rejects numBits above the session's
+    // runtime.bloomFilter.maxNumBits (default 64M bits ≈ 7M grams at 1%
+    // fpp) with an analysis error — clamp to the cap instead. Beyond the
+    // cap the effective fpp rises above the requested one, which only
+    // costs extra shuffled suspects: false positives die in the exact
+    // confirming join, so the output stays bit-identical regardless.
+    val maxNumBits = train.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val numBits = math.min(maxNumBits, math.max(64L,
+      (-nEval * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
     val bloomBytes = evalGrams
       .agg(ColumnBridge.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate

@@ -113,6 +113,7 @@ class FiltersSpec extends SparkSpec {
       (150L, "150"),                     // STRING key, parses, in range
       (999L, "999"),                     // parses, out of range
       (150L, "u42x"),                    // junk — 150 is its fake coercion
+      (150L, "+150"),                    // '+' prefix — Long.parseLong OK
       (150L, "9223372036854775808"))     // overflows Long.parseLong
       .toDF("key_long", "key_string")
     val inRange = KeyRangeFilter(100L, 600L)
@@ -120,7 +121,7 @@ class FiltersSpec extends SparkSpec {
     val got = mixed.where(inRange)
       .select("key_long", "key_string").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got == Set((150L, null), (150L, "150")))
+    assert(got == Set((150L, null), (150L, "150"), (150L, "+150")))
     // schema-unaware form (numeric envelope) unchanged
     assert(keys(KeyRangeFilter(5, 120)) ==
       keys(ConjunctionFilter(Seq(KeyRangeFilter(5, 120)))))
@@ -128,10 +129,11 @@ class FiltersSpec extends SparkSpec {
 
   test("java string hash parity for string-key bucketing") {
     assert(Filters.javaStringHash("databus") == "databus".hashCode)
-    val df = Seq("123", "-7", "abc").toDF("k")
+    val df = Seq("123", "-7", "+9", "abc").toDF("k")
     val buckets = df.select(Filters.stringKeyBucket(df("k"), 4).as("b"))
       .as[Long].collect().toSeq
     assert(buckets(0) == 123 % 4 && buckets(1) == 7 % 4)
-    assert(buckets(2) == math.abs("abc".hashCode.toLong) % 4)
+    assert(buckets(2) == 9 % 4) // '+' prefix parses as long, not hashed
+    assert(buckets(3) == math.abs("abc".hashCode.toLong) % 4)
   }
 }

@@ -96,6 +96,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.count() > 0)
   }
 
+  test("decontaminateBloom clamps numBits to the session maxNumBits cap") {
+    // The giant-holdout regime: optimal bits exceed
+    // runtime.bloomFilter.maxNumBits, where an unclamped sizing makes
+    // BloomFilterAggregate throw an analysis error. Shrink the cap so a
+    // fixture-sized gram set is already over it — same code path as ~7M
+    // grams against the 64M-bit default — and require the clamped run to
+    // stay bit-identical to the exact path (false positives die in the
+    // confirming join).
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.where(col("doc_id") < 20)
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    spark.conf.set(confKey, "64")
+    try {
+      val exact = Dedup.decontaminate(docs, eval).select("doc_id")
+      val bloom = Dedup.decontaminateBloom(docs, eval).select("doc_id")
+      assert(exact.except(bloom).isEmpty && bloom.except(exact).isEmpty)
+      assert(exact.count() > 0)
+    } finally spark.conf.unset(confKey)
+  }
+
   test("slidingChunks: coverage, overlap, and clipping") {
     import graft.pipeline.Packing
     val text = (1 to 50).map(i => s"w$i").mkString(" ") // 50 tokens
