@@ -1904,11 +1904,20 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
-    // ---- multimodal: binary payload plumbing + stub decode ----
+    // ---- multimodal: binary payload plumbing + magic-sniffing decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.decodeMeta(
         Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF()
+    }),
+
+    // ---- multimodal: REAL image decode — genuine PNG/JPEG bytes are
+    // encoded per-partition then decoded via javax.imageio; format,
+    // width, height and channel count all come from the codec ----
+    "q_image_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeImages(
+        Multimodal.attachRealImages(docs(s, dir).select("doc_id")))
     }),
 
     // ---- multimodal: deterministic frame-sampling plan over videos ----
@@ -2875,7 +2884,20 @@ object SparkEntry {
 
     "q_frame_sample" -> frameSampleSql,
 
-    "q_resize_plan" -> resizePlanSql)
+    "q_resize_plan" -> resizePlanSql,
+
+    // Re-derives what the real codec must report: the encoder sizes the
+    // image from the doc id (w = id%64+16, h = id*7%64+16) and alternates
+    // PNG/JPEG by parity; ImageIO decode of TYPE_3BYTE_BGR yields 3 bands
+    // for both containers. A codec that misreads dims/format breaks the
+    // hash.
+    "q_image_decode" ->
+      ("SELECT doc_id," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt," +
+        " CAST(doc_id % 64 + 16 AS INT) AS width," +
+        " CAST((doc_id * 7) % 64 + 16 AS INT) AS height," +
+        " CAST(3 AS INT) AS channels" +
+        " FROM documents"))
 
   /** q_frame_sample / q_resize_plan oracles re-derive the fake-media
     * header fields (w = id%64+16, h = id*7%64+16, f = id*13%30+1) the way

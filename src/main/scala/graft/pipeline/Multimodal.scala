@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * pipelines: opaque `binary` payload columns + typed metadata, processed
   * in per-partition batches.
   *
-  * The container has no media libraries, so the *decode kernels are stubs*
-  * — deterministic fakes that parse our synthetic header layout. Everything
-  * around them (schema contract, batch shape, partition sizing, metadata
-  * propagation) is the real engine surface: swap `StubCodec` for a JNI/
-  * ffmpeg-backed codec and nothing else changes.
+  * The decode kernel is REAL for images: payloads are sniffed by magic
+  * bytes and JPEG/PNG blobs go through `javax.imageio` (public JDK API —
+  * no external libraries), yielding actual decoded width/height/channels.
+  * Audio/video have no JDK codec, so those rows still ride the synthetic
+  * 0xABCD-header path (a deterministic fake, clearly separated below);
+  * swapping in an ffmpeg-backed codec changes only that one branch —
+  * schema contract, batch shape, partition sizing and metadata
+  * propagation are identical.
   *
   * Scale notes: media blobs dominate row size, so ops here (a) never
   * shuffle the blob (metadata-only projections go through narrow maps),
@@ -52,10 +55,56 @@ object Multimodal {
       repeat(lit("x"), f * 8).cast("binary"))
   }
 
-  /** ??? in spirit — the decode kernel is a STUB: it only parses our fake
-    * header. A real deployment replaces this body with an image/audio
-    * decoder; the signature (bytes → meta) is the contract. */
-  def stubDecode(mediaType: String, payload: Array[Byte]): MediaMeta = {
+  /** Decode kernel: sniff the payload's magic bytes and route.
+    *
+    *   - JPEG (`FF D8 FF`) / PNG (`89 50 4E 47`): REAL decode via
+    *     `javax.imageio.ImageIO` — width/height/channels come from the
+    *     actual decoded raster, and a corrupt blob throws like a codec
+    *     would.
+    *   - synthetic `AB CD` header: the deterministic fixture path kept
+    *     for audio/video, which have no JDK codec (the one remaining
+    *     fake branch; an ffmpeg-backed codec replaces exactly this arm).
+    */
+  def decode(mediaType: String, payload: Array[Byte]): MediaMeta =
+    if (isJpeg(payload) || isPng(payload)) {
+      val (_, w, h, _) = realImageMeta(payload)
+      MediaMeta("image", w, h, 1, 0)
+    } else syntheticDecode(mediaType, payload)
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
+      p(2) == 0xFF.toByte
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+  /** Real image decode: (format, width, height, channels) from
+    * `javax.imageio`. Format comes from the matched `ImageReader` (so the
+    * value is the codec's claim, not a filename guess); channels from the
+    * decoded raster's band count. */
+  def realImageMeta(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "no image reader for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val fmt = reader.getFormatName.toLowerCase match {
+          case "jpg" => "jpeg"
+          case other => other
+        }
+        val img = reader.read(0)
+        (fmt, img.getWidth, img.getHeight, img.getRaster.getNumBands)
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** The synthetic-header arm (fixture audio/video): parses the fake
+    * `AB CD` header layout written by [[fakePayload]]. */
+  private def syntheticDecode(mediaType: String, payload: Array[Byte]): MediaMeta = {
     require(payload.length >= 8 &&
       payload(0) == 0xAB.toByte && payload(1) == 0xCD.toByte,
       "bad media magic")
@@ -78,11 +127,67 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec init would happen here (amortized)
         rows.map { r =>
-          val m = stubDecode(r.media_type, r.payload)
+          val m = decode(r.media_type, r.payload)
           DecodedRow(r.doc_id, m.media_type, m.width, m.height, m.n_frames,
             m.sample_rate, r.payload.length.toLong)
         }
       }
+  }
+
+  case class ImageRow(doc_id: Long, payload: Array[Byte])
+  case class ImageMetaRow(doc_id: Long, fmt: String, width: Int, height: Int,
+      channels: Int)
+
+  /** Deterministically encode a real image for document `id`: dimensions
+    * derive from the id (same arithmetic as the synthetic fixtures, so
+    * oracles can re-derive them), pixel content from a splitmix fill, and
+    * the container format alternates PNG / JPEG by id parity — both
+    * encoded by `javax.imageio`, so decode sees genuine compressed bytes
+    * (PNG: zlib-deflated scanlines; JPEG: DCT-quantized). */
+  def encodeImage(id: Long): Array[Byte] = {
+    val w = (Math.floorMod(id, 64) + 16).toInt
+    val h = (Math.floorMod(id * 7, 64) + 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var x = id * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < w * h) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      img.setRGB(i % w, i / w, ((z ^ (z >>> 31)) & 0xFFFFFF).toInt)
+      i += 1
+    }
+    val fmt = if (id % 2 == 0) "png" else "jpg"
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  /** Attach REAL image payloads (PNG for even ids, JPEG for odd) to a
+    * document frame — the genuine-bytes counterpart of
+    * [[attachFakeMedia]]. Encoding happens per partition on executors;
+    * nothing blob-sized ever crosses the driver. */
+  def attachRealImages(docs: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImageRow(id, encodeImage(id))))
+      .toDF()
+  }
+
+  /** Real image metadata extraction: every output column — format name,
+    * width, height, channel count — comes from the `javax.imageio`
+    * decode of the payload bytes, none from row metadata. */
+  def decodeImages(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map { r =>
+        val (fmt, w, h, c) = realImageMeta(r.payload)
+        ImageMetaRow(r.doc_id, fmt, w, h, c)
+      })
+      .toDF()
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th
