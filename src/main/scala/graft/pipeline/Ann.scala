@@ -156,19 +156,39 @@ object Ann {
   def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
-    import graft.functions.VectorFunctions.{dequantizeInt8, int8Scale, quantizeInt8}
     val centRows = PlanCache.getOrPersist(centroids, "ivfq-centroids",
         centroids.select(col("id").cast("long"), col("vec")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
     require(centRows.nonEmpty, "ivfQuantizedTopK: empty centroid set")
-    // cell assignment + int8 storage tier in ONE corpus projection
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec"))
-      .withColumn("cell_id", nearestCellExpr(centRows, col("vec")))
+    ivfQuantizedCore(queries, quantizedCells(corpus, centRows)
+        .withColumnRenamed("id", "neighbor_id"),
+      centroids, corpus, k, nProbe, rerank)
+  }
+
+  /** Cell assignment + int8 storage tier in ONE corpus projection:
+    * (id, cell_id, q, scale) — the materialized form a persisted IVF
+    * index stores (see [[writeIndex]]). */
+  private def quantizedCells(corpus: DataFrame,
+      codebook: Array[(Long, Seq[Float])]): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Scale, quantizeInt8}
+    corpus.select(col("id").cast("long").as("id"), col("vec"))
+      .withColumn("cell_id", nearestCellExpr(codebook, col("vec")))
       .withColumn("scale", int8Scale(col("vec")))
       .withColumn("q", quantizeInt8(col("vec"), col("scale")))
-      .select("cell_id", "neighbor_id", "q", "scale")
+      .select("id", "cell_id", "q", "scale")
+  }
+
+  /** Shared IVF+int8 retrieval over an already-assigned cell table
+    * ((cell_id, neighbor_id, q, scale) — computed inline by
+    * [[ivfQuantizedTopK]], read from a store by
+    * [[ivfQuantizedTopKFromStore]]); `corpus` supplies float vectors for
+    * the exact re-rank of survivors only. */
+  private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dequantizeInt8
     // query-side probe ranking (tiny: queries × cells)
     val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
     val wq = Window.partitionBy(col("query_id"))
@@ -180,7 +200,7 @@ object Ann {
     // approximate scoring over the probed cells' int8 members
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val survivors = c
+    val survivors = cells
       .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -201,6 +221,82 @@ object Ann {
         col("vec").as("qvec"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Write a PERSISTED IVF index for `corpus` into `dir`:
+    *
+    *   - `codebook/` — (id, vec), the trained centroids
+    *   - `cells/`    — (id, cell_id, q, scale), every corpus vector's cell
+    *     assignment plus its int8 storage tier
+    *
+    * This is the index a deployment builds once per corpus snapshot and
+    * serves from thereafter — [[trainCentroids]]' per-JVM memo made
+    * durable, the same discipline as the minhash signature store and the
+    * drift monitor's persisted reference distribution. Retrieval loads it
+    * with [[ivfQuantizedTopKFromStore]] / [[ivfTopKFromStore]]; only the
+    * exact re-rank ever touches the float corpus again.
+    *
+    * The caller owns build-once atomicity (promote-after-write, e.g.
+    * WireFixtures' _SUCCESS-marker protocol for the bench/test store);
+    * this method just renders the two tables. */
+  def writeIndex(corpus: DataFrame, dir: String, k: Int, iters: Int): Unit = {
+    val (codebook, _) = trainCentroids(corpus, k, iters)
+    centroidsDf(corpus.sparkSession, codebook)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    // narrow rows (two longs + dim int8s + a double) — a handful of files
+    // keeps store re-reads one-listing cheap at fixture scale; a 100 TB
+    // corpus sizes this by cells/ bytes like any lake table
+    quantizedCells(corpus, codebook)
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** IVF+int8 retrieval against a [[writeIndex]] store: candidates come
+    * from the STORED cell assignment (no corpus re-assignment scan, no
+    * re-training — the r6 gap where every new session re-trained the
+    * memoized codebook), approximate scoring reads the stored int8 tier,
+    * and only `queries × rerank` survivors fetch float vectors from
+    * `corpus` (an id-keyed join into the lake). */
+  def ivfQuantizedTopKFromStore(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(s"$storeDir/codebook")
+    val cells = spark.read.parquet(s"$storeDir/cells")
+      .withColumnRenamed("id", "neighbor_id")
+    ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
+  }
+
+  /** Float-precision IVF retrieval against a [[writeIndex]] store: the
+    * stored (id, cell_id) assignment bounds candidates per probed cell;
+    * candidate ids join `corpus` for vectors (id-keyed, linear) — the
+    * int8 tier is bypassed, so scoring is exact without a re-rank pass. */
+  def ivfTopKFromStore(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(s"$storeDir/codebook")
+    val cells = spark.read.parquet(s"$storeDir/cells")
+      .select(col("id").as("neighbor_id"), col("cell_id"))
+    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", l2sq(col("qvec"), col("cent")))
+      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells
+      .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

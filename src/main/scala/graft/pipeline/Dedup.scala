@@ -515,12 +515,14 @@ object Dedup {
     // the 100 TB side (PlansSpec asserts this). Bits sized like
     // BloomFilter.optimalNumOfBits(n, fpp).
     import org.apache.spark.sql.graft.ColumnBridge
-    // BloomFilterAggregate rejects numBits above the session's
-    // runtime.bloomFilter.maxNumBits (default 64M bits ≈ 7M grams at 1%
-    // fpp) with an analysis error — clamp to the cap instead. Beyond the
-    // cap the effective fpp rises above the requested one, which only
-    // costs extra shuffled suspects: false positives die in the exact
-    // confirming join, so the output stays bit-identical regardless.
+    // Spark's BloomFilterAggregate SILENTLY Math.min-clamps numBits (and
+    // lit(nEval)) against the session caps — runtime.bloomFilter
+    // .maxNumBits, default 64M bits ≈ 7M grams at 1% fpp — inside its
+    // lazy accessors, so an over-ask doesn't error; it just degrades fpp
+    // invisibly. Clamp here too, for explicitness: beyond the cap the
+    // effective fpp rises above the requested one, which only costs extra
+    // shuffled suspects — false positives die in the exact confirming
+    // join, so the output stays bit-identical regardless.
     val maxNumBits = train.sparkSession.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
       .toLong

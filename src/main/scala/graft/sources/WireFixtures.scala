@@ -125,6 +125,22 @@ object WireFixtures {
           .coalesce(4).write.parquet(s"$tmp/banded")
     }
 
+  /** Persisted IVF index (codebook + quantized cell assignments — see
+    * [[graft.pipeline.Ann.writeIndex]]) over the embeddings corpus plus
+    * its shifted twins, built ONCE under the promotion protocol: the
+    * durable form of the per-JVM codebook memo, so a new session serves
+    * retrievals without re-training (params in the path like the minhash
+    * store, so a k/iters change never reuses a stale index). */
+  def annIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_k${k}i$iters") { tmp =>
+      val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      graft.pipeline.Ann.writeIndex(withTwins, tmp, k, iters)
+    }
+
   /** Binary relay event-log segments (the graft-relay DataSource's
     * storage), written once from the envelope. Returns the segment dir. */
   def relayLogDir(spark: SparkSession, sfDir: String): String =

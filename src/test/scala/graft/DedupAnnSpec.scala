@@ -180,6 +180,36 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: store-served retrieval matches in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("annstore").toString
+    Ann.writeIndex(vectors, dir, k = 4, iters = 2)
+    // the store renders both tables with the schema the loaders expect
+    assert(spark.read.parquet(s"$dir/codebook").count() == 4)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.sorted.toSeq == Seq("cell_id", "id", "q", "scale"))
+    assert(cells.count() == vectors.count())
+    val q = vectors.where($"id" < 5)
+    val (codebook, _) = Ann.trainCentroids(vectors, k = 4, iters = 2)
+    val centroids = Ann.centroidsDf(spark, codebook)
+    // store-served results are bit-identical to the in-memory paths
+    // (same codebook — the store just made the memo durable)
+    val memQ = Ann.ivfQuantizedTopK(q, vectors, centroids, k = 3,
+      nProbe = 2, rerank = 10).collect().toSet
+    val stoQ = Ann.ivfQuantizedTopKFromStore(q, vectors, dir, k = 3,
+      nProbe = 2, rerank = 10).collect().toSet
+    assert(stoQ == memQ)
+    val memF = Ann.ivfTopK(q, vectors, centroids, k = 3, nProbe = 2)
+      .collect().toSet
+    val stoF = Ann.ivfTopKFromStore(q, vectors, dir, k = 3, nProbe = 2)
+      .collect().toSet
+    assert(stoF == memF)
+    // twins still surface at rank 1 through the store
+    val top = Ann.ivfQuantizedTopKFromStore(q, vectors, dir, k = 1,
+      nProbe = 4, rerank = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(i => assert(top(i) == i + 100L))
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")

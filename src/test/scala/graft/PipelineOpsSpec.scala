@@ -98,10 +98,12 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("decontaminateBloom clamps numBits to the session maxNumBits cap") {
     // The giant-holdout regime: optimal bits exceed
-    // runtime.bloomFilter.maxNumBits, where an unclamped sizing makes
-    // BloomFilterAggregate throw an analysis error. Shrink the cap so a
+    // runtime.bloomFilter.maxNumBits. Spark's BloomFilterAggregate
+    // silently Math.min-clamps numBits/estimatedNumItems against the
+    // session caps in its lazy accessors (no analysis error), so the risk
+    // is an invisibly degraded fpp, not a failure. Shrink the cap so a
     // fixture-sized gram set is already over it — same code path as ~7M
-    // grams against the 64M-bit default — and require the clamped run to
+    // grams against the 64M-bit default — and require the over-cap run to
     // stay bit-identical to the exact path (false positives die in the
     // confirming join).
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -153,9 +153,19 @@ class PlansSpec extends SparkSpec {
             s"vector column in wide shuffle: ${x.output}")
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+
+    // complementary guard: with AQE ON and a small drop set, the unhinted
+    // exclusion join must still come out a broadcast join at runtime
+    // (sizes measured by AQE) — guards against silently paying a full
+    // shuffle at SFs where broadcast is right
+    val smallDrop = graft.pipeline.Semantic.semanticDedup(e, k = 2, iters = 1)
+    Bench.force(smallDrop)
+    val finalPlan = smallDrop.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the small drop set:\n$finalPlan")
   }
 
   test("mixToBudget plans exactly one exchange (the per-domain window)") {
