@@ -93,6 +93,7 @@ object SparkEntry {
     WireFixtures.avroSnapshotDir(s, dir)
     WireFixtures.binlogDumpDir(s, dir)
     WireFixtures.annIndexDir(s, dir)
+    WireFixtures.bpeMergesDir(s, dir)
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
@@ -529,6 +530,40 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TF.qualityScore(col("text")).as("quality"))),
+
+    // ---- exact BPE, planted-count contract: a fixed hand-ranked merges
+    // table over doc_id-derived texts — every word's token count is a
+    // closed form the oracle re-derives, and the counts only come out
+    // right if the merge loop applies ranks in order ("lower" fuses to 1
+    // token only through the full (e,r)→(er,\0)→(l,o)→(lo,w)→
+    // (low,er\0) cascade; "low" stops at 2; un-merged "wide" stays
+    // chars+1) ----
+    "q_bpe_tokens" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val model = Bpe.Model(Seq(
+        ("e", "r"), ("er", Bpe.EndOfWord), ("l", "o"), ("lo", "w"),
+        ("low", "er" + Bpe.EndOfWord), ("r", "e")))
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("a", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("b", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("c", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("d", (col("doc_id") % 5 + 1).cast("int"))
+        .withColumn("text", concat(
+          expr("repeat('lower ', a)"), expr("repeat('low ', b)"),
+          expr("repeat('er ', c)"), expr("repeat('re ', d)"), lit("wide")))
+        .select(col("doc_id"),
+          Bpe.tokenCount(model)(col("text")).as("n_tokens"))
+    }),
+
+    // ---- exact BPE over the REAL corpus with the trained, persisted
+    // merges table: encode→decode must reproduce every document
+    // byte-for-byte (hash-oracled against the raw text column) ----
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val model = Bpe.load(s, graft.sources.WireFixtures.bpeMergesDir(s, dir))
+      docs(s, dir).select(col("doc_id"),
+        Bpe.roundtrip(model)(col("text")).as("text"))
+    }),
 
     // ---- text analysis: Gopher rule battery — per-rule booleans + the
     // keep conjunction, auditable per doc ----
@@ -2300,6 +2335,18 @@ object SparkEntry {
     "q_lang_id" -> langIdSql,
 
     "q_quality_score" -> qualityScoreSql,
+
+    // closed-form token counts for the planted BPE texts: per repeat
+    // group, (word tokens + its following space) × repeats — lower=1+1,
+    // low=2+1, er=1+1, re=2+1 — plus unmerged trailing "wide" = 5
+    "q_bpe_tokens" ->
+      ("SELECT doc_id," +
+        " CAST(2 * (doc_id % 3 + 1) + 3 * (doc_id % 4 + 1)" +
+        " + 2 * (doc_id % 2 + 1) + 3 * (doc_id % 5 + 1) + 5 AS BIGINT)" +
+        " AS n_tokens FROM documents"),
+
+    // the tokenizer roundtrip is the identity on the corpus
+    "q_bpe_roundtrip" -> "SELECT doc_id, text FROM documents",
 
     "q_fingerprint" ->
       ("SELECT doc_id, md5(text) AS fp_hex, substr(md5(text), 1, 16) AS fp16" +

@@ -141,6 +141,19 @@ object WireFixtures {
       graft.pipeline.Ann.writeIndex(withTwins, tmp, k, iters)
     }
 
+  /** Trained BPE merges table over the documents corpus — the shipped
+    * (rank, a, b) artifact [[graft.functions.Bpe]] trains once per corpus
+    * snapshot and every consumer loads (merge count in the path so a
+    * re-parameterization never reuses a stale table). */
+  def bpeMergesDir(spark: SparkSession, sfDir: String,
+      numMerges: Int = 200): String =
+    writeOnce(s"$Root/${key(sfDir)}/bpe_merges_m$numMerges") { tmp =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text")
+      graft.functions.Bpe.save(
+        graft.functions.Bpe.train(docs, "text", numMerges), spark, tmp)
+    }
+
   /** Binary relay event-log segments (the graft-relay DataSource's
     * storage), written once from the envelope. Returns the segment dir. */
   def relayLogDir(spark: SparkSession, sfDir: String): String =
