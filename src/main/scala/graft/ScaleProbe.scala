@@ -92,9 +92,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
     derive(spark, base, DerivedDir)
+    // `runMain graft.ScaleProbe cc` probes only the distributed-CC leg
+    val ccOnly = args.contains("cc")
 
     // warm codegen/JIT on the tiny SF first (same rationale as Bench)
-    Probes.foreach { q =>
+    if (!ccOnly) Probes.foreach { q =>
       try Bench.force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -107,15 +109,50 @@ object ScaleProbe {
       }
       math.min(once(), once())
     }
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
-    Probes.foreach { q =>
-      val a = time(q, base)
-      val b = time(q, DerivedDir)
-      println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+    if (!ccOnly) {
+      println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
+      Probes.foreach { q =>
+        val a = time(q, base)
+        val b = time(q, DerivedDir)
+        println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+      }
     }
+
+    // distributed connected components (maxDriverEdges = 0): the
+    // label-propagation loop a 100 TB verified-pair graph must use —
+    // the driver union-find fast path is bypassed entirely. The edge
+    // list (LSH→verify over the twin-planted corpus, ~10× more edges at
+    // sf1 by fixture design) is materialized OUTSIDE the timer so the
+    // number is the loop itself, not pair generation.
+    def ccDistributed(dir: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val cand = graft.pipeline.Dedup.minhashLshPairs(
+        corpus, jaccardThreshold = 0.5)
+      val pairs = graft.pipeline.Dedup.ngramJaccardVerify(
+          corpus, cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
+        .localCheckpoint(true)
+      val nEdges = pairs.count()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Bench.force(graft.pipeline.Dedup.connectedComponents(
+          pairs, maxDriverEdges = 0))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = math.min(once(), once())
+      System.err.println(s"[probe] cc_distributed $dir edges=$nEdges")
+      best
+    }
+    val ca = ccDistributed(base)
+    val cb = ccDistributed(DerivedDir)
+    println(f"${"cc_distributed"}%-22s $ca%8.2f $cb%8.2f  ${cb / ca}%5.1f×")
     // semdedup probed with k ∝ N (the documented cell-size knob): fixed k
     // at 10× data means 10× cells → 100× within-cell pairs; scaling k
     // keeps expected cell size constant, so pair work scales linearly
+    if (ccOnly) { spark.stop(); return }
     def semdedup(dir: String, k: Int): Double = {
       def once(): Double = {
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
