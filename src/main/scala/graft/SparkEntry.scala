@@ -2014,6 +2014,18 @@ object SparkEntry {
         stride = 7)
     }),
 
+    // ---- multimodal: REAL resize materialization — decode, bilinear
+    // resample to fit 48px (the plan's exact integer dims), re-encode,
+    // then re-decode: output dims come from the codec reading genuinely
+    // resampled bytes ----
+    "q_image_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(
+          Multimodal.attachRealImages(docs(s, dir).select("doc_id")),
+          maxDim = 48))
+    }),
+
     // ---- multimodal: integer-exact resize plan for images/videos ----
     "q_resize_plan" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -3001,7 +3013,21 @@ object SparkEntry {
         " CAST(doc_id % 64 + 16 AS INT) AS width," +
         " CAST((doc_id * 7) % 64 + 16 AS INT) AS height," +
         " CAST(3 AS INT) AS channels" +
-        " FROM documents"))
+        " FROM documents"),
+
+    // the materialized resize must land on the plan's integer-exact
+    // scale-to-fit dims — re-derived here from the id arithmetic the
+    // encoder sized the source images with
+    "q_image_resize" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS INT) AS w," +
+        " CAST((doc_id * 7) % 64 + 16 AS INT) AS h FROM documents)" +
+        " SELECT doc_id," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt," +
+        " CASE WHEN greatest(w, h) > 48" +
+        "   THEN CAST((w * 48) // greatest(w, h) AS INT) ELSE w END AS width," +
+        " CASE WHEN greatest(w, h) > 48" +
+        "   THEN CAST((h * 48) // greatest(w, h) AS INT) ELSE h END AS height," +
+        " CAST(3 AS INT) AS channels FROM m"))
 
   /** q_frame_sample / q_resize_plan oracles re-derive the fake-media
     * header fields (w = id%64+16, h = id*7%64+16, f = id*13%30+1) the way

@@ -84,6 +84,12 @@ object Multimodal {
     * value is the codec's claim, not a filename guess); channels from the
     * decoded raster's band count. */
   def realImageMeta(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val (fmt, img) = readImage(payload)
+    (fmt, img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  private def readImage(payload: Array[Byte])
+      : (String, java.awt.image.BufferedImage) = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -96,10 +102,46 @@ object Multimodal {
           case "jpg" => "jpeg"
           case other => other
         }
-        val img = reader.read(0)
-        (fmt, img.getWidth, img.getHeight, img.getRaster.getNumBands)
+        (fmt, reader.read(0))
       } finally reader.dispose()
     } finally in.close()
+  }
+
+  /** REAL resize materialization — the kernel [[resizePlan]] plans for:
+    * decode, scale-to-fit inside `maxDim` with the plan's exact integer
+    * arithmetic (so planned and materialized dims always agree), bilinear
+    * resample via Graphics2D, re-encode in the source container.
+    * Already-fitting images pass through byte-identical. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val (fmt, img) = readImage(payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val longSide = math.max(w, h)
+    if (longSide <= maxDim) return payload
+    val (nw, nh) = (w * maxDim / longSide, h * maxDim / longSide)
+    val out = new java.awt.image.BufferedImage(math.max(1, nw),
+      math.max(1, nh), java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, math.max(1, nw), math.max(1, nh), null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    val wfmt = if (fmt == "jpeg") "jpg" else fmt
+    require(javax.imageio.ImageIO.write(out, wfmt, baos), s"no $wfmt writer")
+    baos.toByteArray
+  }
+
+  /** Batched real resize over (doc_id, payload) rows — blobs in, smaller
+    * blobs out, one codec pass per partition; pairs with
+    * [[repartitionByByteBudget]] upstream like any decode-heavy stage. */
+  def resizeImages(media: DataFrame, maxDim: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map(r => ImageRow(r.doc_id,
+        resizeImage(r.payload, maxDim))))
+      .toDF()
   }
 
   /** The synthetic-header arm (fixture audio/video): parses the fake

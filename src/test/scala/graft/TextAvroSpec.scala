@@ -151,6 +151,23 @@ class TextAvroSpec extends SparkSpec {
     }
   }
 
+  test("real resize materializes the plan's exact dims; small images pass through") {
+    implicit val s = spark
+    // id 63 → 79×73 (needs resize to 48×44); id 0 → 16×16 (passes through)
+    val media = Multimodal.attachRealImages(Seq(63L, 0L).toDF("doc_id"))
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(media, maxDim = 48))
+      .as[(Long, String, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(63L) == ((63L, "jpeg", 48, 73 * 48 / 79, 3))) // 48×44
+    assert(out(0L) == ((0L, "png", 16, 16, 3)))
+    // pass-through is byte-identical (no decode/re-encode generation loss)
+    val before = media.where($"doc_id" === 0L).collect().head
+      .getAs[Array[Byte]]("payload")
+    val after = Multimodal.resizeImages(
+        media.where($"doc_id" === 0L), maxDim = 48)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(before.sameElements(after))
+  }
+
   test("frame sample plan strides over video frames only") {
     implicit val s = spark
     val media = Multimodal.attachFakeMedia(Seq(2L, 0L).toDF("doc_id"))
