@@ -364,6 +364,55 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("BPE: encode→decode is the identity and counts match a naive model") {
+    import graft.functions.Bpe
+    // random NUL-free texts over a small alphabet (dense merge collisions)
+    // + random merge tables over the same symbols
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'c', 'd'),
+      2 -> Gen.const(' '),
+      1 -> Gen.oneOf('\n', '\t', 'ζ', '!'))).map(_.mkString)
+    val genSym: Gen[String] = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val genModel: Gen[Bpe.Model] = Gen.listOfN(6,
+      Gen.zip(genSym, Gen.oneOf(Gen.const(Bpe.EndOfWord), genSym)))
+      .map(ms => Bpe.Model(ms.distinct))
+    // naive model: token count = symbols after replaying merges by rank
+    // via repeated full rescans (quadratic but obviously correct)
+    def naiveCount(m: Bpe.Model, text: String): Long = {
+      def word(w: String): Long = {
+        var syms = w.map(_.toString).toList :+ Bpe.EndOfWord
+        var go = true
+        while (go) {
+          val ranked = m.merges.zipWithIndex.filter { case ((a, b), _) =>
+            syms.zip(syms.tail).contains((a, b)) }
+          if (ranked.isEmpty) go = false
+          else {
+            val (a, b) = ranked.minBy(_._2)._1
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case x :: y :: t if x == a && y == b => out += x + y; rest = t
+              case x :: t => out += x; rest = t
+              case Nil => ()
+            }
+            syms = out.toList
+          }
+        }
+        syms.length.toLong
+      }
+      "\\s+|\\S+".r.findAllIn(text).map(seg =>
+        if (Character.isWhitespace(seg.charAt(0))) 1L else word(seg)).sum
+    }
+    samples(Gen.zip(genModel, Gen.listOfN(6, genText))).foreach {
+      case (model, texts) => texts.foreach { t =>
+        assert(model.decode(model.encode(t)) == t, s"roundtrip '$t'")
+        assert(model.tokenCount(t) == naiveCount(model, t),
+          s"count mismatch on '$t' with ${model.merges}")
+      }
+    }
+  }
+
   test("generic Avro codec roundtrips arbitrary flat schemas value-exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
