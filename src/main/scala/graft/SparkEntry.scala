@@ -2014,6 +2014,15 @@ object SparkEntry {
         stride = 7)
     }),
 
+    // ---- multimodal: REAL audio decode — genuine RIFF/WAVE bytes
+    // (16-bit mono PCM) parsed by javax.sound.sampled; rate, frames,
+    // channels and the 44-byte-header size all come from the codec ----
+    "q_audio_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeAudio(
+        Multimodal.attachRealAudio(docs(s, dir).select("doc_id")))
+    }),
+
     // ---- multimodal: REAL resize materialization — decode, bilinear
     // resample to fit 48px (the plan's exact integer dims), re-encode,
     // then re-decode: output dims come from the codec reading genuinely
@@ -3013,6 +3022,17 @@ object SparkEntry {
         " CAST(doc_id % 64 + 16 AS INT) AS width," +
         " CAST((doc_id * 7) % 64 + 16 AS INT) AS height," +
         " CAST(3 AS INT) AS channels" +
+        " FROM documents"),
+
+    // re-derives what the RIFF parse must report: the encoder derives
+    // rate/frames from the id, mono 16-bit PCM, and a canonical WAVE
+    // render is a 44-byte header + 2 bytes/frame
+    "q_audio_decode" ->
+      ("SELECT doc_id," +
+        " CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate," +
+        " CAST((doc_id * 13) % 300 + 50 AS BIGINT) AS n_frames," +
+        " CAST(1 AS INT) AS channels," +
+        " CAST(44 + ((doc_id * 13) % 300 + 50) * 2 AS BIGINT) AS n_bytes" +
         " FROM documents"),
 
     // the materialized resize must land on the plan's integer-exact

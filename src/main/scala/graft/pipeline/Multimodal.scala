@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * pipelines: opaque `binary` payload columns + typed metadata, processed
   * in per-partition batches.
   *
-  * The decode kernel is REAL for images: payloads are sniffed by magic
-  * bytes and JPEG/PNG blobs go through `javax.imageio` (public JDK API —
-  * no external libraries), yielding actual decoded width/height/channels.
-  * Audio/video have no JDK codec, so those rows still ride the synthetic
-  * 0xABCD-header path (a deterministic fake, clearly separated below);
-  * swapping in an ffmpeg-backed codec changes only that one branch —
-  * schema contract, batch shape, partition sizing and metadata
-  * propagation are identical.
+  * The decode kernel is REAL for images and audio: payloads are sniffed
+  * by magic bytes — JPEG/PNG blobs go through `javax.imageio` (actual
+  * decoded width/height/channels), WAV blobs through
+  * `javax.sound.sampled` (actual RIFF sample rate / frame count) — both
+  * public JDK APIs, no external libraries. Only video, which has no JDK
+  * codec, still rides the synthetic 0xABCD-header path (a deterministic
+  * fake, clearly separated below); swapping in an ffmpeg-backed codec
+  * changes only that one branch — schema contract, batch shape,
+  * partition sizing and metadata propagation are identical.
   *
   * Scale notes: media blobs dominate row size, so ops here (a) never
   * shuffle the blob (metadata-only projections go through narrow maps),
@@ -61,14 +62,19 @@ object Multimodal {
     *     `javax.imageio.ImageIO` — width/height/channels come from the
     *     actual decoded raster, and a corrupt blob throws like a codec
     *     would.
+    *   - WAV (`RIFF....WAVE`): REAL decode via `javax.sound.sampled` —
+    *     sample rate and frame count come from the parsed RIFF header.
     *   - synthetic `AB CD` header: the deterministic fixture path kept
-    *     for audio/video, which have no JDK codec (the one remaining
-    *     fake branch; an ffmpeg-backed codec replaces exactly this arm).
+    *     for video only, the one media kind without a JDK codec (an
+    *     ffmpeg-backed codec replaces exactly this arm).
     */
   def decode(mediaType: String, payload: Array[Byte]): MediaMeta =
     if (isJpeg(payload) || isPng(payload)) {
       val (_, w, h, _) = realImageMeta(payload)
       MediaMeta("image", w, h, 1, 0)
+    } else if (isWav(payload)) {
+      val (rate, frames, _) = realAudioMeta(payload)
+      MediaMeta("audio", 0, 0, frames.toInt, rate)
     } else syntheticDecode(mediaType, payload)
 
   private def isJpeg(p: Array[Byte]): Boolean =
@@ -78,6 +84,75 @@ object Multimodal {
   private def isPng(p: Array[Byte]): Boolean =
     p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
       p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte && p(8) == 'W'.toByte &&
+      p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** Real audio decode: (sample_rate, n_frames, channels) from the
+    * parsed RIFF/WAVE header (`javax.sound.sampled`, public JDK API). */
+  def realAudioMeta(payload: Array[Byte]): (Int, Long, Int) = {
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(payload))
+    (aff.getFormat.getSampleRate.toInt, aff.getFrameLength.toLong,
+      aff.getFormat.getChannels)
+  }
+
+  /** Deterministically encode a real 16-bit mono PCM WAV for document
+    * `id`: sample rate and frame count derive from the id, samples from
+    * a splitmix fill — genuine RIFF bytes, so decode parses a real
+    * container. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val rate = (8000 + Math.floorMod(id, 8) * 1000).toInt
+    val nFrames = (Math.floorMod(id * 13, 300) + 50).toInt
+    val data = new Array[Byte](nFrames * 2)
+    var x = id * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < nFrames) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val s = ((z ^ (z >>> 31)) & 0xFFFF).toInt - 32768
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Attach REAL WAV payloads to a document frame — the audio
+    * counterpart of [[attachRealImages]]. */
+  def attachRealAudio(docs: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImageRow(id, encodeWav(id))))
+      .toDF()
+  }
+
+  case class AudioMetaRow(doc_id: Long, sample_rate: Int, n_frames: Long,
+      channels: Int, n_bytes: Long)
+
+  /** Real audio metadata extraction — every output column comes from the
+    * RIFF header parse, none from row metadata. */
+  def decodeAudio(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map { r =>
+        val (rate, frames, ch) = realAudioMeta(r.payload)
+        AudioMetaRow(r.doc_id, rate, frames, ch, r.payload.length.toLong)
+      })
+      .toDF()
+  }
 
   /** Real image decode: (format, width, height, channels) from
     * `javax.imageio`. Format comes from the matched `ImageReader` (so the
