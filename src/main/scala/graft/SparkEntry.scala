@@ -2042,6 +2042,67 @@ object SparkEntry {
         Multimodal.decodeMeta(
           Multimodal.attachFakeMedia(docs(s, dir).select("doc_id"))).toDF(),
         maxDim = 48)
+    }),
+
+    // ---- multimodal dedup: PERCEPTUAL image near-dup — smooth-content
+    // real images (the content class dHash is built for), bilinear-
+    // resized derivatives planted at id+1M, block-averaged dHash over
+    // the DECODED rasters, then Dedup's 8×8-bit chunk-blocked hamming
+    // join (exact recall at radius 7). Recall contract: every planted
+    // derivative must be found — precision over synthetic smooth
+    // content is content-defined (gradient-sign collisions are what a
+    // perceptual hash MEANS by "same image"), hence the derivative-pair
+    // projection. doc_id < 2000 bounds the corpus to the measured
+    // operating envelope (beyond it ~4e-4 of resamples flip >7 bits —
+    // near-tie margins, documented at Multimodal.imageDHash) ----
+    "q_image_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val base = docs(s, dir).select("doc_id").where(col("doc_id") < 2000)
+      val orig = Multimodal.attachSmoothImages(base)
+      val deriv = Multimodal.resizeImages(orig, maxDim = 48)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+      Multimodal.imageNearDups(orig.unionByName(deriv), maxHamming = 7)
+        .where(col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal dedup: ACOUSTIC near-dup — real WAV fixtures,
+    // gain-halved derivatives planted at id+1M (a genuine amplitude
+    // change re-encoded through the codec), energy-envelope fingerprints
+    // over the DECODED PCM, 4×16-bit chunk-blocked hamming join at
+    // radius 3. Full precision+recall contract: the output must be
+    // EXACTLY the planted pairs — energy comparisons are gain-invariant
+    // (≤1 bit flips) while unrelated clips sit ≥10 bits apart ----
+    "q_audio_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orig = Multimodal.attachRealAudio(docs(s, dir).select("doc_id"))
+      val deriv = Multimodal.gainHalvedAudio(orig)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+      Multimodal.audioNearDups(orig.unionByName(deriv), maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // ---- packing × exact BPE: context windows packed against the
+    // merges-table token counts a trainer would see — the planted-merge
+    // corpus of q_bpe_tokens (closed-form counts) flowing through
+    // packChunks' cumulative-offset window, grouped by doc_id%3 ----
+    "q_pack_bpe" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val model = Bpe.Model(Seq(
+        ("e", "r"), ("er", Bpe.EndOfWord), ("l", "o"), ("lo", "w"),
+        ("low", "er" + Bpe.EndOfWord), ("r", "e")))
+      val planted = docs(s, dir).select(col("doc_id"))
+        .withColumn("a", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("b", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("c", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("d", (col("doc_id") % 5 + 1).cast("int"))
+        .withColumn("text", concat(
+          expr("repeat('lower ', a)"), expr("repeat('low ', b)"),
+          expr("repeat('er ', c)"), expr("repeat('re ', d)"), lit("wide")))
+        .withColumn("grp", (col("doc_id") % 3).cast("int"))
+      graft.pipeline.Packing.packChunks(planted, budgetTokens = 64,
+        groupCol = "grp", idCol = "doc_id", textCol = "text",
+        tokenCounter = Bpe.tokenCount(model))
     }))
 
   /** Envelope events encoded into reference-layout DbusEventV2 wire bytes
@@ -3047,7 +3108,34 @@ object SparkEntry {
         "   THEN CAST((w * 48) // greatest(w, h) AS INT) ELSE w END AS width," +
         " CASE WHEN greatest(w, h) > 48" +
         "   THEN CAST((h * 48) // greatest(w, h) AS INT) ELSE h END AS height," +
-        " CAST(3 AS INT) AS channels FROM m"))
+        " CAST(3 AS INT) AS channels FROM m"),
+
+    // recall contract: every planted resized derivative is recovered by
+    // dHash + chunk-blocked hamming (see the query comment for why the
+    // projection is recall-shaped and the corpus envelope-bounded)
+    "q_image_neardup" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
+        " WHERE doc_id < 2000"),
+
+    // precision+recall contract: the acoustic near-dup output is exactly
+    // the planted gain-halved pairs
+    "q_audio_neardup" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+
+    // packChunks over exact-BPE counts: the oracle re-derives the
+    // closed-form per-doc counts (q_bpe_tokens' arithmetic) and replays
+    // the cumulative-offset window in SQL
+    "q_pack_bpe" ->
+      ("WITH t AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS grp," +
+        " CAST(2 * (doc_id % 3 + 1) + 3 * (doc_id % 4 + 1)" +
+        " + 2 * (doc_id % 2 + 1) + 3 * (doc_id % 5 + 1) + 5 AS BIGINT)" +
+        " AS n_tokens FROM documents)" +
+        " SELECT grp, doc_id, n_tokens," +
+        " sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
+        "   - n_tokens AS tok_offset," +
+        " (sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
+        "   - n_tokens) // 64 AS chunk_id" +
+        " FROM t"))
 
   /** q_frame_sample / q_resize_plan oracles re-derive the fake-media
     * header fields (w = id%64+16, h = id*7%64+16, f = id*13%30+1) the way

@@ -652,14 +652,46 @@ object Dedup {
     })
   }
 
-  /** SimHash near-dup pairs via 16-bit chunk blocking + hamming verify. */
+  /** SimHash near-dup pairs via chunk blocking + hamming verify. The
+    * chunk count auto-sizes to the radius (smallest power of two >
+    * maxHamming, so pigeonhole recall is exact): radius ≤ 3 blocks on
+    * 4×16-bit keys, radius ≤ 7 on 8×8-bit — wider radius buys exactness
+    * at the price of shorter keys (more bucket collisions). */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, textCol, idCol)
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"radius above 15 would need 2-bit blocking keys (got $maxHamming)")
+    val chunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    hammingPairsFromSignatures(simhashSignatures(docs, textCol, idCol),
+      maxHamming, chunks)
+  }
+
+  /** Near-dup pairs over ANY 64-bit `(id, sig)` signature table — the
+    * shared blocking+verify stage behind [[simhashPairs]] and the media
+    * perceptual hashes ([[Multimodal.imageNearDups]] /
+    * [[Multimodal.audioNearDups]]): the signature is split into `chunks`
+    * equal bit slices, each an exact-match blocking key (a pair within
+    * hamming ≤ chunks-1 must agree on at least one slice — pigeonhole),
+    * candidates are the chunk-bucket collisions, and the verify is a
+    * codegen'd `bit_count(xor)`. More chunks = exact at a looser radius
+    * but shorter keys (more collisions): 4×16-bit covers radius 3 (text
+    * simhash), 8×8-bit covers radius 7 (perceptual hashes, where a
+    * resample perturbs more bits). The pair shuffle carries only
+    * (id, sig) — 16 bytes/row — never the text/blob the signature came
+    * from. */
+  def hammingPairsFromSignatures(sigs: DataFrame, maxHamming: Int,
+      chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0,
+      s"chunks must divide 64 (got $chunks)")
+    require(maxHamming >= 0 && maxHamming <= chunks - 1,
+      s"$chunks-chunk blocking is only EXACT for hamming <= ${chunks - 1} " +
+        s"(pigeonhole); got $maxHamming — raise `chunks`")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key"))
+          shiftright(col("sig"), c * width).bitwiseAND(mask).as("key"))
       }: _*)).as("blk"))
       .select(col("id"), col("sig"), col("blk.chunk"), col("blk.key"))
     val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),

