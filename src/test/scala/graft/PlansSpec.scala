@@ -194,4 +194,24 @@ class PlansSpec extends SparkSpec {
     assert(clean.select("doc_id").except(exact.select("doc_id")).isEmpty &&
       exact.select("doc_id").except(clean.select("doc_id")).isEmpty)
   }
+
+  test("perceptual near-dup: no blob ever rides a shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val ids = spark.range(0, 40).select($"id".as("doc_id"))
+    val media = graft.pipeline.Multimodal.attachSmoothImages(ids)
+    // media blobs dominate row size at 100 TB — every exchange after the
+    // signature kernel must carry (id, sig)-shaped rows, never payload
+    val pairs = graft.pipeline.Multimodal.imageNearDups(media)
+    val binaryShuffles = pairs.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeExec
+          if x.output.exists(_.dataType == BinaryType) => x
+    }
+    // the one allowed exception is the spreadIds round-robin BEFORE the
+    // encode kernel, which shuffles bare 8-byte ids — assert no shuffled
+    // row carries a binary column at all, which covers both stages
+    assert(binaryShuffles.isEmpty,
+      s"blob column in a shuffle:\n${binaryShuffles.map(_.output)}")
+  }
 }
