@@ -94,6 +94,7 @@ object SparkEntry {
     WireFixtures.binlogDumpDir(s, dir)
     WireFixtures.annIndexDir(s, dir)
     WireFixtures.bpeMergesDir(s, dir)
+    WireFixtures.imageSigStoreDir(s, dir)
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
@@ -2082,6 +2083,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal dedup, INCREMENTAL store protocol: the corpus's
+    // dHash signatures live in a persisted parquet store (decoded and
+    // signed once — WireFixtures.imageSigStoreDir); an arriving batch of
+    // resized derivatives signs ONLY itself and chunk-joins against the
+    // store scan. Per-batch cost is O(batch) decode + a collision-sized
+    // join no matter how large the stored corpus — the media analog of
+    // the minhash incremental protocol (q_dedup_incremental). Same
+    // recall contract and envelope bound as q_image_neardup ----
+    "q_image_incr" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val stored = s.read.parquet(
+        graft.sources.WireFixtures.imageSigStoreDir(s, dir))
+      val batch = Multimodal.resizeImages(
+        Multimodal.attachSmoothImages(
+          docs(s, dir).select("doc_id").where(col("doc_id") < 2000)),
+        maxDim = 48)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+      Dedup.incrementalHammingPairs(Multimodal.imageSignatures(batch),
+          stored, maxHamming = 7, chunks = 8)
+        .where(col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // ---- packing × exact BPE: context windows packed against the
     // merges-table token counts a trainer would see — the planted-merge
     // corpus of q_bpe_tokens (closed-form counts) flowing through
@@ -3114,6 +3138,12 @@ object SparkEntry {
     // dHash + chunk-blocked hamming (see the query comment for why the
     // projection is recall-shaped and the corpus envelope-bounded)
     "q_image_neardup" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
+        " WHERE doc_id < 2000"),
+
+    // incremental store path: identical recall contract — every batch
+    // derivative pairs with its stored original through the store scan
+    "q_image_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
         " WHERE doc_id < 2000"),
 

@@ -681,19 +681,8 @@ object Dedup {
     * from. */
   def hammingPairsFromSignatures(sigs: DataFrame, maxHamming: Int,
       chunks: Int = 4): DataFrame = {
-    require(chunks > 0 && 64 % chunks == 0,
-      s"chunks must divide 64 (got $chunks)")
-    require(maxHamming >= 0 && maxHamming <= chunks - 1,
-      s"$chunks-chunk blocking is only EXACT for hamming <= ${chunks - 1} " +
-        s"(pigeonhole); got $maxHamming — raise `chunks`")
-    val width = 64 / chunks
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * width).bitwiseAND(mask).as("key"))
-      }: _*)).as("blk"))
-      .select(col("id"), col("sig"), col("blk.chunk"), col("blk.key"))
+    requireExactBlocking(maxHamming, chunks)
+    val chunked = chunkKeys(sigs, chunks)
     val a = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("chunk"), col("key"))
     val b = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -703,6 +692,55 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Hamming near-dup pairs TOUCHING a new batch only: chunk-key the new
+    * signatures and join them against (stored ∪ new). The incremental
+    * form of [[hammingPairsFromSignatures]], mirroring the minhash
+    * store protocol ([[incrementalCandidatesFromSignatures]]): the
+    * stored side is a scan of (id, 8-byte sig) rows — its media blobs
+    * are never re-decoded and its signatures never re-computed, so
+    * per-batch cost is O(batch · chunks) explode + a collision-sized
+    * join, regardless of corpus size. */
+  def incrementalHammingPairs(sigsNew: DataFrame, sigsStored: DataFrame,
+      maxHamming: Int, chunks: Int = 4): DataFrame = {
+    requireExactBlocking(maxHamming, chunks)
+    val n = chunkKeys(sigsNew, chunks)
+      .select(col("id").as("id_n"), col("sig").as("sig_n"),
+        col("chunk"), col("key"))
+    val all = chunkKeys(sigsStored.unionByName(sigsNew), chunks)
+      .select(col("id").as("id_o"), col("sig").as("sig_o"),
+        col("chunk"), col("key"))
+    n.join(all, Seq("chunk", "key")).where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        least(col("sig_n"), col("sig_o")).as("s1"),
+        greatest(col("sig_n"), col("sig_o")).as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  private def requireExactBlocking(maxHamming: Int, chunks: Int): Unit = {
+    require(chunks > 0 && 64 % chunks == 0,
+      s"chunks must divide 64 (got $chunks)")
+    require(maxHamming >= 0 && maxHamming <= chunks - 1,
+      s"$chunks-chunk blocking is only EXACT for hamming <= ${chunks - 1} " +
+        s"(pigeonhole); got $maxHamming — raise `chunks`")
+  }
+
+  /** (id, sig, chunk, key) blocking rows: the signature split into
+    * `chunks` equal bit slices. */
+  private def chunkKeys(sigs: DataFrame, chunks: Int): DataFrame = {
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * width).bitwiseAND(mask).as("key"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("sig"), col("blk.chunk"), col("blk.key"))
   }
 
   /** Connected components over a dup-pair edge list — the cluster

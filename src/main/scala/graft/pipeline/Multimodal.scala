@@ -607,7 +607,7 @@ object Multimodal {
     * the javax codec (one call per row is its whole job and format
     * sniffing is the point there); this parser is the per-row hot-path
     * form. */
-  private def wavPcm(payload: Array[Byte]): (Int, Array[Byte]) = {
+  private[graft] def wavPcm(payload: Array[Byte]): (Int, Array[Byte]) = {
     require(isWav(payload), "not a RIFF/WAVE payload")
     def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
     def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
@@ -633,7 +633,7 @@ object Multimodal {
   /** Canonical 44-byte-header WAVE render of 16-bit mono LE PCM — the
     * write-side pair of [[wavPcm]], byte-layout-identical to what
     * `AudioSystem.write` produces for this format. */
-  private def writeWavPcm(rate: Int, data: Array[Byte]): Array[Byte] = {
+  private[graft] def writeWavPcm(rate: Int, data: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)

@@ -141,6 +141,22 @@ object WireFixtures {
       graft.pipeline.Ann.writeIndex(withTwins, tmp, k, iters)
     }
 
+  /** Persisted perceptual signature store: (doc_id, 64-bit dHash) over
+    * the smooth-image fixture corpus, decoded and signed ONCE — the
+    * media analog of the minhash signature store. A new image batch
+    * signs only itself and chunk-joins against this scan; the corpus
+    * blobs are never re-decoded (grid params in the path so a hash
+    * change never reuses stale signatures). */
+  def imageSigStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/image_sigs_dhash9x8") { tmp =>
+      implicit val sp: SparkSession = spark
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      graft.pipeline.Multimodal.imageSignatures(
+          graft.pipeline.Multimodal.attachSmoothImages(docs))
+        .coalesce(4).write.parquet(tmp)
+    }
+
   /** Trained BPE merges table over the documents corpus — the shipped
     * (rank, a, b) artifact [[graft.functions.Bpe]] trains once per corpus
     * snapshot and every consumer loads (merge count in the path so a

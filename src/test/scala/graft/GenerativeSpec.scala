@@ -413,6 +413,32 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("hand-rolled WAV render: JDK-codec agreement + parse roundtrip " +
+      "+ gain-invariant fingerprint for random audio") {
+    import graft.pipeline.Multimodal
+    val genAudio = for {
+      rate <- Gen.choose(4000, 48000)
+      n <- Gen.choose(40, 400)
+      pcm <- Gen.listOfN(2 * n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (rate, pcm.toArray)
+    samples(Gen.listOfN(4, genAudio)).foreach(_.foreach { case (rate, pcm) =>
+      val wav = Multimodal.writeWavPcm(rate, pcm)
+      // the JDK codec must read our hand-rolled header exactly (guards
+      // the 44-byte layout against drift from AudioSystem's view)
+      val (jRate, jFrames, jCh) = Multimodal.realAudioMeta(wav)
+      assert((jRate, jFrames, jCh) === ((rate, pcm.length / 2, 1)))
+      // our own parser must invert the render byte-exactly
+      val (pRate, pData) = Multimodal.wavPcm(wav)
+      assert(pRate === rate && java.util.Arrays.equals(pData, pcm))
+      // a genuine amplitude change moves the energy-envelope
+      // fingerprint at most `radius` bits (near-tie windows only)
+      val h = java.lang.Long.bitCount(
+        Multimodal.audioFingerprint(wav) ^
+          Multimodal.audioFingerprint(Multimodal.gainHalvedWav(wav)))
+      assert(h <= 3, s"gain change moved fingerprint $h bits")
+    })
+  }
+
   test("generic Avro codec roundtrips arbitrary flat schemas value-exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

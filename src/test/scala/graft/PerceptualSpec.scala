@@ -101,6 +101,33 @@ class PerceptualSpec extends SparkSpec {
     }
   }
 
+  test("incrementalHammingPairs == full pairs restricted to touching-new") {
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // stored corpus 0..79; new batch = 80..99 (fresh) plus 100..119
+    // (signatures 2 bits away from stored ids 0..19 — planted near-dups
+    // that must surface through the store join)
+    val stored = (0L until 80L).map(i => (i, mix(i)))
+    val fresh = (80L until 100L).map(i => (i, mix(i))) ++
+      (0L until 20L).map(i => (i + 100L, mix(i) ^ 5L))
+    val sStored = stored.toDF("id", "sig")
+    val sNew = fresh.toDF("id", "sig")
+    val full = Dedup.hammingPairsFromSignatures(
+      sStored.unionByName(sNew), maxHamming = 7, chunks = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val newIds = fresh.map(_._1).toSet
+    val incr = Dedup.incrementalHammingPairs(sNew, sStored,
+      maxHamming = 7, chunks = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(incr === full.filter(p => newIds(p._1) || newIds(p._2)))
+    assert(incr.exists(p => p._1 < 20L && p._2 == p._1 + 100L && p._3 == 2),
+      "planted store-adjacent pairs missing")
+  }
+
   test("packChunks with a BPE counter packs on exact token counts") {
     import graft.functions.Bpe
     // "ab" fuses to 1 token under the merges table; whitespace counting
