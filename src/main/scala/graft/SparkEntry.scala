@@ -2106,6 +2106,52 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal dedup, STREAMING store protocol: image batches
+    // arrive as a file stream; each trigger DECODES ONLY ITS BATCH into
+    // dHash signatures, hamming-joins them against the persisted store
+    // plus the overlay of earlier triggers, and appends the batch's
+    // signatures to the overlay (the corpus store itself is immutable —
+    // same generation discipline as q_dedup_stream_incr). The final pair
+    // set is batch-boundary-independent: every planted pair is found by
+    // exactly the trigger that carries its derivative. Same recall
+    // contract as q_image_incr ----
+    "q_image_stream_incr" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = java.nio.file.Files.createTempDirectory("mediastream").toString
+      val base = docs(s, dir).select("doc_id").where(col("doc_id") < 2000)
+      Multimodal.resizeImages(Multimodal.attachSmoothImages(base), maxDim = 48)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+        .repartition(4).write.parquet(s"$root/in")
+      val store = graft.sources.WireFixtures.imageSigStoreDir(s, dir)
+      val over = s"$root/overlay"
+      def overlaySigs() =
+        if (new java.io.File(s"$over/sigs").isDirectory)
+          s.read.parquet(s"$over/sigs")
+        else s.read.parquet(store).limit(0)
+      val stream = s.readStream
+        .schema("doc_id LONG, payload BINARY")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$root/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint(true)
+          val sigsNew = Multimodal.imageSignatures(b)
+          Dedup.incrementalHammingPairs(sigsNew,
+              s.read.parquet(store).unionByName(overlaySigs()),
+              maxHamming = 7, chunks = 8)
+            .coalesce(4).write.mode("append").parquet(s"$over/pairs")
+          sigsNew.coalesce(4).write.mode("append").parquet(s"$over/sigs")
+          ()
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$over/pairs").distinct()
+        .where(col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // ---- packing × exact BPE: context windows packed against the
     // merges-table token counts a trainer would see — the planted-merge
     // corpus of q_bpe_tokens (closed-form counts) flowing through
@@ -3144,6 +3190,12 @@ object SparkEntry {
     // incremental store path: identical recall contract — every batch
     // derivative pairs with its stored original through the store scan
     "q_image_incr" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
+        " WHERE doc_id < 2000"),
+
+    // streaming form accumulates the same touching-new pair set over
+    // micro-batches (batch-boundary-independent by construction)
+    "q_image_stream_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
         " WHERE doc_id < 2000"),
 
