@@ -2106,6 +2106,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal → embedding composition: blobs through the feature
+    // extractor (deterministic stub encoder — the documented stand-in
+    // for a vision model; bytes in, array<float> out, batched per
+    // partition) straight into the hyperplane-LSH near-dup op. Planted
+    // identical payloads at id+1M yield identical feature vectors, which
+    // collide in every hash table at cosine 1.0 — same contract shape as
+    // q_dedup_embedding, proving media features plug into the embedding
+    // dedup/ANN family unchanged ----
+    "q_media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.attachSmoothImages(docs(s, dir).select("doc_id"))
+      val withTwins = media.unionByName(
+        media.select((col("doc_id") + 1000000L).as("doc_id"), col("payload")))
+      Dedup.embeddingNearDups(Multimodal.extractFeatures(withTwins),
+        vecCol = "embedding", idCol = "doc_id", cosineThreshold = 0.99)
+    }),
+
     // ---- multimodal dedup, STREAMING store protocol: image batches
     // arrive as a file stream; each trigger DECODES ONLY ITS BATCH into
     // dHash signatures, hamming-joins them against the persisted store
@@ -3192,6 +3209,13 @@ object SparkEntry {
     "q_image_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents" +
         " WHERE doc_id < 2000"),
+
+    // identical payloads → identical feature vectors → cosine 1.0 in
+    // every hyperplane table; the feature corpus has no natural ≥0.99
+    // pair (empirically verified at both SFs, like q_dedup_embedding)
+    "q_media_features" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " CAST(1.0 AS DOUBLE) AS cosine FROM documents"),
 
     // streaming form accumulates the same touching-new pair set over
     // micro-batches (batch-boundary-independent by construction)

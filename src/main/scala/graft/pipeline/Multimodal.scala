@@ -617,6 +617,7 @@ object Multimodal {
     while (off + 8 <= payload.length && (data == null || rate < 0)) {
       val id = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(off + 4)
+      require(sz >= 0, s"corrupt RIFF chunk size $sz at offset $off")
       if (id == "fmt ") {
         ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
       } else if (id == "data") {
@@ -668,12 +669,13 @@ object Multimodal {
   }
 
   /** Batched feature extraction over media rows → (doc_id, embedding);
-    * output plugs straight into Ann/Dedup.embeddingNearDups. */
+    * output plugs straight into Ann/Dedup.embeddingNearDups. Needs only
+    * (doc_id, payload) — the features are payload-derived, so typed
+    * media rows and bare blob rows ride the same kernel. */
   def extractFeatures(media: DataFrame, dims: Int = 16)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("media_type"), col("payload"))
-      .as[MediaRow]
+    media.select(col("doc_id"), col("payload")).as[ImageRow]
       .mapPartitions(_.map(r => (r.doc_id, stubFeatures(r.payload, dims))))
       .toDF("doc_id", "embedding")
   }
