@@ -489,6 +489,19 @@ object Multimodal {
     sig
   }
 
+  /** Per-session count of blobs run through the dHash signature kernel —
+    * instrumentation for the O(increment) decode contract of the media
+    * store protocol (the media twin of Dedup.signedDocsAccumulator;
+    * approximate under task retries, exact in a clean run). */
+  private val decodeAccs =
+    new java.util.WeakHashMap[SparkSession,
+      org.apache.spark.util.LongAccumulator]
+  private[graft] def decodedBlobsAccumulator(spark: SparkSession)
+      : org.apache.spark.util.LongAccumulator = synchronized {
+    decodeAccs.computeIfAbsent(spark,
+      s => s.sparkContext.longAccumulator("graft.media.decodedBlobs"))
+  }
+
   /** (id, sig) dHash signature table over (doc_id, payload) image rows —
     * one decode per blob, blobs dropped immediately after. Persisted via
     * the plan-keyed cache (same discipline as simhashSignatures): the
@@ -498,9 +511,13 @@ object Multimodal {
   def imageSignatures(media: DataFrame)(implicit spark: SparkSession)
       : DataFrame = {
     import spark.implicits._
+    val decoded = decodedBlobsAccumulator(spark)
     PlanCache.getOrPersist(media, "imageDHash", {
       media.select(col("doc_id"), col("payload")).as[ImageRow]
-        .mapPartitions(_.map(r => (r.doc_id, imageDHash(r.payload))))
+        .mapPartitions(_.map { r =>
+          decoded.add(1L)
+          (r.doc_id, imageDHash(r.payload))
+        })
         .toDF("id", "sig")
     })
   }

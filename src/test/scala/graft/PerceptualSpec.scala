@@ -128,6 +128,37 @@ class PerceptualSpec extends SparkSpec {
       "planted store-adjacent pairs missing")
   }
 
+  test("image store protocol decodes only the increments (O(batch))") {
+    val root = java.nio.file.Files.createTempDirectory("imgstore").toString
+    val ids = (0L until 60L).toDF("doc_id")
+    val media = Multimodal.attachSmoothImages(ids)
+    // onboard: corpus signatures into the store — the one-time decode
+    Multimodal.imageSignatures(media).write.parquet(s"$root/sigs")
+    val acc = Multimodal.decodedBlobsAccumulator(spark)
+    val before = acc.value
+    // two 30-blob increments of resized derivatives, each decoded once,
+    // joined against the STORE (never the corpus blobs)
+    val found = scala.collection.mutable.Set.empty[Long]
+    Seq(0L, 30L).foreach { lo =>
+      val batch = Multimodal.resizeImages(
+        Multimodal.attachSmoothImages(
+          ids.where(col("doc_id") >= lo && col("doc_id") < lo + 30)),
+        maxDim = 48)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("payload"))
+        .localCheckpoint(true)
+      val sigsNew = Multimodal.imageSignatures(batch)
+      found ++= Dedup.incrementalHammingPairs(sigsNew,
+          spark.read.parquet(s"$root/sigs"), maxHamming = 7, chunks = 8)
+        .where(col("id_b") === col("id_a") + 1000L)
+        .select("id_a").as[Long].collect()
+      sigsNew.write.mode("append").parquet(s"$root/sigs")
+    }
+    assert(found === (0L until 60L).toSet)
+    // ONLY the two 30-blob increments went through the decode kernel —
+    // the stored corpus was never re-decoded
+    assert(acc.value - before === 60L)
+  }
+
   test("packChunks with a BPE counter packs on exact token counts") {
     import graft.functions.Bpe
     // "ab" fuses to 1 token under the merges table; whitespace counting
