@@ -2123,6 +2123,30 @@ object SparkEntry {
         vecCol = "embedding", idCol = "doc_id", cosineThreshold = 0.99)
     }),
 
+    // ---- COMPOSED MULTIMODAL PIPELINE: ingest blobs → REAL decode →
+    // resolution quality gate (on decoded dims, not metadata claims) →
+    // perceptual near-dup → cluster keep-one. Every stage is a
+    // first-class op; the oracle re-derives the whole chain in closed
+    // form (encoder dim arithmetic + resize-plan integer scaling +
+    // planted-pair keep-one: an original always wins its cluster, a
+    // derivative survives only when its original failed the gate) ----
+    "q_pipeline_media" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val base = docs(s, dir).select("doc_id").where(col("doc_id") < 2000)
+      val orig = Multimodal.attachSmoothImages(base)
+      val deriv = Multimodal.resizeImages(orig, maxDim = 48)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+      val media = orig.unionByName(deriv)
+      val kept = Multimodal.decodeImages(media)
+        .where(col("width") * col("height") >= 576)
+        .select("doc_id")
+      val pairs = Multimodal.imageNearDups(media.join(kept, "doc_id"),
+          maxHamming = 7)
+        .where(col("id_b") === col("id_a") + 1000000L)
+        .select("id_a", "id_b")
+      Dedup.keepOnePerComponent(kept, pairs).select("doc_id")
+    }),
+
     // ---- multimodal dedup, STREAMING store protocol: image batches
     // arrive as a file stream; each trigger DECODES ONLY ITS BATCH into
     // dHash signatures, hamming-joins them against the persisted store
@@ -3216,6 +3240,28 @@ object SparkEntry {
     "q_media_features" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " CAST(1.0 AS DOUBLE) AS cosine FROM documents"),
+
+    // the whole media chain in closed form: encoder dims (w=id%64+16,
+    // h=id*7%64+16), derivative dims via the integer scale-to-fit the
+    // resize query already hash-proves the codec lands on, the ≥576-px²
+    // gate on both generations, then keep-one — an original that passed
+    // always survives (min id of its cluster); a derivative survives
+    // only when its original failed the gate (singleton)
+    "q_pipeline_media" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS INT) AS w," +
+        " CAST((doc_id * 7) % 64 + 16 AS INT) AS h FROM documents" +
+        " WHERE doc_id < 2000)," +
+        " d AS (SELECT doc_id + 1000000 AS doc_id," +
+        " CASE WHEN greatest(w, h) > 48" +
+        "   THEN CAST((w * 48) // greatest(w, h) AS INT) ELSE w END AS w," +
+        " CASE WHEN greatest(w, h) > 48" +
+        "   THEN CAST((h * 48) // greatest(w, h) AS INT) ELSE h END AS h" +
+        " FROM m)" +
+        " SELECT doc_id FROM m WHERE w * h >= 576" +
+        " UNION ALL" +
+        " SELECT doc_id FROM d WHERE w * h >= 576" +
+        " AND doc_id - 1000000 NOT IN" +
+        "   (SELECT doc_id FROM m WHERE w * h >= 576)"),
 
     // streaming form accumulates the same touching-new pair set over
     // micro-batches (batch-boundary-independent by construction)
