@@ -966,6 +966,20 @@ object SparkEntry {
         budgetTokens = Map("en" -> 1500L, "de" -> 400L, "zh" -> 300L),
         defaultBudget = 250L, salt = 11L)),
 
+    // ---- temperature mixing: τ=1/2 budgets apportioned from the
+    // per-language token masses (√-flattened, largest-remainder rounded
+    // to sum exactly), then the same deterministic budget fill as
+    // q_mix_budget — the full "compute the mixture, then mix" stage of
+    // a multilingual pretraining pipeline, integer-exact end-to-end ----
+    "q_mix_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val budgets = graft.pipeline.Sampling.sqrtTemperatureBudgets(
+        d, "lang", "text", totalBudget = 3000L)
+      graft.pipeline.Sampling.mixToBudget(d, idCol = "doc_id",
+        domainCol = "lang", textCol = "text", budgetTokens = budgets,
+        defaultBudget = 0L, salt = 11L)
+    }),
+
     // ---- the composed CURATION pipeline: DSIR importance selection →
     // per-language quantile calibration over the survivors → token-budget
     // mixing of what remains. Three selection ops chained the way a
@@ -2901,6 +2915,30 @@ object SparkEntry {
         " (CASE domain WHEN 'en' THEN 1500 WHEN 'de' THEN 400" +
         " WHEN 'zh' THEN 300 ELSE 250 END) AS selected" +
         " FROM t WINDOW w AS (PARTITION BY domain ORDER BY h, doc_id" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+
+    // re-derives the τ=1/2 budgets bit-for-bit (floor of the correctly-
+    // rounded sqrt, BigInt-free because this SF stays in BIGINT range,
+    // largest-remainder by (rem desc, domain)) and replays the mix window
+    "q_mix_temperature" ->
+      ("WITH t AS (SELECT doc_id, lang AS domain," +
+        " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens," +
+        " ((doc_id + 11) % 2147483647) * 48271 % 2147483647 AS h" +
+        " FROM documents)," +
+        " m AS (SELECT domain, CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)" +
+        "   * 1000000)) AS BIGINT) AS w FROM t GROUP BY domain)," +
+        " tot AS (SELECT sum(w) AS tw FROM m)," +
+        " b AS (SELECT domain, (3000 * w) // tw AS base," +
+        "   (3000 * w) % tw AS rem FROM m, tot)," +
+        " lo AS (SELECT 3000 - sum(base) AS leftover FROM b)," +
+        " bb AS (SELECT domain, base + CASE WHEN" +
+        "   row_number() OVER (ORDER BY rem DESC, domain) <=" +
+        "   (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS budget FROM b)" +
+        " SELECT t.doc_id, t.domain, t.n_tokens," +
+        " CAST(sum(t.n_tokens) OVER w - t.n_tokens AS BIGINT) AS cum_before," +
+        " (sum(t.n_tokens) OVER w - t.n_tokens) < bb.budget AS selected" +
+        " FROM t JOIN bb USING (domain)" +
+        " WINDOW w AS (PARTITION BY t.domain ORDER BY t.h, t.doc_id" +
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
 
     "q_cluster_keep_one" -> componentsOracleSql(

@@ -102,6 +102,46 @@ object Sampling {
       .select("doc_id", "domain", "n_tokens", "cum_before", "selected")
   }
 
+  /** Square-root temperature apportionment of a total token budget
+    * across domains (τ = 1/2 — the standard multilingual rebalancing:
+    * sampling ∝ mass^τ lifts rare domains without letting the biggest
+    * one dominate). budget_d ∝ √(domain token mass), largest-remainder
+    * rounded so budgets sum EXACTLY to `totalBudget`; feed the result
+    * straight into [[mixToBudget]].
+    *
+    * Integer-exact across engines, per the module discipline: the weight
+    * is floor(√(mass·10⁶)) — `mass·10⁶` is exactly representable below
+    * 2⁵³ (domains up to ~9·10⁹ tokens) and sqrt is IEEE-correctly-
+    * rounded in every engine, so floor lands identically; apportionment
+    * runs in BigInt with (remainder desc, domain) tie-ordering. External
+    * SQL re-derives every budget bit-for-bit. Driver-side on purpose:
+    * the grouped mass table is one row per domain — the same altitude
+    * as the CASE chain of budgets it produces. */
+  def sqrtTemperatureBudgets(df: DataFrame, domainCol: String,
+      textCol: String, totalBudget: Long): Map[String, Long] = {
+    require(totalBudget >= 0, s"negative budget $totalBudget")
+    val masses = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(size(split(col(textCol), "\\s+")).cast("long")).as("mass"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(masses.nonEmpty, "no domains to apportion across")
+    val weights = masses.map { case (d, m) =>
+      require(m * 1000000L >= 0 && m <= 9000000000L,
+        s"domain $d mass $m exceeds the exact-sqrt envelope")
+      (d, math.floor(math.sqrt(m.toDouble * 1e6)).toLong)
+    }
+    val totalW = weights.map(_._2).sum
+    require(totalW > 0, "all domains empty")
+    val base = weights.map { case (d, wi) =>
+      val prod = BigInt(totalBudget) * BigInt(wi)
+      (d, (prod / totalW).toLong, (prod % totalW).toLong)
+    }
+    val leftover = totalBudget - base.map(_._2).sum
+    val bumped = base.sortBy { case (d, _, r) => (-r, d) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.map { case (d, b, _) => d -> (b + (if (bumped(d)) 1L else 0L)) }
+      .toMap
+  }
+
   def shuffleOrder(df: DataFrame, keyCol: String, salt: Long = 0L,
       numBuckets: Int = 0): DataFrame = {
     val n =

@@ -34,6 +34,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!byGrp.contains("2")) // defaultBp = 0 drops the stratum
   }
 
+  test("sqrtTemperatureBudgets: exact sum, √-flattening, largest-remainder") {
+    // masses 90000 / 10000 / 2500 tokens: weights ∝ 300/100/50 → a 36×
+    // mass gap compresses to a 6× budget gap (τ = 1/2), and budgets sum
+    // EXACTLY to the total despite flooring
+    val docs = Seq.tabulate(900)(i => (i.toLong, "big", ("w " * 99).trim)) ++
+      Seq.tabulate(100)(i => (900L + i, "mid", ("w " * 99).trim)) ++
+      Seq.tabulate(25)(i => (1000L + i, "rare", ("w " * 99).trim))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val b = Sampling.sqrtTemperatureBudgets(df, "lang", "text",
+      totalBudget = 1000L)
+    assert(b.values.sum === 1000L)
+    // hand apportionment: weights floor(sqrt(mass*1e6)) = 300000000? no —
+    // exact: w=floor(sqrt(9e10))=300000, floor(sqrt(1e10))=100000,
+    // floor(sqrt(25e8))=50000; W=450000; bases 666/222/111 rem sums to
+    // 999 → one leftover goes to the largest remainder
+    assert(b("big") + b("mid") + b("rare") === 1000L)
+    assert(b("big") === 667L && b("mid") === 222L && b("rare") === 111L)
+    // proportional (τ=1) would have given big 878 of 1000 — the √
+    // temperature lifts the rare domain ~4×
+    assert(b("rare") > 1000L * 2500 / 102500)
+  }
+
   test("shuffleOrder is the exact global rank over (hash, key)") {
     val df = spark.range(5000).toDF("id")
     val got = Sampling.shuffleOrder(df, "id", salt = 3L, numBuckets = 7)
