@@ -392,36 +392,17 @@ object SparkEntry {
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
       val mid = tMin + (tMax - tMin) / 2
-      // three time-ordered micro-batches inside ONE AvailableNow run
-      // (FileStreamSource admits oldest-modification-time first, two
-      // files per trigger): first half of event time, second half, then
-      // per-key sentinels past the gap that close every session still
-      // open — per-key state flows batch → batch through the state store
-      // slice order IS batch order via mtime — stamped EXPLICITLY (60s
-      // apart, same pattern as q_drift_stream) rather than trusting
-      // write timing: a coarse-granularity filesystem could tie the
-      // writes' mtimes and let the source admit slices interleaved,
-      // feeding the sessionizer out-of-time-order events
-      val inDir = new java.io.File(s"$root/in")
-      val t0 = System.currentTimeMillis() - 180000L
-      def stampNew(seen: Set[String], t: Long): Set[String] = {
-        val fs = inDir.listFiles()
-        // surface a failed stamp instead of silently regressing to
-        // write-time mtimes (= the interleaved-batch nondeterminism this
-        // stamping exists to eliminate)
-        fs.filterNot(f => seen.contains(f.getName)).foreach(f =>
-          require(f.setLastModified(t), s"cannot stamp mtime on $f"))
-        fs.map(_.getName).toSet
-      }
-      ev.where(col("ts") <= mid).coalesce(2).write.parquet(s"$root/in")
-      val gen1 = stampNew(Set.empty, t0)
-      ev.where(col("ts") > mid).coalesce(2)
-        .write.mode("append").parquet(s"$root/in")
-      val gen2 = stampNew(gen1, t0 + 60000L)
-      ev.select(col("key")).distinct()
-        .select(col("key"), lit(tMax + gapUs + 1).as("ts"))
-        .coalesce(1).write.mode("append").parquet(s"$root/in")
-      stampNew(gen2, t0 + 120000L)
+      // three time-ordered slices driven through three RESUMED
+      // AvailableNow runs off one checkpoint: write slice → drain →
+      // write next slice → drain. Batch order is STRUCTURAL (a slice is
+      // the only unadmitted data when its run starts), so no mtime /
+      // file-admission-order trust remains — the earlier mtime-stamped
+      // single-run form still flaked under heavy box load (observed
+      // 1361-row output in a 151-query session, correct alone). Per-key
+      // open-session state survives each restart through the
+      // checkpointed state store, which is the property this query
+      // demonstrates.
+      //
       // the stateful shuffle/state-store width follows the session's
       // shuffle partitions; this demo's state is thousands of keys, so a
       // session clone pinned to 4 partitions cuts 32× state-store commit
@@ -429,21 +410,32 @@ object SparkEntry {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "4")
       import s2.implicits._
-      val q = s2.readStream.schema("key LONG, ts LONG")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(s"$root/in")
-        .as[graft.operators.Sessions.SessionEvent]
-        .transform(in => Sessions.sessionizeStream(in, gapMs = gapUs,
-          useTimeout = false).toDF())
-        .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.coalesce(1).write.mode("append").parquet(s"$root/out"); ()
-        }
-        .outputMode("append")
-        .option("checkpointLocation", s"$root/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      def drainOnce(): Unit = {
+        val q = s2.readStream.schema("key LONG, ts LONG")
+          .parquet(s"$root/in")
+          .as[graft.operators.Sessions.SessionEvent]
+          .transform(in => Sessions.sessionizeStream(in, gapMs = gapUs,
+            useTimeout = false).toDF())
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.coalesce(1).write.mode("append").parquet(s"$root/out"); ()
+          }
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.where(col("ts") <= mid).coalesce(2).write.parquet(s"$root/in")
+      drainOnce()
+      ev.where(col("ts") > mid).coalesce(2)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      // per-key sentinels past the gap close every still-open session
+      ev.select(col("key")).distinct()
+        .select(col("key"), lit(tMax + gapUs + 1).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      drainOnce()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("key")).orderBy(col("session_start"))
       s.read.parquet(s"$root/out")
@@ -978,6 +970,75 @@ object SparkEntry {
       graft.pipeline.Sampling.mixToBudget(d, idCol = "doc_id",
         domainCol = "lang", textCol = "text", budgetTokens = budgets,
         defaultBudget = 0L, salt = 11L)
+    }),
+
+    // ---- line-level boilerplate removal (CCNet/RefinedWeb line-wise
+    // dedup): lines planted into ≥1% of documents (newsletter CTA on
+    // even ids, copyright footer on ids %3) are stripped from every
+    // document; the per-doc unique "ref <id>" line survives. Frequency
+    // threshold is integer cross-multiplied; output hashes the cleaned
+    // text byte-for-byte ----
+    "q_line_dedup" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+        when(col("doc_id") % 3 === 0, lit("all rights reserved - example corp")),
+        concat(lit("ref "), col("doc_id").cast("string"))).as("text"))
+      graft.pipeline.Lines.stripFrequentLines(injected, shareBp = 100)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // ---- bigram-LM NLL scoring (the CCNet perplexity-filter shape):
+    // model trained on the 80% doc_id%5≠0 slice, every document scored —
+    // held-out docs exercise the unseen-bigram smoothing path. Per-
+    // position terms floor to integer 1e-4-bit units before the sum, so
+    // the aggregate is order-independent and engine-exact ----
+    "q_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val model = graft.pipeline.LangModel.train(
+        d.where(col("doc_id") % 5 =!= 0))
+      graft.pipeline.LangModel.scoreNll(model, d)
+    }),
+
+    // ---- leakage-free split: near-dup CLUSTERS assigned wholly to
+    // train or test by MINSTD hash of the component label — a test doc
+    // can never have a near-duplicate in train. Runs over the planted-
+    // duplicate corpus with the production LSH-verified edge set ----
+    "q_leakage_split" -> ((s, dir) =>
+      Dedup.leakageFreeSplit(dupCorpus(s, dir), verifiedDupPairs(s, dir),
+        testBp = 2000, salt = 23L)),
+
+    // ---- BM25 relevance scoring: one corpus pass, document frequencies
+    // and length stats as a single cross-joined scalar row, per-term
+    // contributions floored to integer 1e-4 units before the sum ----
+    "q_bm25" -> ((s, dir) =>
+      graft.pipeline.Retrieval.bm25(docs(s, dir), Seq("the", "of", "data"))),
+
+    // ---- the composed CCNet-shape pipeline: boilerplate line strip →
+    // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
+    // slice) → per-language exact-quantile gate keeping the low-
+    // perplexity 70% head. Three first-class stages chained the way
+    // CCNet chains them; every decision integer-exact except the one
+    // double (mean NLL), a single division of two engine-exact ints ----
+    "q_pipeline_ccnet" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val injected = d.select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+        when(col("doc_id") % 3 === 0, lit("all rights reserved - example corp")),
+        concat(lit("ref "), col("doc_id").cast("string"))).as("text"))
+      val cleaned = graft.pipeline.Lines.stripFrequentLines(injected,
+        shareBp = 100).select("doc_id", "text")
+      val model = graft.pipeline.LangModel.train(
+        cleaned.where(col("doc_id") % 5 =!= 0))
+      val scored = graft.pipeline.LangModel.scoreNll(model, cleaned)
+        .where(col("n_terms") > 0)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("neg_mean_nll",
+          -(col("nll_e4").cast("double") / col("n_terms").cast("double")))
+      graft.pipeline.Weighting.quantileThreshold(scored,
+        scoreCol = "neg_mean_nll", stratumCol = "lang", qBp = 3000)
     }),
 
     // ---- the composed CURATION pipeline: DSIR importance selection →
@@ -2946,6 +3007,107 @@ object SparkEntry {
         " (SELECT id FROM (SELECT id, min(lbl) AS component FROM walk" +
         " GROUP BY id) WHERE id <> component)"),
 
+    // line-level boilerplate removal: same injection, per-line explode
+    // with generate_series positions, integer cross-multiplied 1% doc-
+    // share threshold, order-preserving string_agg reassembly
+    "q_line_dedup" ->
+      (s"WITH $lineStripCtes," +
+        " nl AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM inj)" +
+        " SELECT nl.doc_id, md5(coalesce(kept.text, '')) AS text_md5," +
+        " CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept," +
+        " CAST(nl.n_lines - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dropped" +
+        " FROM nl LEFT JOIN kept USING (doc_id)"),
+
+    // the composed CCNet-shape pipeline: boilerplate strip → bigram-LM
+    // NLL over the CLEANED corpus (trained on its 80% slice) → per-
+    // language quantile gate keeping the low-perplexity 70% head. The
+    // one float column (neg mean NLL) is a single division of two
+    // engine-exact integers — rank ties decide identically
+    "q_pipeline_ccnet" ->
+      (s"WITH $lineStripCtes," +
+        " cln AS (SELECT i.doc_id, coalesce(k.text, '') AS text" +
+        " FROM inj i LEFT JOIN kept k USING (doc_id))," +
+        " tr AS (SELECT text FROM cln WHERE doc_id % 5 <> 0)," +
+        " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
+        " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
+        " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
+        " trbi AS (SELECT t[i] AS prev, t[i+1] AS cur, count(*) AS cb FROM" +
+        " (SELECT string_split_regex(text, '\\s+') AS t FROM tr)," +
+        " unnest(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)," +
+        " dg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM cln)," +
+        " unnest(generate_series(1, len(t) - 1)) AS u(i))," +
+        " sc AS (SELECT doc_id, count(*) AS n_terms," +
+        " sum(CAST(floor(log2(CAST(coalesce(uni.cu, 0) + (SELECT v FROM v) AS DOUBLE)" +
+        " / CAST(coalesce(trbi.cb, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT)) AS nll_e4" +
+        " FROM dg LEFT JOIN trbi USING (prev, cur)" +
+        " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)," +
+        " j AS (SELECT sc.doc_id, d.lang," +
+        " -(CAST(sc.nll_e4 AS DOUBLE) / CAST(sc.n_terms AS DOUBLE)) AS neg_mean_nll" +
+        " FROM sc JOIN documents d USING (doc_id))" +
+        " SELECT doc_id, lang, neg_mean_nll, cnt_below, n," +
+        " cnt_below * 10000 >= 3000 * n AS selected FROM" +
+        " (SELECT doc_id, lang, neg_mean_nll," +
+        " CAST(rank() OVER (PARTITION BY lang ORDER BY neg_mean_nll) AS BIGINT) - 1 AS cnt_below," +
+        " count(*) OVER (PARTITION BY lang) AS n FROM j)"),
+
+    // bigram-LM NLL: identical add-one-smoothed counts over the 80%
+    // train slice; per-position floor(log2((c_u+V)/(c_b+1))*1e4 + 1e-6)
+    // summed as integers — the nudge keeps power-of-two ratios (where
+    // libm log2 legitimately differs an ulp across engines) off the
+    // floor boundary
+    "q_lm_perplexity" ->
+      ("WITH tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
+        " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
+        " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
+        " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
+        " trbi AS (SELECT t[i] AS prev, t[i+1] AS cur, count(*) AS cb FROM" +
+        " (SELECT string_split_regex(text, '\\s+') AS t FROM tr)," +
+        " unnest(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)," +
+        " dg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)," +
+        " unnest(generate_series(1, len(t) - 1)) AS u(i))," +
+        " sc AS (SELECT doc_id, count(*) AS n_terms," +
+        " sum(CAST(floor(log2(CAST(coalesce(uni.cu, 0) + (SELECT v FROM v) AS DOUBLE)" +
+        " / CAST(coalesce(trbi.cb, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT)) AS nll_e4" +
+        " FROM dg LEFT JOIN trbi USING (prev, cur)" +
+        " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)" +
+        " SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
+        " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
+        " FROM documents d LEFT JOIN sc USING (doc_id)"),
+
+    // leakage-free split: recursive-CTE components + the same MINSTD
+    // hash-of-component stream as the sampling oracles
+    "q_leakage_split" -> componentsOracleSql(
+      ", comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)" +
+        " SELECT c.doc_id," +
+        " CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component," +
+        " CASE WHEN ((coalesce(comp.component, c.doc_id) + 23) % 2147483647)" +
+        " * 48271 % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS split" +
+        " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"),
+
+    // BM25: identical parenthesization per factor; df/N/avgdl from one
+    // scalar row; per-term floor(score*1e4 + 1e-6) summed as integers
+    "q_bm25" -> {
+      def term(w: String, df: String): String = {
+        val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
+        val idf = s"ln((CAST((SELECT n FROM st) - (SELECT $df FROM st) AS DOUBLE) + 0.5)" +
+          s" / (CAST((SELECT $df FROM st) AS DOUBLE) + 0.5) + 1.0)"
+        val dl = "CAST(len(tk) AS DOUBLE)"
+        val avgdl = "(CAST((SELECT sumdl FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))"
+        s"CAST(floor($idf * (($tf * (1.2 + 1.0)) / ($tf + 1.2 *" +
+          s" ((1.0 - 0.75) + 0.75 * ($dl / $avgdl)))) * 10000.0 + 1e-6) AS BIGINT)"
+      }
+      "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents)," +
+        " st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl," +
+        " sum(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) AS df0," +
+        " sum(CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) AS df1," +
+        " sum(CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END) AS df2 FROM t)" +
+        " SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl," +
+        s" ${term("the", "df0")} + ${term("of", "df1")} + ${term("data", "df2")} AS score_e4" +
+        " FROM t"
+    },
+
     "q_ann_brute" -> annBruteSql,
 
     "q_embed_norms" ->
@@ -3373,6 +3535,25 @@ object SparkEntry {
 
   /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
     * same alphabetical tie-break order and the same padded-split counting. */
+  /** Shared line-strip oracle CTEs (q_line_dedup + the CCNet pipeline):
+    * boilerplate injection, per-line explode with positions, the 1%
+    * integer cross-multiplied doc-share threshold, and order-preserving
+    * reassembly of surviving lines. */
+  private lazy val lineStripCtes: String =
+    "inj AS (SELECT doc_id, concat_ws(chr(10), text," +
+      " CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END," +
+      " CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved - example corp' END," +
+      " 'ref ' || CAST(doc_id AS VARCHAR)) AS text FROM documents)," +
+      " l AS (SELECT doc_id, i AS pos, t[i] AS line FROM" +
+      " (SELECT doc_id, string_split(text, chr(10)) AS t FROM inj)," +
+      " unnest(generate_series(1, len(t))) AS u(i))," +
+      " tot AS (SELECT count(*) AS n FROM inj)," +
+      " freq AS (SELECT line FROM l WHERE trim(line) <> '' GROUP BY line" +
+      " HAVING count(DISTINCT doc_id) * 10000 >= 100 * (SELECT n FROM tot))," +
+      " kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text," +
+      " count(*) AS n_kept FROM l" +
+      " WHERE line NOT IN (SELECT line FROM freq) GROUP BY doc_id)"
+
   private lazy val langIdSql: String = {
     val langs = TF.langMarkers.toSeq.sortBy(_._1)
     def cnt(w: String): String =

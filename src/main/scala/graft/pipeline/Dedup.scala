@@ -884,6 +884,41 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-free train/test split: assign every near-dup CLUSTER — not
+    * every document — wholly to one side, so a test document can never
+    * have a near-duplicate sitting in train (the subtle eval-inflation
+    * bug a per-document hash split bakes in whenever the corpus carries
+    * duplicate mass). Documents with no dup edge are their own singleton
+    * cluster and split by their own id.
+    *
+    * The side is `hashBp(component, salt) < testBp` — the same MINSTD
+    * hash stream as [[Sampling.hashSample]], so the split is
+    * deterministic, salt-reproducible, and integer-exact for external
+    * re-derivation. Expected test share is testBp basis points of
+    * CLUSTERS (clusters are the atomic unit; per-document share drifts
+    * with cluster-size skew, which is the price of zero leakage).
+    *
+    * Scale shape: component labels come from the same min-label
+    * propagation as every dedup composition (near-clique clusters settle
+    * in 2–3 rounds); the label join back to the corpus is an id-keyed
+    * equi-join of an edge-touched-docs-sized table (small vs corpus →
+    * AQE broadcasts it, unhinted); the hash itself is codegen column
+    * math. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, testBp: Int,
+      salt: Long = 0L, idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    require(testBp > 0 && testBp < 10000, s"testBp in (0,10000): $testBp")
+    val comp = connectedComponents(pairs, maxIter = maxIter)
+      .select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("split",
+        when(Sampling.hashBp(col("component"), salt) < lit(testBp.toLong),
+          lit("test")).otherwise(lit("train")))
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH buckets then cosine verify
     * inside buckets. Same blocking discipline as minhash — the cross
     * product only ever materializes within a bucket. `tables` independent

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level boilerplate removal (the CCNet / RefinedWeb "line-wise
+  * dedup" stage): a line that recurs across many documents — cookie
+  * banners, nav menus, "subscribe" calls-to-action, copyright footers —
+  * is template chrome, not content, and is stripped from EVERY document
+  * it appears in while each document's unique lines survive in order.
+  *
+  * Scale shape (100 TB):
+  *   - The line-frequency aggregate is the only corpus-wide pass: a
+  *     hash agg keyed by the line string with map-side partial combine —
+  *     boilerplate is by definition massively repeated, so partials
+  *     collapse most of the volume before the shuffle (same Zipf
+  *     absorption argument as the vocab/heavy-hitter aggregates).
+  *   - The frequent-line SET (lines above the document-share threshold)
+  *     is tiny relative to the corpus — that is what "boilerplate"
+  *     means — so the strip join is a broadcast-shaped left-anti join;
+  *     no hint is forced, AQE picks broadcast from the measured size
+  *     (the Semantic-join discipline).
+  *   - Reassembly is one corpus-sized shuffle (group kept lines back
+  *     into documents). That shuffle is inherent to any order-preserving
+  *     rewrite and is the same width as the input — nothing is amplified.
+  *   - The doc-share threshold is integer cross-multiplied
+  *     (`n_docs * 10000 >= shareBp * N`), never a float division, so the
+  *     cut is exact and external engines reproduce it verbatim.
+  *
+  * Blank/whitespace-only lines are never counted and never stripped:
+  * removing them would collapse paragraph structure, and "empty" is not
+  * boilerplate. Frequency is per-DOCUMENT (count distinct doc), so a
+  * single pathological document repeating one line a million times
+  * cannot promote that line into the global strip set.
+  */
+object Lines {
+
+  /** (doc_id, pos, line) exploded view; `pos` is the 0-based line index
+    * within the document (split with limit -1: trailing empty lines are
+    * real lines). */
+  def explodeLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+
+  /** Non-blank lines present in at least `shareBp` basis points of all
+    * documents: (line, n_docs). The threshold compares
+    * `n_docs * 10000 >= shareBp * N` in exact integer arithmetic. */
+  def frequentLines(docs: DataFrame, shareBp: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(shareBp > 0 && shareBp <= 10000, s"shareBp in (0,10000]: $shareBp")
+    val total = docs.agg(count(lit(1)).as("__n_total"))
+    explodeLines(docs, idCol, textCol)
+      .where(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(total) // 1-row scalar, broadcast by construction
+      .where(col("n_docs") * lit(10000L) >= lit(shareBp.toLong) * col("__n_total"))
+      .select(col("line"), col("n_docs"))
+  }
+
+  /** Strip every frequent line from every document, preserving the order
+    * of surviving lines. Output: (doc_id, text, n_kept, n_dropped) — a
+    * document whose every line was boilerplate survives with empty text
+    * (dropping rows would silently change corpus membership; the caller
+    * decides what to do with empty husks). */
+  def stripFrequentLines(docs: DataFrame, shareBp: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = explodeLines(docs, idCol, textCol)
+    val freq = frequentLines(docs, shareBp, idCol, textCol).select("line")
+    val kept = lines.join(freq, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        (size(split(col(textCol), "\n", -1))).cast("long").as("__n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring (BM25): rank every document against a term
+  * query with the Robertson/Okapi weighting — the retrieval primitive
+  * behind "find the training documents about X", targeted decontamination
+  * sweeps, and corpus search tooling.
+  *
+  *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+  *   idf(t)   = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+  *
+  * Scale shape (100 TB): one corpus pass, zero corpus-sized shuffles.
+  * The per-term document frequencies, the document count and the total
+  * token length are ONE aggregate row (a handful of conditional sums),
+  * cross-joined back as a broadcast scalar; term frequencies and the
+  * final score are then pure per-row column math inside whole-stage
+  * codegen. Nothing wide moves: the plan is scan → 1-row agg → scan
+  * with scalar → project. A million-term query would want an inverted
+  * index; a query of tens of terms — the decontamination/search shape —
+  * wants exactly this.
+  *
+  * Determinism contract: `score_e4` is the BM25 sum in integer 1e-4
+  * units. Each term's contribution is floored to 1e-4 units BEFORE the
+  * sum (per-term floats never accumulate), with the same `+ 1e-6` nudge
+  * as [[LangModel]] so libm-ulp differences in `ln` between engines
+  * cannot straddle a floor boundary. All other arithmetic is IEEE-exact
+  * (integer counts, one division per factor, literal constants), so an
+  * external SQL engine reproduces `score_e4` bit-for-bit.
+  */
+object Retrieval {
+
+  /** BM25 scores for `terms` over a document corpus:
+    * (doc_id, dl, score_e4), every document scored (score 0 when no term
+    * occurs — membership stays intact for downstream joins). Token match
+    * is whole-token equality on the whitespace tokenization, consistent
+    * with every other text op here. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val toked = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), "\\s+").as("__t"))
+    // one scalar row: N, total dl, and df per term (conditional sums)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__t"), t), lit(1L)).otherwise(lit(0L)))
+        .as(s"__df_$i")
+    }
+    val aggs = sum(size(col("__t")).cast("long")).as("__sumdl") +: dfCols
+    val stats = toked.agg(count(lit(1)).as("__n"), aggs: _*)
+    val scored = toked.crossJoin(stats) // 1-row scalar, broadcast
+    val dl = size(col("__t")).cast("double")
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val termE4 = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__t"), x => x === t)).cast("double")
+      // single-log textbook form, mirrored verbatim by the SQL oracle
+      val idfExact = log(
+        ((col("__n") - col(s"__df_$i")).cast("double") + lit(0.5)) /
+          (col(s"__df_$i").cast("double") + lit(0.5)) + lit(1.0))
+      val score = idfExact * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / avgdl))))
+      floor(score * lit(10000.0) + lit(1e-6)).cast("long")
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+      termE4.as("score_e4"))
+  }
+}

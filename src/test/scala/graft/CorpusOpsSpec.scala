@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, LangModel, Lines, Retrieval}
+
+/** Corpus-curation operators added in round 7: line-level boilerplate
+  * removal, bigram-LM NLL scoring, leakage-free splits, BM25. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- line-level boilerplate removal ----
+
+  private def corpusWithBoilerplate = Seq(
+    (0L, "alpha body zero\nSUBSCRIBE NOW\nunique zero"),
+    (1L, "beta body one\nSUBSCRIBE NOW\nunique one"),
+    (2L, "gamma body two\nSUBSCRIBE NOW"),
+    (3L, "delta body three\nrare line"),
+    (4L, "SUBSCRIBE NOW"), // all-boilerplate doc
+    (5L, "epsilon body five\n\nafter blank")).toDF("doc_id", "text")
+
+  test("stripFrequentLines drops frequent lines, keeps order and rare lines") {
+    val out = Lines.stripFrequentLines(corpusWithBoilerplate, shareBp = 5000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "SUBSCRIBE NOW" is in 4/6 docs (67% >= 50%): stripped everywhere
+    assert(out(0L).getString(1) === "alpha body zero\nunique zero")
+    assert(out(1L).getString(1) === "beta body one\nunique one")
+    assert(out(2L).getString(1) === "gamma body two")
+    // rare line survives
+    assert(out(3L).getString(1) === "delta body three\nrare line")
+    // all-boilerplate doc survives as an empty husk, not a dropped row
+    assert(out(4L).getString(1) === "")
+    assert(out(4L).getLong(2) === 0L && out(4L).getLong(3) === 1L)
+    // blank lines are structure, not boilerplate: never stripped even
+    // though "" appears in >50% of docs implicitly via the blank row
+    assert(out(5L).getString(1) === "epsilon body five\n\nafter blank")
+    // counts reconcile
+    assert(out(0L).getLong(2) === 2L && out(0L).getLong(3) === 1L)
+  }
+
+  test("frequentLines threshold is exact integer share, per-doc counted") {
+    // a line repeated 10x INSIDE one doc of 4 must not qualify at 50%
+    val df = Seq(
+      (0L, Seq.fill(10)("spam line").mkString("\n")),
+      (1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    assert(Lines.frequentLines(df, shareBp = 5000).count() === 0L)
+    // in 2 of 4 docs (exactly 50%): >= comparison admits it
+    val df2 = Seq((0L, "spam line"), (1L, "spam line"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    assert(Lines.frequentLines(df2, shareBp = 5000).as[(String, Long)]
+      .collect().toSeq === Seq(("spam line", 2L)))
+  }
+
+  // ---- bigram LM scoring ----
+
+  test("scoreNll: closed-form bigram NLL on a tiny corpus") {
+    val train = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val model = LangModel.train(train)
+    // counts: uni a=3 b=3 c=1, V=3; bi (a,b)=3 (b,a)=1 (b,c)=1
+    // doc "a b": one term log2((3+3)/(3+1)) = log2(1.5)
+    val out = LangModel.scoreNll(model, Seq((7L, "a b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].head()
+    val expected = math.floor(
+      math.log(1.5) / math.log(2.0) * 10000.0 + 1e-6).toLong
+    assert(out === ((7L, 1L, expected)))
+    // unseen bigram with seen context: (c,a): log2((1+3)/(0+1)) = 2.0
+    // exactly — the power-of-two case the +1e-6 nudge protects
+    val unseen = LangModel.scoreNll(model,
+      Seq((8L, "c a")).toDF("doc_id", "text")).as[(Long, Long, Long)].head()
+    assert(unseen === ((8L, 1L, 20000L)))
+    // fully unseen context backs off to uniform 1/V... with numerator
+    // c_u=0: log2((0+3)/(0+1)) = log2 3
+    val oov = LangModel.scoreNll(model,
+      Seq((9L, "z q")).toDF("doc_id", "text")).as[(Long, Long, Long)].head()
+    val exp3 = math.floor(
+      math.log(3.0) / math.log(2.0) * 10000.0 + 1e-6).toLong
+    assert(oov === ((9L, 1L, exp3)))
+  }
+
+  test("scoreNll: short docs score (0,0); repeated text scores lower than gibberish") {
+    val d = sf() // sf0.001 documents
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text")
+    val model = LangModel.train(docs)
+    // a REAL corpus document (every bigram seen, c_b >= 1) vs OOV soup
+    // (every context unseen: uniform 1/V per term)
+    val realText = docs.orderBy("doc_id").select("text").as[String].head()
+    val probe = Seq(
+      (1000001L, "x"), // single token: no bigram
+      (1000002L, ""),
+      (1000003L, realText),
+      (1000004L, Seq.fill(30)("zzqq wwxx").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = LangModel.scoreNll(model, probe)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1000001L) === ((0L, 0L)) && out(1000002L) === ((0L, 0L)))
+    val real = out(1000003L); val gibberish = out(1000004L)
+    assert(real._1 > 0L && real._2 > 0L)
+    // every OOV-context term backs off to EXACTLY the uniform 1/V:
+    // 59 terms x floor(log2(V) * 1e4 + 1e-6), V read from the model
+    val v = model.vocab.as[Long].head()
+    val perTerm = math.floor(
+      math.log(v.toDouble) / math.log(2.0) * 10000.0 + 1e-6).toLong
+    assert(gibberish === ((59L, 59L * perTerm)), s"V=$v gibberish=$gibberish")
+  }
+
+  // ---- leakage-free split ----
+
+  test("leakageFreeSplit: clusters never straddle the split; singletons hash by id") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    // chain 0-1-2 plus pair (10,11): transitive closure must hold 0,1,2
+    // together even though (0,2) is not an edge
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageFreeSplit(docs, pairs, testBp = 3000, salt = 5L)
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.length === 2000)
+    assert(Set(byId(0L), byId(1L), byId(2L)).size === 1, "chain split apart")
+    assert(byId(10L) === byId(11L))
+    assert(byId(0L)._1 === 0L && byId(10L)._1 === 10L)
+    // singleton share lands near the nominal 30%
+    val nTest = out.count(_._3 == "test")
+    assert(math.abs(nTest - 600) < 120, s"test share off: $nTest/2000")
+    // determinism + salt sensitivity
+    val again = Dedup.leakageFreeSplit(docs, pairs, testBp = 3000, salt = 5L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again === out.toSet)
+    val other = Dedup.leakageFreeSplit(docs, pairs, testBp = 3000, salt = 6L)
+      .where(col("split") === "test").count()
+    assert(other != nTest.toLong || {
+      // same count can coincide; membership must differ
+      Dedup.leakageFreeSplit(docs, pairs, testBp = 3000, salt = 6L)
+        .where(col("split") === "test").as[(Long, Long, String)]
+        .collect().toSet != out.filter(_._3 == "test").toSet
+    })
+  }
+
+  // ---- BM25 ----
+
+  test("bm25: closed-form score on a tiny corpus") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry cherry")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("apple", "cherry"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // N=3, sumdl=9, avgdl=3; df(apple)=1, df(cherry)=2
+    def idf(dfT: Double) = math.log((3.0 - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    def comp(tf: Double, dl: Double, dfT: Double) =
+      idf(dfT) * ((tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 3.0))))
+    def e4(x: Double) = math.floor(x * 10000.0 + 1e-6).toLong
+    assert(out(0L) === e4(comp(2.0, 3.0, 1.0)) + 0L) // apple only
+    assert(out(1L) === e4(comp(1.0, 2.0, 2.0)))      // cherry only
+    assert(out(2L) === e4(comp(4.0, 4.0, 2.0)))
+    // absent terms contribute exactly 0, never a negative floor
+    val zero = Retrieval.bm25(docs, Seq("durian"))
+      .as[(Long, Long, Long)].collect()
+    assert(zero.forall(_._3 === 0L))
+  }
+
+  test("bm25 ranks the term-dense short doc above the diluted long one") {
+    val docs = Seq(
+      (0L, "spark spark"),
+      (1L, "spark " + Seq.fill(50)("filler").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("spark"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(out(0L) > out(1L))
+  }
+}
