@@ -1001,6 +1001,35 @@ object SparkEntry {
       graft.pipeline.LangModel.scoreNll(model, d)
     }),
 
+    // ---- bigram-LM scoring against the PERSISTED model store: same
+    // output contract as q_lm_perplexity (identical oracle), but the
+    // counts come from the parquet model written once by the fixture
+    // trainer — proves the store roundtrip preserves the model exactly,
+    // the discipline every reference-model filter needs at 100 TB
+    // (train once, score many corpora) ----
+    "q_lm_store" -> ((s, dir) => {
+      val model = graft.pipeline.LangModel.load(s,
+        graft.sources.WireFixtures.lmModelDir(s, dir))
+      graft.pipeline.LangModel.scoreNll(model,
+        docs(s, dir).select("doc_id", "text"))
+    }),
+
+    // ---- unicode NFC canonicalization (native codegen expression):
+    // DECOMPOSED combining sequences planted after every document
+    // (e+U+0301 acute, i+U+0308 diaeresis, A+U+030A ring) compose to
+    // their precomposed forms; output hashes the normalized text byte-
+    // for-byte against DuckDB utf8proc NFC ----
+    "q_normalize_text" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" cafe\u0301 nai\u0308ve A\u030angstro\u0308m")).as("text"))
+      val nfc = graft.functions.GraftFunctions.nfc_normalize(col("text"))
+      injected.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"),
+        md5(nfc.cast("binary")).as("text_md5"))
+    }),
+
     // ---- leakage-free split: near-dup CLUSTERS assigned wholly to
     // train or test by MINSTD hash of the component label — a test doc
     // can never have a near-duplicate in train. Runs over the planted-
@@ -3056,25 +3085,23 @@ object SparkEntry {
     // summed as integers — the nudge keeps power-of-two ratios (where
     // libm log2 legitimately differs an ulp across engines) off the
     // floor boundary
-    "q_lm_perplexity" ->
-      ("WITH tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
-        " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
-        " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
-        " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
-        " trbi AS (SELECT t[i] AS prev, t[i+1] AS cur, count(*) AS cb FROM" +
-        " (SELECT string_split_regex(text, '\\s+') AS t FROM tr)," +
-        " unnest(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)," +
-        " dg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM" +
-        " (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)," +
-        " unnest(generate_series(1, len(t) - 1)) AS u(i))," +
-        " sc AS (SELECT doc_id, count(*) AS n_terms," +
-        " sum(CAST(floor(log2(CAST(coalesce(uni.cu, 0) + (SELECT v FROM v) AS DOUBLE)" +
-        " / CAST(coalesce(trbi.cb, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT)) AS nll_e4" +
-        " FROM dg LEFT JOIN trbi USING (prev, cur)" +
-        " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)" +
-        " SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
-        " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
-        " FROM documents d LEFT JOIN sc USING (doc_id)"),
+    "q_lm_perplexity" -> lmNllSql,
+
+    // LM scoring against the PERSISTED model store: the stored counts
+    // are the same derivation, so the oracle is identical — the query
+    // proves the parquet roundtrip preserves the model exactly
+    "q_lm_store" -> lmNllSql,
+
+    // NFC canonicalization: same decomposed plant via chr() code points,
+    // DuckDB's utf8proc NFC vs the JDK Normalizer — both implement the
+    // Unicode canonical composition algorithm
+    "q_normalize_text" ->
+      ("WITH inj AS (SELECT doc_id, text || ' cafe' || chr(769) ||" +
+        " ' nai' || chr(776) || 've A' || chr(778) || 'ngstro' ||" +
+        " chr(776) || 'm' AS text FROM documents)" +
+        " SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw," +
+        " CAST(length(nfc_normalize(text)) AS BIGINT) AS n_nfc," +
+        " md5(nfc_normalize(text)) AS text_md5 FROM inj"),
 
     // leakage-free split: recursive-CTE components + the same MINSTD
     // hash-of-component stream as the sampling oracles
@@ -3535,6 +3562,29 @@ object SparkEntry {
 
   /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
     * same alphabetical tie-break order and the same padded-split counting. */
+  /** Bigram-LM NLL oracle (q_lm_perplexity and q_lm_store — the stored
+    * model is the same derivation): add-one-smoothed counts over the 80%
+    * doc_id%5≠0 train slice, per-position integer-floored log2 terms. */
+  private lazy val lmNllSql: String =
+    "WITH tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
+      " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
+      " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
+      " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
+      " trbi AS (SELECT t[i] AS prev, t[i+1] AS cur, count(*) AS cb FROM" +
+      " (SELECT string_split_regex(text, '\\s+') AS t FROM tr)," +
+      " unnest(generate_series(1, len(t) - 1)) AS u(i) GROUP BY 1, 2)," +
+      " dg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM" +
+      " (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)," +
+      " unnest(generate_series(1, len(t) - 1)) AS u(i))," +
+      " sc AS (SELECT doc_id, count(*) AS n_terms," +
+      " sum(CAST(floor(log2(CAST(coalesce(uni.cu, 0) + (SELECT v FROM v) AS DOUBLE)" +
+      " / CAST(coalesce(trbi.cb, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT)) AS nll_e4" +
+      " FROM dg LEFT JOIN trbi USING (prev, cur)" +
+      " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)" +
+      " SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
+      " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
+      " FROM documents d LEFT JOIN sc USING (doc_id)"
+
   /** Shared line-strip oracle CTEs (q_line_dedup + the CCNet pipeline):
     * boilerplate injection, per-line explode with positions, the 1%
     * integer cross-multiplied doc-share threshold, and order-preserving

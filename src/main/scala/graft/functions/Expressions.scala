@@ -256,10 +256,62 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Unicode NFC normalization of a string column — native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * Why it exists: web corpora mix precomposed and combining-sequence
+  * encodings of the same text ("é" as U+00E9 vs "e"+U+0301), which
+  * defeats exact dedup hashing, token counting and string equality —
+  * canonicalizing to NFC is the standard first step of a text-cleanup
+  * stage. Spark has no normalization builtin; a Scala UDF would box
+  * every row out of the codegen stage. This expression emits one
+  * `java.text.Normalizer` call (public JDK API, the reference Unicode
+  * NFC implementation) inline in the generated code, with a cheap
+  * `isNormalized` fast path so the overwhelmingly-ASCII common case
+  * never allocates a new string. */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      NormalizeNfc.nfc(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sv = ctx.freshName("s")
+      s"""
+         |String $sv = $c.toString();
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.NormalizeNfc.nfc($sv));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NormalizeNfc {
+  /** NFC with an isNormalized fast path (ASCII and already-NFC strings
+    * return the same instance — no allocation). */
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
     ColumnBridge.column(FnvHash64(ColumnBridge.expression(c)))
+
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NormalizeNfc(ColumnBridge.expression(c)))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -279,6 +331,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv_hash64", exprs => FnvHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NormalizeNfc(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2sq", exprs => L2SqDistance(exprs(0), exprs(1)), "built-in")
@@ -297,6 +351,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FnvHash64].getName, "fnv_hash64"),
       (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

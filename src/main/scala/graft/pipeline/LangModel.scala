@@ -79,6 +79,24 @@ object LangModel {
       vocab = tokStream.agg(countDistinct(col("tok")).as("__v")))
   }
 
+  /** Persist the model as three parquet tables (the store discipline of
+    * the minhash-signature / drift-reference / IVF-codebook stores): the
+    * reference corpus is scanned once at training time, every later
+    * session scores against the stored counts. */
+  def save(model: Model, dir: String): Unit = {
+    model.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    model.bi.write.mode("overwrite").parquet(s"$dir/bi")
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a persisted model — score-path plans read the parquet counts
+    * directly (columnar scans, joinable like the in-session frames). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    Model(
+      uni = spark.read.parquet(s"$dir/uni"),
+      bi = spark.read.parquet(s"$dir/bi"),
+      vocab = spark.read.parquet(s"$dir/vocab"))
+
   /** Score a corpus under the model: (doc_id, n_terms, nll_e4) where
     * nll_e4 = Σ_positions floor(log2((c_prev + V)/(c_bigram + 1)) · 1e4
     * + 1e-6) — the document's total negative log2-likelihood in exact

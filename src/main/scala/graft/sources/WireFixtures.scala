@@ -170,6 +170,19 @@ object WireFixtures {
         graft.functions.Bpe.train(docs, "text", numMerges), spark, tmp)
     }
 
+  /** Persisted bigram-LM model (the CCNet-filter discipline: train the
+    * reference model ONCE, score every incoming corpus against the
+    * stored counts — re-training per session re-reads the whole
+    * reference corpus). Trained on the doc_id % 5 ≠ 0 slice, matching
+    * q_lm_perplexity's in-session derivation. */
+  def lmModelDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/lm_bigram_t80") { tmp =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").where(col("doc_id") % 5 =!= 0)
+      graft.pipeline.LangModel.save(
+        graft.pipeline.LangModel.train(docs), tmp)
+    }
+
   /** Binary relay event-log segments (the graft-relay DataSource's
     * storage), written once from the envelope. Returns the segment dir. */
   def relayLogDir(spark: SparkSession, sfDir: String): String =

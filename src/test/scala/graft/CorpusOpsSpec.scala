@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, LangModel, Lines, Retrieval}
 
 /** Corpus-curation operators added in round 7: line-level boilerplate
-  * removal, bigram-LM NLL scoring, leakage-free splits, BM25. */
+  * removal, bigram-LM NLL scoring (in-session + persisted store),
+  * leakage-free splits, BM25, NFC normalization. */
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -68,8 +69,7 @@ class CorpusOpsSpec extends SparkSpec {
     val unseen = LangModel.scoreNll(model,
       Seq((8L, "c a")).toDF("doc_id", "text")).as[(Long, Long, Long)].head()
     assert(unseen === ((8L, 1L, 20000L)))
-    // fully unseen context backs off to uniform 1/V... with numerator
-    // c_u=0: log2((0+3)/(0+1)) = log2 3
+    // fully unseen context backs off to log2((0+V)/(0+1)) = log2 3
     val oov = LangModel.scoreNll(model,
       Seq((9L, "z q")).toDF("doc_id", "text")).as[(Long, Long, Long)].head()
     val exp3 = math.floor(
@@ -77,13 +77,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(oov === ((9L, 1L, exp3)))
   }
 
-  test("scoreNll: short docs score (0,0); repeated text scores lower than gibberish") {
+  test("scoreNll: short docs score (0,0); OOV soup scores exactly uniform 1/V") {
     val d = sf() // sf0.001 documents
     val docs = spark.read.parquet(s"$d/documents.parquet")
       .select("doc_id", "text")
     val model = LangModel.train(docs)
-    // a REAL corpus document (every bigram seen, c_b >= 1) vs OOV soup
-    // (every context unseen: uniform 1/V per term)
     val realText = docs.orderBy("doc_id").select("text").as[String].head()
     val probe = Seq(
       (1000001L, "x"), // single token: no bigram
@@ -102,6 +100,44 @@ class CorpusOpsSpec extends SparkSpec {
     val perTerm = math.floor(
       math.log(v.toDouble) / math.log(2.0) * 10000.0 + 1e-6).toLong
     assert(gibberish === ((59L, 59L * perTerm)), s"V=$v gibberish=$gibberish")
+  }
+
+  // ---- LM model store ----
+
+  test("LangModel save/load roundtrip scores identically to the in-session model") {
+    val train = Seq((0L, "a b a b c"), (1L, "b c a")).toDF("doc_id", "text")
+    val probe = Seq((5L, "a b c"), (6L, "z a b")).toDF("doc_id", "text")
+    val mem = LangModel.train(train)
+    val dir = java.nio.file.Files.createTempDirectory("lmstore").toString
+    LangModel.save(mem, dir)
+    val loaded = LangModel.load(spark, dir)
+    val a = LangModel.scoreNll(mem, probe).as[(Long, Long, Long)].collect().toSet
+    val b = LangModel.scoreNll(loaded, probe).as[(Long, Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ---- NFC normalization expression ----
+
+  test("nfc_normalize composes combining sequences; codegen, SQL and null paths") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (0L, "cafe\u0301"), // e + combining acute -> U+00E9
+      (1L, "plain ascii"),
+      (2L, "A\u030a"), // A + combining ring -> U+00C5
+      (3L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = df.selectExpr("id", "nfc_normalize(s) AS n")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(0L) === Some("caf\u00e9"))
+    assert(out(1L) === Some("plain ascii"))
+    assert(out(2L) === Some("\u00c5"))
+    assert(out(3L) === None)
+    // column surface matches, and length shrinks by the composed mark
+    val viaCol = df.where(col("id") === 0L)
+      .select(graft.functions.GraftFunctions.nfc_normalize(col("s")))
+      .as[String].head()
+    assert(viaCol === "caf\u00e9" && viaCol.length === 4)
+    // idempotent (already-NFC input returns unchanged)
+    assert(graft.functions.NormalizeNfc.nfc("caf\u00e9") === "caf\u00e9")
   }
 
   // ---- leakage-free split ----
