@@ -94,9 +94,13 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     derive(spark, base, DerivedDir)
     // `runMain graft.ScaleProbe cc` probes only the distributed-CC leg;
-    // `... media` only the perceptual near-dup legs
+    // `... media` only the perceptual near-dup legs; any other args =
+    // probe only those query names (local iteration on a new family)
     val ccOnly = args.contains("cc")
     val mediaOnly = args.contains("media")
+    val probes =
+      if (args.isEmpty || ccOnly || mediaOnly) Probes
+      else args.toSeq.filter(Probes.contains)
 
     if (mediaOnly) {
       // perceptual near-dup families: signature kernel + hamming join
@@ -143,7 +147,7 @@ object ScaleProbe {
     }
 
     // warm codegen/JIT on the tiny SF first (same rationale as Bench)
-    if (!ccOnly) Probes.foreach { q =>
+    if (!ccOnly) probes.foreach { q =>
       try Bench.force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -158,7 +162,7 @@ object ScaleProbe {
     }
     if (!ccOnly) {
       println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
-      Probes.foreach { q =>
+      probes.foreach { q =>
         val a = time(q, base)
         val b = time(q, DerivedDir)
         println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
@@ -193,6 +197,7 @@ object ScaleProbe {
       System.err.println(s"[probe] cc_distributed $dir edges=$nEdges")
       best
     }
+    if (probes != Probes && !ccOnly) { spark.stop(); return }
     val ca = ccDistributed(base)
     val cb = ccDistributed(DerivedDir)
     println(f"${"cc_distributed"}%-22s $ca%8.2f $cb%8.2f  ${cb / ca}%5.1f×")
