@@ -168,6 +168,36 @@ class PlansSpec extends SparkSpec {
       s"AQE did not broadcast the small drop set:\n$finalPlan")
   }
 
+  test("bm25 plans zero corpus-sized shuffles (stats row broadcast only)") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val out = graft.pipeline.Retrieval.bm25(d, Seq("the", "of"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the only exchanges allowed: the 1-row stats aggregate's partial →
+    // final hop and its broadcast back — never a hashpartitioning of
+    // the corpus itself
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0, s"corpus shuffle in bm25 plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"stats row not broadcast:\n$plan")
+  }
+
+  test("stripFrequentLines: frequent set joins anti, corpus reassembles once") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val out = graft.pipeline.Lines.stripFrequentLines(d, shareBp = 100)
+    Bench.force(out) // let AQE finalize join strategies from real sizes
+    val plan = out.queryExecution.executedPlan.toString
+    // the frequent-line membership test must be an anti join (rows never
+    // multiply), and with AQE measuring the tiny thresholded set it must
+    // come out broadcast — the corpus-side explode is never re-shuffled
+    // for the membership check
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined ||
+      plan.contains("BroadcastHashJoin"),
+      s"frequent set not broadcast under AQE:\n$plan")
+  }
+
   test("mixToBudget plans exactly one exchange (the per-domain window)") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "lang", "text")
