@@ -492,6 +492,99 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  /** Random multi-line corpus over a tiny line pool (forces lines above
+    * and below any doc-share threshold) plus blanks and a per-doc unique
+    * line. */
+  private val genLineDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 24)
+    picks <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(0, 5)))
+  } yield picks.zipWithIndex.map { case (ls, i) =>
+    val lines = ls.map {
+      case 0 => "common banner"
+      case 1 => "promo footer"
+      case 2 => "" // blank: structure, never boilerplate
+      case k => s"body $k of doc $i"
+    } :+ s"unique $i"
+    (i.toLong, lines.mkString("\n"))
+  }
+
+  test("stripFrequentLines equals the in-memory share-threshold model") {
+    val shareBp = 4000
+    samples(genLineDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = pipeline.Lines.stripFrequentLines(df, shareBp)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val n = docs.size.toLong
+      val byLine = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).filter(_.trim.nonEmpty).distinct.map(l => (l, id))
+      }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val freq = byLine.filter { case (_, nd) => nd * 10000L >= shareBp * n }.keySet
+      docs.foreach { case (id, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.filterNot(freq.contains)
+        assert(got(id) === ((kept.mkString("\n"), kept.length.toLong,
+          (all.length - kept.length).toLong)), s"doc $id")
+      }
+    }
+  }
+
+  test("scoreNll equals the in-memory smoothed-bigram model") {
+    samples(genDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val trainDocs = docs.filter(_._1 % 2 == 0)
+      val model = pipeline.LangModel.train(df.where(col("doc_id") % 2 === 0))
+      val got = pipeline.LangModel.scoreNll(model, df)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      def toks(t: String) = t.split("\\s+", -1).toSeq
+      val trainToks = trainDocs.flatMap(d => toks(d._2))
+      val v = trainToks.distinct.size.toLong
+      val cu = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = trainDocs.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      docs.foreach { case (id, t) =>
+        val grams = toks(t).sliding(2).filter(_.size == 2).toSeq
+        val nll = grams.map { g =>
+          val ratio = (cu.getOrElse(g.head, 0L) + v).toDouble /
+            (cb.getOrElse(g, 0L) + 1L).toDouble
+          math.floor(math.log(ratio) / math.log(2.0) * 10000.0 + 1e-6).toLong
+        }.sum
+        assert(got(id) === ((grams.size.toLong, nll)), s"doc $id")
+      }
+    }
+  }
+
+  test("bm25 equals the in-memory Okapi model") {
+    val terms = Seq("w0", "w3", "w7")
+    samples(genDocs).foreach { docs =>
+      // skip corpora whose every doc is empty-ish (avgdl 0 divides)
+      val df = docs.toDF("doc_id", "text")
+      val got = pipeline.Retrieval.bm25(df, terms)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      def toks(t: String) = t.split("\\s+", -1).toSeq
+      val n = docs.size.toDouble
+      val sumdl = docs.map(d => toks(d._2).size).sum.toDouble
+      val avgdl = sumdl / n
+      val dfT = terms.map(w =>
+        w -> docs.count(d => toks(d._2).contains(w)).toDouble).toMap
+      docs.foreach { case (id, t) =>
+        val tk = toks(t)
+        val dl = tk.size.toDouble
+        val score = terms.map { w =>
+          val tf = tk.count(_ == w).toDouble
+          val idf = math.log((n - dfT(w) + 0.5) / (dfT(w) + 0.5) + 1.0)
+          val s = idf * ((tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+          math.floor(s * 10000.0 + 1e-6).toLong
+        }.sum
+        assert(got(id) === ((tk.size.toLong, score)), s"doc $id")
+      }
+    }
+  }
+
   test("any single flipped body byte is caught by the record CRC") {
     samples(genRec).foreach { rec =>
       val bos = new java.io.ByteArrayOutputStream()
