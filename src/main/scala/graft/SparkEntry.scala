@@ -1044,6 +1044,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.pipeline.Retrieval.bm25(docs(s, dir), Seq("the", "of", "data"))),
 
+    // ---- inverted index: per-token true document frequency + capped
+    // posting list (lowest 5 doc ids with aligned tfs — the cap is
+    // exercised by every stopword at this SF; n_docs > 5 marks
+    // truncation). The cap applies BEFORE any list materializes ----
+    "q_postings" -> ((s, dir) =>
+      graft.pipeline.Retrieval.postings(docs(s, dir), maxPostings = 5)),
+
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
     // slice) → per-language exact-quantile gate keeping the low-
@@ -3112,6 +3119,20 @@ object SparkEntry {
         " CASE WHEN ((coalesce(comp.component, c.doc_id) + 23) % 2147483647)" +
         " * 48271 % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS split" +
         " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"),
+
+    // inverted index: same (token, doc) tf aggregate, window cap at 5,
+    // ordered list aggregates for the aligned posting arrays
+    "q_postings" ->
+      ("WITH tf AS (SELECT token, doc_id, count(*) AS tf FROM" +
+        " (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token" +
+        " FROM documents) GROUP BY token, doc_id)," +
+        " capped AS (SELECT token, doc_id, tf," +
+        " row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn," +
+        " count(*) OVER (PARTITION BY token) AS n_docs FROM tf)" +
+        " SELECT token, CAST(max(n_docs) AS BIGINT) AS n_docs," +
+        " list(doc_id ORDER BY doc_id) AS post_ids," +
+        " list(tf ORDER BY doc_id) AS post_tfs" +
+        " FROM capped WHERE rn <= 5 GROUP BY token"),
 
     // BM25: identical parenthesization per factor; df/N/avgdl from one
     // scalar row; per-term floor(score*1e4 + 1e-6) summed as integers

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus relevance scoring (BM25): rank every document against a term
@@ -65,5 +66,40 @@ object Retrieval {
     }.reduce(_ + _)
     scored.select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
       termE4.as("score_e4"))
+  }
+
+  /** Inverted index: one row per token with its document frequency and a
+    * capped posting list (lowest `maxPostings` doc ids, ascending, with
+    * term frequencies aligned) — the build side of corpus search /
+    * targeted-decontamination tooling.
+    *
+    * Scale shape: (token, doc) term frequencies are one hash aggregate
+    * with map-side combine (the Zipf absorption every token aggregate
+    * here leans on); the per-token cap is a window over the ALREADY
+    * AGGREGATED (token, doc) rows — stopword posting lists are bounded
+    * by the cap before any list materializes, so no executor ever holds
+    * an uncapped "the" posting array. `n_docs` is the TRUE document
+    * frequency (counted over the window partition before the cap), so
+    * consumers can tell a capped list from a complete one:
+    * `n_docs > maxPostings` ⇔ truncated. */
+  def postings(docs: DataFrame, maxPostings: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val whole = Window.partitionBy(col("token"))
+    tf.withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(whole))
+      .where(col("rn") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        array_sort(collect_list(col("doc_id"))).as("post_ids"),
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          x => x.getField("tf")).as("post_tfs"))
+      .select(col("token"), col("n_docs"), col("post_ids"), col("post_tfs"))
   }
 }

@@ -195,6 +195,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(zero.forall(_._3 === 0L))
   }
 
+  test("postings: true df, ascending capped ids, tf alignment") {
+    val docs = Seq(
+      (3L, "a b a"),
+      (1L, "a c"),
+      (2L, "a"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Retrieval.postings(docs, maxPostings = 2)
+      .as[(String, Long, Seq[Long], Seq[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // "a" in all 4 docs: TRUE df 4, capped to lowest 2 ids; tf aligned
+    assert(out("a") === ((4L, Seq(1L, 2L), Seq(1L, 1L))))
+    // doc 3 has tf("a")=2 but id 3 is cut by the cap; "b" keeps it
+    assert(out("b") === ((2L, Seq(3L, 4L), Seq(1L, 1L))))
+    assert(out("c") === ((1L, Seq(1L), Seq(1L))))
+    // truncation is detectable: list holds min(n_docs, cap) entries, so
+    // n_docs > maxPostings iff the list was capped
+    assert(out.forall { case (_, (n, ids, tfs)) =>
+      ids.length == tfs.length && ids.length == math.min(n, 2L).toInt })
+  }
+
   test("bm25 ranks the term-dense short doc above the diluted long one") {
     val docs = Seq(
       (0L, "spark spark"),
