@@ -773,6 +773,17 @@ object SparkEntry {
       Dedup.keepOnePerComponent(dupCorpus(s, dir), verifiedDupPairs(s, dir))
         .select("doc_id")),
 
+    // ---- dedup: PRIORITY keep-one — the cross-source rule. Priority =
+    // doc_id % 3 (deterministic stand-in for a source rank): within each
+    // planted-dup cluster the lowest (priority, id) survives, so a
+    // higher-priority +1M copy can now beat its original — exactly what
+    // min-id keep-one cannot express ----
+    "q_priority_keep_one" -> ((s, dir) =>
+      Dedup.keepOneByPriority(
+        dupCorpus(s, dir).withColumn("prio", col("doc_id") % 3),
+        verifiedDupPairs(s, dir), priorityCol = "prio")
+        .select("doc_id")),
+
     // ---- dedup: simhash signature-quality contract. Signatures aren't
     // SQL-reproducible (fnv1a64 votes), but simhash's defining CONTRACT
     // is: near-identical documents get near-identical signatures. Emit
@@ -1064,8 +1075,16 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
         when(col("doc_id") % 3 === 0, lit("all rights reserved - example corp")),
         concat(lit("ref "), col("doc_id").cast("string"))).as("text"))
-      val cleaned = graft.pipeline.Lines.stripFrequentLines(injected,
-        shareBp = 100).select("doc_id", "text")
+      // persisted: the cleaned corpus feeds FIVE consumers (uni/bi/vocab
+      // training scans, the scoring bigram explode, the membership left
+      // join) — without the persist every one re-runs the whole strip
+      // chain (explode + threshold + reassembly shuffle). Same PlanCache
+      // discipline as the LSH signature tables; at 100 TB this is "write
+      // the cleaned snapshot once, read it five times".
+      val cleaned = graft.pipeline.PlanCache.getOrPersist(d,
+        "ccnet-cleaned|shareBp=100",
+        graft.pipeline.Lines.stripFrequentLines(injected, shareBp = 100)
+          .select("doc_id", "text"))
       val model = graft.pipeline.LangModel.train(
         cleaned.where(col("doc_id") % 5 =!= 0))
       val scored = graft.pipeline.LangModel.scoreNll(model, cleaned)
@@ -3109,6 +3128,17 @@ object SparkEntry {
         " SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw," +
         " CAST(length(nfc_normalize(text)) AS BIGINT) AS n_nfc," +
         " md5(nfc_normalize(text)) AS text_md5 FROM inj"),
+
+    // priority keep-one: same recursive-CTE components; winner per
+    // component = lowest (priority, id) via QUALIFY row_number
+    "q_priority_keep_one" -> componentsOracleSql(
+      ", comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)," +
+        " pr AS (SELECT c.doc_id, c.doc_id % 3 AS prio, comp.component" +
+        " FROM corpus c JOIN comp ON comp.id = c.doc_id)," +
+        " losers AS (SELECT doc_id FROM pr QUALIFY" +
+        " row_number() OVER (PARTITION BY component ORDER BY prio, doc_id) > 1)" +
+        " SELECT c.doc_id FROM corpus c" +
+        " WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)"),
 
     // leakage-free split: recursive-CTE components + the same MINSTD
     // hash-of-component stream as the sampling oracles

@@ -884,6 +884,34 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST representative per near-dup cluster by an explicit
+    * priority (lower wins, ties broken by lowest id) — the cross-source
+    * dedup rule: when a curated corpus and a web crawl carry near-copies
+    * of the same document, the curated one survives regardless of id
+    * order. [[keepOnePerComponent]] is the priority-free special case
+    * (min id wins).
+    *
+    * Scale shape: identical to keepOnePerComponent — component labels
+    * from min-label propagation, winner selection is one aggregate over
+    * the edge-touched rows only (cluster count ≪ corpus), and the final
+    * membership test is a drop-set anti-join that AQE broadcasts; the
+    * corpus is never shuffled. */
+  def keepOneByPriority(docs: DataFrame, pairs: DataFrame,
+      priorityCol: String, idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter = maxIter)
+      .select(col("id").as(idCol), col("component"))
+    // edge-touched docs only: everything else is a singleton and kept
+    val touched = docs.select(col(idCol), col(priorityCol))
+      .join(comp, Seq(idCol))
+    val winners = touched.groupBy(col("component"))
+      .agg(min(struct(col(priorityCol), col(idCol))).as("__w"))
+    val drop = touched.join(winners, Seq("component"))
+      .where(struct(col(priorityCol), col(idCol)) =!= col("__w"))
+      .select(col(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-free train/test split: assign every near-dup CLUSTER — not
     * every document — wholly to one side, so a test document can never
     * have a near-duplicate sitting in train (the subtle eval-inflation

@@ -171,6 +171,26 @@ class CorpusOpsSpec extends SparkSpec {
     })
   }
 
+  // ---- priority keep-one ----
+
+  test("keepOneByPriority: priority beats id; ties fall back to id; singletons kept") {
+    val docs = Seq(
+      (1L, 2L), (2L, 0L),        // cluster {1,2}: 2 wins on priority
+      (10L, 1L), (11L, 1L),      // cluster {10,11}: tie -> lowest id 10
+      (20L, 5L),                 // singleton: kept regardless of priority
+      (30L, 0L), (31L, 1L), (32L, 2L) // chain cluster {30,31,32}: 30 wins
+    ).toDF("doc_id", "prio")
+    val pairs = Seq((1L, 2L), (10L, 11L), (30L, 31L), (31L, 32L))
+      .toDF("id_a", "id_b")
+    val kept = graft.pipeline.Dedup.keepOneByPriority(docs, pairs, "prio")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 10L, 20L, 30L))
+    // priority-free keepOne would have kept 1L, not 2L
+    val minId = graft.pipeline.Dedup.keepOnePerComponent(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId.contains(1L) && !minId.contains(2L))
+  }
+
   // ---- BM25 ----
 
   test("bm25: closed-form score on a tiny corpus") {
