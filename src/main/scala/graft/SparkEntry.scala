@@ -1000,6 +1000,20 @@ object SparkEntry {
           col("n_kept"), col("n_dropped"))
     }),
 
+    // ---- within-doc consecutive duplicate-line collapse (uniq rule):
+    // planted runs ("repeat me" ×(id%3+1), double blanks) collapse to
+    // their heads; a pure higher-order array filter — zero shuffles ----
+    "q_line_collapse" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        expr("repeat(chr(10) || 'repeat me', CAST(doc_id % 3 AS INT) + 1)"),
+        lit("\n\n\n"),
+        concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+      graft.pipeline.Lines.collapseRepeatedLines(injected)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_collapsed"))
+    }),
+
     // ---- bigram-LM NLL scoring (the CCNet perplexity-filter shape):
     // model trained on the 80% doc_id%5≠0 slice, every document scored —
     // held-out docs exercise the unseen-bigram smoothing path. Per-
@@ -3072,6 +3086,22 @@ object SparkEntry {
         " CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept," +
         " CAST(nl.n_lines - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dropped" +
         " FROM nl LEFT JOIN kept USING (doc_id)"),
+
+    // consecutive duplicate-line collapse: same injection, kept lines =
+    // run heads (i = 1 OR t[i] <> t[i-1]; t[0] is NULL in DuckDB so the
+    // comparison is vacuously non-true and the i = 1 arm decides)
+    "q_line_collapse" ->
+      ("WITH inj AS (SELECT doc_id, text ||" +
+        " repeat(chr(10) || 'repeat me', CAST(doc_id % 3 AS INT) + 1) ||" +
+        " chr(10) || chr(10) || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)" +
+        " AS text FROM documents)," +
+        " l AS (SELECT doc_id, i, t[i] AS line, len(t) AS n FROM" +
+        " (SELECT doc_id, string_split(text, chr(10)) AS t FROM inj)," +
+        " unnest(generate_series(1, len(t))) AS u(i)" +
+        " WHERE i = 1 OR t[i] <> t[i-1])" +
+        " SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY i)) AS text_md5," +
+        " CAST(max(n) - count(*) AS BIGINT) AS n_collapsed" +
+        " FROM l GROUP BY doc_id"),
 
     // the composed CCNet-shape pipeline: boilerplate strip → bigram-LM
     // NLL over the CLEANED corpus (trained on its 80% slice) → per-

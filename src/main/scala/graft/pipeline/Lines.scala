@@ -59,6 +59,36 @@ object Lines {
       .select(col("line"), col("n_docs"))
   }
 
+  /** Collapse every run of identical consecutive lines to its first
+    * occurrence (the `uniq` rule: "repeat me\nrepeat me\nrepeat me" →
+    * one line; multiple blank lines → one blank line) — the within-
+    * document counterpart of [[stripFrequentLines]]' cross-document
+    * rule.
+    *
+    * Scale shape: the entire op is a higher-order `filter` over the
+    * split array — a pure per-row projection, ZERO shuffles, linear in
+    * the scan. No corpus statistics are needed, so unlike the frequency
+    * strip there is no aggregate and no join. */
+  def collapseRepeatedLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val arr = split(col(textCol), "\n", -1)
+    // pair every line with its predecessor by zipping against the
+    // 1-shifted array (null-padded head = "no predecessor"), keep run
+    // heads (predecessor null or different), drop the null markers.
+    // zip_with's lambda binds only its own variables — an indexed
+    // filter lambda referencing the outer array expression mis-binds
+    // under Catalyst's lambda resolution (observed: element_at probing
+    // a different row's array length)
+    val shifted = concat(array(lit(null).cast("string")),
+      slice(arr, lit(1), size(arr) - 1))
+    val marked = zip_with(arr, shifted,
+      (x, p) => when(p.isNull.or(x =!= p), x))
+    val kept = filter(marked, x => x.isNotNull)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      concat_ws("\n", kept).as("text"),
+      (size(arr) - size(kept)).cast("long").as("n_collapsed"))
+  }
+
   /** Strip every frequent line from every document, preserving the order
     * of surviving lines. Output: (doc_id, text, n_kept, n_dropped) — a
     * document whose every line was boilerplate survives with empty text

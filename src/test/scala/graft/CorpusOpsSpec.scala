@@ -52,6 +52,20 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().toSeq === Seq(("spam line", 2L)))
   }
 
+  test("collapseRepeatedLines: uniq rule, blank runs, interleaved repeats") {
+    val docs = Seq(
+      (0L, "a\na\na\nb\na"),   // run collapses, later recurrence kept
+      (1L, "x\n\n\n\ny"),      // blank run -> one blank
+      (2L, "solo"),
+      (3L, "s\ns")).toDF("doc_id", "text")
+    val out = Lines.collapseRepeatedLines(docs)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0L) === (("a\nb\na", 2L)))
+    assert(out(1L) === (("x\n\ny", 2L)))
+    assert(out(2L) === (("solo", 0L)))
+    assert(out(3L) === (("s", 1L)))
+  }
+
   // ---- bigram LM scoring ----
 
   test("scoreNll: closed-form bigram NLL on a tiny corpus") {
