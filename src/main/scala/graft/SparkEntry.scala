@@ -2064,41 +2064,39 @@ object SparkEntry {
     "q_drift_stream" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("driftstream").toString
       val d = docs(s, dir).select("doc_id", "text")
-      d.where(col("doc_id") % 10 === 0).coalesce(1)
-        .write.parquet(s"$root/in")
-      // slice order IS batch order via mtime — stamped EXPLICITLY (60s
-      // apart) rather than trusting write timing: a coarse-granularity
-      // filesystem could tie the two writes' mtimes and let the source
-      // admit the slices in either order
-      val inDir = new java.io.File(s"$root/in")
-      val t0 = System.currentTimeMillis() - 120000L
-      inDir.listFiles().foreach(_.setLastModified(t0))
-      val firstGen = inDir.listFiles().map(_.getName).toSet
-      d.where(col("doc_id") % 10 === 5).coalesce(1)
-        .write.mode("append").parquet(s"$root/in")
-      inDir.listFiles().filterNot(f => firstGen.contains(f.getName))
-        .foreach(_.setLastModified(t0 + 60000L))
       // reference distribution: computed + persisted ONCE, ≤256 rows
       graft.pipeline.Monitor.referenceDistribution(
           docs(s, dir).where(col("doc_id") % 5 =!= 0).select("text"),
           buckets = 256)
         .coalesce(1).write.parquet(s"$root/refdist")
-      val q = s.readStream.schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$root/in")
-        .writeStream
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val refCounts = b.sparkSession.read.parquet(s"$root/refdist")
-          graft.pipeline.Monitor
-            .tokenDriftFromCounts(refCounts, b, buckets = 256)
-            .withColumn("batch_id", lit(batchId))
-            .coalesce(1).write.mode("append").parquet(s"$root/out")
-          ()
-        }
-        .option("checkpointLocation", s"$root/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // two slices through two RESUMED AvailableNow runs off one
+      // checkpoint — batch order is STRUCTURAL (write → drain → write →
+      // drain), the same no-mtime-trust discipline as
+      // q_sessionize_stream: its mtime-ordered single-run form was
+      // observed flaking under heavy box load
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val refCounts = b.sparkSession.read.parquet(s"$root/refdist")
+            graft.pipeline.Monitor
+              .tokenDriftFromCounts(refCounts, b, buckets = 256)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
       s.read.parquet(s"$root/out")
         .select("batch_id", "bucket", "cnt_ref", "cnt_batch",
           "expected_e6", "chi2_contrib_e6")

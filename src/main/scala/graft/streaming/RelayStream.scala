@@ -84,8 +84,9 @@ object RelayStream {
         !beforePaths.contains(f.getAbsolutePath))
       .foreach { f =>
         val k = f.getName match { case PartNum(n) => n.toLong; case _ => 0L }
-        f.setLastModified(base + k * 2)
-        ()
+        // surface a failed stamp: silently keeping write-time mtimes
+        // would let the source admit parts out of sequence order
+        require(f.setLastModified(base + k * 2), s"cannot stamp mtime on $f")
       }
   }
 
