@@ -530,6 +530,47 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("collapseRepeatedLines equals the in-memory uniq model") {
+    samples(genLineDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = pipeline.Lines.collapseRepeatedLines(df)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      docs.foreach { case (id, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.zipWithIndex
+          .filter { case (l, i) => i == 0 || l != all(i - 1) }.map(_._1)
+        assert(got(id) === ((kept.mkString("\n"),
+          (all.length - kept.length).toLong)), s"doc $id")
+      }
+    }
+  }
+
+  test("keepOneByPriority equals the in-memory union-find model") {
+    // random graphs over 12 vertices; priority = id % 4
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      nEdges <- Gen.choose(0, 10)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    } yield edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    samples(genGraph).foreach { edges =>
+      val docs = (0L until 12L).map(i => (i, i % 4)).toDF("doc_id", "prio")
+      val pairs = (if (edges.isEmpty) List((100L, 101L)) else edges)
+        .toDF("id_a", "id_b")
+      val got = pipeline.Dedup.keepOneByPriority(docs, pairs, "prio")
+        .select("doc_id").as[Long].collect().toSet
+      // model: union-find, then keep min (prio, id) per component
+      val parent = collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val keep = (0L until 12L).groupBy(find)
+        .values.map(_.minBy(i => (i % 4, i))).toSet
+      assert(got === keep, s"edges $edges")
+    }
+  }
+
   test("scoreNll equals the in-memory smoothed-bigram model") {
     samples(genDocs).foreach { docs =>
       val df = docs.toDF("doc_id", "text")
