@@ -1055,6 +1055,42 @@ object SparkEntry {
         md5(nfc.cast("binary")).as("text_md5"))
     }),
 
+    // ---- STREAMING LM scoring against the persisted model store: two
+    // corpus slices drain through two resumed AvailableNow runs (the
+    // structural-order discipline of q_drift_stream); each micro-batch
+    // scores against the stored counts only — the model trains zero
+    // times in this session. Completes the batch / store / streaming
+    // triad of the perplexity filter ----
+    "q_lm_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("lmstream").toString
+      val modelDir = graft.sources.WireFixtures.lmModelDir(s, dir)
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val model = graft.pipeline.LangModel.load(b.sparkSession, modelDir)
+            graft.pipeline.LangModel.scoreNll(model, b)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 1).coalesce(1)
+        .write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 6).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select("batch_id", "doc_id", "n_terms", "nll_e4")
+    }),
+
     // ---- leakage-free split: near-dup CLUSTERS assigned wholly to
     // train or test by MINSTD hash of the component label — a test doc
     // can never have a near-duplicate in train. Runs over the planted-
@@ -3146,6 +3182,21 @@ object SparkEntry {
     // proves the parquet roundtrip preserves the model exactly
     "q_lm_store" -> lmNllSql,
 
+    // streaming LM scoring: slice → batch_id is structural (resumed
+    // runs), so the oracle is the per-slice restriction of the same
+    // derivation stamped with its batch id
+    "q_lm_stream" ->
+      (s"WITH $lmNllCtes," +
+        " scored AS (SELECT d.doc_id," +
+        " CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
+        " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
+        " FROM documents d LEFT JOIN sc USING (doc_id))" +
+        " SELECT CAST(0 AS BIGINT) AS batch_id, doc_id, n_terms, nll_e4" +
+        " FROM scored WHERE doc_id % 10 = 1" +
+        " UNION ALL" +
+        " SELECT CAST(1 AS BIGINT) AS batch_id, doc_id, n_terms, nll_e4" +
+        " FROM scored WHERE doc_id % 10 = 6"),
+
     // NFC canonicalization: same decomposed plant via chr() code points,
     // DuckDB's utf8proc NFC vs the JDK Normalizer — both implement the
     // Unicode canonical composition algorithm
@@ -3641,11 +3692,11 @@ object SparkEntry {
 
   /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
     * same alphabetical tie-break order and the same padded-split counting. */
-  /** Bigram-LM NLL oracle (q_lm_perplexity and q_lm_store — the stored
-    * model is the same derivation): add-one-smoothed counts over the 80%
-    * doc_id%5≠0 train slice, per-position integer-floored log2 terms. */
-  private lazy val lmNllSql: String =
-    "WITH tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
+  /** Shared bigram-LM oracle CTEs: add-one-smoothed counts over the 80%
+    * doc_id%5≠0 train slice, per-position integer-floored log2 terms
+    * aggregated per doc (docs with < 2 tokens are absent from `sc`). */
+  private lazy val lmNllCtes: String =
+    "tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
       " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
       " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
       " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
@@ -3659,7 +3710,12 @@ object SparkEntry {
       " sum(CAST(floor(log2(CAST(coalesce(uni.cu, 0) + (SELECT v FROM v) AS DOUBLE)" +
       " / CAST(coalesce(trbi.cb, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT)) AS nll_e4" +
       " FROM dg LEFT JOIN trbi USING (prev, cur)" +
-      " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)" +
+      " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)"
+
+  /** Bigram-LM NLL oracle (q_lm_perplexity and q_lm_store — the stored
+    * model is the same derivation). */
+  private lazy val lmNllSql: String =
+    s"WITH $lmNllCtes" +
       " SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
       " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
       " FROM documents d LEFT JOIN sc USING (doc_id)"
