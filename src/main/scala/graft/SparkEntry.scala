@@ -1105,6 +1105,18 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.pipeline.Retrieval.bm25(docs(s, dir), Seq("the", "of", "data"))),
 
+    // ---- sharded export + manifest: deterministic MINSTD shard
+    // assignment, one file per shard (repartition-before-partitionBy),
+    // manifest computed from the WRITTEN data read back — proves the
+    // export roundtrip, not just the plan ----
+    "q_export_shards" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val root = java.nio.file.Files.createTempDirectory("export").toString
+      graft.pipeline.Export.writeShards(
+        docs(s, dir).select("doc_id", "text"), s"$root/data",
+        numShards = 8, salt = 17L)
+    }),
+
     // ---- inverted index: per-token true document frequency + capped
     // posting list (lowest 5 doc ids with aligned tfs — the cap is
     // exercised by every stopword at this SF; n_docs > 5 marks
@@ -3228,6 +3240,16 @@ object SparkEntry {
         " CASE WHEN ((coalesce(comp.component, c.doc_id) + 23) % 2147483647)" +
         " * 48271 % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS split" +
         " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"),
+
+    // sharded export manifest: same MINSTD shard arithmetic, aggregated
+    // straight from the documents table (the write is content-preserving,
+    // so the readback manifest equals the source-side derivation)
+    "q_export_shards" ->
+      ("SELECT ((doc_id + 17) % 2147483647) * 48271 % 2147483647 % 8 AS shard," +
+        " count(*) AS n_docs," +
+        " CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens," +
+        " min(doc_id) AS min_id, max(doc_id) AS max_id" +
+        " FROM documents GROUP BY 1"),
 
     // inverted index: same (token, doc) tf aggregate, window cap at 5,
     // ordered list aggregates for the aligned posting arrays

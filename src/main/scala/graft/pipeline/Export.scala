@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded dataset export — the write stage every training-data pipeline
+  * ends in: deterministic shard assignment (same doc always lands in the
+  * same shard, across reruns and engines), one file per shard, and a
+  * manifest computed from the WRITTEN data so "what the trainer will
+  * read" is proven, not assumed.
+  *
+  * Shard = `minstd(id, salt) mod numShards` — the engine's MINSTD hash
+  * stream ([[Sampling.minstd]]), integer-exact and SQL-re-derivable, so
+  * an external system can compute any document's shard without reading
+  * the manifest.
+  *
+  * Scale shape: `repartition(numShards, shard)` before `partitionBy`
+  * is the one shuffle, and it is the point — without it a partitionBy
+  * write emits up to inputPartitions × shards files (the small-files
+  * problem that kills downstream training reads at 100 TB); with it,
+  * exactly one file per shard per write. The manifest is a readback
+  * aggregate over the written parquet — column-pruned to the id/token
+  * columns, one scan. */
+object Export {
+
+  /** Write `docs` sharded under `dir` and return the manifest (shard,
+    * n_docs, n_tokens, min_id, max_id) computed by reading the written
+    * data back. */
+  def writeShards(docs: DataFrame, dir: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: Long = 0L)(implicit spark: SparkSession): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    docs
+      .withColumn("shard",
+        pmod(Sampling.minstd(col(idCol), salt), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    manifest(spark.read.parquet(dir), idCol, textCol)
+  }
+
+  /** Manifest over a sharded dataset (already containing `shard`). */
+  def manifest(sharded: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    sharded.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), "\\s+")).cast("long")).as("n_tokens"),
+        min(col(idCol)).cast("long").as("min_id"),
+        max(col(idCol)).cast("long").as("max_id"))
+}

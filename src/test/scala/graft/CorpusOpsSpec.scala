@@ -185,6 +185,34 @@ class CorpusOpsSpec extends SparkSpec {
     })
   }
 
+  // ---- sharded export ----
+
+  test("writeShards: one file per shard, content-preserving, deterministic") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok tok doc "), col("id").cast("string")).as("text"))
+    val root = java.nio.file.Files.createTempDirectory("exp").toString
+    val man = graft.pipeline.Export.writeShards(docs, s"$root/d", numShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(man.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(man.map(_._2).sum === 500L)
+    // exactly one data file per shard directory
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$root/d/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $sh has ${files.length} files")
+    }
+    // roundtrip preserves every row
+    val back = spark.read.parquet(s"$root/d").select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(back === docs.as[(Long, String)].collect().toSet)
+    // same salt -> identical assignment on a rewrite
+    val man2 = graft.pipeline.Export.writeShards(docs, s"$root/e", numShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(man2.toSeq === man.toSeq)
+  }
+
   // ---- priority keep-one ----
 
   test("keepOneByPriority: priority beats id; ties fall back to id; singletons kept") {
