@@ -1105,6 +1105,12 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.pipeline.Retrieval.bm25(docs(s, dir), Seq("the", "of", "data"))),
 
+    // ---- BM25 top-k retrieval: per-partition k-heaps merge on one
+    // reducer (TakeOrderedAndProject), never a global sort ----
+    "q_bm25_topk" -> ((s, dir) =>
+      graft.pipeline.Retrieval.bm25TopK(docs(s, dir),
+        Seq("the", "of", "data"), k = 20)),
+
     // ---- sharded export + manifest: deterministic MINSTD shard
     // assignment, one file per shard (repartition-before-partitionBy),
     // manifest computed from the WRITTEN data read back — proves the
@@ -3267,25 +3273,13 @@ object SparkEntry {
 
     // BM25: identical parenthesization per factor; df/N/avgdl from one
     // scalar row; per-term floor(score*1e4 + 1e-6) summed as integers
-    "q_bm25" -> {
-      def term(w: String, df: String): String = {
-        val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
-        val idf = s"ln((CAST((SELECT n FROM st) - (SELECT $df FROM st) AS DOUBLE) + 0.5)" +
-          s" / (CAST((SELECT $df FROM st) AS DOUBLE) + 0.5) + 1.0)"
-        val dl = "CAST(len(tk) AS DOUBLE)"
-        val avgdl = "(CAST((SELECT sumdl FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))"
-        s"CAST(floor($idf * (($tf * (1.2 + 1.0)) / ($tf + 1.2 *" +
-          s" ((1.0 - 0.75) + 0.75 * ($dl / $avgdl)))) * 10000.0 + 1e-6) AS BIGINT)"
-      }
-      "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents)," +
-        " st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl," +
-        " sum(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) AS df0," +
-        " sum(CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) AS df1," +
-        " sum(CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END) AS df2 FROM t)" +
-        " SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl," +
-        s" ${term("the", "df0")} + ${term("of", "df1")} + ${term("data", "df2")} AS score_e4" +
-        " FROM t"
-    },
+    "q_bm25" -> bm25Sql,
+
+    // BM25 top-k: same scoring, global (score desc, id) rank capped at 20
+    "q_bm25_topk" ->
+      (s"SELECT doc_id, dl, score_e4, rank FROM (SELECT doc_id, dl, score_e4," +
+        " CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank" +
+        s" FROM ($bm25Sql)) WHERE rank <= 20"),
 
     "q_ann_brute" -> annBruteSql,
 
@@ -3714,6 +3708,28 @@ object SparkEntry {
 
   /** lang-id oracle: same marker-occurrence argmax as TF.langId, with the
     * same alphabetical tie-break order and the same padded-split counting. */
+  /** BM25 oracle (q_bm25 and its top-k): identical parenthesization per
+    * factor; df/N/avgdl from one scalar row; per-term integer floors. */
+  private lazy val bm25Sql: String = {
+    def term(w: String, df: String): String = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
+      val idf = s"ln((CAST((SELECT n FROM st) - (SELECT $df FROM st) AS DOUBLE) + 0.5)" +
+        s" / (CAST((SELECT $df FROM st) AS DOUBLE) + 0.5) + 1.0)"
+      val dl = "CAST(len(tk) AS DOUBLE)"
+      val avgdl = "(CAST((SELECT sumdl FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))"
+      s"CAST(floor($idf * (($tf * (1.2 + 1.0)) / ($tf + 1.2 *" +
+        s" ((1.0 - 0.75) + 0.75 * ($dl / $avgdl)))) * 10000.0 + 1e-6) AS BIGINT)"
+    }
+    "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents)," +
+      " st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl," +
+      " sum(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) AS df0," +
+      " sum(CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) AS df1," +
+      " sum(CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END) AS df2 FROM t)" +
+      " SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl," +
+      s" ${term("the", "df0")} + ${term("of", "df1")} + ${term("data", "df2")} AS score_e4" +
+      " FROM t"
+  }
+
   /** Shared bigram-LM oracle CTEs: add-one-smoothed counts over the 80%
     * doc_id%5≠0 train slice, per-position integer-floored log2 terms
     * aggregated per doc (docs with < 2 tokens are absent from `sc`). */

@@ -68,6 +68,24 @@ object Retrieval {
       termE4.as("score_e4"))
   }
 
+  /** Top-k retrieval: BM25-score the corpus and keep the k best
+    * documents (ties broken by lowest id) — the "search the corpus"
+    * surface over [[bm25]].
+    *
+    * Scale shape: bm25's shuffle-free scoring plus a global top-k. The
+    * top-k is NOT a global sort: TakeOrderedAndProject keeps a k-sized
+    * heap per partition and merges k × partitions rows on one reducer —
+    * the only safe global-ordering shape at corpus scale. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    bm25(docs, terms, idCol = idCol, textCol = textCol)
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Inverted index: one row per token with its document frequency and a
     * capped posting list (lowest `maxPostings` doc ids, ascending, with
     * term frequencies aligned) — the build side of corpus search /
