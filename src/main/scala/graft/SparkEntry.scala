@@ -1099,6 +1099,13 @@ object SparkEntry {
       Dedup.leakageFreeSplit(dupCorpus(s, dir), verifiedDupPairs(s, dir),
         testBp = 2000, salt = 23L)),
 
+    // ---- three-way variant: same hash stream cut at two thresholds —
+    // test membership is unchanged from q_leakage_split (same salt and
+    // testBp), which IS the stability property the op promises ----
+    "q_leakage_split3" -> ((s, dir) =>
+      Dedup.leakageFreeSplit3(dupCorpus(s, dir), verifiedDupPairs(s, dir),
+        valBp = 1000, testBp = 2000, salt = 23L)),
+
     // ---- BM25 relevance scoring: one corpus pass, document frequencies
     // and length stats as a single cross-joined scalar row, per-term
     // contributions floored to integer 1e-4 units before the sum ----
@@ -3246,6 +3253,18 @@ object SparkEntry {
         " CASE WHEN ((coalesce(comp.component, c.doc_id) + 23) % 2147483647)" +
         " * 48271 % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS split" +
         " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"),
+
+    // three-way split: same hash, two thresholds
+    "q_leakage_split3" -> componentsOracleSql(
+      ", comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)," +
+        " hh AS (SELECT c.doc_id," +
+        " CAST(coalesce(comp.component, c.doc_id) AS BIGINT) AS component," +
+        " ((coalesce(comp.component, c.doc_id) + 23) % 2147483647)" +
+        " * 48271 % 2147483647 % 10000 AS h" +
+        " FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)" +
+        " SELECT doc_id, component," +
+        " CASE WHEN h < 2000 THEN 'test' WHEN h < 3000 THEN 'val'" +
+        " ELSE 'train' END AS split FROM hh"),
 
     // sharded export manifest: same MINSTD shard arithmetic, aggregated
     // straight from the documents table (the write is content-preserving,

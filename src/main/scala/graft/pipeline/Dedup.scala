@@ -936,15 +936,31 @@ object Dedup {
       salt: Long = 0L, idCol: String = "doc_id",
       maxIter: Int = 20): DataFrame = {
     require(testBp > 0 && testBp < 10000, s"testBp in (0,10000): $testBp")
+    leakageFreeSplit3(docs, pairs, valBp = 0, testBp = testBp, salt = salt,
+      idCol = idCol, maxIter = maxIter)
+  }
+
+  /** Three-way leakage-free split: the same cluster-atomic hash stream
+    * cut at two thresholds — [0, testBp) → test, [testBp, testBp+valBp)
+    * → val, rest → train. One hash, consistent membership: raising
+    * `valBp` later moves clusters from train to val without ever
+    * reshuffling test (the stability property eval sets need). */
+  def leakageFreeSplit3(docs: DataFrame, pairs: DataFrame, valBp: Int,
+      testBp: Int, salt: Long = 0L, idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    require(testBp > 0 && valBp >= 0 && testBp + valBp < 10000,
+      s"need testBp > 0, valBp >= 0, testBp + valBp < 10000: $testBp/$valBp")
     val comp = connectedComponents(pairs, maxIter = maxIter)
       .select(col("id").as(idCol), col("component"))
+    val h = Sampling.hashBp(col("component"), salt)
     docs.select(col(idCol).cast("long").as(idCol))
       .join(comp, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("split",
-        when(Sampling.hashBp(col("component"), salt) < lit(testBp.toLong),
-          lit("test")).otherwise(lit("train")))
+        when(h < lit(testBp.toLong), lit("test"))
+          .when(h < lit((testBp + valBp).toLong), lit("val"))
+          .otherwise(lit("train")))
   }
 
   /** Embedding-cosine near-dup: hyperplane-LSH buckets then cosine verify

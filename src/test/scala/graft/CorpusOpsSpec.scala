@@ -233,6 +233,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(minId.contains(1L) && !minId.contains(2L))
   }
 
+  test("leakageFreeSplit3: test membership is stable when valBp grows") {
+    val docs = spark.range(0, 3000).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    def splitOf(valBp: Int) =
+      Dedup.leakageFreeSplit3(docs, pairs, valBp = valBp, testBp = 2500,
+        salt = 9L).as[(Long, Long, String)].collect()
+        .map(t => t._1 -> t._3).toMap
+    val two = splitOf(0); val three = splitOf(1500)
+    // the test set is IDENTICAL — growing val only eats into train
+    assert(two.filter(_._2 == "test") === three.filter(_._2 == "test"))
+    assert(two.count(_._2 == "val") === 0)
+    val v = three.count(_._2 == "val")
+    assert(math.abs(v - 450) < 120, s"val share off: $v/3000")
+    assert(three.values.toSet === Set("train", "val", "test"))
+  }
+
   // ---- BM25 ----
 
   test("bm25: closed-form score on a tiny corpus") {
