@@ -34,7 +34,8 @@ object ScaleProbe {
     "q_heavy_hitters", "q_dedup_softweight", "q_dsir_select",
     "q_mix_budget", "q_substring_dup", "q_quality_quantile",
     "q_pca_power", "q_drift_stats", "q_pipeline_curation",
-    "q_line_dedup", "q_lm_perplexity", "q_bm25", "q_leakage_split")
+    "q_line_dedup", "q_lm_perplexity", "q_bm25", "q_leakage_split",
+    "q_postings", "q_line_collapse", "q_export_shards", "q_bm25_topk")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

@@ -198,6 +198,14 @@ class PlansSpec extends SparkSpec {
       s"frequent set not broadcast under AQE:\n$plan")
   }
 
+  test("collapseRepeatedLines plans zero exchanges (pure projection)") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val plan = graft.pipeline.Lines.collapseRepeatedLines(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("mixToBudget plans exactly one exchange (the per-domain window)") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "lang", "text")
