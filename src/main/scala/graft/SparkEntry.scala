@@ -558,6 +558,13 @@ object SparkEntry {
         Bpe.roundtrip(model)(col("text")).as("text"))
     }),
 
+    // ---- text analysis: char-distribution entropy (gibberish /
+    // degenerate-repetition signal) in integer 1e-4-bit units ----
+    "q_char_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TF.charEntropyE4(col("text")).as("entropy_e4"))),
+
     // ---- text analysis: Gopher rule battery — per-rule booleans + the
     // keep conjunction, auditable per doc ----
     "q_gopher_rules" -> ((s, dir) =>
@@ -3289,6 +3296,22 @@ object SparkEntry {
         " list(doc_id ORDER BY doc_id) AS post_ids," +
         " list(tf ORDER BY doc_id) AS post_tfs" +
         " FROM capped WHERE rn <= 5 GROUP BY token"),
+
+    // char entropy: per-char counts via unnest + group-by (set-based
+    // re-derivation of the sorted-run fold), same identity and nudge
+    "q_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c" +
+        " FROM documents)," +
+        " cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)," +
+        " nn AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1)," +
+        " sx AS (SELECT doc_id, sum(CAST(cnt AS DOUBLE)" +
+        " * log2(CAST(cnt AS DOUBLE))) AS x FROM cc GROUP BY doc_id)" +
+        " SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars," +
+        " CAST(coalesce(CAST(floor((log2(CAST(nn.n AS DOUBLE))" +
+        " - sx.x / CAST(nn.n AS DOUBLE)) * 10000.0 + 1e-6) AS BIGINT), 0)" +
+        " AS BIGINT) AS entropy_e4" +
+        " FROM documents d LEFT JOIN nn USING (doc_id)" +
+        " LEFT JOIN sx USING (doc_id)"),
 
     // BM25: identical parenthesization per factor; df/N/avgdl from one
     // scalar row; per-term floor(score*1e4 + 1e-6) summed as integers

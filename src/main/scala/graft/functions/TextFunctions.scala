@@ -145,6 +145,38 @@ object TextFunctions {
       maxRun.cast("double") / (n - 1).cast("double"))
   }
 
+  /** Character-distribution entropy in integer 1e-4-bit units — the
+    * gibberish/repetition quality signal: random byte soup scores near
+    * log2(alphabet), degenerate repetition scores near 0, natural text
+    * sits in a stable band between them.
+    *
+    * Identity used: H = log2(n) − (Σ_runs c·log2 c)/n over the SORTED
+    * character array, with run lengths folded in one `aggregate` pass
+    * (the [[topBigramFraction]] shape — O(n log n), input evaluated
+    * once, no nested lambda capturing an outer array). The `+ 1e-6`
+    * floor nudge covers the exact-uniform cases where H is a power-of-2
+    * log (the [[graft.pipeline.LangModel]] discipline). */
+  def charEntropyE4(text: Column): Column = {
+    val chars = array_sort(split(text, ""))
+    val n = size(chars)
+    def closeRun(run: Column): Column =
+      when(run === 0L, lit(0.0))
+        .otherwise(run.cast("double") * log2(run.cast("double")))
+    val folded = aggregate(chars,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          (acc.getField("s") + when(same, lit(0.0))
+            .otherwise(closeRun(acc.getField("run")))).as("s"))
+      },
+      acc => acc.getField("s") + closeRun(acc.getField("run")))
+    val h = log2(n.cast("double")) - folded / n.cast("double")
+    when(n === 0, lit(0L))
+      .otherwise(floor(h * lit(10000.0) + lit(1e-6)).cast("long"))
+  }
+
   /** Gopher-style quality rule battery (Rae et al. 2021 §A1.1 shape):
     * explicit per-rule booleans plus the conjunction, emitted per doc so
     * downstream can audit WHICH rule dropped a document (production

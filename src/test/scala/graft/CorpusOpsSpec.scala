@@ -185,6 +185,32 @@ class CorpusOpsSpec extends SparkSpec {
     })
   }
 
+  // ---- character entropy ----
+
+  test("charEntropyE4: closed forms — uniform, degenerate, 2/3-1/3 mix") {
+    import graft.functions.{TextFunctions => TF2}
+    val df = Seq(
+      (0L, "abcd"),     // uniform over 4: H = 2 exactly
+      (1L, "aaaa"),     // degenerate: H = 0
+      (2L, "aab"),      // H = log2(3) - 2/3
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TF2.charEntropyE4(col("text")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) === 20000L) // the power-of-2 case the nudge protects
+    assert(out(1L) === 0L)
+    val h = math.log(3.0) / math.log(2.0) -
+      2.0 * (math.log(2.0) / math.log(2.0)) / 3.0
+    assert(out(2L) === math.floor(h * 10000.0 + 1e-6).toLong)
+    assert(out(3L) === 0L)
+    // ordering property: random-ish text scores above repetitive text
+    val sig = Seq((10L, "the cat sat on the mat today"),
+      (11L, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TF2.charEntropyE4(col("text")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(10L) > sig(11L))
+  }
+
   // ---- sharded export ----
 
   test("writeShards: one file per shard, content-preserving, deterministic") {
