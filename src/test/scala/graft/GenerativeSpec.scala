@@ -597,6 +597,47 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("postings equals the in-memory capped-index model") {
+    val cap = 3
+    samples(genDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = pipeline.Retrieval.postings(df, maxPostings = cap)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+      val byTok = docs.flatMap { case (id, t) =>
+        t.split("\\s+", -1).map(tok => (tok, id))
+      }.groupBy(_._1)
+      assert(got.keySet === byTok.keySet)
+      byTok.foreach { case (tok, occ) =>
+        val tfByDoc = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val ids = tfByDoc.keys.toSeq.sorted.take(cap)
+        assert(got(tok) === ((tfByDoc.size.toLong, ids,
+          ids.map(tfByDoc))), s"token $tok")
+      }
+    }
+  }
+
+  test("export manifest equals the in-memory shard model") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val M = 2147483647L
+    samples(genDocs).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("genexp").toString
+      val got = pipeline.Export.writeShards(df, s"$root/d", numShards = 3,
+          salt = 7L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val byShard = docs.groupBy { case (id, _) =>
+        ((id + 7L) % M) * 48271L % M % 3L }
+      assert(got.keySet === byShard.keySet)
+      byShard.foreach { case (sh, rows) =>
+        val toks = rows.map(_._2.split("\\s+", -1).length.toLong).sum
+        assert(got(sh) === ((rows.size.toLong, toks,
+          rows.map(_._1).min, rows.map(_._1).max)), s"shard $sh")
+      }
+    }
+  }
+
   test("bm25 equals the in-memory Okapi model") {
     val terms = Seq("w0", "w3", "w7")
     samples(genDocs).foreach { docs =>
