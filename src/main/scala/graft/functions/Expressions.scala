@@ -305,6 +305,65 @@ object NormalizeNfc {
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 }
 
+/** Character-distribution entropy in integer 1e-4-bit units — native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * Why a custom Expression: the column-function form (array_sort(split)
+  * + an `aggregate` fold) is correct but interpreted — higher-order
+  * functions don't participate in codegen, and the per-char lambda
+  * machinery measured ~0.3 ms/doc at sf0.1 (1.7 s for the corpus scan).
+  * This kernel is one pass over the string's code points into a sorted
+  * count map plus one pass over the counts — same H = log2 n −
+  * (Σ c·log2 c)/n identity, same sorted summation order, same `+ 1e-6`
+  * floor nudge, so it is value-identical to the column form and to the
+  * SQL oracle. */
+case class CharEntropyE4(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_e4 requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyE4.compute(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyE4.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyE4 =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy_e4"
+}
+
+object CharEntropyE4 {
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** One pass over code points → sorted counts → H in 1e-4-bit units. */
+  def compute(s: String): Long = {
+    if (s.isEmpty) return 0L
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > 1L) sum += c.toDouble * log2(c.toDouble)
+    }
+    val h = log2(n.toDouble) - sum / n.toDouble
+    math.floor(h * 10000.0 + 1e-6).toLong
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -312,6 +371,9 @@ object GraftFunctions {
 
   def nfc_normalize(c: Column): Column =
     ColumnBridge.column(NormalizeNfc(ColumnBridge.expression(c)))
+
+  def char_entropy_e4(c: Column): Column =
+    ColumnBridge.column(CharEntropyE4(ColumnBridge.expression(c)))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -332,6 +394,8 @@ object GraftFunctions {
       "fnv_hash64", exprs => FnvHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NormalizeNfc(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy_e4", exprs => CharEntropyE4(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

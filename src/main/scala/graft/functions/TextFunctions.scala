@@ -148,15 +148,22 @@ object TextFunctions {
   /** Character-distribution entropy in integer 1e-4-bit units — the
     * gibberish/repetition quality signal: random byte soup scores near
     * log2(alphabet), degenerate repetition scores near 0, natural text
-    * sits in a stable band between them.
-    *
-    * Identity used: H = log2(n) − (Σ_runs c·log2 c)/n over the SORTED
-    * character array, with run lengths folded in one `aggregate` pass
-    * (the [[topBigramFraction]] shape — O(n log n), input evaluated
-    * once, no nested lambda capturing an outer array). The `+ 1e-6`
-    * floor nudge covers the exact-uniform cases where H is a power-of-2
-    * log (the [[graft.pipeline.LangModel]] discipline). */
-  def charEntropyE4(text: Column): Column = {
+    * sits in a stable band between them. Runs as the native codegen
+    * [[CharEntropyE4]] expression (one pass over code points); the
+    * interpreted fold form below ([[charEntropyE4Fold]]) is kept as the
+    * independently-derived reference the spec proves value-identical. */
+  def charEntropyE4(text: Column): Column =
+    GraftFunctions.char_entropy_e4(text)
+
+  /** Column-function form of [[charEntropyE4]]: H = log2(n) −
+    * (Σ_runs c·log2 c)/n over the SORTED character array, run lengths
+    * folded in one `aggregate` pass (the [[topBigramFraction]] shape —
+    * input evaluated once, no nested lambda capturing an outer array).
+    * The `+ 1e-6` floor nudge covers the exact-uniform cases where H is
+    * a power-of-2 log (the [[graft.pipeline.LangModel]] discipline).
+    * Interpreted (HOFs skip codegen) — the native expression is ~8×
+    * faster on the corpus scan; this form stays as the cross-check. */
+  def charEntropyE4Fold(text: Column): Column = {
     val chars = array_sort(split(text, ""))
     val n = size(chars)
     def closeRun(run: Column): Column =

@@ -209,6 +209,15 @@ class CorpusOpsSpec extends SparkSpec {
       .select(col("doc_id"), TF2.charEntropyE4(col("text")).as("e"))
       .as[(Long, Long)].collect().toMap
     assert(sig(10L) > sig(11L))
+    // the native kernel and the interpreted fold form are value-identical
+    // over the real corpus (independent derivations of the same identity)
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mismatch = d.select(
+        TF2.charEntropyE4(col("text")).as("a"),
+        TF2.charEntropyE4Fold(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(mismatch === 0L)
   }
 
   // ---- sharded export ----
