@@ -565,6 +565,16 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars"),
         TF.charEntropyE4(col("text")).as("entropy_e4"))),
 
+    // ---- per-language quality TERTILES (the CCNet head/middle/tail
+    // artifact): exact integer rank bands per stratum ----
+    "q_quality_tertile" -> ((s, dir) =>
+      graft.pipeline.Weighting.quantileBuckets(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality")),
+        scoreCol = "quality", stratumCol = "lang",
+        cutsBp = Seq(3333, 6666),
+        labels = Seq("tail", "middle", "head"))),
+
     // ---- text analysis: Gopher rule battery — per-rule booleans + the
     // keep conjunction, auditable per doc ----
     "q_gopher_rules" -> ((s, dir) =>
@@ -3098,6 +3108,20 @@ object SparkEntry {
         " ((rank() OVER (PARTITION BY lang ORDER BY quality) - 1) * 10000 >=" +
         " 5000 * count(*) OVER (PARTITION BY lang)) AS selected" +
         " FROM s"),
+
+    // quality tertiles: same exact rank machinery, two cross-multiplied
+    // band cuts → CASE labels
+    "q_quality_tertile" ->
+      (s"WITH s AS (SELECT doc_id, lang, round($qualityExprSql, 6) AS quality" +
+        " FROM documents)," +
+        " r AS (SELECT doc_id, lang, quality," +
+        " CAST(rank() OVER (PARTITION BY lang ORDER BY quality) - 1 AS BIGINT)" +
+        " AS cnt_below," +
+        " CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM s)" +
+        " SELECT doc_id, lang, quality, cnt_below, n," +
+        " CASE WHEN cnt_below * 10000 < 3333 * n THEN 'tail'" +
+        " WHEN cnt_below * 10000 < 6666 * n THEN 'middle'" +
+        " ELSE 'head' END AS bucket FROM r"),
 
     // token-budget mixing: same MINSTD hash order, budget as CASE chain
     "q_mix_budget" ->

@@ -97,6 +97,35 @@ object Weighting {
         col("cnt_below") * 10000L >= lit(qBp.toLong) * col("n"))
   }
 
+  /** Per-stratum quantile BUCKET labels (the CCNet head/middle/tail
+    * artifact): each row gets the label of the band its score's exact
+    * per-stratum rank falls in. `cutsBp` are ascending basis-point
+    * boundaries — `Seq(3333, 6666)` with labels `("tail","middle",
+    * "head")` reproduces CCNet's tertiles (higher score → later label).
+    * Same integer cross-multiplied rank decision as
+    * [[quantileThreshold]] — no float quantile interpolation, tied
+    * scores land in the same bucket in every engine. One shuffle (the
+    * per-stratum window). */
+  def quantileBuckets(df: DataFrame, scoreCol: String, stratumCol: String,
+      cutsBp: Seq[Int], labels: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    require(labels.size == cutsBp.size + 1,
+      s"need ${cutsBp.size + 1} labels for ${cutsBp.size} cuts")
+    require(cutsBp == cutsBp.sorted && cutsBp.forall(c => c > 0 && c < 10000),
+      s"cuts must be ascending in (0,10000): $cutsBp")
+    val byScore = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol))
+    val whole = Window.partitionBy(col(stratumCol))
+    val ranked = df.select(col(idCol), col(stratumCol), col(scoreCol))
+      .withColumn("cnt_below", rank().over(byScore).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(whole))
+    val label = cutsBp.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((cut, l), acc) =>
+        when(col("cnt_below") * 10000L < lit(cut.toLong) * col("n"), lit(l))
+          .otherwise(acc)
+    }
+    ranked.withColumn("bucket", label)
+  }
+
   /** Score every doc of `raw` against the `target` distribution. Returns
     * one row per raw doc: (doc_id, n_grams, sum_target, sum_raw,
     * selected). Docs with no grams are never selected (their average

@@ -185,6 +185,28 @@ class CorpusOpsSpec extends SparkSpec {
     })
   }
 
+  // ---- quality tertiles ----
+
+  test("quantileBuckets: exact band membership, ties share a bucket") {
+    import graft.pipeline.Weighting
+    // 9 rows in one stratum, scores 0..8: tertiles split 3/3/3
+    val df = (0 until 9).map(i => (i.toLong, "x", i.toDouble))
+      .toDF("doc_id", "lang", "score")
+    val out = Weighting.quantileBuckets(df, "score", "lang",
+        cutsBp = Seq(3333, 6666), labels = Seq("tail", "middle", "head"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((0L to 2L).forall(out(_) == "tail"))
+    assert((3L to 5L).forall(out(_) == "middle"))
+    assert((6L to 8L).forall(out(_) == "head"))
+    // all-tied scores: rank ties put every row in the FIRST band
+    val tied = (0 until 6).map(i => (i.toLong, "x", 1.0))
+      .toDF("doc_id", "lang", "score")
+    val tb = Weighting.quantileBuckets(tied, "score", "lang",
+        Seq(5000), Seq("lo", "hi"))
+      .select("bucket").as[String].collect().toSet
+    assert(tb === Set("lo"))
+  }
+
   // ---- character entropy ----
 
   test("charEntropyE4: closed forms — uniform, degenerate, 2/3-1/3 mix") {
