@@ -93,25 +93,45 @@ object Retrieval {
     *
     * Scale shape: (token, doc) term frequencies are one hash aggregate
     * with map-side combine (the Zipf absorption every token aggregate
-    * here leans on); the per-token cap is a window over the ALREADY
-    * AGGREGATED (token, doc) rows — stopword posting lists are bounded
-    * by the cap before any list materializes, so no executor ever holds
-    * an uncapped "the" posting array. `n_docs` is the TRUE document
-    * frequency (counted over the window partition before the cap), so
+    * here leans on). The per-token cap runs in TWO window phases keyed
+    * (token, doc_id mod `slices`) then (token): a naive single window
+    * ranks every row of a hot token in ONE task — a stopword at corpus
+    * scale serializes on a single reducer — whereas the sliced pre-cap
+    * bounds phase-2 input to slices × cap rows per token while every
+    * phase streams through a sort-based window (constant memory,
+    * spillable; no collect_list of an uncapped group ever exists). The
+    * lowest `maxPostings` ids globally are a subset of each slice's
+    * lowest `maxPostings`, so the two-phase result is exact. `n_docs`
+    * is the TRUE document frequency (summed from per-slice counts), so
     * consumers can tell a capped list from a complete one:
     * `n_docs > maxPostings` ⇔ truncated. */
   def postings(docs: DataFrame, maxPostings: Int = 1000,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      slices: Int = 16): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
+    require(slices > 0, s"slices must be positive: $slices")
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), "\\s+")).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("slice", pmod(col("doc_id"), lit(slices.toLong)))
+    // phase 1: per-slice pre-cap + per-slice true counts (parallel
+    // across slices even for the hottest token)
+    val wSlice = Window.partitionBy(col("token"), col("slice"))
+      .orderBy(col("doc_id"))
+    val sliceWhole = Window.partitionBy(col("token"), col("slice"))
+    val preCapped = tf
+      .withColumn("rn", row_number().over(wSlice))
+      .withColumn("n_slice", count(lit(1)).over(sliceWhole))
+      .where(col("rn") <= maxPostings)
+    // phase 2: merge ≤ slices × cap rows per token
     val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
     val whole = Window.partitionBy(col("token"))
-    tf.withColumn("rn", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(whole))
-      .where(col("rn") <= maxPostings)
+    preCapped
+      .withColumn("grn", row_number().over(w))
+      .withColumn("n_docs",
+        sum(when(col("rn") === 1, col("n_slice")).otherwise(0L)).over(whole))
+      .where(col("grn") <= maxPostings)
       .groupBy(col("token"))
       .agg(max(col("n_docs")).as("n_docs"),
         array_sort(collect_list(col("doc_id"))).as("post_ids"),
