@@ -2434,7 +2434,98 @@ object SparkEntry {
       graft.pipeline.Packing.packChunks(planted, budgetTokens = 64,
         groupCol = "grp", idCol = "doc_id", textCol = "text",
         tokenCounter = Bpe.tokenCount(model))
+    }),
+
+    // ---- WEB CURATION: the raw-crawl → text stage every web corpus
+    // starts with. Deterministic crawl-page shell (title, nav,
+    // script/style blocks, comment, entity escapes, footer) wrapped
+    // around the document text; extraction is the codegen'd
+    // WebFunctions chain — script/style strip, comment strip, tag
+    // strip, entity decode, whitespace collapse — plus the link-density
+    // boilerplate signal, all integer/md5-exact ----
+    "q_html_extract" -> ((s, dir) => {
+      import graft.functions.{WebFunctions => W}
+      webFixture(docs(s, dir)).select(col("doc_id"),
+        W.htmlTitle(col("html")).as("title"),
+        W.linkCount(col("html")).cast("long").as("n_links"),
+        W.linkDensityE4(col("html")).as("link_density_e4"),
+        length(W.htmlToText(col("html"))).cast("long").as("n_chars_clean"),
+        md5(W.htmlToText(col("html")).cast("binary")).as("clean_md5"))
+    }),
+
+    // ---- URL canonicalization: scheme/host lowercase, www. and
+    // default-port strip, fragment drop, tracking-param removal — the
+    // normalization that makes URL-level dedup and per-domain caps
+    // mean what they say ----
+    "q_url_canonical" -> ((s, dir) =>
+      urlFixture(docs(s, dir)).select(col("doc_id"), col("url"),
+        graft.functions.WebFunctions.canonicalizeUrl(col("url"))
+          .as("canonical"))),
+
+    // ---- per-domain document cap: bound any single host's influence on
+    // the corpus — deterministic keep-top-k by (n_chars desc, doc_id) ----
+    "q_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("domain",
+        concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".com")))
+      graft.pipeline.Sampling.capPerGroup(d, "domain", 5,
+          col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "domain", "n_chars")
+    }),
+
+    // ---- host-graph PageRank in fixed-point integer arithmetic (the
+    // crawl-quality prior): 5 rounds over a deterministic link graph
+    // derived from doc ids; bigint micro-unit ranks hash-oracle exactly
+    // because every sum and division is order-independent ----
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 89).as("dst"))
+      val e2 = d.select(((col("doc_id") * 13 + 5) % 83).as("src"),
+        (col("doc_id") % 97).as("dst"))
+      graft.pipeline.Graph.pageRank(e1.unionByName(e2), iters = 5)
     }))
+
+  /** Deterministic crawl-page fixture: the document text wrapped in a
+    * realistic page shell — title (with an entity), style + script blocks
+    * (the script body contains a bare `<` that would corrupt a naive tag
+    * strip), nav/footer link boilerplate, a comment, and an
+    * entity-escaped paragraph on every third doc. Every byte derives
+    * from (doc_id, text) with arithmetic the oracle mirrors. */
+  private def webFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</title><style>body { color: #000; }</style>"),
+      lit("<script type=\"text/javascript\">var id = "),
+      col("doc_id").cast("string"),
+      lit("; if (id < 7) { track(); }</script></head><body>"),
+      lit("<nav><a href=\"/home\">Home</a>" +
+        " <a href=\"/about\">About &amp; Contact</a></nav>"),
+      lit("<!-- build "), (col("doc_id") % 13).cast("string"), lit(" -->"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+      col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<p>Special &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;here</p>"))
+        .otherwise(lit("")),
+      lit("<footer><a href=\"/tos\">Terms of Service</a>" +
+        " &copy; 2026</footer></body></html>")).as("html"))
+
+  /** Deterministic messy-URL fixture: uppercase scheme/host, www.
+    * prefix, default ports on every third doc, tracking params around a
+    * real one, a fragment on every fourth — each branch of the
+    * canonicalizer exercised, all mirrored by the oracle. */
+  private def urlFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://WWW.Site"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      lit("/Path/p"), (col("doc_id") % 7).cast("string"),
+      lit("?utm_source=feed&id="), (col("doc_id") % 13).cast("string"),
+      lit("&utm_campaign=c"), (col("doc_id") % 4).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#sec2")).otherwise(lit("")))
+      .as("url"))
 
   /** Envelope events encoded into reference-layout DbusEventV2 wire bytes
     * (Avro payload part carrying the events record), keeping `seq` beside
@@ -2523,7 +2614,125 @@ object SparkEntry {
       | value FROM base)"""
       .stripMargin.replaceAll("\n", "")
 
+  /** SQL mirror of WebFunctions.decodeEntities: same table, same order
+    * (`&amp;` last so double-escapes decode one level). */
+  private def sqlEnt(e: String): String =
+    Seq(("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "''"),
+      ("&nbsp;", " "), ("&amp;", "&"))
+      .foldLeft(e) { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+
+  /** SQL mirror of the webFixture HTML shell. */
+  private val WEBHTML =
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||" +
+    " ' &amp; friends</title><style>body { color: #000; }</style>" +
+    "<script type=\"text/javascript\">var id = ' || CAST(doc_id AS VARCHAR) ||" +
+    " '; if (id < 7) { track(); }</script></head><body>" +
+    "<nav><a href=\"/home\">Home</a>" +
+    " <a href=\"/about\">About &amp; Contact</a></nav>" +
+    "<!-- build ' || CAST(doc_id % 13 AS VARCHAR) || ' -->" +
+    "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'" +
+    " || CASE WHEN doc_id % 3 = 0 THEN" +
+    " '<p>Special &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;here</p>'" +
+    " ELSE '' END ||" +
+    " '<footer><a href=\"/tos\">Terms of Service</a>" +
+    " &copy; 2026</footer></body></html>'"
+
+  /** SQL mirror of WebFunctions.htmlToText over a column named html. */
+  private lazy val WEBCLEAN: String =
+    "trim(regexp_replace(" + sqlEnt(
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html," +
+      " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')," +
+      " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')," +
+      " '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g')") +
+    ", '\\s+', ' ', 'g'))"
+
+  /** SQL mirror of the urlFixture messy URLs. */
+  private val WEBURL =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||" +
+    " '://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||" +
+    " (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80'" +
+    " ELSE ':443' END) ELSE '' END) ||" +
+    " '/Path/p' || CAST(doc_id % 7 AS VARCHAR) ||" +
+    " '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) ||" +
+    " '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) ||" +
+    " (CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END) ||" +
+    " (CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END)"
+
+  /** Fixed-point PageRank oracle: the identical bigint recurrence as
+    * Graph.pageRank, unrolled to 5 CTE rounds (fixed iteration count is
+    * part of the op's contract — see Graph.scala). */
+  private lazy val pagerankSql: String = {
+    val base = "WITH e AS (SELECT DISTINCT src, dst FROM (" +
+      "SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 89 AS dst" +
+      " FROM documents UNION ALL" +
+      " SELECT (doc_id * 13 + 5) % 83, doc_id % 97 FROM documents)" +
+      " WHERE src <> dst)," +
+      " nodes AS (SELECT DISTINCT src AS node FROM e" +
+      " UNION SELECT DISTINCT dst FROM e)," +
+      " deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)," +
+      " r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"
+    val rounds = (1 to 5).map { k =>
+      s", r$k AS (SELECT n.node," +
+      " CAST(150000 + (85 * coalesce(sum(c.contrib), 0)) // 100 AS BIGINT)" +
+      " AS rank FROM nodes n LEFT JOIN" +
+      " (SELECT e.dst, r.rank // d.outdeg AS contrib FROM e" +
+      s" JOIN deg d ON e.src = d.src JOIN r${k - 1} r ON r.node = e.src) c" +
+      " ON c.dst = n.node GROUP BY n.node)"
+    }.mkString
+    base + rounds + " SELECT node, rank FROM r5"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_html_extract" ->
+      (s"WITH h AS (SELECT doc_id, $WEBHTML AS html FROM documents)," +
+        s" t AS (SELECT doc_id, html, $WEBCLEAN AS clean FROM h)" +
+        " SELECT doc_id," +
+        " trim(" + sqlEnt(
+          "regexp_extract(html, '(?is)<title>(.*?)</title>', 1)") +
+        ") AS title," +
+        " CAST(len(regexp_extract_all(html, '(?i)<a\\b')) AS BIGINT)" +
+        " AS n_links," +
+        " CASE WHEN len(clean) <= 0 THEN CAST(0 AS BIGINT) ELSE" +
+        " CAST((coalesce(list_sum(list_transform(regexp_extract_all(html," +
+        " '(?is)<a\\b[^>]*>(.*?)</a>', 1), x -> len(x))), 0) * 10000)" +
+        " // len(clean) AS BIGINT) END AS link_density_e4," +
+        " CAST(len(clean) AS BIGINT) AS n_chars_clean," +
+        " md5(clean) AS clean_md5 FROM t"),
+
+    "q_url_canonical" ->
+      (s"WITH u AS (SELECT doc_id, $WEBURL AS url FROM documents)," +
+        " p AS (SELECT doc_id, url," +
+        " lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))" +
+        " AS scheme," +
+        " regexp_replace(lower(regexp_extract(url," +
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '', 'g')" +
+        " AS hostraw," +
+        " regexp_extract(url," +
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0 FROM u)," +
+        " q AS (SELECT doc_id, url, scheme," +
+        " CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '', 'g')" +
+        " WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '', 'g')" +
+        " ELSE hostraw END AS host," +
+        " regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0," +
+        " '(?i)&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')," +
+        " '(?i)\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '?', 'g')," +
+        " '\\?&', '?', 'g'), '[?&]$', '', 'g') AS rest3 FROM p)" +
+        " SELECT doc_id, url, CASE WHEN scheme = '' THEN url" +
+        " ELSE scheme || '://' || host ||" +
+        " (CASE WHEN rest3 = '' THEN '/' ELSE rest3 END) END AS canonical" +
+        " FROM q"),
+
+    "q_domain_cap" ->
+      ("SELECT doc_id," +
+        " 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain, n_chars" +
+        " FROM documents QUALIFY row_number() OVER" +
+        " (PARTITION BY 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'" +
+        " ORDER BY n_chars DESC, doc_id) <= 5"),
+
+    "q_pagerank" -> pagerankSql,
+
     "q_dbusv2_mixed_roundtrip" ->
       (s"$MIXED SELECT source_id," +
         " CASE WHEN key_string IS NOT NULL THEN 'STRING'" +

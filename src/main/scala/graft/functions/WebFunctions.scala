@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-crawl curation primitives: HTML → text extraction (the raw-crawl →
+  * training-text stage every web corpus pipeline starts with — CCNet,
+  * RefinedWeb, FineWeb all begin here) and URL canonicalization (the key
+  * normalization that makes URL-level dedup and per-domain caps mean what
+  * they say).
+  *
+  * Everything here is a codegen'd column-expression chain —
+  * `regexp_replace` / `regexp_extract` / `aggregate`, no UDFs — so the
+  * whole extraction stage rides whole-stage codegen inside the corpus
+  * scan, and filters composed on top of the outputs still push down.
+  * The regex subset used (inline `(?is)` flags, non-greedy `.*?`, `\b`,
+  * character classes — NO backreferences) is chosen to mean the same
+  * thing in Java regex and RE2, so the DuckDB oracles run the literal
+  * same patterns.
+  *
+  * Scale notes: one pass over the HTML column per op; the chain is a
+  * fixed number of linear scans of each value (no quadratic regex — every
+  * pattern is prefix-anchored or single-pass non-greedy). At 100 TB the
+  * extraction cost is the read cost; nothing here shuffles.
+  */
+object WebFunctions {
+
+  // ------------------------------------------------------------------
+  // HTML → text
+  // ------------------------------------------------------------------
+
+  /** Strip `<script>` and `<style>` blocks INCLUDING their contents
+    * (their text is code, not prose — and script bodies legally contain
+    * bare `<` that would corrupt a naive tag strip). Case-insensitive,
+    * dot-matches-newline, non-greedy to the matching close tag. */
+  def stripScriptStyle(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+  }
+
+  /** Strip HTML comments (`<!-- ... -->`), dot-matches-newline. */
+  def stripComments(html: Column): Column =
+    regexp_replace(html, "(?s)<!--.*?-->", " ")
+
+  /** Decode the common HTML entities. Order is part of the contract:
+    * the named/numeric entities decode FIRST and `&amp;` LAST, so a
+    * double-escaped `&amp;lt;` correctly becomes the literal text
+    * `&lt;` (not `<`). Entities outside this set (e.g. `&copy;`) pass
+    * through untouched — deterministic, and a later pass can extend the
+    * table without changing existing behavior. */
+  def decodeEntities(text: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+  }
+
+  /** Full HTML → clean text chain: script/style blocks out, comments
+    * out, tags out (each tag becomes a space, so adjacent block elements
+    * don't concatenate words), entities decoded, whitespace collapsed,
+    * trimmed. One linear scan per step, all inside codegen. */
+  def htmlToText(html: Column): Column = {
+    val noTags = regexp_replace(stripComments(stripScriptStyle(html)),
+      "<[^>]*>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** `<title>` contents (first occurrence), entity-decoded and trimmed;
+    * empty string when absent. */
+  def htmlTitle(html: Column): Column =
+    trim(decodeEntities(regexp_extract(html, "(?is)<title>(.*?)</title>", 1)))
+
+  /** Count of anchor (`<a …>`) opening tags. */
+  def linkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0)))
+
+  /** Total characters of anchor-enclosed text (the numerator of link
+    * density). Nested markup inside an anchor counts as written — the
+    * boilerplate signal cares about how much of the page is inside
+    * links, not about the anchors' inner structure. */
+  def anchorTextChars(html: Column): Column =
+    aggregate(
+      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x))
+
+  /** Link density in integer basis points of 1e-4 (anchor chars *
+    * 10000 div extracted-text chars; 0 for empty text) — the classic
+    * boilerplate-page signal (nav/footer/link-farm pages score high),
+    * integer-exact so it hash-oracles. */
+  def linkDensityE4(html: Column): Column = {
+    val textLen = length(htmlToText(html))
+    when(textLen <= 0, lit(0L))
+      .otherwise(expr_div(anchorTextChars(html).cast("long") * 10000L, textLen.cast("long")))
+  }
+
+  private def expr_div(n: Column, d: Column): Column =
+    (n / d).cast("long") // positive operands: truncation == integer div
+
+  // ------------------------------------------------------------------
+  // URL canonicalization
+  // ------------------------------------------------------------------
+
+  private val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val restPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+  private val trackingAlt = "(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+  /** Canonicalize an absolute http(s)-style URL:
+    *
+    *   - scheme and host lowercased (they are case-insensitive per RFC
+    *     3986; the path is NOT touched — it is case-sensitive),
+    *   - leading `www.` dropped from the host,
+    *   - default ports stripped (`:80` for http, `:443` for https),
+    *   - the fragment dropped (never sent to the server),
+    *   - tracking query parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `ref`), with separator tidy-up (`?&`→`?`, trailing `?`/`&`
+    *     dropped),
+    *   - empty path normalized to `/`.
+    *
+    * Strings without a `scheme://` prefix pass through UNCHANGED — this
+    * is a normalizer for absolute URLs, not a resolver; relative
+    * references need a base URL the column doesn't carry. The whole op
+    * is a fixed regexp chain (same RE2/Java-compatible subset as the
+    * HTML ops), so URL-level exact dedup after canonicalization is
+    * hash-groupBy on this column's output. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, schemePat, 1))
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(url, hostPat, 1)), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val rest0 = regexp_extract(url, restPat, 1)
+    // order matters and is part of the contract (mirrored in oracles):
+    // &-separated tracking params first, then a ?-led leading one, then
+    // separator tidy-up
+    val rest1 = regexp_replace(rest0, "(?i)&" + trackingAlt, "")
+    val rest2 = regexp_replace(rest1, "(?i)\\?" + trackingAlt, "?")
+    val rest3 = regexp_replace(regexp_replace(rest2, "\\?&", "?"), "[?&]$", "")
+    val rest = when(rest3 === "", lit("/")).otherwise(rest3)
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /** Registered host of a canonicalized URL (everything between `://`
+    * and the first `/`, `?` or `#`) — the grouping key for per-domain
+    * caps and host-graph edges. */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, hostPat, 1)
+}

@@ -142,6 +142,27 @@ object Sampling {
       .toMap
   }
 
+  /** Keep at most `k` rows per group, deterministically: rank within
+    * each group by `orderCols` (callers append a unique id as the final
+    * tiebreaker — ties without one would make the kept set
+    * partition-order-dependent) and keep ranks 1..k. The per-domain
+    * document cap every web corpus applies (bound the influence of any
+    * single host) is `capPerGroup(docs, "domain", quality.desc, doc_id)`.
+    *
+    * Scale shape: one hash shuffle on the group key + a per-partition
+    * sort — no global sort, no driver state; group cardinality (hosts)
+    * is the parallelism, so skewed mega-domains bound their own
+    * partition but nothing else's. */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int,
+      orderCols: Column*): DataFrame = {
+    require(k > 0, s"capPerGroup: k must be positive, got $k")
+    require(orderCols.nonEmpty, "capPerGroup: need at least one order column")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   def shuffleOrder(df: DataFrame, keyCol: String, salt: Long = 0L,
       numBuckets: Int = 0): DataFrame = {
     val n =

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WebFunctions
+import graft.pipeline.{Graph, Sampling}
+
+/** Web-curation primitives (HTML → text, URL canonicalization,
+  * per-domain caps) and the fixed-point host-graph PageRank. */
+class WebGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(html: String, f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Any =
+    Seq(html).toDF("h").select(f(col("h"))).head().get(0)
+
+  test("htmlToText strips script/style/comments/tags and decodes entities") {
+    val html = "<html><head><title>T</title><style>p { x: 1 }</style>" +
+      "<script>if (a < 3) { b(); }</script></head>" +
+      "<body><!-- note --><p>Hello &amp; goodbye</p><p>x &lt; y</p></body></html>"
+    assert(one(html, WebFunctions.htmlToText) === "T Hello & goodbye x < y")
+  }
+
+  test("double-escaped entities decode exactly one level") {
+    // &amp;lt; is the TEXT "&lt;" — decoding must not collapse it to "<"
+    assert(one("<p>&amp;lt;tag&amp;gt;</p>", WebFunctions.htmlToText)
+      === "&lt;tag&gt;")
+  }
+
+  test("script bodies with bare < do not corrupt the tag strip") {
+    val html = "<script>for (i = 0; i < n; i++) emit('<td>');</script><b>keep</b>"
+    assert(one(html, WebFunctions.htmlToText) === "keep")
+  }
+
+  test("title and link stats") {
+    val html = "<title>My &quot;Page&quot;</title>" +
+      "<a href='/a'>Home</a><p>body text here</p><a>About</a>"
+    assert(one(html, WebFunctions.htmlTitle) === "My \"Page\"")
+    assert(one(html, WebFunctions.linkCount) === 2)
+    assert(one(html, WebFunctions.anchorTextChars) === 9) // Home+About
+  }
+
+  test("canonicalizeUrl: case, www, default ports, fragment, tracking") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/Path/X?utm_source=a&id=5#frag"
+        -> "http://example.com/Path/X?id=5",
+      "https://Example.com:443/" -> "https://example.com/",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "http://example.com" -> "http://example.com/",
+      "http://example.com/p?utm_a=1&utm_b=2" -> "http://example.com/p",
+      "http://example.com/p?utm_a=1&q=2&ref=tw" -> "http://example.com/p?q=2",
+      "not a url" -> "not a url", // no scheme: pass through unchanged
+      "ftp://Host.com/File" -> "ftp://host.com/File") // non-http: no port strip
+    val got = cases.map(_._1).toDF("u")
+      .select(WebFunctions.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("capPerGroup keeps exactly top-k per group, deterministic ties") {
+    val df = (0L until 100L).map(i => (i, s"d${i % 4}", i % 10)).toDF(
+      "id", "dom", "score")
+    val kept = Sampling.capPerGroup(df, "dom", 3,
+      col("score").desc, col("id").asc)
+    assert(kept.groupBy("dom").count().select(max("count")).head().getLong(0) === 3L)
+    // group d0: ids 0,4,..,96; score = id%10 — top scores 8 (ids 8,28,48,..)
+    // order: score desc, id asc → ids 8, 28, 48
+    val d0 = kept.where($"dom" === "d0").select("id").as[Long].collect().sorted
+    assert(d0.toSeq === Seq(8L, 28L, 48L))
+  }
+
+  test("pageRank matches the in-memory integer reference exactly") {
+    // pseudo-random digraph: 40 nodes, ~120 edges (dups + self-loops in)
+    val edges = (0 until 150).map { i =>
+      ((i * 7919L + 13) % 40, (i * 104729L + 5) % 40)
+    }
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = Graph.pageRankReference(edges, iters = 5)
+    assert(got === want)
+  }
+
+  test("node with no in-edges settles at the base rank") {
+    // 9 -> 0 -> 1 -> 2 ... : node 9 has no in-edges
+    val edges = Seq((9L, 0L), (0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 3).as[(Long, Long)]
+      .collect().toMap
+    assert(ranks(9L) === 150000L) // (100-85) * 1e6 / 100
+  }
+
+  test("symmetric ring gives equal ranks; mass is conserved up to truncation") {
+    val n = 8
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val ranks = Graph.pageRank(ring.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect()
+    assert(ranks.map(_._2).distinct.length === 1)
+    // ring: outdeg 1, no truncation loss → exact unit preserved
+    assert(ranks.head._2 === 1000000L)
+  }
+
+  test("iters = 0 returns uniform unit ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 0).as[(Long, Long)].collect()
+    assert(ranks.length === 3 && ranks.forall(_._2 == 1000000L))
+  }
+}
