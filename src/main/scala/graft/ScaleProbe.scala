@@ -35,7 +35,9 @@ object ScaleProbe {
     "q_mix_budget", "q_substring_dup", "q_quality_quantile",
     "q_pca_power", "q_drift_stats", "q_pipeline_curation",
     "q_line_dedup", "q_lm_perplexity", "q_bm25", "q_leakage_split",
-    "q_postings", "q_line_collapse", "q_export_shards", "q_bm25_topk")
+    "q_postings", "q_line_collapse", "q_export_shards", "q_bm25_topk",
+    "q_html_extract", "q_url_canonical", "q_domain_cap", "q_pagerank",
+    "q_ann_pq", "q_jsonl_roundtrip")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
@@ -202,6 +204,29 @@ object ScaleProbe {
     val ca = ccDistributed(base)
     val cb = ccDistributed(DerivedDir)
     println(f"${"cc_distributed"}%-22s $ca%8.2f $cb%8.2f  ${cb / ca}%5.1f×")
+
+    // distributed PageRank loop (maxDriverEdges = 0): the q_pagerank
+    // edge derivation (which saturates its mod-space) is replaced by a
+    // doc-id-dense graph so the edge list actually grows ~10× across
+    // the probe; rounds are fixed (5) by contract, so the expectation
+    // is near-linear in edges with fixed per-round job cost on top.
+    def prDistributed(dir: String): Double = {
+      val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val edges = d.select((col("doc_id") % 100000).as("src"),
+          ((col("doc_id") * 31 + 7) % 100000).as("dst"))
+        .unionByName(d.select(((col("doc_id") * 13 + 5) % 100000).as("src"),
+          (col("doc_id") % 100000).as("dst")))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Bench.force(graft.pipeline.Graph.pageRank(edges, iters = 5,
+          maxDriverEdges = 0))
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val pa = prDistributed(base)
+    val pb = prDistributed(DerivedDir)
+    println(f"${"pagerank_distributed"}%-22s $pa%8.2f $pb%8.2f  ${pb / pa}%5.1f×")
     // semdedup probed with k ∝ N (the documented cell-size knob): fixed k
     // at 10× data means 10× cells → 100× within-cell pairs; scaling k
     // keeps expected cell size constant, so pair work scales linearly

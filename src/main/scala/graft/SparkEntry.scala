@@ -2483,6 +2483,51 @@ object SparkEntry {
       val e2 = d.select(((col("doc_id") * 13 + 5) % 83).as("src"),
         (col("doc_id") % 97).as("dst"))
       graft.pipeline.Graph.pageRank(e1.unionByName(e2), iters = 5)
+    }),
+
+    // ---- product-quantization ANN (ADC + exact re-rank): corpus scans
+    // m-byte code words instead of float vectors; planted-twin contract
+    // (identical vector → the query's own argmin code → minimal ADC sum
+    // → survives the cut → rank 1 at cosine 1.0 after exact re-rank) ----
+    "q_ann_pq" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.pqTopK(all.where(col("id") < 20), withTwins, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- embedding-space decontamination: the semantic analog of the
+    // n-gram scrub — train rows whose vector hits cosine ≥ 0.99 against
+    // ANY eval vector drop via ONE broadcast nested-loop anti-join
+    // (short-circuit per row, nothing shuffles). Planted contract: eval
+    // = exact twins of ids < 10 under fresh ids, and 0.99 separates
+    // twins (cosine 1.0) from every natural pair on this corpus (the
+    // q_semdedup bound, driver-proven at both SFs) ----
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val eval = e.where(col("id") < 10)
+        .select((col("id") + 5000000L).as("id"), col("vec"))
+      graft.pipeline.Semantic.semanticDecontaminate(e, eval,
+        cosineThreshold = 0.99).select(col("id"))
+    }),
+
+    // ---- JSONL sharded export roundtrip: the interchange format LLM
+    // tooling ingests — written one file per deterministic shard, read
+    // back with an explicit schema; every value re-derived by the oracle
+    // from the source table (shard = minstd mod, text by md5) ----
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("jsonl").toString
+      graft.pipeline.Export.writeJsonlShards(
+        docs(s, dir).select("doc_id", "lang", "text"), s"$root/data",
+        numShards = 8, salt = 17L)
+      graft.pipeline.Export.readJsonl(s, s"$root/data",
+          "doc_id BIGINT, lang STRING, text STRING")
+        .select(col("doc_id"), col("lang"),
+          col("shard").cast("long").as("shard"),
+          md5(col("text").cast("binary")).as("text_md5"))
     }))
 
   /** Deterministic crawl-page fixture: the document text wrapped in a
@@ -2732,6 +2777,19 @@ object SparkEntry {
         " ORDER BY n_chars DESC, doc_id) <= 5"),
 
     "q_pagerank" -> pagerankSql,
+
+    "q_ann_pq" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 20"),
+
+    "q_decontaminate_semantic" ->
+      "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
+
+    "q_jsonl_roundtrip" ->
+      ("SELECT doc_id, lang," +
+        " ((doc_id + 17) % 2147483647) * 48271 % 2147483647 % 8 AS shard," +
+        " md5(text) AS text_md5 FROM documents"),
 
     "q_dbusv2_mixed_roundtrip" ->
       (s"$MIXED SELECT source_id," +

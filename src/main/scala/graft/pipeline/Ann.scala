@@ -303,6 +303,119 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Train product-quantization sub-codebooks: the vector space splits
+    * into `m` contiguous subspaces of dim/m dims, and each subspace gets
+    * its own `ksub`-centroid Lloyd's codebook via [[trainCentroids]] on
+    * the sliced corpus — same deterministic init, same memoization (the
+    * slice offset makes each subspace's plan key distinct). Sub-cell ids
+    * are 0..ksub-1 by construction (trainCentroids numbers its init
+    * centroids), which [[pqTopK]]'s LUT indexing relies on. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int)
+      : Array[Array[(Long, Seq[Float])]] = {
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"trainPqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      trainCentroids(corpus.select(col("id"),
+        slice(col("vec"), j * sub + 1, sub).as("vec")), ksub, iters)._1
+    }.toArray
+  }
+
+  /** Per-vector PQ code word: for each subspace, the nearest sub-centroid
+    * id (the fused argmin projection, m× on slices) — an `array<int>` of
+    * length m replaces dim floats (m=4, ksub=16: 4 bytes of code per
+    * vector vs 64 B of float, a 16× storage cut on the scan tier). */
+  private def pqCodesExpr(books: Array[Array[(Long, Seq[Float])]],
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sub = books(0).head._2.length
+    array(books.zipWithIndex.map { case (book, j) =>
+      nearestCellExpr(book, slice(vecCol, j * sub + 1, sub)).cast("int")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: l2 distance from the query's j-th slice
+    * to every sub-centroid, flattened as lut[j*ksub + cell]. m·ksub
+    * doubles per query — built once on the (broadcast) query side, so
+    * scoring a candidate is m array lookups + m-1 adds, never a float
+    * vector op. */
+  private def adcLutExpr(books: Array[Array[(Long, Seq[Float])]],
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sub = books(0).head._2.length
+    array(books.zipWithIndex.flatMap { case (book, j) =>
+      book.sortBy(_._1).map { case (_, cv) =>
+        l2sq(slice(vecCol, j * sub + 1, sub), typedlit(cv))
+      }
+    }: _*)
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC)
+    * and exact re-rank — the classic PQ retrieval shape (Jégou et al.,
+    * public knowledge): corpus vectors live as m-byte code words, each
+    * query carries a small distance LUT, approximate distance is a sum of
+    * m table lookups, and only `queries × rerank` survivors ever touch
+    * float vectors again.
+    *
+    * The planted-twin contract holds end-to-end: an identical vector
+    * encodes to the query's own argmin code word, whose ADC distance is
+    * the subspace-wise minimum sum — no candidate can score strictly
+    * lower, so the twin always survives the cut and the exact re-rank
+    * puts it first at cosine 1.0.
+    *
+    * Scale shape: same broadcast-queries / scan-corpus / bounded-heap
+    * frame as [[bruteForceTopK]], but the corpus side of the scan reads
+    * `array<int>` codes (built once, persisted) instead of float vectors
+    * — at dim=768, m=8 that is a ~380× cut in scanned bytes, and the
+    * approximate score is m lookups instead of dim multiply-adds. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3, rerank: Int = 50): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val books = trainPqCodebooks(corpus, m, ksub, iters)
+    val codes = PlanCache.getOrPersist(corpus, s"pq-codes|$m|$ksub|$iters",
+      corpus.select(col("id").as("neighbor_id"),
+        pqCodesExpr(books, col("vec")).as("codes")))
+    val q = queries.select(col("id").as("query_id"),
+      adcLutExpr(books, col("vec")).as("lut"))
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"), col("codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    // keep-k-smallest heap per partition (the bruteForceTopK frame with
+    // the ordering flipped: ADC is a distance, smaller is better). Under
+    // this ordering the queue's max — the first evicted — is the LARGEST
+    // distance with the largest id, i.e. the worst kept.
+    val bestFirst: Ordering[(Double, Long)] = Ordering.fromLessThan(
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    val partial = codes.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, nid, d) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(bestFirst))
+          h.enqueue((d, nid))
+          if (h.size > rerank) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (_, nid) => (qid, nid) }
+        }
+      }.toDF("query_id", "neighbor_id")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partial
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wA))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Lloyd's k-means over an (id, vec) frame — trains the IVF codebook
     * [[ivfTopK]] probes. Deterministic init: the k lowest-id vectors.
     * Each iteration is one corpus scan: assignment reuses the fused

@@ -38,6 +38,30 @@ object Export {
     manifest(spark.read.parquet(dir), idCol, textCol)
   }
 
+  /** Write `docs` as sharded JSONL — the interchange format LLM data
+    * tooling speaks (one JSON object per line; tokenizer trainers, eval
+    * harnesses and dataset hubs all ingest it). Same deterministic shard
+    * assignment and same repartition-before-partitionBy discipline as
+    * [[writeShards]]: exactly one .json file per shard per write, never
+    * inputPartitions × shards small files. */
+  def writeJsonlShards(docs: DataFrame, dir: String, numShards: Int,
+      idCol: String = "doc_id", salt: Long = 0L): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    docs
+      .withColumn("shard",
+        pmod(Sampling.minstd(col(idCol), salt), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").json(dir)
+  }
+
+  /** Read a JSONL dataset with an EXPLICIT schema (DDL string). Schema
+    * inference would cost an extra full scan at 100 TB and silently
+    * widens/narrows types between shards; an export's reader states what
+    * it expects and malformed lines surface as nulls per Spark's
+    * PERMISSIVE mode rather than failing the scan. */
+  def readJsonl(spark: SparkSession, dir: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(dir)
+
   /** Manifest over a sharded dataset (already containing `shard`). */
   def manifest(sharded: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

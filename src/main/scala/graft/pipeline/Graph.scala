@@ -57,11 +57,21 @@ object Graph {
     *
     * Output: (node, rank) — rank in micro-units of `unit`. Every node
     * that appears as a src or dst is present.
-    */
+    *
+    * Subcritical graphs take a bounded DRIVER fast path (the
+    * connected-components trade, same default ceiling): when the
+    * deduplicated edge list fits `maxDriverEdges`, one collect + the
+    * in-memory integer recurrence replaces `iters` distributed rounds of
+    * fixed job overhead. Because the arithmetic is integer fixed-point,
+    * the two paths are BIT-IDENTICAL (spec-asserted) — choosing by size
+    * never changes a result. `maxDriverEdges = 0` forces the
+    * distributed loop (the 100 TB host-graph path, probed in
+    * SCALING.md). */
   def pageRank(edges: DataFrame, iters: Int = 5,
       dampingNum: Long = 85L, dampingDen: Long = 100L,
       unit: Long = 1000000L,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      maxDriverEdges: Long = 4000000L): DataFrame = {
     require(iters >= 0, s"pageRank: negative iteration count $iters")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"pageRank: damping $dampingNum/$dampingDen outside [0,1]")
@@ -72,6 +82,23 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+    if (maxDriverEdges > 0) {
+      // count rides the same scan the collect would; for subcritical
+      // graphs the persist below never happens
+      import spark.implicits._
+      val collected = e.limit(
+          math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt)
+        .as[(Long, Long)].collect()
+      if (collected.length <= maxDriverEdges) {
+        return pageRankReference(collected.toSeq, iters, dampingNum,
+            dampingDen, unit)
+          .toSeq.toDF("node", "rank")
+      }
+      // fell past the ceiling: fall through to the distributed loop
+      // (the limit-probe scan is the one redundant pass, paid only by
+      // graphs within 1 row of the ceiling — real supercritical graphs
+      // stop the limit early)
+    }
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // degree-annotated edges: the loop-invariant side, partitioned by the
     // join key once so per-round joins shuffle only the rank table

@@ -144,4 +144,32 @@ object Semantic {
         floor(lit(10000.0) / coalesce(col("csize"), lit(1L)))
           .cast("long").as("weight_bp"))
   }
+
+  /** Embedding-space decontamination: drop every train row whose vector
+    * reaches cosine ≥ `cosineThreshold` against ANY eval vector — the
+    * semantic analog of [[Dedup.decontaminate]]'s n-gram overlap scrub.
+    * The n-gram test catches verbatim leaks; this one catches the
+    * paraphrased / re-rendered / translated-and-back leaks whose surface
+    * form changed but whose embedding did not.
+    *
+    * Plan shape: eval sets are small by construction (benchmarks are
+    * KB–MB, the corpus is TB), so this is ONE broadcast nested-loop
+    * anti-join — the train corpus scans once, each row short-circuits on
+    * its first contaminating eval match, nothing shuffles and no
+    * intermediate contaminated-id set materializes. The cosine runs as
+    * the native codegen expression inside the join condition. For an
+    * eval set too big to broadcast, pre-block with
+    * [[Dedup.embeddingNearDups]]'s hyperplane tables and anti-join the
+    * verified pair ids instead (the decontaminateBloom discipline). */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      cosineThreshold: Double, idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    val t = train.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val e = eval.select(col(vecCol).as("eval_vec"))
+    t.join(broadcast(e),
+        graft.functions.VectorFunctions.cosine(col("vec"),
+          col("eval_vec")) >= cosineThreshold,
+        "left_anti")
+  }
 }

@@ -359,4 +359,32 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
     assert(out(0L) > out(1L))
   }
+
+  // ---- JSONL sharded export ----
+
+  test("JSONL export roundtrips exactly, one file per deterministic shard") {
+    import graft.pipeline.{Export, Sampling}
+    val docs = (0L until 40L)
+      .map(i => (i, s"lang${i % 3}", s"words of doc $i"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Export.writeJsonlShards(docs, s"$dir/d", numShards = 4, salt = 7L)
+    val back = Export.readJsonl(spark, s"$dir/d",
+      "doc_id BIGINT, lang STRING, text STRING")
+    // roundtrip identity on content columns
+    val content = back.select("doc_id", "lang", "text")
+    assert(content.exceptAll(docs).isEmpty && docs.exceptAll(content).isEmpty)
+    // the shard partition column re-derives from the id hash alone
+    val bad = back.where(col("shard").cast("long") =!=
+      pmod(Sampling.minstd(col("doc_id"), 7L), lit(4L)))
+    assert(bad.isEmpty)
+    // one .json file per shard — the small-files discipline
+    val shardDirs = new java.io.File(s"$dir/d").listFiles
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { sd =>
+      assert(sd.listFiles.count(_.getName.endsWith(".json")) == 1,
+        s"expected exactly one data file in ${sd.getName}")
+    }
+  }
 }

@@ -180,6 +180,32 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC ANN recovers planted near-twins at rank 1") {
+    val got = Ann.pqTopK(vectors.where($"id" < 5), vectors, k = 1,
+      m = 4, ksub = 8, iters = 2, rerank = 20)
+    val rows = got.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (q, n, cos) =>
+      assert(n == q + 100L, s"query $q retrieved $n")
+      assert(cos > 0.999, s"near-twin cosine $cos")
+    }
+  }
+
+  test("PQ: exact twin encodes to the query's own code word and ranks 1 at 1.0") {
+    val base = vectors.where($"id" < 30)
+    val withTwins = base.unionByName(
+      base.where($"id" < 5).select(($"id" + 1000L).as("id"), $"vec"))
+    val got = Ann.pqTopK(base.where($"id" < 5), withTwins, k = 1,
+      m = 4, ksub = 8, iters = 2, rerank = 10)
+    val rows = got.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (q, n, cos) =>
+      assert(n == q + 1000L && cos == 1.0, s"query $q -> ($n, $cos)")
+    }
+  }
+
   test("persisted IVF index: store-served retrieval matches in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("annstore").toString
     Ann.writeIndex(vectors, dir, k = 4, iters = 2)

@@ -276,4 +276,32 @@ class SemanticWeightingSpec extends SparkSpec {
     val enSel = Seq(1L, 2L, 3L).map(rows(_)._4)
     assert(enSel.contains(true) && enSel.contains(false))
   }
+
+  test("semanticDecontaminate drops exactly the eval-similar train rows") {
+    val train = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), // leaked: exact eval twin
+      (1L, Seq(0.0f, 1.0f, 0.0f)), // leaked: near-eval (cos ≈ 0.9998)
+      (2L, Seq(0.0f, 0.0f, 1.0f)), // clean
+      (3L, Seq(0.6f, 0.8f, 0.0f))) // clean (cos 0.6/0.8 vs evals)
+      .toDF("id", "vec")
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.02f, 1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val kept = Semantic.semanticDecontaminate(train, eval,
+      cosineThreshold = 0.99)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // plan shape: one broadcast nested-loop LEFT ANTI — no shuffle of
+    // the train side, no materialized contaminated-id set
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("LeftAnti"), s"unexpected plan:\n$plan")
+  }
+
+  test("semanticDecontaminate with an empty eval set keeps everything") {
+    val train = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val eval = train.where(col("id") < 0)
+    assert(Semantic.semanticDecontaminate(train, eval, 0.99).count() === 2L)
+  }
 }

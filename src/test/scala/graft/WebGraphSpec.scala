@@ -68,15 +68,29 @@ class WebGraphSpec extends SparkSpec {
     assert(d0.toSeq === Seq(8L, 28L, 48L))
   }
 
-  test("pageRank matches the in-memory integer reference exactly") {
-    // pseudo-random digraph: 40 nodes, ~120 edges (dups + self-loops in)
+  test("distributed pageRank loop matches the in-memory integer reference exactly") {
+    // pseudo-random digraph: 40 nodes, ~120 edges (dups + self-loops in);
+    // maxDriverEdges = 0 forces the distributed loop — fixed-point
+    // arithmetic makes the match BIT-exact, not tolerance-based
     val edges = (0 until 150).map { i =>
       ((i * 7919L + 13) % 40, (i * 104729L + 5) % 40)
     }
-    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 5)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 5,
+        maxDriverEdges = 0)
       .as[(Long, Long)].collect().toMap
     val want = Graph.pageRankReference(edges, iters = 5)
     assert(got === want)
+  }
+
+  test("driver fast path and distributed loop are bit-identical") {
+    val edges = (0 until 90).map { i =>
+      ((i * 31L + 1) % 23, (i * 17L + 4) % 23)
+    }.toDF("src", "dst")
+    val driver = Graph.pageRank(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.pageRank(edges, iters = 4, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === dist)
   }
 
   test("node with no in-edges settles at the base rank") {
