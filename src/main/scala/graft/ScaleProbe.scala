@@ -37,7 +37,8 @@ object ScaleProbe {
     "q_line_dedup", "q_lm_perplexity", "q_bm25", "q_leakage_split",
     "q_postings", "q_line_collapse", "q_export_shards", "q_bm25_topk",
     "q_html_extract", "q_url_canonical", "q_domain_cap", "q_pagerank",
-    "q_ann_pq", "q_jsonl_roundtrip")
+    "q_ann_pq", "q_jsonl_roundtrip", "q_pipeline_web",
+    "q_decontaminate_semantic")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
@@ -101,8 +102,9 @@ object ScaleProbe {
     // probe only those query names (local iteration on a new family)
     val ccOnly = args.contains("cc")
     val mediaOnly = args.contains("media")
+    val prOnly = args.contains("pr")
     val probes =
-      if (args.isEmpty || ccOnly || mediaOnly) Probes
+      if (args.isEmpty || ccOnly || mediaOnly || prOnly) Probes
       else args.toSeq.filter(Probes.contains)
 
     if (mediaOnly) {
@@ -150,7 +152,7 @@ object ScaleProbe {
     }
 
     // warm codegen/JIT on the tiny SF first (same rationale as Bench)
-    if (!ccOnly) probes.foreach { q =>
+    if (!ccOnly && !prOnly) probes.foreach { q =>
       try Bench.force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -163,7 +165,7 @@ object ScaleProbe {
       }
       math.min(once(), once())
     }
-    if (!ccOnly) {
+    if (!ccOnly && !prOnly) {
       println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")
       probes.foreach { q =>
         val a = time(q, base)
@@ -200,10 +202,12 @@ object ScaleProbe {
       System.err.println(s"[probe] cc_distributed $dir edges=$nEdges")
       best
     }
-    if (probes != Probes && !ccOnly) { spark.stop(); return }
+    if (probes != Probes && !ccOnly && !prOnly) { spark.stop(); return }
+    if (!prOnly) {
     val ca = ccDistributed(base)
     val cb = ccDistributed(DerivedDir)
     println(f"${"cc_distributed"}%-22s $ca%8.2f $cb%8.2f  ${cb / ca}%5.1f×")
+    }
 
     // distributed PageRank loop (maxDriverEdges = 0): the q_pagerank
     // edge derivation (which saturates its mod-space) is replaced by a
@@ -227,6 +231,7 @@ object ScaleProbe {
     val pa = prDistributed(base)
     val pb = prDistributed(DerivedDir)
     println(f"${"pagerank_distributed"}%-22s $pa%8.2f $pb%8.2f  ${pb / pa}%5.1f×")
+    if (prOnly) { spark.stop(); return }
     // semdedup probed with k ∝ N (the documented cell-size knob): fixed k
     // at 10× data means 10× cells → 100× within-cell pairs; scaling k
     // keeps expected cell size constant, so pair work scales linearly

@@ -2498,6 +2498,47 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- the composed WEB-CURATION pipeline: raw crawl pages → HTML →
+    // text extraction → link-density boilerplate gate (pure density:
+    // fixed anchor mass over variable text, so the gate is also a
+    // minimum-content gate) → URL canonicalization → per-host cap →
+    // host-level PageRank quality prior joined onto the kept docs.
+    // Five first-class stages chained the way a web corpus build chains
+    // them; every decision integer/md5-exact, oracle = the proven stage
+    // derivations composed ----
+    "q_pipeline_web" -> ((s, dir) => {
+      import graft.functions.{WebFunctions => W}
+      val d = docs(s, dir)
+      val pages = webFixture(d).join(urlFixture(d), "doc_id")
+      val extracted = pages.select(col("doc_id"), col("url"),
+        W.htmlToText(col("html")).as("clean"),
+        W.linkDensityE4(col("html")).as("link_density_e4"))
+      val gated = extracted.where(col("link_density_e4") <= 1300)
+      // narrow BEFORE the cap: everything downstream needs only
+      // (id, host, len, md5), so the text column dies here and the
+      // host-partitioned window shuffles 4 thin columns, not documents
+      // (with text riding the window this stage measured 5.9× at the
+      // 10× probe — host cardinality bounds the window's parallelism,
+      // so wide rows through few partitions is the one shape to avoid)
+      val hosted = gated
+        .withColumn("host", W.hostOf(W.canonicalizeUrl(col("url"))))
+        .select(col("doc_id"), col("host"),
+          length(col("clean")).cast("long").as("n_chars_clean"),
+          md5(col("clean").cast("binary")).as("clean_md5"))
+      val capped = graft.pipeline.Sampling.capPerGroup(hosted, "host", 40,
+        col("n_chars_clean").desc, col("doc_id").asc)
+      val hostEdges = d.select((col("doc_id") % 5).as("src"),
+        ((col("doc_id") * 3 + 1) % 5).as("dst"))
+      val ranks = graft.pipeline.Graph.pageRank(hostEdges, iters = 3)
+        .select(col("node"), col("rank").as("host_rank"))
+      capped
+        .withColumn("node",
+          regexp_extract(col("host"), "site([0-9]+)\\.com", 1).cast("long"))
+        .join(ranks, "node")
+        .select(col("doc_id"), col("host"), col("host_rank"),
+          col("n_chars_clean"), col("clean_md5"))
+    }),
+
     // ---- embedding-space decontamination: the semantic analog of the
     // n-gram scrub — train rows whose vector hits cosine ≥ 0.99 against
     // ANY eval vector drop via ONE broadcast nested-loop anti-join
@@ -2705,20 +2746,18 @@ object SparkEntry {
     " (CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END) ||" +
     " (CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END)"
 
-  /** Fixed-point PageRank oracle: the identical bigint recurrence as
-    * Graph.pageRank, unrolled to 5 CTE rounds (fixed iteration count is
-    * part of the op's contract — see Graph.scala). */
-  private lazy val pagerankSql: String = {
-    val base = "WITH e AS (SELECT DISTINCT src, dst FROM (" +
-      "SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 89 AS dst" +
-      " FROM documents UNION ALL" +
-      " SELECT (doc_id * 13 + 5) % 83, doc_id % 97 FROM documents)" +
+  /** CTE fragment mirroring Graph.pageRank's bigint recurrence over the
+    * given raw-edge subquery, unrolled to `iters` rounds (fixed round
+    * count is part of the op's contract — see Graph.scala). Final ranks
+    * land in CTE `r{iters}` (node, rank). */
+  private def pageRankCtes(rawEdges: String, iters: Int): String = {
+    val base = s"e AS (SELECT DISTINCT src, dst FROM ($rawEdges)" +
       " WHERE src <> dst)," +
       " nodes AS (SELECT DISTINCT src AS node FROM e" +
       " UNION SELECT DISTINCT dst FROM e)," +
       " deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)," +
       " r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"
-    val rounds = (1 to 5).map { k =>
+    val rounds = (1 to iters).map { k =>
       s", r$k AS (SELECT n.node," +
       " CAST(150000 + (85 * coalesce(sum(c.contrib), 0)) // 100 AS BIGINT)" +
       " AS rank FROM nodes n LEFT JOIN" +
@@ -2726,8 +2765,16 @@ object SparkEntry {
       s" JOIN deg d ON e.src = d.src JOIN r${k - 1} r ON r.node = e.src) c" +
       " ON c.dst = n.node GROUP BY n.node)"
     }.mkString
-    base + rounds + " SELECT node, rank FROM r5"
+    base + rounds
   }
+
+  /** Fixed-point PageRank oracle for q_pagerank's doc-id-derived graph. */
+  private lazy val pagerankSql: String =
+    "WITH " + pageRankCtes(
+      "SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 89 AS dst" +
+      " FROM documents UNION ALL" +
+      " SELECT (doc_id * 13 + 5) % 83, doc_id % 97 FROM documents",
+      iters = 5) + " SELECT node, rank FROM r5"
 
   def oracleSql: Map[String, String] = Map(
     "q_html_extract" ->
@@ -2785,6 +2832,34 @@ object SparkEntry {
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
+
+    "q_pipeline_web" ->
+      ("WITH " + pageRankCtes(
+        "SELECT doc_id % 5 AS src, (doc_id * 3 + 1) % 5 AS dst" +
+        " FROM documents", iters = 3) + "," +
+        s" pg AS (SELECT doc_id, $WEBHTML AS html, $WEBURL AS url" +
+        " FROM documents)," +
+        s" t AS (SELECT doc_id, url, $WEBCLEAN AS clean, html FROM pg)," +
+        " g AS (SELECT doc_id, url, clean," +
+        " CASE WHEN len(clean) <= 0 THEN CAST(0 AS BIGINT) ELSE" +
+        " CAST((coalesce(list_sum(list_transform(regexp_extract_all(html," +
+        " '(?is)<a\\b[^>]*>(.*?)</a>', 1), x -> len(x))), 0) * 10000)" +
+        " // len(clean) AS BIGINT) END AS link_density_e4 FROM t)," +
+        " g2 AS (SELECT * FROM g WHERE link_density_e4 <= 1300)," +
+        " h AS (SELECT doc_id, clean," +
+        " regexp_replace(lower(regexp_extract(url," +
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '', 'g')" +
+        " AS hostport FROM g2)," +
+        " h2 AS (SELECT doc_id, clean," +
+        " regexp_replace(regexp_replace(hostport, ':80$', '', 'g')," +
+        " ':443$', '', 'g') AS host FROM h)," +
+        " c AS (SELECT doc_id, clean, host FROM h2" +
+        " QUALIFY row_number() OVER (PARTITION BY host" +
+        " ORDER BY len(clean) DESC, doc_id) <= 40)" +
+        " SELECT c.doc_id, c.host, r3.rank AS host_rank," +
+        " CAST(len(c.clean) AS BIGINT) AS n_chars_clean," +
+        " md5(c.clean) AS clean_md5 FROM c JOIN r3 ON r3.node =" +
+        " CAST(regexp_extract(c.host, 'site([0-9]+)\\.com', 1) AS BIGINT)"),
 
     "q_jsonl_roundtrip" ->
       ("SELECT doc_id, lang," +
