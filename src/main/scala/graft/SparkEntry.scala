@@ -2445,12 +2445,22 @@ object SparkEntry {
     // boilerplate signal, all integer/md5-exact ----
     "q_html_extract" -> ((s, dir) => {
       import graft.functions.{WebFunctions => W}
-      webFixture(docs(s, dir)).select(col("doc_id"),
-        W.htmlTitle(col("html")).as("title"),
-        W.linkCount(col("html")).cast("long").as("n_links"),
-        W.linkDensityE4(col("html")).as("link_density_e4"),
-        length(W.htmlToText(col("html"))).cast("long").as("n_chars_clean"),
-        md5(W.htmlToText(col("html")).cast("binary")).as("clean_md5"))
+      // two-stage select: the extraction chain runs ONCE into `clean`
+      // and the stats derive from the materialized column (a single
+      // select naming htmlToText three times would expand the whole
+      // regexp chain per use — Catalyst does not CSE across
+      // independent top-level expressions)
+      webFixture(docs(s, dir))
+        .select(col("doc_id"), col("html"),
+          W.htmlToText(col("html")).as("clean"))
+        .select(col("doc_id"),
+          W.htmlTitle(col("html")).as("title"),
+          W.linkCount(col("html")).cast("long").as("n_links"),
+          when(length(col("clean")) <= 0, lit(0L))
+            .otherwise((W.anchorTextChars(col("html")).cast("long") * 10000L
+              / length(col("clean"))).cast("long")).as("link_density_e4"),
+          length(col("clean")).cast("long").as("n_chars_clean"),
+          md5(col("clean").cast("binary")).as("clean_md5"))
     }),
 
     // ---- URL canonicalization: scheme/host lowercase, www. and
@@ -2498,6 +2508,50 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- winnowing fingerprints (MOSS scheme): positional partial-copy
+    // detection. The contract oracled here is the winnowing GUARANTEE:
+    // a shared substring of length ≥ w+k-1 yields ≥ 1 shared selected
+    // fingerprint. Planted partial copies (junk prefix ‖ full text ‖
+    // junk suffix, junk from letters rare in the corpus) therefore MUST
+    // share fingerprints with their originals — computed by an id-keyed
+    // join of the two fingerprint sets (pair-local, no df-capped
+    // self-join in the contract path). A missing planted pair would
+    // surface as a row-count mismatch ----
+    "q_winnow_guarantee" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val partial = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(expr("repeat('zq', 8 + doc_id % 7)"), lit(" "),
+            col("text"), lit(" "),
+            expr("repeat('xj', 6 + doc_id % 5)")).as("text"))
+      val fps = Dedup.winnowFingerprints(d.unionByName(partial),
+        k = 8, w = 8)
+      val orig = fps.where(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("id_a"), col("fp"))
+      val copies = fps.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("id_a"), col("fp"))
+      d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id_a"))
+        .join(orig.join(copies, Seq("id_a", "fp"))
+            .groupBy("id_a")
+            .agg(count_distinct(col("fp")).as("n_shared")),
+          Seq("id_a"), "left")
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          (coalesce(col("n_shared"), lit(0L)) >= 1L).as("guarantee_holds"))
+    }),
+
+    // ---- host blocklist filter: exact anti-join of canonicalized
+    // hosts against a curated block set (opt-out / abuse domains) —
+    // broadcast LEFT ANTI, one corpus scan, nothing shuffles ----
+    "q_host_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{WebFunctions => W}
+      val hosted = urlFixture(docs(s, dir))
+        .select(col("doc_id"),
+          W.hostOf(W.canonicalizeUrl(col("url"))).as("host"))
+      W.dropBlockedHosts(hosted, Seq("site0.com", "site3.com").toDF("host"))
+    }),
+
     // ---- the composed WEB-CURATION pipeline: raw crawl pages → HTML →
     // text extraction → link-density boilerplate gate (pure density:
     // fixed anchor mass over variable text, so the gate is also a
@@ -2510,9 +2564,14 @@ object SparkEntry {
       import graft.functions.{WebFunctions => W}
       val d = docs(s, dir)
       val pages = webFixture(d).join(urlFixture(d), "doc_id")
-      val extracted = pages.select(col("doc_id"), col("url"),
-        W.htmlToText(col("html")).as("clean"),
-        W.linkDensityE4(col("html")).as("link_density_e4"))
+      // same two-stage select as q_html_extract: the chain runs once
+      val extracted = pages
+        .select(col("doc_id"), col("url"), col("html"),
+          W.htmlToText(col("html")).as("clean"))
+        .select(col("doc_id"), col("url"), col("clean"),
+          when(length(col("clean")) <= 0, lit(0L))
+            .otherwise((W.anchorTextChars(col("html")).cast("long") * 10000L
+              / length(col("clean"))).cast("long")).as("link_density_e4"))
       val gated = extracted.where(col("link_density_e4") <= 1300)
       // narrow BEFORE the cap: everything downstream needs only
       // (id, host, len, md5), so the text column dies here and the
@@ -2832,6 +2891,15 @@ object SparkEntry {
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
+
+    "q_winnow_guarantee" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_host_blocklist" ->
+      ("SELECT doc_id," +
+        " 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host" +
+        " FROM documents WHERE doc_id % 5 NOT IN (0, 3)"),
 
     "q_pipeline_web" ->
       ("WITH " + pageRankCtes(

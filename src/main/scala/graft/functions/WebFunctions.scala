@@ -150,4 +150,19 @@ object WebFunctions {
     * caps and host-graph edges. */
   def hostOf(url: Column): Column =
     regexp_extract(url, hostPat, 1)
+
+  /** Drop rows whose host column matches a blocklist — the
+    * opt-out/abuse-domain filter every crawl pipeline applies after
+    * canonicalization. Blocklists are list-shaped (thousands to low
+    * millions of hosts — curated, not crawled), so this is a broadcast
+    * LEFT ANTI hash join: one corpus scan, nothing shuffles, and a
+    * blocklist update re-runs only this stage. Matching is exact on the
+    * canonicalized host — run [[canonicalizeUrl]]/[[hostOf]] first so
+    * `WWW.Bad.COM:443` and `bad.com` are the same key. */
+  def dropBlockedHosts(docs: org.apache.spark.sql.DataFrame,
+      blocklist: org.apache.spark.sql.DataFrame,
+      hostCol: String = "host"): org.apache.spark.sql.DataFrame =
+    docs.join(
+      broadcast(blocklist.select(col(hostCol)).distinct()),
+      Seq(hostCol), "left_anti")
 }

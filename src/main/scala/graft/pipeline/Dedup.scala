@@ -1005,4 +1005,78 @@ object Dedup {
       .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  /** Winnowing fingerprints (the MOSS scheme — Schleimer/Wilkerson/Aiken,
+    * public knowledge): hash every character `k`-gram, slide a window of
+    * `w` consecutive gram hashes over each document, and record each
+    * window's MINIMUM hash (rightmost on ties — picked here as min over
+    * `(hash, -pos)` structs) once per selected position.
+    *
+    * The winnowing guarantee: any substring shared between two documents
+    * of length ≥ `w + k - 1` contributes at least one shared fingerprint
+    * — positional partial-copy detection, the gap between document-level
+    * minhash (whole-doc similarity) and span dedup (fixed grid). The
+    * expected fingerprint density is 2/(w+1) per position, so the table
+    * is ~¼ of the gram count at w=7.
+    *
+    * Scale shape: gram hashing is an exploded projection (one pass,
+    * `substring` + xxhash64 in codegen — O(n·k) chars touched, the
+    * documented stride-1 price [[substringDupStats]] also pays); the
+    * window-min is a per-document sort window (shuffle on doc_id, rows
+    * are (id, pos, hash) — text never rides it). Output: (doc_id, pos,
+    * fp). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 2, s"winnow: degenerate k=$k / w=$w")
+    val nGrams = (length(col("t")) - (k - 1)).cast("long")
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
+      .where(nGrams >= w) // shorter docs have no complete window
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), nGrams)).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(t, pos, $k)")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // window minimum with rightmost tie-break: lexicographic min of
+    // (h, -pos) — then only positions that START a complete window count
+    grams
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(win))
+      .withColumn("wlast", max(col("pos")).over(win))
+      .where(col("wlast") === col("pos") + (w - 1))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** Partial-overlap candidate pairs from winnowing fingerprints: docs
+    * sharing ≥ `minShared` distinct fingerprint values. Fingerprints
+    * appearing in more than `maxDf` documents are dropped FIRST (the
+    * MOSS move: boilerplate grams — headers, licence text, common
+    * phrases — carry no authorship signal and their self-join fan-out is
+    * df² per fingerprint; the cap bounds the join at maxDf² pairs per
+    * value, the same discipline as the postings cap).
+    *
+    * Scale shape: df filter is one map-side-combined agg over (fp) ;
+    * the pair join carries (fp, doc_id) rows only; the pair count
+    * aggregate is hash-shuffled on (id_a, id_b). */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
+      minShared: Int = 20, maxDf: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = PlanCache.getOrPersist(docs, s"winnow|$k|$w",
+      winnowFingerprints(docs, k, w, idCol, textCol)
+        .select("doc_id", "fp").distinct())
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2)
+      .select("fp")
+    val hits = fps.join(rare, "fp")
+    hits.select(col("fp"), col("doc_id").as("id_a"))
+      .join(hits.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

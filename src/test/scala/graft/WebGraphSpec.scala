@@ -116,4 +116,62 @@ class WebGraphSpec extends SparkSpec {
     val ranks = Graph.pageRank(edges, iters = 0).as[(Long, Long)].collect()
     assert(ranks.length === 3 && ranks.forall(_._2 == 1000000L))
   }
+
+  // ---- winnowing fingerprints (MOSS) ----
+
+  import graft.pipeline.Dedup
+
+  test("winnowing guarantee: shared substring >= w+k-1 shares a fingerprint") {
+    // two docs sharing ONLY the middle chunk (junk flanks use letters
+    // absent from the chunk); chunk length 24 >= w+k-1 = 15
+    val chunk = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"zzqzzqzzqzzq $chunk xjxjxjxjxjxj"),
+      (2L, s"wvwvwvwvwvwv $chunk ykykykykykyk"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 8, w = 8)
+    val shared = fps.where($"doc_id" === 1L).select("fp")
+      .intersect(fps.where($"doc_id" === 2L).select("fp"))
+    assert(shared.count() >= 1)
+  }
+
+  test("winnowing density: ~2/(w+1) of positions selected, window-min sound") {
+    val text = (1 to 40).map(i => s"w${i}x${i * 7 % 13}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val k = 8; val w = 8
+    val n = text.length - (k - 1) - (w - 1) // complete windows
+    val fpCount = Dedup.winnowFingerprints(docs, k, w).count()
+    // selection density for random hashes is 2/(w+1) ≈ 0.22; allow wide
+    // deterministic slack (every window must pick SOMETHING, and a
+    // selected position can serve at most w windows)
+    assert(fpCount >= n / w, s"$fpCount of $n too sparse")
+    assert(fpCount <= n, s"$fpCount of $n too dense")
+  }
+
+  test("winnowOverlapPairs: partial copy found, disjoint docs not") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = "uno dos tres cuatro cinco seis siete ocho nueve diez once " * 3
+    val docs = Seq(
+      (1L, a),
+      (2L, b),
+      // 3 = partial copy of 1 with junk flanks
+      (3L, "qzqzqzqzqzqzqz " + a + " jxjxjxjxjxjxjx"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, k = 8, w = 8,
+        minShared = 5, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
+  test("winnowOverlapPairs df cap drops boilerplate-only overlap") {
+    // the shared LICENSE line appears in every doc → its fingerprints
+    // have df = 6 > maxDf = 4 and must not produce pairs
+    val licence = "licensed under the apache license version two point zero "
+    val docs = (1L to 6L).map(i =>
+      (i, licence + s"body${i}a body${i}b body${i}c body${i}d " * 4))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, k = 8, w = 8,
+      minShared = 2, maxDf = 4)
+    assert(pairs.isEmpty)
+  }
 }
