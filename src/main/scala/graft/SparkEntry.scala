@@ -2508,6 +2508,18 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- Naive Bayes document classification (the model-based filter
+    // tier — language routing here; quality tiers are the same machinery
+    // with different labels): train on the 80% slice's own lang labels,
+    // classify the whole corpus. Integer 1e-4-unit NLL scoring, argmin
+    // with lexicographic tie-break — engine-exact, fully SQL-mirrored ----
+    "q_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val model = graft.pipeline.Classifier.train(
+        d.where(col("doc_id") % 5 =!= 0), labelCol = "lang")
+      graft.pipeline.Classifier.classify(model, d)
+    }),
+
     // ---- winnowing fingerprints (MOSS scheme): positional partial-copy
     // detection. The contract oracled here is the winnowing GUARANTEE:
     // a shared substring of length ≥ w+k-1 yields ≥ 1 shared selected
@@ -2895,6 +2907,38 @@ object SparkEntry {
     "q_winnow_guarantee" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_nb_classify" ->
+      ("WITH tr AS (SELECT doc_id, lang AS label, text FROM documents" +
+        " WHERE doc_id % 5 <> 0)," +
+        " trtok AS (SELECT label," +
+        " unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
+        " counts AS (SELECT label, tok, count(*) AS c_t FROM trtok" +
+        " GROUP BY 1, 2)," +
+        " cls AS (SELECT t.label, t.n_toks, d.n_docs FROM" +
+        " (SELECT label, count(*) AS n_toks FROM trtok GROUP BY label) t" +
+        " JOIN (SELECT label, count(*) AS n_docs FROM tr GROUP BY label) d" +
+        " USING (label))," +
+        " st AS (SELECT (SELECT count(DISTINCT tok) FROM trtok) AS v," +
+        " (SELECT count(*) FROM tr) AS n_all)," +
+        " lbl AS (SELECT label, n_toks, n_docs, v, n_all," +
+        " CAST(floor(log2(CAST(n_all AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+        " * 10000.0 + 1e-6) AS BIGINT) AS prior_e4 FROM cls, st)," +
+        " dtok AS (SELECT doc_id," +
+        " unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)," +
+        " sums AS (SELECT dtok.doc_id, l.label," +
+        " sum(CAST(floor(log2(CAST(l.n_toks + l.v AS DOUBLE) /" +
+        " CAST(coalesce(c.c_t, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6)" +
+        " AS BIGINT)) AS tok_e4 FROM dtok CROSS JOIN lbl l" +
+        " LEFT JOIN counts c ON c.label = l.label AND c.tok = dtok.tok" +
+        " GROUP BY 1, 2)," +
+        " pairs AS (SELECT d.doc_id, l.label," +
+        " l.prior_e4 + coalesce(s.tok_e4, 0) AS score_e4" +
+        " FROM documents d CROSS JOIN lbl l" +
+        " LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = l.label)" +
+        " SELECT doc_id, label, CAST(score_e4 AS BIGINT) AS nll_e4" +
+        " FROM pairs QUALIFY row_number() OVER (PARTITION BY doc_id" +
+        " ORDER BY score_e4, label) = 1"),
 
     "q_host_blocklist" ->
       ("SELECT doc_id," +

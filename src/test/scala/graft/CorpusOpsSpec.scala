@@ -387,4 +387,55 @@ class CorpusOpsSpec extends SparkSpec {
         s"expected exactly one data file in ${sd.getName}")
     }
   }
+
+  // ---- Naive Bayes classification ----
+
+  import graft.pipeline.Classifier
+
+  private def nbTrainSet = Seq(
+    (1L, "good", "excellent wonderful superb writing clear prose"),
+    (2L, "good", "wonderful excellent insightful clear structured"),
+    (3L, "good", "superb excellent prose wonderful thoughtful"),
+    (4L, "bad", "terrible awful spam garbage click here"),
+    (5L, "bad", "awful terrible spam spam garbage"),
+    (6L, "bad", "garbage awful spam terrible clickbait"))
+    .toDF("doc_id", "label", "text")
+  // token totals are balanced by construction: 16 per class (the
+  // tie-break test depends on equal n_toks AND equal n_docs)
+
+  test("NB classifier separates planted classes on held-out docs") {
+    val model = Classifier.train(nbTrainSet)
+    val test = Seq(
+      (10L, "excellent wonderful clear"),
+      (11L, "spam garbage terrible"),
+      (12L, "superb prose insightful"),
+      (13L, "awful clickbait nonsense"))
+      .toDF("doc_id", "text")
+    val pred = Classifier.classify(model, test)
+      .select("doc_id", "label").as[(Long, String)].collect().toMap
+    assert(pred(10L) === "good" && pred(12L) === "good")
+    assert(pred(11L) === "bad" && pred(13L) === "bad")
+  }
+
+  test("NB: saved model classifies identically to the in-session model") {
+    val model = Classifier.train(nbTrainSet)
+    val dir = java.nio.file.Files.createTempDirectory("nb").toString
+    Classifier.save(model, dir)
+    val loaded = Classifier.load(spark, dir)
+    val test = Seq((20L, "excellent spam wonderful garbage"),
+      (21L, "clear terrible")).toDF("doc_id", "text")
+    val a = Classifier.classify(model, test).orderBy("doc_id").collect().toSeq
+    val b = Classifier.classify(loaded, test).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("NB: class-balanced priors tie-break deterministically") {
+    // token unseen in both classes: per-token terms equal, priors equal
+    // (3 docs each) → tie broken to the lexicographically smaller label
+    val model = Classifier.train(nbTrainSet)
+    val pred = Classifier.classify(model,
+        Seq((30L, "zzzunseen")).toDF("doc_id", "text"))
+      .select("label").as[String].head()
+    assert(pred === "bad") // "bad" < "good"
+  }
 }
