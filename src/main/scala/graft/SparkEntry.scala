@@ -2520,6 +2520,40 @@ object SparkEntry {
       graft.pipeline.Classifier.classify(model, d)
     }),
 
+    // ---- STREAMING NB classification: each micro-batch classifies
+    // against the PERSISTED model store — the model trains zero times
+    // in the scoring session (q_lm_stream's resumed-run structural
+    // batch order: drain, append, drain again) ----
+    "q_nb_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("nbstream").toString
+      val modelDir = graft.sources.WireFixtures.nbModelDir(s, dir)
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val model = graft.pipeline.Classifier.load(b.sparkSession, modelDir)
+            graft.pipeline.Classifier.classify(model, b)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 2).coalesce(1)
+        .write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 7).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select("batch_id", "doc_id", "label", "nll_e4")
+    }),
+
     // ---- winnowing fingerprints (MOSS scheme): positional partial-copy
     // detection. The contract oracled here is the winnowing GUARANTEE:
     // a shared substring of length ≥ w+k-1 yields ≥ 1 shared selected
@@ -2839,6 +2873,45 @@ object SparkEntry {
     base + rounds
   }
 
+  /** Naive Bayes oracle CTEs — mirror of Classifier.train + classify
+    * over the 80% lang-labeled slice; per-(doc, class) scores land in
+    * CTE `pairs` (doc_id, label, score_e4). */
+  private lazy val nbCtes: String =
+    "tr AS (SELECT doc_id, lang AS label, text FROM documents" +
+      " WHERE doc_id % 5 <> 0)," +
+      " trtok AS (SELECT label," +
+      " unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
+      " counts AS (SELECT label, tok, count(*) AS c_t FROM trtok" +
+      " GROUP BY 1, 2)," +
+      " cls AS (SELECT t.label, t.n_toks, d.n_docs FROM" +
+      " (SELECT label, count(*) AS n_toks FROM trtok GROUP BY label) t" +
+      " JOIN (SELECT label, count(*) AS n_docs FROM tr GROUP BY label) d" +
+      " USING (label))," +
+      " st AS (SELECT (SELECT count(DISTINCT tok) FROM trtok) AS v," +
+      " (SELECT count(*) FROM tr) AS n_all)," +
+      " lbl AS (SELECT label, n_toks, n_docs, v, n_all," +
+      " CAST(floor(log2(CAST(n_all AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+      " * 10000.0 + 1e-6) AS BIGINT) AS prior_e4 FROM cls, st)," +
+      " dtok AS (SELECT doc_id," +
+      " unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)," +
+      " sums AS (SELECT dtok.doc_id, l.label," +
+      " sum(CAST(floor(log2(CAST(l.n_toks + l.v AS DOUBLE) /" +
+      " CAST(coalesce(c.c_t, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6)" +
+      " AS BIGINT)) AS tok_e4 FROM dtok CROSS JOIN lbl l" +
+      " LEFT JOIN counts c ON c.label = l.label AND c.tok = dtok.tok" +
+      " GROUP BY 1, 2)," +
+      " pairs AS (SELECT d.doc_id, l.label," +
+      " l.prior_e4 + coalesce(s.tok_e4, 0) AS score_e4" +
+      " FROM documents d CROSS JOIN lbl l" +
+      " LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = l.label)"
+
+  /** Naive Bayes classification oracle (q_nb_classify). */
+  private lazy val nbClassifySql: String =
+    s"WITH $nbCtes" +
+      " SELECT doc_id, label, CAST(score_e4 AS BIGINT) AS nll_e4" +
+      " FROM pairs QUALIFY row_number() OVER (PARTITION BY doc_id" +
+      " ORDER BY score_e4, label) = 1"
+
   /** Fixed-point PageRank oracle for q_pagerank's doc-id-derived graph. */
   private lazy val pagerankSql: String =
     "WITH " + pageRankCtes(
@@ -2908,37 +2981,21 @@ object SparkEntry {
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
 
-    "q_nb_classify" ->
-      ("WITH tr AS (SELECT doc_id, lang AS label, text FROM documents" +
-        " WHERE doc_id % 5 <> 0)," +
-        " trtok AS (SELECT label," +
-        " unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
-        " counts AS (SELECT label, tok, count(*) AS c_t FROM trtok" +
-        " GROUP BY 1, 2)," +
-        " cls AS (SELECT t.label, t.n_toks, d.n_docs FROM" +
-        " (SELECT label, count(*) AS n_toks FROM trtok GROUP BY label) t" +
-        " JOIN (SELECT label, count(*) AS n_docs FROM tr GROUP BY label) d" +
-        " USING (label))," +
-        " st AS (SELECT (SELECT count(DISTINCT tok) FROM trtok) AS v," +
-        " (SELECT count(*) FROM tr) AS n_all)," +
-        " lbl AS (SELECT label, n_toks, n_docs, v, n_all," +
-        " CAST(floor(log2(CAST(n_all AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
-        " * 10000.0 + 1e-6) AS BIGINT) AS prior_e4 FROM cls, st)," +
-        " dtok AS (SELECT doc_id," +
-        " unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)," +
-        " sums AS (SELECT dtok.doc_id, l.label," +
-        " sum(CAST(floor(log2(CAST(l.n_toks + l.v AS DOUBLE) /" +
-        " CAST(coalesce(c.c_t, 0) + 1 AS DOUBLE)) * 10000.0 + 1e-6)" +
-        " AS BIGINT)) AS tok_e4 FROM dtok CROSS JOIN lbl l" +
-        " LEFT JOIN counts c ON c.label = l.label AND c.tok = dtok.tok" +
-        " GROUP BY 1, 2)," +
-        " pairs AS (SELECT d.doc_id, l.label," +
-        " l.prior_e4 + coalesce(s.tok_e4, 0) AS score_e4" +
-        " FROM documents d CROSS JOIN lbl l" +
-        " LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = l.label)" +
-        " SELECT doc_id, label, CAST(score_e4 AS BIGINT) AS nll_e4" +
-        " FROM pairs QUALIFY row_number() OVER (PARTITION BY doc_id" +
-        " ORDER BY score_e4, label) = 1"),
+    "q_nb_classify" -> nbClassifySql,
+
+    // streaming NB: same persisted-model derivation restricted to the
+    // two slices, stamped with their structural batch ids
+    "q_nb_stream" ->
+      (s"WITH $nbCtes," +
+        " pred AS (SELECT doc_id, label," +
+        " CAST(score_e4 AS BIGINT) AS nll_e4 FROM pairs" +
+        " QUALIFY row_number() OVER (PARTITION BY doc_id" +
+        " ORDER BY score_e4, label) = 1)" +
+        " SELECT CAST(0 AS BIGINT) AS batch_id, doc_id, label, nll_e4" +
+        " FROM pred WHERE doc_id % 10 = 2" +
+        " UNION ALL" +
+        " SELECT CAST(1 AS BIGINT) AS batch_id, doc_id, label, nll_e4" +
+        " FROM pred WHERE doc_id % 10 = 7"),
 
     "q_host_blocklist" ->
       ("SELECT doc_id," +

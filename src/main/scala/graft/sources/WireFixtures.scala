@@ -183,6 +183,17 @@ object WireFixtures {
         graft.pipeline.LangModel.train(docs), tmp)
     }
 
+  /** Persisted Naive Bayes model (same 80% train slice, lang labels) —
+    * the streaming classify query's store (train zero times in the
+    * scoring session). */
+  def nbModelDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/nb_lang_t80") { tmp =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang", "text").where(col("doc_id") % 5 =!= 0)
+      graft.pipeline.Classifier.save(
+        graft.pipeline.Classifier.train(docs, labelCol = "lang"), tmp)
+    }
+
   /** Binary relay event-log segments (the graft-relay DataSource's
     * storage), written once from the envelope. Returns the segment dir. */
   def relayLogDir(spark: SparkSession, sfDir: String): String =

@@ -252,4 +252,22 @@ class PlansSpec extends SparkSpec {
     assert(binaryShuffles.isEmpty,
       s"blob column in a shuffle:\n${binaryShuffles.map(_.output)}")
   }
+
+  test("web pipeline: document text never rides the host-cap window shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // host cardinality bounds the per-host cap window's parallelism, so
+    // wide rows through those few partitions is the shape to avoid: the
+    // pipeline must project (id, host, len, md5) BEFORE the cap (the
+    // 10× probe measured 5.9× → 3.3× from exactly this change). Guard:
+    // no shuffled row carries a string column wider than the md5/host
+    // columns — i.e. no `clean`/`html`/`text`-named output anywhere in
+    // an exchange.
+    val out = SparkEntry.queries("q_pipeline_web")(spark, sf())
+    val wide = out.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeExec if x.output.exists(a =>
+        Set("clean", "html", "text", "url").contains(a.name)) => x
+    }
+    assert(wide.isEmpty,
+      s"document-sized column in a shuffle:\n${wide.map(_.output)}")
+  }
 }
