@@ -138,7 +138,8 @@ object Bench {
     val names = results.keys.toSeq.sorted
     val headline = Seq("q1_agg", "q3_join", "q5_join", "q_capture_txlog",
       "q_pipeline_e2e", "q_pipeline_curation", "q_pipeline_neardup",
-      "q_semdedup", "q_cluster_keep_one", "q_dedup_stream_incr")
+      "q_pipeline_web", "q_semdedup", "q_cluster_keep_one",
+      "q_dedup_stream_incr")
       .filter(results.contains)
     val qs = headline.map { k =>
       "\"" + k + "\":" + (math.round(results(k) * 1000) / 1000.0) }

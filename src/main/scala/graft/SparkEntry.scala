@@ -2586,6 +2586,56 @@ object SparkEntry {
           (coalesce(col("n_shared"), lit(0L)) >= 1L).as("guarantee_holds"))
     }),
 
+    // ---- dataset card: the corpus-statistics rollup every published
+    // dataset ships — doc/token/char totals at every (lang × source)
+    // granularity in ONE cube pass (grouping-sets partial aggregation;
+    // integer-exact metrics only) ----
+    "q_data_card" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          col("n_chars").cast("long").as("nc"),
+          TF.tokenCount(col("text")).cast("long").as("nt"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nc")).as("sum_chars"),
+          max(col("nc")).as("max_chars"))),
+
+    // ---- content-defined chunking (Rabin-style CDC): the contract
+    // oracled is APPEND LOCALITY — an appended suffix may only change
+    // the original's FINAL chunk: boundaries are content-decided, every
+    // boundary gram of the original lies intact in the appended copy,
+    // and no new boundary can appear below the original's last one, so
+    // (orig chunks except the last) ⊆ copy chunks, md5 for md5. The
+    // check is an id-keyed anti-join per planted pair — a violated
+    // inclusion surfaces as append_local = false ----
+    "q_cdc_append_local" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val copies = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('xj', 6 + doc_id % 5)")).as("text"))
+      val chunks = Dedup.cdcChunks(d.unionByName(copies), k = 8,
+        divisor = 32)
+      val orig = chunks.where(col("doc_id") < 1000000L)
+      val copy = chunks.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("id_a"),
+          col("chunk_md5"))
+      val lastIdx = orig.groupBy(col("doc_id").as("id_a"))
+        .agg(max(col("chunk_idx")).as("last_idx"))
+      val missing = orig.select(col("doc_id").as("id_a"),
+          col("chunk_idx"), col("chunk_md5"))
+        .join(lastIdx, "id_a")
+        .where(col("chunk_idx") < col("last_idx"))
+        .join(copy, Seq("id_a", "chunk_md5"), "left_anti")
+        .groupBy("id_a").agg(count(lit(1)).as("n_missing"))
+      d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id_a"))
+        .join(missing, Seq("id_a"), "left")
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          (coalesce(col("n_missing"), lit(0L)) === 0L).as("append_local"))
+    }),
+
     // ---- host blocklist filter: exact anti-join of canonicalized
     // hosts against a curated block set (opt-out / abuse domains) —
     // broadcast LEFT ANTI, one corpus scan, nothing shuffles ----
@@ -2980,6 +3030,18 @@ object SparkEntry {
     "q_winnow_guarantee" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_cdc_append_local" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " TRUE AS append_local FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_data_card" ->
+      ("SELECT lang, source, count(*) AS n_docs," +
+        " CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)" +
+        " AS n_tokens," +
+        " CAST(sum(n_chars) AS BIGINT) AS sum_chars," +
+        " CAST(max(n_chars) AS BIGINT) AS max_chars" +
+        " FROM documents GROUP BY CUBE (lang, source)"),
 
     "q_nb_classify" -> nbClassifySql,
 

@@ -1079,4 +1079,54 @@ object Dedup {
       .agg(count_distinct(col("fp")).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Content-defined chunking (the Rabin-style CDC storage-dedup
+    * fundamental, public knowledge): a chunk boundary opens wherever the
+    * hash of the k-gram STARTING at a position is ≡ 0 mod `divisor`, so
+    * boundaries are decided by CONTENT, not offset — an insertion or
+    * append disturbs only the chunks it touches, and every chunk outside
+    * the edit re-aligns byte-identically (the property fixed-size
+    * blocking fundamentally lacks). Expected chunk length ≈ `divisor`
+    * characters.
+    *
+    * Output: (doc_id, chunk_idx, start, chunk_len, chunk_md5) — 1-based
+    * chunk start offsets; chunk_idx 1..n in document order; the md5 is
+    * over the chunk text, so cross-document chunk-level dedup is a
+    * hash-groupBy on chunk_md5.
+    *
+    * Scale shape: boundary detection is the winnowing gram scan
+    * (explode + substring + xxhash64 in codegen) FILTERED to boundary
+    * hits before anything shuffles — the shuffled stream is ~1/divisor
+    * of positions, rows of (id, pos); chunk extents come from one lead()
+    * window per doc over those boundary rows; chunk text is cut by ONE
+    * substring against the text re-joined id-keyed (text rides an
+    * id-partitioned join, never a position-exploded shuffle). */
+  def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && divisor >= 2, s"cdc: degenerate k=$k / divisor=$divisor")
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("t"))
+    val nGrams = (length(col("t")) - (k - 1)).cast("long")
+    // boundary positions (content-defined), position 1 anchored as the
+    // first chunk's start; docs shorter than one gram are one chunk
+    val bounds = d
+      .select(col("doc_id"),
+        explode(when(nGrams >= 1L, sequence(lit(1L), nGrams))
+          .otherwise(array(lit(1L)))).as("pos"), col("t"))
+      .where(col("pos") === 1L ||
+        pmod(xxhash64(expr(s"substring(t, pos, $k)")), lit(divisor.toLong))
+          === 0L)
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    bounds
+      .withColumn("chunk_idx", row_number().over(w).cast("long"))
+      .withColumn("next", lead(col("pos"), 1).over(w))
+      .join(d, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("pos").as("start"),
+        (coalesce(col("next"), (length(col("t")) + 1).cast("long"))
+          - col("pos")).cast("long").as("chunk_len"), col("t"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
+        md5(expr("substring(t, start, chunk_len)").cast("binary"))
+          .as("chunk_md5"))
+  }
 }

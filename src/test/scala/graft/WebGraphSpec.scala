@@ -163,6 +163,57 @@ class WebGraphSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("cdcChunks: chunks tile the document exactly, in order") {
+    val text = (1 to 60).map(i => s"tok${i * 31 % 97}").mkString(" ")
+    val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        k = 8, divisor = 16)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start", "chunk_len").as[(Long, Long, Long)]
+      .collect()
+    assert(chunks.head._2 === 1L)
+    chunks.sliding(2).foreach {
+      case Array((i1, s1, l1), (i2, s2, _)) =>
+        assert(i2 === i1 + 1 && s2 === s1 + l1, "chunks must tile")
+      case _ => ()
+    }
+    val (_, lastStart, lastLen) = chunks.last
+    assert(lastStart + lastLen - 1 === text.length.toLong)
+  }
+
+  test("cdcChunks append locality: appending changes only the last chunk") {
+    val base = (1 to 80).map(i => s"w${i * 13 % 41}").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " appended junk tail xyz"))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, k = 8, divisor = 16)
+    val md5s1 = chunks.where($"doc_id" === 1L).orderBy("chunk_idx")
+      .select("chunk_md5").as[String].collect()
+    val md5s2 = chunks.where($"doc_id" === 2L).orderBy("chunk_idx")
+      .select("chunk_md5").as[String].collect().toSet
+    assert(md5s1.length >= 2, "fixture must produce multiple chunks")
+    // every chunk of the original except its last survives verbatim
+    md5s1.dropRight(1).foreach(m => assert(md5s2.contains(m)))
+  }
+
+  test("cdcChunks insert locality: an edit re-aligns chunks after it") {
+    val words = (1 to 120).map(i => s"q${i * 7 % 53}")
+    val orig = words.mkString(" ")
+    // insert in the middle: chunks strictly before and strictly after
+    // the edit should re-align (share md5s) despite the offset shift —
+    // the property fixed-size blocking lacks
+    val edited = (words.take(60) ++ Seq("INSERTED", "WORDS") ++
+      words.drop(60)).mkString(" ")
+    val chunks = Dedup.cdcChunks(
+      Seq((1L, orig), (2L, edited)).toDF("doc_id", "text"),
+      k = 8, divisor = 16)
+    val a = chunks.where($"doc_id" === 1L).select("chunk_md5")
+      .as[String].collect().toSet
+    val b = chunks.where($"doc_id" === 2L).select("chunk_md5")
+      .as[String].collect().toSet
+    val shared = a.intersect(b).size
+    assert(shared >= a.size / 2,
+      s"only $shared of ${a.size} chunks re-aligned after an insert")
+  }
+
   test("winnowOverlapPairs df cap drops boilerplate-only overlap") {
     // the shared LICENSE line appears in every doc → its fingerprints
     // have df = 6 > maxDf = 4 and must not produce pairs
