@@ -98,11 +98,19 @@ object SparkEntry {
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
+    // persisted scoring models (train-once stores; without these the
+    // first lm/nb query in a pass pays the training scan)
+    WireFixtures.lmModelDir(s, dir)
+    WireFixtures.nbModelDir(s, dir)
     // IVF codebook memo entries used by q_kmeans_train / q_ann_ivf_trained
     val all = emb(s, dir).select(col("vec_id").as("id"),
       col("embedding").as("vec"))
     Ann.trainCentroids(all, k = 8, iters = 5)
     Ann.trainCentroids(all, k = 8, iters = 3)
+    // PQ sub-codebooks for q_ann_pq's twin-planted corpus
+    Ann.trainPqCodebooks(all.unionByName(
+      all.select((col("id") + 1000000L).as("id"), col("vec"))),
+      m = 4, ksub = 16, iters = 3)
     ()
   }
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -364,6 +364,78 @@ object CharEntropyE4 {
   }
 }
 
+/** All character k-gram hashes of a string in ONE pass — native
+  * Catalyst expression with whole-stage codegen, returning
+  * `array<long>` where element i is the hash of chars i..i+k-1.
+  *
+  * Why a custom Expression: the column form
+  * (`explode(sequence) + xxhash64(substring(t, pos, k))`) re-slices and
+  * re-hashes k chars at EVERY position — O(n·k) char touches plus a
+  * string allocation per position. This kernel is the classic
+  * polynomial rolling hash (O(1) per position after the first window:
+  * h' = (h − c·B^(k−1))·B + c_new, 64-bit wraparound) with a splitmix
+  * finalizer for bit mixing — the positional fingerprint scans
+  * (winnowing, CDC boundary detection) are stride-1 over the whole
+  * corpus, so this is their dominant cost. Hash VALUES are
+  * engine-internal (nothing oracles them; the winnow/CDC contracts are
+  * hash-agnostic), so the finalizer choice is free. */
+case class KGramHash64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"kgram_hashes: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kgram_hashes requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      KGramHash64.compute(v.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.KGramHash64.compute($c.toString(), $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): KGramHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "kgram_hashes"
+}
+
+object KGramHash64 {
+  private final val B = 0x100000001b3L // FNV-1a prime as the poly base
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Rolling k-gram hashes over UTF-16 code units (one pass, O(n)).
+    * Empty result for strings shorter than k. */
+  def compute(s: String, k: Int): Array[Long] = {
+    val n = s.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    var bk = 1L
+    var j = 0
+    while (j < k - 1) { bk *= B; j += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + s.charAt(j); j += 1 }
+    out(0) = mix(h)
+    var i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      out(i) = mix(h)
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -374,6 +446,9 @@ object GraftFunctions {
 
   def char_entropy_e4(c: Column): Column =
     ColumnBridge.column(CharEntropyE4(ColumnBridge.expression(c)))
+
+  def kgram_hashes(c: Column, k: Int): Column =
+    ColumnBridge.column(KGramHash64(ColumnBridge.expression(c), k))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -1019,9 +1019,10 @@ object Dedup {
     * expected fingerprint density is 2/(w+1) per position, so the table
     * is ~¼ of the gram count at w=7.
     *
-    * Scale shape: gram hashing is an exploded projection (one pass,
-    * `substring` + xxhash64 in codegen — O(n·k) chars touched, the
-    * documented stride-1 price [[substringDupStats]] also pays); the
+    * Scale shape: gram hashing is ONE pass per document — the native
+    * rolling-hash kernel [[graft.functions.KGramHash64]] emits every
+    * gram hash in O(n) (the substring-per-position form this replaced
+    * touched O(n·k) chars and allocated a string per position); the
     * window-min is a per-document sort window (shuffle on doc_id, rows
     * are (id, pos, hash) — text never rides it). Output: (doc_id, pos,
     * fp). */
@@ -1032,10 +1033,10 @@ object Dedup {
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
       .where(nGrams >= w) // shorter docs have no complete window
-      .select(col("doc_id"),
-        explode(sequence(lit(1L), nGrams)).as("pos"), col("t"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(expr(s"substring(t, pos, $k)")).as("h"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.kgram_hashes(col("t"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     // window minimum with rightmost tie-break: lexicographic min of
@@ -1094,28 +1095,30 @@ object Dedup {
     * over the chunk text, so cross-document chunk-level dedup is a
     * hash-groupBy on chunk_md5.
     *
-    * Scale shape: boundary detection is the winnowing gram scan
-    * (explode + substring + xxhash64 in codegen) FILTERED to boundary
+    * Scale shape: boundary detection is the native one-pass rolling
+    * gram kernel ([[graft.functions.KGramHash64]]) FILTERED to boundary
     * hits before anything shuffles — the shuffled stream is ~1/divisor
     * of positions, rows of (id, pos); chunk extents come from one lead()
     * window per doc over those boundary rows; chunk text is cut by ONE
     * substring against the text re-joined id-keyed (text rides an
-    * id-partitioned join, never a position-exploded shuffle). */
+    * id-partitioned shuffle, never a position-exploded one). */
   def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2 && divisor >= 2, s"cdc: degenerate k=$k / divisor=$divisor")
     val d = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("t"))
-    val nGrams = (length(col("t")) - (k - 1)).cast("long")
     // boundary positions (content-defined), position 1 anchored as the
-    // first chunk's start; docs shorter than one gram are one chunk
+    // first chunk's start; docs shorter than one gram get the synthetic
+    // single anchor hash (kept by the pos = 1 arm regardless of value)
+    val hashes = graft.functions.GraftFunctions.kgram_hashes(col("t"), k)
     val bounds = d
-      .select(col("doc_id"),
-        explode(when(nGrams >= 1L, sequence(lit(1L), nGrams))
-          .otherwise(array(lit(1L)))).as("pos"), col("t"))
+      .select(col("doc_id"), posexplode(
+        when(length(col("t")) >= k, hashes)
+          .otherwise(array(lit(0L)))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
       .where(col("pos") === 1L ||
-        pmod(xxhash64(expr(s"substring(t, pos, $k)")), lit(divisor.toLong))
-          === 0L)
+        pmod(col("h"), lit(divisor.toLong)) === 0L)
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     bounds

@@ -163,6 +163,34 @@ class WebGraphSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("kgram_hashes: rolling update equals from-scratch at every position") {
+    import graft.functions.KGramHash64
+    val s = "the quick brown fox jumps over the lazy dog 0123456789"
+    val k = 8
+    val rolled = KGramHash64.compute(s, k)
+    assert(rolled.length === s.length - k + 1)
+    // from-scratch per position: hash the isolated k-substring (the
+    // rolling recurrence must be algebraically identical)
+    (0 until rolled.length).foreach { i =>
+      val scratch = KGramHash64.compute(s.substring(i, i + k), k)
+      assert(scratch.length === 1 && scratch(0) === rolled(i),
+        s"rolling diverged from scratch at pos $i")
+    }
+    // shorter than k: empty
+    assert(KGramHash64.compute("abc", 8).isEmpty)
+  }
+
+  test("kgram_hashes: codegen and interpreted agree") {
+    import graft.functions.{GraftFunctions, KGramHash64}
+    val df = Seq("alpha beta gamma delta", "xy").toDF("t")
+      .select(col("t"), GraftFunctions.kgram_hashes(col("t"), 5).as("h"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getSeq[Long](1).toArray))
+    got.foreach { case (t, hs) =>
+      assert(hs.toSeq === KGramHash64.compute(t, 5).toSeq)
+    }
+  }
+
   test("cdcChunks: chunks tile the document exactly, in order") {
     val text = (1 to 60).map(i => s"tok${i * 31 % 97}").mkString(" ")
     val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
