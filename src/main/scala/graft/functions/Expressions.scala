@@ -436,6 +436,95 @@ object KGramHash64 {
   }
 }
 
+/** Robust winnowing selection fused with the rolling hash — ONE pass,
+  * O(n), zero shuffles: for each complete `w`-window over the k-gram
+  * hashes, the minimum hash (rightmost on ties) is selected and recorded
+  * once, exactly the MOSS scheme. Returns `array<struct<pos, fp>>`
+  * (1-based gram positions).
+  *
+  * Why fused: the compositional form (explode the hash array → per-doc
+  * sort window → min-struct → distinct) shuffles every position row and
+  * sorts per document; the selection is a textbook monotonic-deque
+  * sliding minimum the kernel computes in the same pass that rolls the
+  * hashes — the fingerprint table then EXPLODES ONLY THE SELECTED ~2/(w+1)
+  * density, and nothing position-shaped ever shuffles. The windowed
+  * derivation remains in Dedup as the spec cross-check. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 2, s"winnow_select: degenerate k=$k / w=$w")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_select requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowSelect.computeRows(v.asInstanceOf[UTF8String].toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowSelect.computeRows(" +
+        s"$c.toString(), $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_select"
+}
+
+object WinnowSelect {
+  /** Selected (pos, fp) pairs — sliding minimum by (hash asc, pos desc)
+    * over every complete w-window of the rolling k-gram hashes, each
+    * selection recorded once (selection windows per position are
+    * contiguous, so consecutive-dedup == distinct). */
+  def compute(s: String, k: Int, w: Int): Array[(Long, Long)] = {
+    val hs = KGramHash64.compute(s, k)
+    val n = hs.length
+    if (n < w) return Array.empty
+    // monotonic deque of indices: hashes strictly increasing front→back;
+    // on equal hash the LATER index replaces (rightmost tie-break)
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var lastPos = -1
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      val p = i - w + 1 // window [p, i] complete when p >= 0
+      if (p >= 0) {
+        while (dq(head) < p) head += 1
+        val sel = dq(head)
+        if (sel != lastPos) {
+          out += (((sel + 1).toLong, hs(sel)))
+          lastPos = sel
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The Catalyst-facing form: array of (pos, fp) InternalRows. */
+  def computeRows(s: String, k: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val pairs = compute(s, k, w)
+    val rows = new Array[Any](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        pairs(i)._1, pairs(i)._2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -449,6 +538,9 @@ object GraftFunctions {
 
   def kgram_hashes(c: Column, k: Int): Column =
     ColumnBridge.column(KGramHash64(ColumnBridge.expression(c), k))
+
+  def winnow_select(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(c), k, w))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -1019,15 +1019,32 @@ object Dedup {
     * expected fingerprint density is 2/(w+1) per position, so the table
     * is ~¼ of the gram count at w=7.
     *
-    * Scale shape: gram hashing is ONE pass per document — the native
-    * rolling-hash kernel [[graft.functions.KGramHash64]] emits every
-    * gram hash in O(n) (the substring-per-position form this replaced
-    * touched O(n·k) chars and allocated a string per position); the
-    * window-min is a per-document sort window (shuffle on doc_id, rows
-    * are (id, pos, hash) — text never rides it). Output: (doc_id, pos,
-    * fp). */
+    * Scale shape: hashing AND selection are ONE fused pass per document
+    * — the native [[graft.functions.WinnowSelect]] kernel rolls the
+    * gram hashes and runs the monotonic-deque sliding minimum in the
+    * same O(n) scan, so the only explode is of the SELECTED ~2/(w+1)
+    * density and nothing position-shaped ever shuffles (the windowed
+    * explode + per-doc sort derivation this replaced survives as
+    * [[winnowFingerprintsWindowed]], the spec cross-check). Output:
+    * (doc_id, pos, fp). */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 2, s"winnow: degenerate k=$k / w=$w")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .winnow_select(col(textCol), k, w)).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
+
+  /** The compositional windowed derivation of [[winnowFingerprints]] —
+    * explode every gram hash, per-doc sort window, min-struct with
+    * rightmost tie-break, distinct. Kept as the executable specification
+    * the fused kernel is spec-proven equal to (the charEntropyE4Fold
+    * discipline). */
+  private[graft] def winnowFingerprintsWindowed(docs: DataFrame, k: Int = 8,
+      w: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(k >= 2 && w >= 2, s"winnow: degenerate k=$k / w=$w")
     val nGrams = (length(col("t")) - (k - 1)).cast("long")
     val grams = docs

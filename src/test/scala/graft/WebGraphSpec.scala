@@ -191,6 +191,24 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("fused winnow kernel == windowed derivation on a mixed corpus") {
+    // pseudo-random texts of varied lengths incl. tie-prone repetition
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until (10 + (i % 17)).toInt)
+        .map(j => s"t${(i * 31 + j * 7) % 23}")
+      // every third doc gets heavy repetition → equal-hash tie coverage
+      val text = if (i % 3 == 0) (words ++ words ++ words).mkString(" ")
+        else words.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val fused = Dedup.winnowFingerprints(docs, k = 6, w = 5)
+      .select("doc_id", "pos", "fp")
+    val windowed = Dedup.winnowFingerprintsWindowed(docs, k = 6, w = 5)
+      .select("doc_id", "pos", "fp")
+    assert(fused.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(fused).isEmpty)
+  }
+
   test("cdcChunks: chunks tile the document exactly, in order") {
     val text = (1 to 60).map(i => s"tok${i * 31 % 97}").mkString(" ")
     val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
