@@ -99,17 +99,26 @@ object Graph {
       // graphs within 1 row of the ceiling — real supercritical graphs
       // stop the limit early)
     }
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // persist the deduped edge list first: outdeg, the degree join and
+    // the node set all read it — unpersisted, each would re-run the
+    // distinct's shuffle over the raw edges
+    val eP = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = eP.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // degree-annotated edges: the loop-invariant side, partitioned by the
     // join key once so per-round joins shuffle only the rank table
-    val eDeg = e.join(outdeg, "src")
+    val eDeg = eP.join(outdeg, "src")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = eP.select(col("src").as("node"))
+      .unionByName(eP.select(col("dst").as("node")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count() // materialize both loop invariants before iterating
+    // materialize BOTH loop invariants before freeing the edge cache —
+    // an unmaterialized eDeg would re-run the distinct from raw edges
+    // on its first loop use once eP is gone
+    eDeg.count()
+    nodes.count()
+    eP.unpersist() // eDeg/nodes hold everything the loop needs
     val base = (dampingDen - dampingNum) * unit / dampingDen
     var ranks = nodes.withColumn("rank", lit(unit)).localCheckpoint(true)
     var i = 0
