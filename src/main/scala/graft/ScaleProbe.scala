@@ -229,9 +229,11 @@ object ScaleProbe {
       }
       math.min(once(), once())
     }
-    val pa = prDistributed(base)
-    val pb = prDistributed(DerivedDir)
-    println(f"${"pagerank_distributed"}%-22s $pa%8.2f $pb%8.2f  ${pb / pa}%5.1f×")
+    if (!ccOnly) { // `cc` mode stays the quick cc-iteration loop
+      val pa = prDistributed(base)
+      val pb = prDistributed(DerivedDir)
+      println(f"${"pagerank_distributed"}%-22s $pa%8.2f $pb%8.2f  ${pb / pa}%5.1f×")
+    }
     if (prOnly) { spark.stop(); return }
     // semdedup probed with k ∝ N (the documented cell-size knob): fixed k
     // at 10× data means 10× cells → 100× within-cell pairs; scaling k

@@ -2464,9 +2464,7 @@ object SparkEntry {
         .select(col("doc_id"),
           W.htmlTitle(col("html")).as("title"),
           W.linkCount(col("html")).cast("long").as("n_links"),
-          when(length(col("clean")) <= 0, lit(0L))
-            .otherwise((W.anchorTextChars(col("html")).cast("long") * 10000L
-              / length(col("clean"))).cast("long")).as("link_density_e4"),
+          W.linkDensityE4(col("html"), col("clean")).as("link_density_e4"),
           length(col("clean")).cast("long").as("n_chars_clean"),
           md5(col("clean").cast("binary")).as("clean_md5"))
     }),
@@ -2673,9 +2671,7 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("html"),
           W.htmlToText(col("html")).as("clean"))
         .select(col("doc_id"), col("url"), col("clean"),
-          when(length(col("clean")) <= 0, lit(0L))
-            .otherwise((W.anchorTextChars(col("html")).cast("long") * 10000L
-              / length(col("clean"))).cast("long")).as("link_density_e4"))
+          W.linkDensityE4(col("html"), col("clean")).as("link_density_e4"))
       val gated = extracted.where(col("link_density_e4") <= 1300)
       // narrow BEFORE the cap: everything downstream needs only
       // (id, host, len, md5), so the text column dies here and the
@@ -2888,13 +2884,14 @@ object SparkEntry {
     " '<footer><a href=\"/tos\">Terms of Service</a>" +
     " &copy; 2026</footer></body></html>'"
 
-  /** SQL mirror of WebFunctions.htmlToText over a column named html. */
+  /** SQL mirror of WebFunctions.htmlToText over a column named html
+    * (same step ORDER: comments first, then script/style, then tags). */
   private lazy val WEBCLEAN: String =
     "trim(regexp_replace(" + sqlEnt(
       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html," +
+      " '(?s)<!--.*?-->', ' ', 'g')," +
       " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')," +
-      " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')," +
-      " '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g')") +
+      " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), '<[^>]*>', ' ', 'g')") +
     ", '\\s+', ' ', 'g'))"
 
   /** SQL mirror of the urlFixture messy URLs. */

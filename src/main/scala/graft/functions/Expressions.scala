@@ -525,6 +525,100 @@ object WinnowSelect {
   }
 }
 
+/** Content-defined chunking fused into the rolling-hash pass — ONE
+  * O(n) kernel per document returning `array<struct<start, chunk_len,
+  * chunk_md5>>` (1-based offsets). A boundary opens where the k-gram
+  * hash ≡ 0 mod divisor; position 1 anchors the first chunk.
+  *
+  * Why fused (and why this replaced the compositional form): chunk
+  * cutting needs the text and the boundary positions TOGETHER — the
+  * compositional form exploded positions, filtered, ran a lead() window
+  * and re-joined the text; worse, it mixed the kernel's UTF-16 code-unit
+  * offsets with Spark `substring`/`length` CODE-POINT arithmetic, which
+  * mis-cuts any document containing supplementary-plane characters
+  * (emoji — routine in the web-crawl domain this serves). In-kernel
+  * cutting uses one unit system throughout, never splits a surrogate
+  * pair (boundaries on a low surrogate shift one unit right), and md5s
+  * the chunk's UTF-8 bytes exactly like Spark's `md5(text cast binary)`.
+  * Offsets in the output are UTF-16 code units — documented, and
+  * consistent: start/chunk_len tile [1, units(text)] exactly. */
+case class CdcChunkExpr(child: Expression, k: Int, divisor: Int)
+    extends UnaryExpression {
+  require(k >= 2 && divisor >= 2, s"cdc_chunks: degenerate k=$k / divisor=$divisor")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_len", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    CdcChunkExpr.computeRows(v.asInstanceOf[UTF8String].toString, k, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunkExpr.computeRows(" +
+        s"$c.toString(), $k, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkExpr =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunkExpr {
+  /** (start, len) chunk extents in 1-based UTF-16 units; boundary
+    * positions that would split a surrogate pair shift one unit right
+    * (a boundary must start a code point or the chunk bytes are not a
+    * valid encoding of anything). */
+  def extents(s: String, k: Int, divisor: Int): Array[(Int, Int)] = {
+    if (s.isEmpty) return Array((1, 0))
+    val hs = KGramHash64.compute(s, k)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 1
+    while (i < hs.length) {
+      if (java.lang.Math.floorMod(hs(i), divisor.toLong) == 0L) {
+        val p = if (Character.isLowSurrogate(s.charAt(i))) i + 1 else i
+        if (p > starts.last && p < s.length) starts += p
+      }
+      i += 1
+    }
+    val out = new Array[(Int, Int)](starts.length)
+    var j = 0
+    while (j < starts.length) {
+      val end = if (j + 1 < starts.length) starts(j + 1) else s.length
+      out(j) = (starts(j) + 1, end - starts(j))
+      j += 1
+    }
+    out
+  }
+
+  def computeRows(s: String, k: Int, divisor: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ex = extents(s, k, divisor)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = new Array[Any](ex.length)
+    var j = 0
+    while (j < ex.length) {
+      val (start1, len) = ex(j)
+      md.reset()
+      val digest = md.digest(s.substring(start1 - 1, start1 - 1 + len)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new StringBuilder(32)
+      digest.foreach(b => hex.append(f"${b & 0xFF}%02x"))
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(
+        start1.toLong, len.toLong, UTF8String.fromString(hex.toString))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -541,6 +635,9 @@ object GraftFunctions {
 
   def winnow_select(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(c), k, w))
+
+  def cdc_chunks(c: Column, k: Int, divisor: Int): Column =
+    ColumnBridge.column(CdcChunkExpr(ColumnBridge.expression(c), k, divisor))
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(

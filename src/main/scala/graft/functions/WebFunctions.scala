@@ -58,12 +58,16 @@ object WebFunctions {
     }
   }
 
-  /** Full HTML → clean text chain: script/style blocks out, comments
-    * out, tags out (each tag becomes a space, so adjacent block elements
-    * don't concatenate words), entities decoded, whitespace collapsed,
-    * trimmed. One linear scan per step, all inside codegen. */
+  /** Full HTML → clean text chain: comments out FIRST (a commented-out
+    * `<script>` opener would otherwise pair with a later real close tag
+    * and swallow the page body between them — browsers treat `<!--` as
+    * comment-ish inside scripts too, so comments-first is the
+    * convergent order), then script/style blocks, then tags (each tag
+    * becomes a space, so adjacent block elements don't concatenate
+    * words), entities decoded, whitespace collapsed, trimmed. One
+    * linear scan per step, all inside codegen. */
   def htmlToText(html: Column): Column = {
-    val noTags = regexp_replace(stripComments(stripScriptStyle(html)),
+    val noTags = regexp_replace(stripScriptStyle(stripComments(html)),
       "<[^>]*>", " ")
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
@@ -89,15 +93,18 @@ object WebFunctions {
   /** Link density in integer basis points of 1e-4 (anchor chars *
     * 10000 div extracted-text chars; 0 for empty text) — the classic
     * boilerplate-page signal (nav/footer/link-farm pages score high),
-    * integer-exact so it hash-oracles. */
-  def linkDensityE4(html: Column): Column = {
-    val textLen = length(htmlToText(html))
+    * integer-exact so it hash-oracles. Takes the ALREADY-EXTRACTED
+    * clean text as a second column so callers materialize the
+    * extraction chain once — an html-only form would re-expand the full
+    * [[htmlToText]] regexp chain inside this expression (Catalyst does
+    * not CSE across independent top-level expressions). */
+  def linkDensityE4(html: Column, cleanText: Column): Column = {
+    val textLen = length(cleanText)
     when(textLen <= 0, lit(0L))
-      .otherwise(expr_div(anchorTextChars(html).cast("long") * 10000L, textLen.cast("long")))
+      .otherwise((anchorTextChars(html).cast("long") * 10000L /
+        textLen.cast("long")).cast("long"))
+    // positive operands: double-division truncation == integer div
   }
-
-  private def expr_div(n: Column, d: Column): Column =
-    (n / d).cast("long") // positive operands: truncation == integer div
 
   // ------------------------------------------------------------------
   // URL canonicalization

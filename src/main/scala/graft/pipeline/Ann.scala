@@ -317,8 +317,15 @@ object Ann {
       s"trainPqCodebooks: dim $dim not divisible by m=$m")
     val sub = dim / m
     (0 until m).map { j =>
-      trainCentroids(corpus.select(col("id"),
+      val book = trainCentroids(corpus.select(col("id"),
         slice(col("vec"), j * sub + 1, sub).as("vec")), ksub, iters)._1
+      // the ADC LUT is indexed as lut[j*ksub + cell]: a short book
+      // (corpus smaller than ksub) would silently misalign every
+      // subspace after the first — fail loudly instead
+      require(book.length == ksub,
+        s"trainPqCodebooks: corpus has fewer than ksub=$ksub vectors " +
+          s"(subspace $j trained ${book.length} centroids)")
+      book
     }.toArray
   }
 

@@ -1046,10 +1046,14 @@ object Dedup {
       w: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 2 && w >= 2, s"winnow: degenerate k=$k / w=$w")
-    val nGrams = (length(col("t")) - (k - 1)).cast("long")
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("t"))
-      .where(nGrams >= w) // shorter docs have no complete window
+      // gram count from the kernel itself (UTF-16 units, the same unit
+      // system the fused kernel filters in — a code-POINT length
+      // arithmetic here would diverge on supplementary-plane text);
+      // shorter docs have no complete window
+      .where(size(graft.functions.GraftFunctions.kgram_hashes(col("t"), k))
+        >= w)
       .select(col("doc_id"), posexplode(
         graft.functions.GraftFunctions.kgram_hashes(col("t"), k)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -1082,7 +1086,7 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
       minShared: Int = 20, maxDf: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = PlanCache.getOrPersist(docs, s"winnow|$k|$w",
+    val fps = PlanCache.getOrPersist(docs, s"winnow|$idCol|$textCol|$k|$w",
       winnowFingerprints(docs, k, w, idCol, textCol)
         .select("doc_id", "fp").distinct())
     val rare = fps.groupBy("fp")
@@ -1112,41 +1116,24 @@ object Dedup {
     * over the chunk text, so cross-document chunk-level dedup is a
     * hash-groupBy on chunk_md5.
     *
-    * Scale shape: boundary detection is the native one-pass rolling
-    * gram kernel ([[graft.functions.KGramHash64]]) FILTERED to boundary
-    * hits before anything shuffles — the shuffled stream is ~1/divisor
-    * of positions, rows of (id, pos); chunk extents come from one lead()
-    * window per doc over those boundary rows; chunk text is cut by ONE
-    * substring against the text re-joined id-keyed (text rides an
-    * id-partitioned shuffle, never a position-exploded one). */
+    * Scale shape: boundary detection, chunk cutting AND hashing run in
+    * the ONE fused kernel pass ([[graft.functions.CdcChunkExpr]] — the
+    * rolling gram hash, the mod-divisor boundary test and the chunk md5
+    * in a single O(n) scan per document); the only explode is of the
+    * ~len/divisor finished chunks, and nothing position-shaped ever
+    * shuffles. Offsets are UTF-16 code units end-to-end (one unit
+    * system — the earlier compositional form mixed the kernel's unit
+    * offsets with Spark's code-point `substring` and mis-cut documents
+    * containing supplementary-plane characters; the kernel also never
+    * opens a chunk on a low surrogate). */
   def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2 && divisor >= 2, s"cdc: degenerate k=$k / divisor=$divisor")
-    val d = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("t"))
-    // boundary positions (content-defined), position 1 anchored as the
-    // first chunk's start; docs shorter than one gram get the synthetic
-    // single anchor hash (kept by the pos = 1 arm regardless of value)
-    val hashes = graft.functions.GraftFunctions.kgram_hashes(col("t"), k)
-    val bounds = d
-      .select(col("doc_id"), posexplode(
-        when(length(col("t")) >= k, hashes)
-          .otherwise(array(lit(0L)))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
-      .where(col("pos") === 1L ||
-        pmod(col("h"), lit(divisor.toLong)) === 0L)
-      .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    bounds
-      .withColumn("chunk_idx", row_number().over(w).cast("long"))
-      .withColumn("next", lead(col("pos"), 1).over(w))
-      .join(d, "doc_id")
-      .select(col("doc_id"), col("chunk_idx"), col("pos").as("start"),
-        (coalesce(col("next"), (length(col("t")) + 1).cast("long"))
-          - col("pos")).cast("long").as("chunk_len"), col("t"))
-      .select(col("doc_id"), col("chunk_idx"), col("start"), col("chunk_len"),
-        md5(expr("substring(t, start, chunk_len)").cast("binary"))
-          .as("chunk_md5"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), posexplode(
+        graft.functions.GraftFunctions.cdc_chunks(col(textCol), k, divisor)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.start").as("start"), col("col.chunk_len").as("chunk_len"),
+        col("col.chunk_md5").as("chunk_md5"))
   }
 }

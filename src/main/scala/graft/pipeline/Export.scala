@@ -26,14 +26,23 @@ object Export {
   /** Write `docs` sharded under `dir` and return the manifest (shard,
     * n_docs, n_tokens, min_id, max_id) computed by reading the written
     * data back. */
-  def writeShards(docs: DataFrame, dir: String, numShards: Int,
-      idCol: String = "doc_id", textCol: String = "text",
-      salt: Long = 0L)(implicit spark: SparkSession): DataFrame = {
+  /** Deterministic shard assignment + the repartition-before-partitionBy
+    * small-files discipline, shared by every export format — a doc's
+    * shard is the same across parquet and JSONL exports BY CONSTRUCTION
+    * because both writers go through this one derivation. */
+  private def sharded(docs: DataFrame, numShards: Int, idCol: String,
+      salt: Long): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     docs
       .withColumn("shard",
         pmod(Sampling.minstd(col(idCol), salt), lit(numShards.toLong)))
       .repartition(numShards, col("shard"))
+  }
+
+  def writeShards(docs: DataFrame, dir: String, numShards: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: Long = 0L)(implicit spark: SparkSession): DataFrame = {
+    sharded(docs, numShards, idCol, salt)
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
     manifest(spark.read.parquet(dir), idCol, textCol)
   }
@@ -45,14 +54,9 @@ object Export {
     * [[writeShards]]: exactly one .json file per shard per write, never
     * inputPartitions × shards small files. */
   def writeJsonlShards(docs: DataFrame, dir: String, numShards: Int,
-      idCol: String = "doc_id", salt: Long = 0L): Unit = {
-    require(numShards > 0, s"numShards must be positive: $numShards")
-    docs
-      .withColumn("shard",
-        pmod(Sampling.minstd(col(idCol), salt), lit(numShards.toLong)))
-      .repartition(numShards, col("shard"))
+      idCol: String = "doc_id", salt: Long = 0L): Unit =
+    sharded(docs, numShards, idCol, salt)
       .write.partitionBy("shard").mode("overwrite").json(dir)
-  }
 
   /** Read a JSONL dataset with an EXPLICIT schema (DDL string). Schema
     * inference would cost an extra full scan at 100 TB and silently

@@ -162,14 +162,15 @@ object Semantic {
     * [[Dedup.embeddingNearDups]]'s hyperplane tables and anti-join the
     * verified pair ids instead (the decontaminateBloom discipline). */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
-      cosineThreshold: Double, idCol: String = "id",
-      vecCol: String = "vec"): DataFrame = {
-    val t = train.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"))
-    val e = eval.select(col(vecCol).as("eval_vec"))
-    t.join(broadcast(e),
-        graft.functions.VectorFunctions.cosine(col("vec"),
-          col("eval_vec")) >= cosineThreshold,
+      cosineThreshold: Double, vecCol: String = "vec"): DataFrame = {
+    // anti-join the ORIGINAL train frame (like Dedup.decontaminate):
+    // surviving rows keep every column — text, metadata, all of it
+    require(!train.columns.contains("__eval_vec"),
+      "semanticDecontaminate: train must not carry a __eval_vec column")
+    val e = eval.select(col(vecCol).as("__eval_vec"))
+    train.join(broadcast(e),
+        graft.functions.VectorFunctions.cosine(col(vecCol),
+          col("__eval_vec")) >= cosineThreshold,
         "left_anti")
   }
 }

@@ -288,9 +288,12 @@ class SemanticWeightingSpec extends SparkSpec {
       (100L, Seq(1.0f, 0.0f, 0.0f)),
       (101L, Seq(0.02f, 1.0f, 0.0f)))
       .toDF("id", "vec")
-    val kept = Semantic.semanticDecontaminate(train, eval,
+    val kept = Semantic.semanticDecontaminate(
+      train.withColumn("text", concat(lit("doc "), col("id"))), eval,
       cosineThreshold = 0.99)
     assert(kept.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // survivors keep EVERY train column (the Dedup.decontaminate shape)
+    assert(kept.columns.toSet === Set("id", "vec", "text"))
     // plan shape: one broadcast nested-loop LEFT ANTI — no shuffle of
     // the train side, no materialized contaminated-id set
     val plan = kept.queryExecution.executedPlan.toString

@@ -32,6 +32,13 @@ class WebGraphSpec extends SparkSpec {
     assert(one(html, WebFunctions.htmlToText) === "keep")
   }
 
+  test("commented-out script opener does not swallow the page body") {
+    // comments strip FIRST: the <script> inside the comment must not
+    // pair with the later real </script> and delete the content between
+    val html = "<!-- <script> --><p>real content</p><script>x()</script>"
+    assert(one(html, WebFunctions.htmlToText) === "real content")
+  }
+
   test("title and link stats") {
     val html = "<title>My &quot;Page&quot;</title>" +
       "<a href='/a'>Home</a><p>body text here</p><a>About</a>"
@@ -224,6 +231,27 @@ class WebGraphSpec extends SparkSpec {
     }
     val (_, lastStart, lastLen) = chunks.last
     assert(lastStart + lastLen - 1 === text.length.toLong)
+  }
+
+  test("cdcChunks tiles supplementary-plane text without splitting surrogates") {
+    // emoji are 2 UTF-16 units; offsets are unit-based end-to-end and a
+    // boundary never opens on a low surrogate
+    val emoji = new String(Character.toChars(0x1F600))
+    val text = (1 to 50).map(i => s"w$i$emoji").mkString(" ")
+    val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        k = 8, divisor = 8)
+      .orderBy("chunk_idx")
+      .select("start", "chunk_len").as[(Long, Long)].collect()
+    assert(chunks.head._1 === 1L)
+    chunks.sliding(2).foreach {
+      case Array((s1, l1), (s2, _)) => assert(s2 === s1 + l1)
+      case _ => ()
+    }
+    assert(chunks.last._1 + chunks.last._2 - 1 === text.length.toLong)
+    // no chunk starts mid-code-point
+    chunks.foreach { case (s, _) =>
+      assert(!Character.isLowSurrogate(text.charAt((s - 1).toInt)))
+    }
   }
 
   test("cdcChunks append locality: appending changes only the last chunk") {
