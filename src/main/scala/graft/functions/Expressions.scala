@@ -598,6 +598,8 @@ object CdcChunkExpr {
     out
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def computeRows(s: String, k: Int, divisor: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val ex = extents(s, k, divisor)
@@ -609,10 +611,15 @@ object CdcChunkExpr {
       md.reset()
       val digest = md.digest(s.substring(start1 - 1, start1 - 1 + len)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new StringBuilder(32)
-      digest.foreach(b => hex.append(f"${b & 0xFF}%02x"))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((digest(b) >>> 4) & 0xF)
+        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
+        b += 1
+      }
       rows(j) = org.apache.spark.sql.catalyst.InternalRow(
-        start1.toLong, len.toLong, UTF8String.fromString(hex.toString))
+        start1.toLong, len.toLong, UTF8String.fromString(new String(hex)))
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)

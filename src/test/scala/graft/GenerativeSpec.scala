@@ -680,6 +680,62 @@ class GenerativeSpec extends SparkSpec {
       intercept[IllegalArgumentException](RelayBinaryLog.readRecord(in))
     }
   }
+
+  test("NB classification equals the in-memory integer model exactly") {
+    import graft.pipeline.Classifier
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val genCorpus: Gen[(List[(Long, String, String)], List[(Long, String)])] =
+      for {
+        nTrain <- Gen.choose(6, 20)
+        train <- Gen.listOfN(nTrain, for {
+          label <- Gen.oneOf("x", "y", "z")
+          n <- Gen.choose(1, 12)
+          toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+        } yield (label, toks.mkString(" ")))
+        nTest <- Gen.choose(3, 10)
+        test <- Gen.listOfN(nTest, for {
+          n <- Gen.choose(1, 10)
+          toks <- Gen.listOfN(n, Gen.oneOf(vocab :+ "zz-unseen"))
+        } yield toks.mkString(" "))
+      } yield (
+        train.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) },
+        test.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    samples(genCorpus).foreach { case (train, test) =>
+      val model = Classifier.train(train.toDF("doc_id", "label", "text"))
+      val got = Classifier.classify(model, test.toDF("doc_id", "text"))
+        .as[(Long, String, Long)].collect()
+        .map { case (id, l, s) => id -> ((l, s)) }.toMap
+
+      // in-memory model: identical integer arithmetic (same JVM log2,
+      // same floor nudge, same lexicographic tie-break)
+      def toks(s: String): Seq[String] = s.split("\\s+").toSeq
+      val labels = train.map(_._2).distinct.sorted
+      val counts = train.groupBy(_._2).map { case (l, ds) =>
+        l -> ds.flatMap(d => toks(d._3)).groupBy(identity)
+          .map { case (t, xs) => t -> xs.size.toLong }
+      }
+      val nToks = counts.map { case (l, m) => l -> m.values.sum }
+      val nDocs = train.groupBy(_._2).map { case (l, ds) => l -> ds.size.toLong }
+      val v = train.flatMap(d => toks(d._3)).distinct.size.toLong
+      val nAll = train.size.toLong
+      def e4(r: Double): Long =
+        math.floor(math.log(r) / math.log(2.0) * 10000.0 + 1e-6).toLong
+      test.foreach { case (id, text) =>
+        val scores = labels.map { l =>
+          val prior = e4(nAll.toDouble / nDocs(l).toDouble)
+          val tokSum = toks(text).map { t =>
+            e4((nToks(l) + v).toDouble /
+              (counts(l).getOrElse(t, 0L) + 1L).toDouble)
+          }.sum
+          (prior + tokSum, l)
+        }
+        val want = scores.min // (score, label) lexicographic
+        assert(got(id) === ((want._2, want._1)),
+          s"doc $id: got ${got(id)}, want $want")
+      }
+    }
+  }
 }
 
 object GenerativeSpec {
