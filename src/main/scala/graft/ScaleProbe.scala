@@ -106,7 +106,15 @@ object ScaleProbe {
     val prOnly = args.contains("pr")
     val probes =
       if (args.isEmpty || ccOnly || mediaOnly || prOnly) Probes
-      else args.toSeq.filter(Probes.contains)
+      else {
+        // fail loudly on a typo'd or unprobed name — silently filtering
+        // would print an empty "successful" run
+        val unknown = args.toSeq.filterNot(Probes.contains)
+        require(unknown.isEmpty,
+          s"not in the probe list: ${unknown.mkString(", ")} " +
+            s"(known: ${Probes.mkString(", ")})")
+        args.toSeq
+      }
 
     if (mediaOnly) {
       // perceptual near-dup families: signature kernel + hamming join

@@ -539,22 +539,10 @@ object SparkEntry {
     // token only through the full (e,r)→(er,\0)→(l,o)→(lo,w)→
     // (low,er\0) cascade; "low" stops at 2; un-merged "wide" stays
     // chars+1) ----
-    "q_bpe_tokens" -> ((s, dir) => {
-      import graft.functions.Bpe
-      val model = Bpe.Model(Seq(
-        ("e", "r"), ("er", Bpe.EndOfWord), ("l", "o"), ("lo", "w"),
-        ("low", "er" + Bpe.EndOfWord), ("r", "e")))
-      docs(s, dir).select(col("doc_id"))
-        .withColumn("a", (col("doc_id") % 3 + 1).cast("int"))
-        .withColumn("b", (col("doc_id") % 4 + 1).cast("int"))
-        .withColumn("c", (col("doc_id") % 2 + 1).cast("int"))
-        .withColumn("d", (col("doc_id") % 5 + 1).cast("int"))
-        .withColumn("text", concat(
-          expr("repeat('lower ', a)"), expr("repeat('low ', b)"),
-          expr("repeat('er ', c)"), expr("repeat('re ', d)"), lit("wide")))
-        .select(col("doc_id"),
-          Bpe.tokenCount(model)(col("text")).as("n_tokens"))
-    }),
+    "q_bpe_tokens" -> ((s, dir) =>
+      plantedBpeCorpus(s, dir).select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(plantedBpeModel)(col("text"))
+          .as("n_tokens"))),
 
     // ---- exact BPE over the REAL corpus with the trained, persisted
     // merges table: encode→decode must reproduce every document
@@ -2425,24 +2413,13 @@ object SparkEntry {
     // merges-table token counts a trainer would see — the planted-merge
     // corpus of q_bpe_tokens (closed-form counts) flowing through
     // packChunks' cumulative-offset window, grouped by doc_id%3 ----
-    "q_pack_bpe" -> ((s, dir) => {
-      import graft.functions.Bpe
-      val model = Bpe.Model(Seq(
-        ("e", "r"), ("er", Bpe.EndOfWord), ("l", "o"), ("lo", "w"),
-        ("low", "er" + Bpe.EndOfWord), ("r", "e")))
-      val planted = docs(s, dir).select(col("doc_id"))
-        .withColumn("a", (col("doc_id") % 3 + 1).cast("int"))
-        .withColumn("b", (col("doc_id") % 4 + 1).cast("int"))
-        .withColumn("c", (col("doc_id") % 2 + 1).cast("int"))
-        .withColumn("d", (col("doc_id") % 5 + 1).cast("int"))
-        .withColumn("text", concat(
-          expr("repeat('lower ', a)"), expr("repeat('low ', b)"),
-          expr("repeat('er ', c)"), expr("repeat('re ', d)"), lit("wide")))
-        .withColumn("grp", (col("doc_id") % 3).cast("int"))
-      graft.pipeline.Packing.packChunks(planted, budgetTokens = 64,
-        groupCol = "grp", idCol = "doc_id", textCol = "text",
-        tokenCounter = Bpe.tokenCount(model))
-    }),
+    "q_pack_bpe" -> ((s, dir) =>
+      graft.pipeline.Packing.packChunks(
+        plantedBpeCorpus(s, dir).withColumn("grp",
+          (col("doc_id") % 3).cast("int")),
+        budgetTokens = 64, groupCol = "grp", idCol = "doc_id",
+        textCol = "text",
+        tokenCounter = graft.functions.Bpe.tokenCount(plantedBpeModel))),
 
     // ---- WEB CURATION: the raw-crawl → text stage every web corpus
     // starts with. Deterministic crawl-page shell (title, nav,
@@ -2729,6 +2706,24 @@ object SparkEntry {
           col("shard").cast("long").as("shard"),
           md5(col("text").cast("binary")).as("text_md5"))
     }))
+
+  /** Planted-merge BPE fixture shared by q_bpe_tokens and q_pack_bpe:
+    * a fixed merges table plus a corpus whose per-doc token counts have
+    * the closed form 2a+3b+2c+3d+5 the oracles re-derive — ONE
+    * construction so the two queries can never drift apart. */
+  private lazy val plantedBpeModel = graft.functions.Bpe.Model(Seq(
+    ("e", "r"), ("er", graft.functions.Bpe.EndOfWord), ("l", "o"),
+    ("lo", "w"), ("low", "er" + graft.functions.Bpe.EndOfWord), ("r", "e")))
+
+  private def plantedBpeCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .withColumn("a", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("b", (col("doc_id") % 4 + 1).cast("int"))
+      .withColumn("c", (col("doc_id") % 2 + 1).cast("int"))
+      .withColumn("d", (col("doc_id") % 5 + 1).cast("int"))
+      .withColumn("text", concat(
+        expr("repeat('lower ', a)"), expr("repeat('low ', b)"),
+        expr("repeat('er ', c)"), expr("repeat('re ', d)"), lit("wide")))
 
   /** Deterministic crawl-page fixture: the document text wrapped in a
     * realistic page shell — title (with an entity), style + script blocks

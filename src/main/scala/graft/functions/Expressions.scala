@@ -706,6 +706,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("char_entropy_e4"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharEntropyE4].getName, "char_entropy_e4"),
+      (exprs: Seq[Expression]) => CharEntropyE4(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }

@@ -185,18 +185,26 @@ object Ann {
     * [[ivfQuantizedTopK]], read from a store by
     * [[ivfQuantizedTopKFromStore]]); `corpus` supplies float vectors for
     * the exact re-rank of survivors only. */
+  /** Query-side cell probing shared by every IVF path: each query ranks
+    * all centroids by l2 and keeps its `nProbe` nearest cells — a tiny
+    * broadcast crossJoin + per-query window (queries × cells rows).
+    * Output: (query_id, qvec, cell_id, dist, r). */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell_id"))
+    queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", l2sq(col("qvec"), col("cent")))
+      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+  }
+
   private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
       centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
       rerank: Int): DataFrame = {
     import graft.functions.VectorFunctions.dequantizeInt8
-    // query-side probe ranking (tiny: queries × cells)
-    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell_id"))
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", l2sq(col("qvec"), col("cent")))
-      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    val probes = probeCells(queries, centroids, nProbe)
     // approximate scoring over the probed cells' int8 members
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
@@ -279,13 +287,7 @@ object Ann {
     val centroids = spark.read.parquet(s"$storeDir/codebook")
     val cells = spark.read.parquet(s"$storeDir/cells")
       .select(col("id").as("neighbor_id"), col("cell_id"))
-    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell_id"))
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", l2sq(col("qvec"), col("cent")))
-      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    val probes = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cells
@@ -548,13 +550,7 @@ object Ann {
       .withColumn("cell_id", nearestCell(col("cvec")))
     // queries probe their nProbe nearest cells (tiny side — a broadcast
     // crossJoin + per-query window costs nothing at any corpus scale)
-    val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell_id"))
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", l2sq(col("qvec"), col("cent")))
-      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    val q = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // candidate dedup on id pairs only (a query probing nProbe cells can

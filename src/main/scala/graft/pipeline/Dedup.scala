@@ -656,12 +656,19 @@ object Dedup {
     * chunk count auto-sizes to the radius (smallest power of two >
     * maxHamming, so pigeonhole recall is exact): radius ≤ 3 blocks on
     * 4×16-bit keys, radius ≤ 7 on 8×8-bit — wider radius buys exactness
-    * at the price of shorter keys (more bucket collisions). */
+    * at the price of shorter keys (more bucket collisions). The ceiling
+    * is radius 7: radius 8-15 would need 16×4-bit keys — 16 DISTINCT
+    * VALUES per chunk, i.e. ~N²/16 candidate pairs, a silent O(n²) that
+    * violates the engine's bucket-join discipline. Callers who truly
+    * need a wider radius must call [[hammingPairsFromSignatures]]
+    * directly and own that trade after reading its scaladoc. */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"radius above 15 would need 2-bit blocking keys (got $maxHamming)")
-    val chunks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"radius above 7 needs ≤4-bit blocking keys — near-quadratic " +
+        s"candidates; call hammingPairsFromSignatures explicitly to opt " +
+        s"in (got $maxHamming)")
+    val chunks = if (maxHamming <= 3) 4 else 8
     hammingPairsFromSignatures(simhashSignatures(docs, textCol, idCol),
       maxHamming, chunks)
   }

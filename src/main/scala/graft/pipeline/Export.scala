@@ -36,7 +36,13 @@ object Export {
     docs
       .withColumn("shard",
         pmod(Sampling.minstd(col(idCol), salt), lit(numShards.toLong)))
-      .repartition(numShards, col("shard"))
+      // RANGE partition on the shard value: hash repartition collides
+      // shard values into shared tasks (birthday bound leaves ~1/e of
+      // writer slots idle at numShards=parallelism), serializing part
+      // of the write; range boundaries over numShards distinct values
+      // give ~one shard per task. One file per shard holds either way
+      // (partitionBy splits by value within a task).
+      .repartitionByRange(numShards, col("shard"))
   }
 
   def writeShards(docs: DataFrame, dir: String, numShards: Int,

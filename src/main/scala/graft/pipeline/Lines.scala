@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * it appears in while each document's unique lines survive in order.
   *
   * Scale shape (100 TB):
-  *   - The line-frequency aggregate is the only corpus-wide pass: a
-  *     hash agg keyed by the line string with map-side partial combine —
-  *     boilerplate is by definition massively repeated, so partials
-  *     collapse most of the volume before the shuffle (same Zipf
-  *     absorption argument as the vocab/heavy-hitter aggregates).
+  *   - The corpus explodes into lines ONCE (plan-cache-persisted inside
+  *     [[stripFrequentLines]]); the frequency aggregate, the anti-join
+  *     and the per-doc line counts all read that one frame. The
+  *     aggregate itself is a hash agg keyed by the line string with
+  *     map-side partial combine — boilerplate is by definition massively
+  *     repeated, so partials collapse most of the volume before the
+  *     shuffle (same Zipf absorption argument as the vocab/heavy-hitter
+  *     aggregates).
   *   - The frequent-line SET (lines above the document-share threshold)
   *     is tiny relative to the corpus — that is what "boilerplate"
   *     means — so the strip join is a broadcast-shaped left-anti join;
@@ -47,10 +50,19 @@ object Lines {
     * documents: (line, n_docs). The threshold compares
     * `n_docs * 10000 >= shareBp * N` in exact integer arithmetic. */
   def frequentLines(docs: DataFrame, shareBp: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    frequentFromLines(explodeLines(docs, idCol, textCol), shareBp)
+
+  /** The frequency threshold over an ALREADY-EXPLODED (doc_id, pos,
+    * line) frame — shared by [[frequentLines]] and [[stripFrequentLines]]
+    * so the strip can reuse ONE exploded scan for both the aggregate and
+    * the anti-join. Total-document count comes from the exploded frame
+    * itself (every document yields ≥ 1 line row, split keeps trailing
+    * empties, so distinct doc_id = document count). */
+  private def frequentFromLines(lines: DataFrame, shareBp: Int): DataFrame = {
     require(shareBp > 0 && shareBp <= 10000, s"shareBp in (0,10000]: $shareBp")
-    val total = docs.agg(count(lit(1)).as("__n_total"))
-    explodeLines(docs, idCol, textCol)
+    val total = lines.agg(countDistinct(col("doc_id")).as("__n_total"))
+    lines
       .where(trim(col("line")) =!= "")
       .groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -96,8 +108,14 @@ object Lines {
     * decides what to do with empty husks). */
   def stripFrequentLines(docs: DataFrame, shareBp: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = explodeLines(docs, idCol, textCol)
-    val freq = frequentLines(docs, shareBp, idCol, textCol).select("line")
+    // ONE exploded scan feeds the frequency aggregate, the anti-join AND
+    // the per-doc line counts (persisted via the plan-keyed cache — the
+    // earlier form exploded the corpus twice and scanned it a third time
+    // for line counts; Catalyst does not share duplicated explode
+    // subtrees across separate consumers)
+    val lines = PlanCache.getOrPersist(docs, s"lines|$idCol|$textCol",
+      explodeLines(docs, idCol, textCol))
+    val freq = frequentFromLines(lines, shareBp).select("line")
     val kept = lines.join(freq, Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
@@ -105,8 +123,8 @@ object Lines {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line"))).as("text"),
         count(lit(1)).as("n_kept"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        (size(split(col(textCol), "\n", -1))).cast("long").as("__n_lines"))
+    lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_lines"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),

@@ -547,7 +547,10 @@ object Multimodal {
     var i = 0
     while (i < n) {
       val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toDouble
-      energy(i * 33 / n) += s * s
+      // i * 33 in LONG: Int arithmetic wraps negative past ~65M samples
+      // (a ~130 MB WAV — inside this module's operating envelope) and
+      // the wrapped index crashes the scan
+      energy((i.toLong * 33L / n).toInt) += s * s
       i += 1
     }
     var sig = 0L
