@@ -673,6 +673,29 @@ object GraftFunctions {
       "l2sq", exprs => L2SqDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kgram_hashes",
+      exprs => KGramHash64(exprs(0), litInt(exprs(1), "kgram_hashes.k")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_select",
+      exprs => WinnowSelect(exprs(0), litInt(exprs(1), "winnow_select.k"),
+        litInt(exprs(2), "winnow_select.w")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      exprs => CdcChunkExpr(exprs(0), litInt(exprs(1), "cdc_chunks.k"),
+        litInt(exprs(2), "cdc_chunks.divisor")), "built-in")
+  }
+
+  /** Foldable-integer argument of a SQL-registered kernel (the k/w/
+    * divisor parameters are compile-time shape constants, not data). */
+  private[functions] def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
   }
 }
 
@@ -711,6 +734,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CharEntropyE4].getName, "char_entropy_e4"),
       (exprs: Seq[Expression]) => CharEntropyE4(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kgram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KGramHash64].getName, "kgram_hashes"),
+      (exprs: Seq[Expression]) => KGramHash64(exprs(0),
+        GraftFunctions.litInt(exprs(1), "kgram_hashes.k"))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_select"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowSelect].getName, "winnow_select"),
+      (exprs: Seq[Expression]) => WinnowSelect(exprs(0),
+        GraftFunctions.litInt(exprs(1), "winnow_select.k"),
+        GraftFunctions.litInt(exprs(2), "winnow_select.w"))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CdcChunkExpr].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) => CdcChunkExpr(exprs(0),
+        GraftFunctions.litInt(exprs(1), "cdc_chunks.k"),
+        GraftFunctions.litInt(exprs(2), "cdc_chunks.divisor"))))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }

@@ -216,6 +216,28 @@ class WebGraphSpec extends SparkSpec {
       windowed.exceptAll(fused).isEmpty)
   }
 
+  test("kernel expressions are reachable from SQL with literal params") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(kgram_hashes('abcdefghij', 8)) AS n_grams," +
+        " size(winnow_select('the quick brown fox jumps over it', 6, 5))" +
+        " AS n_fps," +
+        " size(cdc_chunks('alpha beta gamma delta epsilon', 4, 4))" +
+        " AS n_chunks").head()
+    assert(r.getInt(0) === 3) // 10 - 8 + 1
+    assert(r.getInt(1) >= 1 && r.getInt(2) >= 1)
+    // a foldable expression is fine (it IS a compile-time constant)...
+    assert(spark.sql("SELECT size(kgram_hashes('abcdefghij', length('xxxxxxxx')))")
+      .head().getInt(0) === 3)
+    // ...but a genuinely non-constant param must fail loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT kgram_hashes(t, n) FROM VALUES ('abc', 2) AS v(t, n)")
+        .head()
+    }
+    assert(err.getMessage.contains("literal integer"),
+      s"unexpected message: ${err.getMessage}")
+  }
+
   test("cdcChunks: chunks tile the document exactly, in order") {
     val text = (1 to 60).map(i => s"tok${i * 31 % 97}").mkString(" ")
     val chunks = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
