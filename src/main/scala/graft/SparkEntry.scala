@@ -95,6 +95,7 @@ object SparkEntry {
     WireFixtures.annIndexDir(s, dir)
     WireFixtures.bpeMergesDir(s, dir)
     WireFixtures.imageSigStoreDir(s, dir)
+    WireFixtures.winnowFpStoreDir(s, dir)
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
@@ -2619,6 +2620,34 @@ object SparkEntry {
           (coalesce(col("n_missing"), lit(0L)) === 0L).as("append_local"))
     }),
 
+    // ---- INCREMENTAL winnowing against the persisted fingerprint
+    // store: the new batch (junk-flanked partial copies) fingerprints
+    // ONLY ITSELF — the stored corpus is a (doc_id, fp) parquet scan,
+    // never re-fingerprinted (PlansSpec asserts exactly one
+    // winnow_select in the plan). Same guarantee contract as
+    // q_winnow_guarantee, served through the store protocol ----
+    "q_winnow_incr" -> ((s, dir) => {
+      val store = s.read.parquet(
+        graft.sources.WireFixtures.winnowFpStoreDir(s, dir))
+      val d = docs(s, dir).select("doc_id", "text")
+      val inc = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(expr("repeat('zq', 8 + doc_id % 7)"), lit(" "),
+            col("text"), lit(" "),
+            expr("repeat('xj', 6 + doc_id % 5)")).as("text"))
+      val copies = Dedup.winnowFingerprints(inc, k = 8, w = 8)
+        .select((col("doc_id") - 1000000L).as("id_a"), col("fp"))
+      val orig = store.select(col("doc_id").as("id_a"), col("fp"))
+      d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id_a"))
+        .join(orig.join(copies, Seq("id_a", "fp"))
+            .groupBy("id_a")
+            .agg(count_distinct(col("fp")).as("n_shared")),
+          Seq("id_a"), "left")
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          (coalesce(col("n_shared"), lit(0L)) >= 1L).as("guarantee_holds"))
+    }),
+
     // ---- host blocklist filter: exact anti-join of canonicalized
     // hosts against a curated block set (opt-out / abuse domains) —
     // broadcast LEFT ANTI, one corpus scan, nothing shuffles ----
@@ -3034,6 +3063,10 @@ object SparkEntry {
     "q_cdc_append_local" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS append_local FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_winnow_incr" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
 
     "q_data_card" ->
       ("SELECT lang, source, count(*) AS n_docs," +

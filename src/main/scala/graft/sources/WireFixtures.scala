@@ -183,6 +183,20 @@ object WireFixtures {
         graft.pipeline.LangModel.train(docs), tmp)
     }
 
+  /** Persisted winnowing fingerprint table (k=8, w=8) over the base
+    * documents corpus — the store an incremental partial-copy check
+    * joins against: a new batch fingerprints only ITSELF, the stored
+    * corpus is a (doc_id, fp) parquet scan (the minhash-signature /
+    * image-dHash store discipline). */
+  def winnowFpStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/winnow_fp_k8w8") { tmp =>
+      graft.pipeline.Dedup.winnowFingerprints(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text"), k = 8, w = 8)
+        .select("doc_id", "fp").distinct()
+        .coalesce(4).write.parquet(tmp)
+    }
+
   /** Persisted Naive Bayes model (same 80% train slice, lang labels) —
     * the streaming classify query's store (train zero times in the
     * scoring session). */

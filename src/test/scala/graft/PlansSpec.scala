@@ -253,6 +253,16 @@ class PlansSpec extends SparkSpec {
       s"blob column in a shuffle:\n${binaryShuffles.map(_.output)}")
   }
 
+  test("incremental winnow fingerprints only the increment (one kernel in plan)") {
+    // the store side must be a parquet scan of (doc_id, fp) — a second
+    // winnow_select in the plan would mean the stored corpus is being
+    // re-fingerprinted, breaking the O(increment) store protocol
+    val out = SparkEntry.queries("q_winnow_incr")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    val kernels = "winnow_select".r.findAllIn(plan).size
+    assert(kernels == 1, s"expected exactly 1 winnow kernel, got $kernels:\n$plan")
+  }
+
   test("web pipeline: document text never rides the host-cap window shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // host cardinality bounds the per-host cap window's parallelism, so
