@@ -96,6 +96,7 @@ object SparkEntry {
     WireFixtures.bpeMergesDir(s, dir)
     WireFixtures.imageSigStoreDir(s, dir)
     WireFixtures.winnowFpStoreDir(s, dir)
+    WireFixtures.cdcChunkStoreDir(s, dir)
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
@@ -2648,6 +2649,31 @@ object SparkEntry {
           (coalesce(col("n_shared"), lit(0L)) >= 1L).as("guarantee_holds"))
     }),
 
+    // ---- INCREMENTAL CDC re-ingestion check against the persisted
+    // chunk store: the new batch (byte-identical re-uploads of stored
+    // docs under fresh ids) chunks ONLY ITSELF; identical text chunks
+    // identically (content-defined boundaries), so every new chunk md5
+    // finds its stored twin — the storage-dedup recognition path,
+    // PlansSpec-asserted single-kernel ----
+    "q_cdc_incr" -> ((s, dir) => {
+      val store = s.read.parquet(
+        graft.sources.WireFixtures.cdcChunkStoreDir(s, dir))
+      val d = docs(s, dir).select("doc_id", "text")
+      val inc = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val incChunks = Dedup.cdcChunks(inc, k = 8, divisor = 32)
+        .select((col("doc_id") - 1000000L).as("id_a"), col("chunk_md5"))
+      val stored = store.select(col("doc_id").as("id_a"), col("chunk_md5"))
+      val missing = incChunks
+        .join(stored, Seq("id_a", "chunk_md5"), "left_anti")
+        .groupBy("id_a").agg(count(lit(1)).as("n_missing"))
+      d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id_a"))
+        .join(missing, Seq("id_a"), "left")
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          (coalesce(col("n_missing"), lit(0L)) === 0L).as("all_chunks_known"))
+    }),
+
     // ---- host blocklist filter: exact anti-join of canonicalized
     // hosts against a curated block set (opt-out / abuse domains) —
     // broadcast LEFT ANTI, one corpus scan, nothing shuffles ----
@@ -3067,6 +3093,10 @@ object SparkEntry {
     "q_winnow_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS guarantee_holds FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_cdc_incr" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " TRUE AS all_chunks_known FROM documents WHERE doc_id % 4 = 0"),
 
     "q_data_card" ->
       ("SELECT lang, source, count(*) AS n_docs," +

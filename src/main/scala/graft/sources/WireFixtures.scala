@@ -197,6 +197,20 @@ object WireFixtures {
         .coalesce(4).write.parquet(tmp)
     }
 
+  /** Persisted CDC chunk table (k=8, divisor=32) over the base
+    * documents corpus — the store a re-ingestion check joins against: a
+    * new batch chunks only ITSELF and matches stored chunk md5s (the
+    * storage-dedup protocol — re-ingested content is recognized without
+    * re-chunking the corpus). */
+  def cdcChunkStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/cdc_chunks_k8d32") { tmp =>
+      graft.pipeline.Dedup.cdcChunks(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text"), k = 8, divisor = 32)
+        .select("doc_id", "chunk_idx", "chunk_md5")
+        .coalesce(4).write.parquet(tmp)
+    }
+
   /** Persisted Naive Bayes model (same 80% train slice, lang labels) —
     * the streaming classify query's store (train zero times in the
     * scoring session). */

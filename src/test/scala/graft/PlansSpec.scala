@@ -263,6 +263,17 @@ class PlansSpec extends SparkSpec {
     assert(kernels == 1, s"expected exactly 1 winnow kernel, got $kernels:\n$plan")
   }
 
+  test("incremental CDC chunks only the increment (one kernel in plan)") {
+    // count GENERATE sites, not textual mentions — ExtractGenerator
+    // materializes the kernel into a child Project, so the single
+    // evaluation legitimately prints twice
+    val out = SparkEntry.queries("q_cdc_incr")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    val kernels = plan.linesIterator
+      .count(l => l.contains("Generate") && l.contains("cdc_chunks"))
+    assert(kernels == 1, s"expected exactly 1 cdc Generate, got $kernels:\n$plan")
+  }
+
   test("web pipeline: document text never rides the host-cap window shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // host cardinality bounds the per-host cap window's parallelism, so
