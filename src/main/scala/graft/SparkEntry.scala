@@ -2621,6 +2621,27 @@ object SparkEntry {
           (coalesce(col("n_missing"), lit(0L)) === 0L).as("append_local"))
     }),
 
+    // ---- the composed TRAINING-FILE pipeline — the materialization
+    // chain a corpus build ends in: token-count gate → deterministic
+    // shard assignment (the export hash) → within-shard training-order
+    // shuffle (MINSTD rank) → packing into 256-token context windows.
+    // Packing is per shard, so the cumulative window parallelizes by
+    // shard instead of one global sort; every decision integer-exact ----
+    "q_pipeline_train" -> ((s, dir) => {
+      import graft.pipeline.Sampling
+      val gated = docs(s, dir)
+        .where(TF.tokenCount(col("text")) >= 40)
+      val assigned = gated
+        .withColumn("shard",
+          pmod(Sampling.minstd(col("doc_id"), 17L), lit(8L)))
+        // unique orderable shuffle key: hash major, id tiebreak minor
+        // (minstd < 2^31 and ids ≪ 1e7, so the packing never collides)
+        .withColumn("ord",
+          Sampling.minstd(col("doc_id"), 7L) * 10000000L + col("doc_id"))
+      graft.pipeline.Packing.packChunks(assigned, budgetTokens = 256,
+        groupCol = "shard", idCol = "ord", textCol = "text")
+    }),
+
     // ---- INCREMENTAL winnowing against the persisted fingerprint
     // store: the new batch (junk-flanked partial copies) fingerprints
     // ONLY ITSELF — the stored corpus is a (doc_id, fp) parquet scan,
@@ -3097,6 +3118,21 @@ object SparkEntry {
     "q_cdc_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS all_chunks_known FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_pipeline_train" ->
+      ("WITH g AS (SELECT doc_id," +
+        " CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens" +
+        " FROM documents" +
+        " WHERE len(string_split_regex(text, '\\s+')) >= 40)," +
+        " a AS (SELECT" +
+        " ((doc_id + 17) % 2147483647) * 48271 % 2147483647 % 8 AS shard," +
+        " (((doc_id + 7) % 2147483647) * 48271 % 2147483647) * 10000000" +
+        " + doc_id AS ord, n_tokens FROM g)" +
+        " SELECT shard, ord, n_tokens," +
+        " CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset," +
+        " CAST((sum(n_tokens) OVER w - n_tokens) // 256 AS BIGINT)" +
+        " AS chunk_id FROM a WINDOW w AS (PARTITION BY shard ORDER BY ord" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
 
     "q_data_card" ->
       ("SELECT lang, source, count(*) AS n_docs," +
