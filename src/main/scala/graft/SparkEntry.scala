@@ -2629,8 +2629,12 @@ object SparkEntry {
     // shard instead of one global sort; every decision integer-exact ----
     "q_pipeline_train" -> ((s, dir) => {
       import graft.pipeline.Sampling
+      // tokenize ONCE: the gate filters on the materialized count and
+      // packChunks re-reads the same column (a tokenCounter over text
+      // would re-split every document — no CSE across filter + project)
       val gated = docs(s, dir)
-        .where(TF.tokenCount(col("text")) >= 40)
+        .withColumn("n_toks", TF.tokenCount(col("text")).cast("long"))
+        .where(col("n_toks") >= 40L)
       val assigned = gated
         .withColumn("shard",
           pmod(Sampling.minstd(col("doc_id"), 17L), lit(8L)))
@@ -2639,7 +2643,8 @@ object SparkEntry {
         .withColumn("ord",
           Sampling.minstd(col("doc_id"), 7L) * 10000000L + col("doc_id"))
       graft.pipeline.Packing.packChunks(assigned, budgetTokens = 256,
-        groupCol = "shard", idCol = "ord", textCol = "text")
+        groupCol = "shard", idCol = "ord", textCol = "text",
+        tokenCounter = _ => col("n_toks"))
     }),
 
     // ---- INCREMENTAL winnowing against the persisted fingerprint

@@ -674,28 +674,51 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kgram_hashes",
-      exprs => KGramHash64(exprs(0), litInt(exprs(1), "kgram_hashes.k")),
-      "built-in")
+      "kgram_hashes", buildKgram, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_select",
-      exprs => WinnowSelect(exprs(0), litInt(exprs(1), "winnow_select.k"),
-        litInt(exprs(2), "winnow_select.w")), "built-in")
+      "winnow_select", buildWinnow, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cdc_chunks",
-      exprs => CdcChunkExpr(exprs(0), litInt(exprs(1), "cdc_chunks.k"),
-        litInt(exprs(2), "cdc_chunks.divisor")), "built-in")
+      "cdc_chunks", buildCdc, "built-in")
   }
 
   /** Foldable-integer argument of a SQL-registered kernel (the k/w/
-    * divisor parameters are compile-time shape constants, not data). */
+    * divisor parameters are compile-time shape constants, not data).
+    * Strictly integral: a fractional or out-of-int-range literal fails
+    * loudly instead of silently truncating to a different kernel shape
+    * than the query wrote. */
   private[functions] def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
     e.eval() match {
-      case n: java.lang.Number => n.intValue
+      case i: java.lang.Integer => i.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case l: java.lang.Long =>
+        require(l.longValue == l.intValue.toLong,
+          s"$what out of int range: $l")
+        l.intValue
       case other => throw new IllegalArgumentException(
         s"$what must be a literal integer, got $other")
     }
+  }
+
+  /** Registry builders shared by register() and GraftExtensions — one
+    * place for arity checks and literal extraction. */
+  private[functions] def buildKgram(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"kgram_hashes expects 2 arguments (text, k), got ${exprs.length}")
+    KGramHash64(exprs(0), litInt(exprs(1), "kgram_hashes.k"))
+  }
+  private[functions] def buildWinnow(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"winnow_select expects 3 arguments (text, k, w), got ${exprs.length}")
+    WinnowSelect(exprs(0), litInt(exprs(1), "winnow_select.k"),
+      litInt(exprs(2), "winnow_select.w"))
+  }
+  private[functions] def buildCdc(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"cdc_chunks expects 3 arguments (text, k, divisor), got ${exprs.length}")
+    CdcChunkExpr(exprs(0), litInt(exprs(1), "cdc_chunks.k"),
+      litInt(exprs(2), "cdc_chunks.divisor"))
   }
 }
 
@@ -738,22 +761,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("kgram_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KGramHash64].getName, "kgram_hashes"),
-      (exprs: Seq[Expression]) => KGramHash64(exprs(0),
-        GraftFunctions.litInt(exprs(1), "kgram_hashes.k"))))
+      (exprs: Seq[Expression]) => GraftFunctions.buildKgram(exprs)))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_select"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WinnowSelect].getName, "winnow_select"),
-      (exprs: Seq[Expression]) => WinnowSelect(exprs(0),
-        GraftFunctions.litInt(exprs(1), "winnow_select.k"),
-        GraftFunctions.litInt(exprs(2), "winnow_select.w"))))
+      (exprs: Seq[Expression]) => GraftFunctions.buildWinnow(exprs)))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CdcChunkExpr].getName, "cdc_chunks"),
-      (exprs: Seq[Expression]) => CdcChunkExpr(exprs(0),
-        GraftFunctions.litInt(exprs(1), "cdc_chunks.k"),
-        GraftFunctions.litInt(exprs(2), "cdc_chunks.divisor"))))
+      (exprs: Seq[Expression]) => GraftFunctions.buildCdc(exprs)))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }
