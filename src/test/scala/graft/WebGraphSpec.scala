@@ -47,6 +47,22 @@ class WebGraphSpec extends SparkSpec {
     assert(one(html, WebFunctions.anchorTextChars) === 9) // Home+About
   }
 
+  test("web functions: null propagates, empty input is empty output") {
+    val row = Seq((null.asInstanceOf[String], "")).toDF("nul", "emp")
+      .select(
+        WebFunctions.htmlToText(col("nul")).as("t_null"),
+        WebFunctions.htmlToText(col("emp")).as("t_emp"),
+        WebFunctions.htmlTitle(col("emp")).as("ti_emp"),
+        WebFunctions.linkCount(col("emp")).as("lc_emp"),
+        WebFunctions.canonicalizeUrl(col("nul")).as("u_null"),
+        WebFunctions.canonicalizeUrl(col("emp")).as("u_emp"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(4)) // null in → null out
+    assert(row.getString(1) === "" && row.getString(2) === "")
+    assert(row.getInt(3) === 0)
+    assert(row.getString(5) === "") // schemeless: pass-through unchanged
+  }
+
   test("canonicalizeUrl: case, www, default ports, fragment, tracking") {
     val cases = Seq(
       "HTTP://WWW.Example.COM:80/Path/X?utm_source=a&id=5#frag"
