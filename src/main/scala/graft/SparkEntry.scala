@@ -2675,6 +2675,27 @@ object SparkEntry {
           (coalesce(col("n_shared"), lit(0L)) >= 1L).as("guarantee_holds"))
     }),
 
+    // ---- winnowing ALIGNMENT: the step after overlap detection — the
+    // copied region's OFFSET, recovered by unique-fingerprint offset
+    // voting. The planted junk prefix has closed-form length
+    // 2·(8 + id%7) + 1 (the `zq` repeat plus the separator space), so
+    // the oracle derives the expected delta EXACTLY — a non-trivial
+    // recovered VALUE, not a boolean ----
+    "q_winnow_align" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val copies = d.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(expr("repeat('zq', 8 + doc_id % 7)"), lit(" "),
+            col("text"), lit(" "),
+            expr("repeat('xj', 6 + doc_id % 5)")).as("text"))
+      val fps = Dedup.winnowFingerprints(d.unionByName(copies), k = 8, w = 8)
+      val pairs = d.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+      Dedup.winnowAlignment(fps, pairs)
+        .select("id_a", "id_b", "best_delta")
+    }),
+
     // ---- INCREMENTAL CDC re-ingestion check against the persisted
     // chunk store: the new batch (byte-identical re-uploads of stored
     // docs under fresh ids) chunks ONLY ITSELF; identical text chunks
@@ -3123,6 +3144,11 @@ object SparkEntry {
     "q_cdc_incr" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
         " TRUE AS all_chunks_known FROM documents WHERE doc_id % 4 = 0"),
+
+    "q_winnow_align" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +
+        " CAST(2 * (8 + doc_id % 7) + 1 AS BIGINT) AS best_delta" +
+        " FROM documents WHERE doc_id % 4 = 0"),
 
     "q_pipeline_train" ->
       ("WITH g AS (SELECT doc_id," +

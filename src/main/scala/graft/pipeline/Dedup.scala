@@ -1109,6 +1109,47 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Positional ALIGNMENT evidence for candidate pairs — the step after
+    * overlap detection: not just "these documents share content" but
+    * WHERE (the offset of the copied region). Every shared fingerprint
+    * that is UNIQUE within both documents votes for the offset delta
+    * `pos_b − pos_a`; genuinely aligned copies concentrate all their
+    * unique-fp votes on the single true delta, while coincidental
+    * value collisions scatter. Restricting to per-doc-unique
+    * fingerprints is what makes the vote clean — a repeated substring's
+    * fingerprint would otherwise vote for every cross pairing of its
+    * occurrences.
+    *
+    * Output: (id_a, id_b, best_delta, n_votes) — the modal delta and
+    * its vote count (ties break to the smallest delta); pairs with no
+    * shared unique fingerprint are absent.
+    *
+    * Scale shape: the unique-fp reduction is one hash agg over the
+    * fingerprint table; the vote join is fp-keyed against the candidate
+    * pair set (pair-local, not corpus²); votes aggregate on
+    * (pair, delta) with map-side combine, then one per-pair window. */
+  def winnowAlignment(fps: DataFrame, pairs: DataFrame): DataFrame = {
+    val uniq = fps.groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("pos"))
+      .where(col("c") === 1)
+    val a = uniq.select(col("doc_id").as("id_a"), col("fp"),
+      col("pos").as("pos_a"))
+    val b = uniq.select(col("doc_id").as("id_b"), col("fp"),
+      col("pos").as("pos_b"))
+    val votes = pairs.select("id_a", "id_b")
+      .join(a, "id_a")
+      .join(b, Seq("id_b", "fp"))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_b") - col("pos_a")).as("delta"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("n_votes").desc, col("delta"))
+    votes.withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("id_a"), col("id_b"), col("delta").as("best_delta"),
+        col("n_votes"))
+  }
+
   /** Content-defined chunking (the Rabin-style CDC storage-dedup
     * fundamental, public knowledge): a chunk boundary opens wherever the
     * hash of the k-gram STARTING at a position is ≡ 0 mod `divisor`, so

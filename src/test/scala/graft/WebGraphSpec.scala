@@ -326,6 +326,20 @@ class WebGraphSpec extends SparkSpec {
       s"only $shared of ${a.size} chunks re-aligned after an insert")
   }
 
+  test("winnowAlignment recovers the exact copy offset by unique-fp voting") {
+    // a NON-repeating base: the uniqueness filter needs fingerprints
+    // that occur once per document, which a repeated phrase destroys
+    val base = (1 to 40).map(i => s"w${i * 37 % 101}x$i").mkString(" ")
+    val prefix = "qz" * 11 + " " // 23 chars -> expected delta 23
+    val docs = Seq((1L, base), (2L, prefix + base + " jx" * 7))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 8, w = 8)
+    val got = Dedup.winnowAlignment(fps,
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .select("best_delta").as[Long].head()
+    assert(got === 23L)
+  }
+
   test("winnowOverlapPairs df cap drops boilerplate-only overlap") {
     // the shared LICENSE line appears in every doc → its fingerprints
     // have df = 6 > maxDf = 4 and must not produce pairs
