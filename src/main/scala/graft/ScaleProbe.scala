@@ -39,7 +39,8 @@ object ScaleProbe {
     "q_html_extract", "q_url_canonical", "q_domain_cap", "q_pagerank",
     "q_ann_pq", "q_jsonl_roundtrip", "q_pipeline_web",
     "q_decontaminate_semantic", "q_nb_classify", "q_winnow_guarantee",
-    "q_cdc_append_local", "q_data_card")
+    "q_cdc_append_local", "q_data_card", "q_pipeline_train",
+    "q_winnow_align", "q_winnow_incr", "q_cdc_incr")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
