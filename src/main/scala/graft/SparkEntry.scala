@@ -97,6 +97,7 @@ object SparkEntry {
     WireFixtures.imageSigStoreDir(s, dir)
     WireFixtures.winnowFpStoreDir(s, dir)
     WireFixtures.cdcChunkStoreDir(s, dir)
+    WireFixtures.evalEmbStoreDir(s, dir)
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
     verifiedDupPairs(s, dir).count()
@@ -2793,6 +2794,42 @@ object SparkEntry {
         cosineThreshold = 0.99).select(col("id"))
     }),
 
+    // ---- STREAMING semantic decontamination: every micro-batch of
+    // arriving train vectors anti-joins the PERSISTED eval-embedding
+    // store (exact twins of vec_id < 10) — the broadcast nested-loop
+    // scrub runs per trigger, the eval store is never recomputed.
+    // Contract: batch slices %10==3 / %10==8 lose exactly their one
+    // eval twin (vec_id 3 and 8) ----
+    "q_decontaminate_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("semdecon").toString
+      val evalDir = graft.sources.WireFixtures.evalEmbStoreDir(s, dir)
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("id LONG, vec ARRAY<FLOAT>")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.pipeline.Semantic.semanticDecontaminate(b,
+                b.sparkSession.read.parquet(evalDir), cosineThreshold = 0.99)
+              .select(col("id"))
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      e.where(col("id") % 10 === 3).coalesce(1).write.parquet(s"$root/in")
+      drainOnce()
+      e.where(col("id") % 10 === 8).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out").select("batch_id", "id")
+    }),
+
     // ---- JSONL sharded export roundtrip: the interchange format LLM
     // tooling ingests — written one file per deterministic shard, read
     // back with an explicit schema; every value re-derived by the oracle
@@ -3128,6 +3165,13 @@ object SparkEntry {
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
+
+    "q_decontaminate_stream" ->
+      ("SELECT CAST(0 AS BIGINT) AS batch_id, vec_id AS id FROM embeddings" +
+        " WHERE vec_id % 10 = 3 AND vec_id <> 3" +
+        " UNION ALL" +
+        " SELECT CAST(1 AS BIGINT) AS batch_id, vec_id AS id FROM embeddings" +
+        " WHERE vec_id % 10 = 8 AND vec_id <> 8"),
 
     "q_winnow_guarantee" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b," +

@@ -211,6 +211,18 @@ object WireFixtures {
         .coalesce(4).write.parquet(tmp)
     }
 
+  /** Persisted eval-set embeddings (exact copies of vec_id < 10 under
+    * fresh ids) — the store a streaming semantic-decontamination pass
+    * anti-joins every micro-batch against. */
+  def evalEmbStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/eval_emb_lt10") { tmp =>
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(col("vec_id") < 10)
+        .select((col("vec_id") + 5000000L).as("id"),
+          col("embedding").as("vec"))
+        .coalesce(1).write.parquet(tmp)
+    }
+
   /** Persisted Naive Bayes model (same 80% train slice, lang labels) —
     * the streaming classify query's store (train zero times in the
     * scoring session). */
