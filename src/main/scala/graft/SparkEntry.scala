@@ -1149,9 +1149,18 @@ object SparkEntry {
     // ---- inverted index: per-token true document frequency + capped
     // posting list (lowest 5 doc ids with aligned tfs — the cap is
     // exercised by every stopword at this SF; n_docs > 5 marks
-    // truncation). The cap applies BEFORE any list materializes ----
+    // truncation). The cap applies BEFORE any list materializes.
+    // Driver surface flattens the aligned arrays to ','-joined strings:
+    // the harness comparator sorts columns with pandas, which cannot
+    // order list cells — the ONLY query whose natural output carries
+    // arrays, so keep every driver query array-free ----
     "q_postings" -> ((s, dir) =>
-      graft.pipeline.Retrieval.postings(docs(s, dir), maxPostings = 5)),
+      graft.pipeline.Retrieval.postings(docs(s, dir), maxPostings = 5)
+        .select(col("token"), col("n_docs"),
+          expr("array_join(transform(post_ids, x -> cast(x as string)), ',')")
+            .as("post_ids"),
+          expr("array_join(transform(post_tfs, x -> cast(x as string)), ',')")
+            .as("post_tfs"))),
 
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
@@ -2794,6 +2803,21 @@ object SparkEntry {
         cosineThreshold = 0.99).select(col("id"))
     }),
 
+    // ---- the SAME scrub for eval stores too big to broadcast:
+    // hyperplane-LSH band join (ids only in the wide shuffle) → exact
+    // cosine confirm at the same threshold → anti-join. Exact twins
+    // collide in every table, so the planted contract — and the output
+    // hash — is bit-identical to the BNLJ path above; the oracle is
+    // literally shared ----
+    "q_decontaminate_semantic_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val eval = e.where(col("id") < 10)
+        .select((col("id") + 5000000L).as("id"), col("vec"))
+      graft.pipeline.Semantic.semanticDecontaminateLsh(e, eval,
+        cosineThreshold = 0.99).select(col("id"))
+    }),
+
     // ---- STREAMING semantic decontamination: every micro-batch of
     // arriving train vectors anti-joins the PERSISTED eval-embedding
     // store (exact twins of vec_id < 10) — the broadcast nested-loop
@@ -3140,7 +3164,9 @@ object SparkEntry {
         " CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '', 'g')" +
         " WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '', 'g')" +
         " ELSE hostraw END AS host," +
-        " regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest0," +
+        " regexp_extract(rest0, '^([^?]*)', 1) ||" +
+        " regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        " regexp_extract(rest0, '\\?.*')," +
         " '(?i)&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')," +
         " '(?i)\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '?', 'g')," +
         " '\\?&', '?', 'g'), '[?&]$', '', 'g') AS rest3 FROM p)" +
@@ -3164,6 +3190,12 @@ object SparkEntry {
         " FROM embeddings WHERE vec_id < 20"),
 
     "q_decontaminate_semantic" ->
+      "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
+
+    // LSH-prefiltered variant: same planted contract, same output —
+    // exact twins collide in every hyperplane table, and the exact
+    // cosine confirm discards every sub-threshold bucket collision
+    "q_decontaminate_semantic_lsh" ->
       "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",
 
     "q_decontaminate_stream" ->
@@ -4064,8 +4096,8 @@ object SparkEntry {
         " row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn," +
         " count(*) OVER (PARTITION BY token) AS n_docs FROM tf)" +
         " SELECT token, CAST(max(n_docs) AS BIGINT) AS n_docs," +
-        " list(doc_id ORDER BY doc_id) AS post_ids," +
-        " list(tf ORDER BY doc_id) AS post_tfs" +
+        " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS post_ids," +
+        " string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS post_tfs" +
         " FROM capped WHERE rn <= 5 GROUP BY token"),
 
     // char entropy: per-char counts via unnest + group-by (set-based
@@ -4362,7 +4394,13 @@ object SparkEntry {
         " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 0 ELSE CAST((doc_id * 7) % 64 + 16 AS INT) END AS height," +
         " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE CAST((doc_id * 13) % 30 + 1 AS INT) END AS n_frames," +
         " CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN CAST(16000 + (doc_id * 13) % 30 + 1 AS INT) ELSE 0 END AS sample_rate," +
-        " CAST(8 + ((doc_id * 13) % 30 + 1) * 8 AS BIGINT) AS n_bytes" +
+        // image/audio fixture: 8-byte header + f*8 body; video: a real
+        // Y4M container — 38-byte header (dims are always 2 digits:
+        // 16..79) + f frames of 'FRAME\n' + w*h mono luma bytes
+        " CASE WHEN doc_id % 3 = 2 THEN" +
+        " CAST(38 + ((doc_id * 13) % 30 + 1)" +
+        "   * (6 + (doc_id % 64 + 16) * ((doc_id * 7) % 64 + 16)) AS BIGINT)" +
+        " ELSE CAST(8 + ((doc_id * 13) % 30 + 1) * 8 AS BIGINT) END AS n_bytes" +
         " FROM documents"),
 
     "q_frame_sample" -> frameSampleSql,
@@ -4469,10 +4507,10 @@ object SparkEntry {
         " + 2 * (doc_id % 2 + 1) + 3 * (doc_id % 5 + 1) + 5 AS BIGINT)" +
         " AS n_tokens FROM documents)" +
         " SELECT grp, doc_id, n_tokens," +
-        " sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
-        "   - n_tokens AS tok_offset," +
-        " (sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
-        "   - n_tokens) // 64 AS chunk_id" +
+        " CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
+        "   - n_tokens AS BIGINT) AS tok_offset," +
+        " CAST((sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id)" +
+        "   - n_tokens) // 64 AS BIGINT) AS chunk_id" +
         " FROM t"))
 
   /** q_frame_sample / q_resize_plan oracles re-derive the fake-media

@@ -37,7 +37,20 @@ object Bpe {
     * oracle hashes full text). */
   val EndOfWord = "\u0000"
 
-  case class Model(merges: Seq[(String, String)]) {
+  /** Training-time vocabulary-cap accounting: how much of the corpus the
+    * `maxVocabWords` frequency cap excluded from merge voting — the
+    * "no silent caps" contract. `droppedOccurrences / totalOccurrences`
+    * is the token mass the merge statistics never saw; the Zipf argument
+    * for the cap predicts it stays tiny, and this makes that claim
+    * checkable per corpus instead of assumed. */
+  case class VocabStats(totalWords: Long, totalOccurrences: Long,
+      keptWords: Long, keptOccurrences: Long) {
+    def droppedWords: Long = totalWords - keptWords
+    def droppedOccurrences: Long = totalOccurrences - keptOccurrences
+  }
+
+  case class Model(merges: Seq[(String, String)],
+      vocabStats: Option[VocabStats] = None) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 
@@ -104,7 +117,7 @@ object Bpe {
     }
   }
 
-  private val Segments = "\\s+|\\S+".r
+  private val Segments = (graft.functions.TextFunctions.WsPlus + "|" + graft.functions.TextFunctions.NonWs + "+").r
 
   /** Exact-BPE token count as a column (whitespace runs count 1 token
     * each, like any byte-faithful tokenizer's space handling). */
@@ -126,16 +139,34 @@ object Bpe {
     * `maxVocabWords` by frequency — the untrained tail is Zipf dust that
     * can never win a merge vote), then the classic driver-side greedy
     * loop. Deterministic: ties break to the lexicographically smallest
-    * pair, and the frequency cap ties break by word. */
+    * pair, and the frequency cap ties break by word. The cap is NOT
+    * silent: the returned model carries [[VocabStats]] with the exact
+    * word count and occurrence mass the cap dropped, so a caller can
+    * assert the Zipf assumption (dropped mass ≈ 0) on their corpus. */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
       maxVocabWords: Int = 50000): Model = {
-    val freqRows = corpus
-      .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("n"))
+    // word-frequency table persisted (vocabulary-sized — orders of
+    // magnitude below the corpus) because TWO driver reads consume it:
+    // the capped top-k feeding the merge loop, and the total-mass
+    // aggregate that makes the cap LOUD (Model.vocabStats) instead of
+    // a silent truncation
+    val wordFreq = graft.pipeline.PlanCache.getOrPersist(corpus,
+      s"bpe-wordfreq|$textCol",
+      corpus
+        .select(explode(split(col(textCol), TextFunctions.WsPlus)).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n")))
+    val totals = wordFreq.agg(count(lit(1)).as("words"),
+      coalesce(sum(col("n")), lit(0L)).as("occ")).head()
+    val freqRows = wordFreq
       .orderBy(col("n").desc, col("w"))
       .limit(maxVocabWords)
       .collect()
+    val stats = VocabStats(
+      totalWords = totals.getLong(0),
+      totalOccurrences = totals.getLong(1),
+      keptWords = freqRows.length.toLong,
+      keptOccurrences = freqRows.iterator.map(_.getLong(1)).sum)
     // words as mutable symbol sequences alongside their frequencies
     val words = freqRows.map { r =>
       (r.getString(0).map(_.toString).toArray :+ EndOfWord, r.getLong(1))
@@ -184,7 +215,7 @@ object Bpe {
         }
       }
     }
-    Model(merges.result())
+    Model(merges.result(), Some(stats))
   }
 
   /** Persist the merges table — (rank, a, b), the whole model — as the

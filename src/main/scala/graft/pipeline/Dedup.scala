@@ -240,7 +240,7 @@ object Dedup {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           signed.add(1L)
-          val toks = text.split("\\s+")
+          val toks = text.split(graft.functions.TextFunctions.WsPlus)
           val nSh = math.max(toks.length - shingleN + 1, 1)
           val seen = new java.util.HashSet[String](nSh * 2)
           val sig = Array.fill(k)(Long.MaxValue)
@@ -551,7 +551,7 @@ object Dedup {
     * stage only — never run on the full cross product. */
   /** Distinct word-n-gram shingle set, kernel form. */
   def shingleSetKernel(text: String, n: Int): java.util.HashSet[String] = {
-    val toks = text.split("\\s+")
+    val toks = text.split(graft.functions.TextFunctions.WsPlus)
     val nSh = math.max(toks.length - n + 1, 1)
     val set = new java.util.HashSet[String](nSh * 2)
     var i = 0
@@ -620,7 +620,7 @@ object Dedup {
     * the minhash kernel). */
   def simhash64Kernel(text: String): Long = {
     val votes = new Array[Int](64)
-    val toks = text.split("\\s+")
+    val toks = text.split(graft.functions.TextFunctions.WsPlus)
     var i = 0
     while (i < toks.length) {
       val h = fnv1a64(toks(i))

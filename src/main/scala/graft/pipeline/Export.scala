@@ -77,7 +77,7 @@ object Export {
       textCol: String = "text"): DataFrame =
     sharded.groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), "\\s+")).cast("long")).as("n_tokens"),
+        sum(size(split(col(textCol), graft.functions.TextFunctions.WsPlus)).cast("long")).as("n_tokens"),
         min(col(idCol)).cast("long").as("min_id"),
         max(col(idCol)).cast("long").as("max_id"))
 }

@@ -48,7 +48,7 @@ object LangModel {
     * until a score is materialized). */
   case class Model(uni: DataFrame, bi: DataFrame, vocab: DataFrame)
 
-  private def toks(textCol: Column): Column = split(textCol, "\\s+")
+  private def toks(textCol: Column): Column = split(textCol, graft.functions.TextFunctions.WsPlus)
 
   /** (doc_id, prev, cur) bigram stream of a corpus — empty for documents
     * with fewer than two tokens (guarded: Spark's `sequence` counts DOWN

@@ -40,11 +40,16 @@ object Lines {
 
   /** (doc_id, pos, line) exploded view; `pos` is the 0-based line index
     * within the document (split with limit -1: trailing empty lines are
-    * real lines). */
+    * real lines). NULL text coalesces to "" FIRST — split(NULL) is NULL
+    * and posexplode(NULL) yields zero rows, which would silently drop
+    * the document from every downstream frame (strip output, the
+    * share-threshold denominator); a NULL-text doc must instead survive
+    * as one empty line, exactly like an empty-text doc. */
   def explodeLines(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("pos", "line")))
 
   /** Non-blank lines present in at least `shareBp` basis points of all
     * documents: (line, n_docs). The threshold compares

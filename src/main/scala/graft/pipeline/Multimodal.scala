@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * pipelines: opaque `binary` payload columns + typed metadata, processed
   * in per-partition batches.
   *
-  * The decode kernel is REAL for images and audio: payloads are sniffed
-  * by magic bytes — JPEG/PNG blobs go through `javax.imageio` (actual
-  * decoded width/height/channels), WAV blobs through
-  * `javax.sound.sampled` (actual RIFF sample rate / frame count) — both
-  * public JDK APIs, no external libraries. Only video, which has no JDK
-  * codec, still rides the synthetic 0xABCD-header path (a deterministic
-  * fake, clearly separated below); swapping in an ffmpeg-backed codec
-  * changes only that one branch — schema contract, batch shape,
-  * partition sizing and metadata propagation are identical.
+  * The decode kernel is REAL for images, audio AND video: payloads are
+  * sniffed by magic bytes — JPEG/PNG blobs go through `javax.imageio`
+  * (actual decoded width/height/channels), WAV blobs through
+  * `javax.sound.sampled` (actual RIFF sample rate / frame count), and
+  * YUV4MPEG2 video containers through [[realVideoMeta]], a pure-JVM
+  * parse of the public Y4M format (tagged plain-text header + raw
+  * planes; the JDK ships no video codec, but the container needs none
+  * to yield dims and an exactly-verified frame count). No external
+  * libraries anywhere; swapping in an ffmpeg-backed codec for
+  * compressed containers (MP4/MKV) changes only the decode branch —
+  * schema contract, batch shape, partition sizing and metadata
+  * propagation are identical.
   *
   * Scale notes: media blobs dominate row size, so ops here (a) never
   * shuffle the blob (metadata-only projections go through narrow maps),
@@ -38,15 +41,22 @@ object Multimodal {
   case class DecodedRow(doc_id: Long, media_type: String, width: Int,
       height: Int, n_frames: Int, sample_rate: Int, n_bytes: Long)
 
-  /** Synthesize a deterministic fake media payload per document: a 16-byte
-    * header (magic, width, height, frames) + pseudo-random body derived
-    * from the doc id. Stands in for real blob ingestion. */
+  /** Synthesize a deterministic media payload per document. Image and
+    * audio rows carry the 8-byte `AB CD` fixture header + body (the
+    * opaque-blob stand-in; REAL PNG/JPEG/WAV bytes come from
+    * [[attachRealImages]]/[[attachRealAudio]]); video rows carry a REAL
+    * YUV4MPEG2 (Y4M) container — plain-text header, `FRAME`-delimited
+    * raw luma planes — that [[realVideoMeta]] parses byte-for-byte, so
+    * every video that flows through [[decodeMeta]] exercises an actual
+    * public container format, not header arithmetic. */
   def attachFakeMedia(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col(idCol), lit(3)) + 1).cast("int"))
     docs
       .withColumn("media_type", mediaType)
-      .withColumn("payload", fakePayload(col(idCol)))
+      .withColumn("payload",
+        when(pmod(col(idCol), lit(3)) === 2, y4mPayload(col(idCol)))
+          .otherwise(fakePayload(col(idCol))))
   }
 
   /** header: [0xAB, 0xCD, w_hi, w_lo, h_hi, h_lo, f_hi, f_lo] + body,
@@ -62,6 +72,25 @@ object Multimodal {
       repeat(lit("x"), f * 8).cast("binary"))
   }
 
+  /** A genuine YUV4MPEG2 container, built as a pure column expression
+    * (codegen'd string concat — no kernel) with the SAME id→(w, h,
+    * frames) arithmetic as the fixture header: `Cmono` colorspace (one
+    * w·h luma plane per frame — mono permits odd dims, where C420 would
+    * force them even and break the shared arithmetic), 25 fps, `frames`
+    * `FRAME\n`-prefixed planes of constant 0x78 luma. The container
+    * structure is fully real — magic, tagged header fields, per-frame
+    * markers, exact plane sizes — which is what the parse validates;
+    * frame CONTENT is opaque bytes to every op in this module. */
+  private def y4mPayload(id: org.apache.spark.sql.Column) = {
+    val w = (pmod(id, lit(64)) + 16).cast("int")
+    val h = (pmod(id * 7, lit(64)) + 16).cast("int")
+    val f = (pmod(id * 13, lit(30)) + 1).cast("int")
+    val header = concat(lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F25:1 Ip A1:1 Cmono\n"))
+    val frame = concat(lit("FRAME\n"), repeat(lit("x"), w * h))
+    concat(header, repeat(frame, f)).cast("binary")
+  }
+
   /** Decode kernel: sniff the payload's magic bytes and route.
     *
     *   - JPEG (`FF D8 FF`) / PNG (`89 50 4E 47`): REAL decode via
@@ -70,9 +99,15 @@ object Multimodal {
     *     would.
     *   - WAV (`RIFF....WAVE`): REAL decode via `javax.sound.sampled` —
     *     sample rate and frame count come from the parsed RIFF header.
-    *   - synthetic `AB CD` header: the deterministic fixture path kept
-    *     for video only, the one media kind without a JDK codec (an
-    *     ffmpeg-backed codec replaces exactly this arm).
+    *   - Y4M (`YUV4MPEG2 `): REAL parse via [[realVideoMeta]] — the JDK
+    *     ships no video codec, but YUV4MPEG2 is a public, trivially
+    *     parseable container (plain-text tagged header + raw planes);
+    *     width/height come from the header fields and the frame count
+    *     from walking the `FRAME` markers at their exact plane sizes,
+    *     so a truncated or mis-sized payload throws like a codec would.
+    *   - synthetic `AB CD` header: the deterministic fixture path for
+    *     opaque image/audio stand-ins (real PNG/JPEG/WAV enter via the
+    *     attachReal* fixtures).
     */
   def decode(mediaType: String, payload: Array[Byte]): MediaMeta =
     if (isJpeg(payload) || isPng(payload)) {
@@ -81,7 +116,65 @@ object Multimodal {
     } else if (isWav(payload)) {
       val (rate, frames, _) = realAudioMeta(payload)
       MediaMeta("audio", 0, 0, frames.toInt, rate)
+    } else if (isY4m(payload)) {
+      val (w, h, frames) = realVideoMeta(payload)
+      MediaMeta("video", w, h, frames, 0)
     } else syntheticDecode(mediaType, payload)
+
+  private def isY4m(p: Array[Byte]): Boolean =
+    p.length >= 10 && p(0) == 'Y'.toByte && p(1) == 'U'.toByte &&
+      p(2) == 'V'.toByte && p(3) == '4'.toByte && p(4) == 'M'.toByte &&
+      p(5) == 'P'.toByte && p(6) == 'E'.toByte && p(7) == 'G'.toByte &&
+      p(8) == '2'.toByte && p(9) == ' '.toByte
+
+  /** Real YUV4MPEG2 parse: (width, height, n_frames) from the container
+    * bytes. The header line is split into its tagged fields (`W`, `H`,
+    * optional `C` colorspace, default 420 per the format spec); the
+    * frame count comes from walking each `FRAME` marker line and
+    * skipping its exact plane size — every frame's presence is verified
+    * against the byte length, so truncation, a wrong colorspace or a
+    * corrupt marker throws rather than returning a guessed count. */
+  def realVideoMeta(p: Array[Byte]): (Int, Int, Int) = {
+    require(isY4m(p), "y4m: bad magic")
+    val nl = p.indexOf('\n'.toByte)
+    require(nl > 0, "y4m: unterminated header")
+    val header = new String(p, 0, nl,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1
+    var h = -1
+    var cs = "420"
+    header.split(' ').iterator.drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'C' => cs = t.substring(1)
+        case _ => () // F/I/A/X params don't affect plane sizes
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing dims in '$header'")
+    val frameBytes =
+      if (cs.startsWith("mono")) w * h
+      else if (cs.startsWith("444")) w * h * 3
+      else if (cs.startsWith("422")) w * h * 2
+      else if (cs.startsWith("420")) w * h * 3 / 2
+      else throw new IllegalArgumentException(s"y4m: colorspace $cs")
+    var off = nl + 1
+    var frames = 0
+    while (off < p.length) {
+      require(off + 5 <= p.length && p(off) == 'F'.toByte &&
+        p(off + 1) == 'R'.toByte && p(off + 2) == 'A'.toByte &&
+        p(off + 3) == 'M'.toByte && p(off + 4) == 'E'.toByte,
+        s"y4m: bad FRAME marker at byte $off")
+      var markerEnd = off + 5
+      while (markerEnd < p.length && p(markerEnd) != '\n'.toByte)
+        markerEnd += 1 // optional per-frame params
+      require(markerEnd < p.length, "y4m: unterminated FRAME line")
+      off = markerEnd + 1 + frameBytes
+      require(off <= p.length, s"y4m: truncated frame ${frames + 1}")
+      frames += 1
+    }
+    (w, h, frames)
+  }
 
   private def isJpeg(p: Array[Byte]): Boolean =
     p.length >= 3 && p(0) == 0xFF.toByte && p(1) == 0xD8.toByte &&
@@ -221,8 +314,10 @@ object Multimodal {
       .toDF()
   }
 
-  /** The synthetic-header arm (fixture audio/video): parses the fake
-    * `AB CD` header layout written by [[fakePayload]]. */
+  /** The synthetic-header arm (fixture image/audio stand-ins): parses
+    * the fake `AB CD` header layout written by [[fakePayload]]. Video
+    * never lands here — every fixture video is a real Y4M container
+    * routed to [[realVideoMeta]] by its magic. */
   private def syntheticDecode(mediaType: String, payload: Array[Byte]): MediaMeta = {
     require(payload.length >= 8 &&
       payload(0) == 0xAB.toByte && payload(1) == 0xCD.toByte,
@@ -232,7 +327,6 @@ object Multimodal {
     mediaType match {
       case "image" => MediaMeta("image", w, h, 1, 0)
       case "audio" => MediaMeta("audio", 0, 0, 0, 16000 + f)
-      case "video" => MediaMeta("video", w, h, f, 0)
       case other => throw new IllegalArgumentException(other)
     }
   }

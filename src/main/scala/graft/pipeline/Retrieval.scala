@@ -43,7 +43,7 @@ object Retrieval {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val toked = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(col(textCol), "\\s+").as("__t"))
+      split(col(textCol), graft.functions.TextFunctions.WsPlus).as("__t"))
     // one scalar row: N, total dl, and df per term (conditional sums)
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(array_contains(col("__t"), t), lit(1L)).otherwise(lit(0L)))
@@ -111,7 +111,7 @@ object Retrieval {
     require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
     require(slices > 0, s"slices must be positive: $slices")
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(split(col(textCol), "\\s+")).as("token"))
+        explode(split(col(textCol), graft.functions.TextFunctions.WsPlus)).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("slice", pmod(col("doc_id"), lit(slices.toLong)))

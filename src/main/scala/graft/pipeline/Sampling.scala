@@ -94,7 +94,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).cast("long").as("doc_id"),
         col(domainCol).as("domain"),
-        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+        size(split(col(textCol), graft.functions.TextFunctions.WsPlus)).cast("long").as("n_tokens"))
       .withColumn("__h", minstd(col("doc_id"), salt))
       .withColumn("cum_before",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -121,7 +121,7 @@ object Sampling {
       textCol: String, totalBudget: Long): Map[String, Long] = {
     require(totalBudget >= 0, s"negative budget $totalBudget")
     val masses = df.groupBy(col(domainCol).as("domain"))
-      .agg(sum(size(split(col(textCol), "\\s+")).cast("long")).as("mass"))
+      .agg(sum(size(split(col(textCol), graft.functions.TextFunctions.WsPlus)).cast("long")).as("mass"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(masses.nonEmpty, "no domains to apportion across")
     val weights = masses.map { case (d, m) =>

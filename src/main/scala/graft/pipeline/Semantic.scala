@@ -173,4 +173,72 @@ object Semantic {
           col("__eval_vec")) >= cosineThreshold,
         "left_anti")
   }
+
+  /** [[semanticDecontaminate]] for eval stores too big to broadcast —
+    * the large-eval-set regime where the broadcast nested-loop anti-join
+    * stops being an option (a 100M-row eval store is corpus-shaped, not
+    * benchmark-shaped). Same output contract: drop every train row whose
+    * vector reaches cosine ≥ `cosineThreshold` against ANY eval vector,
+    * surviving rows keep every column.
+    *
+    * Plan shape (the [[Dedup.decontaminateBloom]] discipline — a cheap
+    * candidate prefilter, then an EXACT confirming test, so the filter
+    * can only cost recall, never precision):
+    *   1. both sides bucket through the one-pass hyperplane-LSH kernel
+    *      ([[graft.functions.VectorFunctions.hyperplaneBuckets]],
+    *      `tables` independent tables of `numPlanes` planes, shared
+    *      seeds) — ids only ride the (table, bucket) shuffle, vectors
+    *      never enter the wide join;
+    *   2. candidate (train, eval) pairs re-join their vectors id-keyed
+    *      (linear, narrow) and confirm with the native exact-cosine
+    *      kernel at the SAME threshold — a bucket collision below the
+    *      threshold is discarded, so false candidates cannot drop a row;
+    *   3. confirmed train ids anti-join the original frame (plain,
+    *      unhinted: contaminated mass is workload-dependent; AQE picks
+    *      broadcast when the measured size permits).
+    *
+    * Identical vectors collide in every table, so exact-copy leaks are
+    * caught with probability 1 and the planted-twin fixture is
+    * bit-identical to the BNLJ path. Near-but-not-identical pairs trade
+    * bounded recall for never materializing |train|×|eval|: at the
+    * default 8 tables × 12 planes a cosine-0.99 pair (angle ≈ 8°)
+    * collides in ≥ 1 table with prob ≈ 1 − (1 − 0.955¹²)⁸ ≈ 0.999.
+    * Raise `tables` to push recall; each table is one more narrow
+    * id-row per input, the exact confirm stays pair-bounded.
+    *
+    * Requires an id column on `train` (the anti-join key — the BNLJ
+    * variant needs none because it never materializes candidates). */
+  def semanticDecontaminateLsh(train: DataFrame, eval: DataFrame,
+      cosineThreshold: Double, idCol: String = "id",
+      vecCol: String = "vec", numPlanes: Int = 12, tables: Int = 8)
+      : DataFrame = {
+    require(train.columns.contains(idCol),
+      s"semanticDecontaminateLsh: train needs id column '$idCol'")
+    val t = train.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    // eval rows get a synthetic join id; persisted so the bucket pass
+    // and the confirm fetch see the SAME id assignment
+    // (monotonically_increasing_id is partition-dependent, not stable
+    // across re-evaluations of an unpersisted plan)
+    val e = PlanCache.getOrPersist(eval, s"semdecon-eval|$vecCol",
+      eval.select(col(vecCol).as("vec"))
+        .withColumn("eid", monotonically_increasing_id()))
+    val tBuckets = graft.functions.VectorFunctions
+      .hyperplaneBuckets(t, "id", "vec", numPlanes, tables)
+      .select("id", "table", "bucket")
+    val eBuckets = graft.functions.VectorFunctions
+      .hyperplaneBuckets(e.select(col("eid").as("id"), col("vec")),
+        "id", "vec", numPlanes, tables)
+      .select(col("id").as("eid"), col("table"), col("bucket"))
+    val candidates = tBuckets.join(eBuckets, Seq("table", "bucket"))
+      .select("id", "eid").distinct()
+    val contaminated = candidates
+      .join(t, Seq("id"))
+      .join(e.select(col("eid"), col("vec").as("__eval_vec")), Seq("eid"))
+      .where(graft.functions.VectorFunctions.cosine(col("vec"),
+        col("__eval_vec")) >= cosineThreshold)
+      .select(col("id")).distinct()
+    train.join(contaminated.select(col("id").as(idCol)), Seq(idCol),
+      "left_anti")
+  }
 }

@@ -35,6 +35,23 @@ class BpeSpec extends SparkSpec {
     assert(model.tokenCount("lower low  er") == 1 + 1 + 2 + 1 + 1)
   }
 
+  test("vocab cap reports the exact dropped word/occurrence mass") {
+    // 4 distinct words: zz×5, yy×3, xx×2, w×1 (11 occurrences). Cap at 2
+    // keeps {zz, yy} (8 occ) and must LOUDLY report dropping 2 words / 3
+    // occurrences — the "no silent caps" contract on Bpe.train.
+    val corpus = Seq("zz zz yy xx w", "zz zz zz yy yy xx").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 2, maxVocabWords = 2)
+    val st = m.vocabStats.get
+    assert(st == Bpe.VocabStats(
+      totalWords = 4, totalOccurrences = 11,
+      keptWords = 2, keptOccurrences = 8))
+    assert(st.droppedWords == 2 && st.droppedOccurrences == 3)
+    // uncapped training on the same corpus drops nothing
+    val full = Bpe.train(corpus, "text", numMerges = 2).vocabStats.get
+    assert(full.droppedWords == 0 && full.droppedOccurrences == 0)
+    assert(full.keptOccurrences == 11)
+  }
+
   test("roundtrip is exact on messy whitespace and unseen chars") {
     val model = Bpe.Model(Seq(("a", "b")))
     for (t <- Seq("a  b\n\tc", "ab ba", "", "  ", "xyζω!", "a\nb\r\nc"))

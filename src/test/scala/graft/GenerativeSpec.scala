@@ -364,6 +364,83 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("planted simhash/embedding contracts hold on a re-seeded corpus") {
+    // Corpus-INDEPENDENT re-statement of the two contract oracles
+    // COVERAGE.md flags as corpus-dependent (q_dedup_simhash's measured
+    // hamming bound; the "no natural ≥0.99 cosine pair" assumption
+    // behind q_dedup_embedding / q_semdedup / q_decontaminate_semantic).
+    // Every assertion below touches ONLY planted structure — exact
+    // twins, identical by construction — so it holds on ANY corpus:
+    // regenerating the driver fixtures can invalidate the measured
+    // properties but never these.
+    val genSeed: Gen[Long] = Gen.choose(0L, Long.MaxValue)
+    samples(genSeed).take(3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // fresh random corpus: new vocab, new lengths, new token draws
+      val vocab = Vector.tabulate(80)(i => s"w${i}x${rnd.nextInt(1000)}")
+      val base = (0L until 50L).map { id =>
+        val n = 20 + rnd.nextInt(60)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = base.filter(_._1 % 5 == 0)
+      val corpus =
+        (base ++ planted.map { case (id, t) => (id + 1000L, t) })
+          .toDF("doc_id", "text")
+      // simhash: an exact copy has the IDENTICAL 64-bit signature, so
+      // the planted pair agrees on every chunk key (blocking recall 1)
+      // and verifies at hamming 0 — regardless of what natural pairs
+      // the random corpus also produces
+      val sim = pipeline.Dedup.simhashPairs(corpus, maxHamming = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getAs[Number]("hamming").intValue).toMap
+      planted.foreach { case (id, _) =>
+        assert(sim.get((id, id + 1000L)).contains(0),
+          s"seed $seed: planted simhash twin $id missing or hamming != 0")
+      }
+      // embeddings: random Gaussian vectors + exact planted twins. The
+      // higher-id twin ALWAYS drops under semanticDedup (its lower twin
+      // sits in the same cell at cosine 1.0); no claim about which
+      // OTHER rows drop — that is the corpus-dependent part
+      val vecs = (0L until 40L).map { id =>
+        (id, Seq.fill(16)(rnd.nextGaussian().toFloat))
+      }
+      val evecs = vecs.filter(_._1 % 4 == 0)
+      val emb = (vecs ++ evecs.map { case (id, v) => (id + 1000L, v) })
+        .toDF("id", "vec")
+      val kept = pipeline.Semantic
+        .semanticDedup(emb, k = 2, iters = 2, cosineThreshold = 0.99)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      evecs.foreach { case (id, _) =>
+        assert(!kept(id + 1000L),
+          s"seed $seed: planted embedding twin ${id + 1000L} survived")
+      }
+      // decontamination: a train row with an eval twin ALWAYS drops —
+      // on the broadcast path by the nested-loop test, on the LSH path
+      // because identical vectors collide in every hyperplane table
+      val evalSet = evecs.map { case (id, v) => (id + 5000L, v) }
+        .toDF("id", "vec")
+      val survB = pipeline.Semantic
+        .semanticDecontaminate(emb, evalSet, cosineThreshold = 0.99)
+        .select("id").as[Long].collect().toSet
+      val survL = pipeline.Semantic
+        .semanticDecontaminateLsh(emb, evalSet, cosineThreshold = 0.99)
+        .select("id").as[Long].collect().toSet
+      evecs.foreach { case (id, _) =>
+        assert(!survB.contains(id) && !survB.contains(id + 1000L),
+          s"seed $seed: broadcast decontaminate kept planted $id")
+        assert(!survL.contains(id) && !survL.contains(id + 1000L),
+          s"seed $seed: LSH decontaminate kept planted $id")
+      }
+      // the exact-cosine confirm makes the LSH prefilter precision-1,
+      // so survL ⊇ survB always; and planted-identical recall is 1 on
+      // both paths, so on any corpus the two differ only by natural
+      // ≥0.99 near-pairs the bands happened to miss
+      assert(survB.subsetOf(survL),
+        s"seed $seed: LSH path dropped a row the exact path kept")
+    }
+  }
+
   test("BPE: encode→decode is the identity and counts match a naive model") {
     import graft.functions.Bpe
     // random NUL-free texts over a small alphabet (dense merge collisions)
