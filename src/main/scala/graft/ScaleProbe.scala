@@ -38,7 +38,9 @@ object ScaleProbe {
     "q_postings", "q_line_collapse", "q_export_shards", "q_bm25_topk",
     "q_html_extract", "q_url_canonical", "q_domain_cap", "q_pagerank",
     "q_ann_pq", "q_jsonl_roundtrip", "q_pipeline_web",
-    "q_decontaminate_semantic", "q_nb_classify", "q_winnow_guarantee",
+    "q_decontaminate_semantic", "q_decontaminate_semantic_lsh",
+    "q_contamination_report", "q_ann_store_incr",
+    "q_nb_classify", "q_winnow_guarantee",
     "q_cdc_append_local", "q_data_card", "q_pipeline_train",
     "q_winnow_align", "q_winnow_incr", "q_cdc_incr")
 

@@ -895,6 +895,17 @@ object SparkEntry {
       Dedup.decontaminate(train, eval).select("doc_id")
     }),
 
+    // ---- contamination ATTRIBUTION: the per-(train, eval) audit the
+    // scrub discards — shared distinct-gram counts plus the integer-bp
+    // share of each eval item covered ("how much of this benchmark is
+    // in my corpus"). Everything past the shingle kernel is hash
+    // aggregates over (id, gram-hash) longs ----
+    "q_contamination_report" -> ((s, dir) => {
+      val train = docs(s, dir).select("doc_id", "text")
+      val eval = docs(s, dir).where(col("doc_id") < 50).select("doc_id", "text")
+      Dedup.contaminationReport(train, eval)
+    }),
+
     // ---- decontamination, giant-holdout scale path: bloom prefilter on
     // the train grams, exact confirming join — bit-identical output to
     // q_decontaminate (shared oracle) with the shuffle pruned to
@@ -2218,6 +2229,23 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- ANN served from an INCREMENTALLY-built index: the base corpus
+    // indexed once, the twin batch appended later (frozen codebook, only
+    // the batch assigned, stored cells never re-scanned). Identical
+    // vectors share every argmin, so each appended twin lands in its
+    // original's cell — retrieval from the incremental store matches the
+    // all-at-once index, same planted contract ----
+    "q_ann_store_incr" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.annIncrIndexDir(s, dir)
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
+        store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- multimodal: binary payload plumbing + magic-sniffing decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2852,6 +2880,41 @@ object SparkEntry {
         .write.mode("append").parquet(s"$root/in")
       drainOnce()
       s.read.parquet(s"$root/out").select("batch_id", "id")
+    }),
+
+    // ---- STREAMING contamination audit: each arriving train batch is
+    // shingled and attributed against the PERSISTED eval gram store
+    // (doc_id < 50, rendered once) — per-batch cost O(batch), the store
+    // scanned per trigger, never re-shingled. Same report surface as
+    // q_contamination_report plus the batch id ----
+    "q_contamination_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("contam").toString
+      val storeDir = graft.sources.WireFixtures.evalGramStoreDir(s, dir)
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.pipeline.Dedup.contaminationReportFromGrams(b,
+                b.sparkSession.read.parquet(storeDir))
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 3).coalesce(1).write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 8).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select("batch_id", "train_id", "eval_id", "n_shared",
+          "eval_grams", "leak_bp")
     }),
 
     // ---- JSONL sharded export roundtrip: the interchange format LLM
@@ -3668,6 +3731,14 @@ object SparkEntry {
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // incremental-append store: same contract — a twin appended under a
+    // frozen codebook must land in its original's cell and be served
+    // identically to the all-at-once index
+    "q_ann_store_incr" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
     // power-iteration invariant (Rayleigh non-decreasing on PSD) + the
     // planted-anisotropy alignment — both contract booleans
     "q_pca_power" ->
@@ -3751,6 +3822,50 @@ object SparkEntry {
     // bloom path is bit-identical to the exact path (false positives die
     // in the confirming join) — same oracle
     "q_decontaminate_bloom" -> decontaminateSql,
+
+    // attribution report: same trigram sets re-derived as strings (hash
+    // equality in the engine, string equality here — FNV-1a collisions
+    // are negligible at any eval size, the decontaminate convention)
+    "q_contamination_report" ->
+      ("WITH sh AS (SELECT doc_id," +
+        " list_distinct(list_transform(generate_series(1," +
+        " greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))" +
+        " AS s FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents))," +
+        " tg AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh)," +
+        " eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id < 50)," +
+        " es AS (SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT)" +
+        " AS eval_grams FROM sh WHERE doc_id < 50)," +
+        " p AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT)" +
+        " AS n_shared FROM tg JOIN eg USING (g) GROUP BY 1, 2)" +
+        " SELECT train_id, eval_id, n_shared, eval_grams," +
+        " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
+        " FROM p JOIN es USING (eval_id)"),
+
+    // streaming audit: same attribution re-derived per batch slice
+    // (%10==3 → batch 0, %10==8 → batch 1) against the same eval set
+    "q_contamination_stream" ->
+      ("WITH sh AS (SELECT doc_id," +
+        " list_distinct(list_transform(generate_series(1," +
+        " greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))" +
+        " AS s FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents))," +
+        " eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id < 50)," +
+        " es AS (SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT)" +
+        " AS eval_grams FROM sh WHERE doc_id < 50)," +
+        " tg AS (SELECT CAST(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END" +
+        " AS BIGINT) AS batch_id, doc_id AS train_id, unnest(s) AS g" +
+        " FROM sh WHERE doc_id % 10 IN (3, 8))," +
+        " p AS (SELECT batch_id, train_id, eval_id," +
+        " CAST(count(*) AS BIGINT) AS n_shared" +
+        " FROM tg JOIN eg USING (g) GROUP BY 1, 2, 3)" +
+        " SELECT batch_id, train_id, eval_id, n_shared, eval_grams," +
+        " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
+        " FROM p JOIN es USING (eval_id)"),
 
     "q_pipeline_e2e" -> pipelineE2eSql,
 

@@ -100,7 +100,7 @@ object Bpe {
       * hash-oracles byte-for-byte. */
     def encode(text: String): Seq[String] =
       Segments.findAllIn(text).flatMap { seg =>
-        if (Character.isWhitespace(seg.charAt(0))) Iterator.single(seg)
+        if (isWs(seg.charAt(0))) Iterator.single(seg)
         else encodeWord(seg).iterator
       }.toSeq
 
@@ -110,12 +110,20 @@ object Bpe {
     def tokenCount(text: String): Long = {
       var n = 0L
       Segments.findAllIn(text).foreach { seg =>
-        if (Character.isWhitespace(seg.charAt(0))) n += 1
+        if (isWs(seg.charAt(0))) n += 1
         else n += encodeWord(seg).length
       }
       n
     }
   }
+
+  /** The SAME whitespace set [[TextFunctions.Ws]] spells as a regex —
+    * segment classification must agree with the [[Segments]] split
+    * (Character.isWhitespace would call U+000B whitespace, but the RE2
+    * set puts it in a word run: a run STARTING with U+000B would then
+    * count 1 instead of going through the merge loop). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   private val Segments = (graft.functions.TextFunctions.WsPlus + "|" + graft.functions.TextFunctions.NonWs + "+").r
 

@@ -262,6 +262,32 @@ object Ann {
       .coalesce(4).write.mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** Append a NEW vector batch to a [[writeIndex]] store without
+    * retraining and without re-scanning the stored corpus: the frozen
+    * codebook loads from the store (k rows, driver-bounded by
+    * construction), ONLY the batch runs the fused argmin assignment +
+    * int8 quantization, and the resulting rows append to `cells/` —
+    * the ANN analog of the minhash/winnow/chunk incremental store
+    * protocols: per-batch cost is O(batch), independent of how many
+    * vectors the store already holds, and stored float vectors are
+    * never touched. The codebook is frozen by design — centroids drift
+    * only on a full [[writeIndex]] rebuild, the standard production IVF
+    * regime (periodic re-train, continuous append). Identical vectors
+    * share every argmin, so a twin appended later lands in its
+    * original's cell and the planted-twin retrieval contract holds
+    * across increments. Caller owns id disjointness across batches,
+    * as with every id-keyed store here. */
+  def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val codebook = spark.read.parquet(s"$dir/codebook")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1)
+    require(codebook.nonEmpty, s"appendToIndex: empty codebook in $dir")
+    quantizedCells(newVectors, codebook)
+      .coalesce(1).write.mode("append").parquet(s"$dir/cells")
+  }
+
   /** IVF+int8 retrieval against a [[writeIndex]] store: candidates come
     * from the STORED cell assignment (no corpus re-assignment scan, no
     * re-training — the r6 gap where every new session re-trained the

@@ -458,6 +458,72 @@ object Dedup {
       .select(col("id")).distinct()
   }
 
+  /** Contamination ATTRIBUTION — the audit report that accompanies the
+    * scrub. [[decontaminate]] answers "which train rows do I drop";
+    * this answers "which eval item leaked where, and how badly": one
+    * row per (train doc, eval doc) pair sharing ≥ 1 word n-gram, with
+    * the shared distinct-gram count and the share of the EVAL doc's
+    * grams covered in integer basis points (`leak_bp = n_shared * 10000
+    * div eval_grams` — "how much of this benchmark item is in my
+    * corpus", the number contamination reports publish per eval set).
+    *
+    * Plan shape at 100 TB: both sides reduce to (id, gram-hash) longs —
+    * text never shuffles; the pair join is gram-keyed; per-doc totals
+    * and per-pair counts are map-side-combined hash aggregates. The one
+    * quantity that can explode is a BOILERPLATE gram shared by millions
+    * of train docs — `maxGramDf` drops grams present in more than that
+    * many train docs before pairing (a ubiquitous n-gram is not leakage
+    * evidence; same df-cap discipline as winnowOverlapPairs/postings).
+    * The default keeps every gram, so the report is exact unless the
+    * caller opts into the cap. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      maxGramDf: Int = Int.MaxValue): DataFrame =
+    contaminationReportFromGrams(train,
+      gramHashes(eval, textCol, idCol, shingleN),
+      shingleN, textCol, idCol, maxGramDf)
+
+  /** The eval side of a decontamination/attribution pipeline as a
+    * persistable table: (id, gram-hash) distinct rows per eval doc —
+    * what a deployment renders ONCE per eval-suite release and serves
+    * from thereafter (the minhash-signature-store discipline: the eval
+    * corpus text is never re-shingled by consumers). Feed it back
+    * through [[contaminationReportFromGrams]]. */
+  def gramHashTable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3): DataFrame =
+    gramHashes(df, textCol, idCol, shingleN)
+
+  /** [[contaminationReport]] where the eval side is an
+    * already-rendered [[gramHashTable]] (typically read back from a
+    * persisted store): only the TRAIN side is shingled — the per-batch
+    * cost of a streaming/incremental audit is O(batch), the store is
+    * scanned, never recomputed. */
+  def contaminationReportFromGrams(train: DataFrame, evalGrams: DataFrame,
+      shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val tg = gramHashes(train, textCol, idCol, shingleN)
+    val eg = evalGrams.select(col("id").cast("long").as("id"), col("g"))
+    val evalSizes = eg.groupBy("id")
+      .agg(count(lit(1)).as("eval_grams"))
+      .select(col("id").as("eval_id"), col("eval_grams"))
+    val tgKept =
+      if (maxGramDf == Int.MaxValue) tg
+      else tg.join(
+        tg.groupBy("g").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxGramDf).select("g"),
+        Seq("g"), "left_semi")
+    tgKept.select(col("id").as("train_id"), col("g"))
+      .join(eg.select(col("id").as("eval_id"), col("g")), Seq("g"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(evalSizes, Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        col("eval_grams"),
+        (col("n_shared") * lit(10000L) / col("eval_grams"))
+          .cast("long").as("leak_bp"))
+    // positive operands: double-division truncation == integer div
+  }
+
   /** (id, gram-hash) rows via the shingle kernel — the tokenize/shingle
     * hot loop runs imperative per partition (interpreted HOF transforms
     * measured ~6× slower on the minhash path; same trade here). Hash

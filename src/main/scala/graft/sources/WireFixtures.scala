@@ -141,6 +141,22 @@ object WireFixtures {
       graft.pipeline.Ann.writeIndex(withTwins, tmp, k, iters)
     }
 
+  /** Incrementally-built IVF index: the base corpus indexes via
+    * [[graft.pipeline.Ann.writeIndex]], then the twin batch arrives
+    * LATER through [[graft.pipeline.Ann.appendToIndex]] — codebook
+    * frozen, only the batch assigned and quantized, stored cells never
+    * re-scanned. Serving from this store must be indistinguishable from
+    * the all-at-once index (q_ann_store_incr's contract). */
+  def annIncrIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_incr_k${k}i$iters") { tmp =>
+      val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.pipeline.Ann.writeIndex(all, tmp, k, iters)
+      graft.pipeline.Ann.appendToIndex(
+        all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
+    }
+
   /** Persisted perceptual signature store: (doc_id, 64-bit dHash) over
     * the smooth-image fixture corpus, decoded and signed ONCE — the
     * media analog of the minhash signature store. A new image batch
@@ -220,6 +236,22 @@ object WireFixtures {
         .where(col("vec_id") < 10)
         .select((col("vec_id") + 5000000L).as("id"),
           col("embedding").as("vec"))
+        .coalesce(1).write.parquet(tmp)
+    }
+
+  /** Persisted eval-suite gram store: (id, gram-hash) rows for the
+    * doc_id < 50 eval slice, shingled ONCE
+    * ([[graft.pipeline.Dedup.gramHashTable]]) — the n-gram analog of
+    * [[evalEmbStoreDir]]; streaming/incremental contamination audits
+    * scan it per batch, never re-shingle it. */
+  def evalGramStoreDir(spark: SparkSession, sfDir: String,
+      shingleN: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/eval_grams_lt50_n$shingleN") { tmp =>
+      graft.pipeline.Dedup.gramHashTable(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") < 50)
+          .select("doc_id", "text"),
+        shingleN = shingleN)
         .coalesce(1).write.parquet(tmp)
     }
 

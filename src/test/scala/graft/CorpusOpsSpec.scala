@@ -438,4 +438,35 @@ class CorpusOpsSpec extends SparkSpec {
       .select("label").as[String].head()
     assert(pred === "bad") // "bad" < "good"
   }
+
+  test("contaminationReport: closed-form pair counts, bp shares, df cap") {
+    // eval doc 100: "a b c d" → trigrams {a b c, b c d} (2 grams)
+    // train 0: full copy → shares both grams → leak_bp 10000
+    // train 1: "a b c x" → shares {a b c} → 1/2 → 5000
+    // train 2: disjoint vocabulary → no row
+    // train 3: "p q r s t" vs eval 101 "p q r s" (2 grams):
+    //   shares {p q r} and {q r s} → 10000
+    val train = Seq(
+      (0L, "a b c d"), (1L, "a b c x"), (2L, "m n o p2"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d"), (101L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, eval)
+      .select("train_id", "eval_id", "n_shared", "eval_grams", "leak_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 100L, 2L, 2L, 10000L),
+      (1L, 100L, 1L, 2L, 5000L),
+      (3L, 101L, 2L, 2L, 10000L)))
+    // df cap: make gram "a b c" appear in 3 train docs, cap at 2 —
+    // every pair evidenced ONLY by that boilerplate gram disappears,
+    // pairs with rarer evidence keep their rare grams
+    val train2 = Seq(
+      (0L, "a b c d"), (1L, "a b c x"), (2L, "a b c y"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.contaminationReport(train2, eval, maxGramDf = 2)
+      .select("train_id", "n_shared").as[(Long, Long)].collect().toSet
+    // "a b c" has df 3 → dropped; only train 0's "b c d" survives
+    assert(capped == Set((0L, 1L)))
+  }
 }

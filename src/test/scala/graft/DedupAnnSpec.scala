@@ -236,6 +236,34 @@ class DedupAnnSpec extends SparkSpec {
     (0L until 5L).foreach(i => assert(top(i) == i + 100L))
   }
 
+  test("incremental index append: frozen codebook, identical serving") {
+    val dir = java.nio.file.Files.createTempDirectory("annincr").toString
+    val base = vectors.where($"id" < 100L)
+    val batch = vectors.where($"id" >= 100L) // the twins arrive LATER
+    Ann.writeIndex(base, dir, k = 4, iters = 2)
+    assert(spark.read.parquet(s"$dir/cells").count() == base.count())
+    Ann.appendToIndex(batch, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == vectors.count())
+    assert(cells.select("id").distinct().count() == vectors.count())
+    // serving from the incrementally-built store is bit-identical to the
+    // in-memory path under the SAME (base-trained, frozen) codebook —
+    // the append changed nothing about how rows are assigned or scored
+    val q = vectors.where($"id" < 5)
+    val (codebook, _) = Ann.trainCentroids(base, k = 4, iters = 2)
+    val mem = Ann.ivfQuantizedTopK(q, vectors,
+      Ann.centroidsDf(spark, codebook), k = 3, nProbe = 2, rerank = 10)
+      .collect().toSet
+    val sto = Ann.ivfQuantizedTopKFromStore(q, vectors, dir, k = 3,
+      nProbe = 2, rerank = 10).collect().toSet
+    assert(sto == mem)
+    // and the appended twins still surface at rank 1
+    val top = Ann.ivfQuantizedTopKFromStore(q, vectors, dir, k = 1,
+      nProbe = 4, rerank = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(i => assert(top(i) == i + 100L))
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")

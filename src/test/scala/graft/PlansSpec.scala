@@ -274,6 +274,54 @@ class PlansSpec extends SparkSpec {
     assert(kernels == 1, s"expected exactly 1 cdc Generate, got $kernels:\n$plan")
   }
 
+  test("LSH decontamination: band shuffles carry ids only, never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val eval = e.where($"id" < 10)
+      .select(($"id" + 5000000L).as("id"), $"vec")
+    // AQE off + broadcast threshold -1 = the plan the too-big-to-
+    // broadcast eval store regime would get — exactly the regime this
+    // variant exists for
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.pipeline.Semantic
+        .semanticDecontaminateLsh(e, eval, cosineThreshold = 0.99)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case x: ShuffleExchangeExec => x
+      }
+      val band = exchanges.filter(
+        _.outputPartitioning.toString.contains("bucket"))
+      assert(band.nonEmpty, "expected a (table, bucket) band shuffle")
+      for (x <- band)
+        assert(!x.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"vector column in the band shuffle: ${x.output}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("contamination report: text never rides a shuffle (grams are longs)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val out = graft.pipeline.Dedup.contaminationReport(
+      d, d.where($"doc_id" < 50), maxGramDf = 100)
+    // both corpora reduce to (id, gram-hash) longs inside the kernel
+    // scan; every exchange after it — pair join, df cap, totals —
+    // must be long-shaped, never document text
+    val stringShuffles = out.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeExec
+          if x.output.exists(_.dataType == StringType) => x
+    }
+    assert(stringShuffles.isEmpty,
+      s"text column in a shuffle:\n${stringShuffles.map(_.output)}")
+  }
+
   test("web pipeline: document text never rides the host-cap window shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // host cardinality bounds the per-host cap window's parallelism, so
