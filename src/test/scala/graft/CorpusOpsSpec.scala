@@ -39,6 +39,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0L).getLong(2) === 2L && out(0L).getLong(3) === 1L)
   }
 
+  test("stripFrequentLines: NULL-text docs survive and count in the share") {
+    // split(NULL) is NULL and posexplode(NULL) yields zero rows — without
+    // the coalesce a NULL-text doc would vanish from the output AND from
+    // the share-threshold denominator (shifting which lines qualify)
+    val df = Seq(
+      (0L, "common\nown zero"), (1L, "common\nown one"),
+      (2L, "common"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // denominator must be 4 (the NULL doc counts): 3/4 = 75% ≥ 70%
+    // qualifies; were the NULL doc dropped, 3/3 would qualify at any bp
+    val out = Lines.stripFrequentLines(df, shareBp = 7000)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L) === (("own zero", 1L)))
+    assert(out(2L) === (("", 1L)))
+    assert(out(3L) === (("", 0L))) // empty husk, nothing dropped
+    // at 80% the line is below threshold ONLY because the NULL doc is
+    // in the denominator (3/4 < 80%; 3/3 would pass)
+    assert(Lines.frequentLines(df, shareBp = 8000).count() === 0L)
+  }
+
   test("frequentLines threshold is exact integer share, per-doc counted") {
     // a line repeated 10x INSIDE one doc of 4 must not qualify at 50%
     val df = Seq(

@@ -236,6 +236,23 @@ class DedupAnnSpec extends SparkSpec {
     (0L until 5L).foreach(i => assert(top(i) == i + 100L))
   }
 
+  test("pqTopK: a >rerank-way ADC tie still keeps the planted twin") {
+    // duplicate-heavy degenerate corpus: every vector identical, so all
+    // candidates collapse into one code word and tie at the minimal ADC
+    // sum. The per-partition heap must evict SMALLEST ids on ties
+    // (inverted id component) so the twin — largest id by the planted
+    // convention — always survives into the exact re-rank.
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val corpus = ((0 until 30).map(i => (i.toLong, v)) :+ (1000000L, v))
+      .toDF("id", "vec").repartition(1) // one heap sees the whole tie
+    val queries = Seq((555000L, v)).toDF("id", "vec")
+    val ids = Ann.pqTopK(queries, corpus, k = 31, m = 4, ksub = 4,
+      iters = 1, rerank = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids.contains(1000000L),
+      s"planted twin evicted from a ${31}-way tie (kept: $ids)")
+  }
+
   test("incremental index append: frozen codebook, identical serving") {
     val dir = java.nio.file.Files.createTempDirectory("annincr").toString
     val base = vectors.where($"id" < 100L)

@@ -79,6 +79,27 @@ class WebGraphSpec extends SparkSpec {
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("canonicalizeUrl: tracking-param names in the PATH are untouched") {
+    // the documented contract: the path is case- AND byte-sensitive —
+    // only the query (from the FIRST '?') sees tracking-param removal.
+    // '&ref=' / '&gclid=' as literal path bytes must survive, including
+    // when a real query follows them.
+    val cases = Seq(
+      "http://h/p&ref=x?q=1" -> "http://h/p&ref=x?q=1",
+      "http://h/p&gclid=abc?utm_x=1&q=2" -> "http://h/p&gclid=abc?q=2",
+      "http://h/p&utm_source=s" -> "http://h/p&utm_source=s",
+      // and inside the query they still strip, wherever they sit
+      "http://h/p?a=1&ref=x&b=2" -> "http://h/p?a=1&b=2",
+      "http://h/p?ref=x" -> "http://h/p",
+      // path ending in '&'/'?'-less junk is not "separator tidy-up" bait
+      "http://h/p&" -> "http://h/p&",
+      // query that strips to nothing: whole rest collapses cleanly
+      "http://h/?ref=x" -> "http://h/")
+    val got = cases.map(_._1).toDF("u")
+      .select(WebFunctions.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("capPerGroup keeps exactly top-k per group, deterministic ties") {
     val df = (0L until 100L).map(i => (i, s"d${i % 4}", i % 10)).toDF(
       "id", "dom", "score")
