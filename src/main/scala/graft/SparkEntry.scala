@@ -1173,6 +1173,14 @@ object SparkEntry {
           expr("array_join(transform(post_tfs, x -> cast(x as string)), ',')")
             .as("post_tfs"))),
 
+    // ---- exact phrase search over the POSITIONAL postings index:
+    // per-token scan pruning (only the phrase's tokens' rows are read),
+    // occurrence→start voting, one map-side-combined aggregate ----
+    "q_phrase_search" -> ((s, dir) =>
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.positionalPostings(docs(s, dir)),
+        Seq("table", "value"))),
+
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
     // slice) → per-language exact-quantile gate keeping the low-
@@ -4214,6 +4222,17 @@ object SparkEntry {
         " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS post_ids," +
         " string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS post_tfs" +
         " FROM capped WHERE rn <= 5 GROUP BY token"),
+
+    // phrase search: starts re-derived per doc from the token array
+    // (1-based DuckDB list indices → the engine's 0-based positions)
+    "q_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " h AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
+        " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
+        " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
+        " CAST(st[1] - 1 AS BIGINT) AS first_pos" +
+        " FROM h WHERE len(st) > 0"),
 
     // char entropy: per-char counts via unnest + group-by (set-based
     // re-derivation of the sorted-run fold), same identity and nudge

@@ -140,4 +140,57 @@ object Retrieval {
           x => x.getField("tf")).as("post_tfs"))
       .select(col("token"), col("n_docs"), col("post_ids"), col("post_tfs"))
   }
+
+  /** POSITIONAL postings: one (token, doc_id, pos) row per token
+    * occurrence, `pos` the 0-based token index — the index a phrase /
+    * proximity query reads instead of re-scanning text. At rest this
+    * table is written bucketed-or-partitioned BY TOKEN, so a phrase
+    * query's per-token fetch is a pruned point read, not a corpus scan
+    * (the cells-table discipline of the ANN store). Explode-shaped:
+    * rows = corpus token count, but each row is (dict-encoded token,
+    * two longs) — the standard search-engine index size trade. */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), graft.functions.TextFunctions.WsPlus))
+          .as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search over a [[positionalPostings]] table: doc ids
+    * containing `phrase` as consecutive whitespace tokens, with the
+    * occurrence count and first 0-based start position.
+    *
+    * Classic positional-intersection plan: occurrence i of the phrase's
+    * word w_i at position p votes for start `p - i`; a start with all
+    * `n` votes is a match. Spark-first shape: ONE pass over the postings
+    * rows of ONLY the phrase's tokens (`token IN (...)` prunes the
+    * token-keyed index at the scan — nothing else is read), each
+    * surviving row projects to (doc_id, start), and one hash aggregate
+    * counts votes. Duplicate tokens in the phrase are handled by
+    * counting DISTINCT word slots per start (a single 'the' at one
+    * position must not double-vote for 'the the'). The aggregate is
+    * map-side combined; the shuffle carries (doc_id, start) longs of
+    * matched tokens only — at 100 TB the cost is the phrase tokens'
+    * postings volume, which is the floor for any positional index. */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val n = phrase.length
+    val slotsOf = phrase.zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // token → its slot offsets (a token may fill several phrase slots)
+    val slotExpr = explode(element_at(
+      typedlit(slotsOf.map { case (t, ss) => t -> ss.map(_.toLong) }),
+      col("token")))
+    postings
+      .where(col("token").isin(phrase.distinct: _*))
+      .select(col("doc_id"), col("pos"), slotExpr.as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
+        col("slot"))
+      .where(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("slot")).as("votes"))
+      .where(col("votes") === n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
 }

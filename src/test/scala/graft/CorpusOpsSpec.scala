@@ -461,6 +461,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pred === "bad") // "bad" < "good"
   }
 
+  test("phraseSearch: starts, counts, duplicate-token phrases, no match") {
+    val docs = Seq(
+      (0L, "a b c a b c"),   // "a b" at 0, 3; "b c" at 1, 4
+      (1L, "b a b a"),       // "a b" at 1
+      (2L, "c c c"),         // "c c" at 0, 1 (overlap allowed)
+      (3L, "a x b")).toDF("doc_id", "text")
+    val idx = Retrieval.positionalPostings(docs)
+    // the index is exhaustive and 0-based
+    assert(idx.count() === 6 + 4 + 3 + 3)
+    def run(p: String*): Map[Long, (Long, Long)] =
+      Retrieval.phraseSearch(idx, p)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run("a", "b") === Map(0L -> ((2L, 0L)), 1L -> ((1L, 1L))))
+    assert(run("b", "c") === Map(0L -> ((2L, 1L))))
+    // duplicate token in the phrase: a single occurrence must not
+    // double-vote — "c c" matches only where BOTH slots are filled
+    assert(run("c", "c") === Map(2L -> ((2L, 0L))))
+    assert(run("a", "b", "c") === Map(0L -> ((2L, 0L))))
+    // adjacency is required: doc 3 has a..b but not consecutively
+    assert(run("a", "b").get(3L).isEmpty)
+    assert(run("z").isEmpty)
+    // single-token phrase = term lookup with positions
+    assert(run("x") === Map(3L -> ((1L, 1L))))
+  }
+
   test("contaminationReport: closed-form pair counts, bp shares, df cap") {
     // eval doc 100: "a b c d" → trigrams {a b c, b c d} (2 grams)
     // train 0: full copy → shares both grams → leak_bp 10000
