@@ -517,6 +517,14 @@ object SparkEntry {
         docs(s, dir).select(explode(TF.tokens(col("text"))).as("token")),
         valueCol = "token", minShareBp = 100)),
 
+    // ---- co-occurrence PMI over the top-30 vocabulary: doc-frequency
+    // association mining — pair explode bounded at V²/2 per doc, the
+    // pair aggregate has ≤ V² keys so map-side combine collapses the
+    // shuffle to vocab size; integer-1e-4 PMI with the entropy nudge ----
+    "q_cooccurrence_pmi" -> ((s, dir) =>
+      graft.pipeline.Sketches.cooccurrencePmi(
+        docs(s, dir).select("doc_id", "text"), topV = 30)),
+
     // ---- text analysis: per-language vocabulary top-k. The token-count
     // aggregate is Zipf-skewed (stopwords dominate) — partial map-side
     // combine absorbs the skew before the shuffle; the top-k window runs
@@ -1180,6 +1188,18 @@ object SparkEntry {
       graft.pipeline.Retrieval.phraseSearch(
         graft.pipeline.Retrieval.positionalPostings(docs(s, dir)),
         Seq("table", "value"))),
+
+    // ---- KWIC snippets over the phrase hits: ±3 tokens of context
+    // around each doc's first occurrence, edge-clamped; text enters via
+    // one id-keyed join against the hit set, never a shuffle ----
+    "q_kwic_snippets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Retrieval.kwicSnippets(d,
+        graft.pipeline.Retrieval.phraseSearch(
+          graft.pipeline.Retrieval.positionalPostings(d),
+          Seq("table", "value")),
+        phraseLen = 2, context = 3)
+    }),
 
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
@@ -3802,6 +3822,31 @@ object SparkEntry {
         " SELECT token, count(*) AS cnt FROM t GROUP BY token" +
         " HAVING count(*) * 10000 > (SELECT total FROM n) * 100"),
 
+    // co-occurrence PMI: identical derivation — distinct tokens per doc,
+    // top-V vocab (n desc, token), doc-keyed pair self-join, identical
+    // parenthesization and the same +1e-6 floor nudge
+    "q_cooccurrence_pmi" ->
+      ("WITH dtok AS (SELECT doc_id, unnest(list_filter(list_distinct(" +
+        "string_split_regex(text, '\\s+')), t -> len(t) > 0)) AS token" +
+        " FROM documents)," +
+        " dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM dtok" +
+        " GROUP BY token)," +
+        " vocab AS (SELECT token, n FROM dfreq ORDER BY n DESC, token" +
+        " LIMIT 30)," +
+        " dv AS (SELECT d.doc_id, d.token FROM dtok d JOIN vocab USING (token))," +
+        " tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd" +
+        " FROM documents)," +
+        " p AS (SELECT a.token AS token_a, b.token AS token_b," +
+        " CAST(count(*) AS BIGINT) AS n_ab FROM dv a JOIN dv b" +
+        " ON a.doc_id = b.doc_id AND a.token < b.token GROUP BY 1, 2)" +
+        " SELECT token_a, token_b, n_ab, va.n AS n_a, vb.n AS n_b," +
+        " CAST(floor(log2(CAST(n_ab * nd AS DOUBLE)" +
+        " / CAST(va.n * vb.n AS DOUBLE)) * 10000 + 1e-6) AS BIGINT)" +
+        " AS pmi_e4" +
+        " FROM p CROSS JOIN tot" +
+        " JOIN vocab va ON p.token_a = va.token" +
+        " JOIN vocab vb ON p.token_b = vb.token"),
+
     "q_vocab_topk" ->
       ("WITH t AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token" +
         " FROM documents)," +
@@ -4233,6 +4278,20 @@ object SparkEntry {
         " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
         " CAST(st[1] - 1 AS BIGINT) AS first_pos" +
         " FROM h WHERE len(st) > 0"),
+
+    // KWIC: the same hit derivation, then a 1-based clamped list slice
+    // (engine start0 = max(first_pos-3, 0) 0-based → +1 here)
+    "q_kwic_snippets" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " h AS (SELECT doc_id, tk, list_filter(generate_series(1, len(tk) - 1)," +
+        " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)," +
+        " f AS (SELECT doc_id, tk, CAST(st[1] - 1 AS BIGINT) AS first_pos" +
+        " FROM h WHERE len(st) > 0)" +
+        " SELECT doc_id, first_pos," +
+        " array_to_string(tk[CAST(greatest(first_pos - 3, 0) + 1 AS BIGINT):" +
+        "CAST(least(first_pos + 2 + 3, len(tk)) AS BIGINT)], ' ') AS snippet" +
+        " FROM f"),
 
     // char entropy: per-char counts via unnest + group-by (set-based
     // re-derivation of the sorted-run fold), same identity and nudge

@@ -166,12 +166,17 @@ object Retrieval {
     * rows of ONLY the phrase's tokens (`token IN (...)` prunes the
     * token-keyed index at the scan — nothing else is read), each
     * surviving row projects to (doc_id, start), and one hash aggregate
-    * counts votes. Duplicate tokens in the phrase are handled by
-    * counting DISTINCT word slots per start (a single 'the' at one
-    * position must not double-vote for 'the the'). The aggregate is
-    * map-side combined; the shuffle carries (doc_id, start) longs of
-    * matched tokens only — at 100 TB the cost is the phrase tokens'
-    * postings volume, which is the floor for any positional index. */
+    * counts votes. Duplicate tokens in the phrase are handled by the
+    * slot explode: an occurrence votes once PER SLOT it could fill, and
+    * since a doc has exactly one token at each position, (doc_id,
+    * start, slot) triples are unique by construction — so a plain
+    * count equals a distinct-slot count ('the' at one position fills
+    * slot 0 OR slot 1 of 'the the' for a given start, never both) and
+    * the aggregate avoids the distinct-expansion's extra shuffle. The
+    * aggregate is map-side combined; the shuffle carries (doc_id,
+    * start) longs of matched tokens only — at 100 TB the cost is the
+    * phrase tokens' postings volume, the floor for any positional
+    * index. */
   def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
     val n = phrase.length
@@ -188,9 +193,36 @@ object Retrieval {
         col("slot"))
       .where(col("start") >= 0)
       .groupBy(col("doc_id"), col("start"))
-      .agg(countDistinct(col("slot")).as("votes"))
+      .agg(count(lit(1)).as("votes"))
       .where(col("votes") === n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
+
+  /** Keyword-in-context (KWIC) snippets: for each phrase hit, the
+    * `context` whitespace tokens on either side of the doc's FIRST
+    * occurrence (start `first_pos`, length `phraseLen`), clamped at the
+    * document edges — the result surface a search UI or an eval-leak
+    * triage actually reads.
+    *
+    * Plan shape: hits are (doc_id, first_pos) longs; text enters
+    * through ONE id-keyed equi-join against the hit set (hit-sized, not
+    * corpus-sized — AQE broadcasts it when small) and the slice/join is
+    * a pure codegen projection, so full documents never shuffle and
+    * only hit docs are ever materialized. */
+  def kwicSnippets(docs: DataFrame, hits: DataFrame, phraseLen: Int,
+      context: Int, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(phraseLen > 0 && context >= 0,
+      s"kwicSnippets: phraseLen $phraseLen, context $context")
+    val toks = split(col(textCol), graft.functions.TextFunctions.WsPlus)
+    val start0 = greatest(col("first_pos") - context, lit(0L))
+    val end0 = least(col("first_pos") + phraseLen + context,
+      size(toks).cast("long"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(hits.select(col("doc_id"), col("first_pos")), Seq("doc_id"))
+      .select(col("doc_id"), col("first_pos"),
+        array_join(slice(toks, (start0 + 1L).cast("int"),
+          (end0 - start0).cast("int")), " ").as("snippet"))
   }
 }

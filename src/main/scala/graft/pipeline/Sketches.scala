@@ -65,4 +65,64 @@ object Sketches {
       // integer-exact share test: cnt/total > bp/10000
       .where(col("cnt") * 10000L > lit(total) * minShareBp)
   }
+
+  /** Document-level co-occurrence with pointwise mutual information —
+    * the classic word-association statistic (Church & Hanks 1990) a
+    * corpus-forensics pass runs to surface collocations, templated
+    * boilerplate and topic structure. Doc-frequency based: `n_a` = docs
+    * containing token a, `n_ab` = docs containing both, PMI over a
+    * corpus of `N` docs in integer 1e-4 units —
+    * `floor(log2((n_ab·N) / (n_a·n_b)) · 10000 + 1e-6)` (the
+    * charEntropy nudge convention, so external engines reproduce the
+    * floor bit-for-bit on non-boundary values).
+    *
+    * Scale shape: the vocabulary is capped at `topV` by doc frequency
+    * (ties → lexicographic) — the restricted-vocab discipline every
+    * co-occurrence miner applies, and the bound that makes the plan
+    * safe at 100 TB: the per-doc pair explode is ≤ V²/2 rows, and the
+    * pair aggregate has AT MOST V² distinct keys, so map-side partial
+    * aggregation collapses the shuffle to vocab-sized regardless of
+    * corpus size. The vocab (V rows) broadcasts into both the gate and
+    * the count joins; the only corpus-sized operations are the
+    * distinct-token explode and the doc-keyed self-join of (doc,
+    * token) rows for vocab tokens only. The cap is not silent: emitted
+    * rows carry `n_a`/`n_b`, and a token outside the top-V simply has
+    * no rows — `topV` is the caller's explicit knob. */
+  def cooccurrencePmi(docs: DataFrame, topV: Int = 100,
+      minPairDocs: Long = 1L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topV > 1, s"cooccurrencePmi: topV must be > 1 (got $topV)")
+    // distinct tokens per doc, persisted: three consumers (doc-frequency
+    // aggregate + both sides of the pair join)
+    val docTokens = PlanCache.getOrPersist(docs, s"coocc-dtok|$textCol",
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          explode(array_distinct(split(col(textCol),
+            graft.functions.TextFunctions.WsPlus))).as("token"))
+        .where(length(col("token")) > 0))
+    val vocab = docTokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("n")) // rows are distinct per doc ⇒ doc freq
+      .orderBy(col("n").desc, col("token"))
+      .limit(topV)
+    val dv = docTokens
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+    val tot = docs.agg(
+      countDistinct(col(idCol)).as("n_docs_total"))
+    val pairs = dv.select(col("doc_id"), col("token").as("token_a"))
+      .join(dv.select(col("doc_id"), col("token").as("token_b")), "doc_id")
+      .where(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairDocs)
+    pairs
+      .join(broadcast(vocab.select(col("token").as("token_a"),
+        col("n").as("n_a"))), Seq("token_a"))
+      .join(broadcast(vocab.select(col("token").as("token_b"),
+        col("n").as("n_b"))), Seq("token_b"))
+      .crossJoin(tot) // 1-row scalar, broadcast by construction
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        floor(log2((col("n_ab") * col("n_docs_total")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")) * 10000 + 1e-6)
+          .cast("long").as("pmi_e4"))
+  }
 }

@@ -487,6 +487,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run("x") === Map(3L -> ((1L, 1L))))
   }
 
+  test("kwicSnippets: edge-clamped context windows around the first hit") {
+    val docs = Seq((0L, "p q a b r s t u"), (1L, "a b x"), (2L, "no hit"))
+      .toDF("doc_id", "text")
+    val hits = Seq((0L, 2L), (1L, 0L)).toDF("doc_id", "first_pos")
+    val got = Retrieval.kwicSnippets(docs, hits, phraseLen = 2, context = 2)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    // interior hit: 2 tokens each side of the 2-token phrase
+    assert(got(0L) === "p q a b r s")
+    // left-edge hit: clamps to the doc start, right side clamps to len
+    assert(got(1L) === "a b x")
+    // only hit docs appear
+    assert(got.keySet === Set(0L, 1L))
+  }
+
   test("contaminationReport: closed-form pair counts, bp shares, df cap") {
     // eval doc 100: "a b c d" → trigrams {a b c, b c d} (2 grams)
     // train 0: full copy → shares both grams → leak_bp 10000

@@ -178,6 +178,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.contains("t0") && got.contains("t1"))
   }
 
+  test("cooccurrencePmi: closed-form doc-frequency PMI, vocab cap, zero case") {
+    import graft.pipeline.Sketches
+    // N=4; n_a=n_b=3, n_c=2, n_x=1. topV=3 excludes x entirely.
+    // PMI(a,b) = log2(2·4/9) ≈ -0.169925 → -1700 in 1e-4 units
+    // PMI(a,c) = PMI(b,c) = log2(4/6) ≈ -0.584963 → -5850
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "b c x"))
+      .toDF("doc_id", "text")
+    val got = Sketches.cooccurrencePmi(df, topV = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 3L, 3L, -1700L),
+      ("a", "c", 1L, 3L, 2L, -5850L),
+      ("b", "c", 1L, 3L, 2L, -5850L)))
+    // exact-integer boundary: n_ab·N == n_a·n_b → PMI exactly 0, and
+    // the +1e-6 nudge must keep the floor at 0, not -1
+    val zero = Seq((0L, "p q"), (1L, "p"), (2L, "q"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val z = Sketches.cooccurrencePmi(zero, topV = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(z === Seq(("p", "q", 1L, 2L, 2L, 0L)))
+  }
+
   test("incremental minhash pairs + old-batch pairs = full-batch pairs") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
       .select("doc_id", "text").where(col("doc_id") < 60)
