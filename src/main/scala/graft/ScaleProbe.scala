@@ -40,7 +40,7 @@ object ScaleProbe {
     "q_ann_pq", "q_jsonl_roundtrip", "q_pipeline_web",
     "q_decontaminate_semantic", "q_decontaminate_semantic_lsh",
     "q_contamination_report", "q_ann_store_incr", "q_phrase_search",
-    "q_kwic_snippets", "q_cooccurrence_pmi",
+    "q_kwic_snippets", "q_cooccurrence_pmi", "q_proximity_search",
     "q_nb_classify", "q_winnow_guarantee",
     "q_cdc_append_local", "q_data_card", "q_pipeline_train",
     "q_winnow_align", "q_winnow_incr", "q_cdc_incr")

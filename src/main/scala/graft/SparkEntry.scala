@@ -1189,6 +1189,14 @@ object SparkEntry {
         graft.pipeline.Retrieval.positionalPostings(docs(s, dir)),
         Seq("table", "value"))),
 
+    // ---- proximity search: 'spark' and 'table' within a 6-token
+    // window, any order — the phrase voting frame with the slot
+    // constraint relaxed to distinct-term votes per start ----
+    "q_proximity_search" -> ((s, dir) =>
+      graft.pipeline.Retrieval.proximitySearch(
+        graft.pipeline.Retrieval.positionalPostings(docs(s, dir)),
+        Seq("spark", "table"), window = 6)),
+
     // ---- KWIC snippets over the phrase hits: ±3 tokens of context
     // around each doc's first occurrence, edge-clamped; text enters via
     // one id-keyed join against the hit set, never a shuffle ----
@@ -4277,6 +4285,20 @@ object SparkEntry {
         " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
         " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
         " CAST(st[1] - 1 AS BIGINT) AS first_pos" +
+        " FROM h WHERE len(st) > 0"),
+
+    // proximity: every 1-based start whose 6-token slice contains both
+    // terms (list slicing clamps at the doc edge exactly like the
+    // engine's vote clamp)
+    "q_proximity_search" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " h AS (SELECT doc_id, list_filter(generate_series(1, len(tk))," +
+        " i -> len(list_filter(tk[i:i+5], x -> x = 'spark')) > 0" +
+        " AND len(list_filter(tk[i:i+5], x -> x = 'table')) > 0) AS st" +
+        " FROM t)" +
+        " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_windows," +
+        " CAST(st[1] - 1 AS BIGINT) AS first_start" +
         " FROM h WHERE len(st) > 0"),
 
     // KWIC: the same hit derivation, then a 1-based clamped list slice

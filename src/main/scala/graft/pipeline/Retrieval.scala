@@ -199,6 +199,40 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
   }
 
+  /** Proximity search over a [[positionalPostings]] table: docs where
+    * ALL `terms` co-occur within some window of `window` consecutive
+    * token positions — the "near" query a phrase search relaxes into
+    * when order and adjacency stop mattering. Output one row per
+    * matching doc: (doc_id, n_windows, first_start), `n_windows` the
+    * count of matching 0-based window starts.
+    *
+    * Same voting frame as [[phraseSearch]] with the slot constraint
+    * relaxed: an occurrence of term t at position p votes for every
+    * start in [p−window+1, p] (clamped at 0), and a start voted by ALL
+    * distinct terms matches. Here the distinct count is REQUIRED — two
+    * occurrences of one term inside a window must not impersonate two
+    * terms. Each matched occurrence fans out `window` vote rows, so
+    * cost is window × (the terms' postings volume) — the window is a
+    * small query constant, and only the query terms' index rows are
+    * ever scanned. */
+  def proximitySearch(postings: DataFrame, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty, "proximitySearch: empty term set")
+    require(window >= 1, s"proximitySearch: window must be >= 1: $window")
+    val distinctTerms = terms.distinct
+    val n = distinctTerms.length
+    postings
+      .where(col("token").isin(distinctTerms: _*))
+      .select(col("doc_id"), col("token"),
+        explode(sequence(greatest(col("pos") - (window - 1), lit(0L)),
+          col("pos"))).as("start"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("token")).as("hit_terms"))
+      .where(col("hit_terms") === n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), min(col("start")).as("first_start"))
+  }
+
   /** Keyword-in-context (KWIC) snippets: for each phrase hit, the
     * `context` whitespace tokens on either side of the doc's FIRST
     * occurrence (start `first_pos`, length `phraseLen`), clamped at the

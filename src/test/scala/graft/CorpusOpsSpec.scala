@@ -487,6 +487,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run("x") === Map(3L -> ((1L, 1L))))
   }
 
+  test("proximitySearch: window membership, order-free, dup-term honesty") {
+    val docs = Seq(
+      (0L, "a x b"),     // a..b span 3 → window 3 yes, window 2 no
+      (1L, "b x a"),     // order-free
+      (2L, "a a"),       // one term twice must not look like two terms
+      (3L, "a y y y b")).toDF("doc_id", "text") // span 5 > window 3
+    val idx = Retrieval.positionalPostings(docs)
+    def run(w: Int, terms: String*): Map[Long, (Long, Long)] =
+      Retrieval.proximitySearch(idx, terms, w)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run(3, "a", "b") === Map(0L -> ((1L, 0L)), 1L -> ((1L, 0L))))
+    assert(run(2, "a", "b") === Map.empty[Long, (Long, Long)])
+    assert(run(5, "a", "b").keySet === Set(0L, 1L, 3L))
+    // doc 2 has 'a' twice in one window — still only ONE distinct term
+    assert(!run(2, "a", "b").contains(2L))
+    // single-term proximity degenerates to windowed term lookup
+    assert(run(2, "a")(2L) === ((2L, 0L))) // starts 0 and 1 both match
+  }
+
   test("kwicSnippets: edge-clamped context windows around the first hit") {
     val docs = Seq((0L, "p q a b r s t u"), (1L, "a b x"), (2L, "no hit"))
       .toDF("doc_id", "text")
