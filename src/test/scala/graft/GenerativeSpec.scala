@@ -364,6 +364,50 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("phrase/proximity search equal the in-memory scan model") {
+    // random corpora over a tiny alphabet (dense accidental matches,
+    // overlaps, duplicate tokens) vs the obvious O(n·w) scan model
+    val vocabG = Vector("a", "b", "c", "d")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(6, 14)
+      docs <- Gen.listOfN(n, Gen.choose(4, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocabG)).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(genCorpus).take(4).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val idx = pipeline.Retrieval.positionalPostings(df)
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }
+      // phrase: every 2- and 3-gram pattern over the alphabet
+      for (phrase <- Seq(Seq("a", "b"), Seq("b", "b"), Seq("c", "a", "d"))) {
+        val model = toks.flatMap { case (id, tk) =>
+          val starts = (0 to tk.length - phrase.length)
+            .filter(s => phrase.indices.forall(j => tk(s + j) == phrase(j)))
+          if (starts.isEmpty) None
+          else Some(id -> ((starts.length.toLong, starts.min.toLong)))
+        }.toMap
+        val got = pipeline.Retrieval.phraseSearch(idx, phrase)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === model, s"phrase $phrase")
+      }
+      // proximity: both terms in some w-window, any order
+      for (w <- Seq(2, 4); terms = Seq("a", "d")) {
+        val model = toks.flatMap { case (id, tk) =>
+          val starts = tk.indices.filter { s =>
+            val win = tk.slice(s, s + w)
+            terms.forall(win.contains)
+          }
+          if (starts.isEmpty) None
+          else Some(id -> ((starts.length.toLong, starts.min.toLong)))
+        }.toMap
+        val got = pipeline.Retrieval.proximitySearch(idx, terms, w)
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === model, s"proximity w=$w")
+      }
+    }
+  }
+
   test("planted simhash/embedding contracts hold on a re-seeded corpus") {
     // Corpus-INDEPENDENT re-statement of the two contract oracles
     // COVERAGE.md flags as corpus-dependent (q_dedup_simhash's measured
