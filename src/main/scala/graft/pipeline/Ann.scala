@@ -205,9 +205,14 @@ object Ann {
       rerank: Int): DataFrame = {
     import graft.functions.VectorFunctions.dequantizeInt8
     val probes = probeCells(queries, centroids, nProbe)
-    // approximate scoring over the probed cells' int8 members
+    // approximate scoring over the probed cells' int8 members. The
+    // rerank CUT breaks approx ties to the LARGEST neighbor_id kept —
+    // same rule as pqTopK's heap eviction: when more than `rerank`
+    // candidates quantize to identical codes (duplicate-heavy corpora)
+    // the planted twin, largest id by convention, must reach the exact
+    // re-rank; an ascending tie-break would cut it first
     val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").desc)
     val survivors = cells
       .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))

@@ -501,7 +501,14 @@ object Dedup {
   def contaminationReportFromGrams(train: DataFrame, evalGrams: DataFrame,
       shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
       maxGramDf: Int = Int.MaxValue): DataFrame = {
-    val tg = gramHashes(train, textCol, idCol, shingleN)
+    // with the df cap the train gram table has TWO consumers (the df
+    // aggregate and the semi-join left side) — persist it or the
+    // corpus-scale shingle kernel runs twice; uncapped it is consumed
+    // once and needs no persist
+    val tg0 = gramHashes(train, textCol, idCol, shingleN)
+    val tg =
+      if (maxGramDf == Int.MaxValue) tg0
+      else PlanCache.getOrPersist(train, s"contam-grams|$shingleN", tg0)
     val eg = evalGrams.select(col("id").cast("long").as("id"), col("g"))
     val evalSizes = eg.groupBy("id")
       .agg(count(lit(1)).as("eval_grams"))

@@ -82,10 +82,13 @@ object Sketches {
     * safe at 100 TB: the per-doc pair explode is ≤ V²/2 rows, and the
     * pair aggregate has AT MOST V² distinct keys, so map-side partial
     * aggregation collapses the shuffle to vocab-sized regardless of
-    * corpus size. The vocab (V rows) broadcasts into both the gate and
-    * the count joins; the only corpus-sized operations are the
-    * distinct-token explode and the doc-keyed self-join of (doc,
-    * token) rows for vocab tokens only. The cap is not silent: emitted
+    * corpus size. The vocab (≤ V rows by construction) collects to the
+    * driver once — the Ann-codebook pattern — so the membership gate is
+    * an isin filter and the count lookups a literal map, with ONE
+    * aggregate over the persisted distinct-token table; the only
+    * corpus-sized operations are the distinct-token explode and the
+    * doc-keyed self-join of (doc, token) rows for vocab tokens only.
+    * The cap is not silent: emitted
     * rows carry `n_a`/`n_b`, and a token outside the top-V simply has
     * no rows — `topV` is the caller's explicit knob. */
   def cooccurrencePmi(docs: DataFrame, topV: Int = 100,
@@ -99,26 +102,34 @@ object Sketches {
           explode(array_distinct(split(col(textCol),
             graft.functions.TextFunctions.WsPlus))).as("token"))
         .where(length(col("token")) > 0))
-    val vocab = docTokens.groupBy(col("token"))
+    // the vocab is ≤ topV rows BY CONSTRUCTION — collect it once on
+    // the driver (the Ann codebook pattern) instead of re-running the
+    // corpus-token aggregate for every downstream consumer: the gate
+    // becomes an isin filter and the count lookups a literal map, so
+    // the whole statistic costs ONE aggregate over the persisted
+    // distinct-token table plus the bounded pair aggregate
+    val vocabRows = docTokens.groupBy(col("token"))
       .agg(count(lit(1)).as("n")) // rows are distinct per doc ⇒ doc freq
       .orderBy(col("n").desc, col("token"))
       .limit(topV)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nOf = typedlit(vocabRows.toMap)
     val dv = docTokens
-      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+      .where(col("token").isin(vocabRows.map(_._1).toSeq: _*))
     val tot = docs.agg(
       countDistinct(col(idCol)).as("n_docs_total"))
-    val pairs = dv.select(col("doc_id"), col("token").as("token_a"))
+    dv.select(col("doc_id"), col("token").as("token_a"))
       .join(dv.select(col("doc_id"), col("token").as("token_b")), "doc_id")
       .where(col("token_a") < col("token_b"))
       .groupBy(col("token_a"), col("token_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairDocs)
-    pairs
-      .join(broadcast(vocab.select(col("token").as("token_a"),
-        col("n").as("n_a"))), Seq("token_a"))
-      .join(broadcast(vocab.select(col("token").as("token_b"),
-        col("n").as("n_b"))), Seq("token_b"))
       .crossJoin(tot) // 1-row scalar, broadcast by construction
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        element_at(nOf, col("token_a")).as("n_a"),
+        element_at(nOf, col("token_b")).as("n_b"),
+        col("n_docs_total"))
       .select(col("token_a"), col("token_b"), col("n_ab"),
         col("n_a"), col("n_b"),
         floor(log2((col("n_ab") * col("n_docs_total")).cast("double") /

@@ -253,6 +253,23 @@ class DedupAnnSpec extends SparkSpec {
       s"planted twin evicted from a ${31}-way tie (kept: $ids)")
   }
 
+  test("ivfQuantizedTopK: a >rerank-way approx tie still keeps the twin") {
+    // same degenerate shape as the pqTopK tie test, exercised on the
+    // int8 rerank cut: identical vectors quantize to identical codes,
+    // every approx score ties, and the cut must keep the LARGEST ids
+    // so the planted twin reaches the exact re-rank
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val corpus = ((0 until 30).map(i => (i.toLong, v)) :+ (1000000L, v))
+      .toDF("id", "vec")
+    val queries = Seq((555000L, v)).toDF("id", "vec")
+    val (codebook, _) = Ann.trainCentroids(corpus, k = 2, iters = 1)
+    val ids = Ann.ivfQuantizedTopK(queries, corpus,
+      Ann.centroidsDf(spark, codebook), k = 31, nProbe = 2, rerank = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids.contains(1000000L),
+      s"planted twin cut from a 31-way approx tie (kept: $ids)")
+  }
+
   test("incremental index append: frozen codebook, identical serving") {
     val dir = java.nio.file.Files.createTempDirectory("annincr").toString
     val base = vectors.where($"id" < 100L)
