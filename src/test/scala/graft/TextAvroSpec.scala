@@ -138,6 +138,41 @@ class TextAvroSpec extends SparkSpec {
     intercept[Exception] { Multimodal.realVideoMeta(bad) }
   }
 
+  test("realVideoMeta parses all four Y4M colorspaces and frame params") {
+    def y4m(header: String, frames: Seq[(String, Int)]): Array[Byte] = {
+      val sb = new StringBuilder(header).append('\n')
+      frames.foreach { case (params, planeBytes) =>
+        sb.append("FRAME").append(params).append('\n')
+        sb.append("x" * planeBytes)
+      }
+      sb.toString.getBytes("US-ASCII")
+    }
+    // default colorspace per the spec is 420 when no C tag is present
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W4 H2 F25:1", Seq(("", 12), ("", 12)))) == ((4, 2, 2)))
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W4 H2 C420jpeg", Seq(("", 12)))) == ((4, 2, 1)))
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W3 H3 C444", Seq(("", 27)))) == ((3, 3, 1)))
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W4 H2 C422", Seq(("", 16)))) == ((4, 2, 1)))
+    // per-frame parameters between FRAME and the newline are legal
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W2 H2 Cmono", Seq((" Xparam", 4), ("", 4)))) == ((2, 2, 2)))
+    // wrong plane size for the declared colorspace fails loudly
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W4 H2 C444", Seq(("", 12))))
+    }
+    // unknown colorspace fails loudly rather than guessing a size
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W4 H2 C999", Seq(("", 12))))
+    }
+    // missing dims fail
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W4", Seq(("", 4))))
+    }
+  }
+
   test("real image encode → javax.imageio decode roundtrips dims/format") {
     implicit val s = spark
     val meta = Multimodal.decodeImages(
