@@ -143,33 +143,50 @@ object Multimodal {
     var w = -1
     var h = -1
     var cs = "420"
+    def dim(t: String): Int = try t.substring(1).toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"y4m: unparseable dim '$t'")
+    }
     header.split(' ').iterator.drop(1).foreach { t =>
       if (t.nonEmpty) t.charAt(0) match {
-        case 'W' => w = t.substring(1).toInt
-        case 'H' => h = t.substring(1).toInt
+        case 'W' => w = dim(t)
+        case 'H' => h = dim(t)
         case 'C' => cs = t.substring(1)
         case _ => () // F/I/A/X params don't affect plane sizes
       }
     }
     require(w > 0 && h > 0, s"y4m: missing dims in '$header'")
-    val frameBytes =
-      if (cs.startsWith("mono")) w * h
-      else if (cs.startsWith("444")) w * h * 3
-      else if (cs.startsWith("422")) w * h * 2
-      else if (cs.startsWith("420")) w * h * 3 / 2
-      else throw new IllegalArgumentException(s"y4m: colorspace $cs")
-    var off = nl + 1
+    // bound dims so plane-size arithmetic cannot overflow Int (a hostile
+    // header with W/H near 2^31 would step the FRAME walk backwards);
+    // 65535 is far above any real frame and keeps w*h*3 < 2^63 trivially
+    require(w <= 65535 && h <= 65535, s"y4m: dims out of bounds ${w}x$h")
+    val frameBytesL: Long =
+      if (cs.startsWith("mono")) w.toLong * h
+      else if (cs.startsWith("444")) w.toLong * h * 3
+      else if (cs.startsWith("422")) {
+        // 422 halves the chroma width: odd W has no exact plane size
+        require(w % 2 == 0, s"y4m: odd width $w with C$cs")
+        w.toLong * h * 2
+      } else if (cs.startsWith("420")) {
+        require(w % 2 == 0 && h % 2 == 0, s"y4m: odd dims ${w}x$h with C$cs")
+        w.toLong * h * 3 / 2
+      } else throw new IllegalArgumentException(s"y4m: colorspace $cs")
+    // the walk stays in Long: with the bounded dims a frame can still be
+    // up to ~13 GB nominal, far past any payload — the truncation check
+    // below rejects it exactly instead of wrapping
+    var off: Long = nl + 1
     var frames = 0
     while (off < p.length) {
-      require(off + 5 <= p.length && p(off) == 'F'.toByte &&
-        p(off + 1) == 'R'.toByte && p(off + 2) == 'A'.toByte &&
-        p(off + 3) == 'M'.toByte && p(off + 4) == 'E'.toByte,
+      val o = off.toInt // off < p.length here, so Int-exact
+      require(off + 5 <= p.length && p(o) == 'F'.toByte &&
+        p(o + 1) == 'R'.toByte && p(o + 2) == 'A'.toByte &&
+        p(o + 3) == 'M'.toByte && p(o + 4) == 'E'.toByte,
         s"y4m: bad FRAME marker at byte $off")
-      var markerEnd = off + 5
+      var markerEnd = o + 5
       while (markerEnd < p.length && p(markerEnd) != '\n'.toByte)
         markerEnd += 1 // optional per-frame params
       require(markerEnd < p.length, "y4m: unterminated FRAME line")
-      off = markerEnd + 1 + frameBytes
+      off = markerEnd + 1L + frameBytesL
       require(off <= p.length, s"y4m: truncated frame ${frames + 1}")
       frames += 1
     }

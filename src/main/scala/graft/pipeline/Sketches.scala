@@ -97,7 +97,8 @@ object Sketches {
     require(topV > 1, s"cooccurrencePmi: topV must be > 1 (got $topV)")
     // distinct tokens per doc, persisted: three consumers (doc-frequency
     // aggregate + both sides of the pair join)
-    val docTokens = PlanCache.getOrPersist(docs, s"coocc-dtok|$textCol",
+    val docTokens = PlanCache.getOrPersist(docs,
+      s"coocc-dtok|$textCol|$idCol",
       docs.select(col(idCol).cast("long").as("doc_id"),
           explode(array_distinct(split(col(textCol),
             graft.functions.TextFunctions.WsPlus))).as("token"))

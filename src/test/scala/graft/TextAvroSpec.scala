@@ -171,6 +171,32 @@ class TextAvroSpec extends SparkSpec {
     intercept[Exception] {
       Multimodal.realVideoMeta(y4m("YUV4MPEG2 W4", Seq(("", 4))))
     }
+    // hostile dims that would overflow Int plane math are rejected up
+    // front (not wrapped into a backwards FRAME walk)
+    intercept[Exception] {
+      Multimodal.realVideoMeta(
+        y4m("YUV4MPEG2 W65536 H65536 C444", Seq(("", 4))))
+    }
+    // unparseable dims fail with the codec-style message, not a raw
+    // NumberFormatException from substring math
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 Wx H2", Seq(("", 4))))
+    }
+    assert(e.getMessage.contains("unparseable dim"))
+    // odd dims under chroma-subsampled colorspaces have no exact plane
+    // size — rejected, never silently truncated
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W3 H2 C420", Seq(("", 9))))
+    }
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W4 H3 C420", Seq(("", 18))))
+    }
+    intercept[Exception] {
+      Multimodal.realVideoMeta(y4m("YUV4MPEG2 W3 H2 C422", Seq(("", 12))))
+    }
+    // odd HEIGHT is legal for 422 (chroma subsamples width only)
+    assert(Multimodal.realVideoMeta(
+      y4m("YUV4MPEG2 W4 H3 C422", Seq(("", 24)))) == ((4, 3, 1)))
   }
 
   test("real image encode → javax.imageio decode roundtrips dims/format") {
