@@ -914,6 +914,16 @@ object SparkEntry {
       Dedup.contaminationReport(train, eval)
     }),
 
+    // ---- capped attribution: the boilerplate-gram guard exercised —
+    // grams in more than 5 train docs are dropped BEFORE pairing (the
+    // fan-out control that matters at corpus scale), and the drop is
+    // accounted exactly (GramDfStats, asserted by spec) ----
+    "q_contamination_capped" -> ((s, dir) => {
+      val train = docs(s, dir).select("doc_id", "text")
+      val eval = docs(s, dir).where(col("doc_id") < 50).select("doc_id", "text")
+      Dedup.contaminationReport(train, eval, maxGramDf = 5)
+    }),
+
     // ---- decontamination, giant-holdout scale path: bloom prefilter on
     // the train grams, exact confirming join — bit-identical output to
     // q_decontaminate (shared oracle) with the shuffle pruned to
@@ -3901,6 +3911,30 @@ object SparkEntry {
         " AS eval_grams FROM sh WHERE doc_id < 50)," +
         " p AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT)" +
         " AS n_shared FROM tg JOIN eg USING (g) GROUP BY 1, 2)" +
+        " SELECT train_id, eval_id, n_shared, eval_grams," +
+        " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
+        " FROM p JOIN es USING (eval_id)"),
+
+    // capped attribution: identical derivation with grams present in
+    // more than 5 train docs excluded before pairing (eval_grams stays
+    // the uncapped per-eval-doc total — the cap gates evidence, not the
+    // denominator)
+    "q_contamination_capped" ->
+      ("WITH sh AS (SELECT doc_id," +
+        " list_distinct(list_transform(generate_series(1," +
+        " greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))" +
+        " AS s FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents))," +
+        " tg AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh)," +
+        " keep AS (SELECT g FROM tg GROUP BY g HAVING count(*) <= 5)," +
+        " eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id < 50)," +
+        " es AS (SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT)" +
+        " AS eval_grams FROM sh WHERE doc_id < 50)," +
+        " p AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT)" +
+        " AS n_shared FROM tg JOIN keep USING (g) JOIN eg USING (g)" +
+        " GROUP BY 1, 2)" +
         " SELECT train_id, eval_id, n_shared, eval_grams," +
         " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
         " FROM p JOIN es USING (eval_id)"),

@@ -474,12 +474,42 @@ object Dedup {
     * of train docs — `maxGramDf` drops grams present in more than that
     * many train docs before pairing (a ubiquitous n-gram is not leakage
     * evidence; same df-cap discipline as winnowOverlapPairs/postings).
-    * The default keeps every gram, so the report is exact unless the
-    * caller opts into the cap. */
+    * The cap is ON by default: a 3-gram in >10k train docs is
+    * boilerplate by any reasonable prior, and an uncapped default is
+    * exactly the 10⁶×10³-row fan-out that falls over first at 100 TB.
+    * Pass `Int.MaxValue` for the exact (audit-grade) report. The cap is
+    * not silent: [[contaminationReportWithStats]] returns the exact
+    * dropped-gram mass ([[GramDfStats]], the Bpe.VocabStats treatment),
+    * and this overload is just its `_1`. */
   def contaminationReport(train: DataFrame, eval: DataFrame,
       shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
-      maxGramDf: Int = Int.MaxValue): DataFrame =
-    contaminationReportFromGrams(train,
+      maxGramDf: Int = DefaultMaxGramDf): DataFrame =
+    contaminationReportWithStats(train, eval, shingleN, textCol, idCol,
+      maxGramDf)._1
+
+  /** Default train-side document-frequency cap for contamination
+    * attribution: grams in more than this many train docs are treated
+    * as boilerplate, not leakage evidence. */
+  val DefaultMaxGramDf = 10000
+
+  /** Per-call accounting for `maxGramDf`: exactly which gram mass the
+    * cap excluded from attribution — the "no silent caps" contract
+    * (`droppedGrams` distinct over-cap grams; `droppedRows` the (train
+    * doc, gram) pair rows those grams carried — the fan-out the cap
+    * killed). */
+  case class GramDfStats(distinctGrams: Long, droppedGrams: Long,
+      droppedRows: Long)
+
+  /** [[contaminationReport]] plus the cap accounting. `stats` is None
+    * when `maxGramDf = Int.MaxValue` (nothing can drop — the report is
+    * exact and stays fully lazy); with a finite cap the train-gram df
+    * table is aggregated eagerly (it is persisted and re-read by the
+    * kept-gram semi-join, so the extra action costs one vocab-sized
+    * aggregate, not a second corpus pass). */
+  def contaminationReportWithStats(train: DataFrame, eval: DataFrame,
+      shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      maxGramDf: Int = DefaultMaxGramDf): (DataFrame, Option[GramDfStats]) =
+    contaminationReportFromGramsWithStats(train,
       gramHashes(eval, textCol, idCol, shingleN),
       shingleN, textCol, idCol, maxGramDf)
 
@@ -500,7 +530,16 @@ object Dedup {
     * scanned, never recomputed. */
   def contaminationReportFromGrams(train: DataFrame, evalGrams: DataFrame,
       shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
-      maxGramDf: Int = Int.MaxValue): DataFrame = {
+      maxGramDf: Int = DefaultMaxGramDf): DataFrame =
+    contaminationReportFromGramsWithStats(train, evalGrams, shingleN,
+      textCol, idCol, maxGramDf)._1
+
+  /** [[contaminationReportFromGrams]] plus the cap accounting (see
+    * [[contaminationReportWithStats]]). */
+  def contaminationReportFromGramsWithStats(train: DataFrame,
+      evalGrams: DataFrame, shingleN: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id", maxGramDf: Int = DefaultMaxGramDf)
+      : (DataFrame, Option[GramDfStats]) = {
     // with the df cap the train gram table has TWO consumers (the df
     // aggregate and the semi-join left side) — persist it or the
     // corpus-scale shingle kernel runs twice; uncapped it is consumed
@@ -508,18 +547,31 @@ object Dedup {
     val tg0 = gramHashes(train, textCol, idCol, shingleN)
     val tg =
       if (maxGramDf == Int.MaxValue) tg0
-      else PlanCache.getOrPersist(train, s"contam-grams|$shingleN", tg0)
+      else PlanCache.getOrPersist(train,
+        s"contam-grams|$shingleN|$textCol|$idCol", tg0)
     val eg = evalGrams.select(col("id").cast("long").as("id"), col("g"))
     val evalSizes = eg.groupBy("id")
       .agg(count(lit(1)).as("eval_grams"))
       .select(col("id").as("eval_id"), col("eval_grams"))
-    val tgKept =
-      if (maxGramDf == Int.MaxValue) tg
-      else tg.join(
-        tg.groupBy("g").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxGramDf).select("g"),
-        Seq("g"), "left_semi")
-    tgKept.select(col("id").as("train_id"), col("g"))
+    val (tgKept, stats) =
+      if (maxGramDf == Int.MaxValue) (tg, None)
+      else {
+        // df table persisted: the stats aggregate and the kept-gram
+        // semi-join both read it (vocab-of-grams-sized — orders of
+        // magnitude below the corpus, the Bpe word-frequency regime)
+        val dfTable = PlanCache.getOrPersist(train,
+          s"contam-df|$shingleN|$textCol|$idCol",
+          tg.groupBy("g").agg(count(lit(1)).as("__df")))
+        val over = col("__df") > maxGramDf
+        val st = dfTable.agg(count(lit(1)).as("grams"),
+          coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L)).as("dropped"),
+          coalesce(sum(when(over, col("__df")).otherwise(0L)), lit(0L))
+            .as("rows")).head()
+        val kept = tg.join(dfTable.where(!over).select("g"),
+          Seq("g"), "left_semi")
+        (kept, Some(GramDfStats(st.getLong(0), st.getLong(1), st.getLong(2))))
+      }
+    val report = tgKept.select(col("id").as("train_id"), col("g"))
       .join(eg.select(col("id").as("eval_id"), col("g")), Seq("g"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -529,6 +581,7 @@ object Dedup {
         (col("n_shared") * lit(10000L) / col("eval_grams"))
           .cast("long").as("leak_bp"))
     // positive operands: double-division truncation == integer div
+    (report, stats)
   }
 
   /** (id, gram-hash) rows via the shingle kernel — the tokenize/shingle

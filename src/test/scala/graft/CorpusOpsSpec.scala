@@ -546,9 +546,27 @@ class CorpusOpsSpec extends SparkSpec {
     val train2 = Seq(
       (0L, "a b c d"), (1L, "a b c x"), (2L, "a b c y"))
       .toDF("doc_id", "text")
-    val capped = Dedup.contaminationReport(train2, eval, maxGramDf = 2)
+    val (cappedDf, stats) = Dedup.contaminationReportWithStats(
+      train2, eval, maxGramDf = 2)
+    val capped = cappedDf
       .select("train_id", "n_shared").as[(Long, Long)].collect().toSet
     // "a b c" has df 3 → dropped; only train 0's "b c d" survives
     assert(capped == Set((0L, 1L)))
+    // the cap is accounted, never silent: train2's distinct grams are
+    // {a b c}×3 docs + {b c d, b c x, b c y} → 4 distinct, one over-cap
+    // gram carrying 3 (doc, gram) rows
+    assert(stats == Some(Dedup.GramDfStats(
+      distinctGrams = 4L, droppedGrams = 1L, droppedRows = 3L)))
+    // uncapped (exact) report opts out of stats — fully lazy path
+    val (_, none) = Dedup.contaminationReportWithStats(
+      train2, eval, maxGramDf = Int.MaxValue)
+    assert(none.isEmpty)
+    // the finite DEFAULT cap leaves this tiny corpus untouched and
+    // reports zero dropped mass
+    val (dflt, dstats) = Dedup.contaminationReportWithStats(train, eval)
+    assert(dflt.select("train_id", "eval_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((0L, 100L, 2L), (1L, 100L, 1L), (3L, 101L, 2L)))
+    assert(dstats.exists(s => s.droppedGrams == 0L && s.droppedRows == 0L))
   }
 }
