@@ -1219,6 +1219,63 @@ object SparkEntry {
         phraseLen = 2, context = 3)
     }),
 
+    // ---- INCREMENTALLY-built postings index, served: the store's base
+    // slice was written once, the held-back slice appended later (only
+    // the batch tokenized, stored rows never rewritten) — phrase search
+    // over the persisted index must equal the full-corpus derivation ----
+    "q_postings_incr" -> ((s, dir) =>
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s,
+          graft.sources.WireFixtures.postingsStoreDir(s, dir)),
+        Seq("table", "value"))),
+
+    // ---- BM25 top-k served FROM the persisted index: tf from the
+    // token-pruned postings scan, df from a terms-sized aggregate, dl
+    // from the doclens norms — document text never read; scores
+    // bit-identical to q_bm25_topk (same oracle) ----
+    "q_bm25_index" -> ((s, dir) => {
+      val store = graft.sources.WireFixtures.postingsStoreDir(s, dir)
+      graft.pipeline.Retrieval.bm25TopKFromIndex(
+        graft.pipeline.Retrieval.readPostingsIndex(s, store),
+        graft.pipeline.Retrieval.readDocLengths(s, store),
+        Seq("the", "of", "data"), k = 20)
+    }),
+
+    // ---- STREAMING phrase audit: each arriving doc batch appends its
+    // own postings to the persisted index (O(batch) — the ScnIndex
+    // append-listener discipline) and records its membership; the final
+    // attribution is ONE phrase search over the STORE the stream built,
+    // hits attributed to the batch that delivered the doc ----
+    "q_phrase_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("phrstream").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.pipeline.Retrieval.appendToPostingsIndex(b, s"$root/index")
+            b.select(col("doc_id")).withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/member")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 3).coalesce(1).write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 8).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      graft.pipeline.Retrieval.phraseSearch(
+          graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+          Seq("table", "value"))
+        .join(s.read.parquet(s"$root/member"), "doc_id")
+        .select("batch_id", "doc_id", "n_hits", "first_pos")
+    }),
+
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
     // slice) → per-language exact-quantile gate keeping the low-
@@ -4312,12 +4369,22 @@ object SparkEntry {
 
     // phrase search: starts re-derived per doc from the token array
     // (1-based DuckDB list indices → the engine's 0-based positions)
-    "q_phrase_search" ->
+    "q_phrase_search" -> phraseSearchSql,
+
+    // incremental-store phrase search: the store covers the full corpus
+    // (base slice + appended slice), so the full-corpus derivation IS
+    // the oracle — identical output proves append ≡ rebuild
+    "q_postings_incr" -> phraseSearchSql,
+
+    // streaming phrase audit: hits restricted to the streamed slices,
+    // attributed to the batch that delivered the doc
+    "q_phrase_stream" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
-        " FROM documents)," +
+        " FROM documents WHERE doc_id % 10 IN (3, 8))," +
         " h AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
         " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
-        " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
+        " SELECT CAST(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END AS BIGINT)" +
+        " AS batch_id, doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
         " CAST(st[1] - 1 AS BIGINT) AS first_pos" +
         " FROM h WHERE len(st) > 0"),
 
@@ -4370,10 +4437,11 @@ object SparkEntry {
     "q_bm25" -> bm25Sql,
 
     // BM25 top-k: same scoring, global (score desc, id) rank capped at 20
-    "q_bm25_topk" ->
-      (s"SELECT doc_id, dl, score_e4, rank FROM (SELECT doc_id, dl, score_e4," +
-        " CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank" +
-        s" FROM ($bm25Sql)) WHERE rank <= 20"),
+    "q_bm25_topk" -> bm25TopKSql,
+
+    // index-served BM25 is bit-identical to the scan path by contract —
+    // same oracle proves it (tf/df/dl from the store, not the text)
+    "q_bm25_index" -> bm25TopKSql,
 
     "q_ann_brute" -> annBruteSql,
 
@@ -4829,6 +4897,26 @@ object SparkEntry {
       s" ${term("the", "df0")} + ${term("of", "df1")} + ${term("data", "df2")} AS score_e4" +
       " FROM t"
   }
+
+  /** BM25 top-k oracle (q_bm25_topk and q_bm25_index — the index-served
+    * path is bit-identical to the scan path by contract, so one oracle
+    * proves both). */
+  private lazy val bm25TopKSql: String =
+    s"SELECT doc_id, dl, score_e4, rank FROM (SELECT doc_id, dl, score_e4," +
+      " CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank" +
+      s" FROM ($bm25Sql)) WHERE rank <= 20"
+
+  /** Phrase-search oracle (q_phrase_search and q_postings_incr — the
+    * incremental store covers the full corpus, so serving from it must
+    * reproduce the full-corpus derivation exactly). */
+  private lazy val phraseSearchSql: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+      " FROM documents)," +
+      " h AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
+      " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
+      " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +
+      " CAST(st[1] - 1 AS BIGINT) AS first_pos" +
+      " FROM h WHERE len(st) > 0"
 
   /** Shared bigram-LM oracle CTEs: add-one-smoothed counts over the 80%
     * doc_id%5≠0 train slice, per-position integer-floored log2 terms

@@ -157,6 +157,25 @@ object WireFixtures {
         all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
     }
 
+  /** Incrementally-built positional-postings index over the documents
+    * corpus: the base slice (doc_id % 10 ≠ 8) indexes via
+    * [[graft.pipeline.Retrieval.writePostingsIndex]], then the held-back
+    * slice arrives LATER through
+    * [[graft.pipeline.Retrieval.appendToPostingsIndex]] — only the batch
+    * is tokenized, stored rows never rewritten. Serving phrase /
+    * proximity / BM25 queries from this store must be indistinguishable
+    * from a full-corpus index (q_postings_incr / q_bm25_index verify
+    * against full-corpus oracles). */
+  def postingsStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/postings_index") { tmp =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      graft.pipeline.Retrieval.writePostingsIndex(
+        d.where(col("doc_id") % 10 =!= 8), tmp)
+      graft.pipeline.Retrieval.appendToPostingsIndex(
+        d.where(col("doc_id") % 10 === 8), tmp)
+    }
+
   /** Persisted perceptual signature store: (doc_id, 64-bit dHash) over
     * the smooth-image fixture corpus, decoded and signed ONCE — the
     * media analog of the minhash signature store. A new image batch

@@ -521,6 +521,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.keySet === Set(0L, 1L))
   }
 
+  test("postings index: append equals rebuild; doclens track the batches") {
+    import graft.pipeline.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    val base = Seq((0L, "a b a"), (1L, "b c")).toDF("doc_id", "text")
+    val batch = Seq((2L, "c a b a"), (3L, "x")).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(base, dir, numFiles = 2)
+    Retrieval.appendToPostingsIndex(batch, dir)
+    val all = base.unionByName(batch)
+    // the incrementally-built index is row-identical to a from-scratch
+    // full-corpus index — append is union, no merge logic to get wrong
+    val got = Retrieval.readPostingsIndex(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Retrieval.positionalPostings(all)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(Retrieval.readDocLengths(spark, dir)
+      .as[(Long, Long)].collect().toSet ==
+      Set((0L, 3L), (1L, 2L), (2L, 4L), (3L, 1L)))
+    // phrase + proximity served from the store match the direct path
+    assert(Retrieval.phraseSearch(
+        Retrieval.readPostingsIndex(spark, dir), Seq("a", "b"))
+      .as[(Long, Long, Long)].collect().toSet ==
+      Retrieval.phraseSearch(Retrieval.positionalPostings(all), Seq("a", "b"))
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
+  test("bm25TopKFromIndex is bit-identical to bm25TopK, zero-score docs kept") {
+    import graft.pipeline.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("pidx2").toString
+    val docs = Seq((0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "durian elderberry fig grape"), (3L, "apple")
+    ).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(docs, dir)
+    // k exceeds the positive-score docs, so membership (doc 2 at score
+    // 0) must survive the index path exactly as the scan path keeps it
+    val fromIndex = Retrieval.bm25TopKFromIndex(
+      Retrieval.readPostingsIndex(spark, dir),
+      Retrieval.readDocLengths(spark, dir),
+      Seq("apple", "cherry"), k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fromScan = Retrieval.bm25TopK(docs, Seq("apple", "cherry"), k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fromIndex == fromScan)
+    assert(fromIndex.exists { case (id, _, score, _) => id == 2L && score == 0L })
+  }
+
   test("contaminationReport: closed-form pair counts, bp shares, df cap") {
     // eval doc 100: "a b c d" → trigrams {a b c, b c d} (2 grams)
     // train 0: full copy → shares both grams → leak_bp 10000

@@ -263,6 +263,36 @@ class PlansSpec extends SparkSpec {
     assert(kernels == 1, s"expected exactly 1 winnow kernel, got $kernels:\n$plan")
   }
 
+  test("phrase search over the persisted index scans the store, never rebuilds") {
+    val out = SparkEntry.queries("q_postings_incr")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    // the input is the persisted index's parquet files — the documents
+    // table is never read and no tokenizer (split/posexplode Generate)
+    // appears anywhere in the plan: append ≡ maintained index, served
+    assert(plan.contains("postings_index"),
+      s"expected a scan of the postings store:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"corpus re-read behind the index's back:\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"index rebuilt (tokenizer in plan):\n$plan")
+    // the phrase's token probe reaches the store scan as a pushed filter
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"token probe not pushed to the index scan:\n$plan")
+  }
+
+  test("index-served BM25 reads only the store and matches the scan path") {
+    val byIndex = SparkEntry.queries("q_bm25_index")(spark, sf())
+    val plan = byIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("posexplode"),
+      s"document text read on the serving path:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term probe not pushed to the postings scan:\n$plan")
+    val byScan = SparkEntry.queries("q_bm25_topk")(spark, sf())
+    val a = byIndex.collect().map(_.toSeq).toSet
+    val b = byScan.collect().map(_.toSeq).toSet
+    assert(a == b, "index-served BM25 diverged from the corpus-scan path")
+  }
+
   test("incremental CDC chunks only the increment (one kernel in plan)") {
     // count GENERATE sites, not textual mentions — ExtractGenerator
     // materializes the kernel into a child Project, so the single
