@@ -1219,6 +1219,18 @@ object SparkEntry {
         phraseLen = 2, context = 3)
     }),
 
+    // ---- KWIC for PROXIMITY hits: the relaxed query's triage surface —
+    // the 6-token window at each doc's first matching start, ±3 context
+    // tokens, edge-clamped; same hit-sized id join as the phrase KWIC ----
+    "q_kwic_proximity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Retrieval.kwicProximity(d,
+        graft.pipeline.Retrieval.proximitySearch(
+          graft.pipeline.Retrieval.positionalPostings(d),
+          Seq("spark", "table"), window = 6),
+        window = 6, context = 3)
+    }),
+
     // ---- INCREMENTALLY-built postings index, served: the store's base
     // slice was written once, the held-back slice appended later (only
     // the batch tokenized, stored rows never rewritten) — phrase search
@@ -4414,6 +4426,23 @@ object SparkEntry {
         " SELECT doc_id, first_pos," +
         " array_to_string(tk[CAST(greatest(first_pos - 3, 0) + 1 AS BIGINT):" +
         "CAST(least(first_pos + 2 + 3, len(tk)) AS BIGINT)], ' ') AS snippet" +
+        " FROM f"),
+
+    // proximity KWIC: the proximity hit derivation, then the same
+    // 1-based clamped list slice with span 6 (engine start0 =
+    // max(first_start-3, 0) 0-based → +1 here; end = first_start+6+3)
+    "q_kwic_proximity" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " h AS (SELECT doc_id, tk, list_filter(generate_series(1, len(tk))," +
+        " i -> len(list_filter(tk[i:i+5], x -> x = 'spark')) > 0" +
+        " AND len(list_filter(tk[i:i+5], x -> x = 'table')) > 0) AS st" +
+        " FROM t)," +
+        " f AS (SELECT doc_id, tk, CAST(st[1] - 1 AS BIGINT) AS first_start" +
+        " FROM h WHERE len(st) > 0)" +
+        " SELECT doc_id, first_start," +
+        " array_to_string(tk[CAST(greatest(first_start - 3, 0) + 1 AS BIGINT):" +
+        "CAST(least(first_start + 6 + 3, len(tk)) AS BIGINT)], ' ') AS snippet" +
         " FROM f"),
 
     // char entropy: per-char counts via unnest + group-by (set-based

@@ -281,16 +281,28 @@ object Ann {
     * share every argmin, so a twin appended later lands in its
     * original's cell and the planted-twin retrieval contract holds
     * across increments. Caller owns id disjointness across batches,
-    * as with every id-keyed store here. */
-  def appendToIndex(newVectors: DataFrame, dir: String): Unit = {
+    * as with every id-keyed store here.
+    *
+    * `numFiles` sizes the write: the default 1 keeps trickle appends
+    * from littering the store with shards, while a bulk backfill
+    * (millions of vectors) raises it so the assignment AND the write
+    * parallelize instead of serializing through one task — clustered
+    * by cell_id so each appended file covers few cells and the serving
+    * scan's cell probe keeps its pruning. */
+  def appendToIndex(newVectors: DataFrame, dir: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToIndex: numFiles $numFiles")
     val spark = newVectors.sparkSession
     val codebook = spark.read.parquet(s"$dir/codebook")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
     require(codebook.nonEmpty, s"appendToIndex: empty codebook in $dir")
-    quantizedCells(newVectors, codebook)
-      .coalesce(1).write.mode("append").parquet(s"$dir/cells")
+    val cells = quantizedCells(newVectors, codebook)
+    val shaped =
+      if (numFiles == 1) cells.coalesce(1)
+      else cells.repartition(numFiles, col("cell_id"))
+    shaped.write.mode("append").parquet(s"$dir/cells")
   }
 
   /** IVF+int8 retrieval against a [[writeIndex]] store: candidates come

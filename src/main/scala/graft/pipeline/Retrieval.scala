@@ -392,4 +392,19 @@ object Retrieval {
         array_join(slice(toks, (start0 + 1L).cast("int"),
           (end0 - start0).cast("int")), " ").as("snippet"))
   }
+
+  /** KWIC snippets for [[proximitySearch]] hits: the `window`-token
+    * span at each doc's first matching start plus `context` tokens on
+    * either side, edge-clamped — the triage surface the relaxed query
+    * lacked while the exact phrase query had [[kwicSnippets]]. Same
+    * plan shape: hits are (doc_id, first_start) longs, text enters
+    * through one hit-sized id join, documents never shuffle. */
+  def kwicProximity(docs: DataFrame, hits: DataFrame, window: Int,
+      context: Int, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    kwicSnippets(docs,
+      hits.select(col("doc_id"), col("first_start").as("first_pos")),
+      phraseLen = window, context = context, idCol = idCol,
+      textCol = textCol)
+      .withColumnRenamed("first_pos", "first_start")
 }

@@ -521,6 +521,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.keySet === Set(0L, 1L))
   }
 
+  test("kwicProximity: window-span snippets at the first matching start") {
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (0L, "x a q q b y z w"), // first window start 1: "a q q b" (w=4)
+      (1L, "b a t"), //            start 0, clamped both edges
+      (2L, "a x x x x b") //       no 4-window holds both
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.proximitySearch(
+      Retrieval.positionalPostings(docs), Seq("a", "b"), window = 4)
+    val got = Retrieval.kwicProximity(docs, hits, window = 4, context = 1)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, fs, sn) => id -> ((fs, sn)) }.toMap
+    assert(got(0L) == ((1L, "x a q q b y")))
+    assert(got(1L) == ((0L, "b a t")))
+    assert(!got.contains(2L))
+  }
+
   test("postings index: append equals rebuild; doclens track the batches") {
     import graft.pipeline.Retrieval
     val dir = java.nio.file.Files.createTempDirectory("pidx").toString

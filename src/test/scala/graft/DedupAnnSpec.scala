@@ -298,6 +298,28 @@ class DedupAnnSpec extends SparkSpec {
     (0L until 5L).foreach(i => assert(top(i) == i + 100L))
   }
 
+  test("bulk index append parallelizes the write without changing serving") {
+    val dir = java.nio.file.Files.createTempDirectory("annbulk").toString
+    val base = vectors.where($"id" < 100L)
+    val batch = vectors.where($"id" >= 100L)
+    Ann.writeIndex(base, dir, k = 4, iters = 2)
+    // a backfill batch must not serialize through one task: numFiles > 1
+    // clusters the append by cell_id across that many files
+    Ann.appendToIndex(batch, dir, numFiles = 3)
+    val appended = new java.io.File(s"$dir/cells").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(appended > 4 + 1,
+      s"bulk append did not fan out (cells/ has $appended part files)")
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == vectors.count())
+    // identical serving to the single-file append protocol
+    val q = vectors.where($"id" < 5)
+    val top = Ann.ivfQuantizedTopKFromStore(q, vectors, dir, k = 1,
+      nProbe = 4, rerank = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(i => assert(top(i) == i + 100L))
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
