@@ -1337,12 +1337,16 @@ object SparkEntry {
       val scored = d.join(dsirKeep, "doc_id")
         .select(col("doc_id"), col("lang"), col("text"),
           TF.qualityScore(col("text")).as("quality"))
-      val qualKeep = W.quantileThreshold(
-          scored.select("doc_id", "lang", "quality"),
+      // the quantile gate carries text THROUGH its stratum window
+      // (quantileThresholdKeeping) so the budget-mix stage — windowed on
+      // the same key — reuses the exchange and the id-keyed re-attach
+      // join the earlier form paid is gone: one shuffle serves both
+      // window stages (PlansSpec pins the single exchange)
+      val afterQual = W.quantileThresholdKeeping(scored,
           scoreCol = "quality", stratumCol = "lang", qBp = 2500)
-        .where(col("selected")).select("doc_id")
+        .where(col("selected"))
       graft.pipeline.Sampling.mixToBudget(
-          scored.join(qualKeep, "doc_id").select("doc_id", "lang", "text"),
+          afterQual.select("doc_id", "lang", "text"),
           idCol = "doc_id", domainCol = "lang", textCol = "text",
           budgetTokens = Map("en" -> 800L, "de" -> 300L),
           defaultBudget = 200L, salt = 13L)

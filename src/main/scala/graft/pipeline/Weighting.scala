@@ -87,11 +87,24 @@ object Weighting {
     * when a sketch suffices. A skew-heavy stratum pre-splits by hash
     * range exactly like [[Sampling.shuffleOrder]]'s buckets. */
   def quantileThreshold(df: DataFrame, scoreCol: String, stratumCol: String,
-      qBp: Int, idCol: String = "doc_id"): DataFrame = {
+      qBp: Int, idCol: String = "doc_id"): DataFrame =
+    quantileThresholdKeeping(df.select(col(idCol), col(stratumCol),
+      col(scoreCol)), scoreCol, stratumCol, qBp)
+
+  /** [[quantileThreshold]] preserving EVERY input column — the
+    * pipeline-composition form. Carrying payload columns (text) through
+    * the stratum window means a downstream stage keyed on the SAME
+    * stratum (e.g. [[Sampling.mixToBudget]]'s per-domain window) sees
+    * its required hash distribution already satisfied and plans a sort
+    * with NO new exchange — and the id-keyed join that would otherwise
+    * re-attach the payload to the selected ids disappears entirely.
+    * One shuffle for two window stages instead of a window + join +
+    * window chain. */
+  def quantileThresholdKeeping(df: DataFrame, scoreCol: String,
+      stratumCol: String, qBp: Int): DataFrame = {
     val byScore = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol))
     val whole = Window.partitionBy(col(stratumCol))
-    df.select(col(idCol), col(stratumCol), col(scoreCol))
-      .withColumn("cnt_below", rank().over(byScore).cast("long") - 1L)
+    df.withColumn("cnt_below", rank().over(byScore).cast("long") - 1L)
       .withColumn("n", count(lit(1)).over(whole))
       .withColumn("selected",
         col("cnt_below") * 10000L >= lit(qBp.toLong) * col("n"))
@@ -133,16 +146,27 @@ object Weighting {
   def importanceWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 1024): DataFrame = {
-    val rawG = docGramBuckets(raw, textCol, idCol, buckets)
+    // ONE gram explode + md5 pass over the 100 TB side: the per-(doc,
+    // bucket) multiplicity table is everything downstream needs — the
+    // raw distribution is a cheap rollup of it, and the per-doc sums
+    // weight each bucket's broadcast count by the multiplicity `c`
+    // (Σ_grams cnt[bucket(g)] ≡ Σ_buckets c·cnt — exact integers).
+    // Persisted via PlanCache: ≤ `buckets` rows per doc, far below the
+    // raw gram stream, and it feeds both consumers. The earlier form
+    // exploded + hashed the corpus TWICE (distribution pass + per-doc
+    // pass); this is the md5 kernel's cost halved.
+    val rawB = PlanCache.getOrPersist(raw,
+      s"dsir-raw-docbuckets|$buckets|$textCol|$idCol",
+      docGramBuckets(raw, textCol, idCol, buckets)
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c")))
     val tgtG = docGramBuckets(target, textCol, idCol, buckets)
     // the two distributions: ≤ `buckets` rows each — broadcast dims.
     // Persisted (PlanCache): each feeds BOTH the per-gram join and the
-    // totals row; without the persist the raw-corpus gram explode (md5
-    // per gram over the 100 TB side) would re-run once per consumer.
+    // totals row.
     val rawCnt = PlanCache.getOrPersist(raw,
       s"dsir-raw-dist|$buckets|$textCol|$idCol",
-      rawG.where(col("gram").isNotNull)
-        .groupBy("bucket").agg(count(lit(1)).as("cnt_raw")))
+      rawB.where(col("bucket").isNotNull)
+        .groupBy("bucket").agg(sum(col("c")).as("cnt_raw")))
     val tgtCnt = PlanCache.getOrPersist(target,
       s"dsir-target-dist|$buckets|$textCol|$idCol",
       tgtG.where(col("gram").isNotNull)
@@ -154,14 +178,15 @@ object Weighting {
       .agg(coalesce(sum(col("cnt_raw")), lit(0L)).as("total_raw"))
       .crossJoin(tgtCnt
         .agg(coalesce(sum(col("cnt_target")), lit(0L)).as("total_target")))
-    rawG
+    rawB
       .join(broadcast(tgtCnt), Seq("bucket"), "left")
       .join(broadcast(rawCnt), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(
-        sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("n_grams"),
-        sum(coalesce(col("cnt_target"), lit(0L))).as("sum_target"),
-        sum(coalesce(col("cnt_raw"), lit(0L))).as("sum_raw"))
+        sum(when(col("bucket").isNotNull, col("c")).otherwise(0L))
+          .as("n_grams"),
+        sum(coalesce(col("cnt_target"), lit(0L)) * col("c")).as("sum_target"),
+        sum(coalesce(col("cnt_raw"), lit(0L)) * col("c")).as("sum_raw"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_grams"), col("sum_target"), col("sum_raw"),
         (col("sum_target") * col("total_raw") >

@@ -263,6 +263,21 @@ class PlansSpec extends SparkSpec {
     assert(kernels == 1, s"expected exactly 1 winnow kernel, got $kernels:\n$plan")
   }
 
+  test("curation pipeline: one stratum exchange serves both window stages") {
+    // the quantile gate carries text through its per-lang window, so the
+    // budget-mix window (keyed on domain = renamed lang) must find its
+    // hash distribution already satisfied: exactly one lang exchange in
+    // the whole plan, and NO exchange on the renamed key — the window +
+    // id-join + window chain this replaced paid three
+    val out = SparkEntry.queries("q_pipeline_curation")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    val langEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(lang"))
+    assert(langEx == 1, s"expected exactly 1 lang exchange, got $langEx:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(domain"),
+      s"budget-mix window re-shuffled the renamed stratum:\n$plan")
+  }
+
   test("phrase search over the persisted index scans the store, never rebuilds") {
     val out = SparkEntry.queries("q_postings_incr")(spark, sf())
     val plan = out.queryExecution.executedPlan.toString
