@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: COLD-START cost of the store-backed families (SCALING.md's
+  * min-of-2 explicitly measures the warm steady state; this puts the
+  * 100 TB first-touch cost on record). Per family: the persisted store
+  * dir is deleted and the plan cache cleared, then the serving query is
+  * timed COLD (store onboarding + first serve in one number — exactly
+  * what a fresh deployment pays) and again WARM (store on disk, plan
+  * cache populated — the steady state every later query pays).
+  *
+  * JVM/codegen warm-up runs first at sf0.001 (the Bench methodology) so
+  * the first measured family doesn't absorb Janino/JIT costs.
+  *
+  * Usage: runMain graft.ColdProbe [sfDir]   (default /root/testdata/sf0.1)
+  */
+object ColdProbe {
+
+  /** (store-dir suffix under WireFixtures' per-SF root, serving query) */
+  private val Families = Seq(
+    "ann_index_k8i3" -> "q_ann_store",
+    "ann_index_incr_k8i3" -> "q_ann_store_incr",
+    "postings_index" -> "q_postings_incr",
+    "winnow_fp_k8w8" -> "q_winnow_incr",
+    "cdc_chunks_k8d32" -> "q_cdc_incr",
+    "image_sigs_dhash9x8" -> "q_image_incr",
+    "lm_bigram_t80" -> "q_lm_store")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      Bench.force(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JVM warm-up at the smallest SF (codegen, shuffle machinery, the
+    // store writers themselves)
+    Families.foreach { case (_, q) =>
+      try run(q, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+
+    println(f"${"family"}%-22s ${"cold(build+serve)"}%18s ${"warm"}%8s")
+    Families.foreach { case (suffix, q) =>
+      val storeDir = new java.io.File(
+        s"${graft.sources.WireFixtures.Root}/$sfKey/$suffix")
+      if (storeDir.isDirectory)
+        org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+      graft.pipeline.PlanCache.clear()
+      val cold = run(q, sfDir)
+      val warm = run(q, sfDir)
+      println(f"$suffix%-22s $cold%18.2f $warm%8.2f")
+    }
+    spark.stop()
+  }
+}
