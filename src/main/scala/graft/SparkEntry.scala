@@ -1253,6 +1253,31 @@ object SparkEntry {
         Seq("the", "of", "data"), k = 20)
     }),
 
+    // ---- BATCH phrase suite: every phrase answered by ONE pass over
+    // the union of the suite's token postings (vs a per-phrase rescan);
+    // single-token and multi-token phrases share the voting frame ----
+    "q_phrase_batch" -> ((s, dir) =>
+      graft.pipeline.Retrieval.phraseSearchAll(
+        graft.pipeline.Retrieval.readPostingsIndex(s,
+          graft.sources.WireFixtures.postingsStoreDir(s, dir)),
+        Seq(Seq("table", "value"), Seq("the", "data"), Seq("spark")))),
+
+    // ---- store COMPACTION: five trickle appends leave five overlapping
+    // token ranges; compaction rewrites to the canonical range layout
+    // (atomic swap) and serving over the compacted store is
+    // row-identical to the full-corpus derivation ----
+    "q_postings_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("pcompact").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      (0 until 5).foreach(i =>
+        graft.pipeline.Retrieval.appendToPostingsIndex(
+          d.where(col("doc_id") % 5 === i), s"$root/index"))
+      graft.pipeline.Retrieval.compactPostingsIndex(s, s"$root/index")
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+        Seq("table", "value"))
+    }),
+
     // ---- STREAMING phrase audit: each arriving doc batch appends its
     // own postings to the persisted index (O(batch) — the ScnIndex
     // append-listener discipline) and records its membership; the final
@@ -4391,6 +4416,31 @@ object SparkEntry {
     // (base slice + appended slice), so the full-corpus derivation IS
     // the oracle — identical output proves append ≡ rebuild
     "q_postings_incr" -> phraseSearchSql,
+
+    // compaction is row-identical by construction — the same oracle
+    // proves serving over the compacted store
+    "q_postings_compact" -> phraseSearchSql,
+
+    // batch suite: union of per-phrase derivations tagged by phrase id
+    // (single-token phrase 2 matches every doc containing the token)
+    "q_phrase_batch" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " h0 AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
+        " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)," +
+        " h1 AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
+        " i -> tk[i] = 'the' AND tk[i+1] = 'data') AS st FROM t)," +
+        " h2 AS (SELECT doc_id, list_filter(generate_series(1, len(tk))," +
+        " i -> tk[i] = 'spark') AS st FROM t)" +
+        " SELECT CAST(0 AS BIGINT) AS phrase_id, doc_id," +
+        " CAST(len(st) AS BIGINT) AS n_hits," +
+        " CAST(st[1] - 1 AS BIGINT) AS first_pos FROM h0 WHERE len(st) > 0" +
+        " UNION ALL SELECT CAST(1 AS BIGINT), doc_id," +
+        " CAST(len(st) AS BIGINT), CAST(st[1] - 1 AS BIGINT)" +
+        " FROM h1 WHERE len(st) > 0" +
+        " UNION ALL SELECT CAST(2 AS BIGINT), doc_id," +
+        " CAST(len(st) AS BIGINT), CAST(st[1] - 1 AS BIGINT)" +
+        " FROM h2 WHERE len(st) > 0"),
 
     // streaming phrase audit: hits restricted to the streamed slices,
     // attributed to the batch that delivered the doc

@@ -227,6 +227,44 @@ object Retrieval {
   def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(s"$dir/postings")
 
+  /** Compact a [[writePostingsIndex]] store in place: a long trickle of
+    * single-file [[appendToPostingsIndex]] batches accumulates many
+    * small files whose token ranges all overlap — every file survives
+    * the `token IN (...)` min/max prune and the point-read discipline
+    * degrades back toward a full scan. Compaction rewrites the store
+    * into the canonical layout (global token ranges, in-file sort),
+    * restoring one-or-two-file prunes. Row-identical by construction
+    * (a pure re-partition — no merge logic), atomic by
+    * write-to-tmp + swap, so a reader holding the old file list keeps a
+    * consistent view and the next reader sees the compacted one. The
+    * store-maintenance op every append-only layout needs; reference
+    * analogue: the bootstrap DB's applied-log compaction
+    * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"compactPostingsIndex: numFiles $numFiles")
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"
+      write(tmp)
+      val old = new java.io.File(s"$dir/$sub")
+      val bak = new java.io.File(s"$dir/$sub.old.${ProcessHandle.current.pid}")
+      require(old.renameTo(bak), s"compact: cannot displace $old")
+      require(new java.io.File(tmp).renameTo(old),
+        s"compact: cannot promote $tmp")
+      org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    }
+    swapIn("postings") { tmp =>
+      spark.read.parquet(s"$dir/postings")
+        .repartitionByRange(numFiles, col("token"))
+        .sortWithinPartitions("token", "doc_id", "pos")
+        .write.parquet(tmp)
+    }
+    swapIn("doclens") { tmp =>
+      spark.read.parquet(s"$dir/doclens")
+        .coalesce(math.min(numFiles, 2)).write.parquet(tmp)
+    }
+  }
+
   /** The doc-length norms of a persisted index. */
   def readDocLengths(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(s"$dir/doclens")
@@ -330,6 +368,52 @@ object Retrieval {
       .where(col("votes") === n)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
+
+  /** BATCH phrase search: every phrase of a suite answered by ONE pass
+    * over the postings rows of the union of all phrases' tokens —
+    * the "audit a whole benchmark suite against the corpus" shape,
+    * where [[phraseSearch]] per phrase would re-scan the index once per
+    * eval item. Output one row per (phrase_id, matching doc):
+    * (phrase_id, doc_id, n_hits, first_pos), `phrase_id` the 0-based
+    * index into `phrases`.
+    *
+    * Same voting frame as [[phraseSearch]] with the slot map keyed by
+    * (phrase, slot): an occurrence of token t votes once per (phrase,
+    * slot) pair t could fill, so (phrase_id, doc_id, start, slot)
+    * stays unique by construction and the plain count still equals the
+    * distinct count. The scan prunes to the union of the suite's
+    * tokens; votes shuffle as (int, long, long) rows; the aggregate is
+    * map-side combined — cost is the suite tokens' postings volume,
+    * shared across all phrases instead of paid per phrase. */
+  def phraseSearchAll(postings: DataFrame, phrases: Seq[Seq[String]])
+      : DataFrame = {
+    require(phrases.nonEmpty, "phraseSearchAll: empty suite")
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      require(p.nonEmpty, s"phraseSearchAll: phrase $i is empty")
+    }
+    // token → every (phrase_id, slot) it can fill across the suite
+    val slotsOf: Map[String, Seq[(Int, Long)]] = phrases.zipWithIndex
+      .flatMap { case (p, pid) =>
+        p.zipWithIndex.map { case (t, s) => (t, (pid, s.toLong)) }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val lenOf: Map[Int, Long] = phrases.zipWithIndex
+      .map { case (p, pid) => pid -> p.length.toLong }.toMap
+    val slotExpr = explode(element_at(typedlit(slotsOf), col("token")))
+    postings
+      .where(col("token").isin(slotsOf.keys.toSeq: _*))
+      .select(col("doc_id"), col("pos"), slotExpr.as("ps"))
+      .select(col("ps").getField("_1").as("phrase_id"), col("doc_id"),
+        (col("pos") - col("ps").getField("_2")).as("start"))
+      .where(col("start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("votes") === element_at(typedlit(lenOf), col("phrase_id")))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+      .select(col("phrase_id").cast("long").as("phrase_id"), col("doc_id"),
+        col("n_hits"), col("first_pos"))
   }
 
   /** Proximity search over a [[positionalPostings]] table: docs where

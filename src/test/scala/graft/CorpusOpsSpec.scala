@@ -564,6 +564,49 @@ class CorpusOpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("phraseSearchAll: one pass answers the whole suite, per-phrase exact") {
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "b a b"), (2L, "c c a")
+    ).toDF("doc_id", "text")
+    val post = Retrieval.positionalPostings(docs)
+    val suite = Seq(Seq("a", "b"), Seq("c"), Seq("b", "a", "b"))
+    val got = Retrieval.phraseSearchAll(post, suite)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // each phrase's rows equal its single-phrase derivation
+    val want = suite.zipWithIndex.flatMap { case (p, pid) =>
+      Retrieval.phraseSearch(post, p)
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, n, f) => (pid.toLong, d, n, f) }
+    }.toSet
+    assert(got == want)
+    // closed forms: "a b" hits docs 0 (x2, first 0) and 1 (x1, first 1);
+    // "c" hits 0 (pos 2) and 2 (x2, pos 0); "b a b" hits doc 1 only
+    assert(got == Set((0L, 0L, 2L, 0L), (0L, 1L, 1L, 1L),
+      (1L, 0L, 1L, 2L), (1L, 2L, 2L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("compactPostingsIndex: fewer files, identical rows, atomic layout") {
+    import graft.pipeline.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("pcmp").toString
+    val d = (0L until 20L).map(i => (i, s"tok$i common x")).toDF("doc_id", "text")
+    (0 until 5).foreach(i =>
+      Retrieval.appendToPostingsIndex(d.where($"doc_id" % 5 === i), dir))
+    def files() = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("part-"))
+    val before = files()
+    assert(before >= 5, s"expected >=5 trickle files, got $before")
+    val rows = Retrieval.readPostingsIndex(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    Retrieval.compactPostingsIndex(spark, dir, numFiles = 2)
+    assert(files() <= 2, s"compaction left ${files()} files")
+    assert(Retrieval.readPostingsIndex(spark, dir)
+      .as[(String, Long, Long)].collect().toSet == rows)
+    assert(Retrieval.readDocLengths(spark, dir)
+      .as[(Long, Long)].collect().toSet ==
+      (0L until 20L).map(i => (i, 3L)).toSet)
+  }
+
   test("bm25TopKFromIndex is bit-identical to bm25TopK, zero-score docs kept") {
     import graft.pipeline.Retrieval
     val dir = java.nio.file.Files.createTempDirectory("pidx2").toString
