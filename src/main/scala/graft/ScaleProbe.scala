@@ -43,7 +43,10 @@ object ScaleProbe {
     "q_kwic_snippets", "q_cooccurrence_pmi", "q_proximity_search",
     "q_nb_classify", "q_winnow_guarantee",
     "q_cdc_append_local", "q_data_card", "q_pipeline_train",
-    "q_winnow_align", "q_winnow_incr", "q_cdc_incr")
+    "q_winnow_align", "q_winnow_incr", "q_cdc_incr",
+    // round-9 additions: index-served retrieval + capped attribution
+    "q_postings_incr", "q_bm25_index", "q_kwic_proximity",
+    "q_phrase_batch", "q_postings_compact", "q_contamination_capped")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

@@ -1253,6 +1253,20 @@ object SparkEntry {
         Seq("the", "of", "data"), k = 20)
     }),
 
+    // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25 top-20
+    // (lexical) with the brute-cosine top-20 for query vector 0
+    // (semantic) — integer-exact floor(1e8/(60+rank)) contributions,
+    // k-sized inputs, TakeOrderedAndProject final ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val textRank = graft.pipeline.Retrieval.bm25TopK(docs(s, dir),
+        Seq("the", "of", "data"), k = 20).select("doc_id", "rank")
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val vecRank = Ann.bruteForceTopK(e.where(col("id") === 0), e, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(textRank, vecRank), topK = 10)
+    }),
+
     // ---- BATCH phrase suite: every phrase answered by ONE pass over
     // the union of the suite's token postings (vs a per-phrase rescan);
     // single-token and multi-token phrases share the voting frame ----
@@ -4420,6 +4434,32 @@ object SparkEntry {
     // compaction is row-identical by construction — the same oracle
     // proves serving over the compacted store
     "q_postings_compact" -> phraseSearchSql,
+
+    // hybrid RRF: both rankings re-derived (BM25 top-20 via the shared
+    // scoring SQL; brute cosine top-20 for query vector 0), fused with
+    // the same integer floor(1e8/(60+rank)) contributions
+    "q_hybrid_rrf" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def norm(a: String) =
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"WITH bm AS ($bm25TopKSql)," +
+        " q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)," +
+        " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
+        s" s AS (SELECT neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
+        " FROM c, q WHERE neighbor_id <> 0)," +
+        " ann AS (SELECT neighbor_id AS doc_id, rank FROM" +
+        " (SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s)" +
+        " WHERE rank <= 20)," +
+        " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
+        " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
+        " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
+        " FROM u GROUP BY 1)" +
+        " SELECT doc_id, rrf_e8, rank FROM" +
+        " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
+        " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
+        " WHERE rank <= 10"
+    },
 
     // batch suite: union of per-phrase derivations tagged by phrase id
     // (single-token phrase 2 matches every doc containing the token)

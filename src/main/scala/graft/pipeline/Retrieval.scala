@@ -477,6 +477,39 @@ object Retrieval {
           (end0 - start0).cast("int")), " ").as("snippet"))
   }
 
+  /** Reciprocal-rank fusion of N rankings — the standard hybrid-search
+    * combiner (lexical BM25 top-k ⊕ embedding ANN top-k) a curation or
+    * retrieval surface uses when neither signal alone ranks well:
+    * score(d) = Σ_rankings 1/(kRrf + rank_r(d)), documents absent from
+    * a ranking contribute nothing. Integer-exact contract:
+    * `rrf_e8 = Σ floor(1e8 / (kRrf + rank))` — each reciprocal is one
+    * integer division, so external SQL reproduces the fusion
+    * bit-for-bit (ties broken by lowest doc id, as everywhere here).
+    *
+    * Scale shape: inputs are top-k rankings — k-sized, not
+    * corpus-sized — so the union + sum aggregate is bounded by
+    * Σ k_r rows regardless of corpus; the final top-k is
+    * TakeOrderedAndProject. Rankings must carry (doc_id, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, kRrf: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(topK > 0, s"rrfFuse: topK $topK")
+    require(kRrf >= 0, s"rrfFuse: kRrf $kRrf")
+    // floor of the double quotient IS the integer quotient here: an
+    // inexact 1e8/d has fractional part ≥ 1/d ≫ ulp, and when d divides
+    // 1e8 the double division is exact — so the floor can never straddle
+    val contribs = rankings.map(r =>
+        r.select(col("doc_id").cast("long").as("doc_id"),
+          floor(lit(100000000L) / (lit(kRrf.toLong) + col("rank").cast("long")))
+            .cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    contribs.groupBy("doc_id").agg(sum(col("__c")).as("rrf_e8"))
+      .orderBy(col("rrf_e8").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_e8").desc, col("doc_id"))).cast("long"))
+  }
+
   /** KWIC snippets for [[proximitySearch]] hits: the `window`-token
     * span at each doc's first matching start plus `context` tokens on
     * either side, edge-clamped — the triage surface the relaxed query

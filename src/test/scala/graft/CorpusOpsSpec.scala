@@ -564,6 +564,22 @@ class CorpusOpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("rrfFuse: integer reciprocal contributions, absence contributes zero") {
+    import graft.pipeline.Retrieval
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), topK = 4)
+      .as[(Long, Long, Long)].collect().toList
+    // floor(1e8/61)=1639344, /62=1612903, /63=1587301; doc 2 appears in
+    // both rankings and tops the fusion; docs absent from a ranking get
+    // nothing from it
+    assert(got == List(
+      (2L, 1612903L + 1639344L, 1L),
+      (1L, 1639344L, 2L),
+      (4L, 1612903L, 3L),
+      (3L, 1587301L, 4L)))
+  }
+
   test("phraseSearchAll: one pass answers the whole suite, per-phrase exact") {
     import graft.pipeline.Retrieval
     val docs = Seq(
