@@ -3054,8 +3054,14 @@ object SparkEntry {
           .parquet(s"$root/in")
           .writeStream
           .foreachBatch { (b: DataFrame, batchId: Long) =>
+            // explicit exact mode: a df cap over ONE micro-batch would
+            // measure within-batch frequency, not the corpus-global
+            // boilerplate df the cap is defined on — a streaming
+            // deployment caps against a maintained global df store or
+            // not at all, and batch-bounded fan-out is already small
             graft.pipeline.Dedup.contaminationReportFromGrams(b,
-                b.sparkSession.read.parquet(storeDir))
+                b.sparkSession.read.parquet(storeDir),
+                maxGramDf = Int.MaxValue)
               .withColumn("batch_id", lit(batchId))
               .coalesce(1).write.mode("append").parquet(s"$root/out")
             ()

@@ -484,8 +484,9 @@ object Dedup {
   def contaminationReport(train: DataFrame, eval: DataFrame,
       shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
       maxGramDf: Int = DefaultMaxGramDf): DataFrame =
-    contaminationReportWithStats(train, eval, shingleN, textCol, idCol,
-      maxGramDf)._1
+    contaminationReportFromGrams(train,
+      gramHashes(eval, textCol, idCol, shingleN),
+      shingleN, textCol, idCol, maxGramDf)
 
   /** Default train-side document-frequency cap for contamination
     * attribution: grams in more than this many train docs are treated
@@ -531,15 +532,26 @@ object Dedup {
   def contaminationReportFromGrams(train: DataFrame, evalGrams: DataFrame,
       shingleN: Int = 3, textCol: String = "text", idCol: String = "doc_id",
       maxGramDf: Int = DefaultMaxGramDf): DataFrame =
-    contaminationReportFromGramsWithStats(train, evalGrams, shingleN,
-      textCol, idCol, maxGramDf)._1
+    reportFromGramsCore(train, evalGrams, shingleN, textCol, idCol,
+      maxGramDf, computeStats = false)._1
 
   /** [[contaminationReportFromGrams]] plus the cap accounting (see
     * [[contaminationReportWithStats]]). */
   def contaminationReportFromGramsWithStats(train: DataFrame,
       evalGrams: DataFrame, shingleN: Int = 3, textCol: String = "text",
       idCol: String = "doc_id", maxGramDf: Int = DefaultMaxGramDf)
-      : (DataFrame, Option[GramDfStats]) = {
+      : (DataFrame, Option[GramDfStats]) =
+    reportFromGramsCore(train, evalGrams, shingleN, textCol, idCol,
+      maxGramDf, computeStats = true)
+
+  /** The capping is identical on both surfaces; only the WithStats form
+    * pays the eager accounting aggregate (a per-micro-batch stream that
+    * wants the plain report must not pay one extra action per trigger —
+    * the df table it would aggregate is persisted either way, so the
+    * accounting stays one cheap `WithStats` call away). */
+  private def reportFromGramsCore(train: DataFrame, evalGrams: DataFrame,
+      shingleN: Int, textCol: String, idCol: String, maxGramDf: Int,
+      computeStats: Boolean): (DataFrame, Option[GramDfStats]) = {
     // with the df cap the train gram table has TWO consumers (the df
     // aggregate and the semi-join left side) — persist it or the
     // corpus-scale shingle kernel runs twice; uncapped it is consumed
@@ -556,20 +568,27 @@ object Dedup {
     val (tgKept, stats) =
       if (maxGramDf == Int.MaxValue) (tg, None)
       else {
-        // df table persisted: the stats aggregate and the kept-gram
-        // semi-join both read it (vocab-of-grams-sized — orders of
-        // magnitude below the corpus, the Bpe word-frequency regime)
+        // df table persisted: the kept-gram semi-join and (on the
+        // WithStats surface) the accounting aggregate both read it
+        // (vocab-of-grams-sized — orders of magnitude below the corpus,
+        // the Bpe word-frequency regime)
         val dfTable = PlanCache.getOrPersist(train,
           s"contam-df|$shingleN|$textCol|$idCol",
           tg.groupBy("g").agg(count(lit(1)).as("__df")))
         val over = col("__df") > maxGramDf
-        val st = dfTable.agg(count(lit(1)).as("grams"),
-          coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L)).as("dropped"),
-          coalesce(sum(when(over, col("__df")).otherwise(0L)), lit(0L))
-            .as("rows")).head()
+        val st =
+          if (!computeStats) None
+          else {
+            val r = dfTable.agg(count(lit(1)).as("grams"),
+              coalesce(sum(when(over, 1L).otherwise(0L)), lit(0L))
+                .as("dropped"),
+              coalesce(sum(when(over, col("__df")).otherwise(0L)), lit(0L))
+                .as("rows")).head()
+            Some(GramDfStats(r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
         val kept = tg.join(dfTable.where(!over).select("g"),
           Seq("g"), "left_semi")
-        (kept, Some(GramDfStats(st.getLong(0), st.getLong(1), st.getLong(2))))
+        (kept, st)
       }
     val report = tgKept.select(col("id").as("train_id"), col("g"))
       .join(eg.select(col("id").as("eval_id"), col("g")), Seq("g"))
