@@ -3081,6 +3081,42 @@ object SparkEntry {
           "eval_grams", "leak_bp")
     }),
 
+    // ---- CAPPED streaming contamination audit: the df cap decided on
+    // the RUNNING GLOBAL train df maintained as a (g, df_part) append
+    // store — a gram is reported while rare and suppressed from the
+    // batch where its global df crosses the cap (batch-local capping
+    // cannot express this; see contaminationAuditStreamBatch) ----
+    "q_contamination_stream_capped" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("contamcap").toString
+      val storeDir = graft.sources.WireFixtures.evalGramStoreDir(s, dir)
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("doc_id LONG, text STRING")
+          .parquet(s"$root/in")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.pipeline.Dedup.contaminationAuditStreamBatch(b,
+                b.sparkSession.read.parquet(storeDir),
+                s"$root/dfstore", maxGramDf = 2)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(s"$root/out")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.where(col("doc_id") % 10 === 3).coalesce(1).write.parquet(s"$root/in")
+      drainOnce()
+      d.where(col("doc_id") % 10 === 8).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      drainOnce()
+      s.read.parquet(s"$root/out")
+        .select("batch_id", "train_id", "eval_id", "n_shared",
+          "eval_grams", "leak_bp")
+    }),
+
     // ---- JSONL sharded export roundtrip: the interchange format LLM
     // tooling ingests — written one file per deterministic shard, read
     // back with an explicit schema; every value re-derived by the oracle
@@ -4076,6 +4112,37 @@ object SparkEntry {
         " p AS (SELECT batch_id, train_id, eval_id," +
         " CAST(count(*) AS BIGINT) AS n_shared" +
         " FROM tg JOIN eg USING (g) GROUP BY 1, 2, 3)" +
+        " SELECT batch_id, train_id, eval_id, n_shared, eval_grams," +
+        " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
+        " FROM p JOIN es USING (eval_id)"),
+
+    // capped streaming audit: batch 0 caps on batch-0 df (the store
+    // holds one batch), batch 1 on the df over BOTH batches — the
+    // running-global-df semantics re-derived per batch prefix
+    "q_contamination_stream_capped" ->
+      ("WITH sh AS (SELECT doc_id," +
+        " list_distinct(list_transform(generate_series(1," +
+        " greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))" +
+        " AS s FROM" +
+        " (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents))," +
+        " eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id < 50)," +
+        " es AS (SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT)" +
+        " AS eval_grams FROM sh WHERE doc_id < 50)," +
+        " tg3 AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id % 10 = 3)," +
+        " tg8 AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id % 10 = 8)," +
+        " keep0 AS (SELECT g FROM tg3 GROUP BY g HAVING count(*) <= 2)," +
+        " keep1 AS (SELECT g FROM (SELECT g FROM tg3 UNION ALL" +
+        " SELECT g FROM tg8) GROUP BY g HAVING count(*) <= 2)," +
+        " p AS (SELECT CAST(0 AS BIGINT) AS batch_id, train_id, eval_id," +
+        " CAST(count(*) AS BIGINT) AS n_shared" +
+        " FROM tg3 JOIN keep0 USING (g) JOIN eg USING (g) GROUP BY 2, 3" +
+        " UNION ALL SELECT CAST(1 AS BIGINT), train_id, eval_id," +
+        " CAST(count(*) AS BIGINT)" +
+        " FROM tg8 JOIN keep1 USING (g) JOIN eg USING (g) GROUP BY 2, 3)" +
         " SELECT batch_id, train_id, eval_id, n_shared, eval_grams," +
         " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
         " FROM p JOIN es USING (eval_id)"),

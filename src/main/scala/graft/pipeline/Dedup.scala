@@ -590,7 +590,16 @@ object Dedup {
           Seq("g"), "left_semi")
         (kept, st)
       }
-    val report = tgKept.select(col("id").as("train_id"), col("g"))
+    (pairAndScore(tgKept, eg, evalSizes), stats)
+  }
+
+  /** The attribution tail shared by every contamination-report surface:
+    * gram-keyed pair join, map-side-combined per-pair counts, integer
+    * basis-point eval coverage. Positive operands: double-division
+    * truncation == integer div. */
+  private def pairAndScore(tgKept: DataFrame, eg: DataFrame,
+      evalSizes: DataFrame): DataFrame =
+    tgKept.select(col("id").as("train_id"), col("g"))
       .join(eg.select(col("id").as("eval_id"), col("g")), Seq("g"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -599,8 +608,50 @@ object Dedup {
         col("eval_grams"),
         (col("n_shared") * lit(10000L) / col("eval_grams"))
           .cast("long").as("leak_bp"))
-    // positive operands: double-division truncation == integer div
-    (report, stats)
+
+  /** One trigger of a CAPPED streaming contamination audit, with the df
+    * cap decided on the RUNNING GLOBAL train-side document frequency —
+    * the semantics a per-batch cap cannot have (a batch-local df
+    * measures within-batch frequency; boilerplate is a corpus-global
+    * property). Protocol per micro-batch, all O(batch + gram-vocab):
+    *
+    *   1. the batch is shingled ONCE (plan-cached — both consumers
+    *      below share the kernel pass) and its per-gram document
+    *      counts APPEND to `dfStoreDir` (narrow (g, df_part) rows —
+    *      the store is the running df sketch of everything streamed);
+    *   2. global df = the store aggregated (batch included); grams
+    *      over `maxGramDf` are excluded from this batch's pairing by
+    *      an anti-join;
+    *   3. the kept batch grams attribute against `evalGrams` exactly
+    *      as [[contaminationReportFromGrams]].
+    *
+    * A gram that crosses the cap mid-stream is reported for early
+    * batches (it was not yet boilerplate) and suppressed from the one
+    * that crosses it onward — deterministic given batch order, which
+    * checkpointed streaming guarantees. Same append-listener store
+    * discipline as the minhash/postings families (reference:
+    * ScnIndex.java:94 maintained on append). */
+  def contaminationAuditStreamBatch(batch: DataFrame, evalGrams: DataFrame,
+      dfStoreDir: String, maxGramDf: Int, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxGramDf < Int.MaxValue,
+      "contaminationAuditStreamBatch: use contaminationReportFromGrams " +
+        "for the uncapped audit — the df store buys nothing there")
+    val spark = batch.sparkSession
+    val tg = PlanCache.getOrPersist(batch,
+      s"contam-grams|$shingleN|$textCol|$idCol",
+      gramHashes(batch, textCol, idCol, shingleN))
+    tg.groupBy("g").agg(count(lit(1)).as("df_part"))
+      .coalesce(1).write.mode("append").parquet(dfStoreDir)
+    val overCap = spark.read.parquet(dfStoreDir)
+      .groupBy("g").agg(sum(col("df_part")).as("__df"))
+      .where(col("__df") > maxGramDf).select("g")
+    val tgKept = tg.join(overCap, Seq("g"), "left_anti")
+    val eg = evalGrams.select(col("id").cast("long").as("id"), col("g"))
+    val evalSizes = eg.groupBy("id")
+      .agg(count(lit(1)).as("eval_grams"))
+      .select(col("id").as("eval_id"), col("eval_grams"))
+    pairAndScore(tgKept, eg, evalSizes)
   }
 
   /** (id, gram-hash) rows via the shingle kernel — the tokenize/shingle

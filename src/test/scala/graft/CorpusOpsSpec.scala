@@ -643,6 +643,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromIndex.exists { case (id, _, score, _) => id == 2L && score == 0L })
   }
 
+  test("contaminationAuditStreamBatch: cap decided on the RUNNING global df") {
+    val dir = java.nio.file.Files.createTempDirectory("dfstore").toString
+    val eval = Dedup.gramHashTable(
+      Seq((100L, "a b c d")).toDF("doc_id", "text")) // grams {a b c, b c d}
+    // batch 0: gram "a b c" in 2 docs — at the cap (2), still reported
+    val b0 = Seq((0L, "a b c"), (1L, "a b c x")).toDF("doc_id", "text")
+    val r0 = Dedup.contaminationAuditStreamBatch(b0, eval, s"$dir/df",
+        maxGramDf = 2)
+      .select("train_id", "eval_id", "n_shared", "leak_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r0 == Set((0L, 100L, 1L, 5000L), (1L, 100L, 1L, 5000L)))
+    // batch 1: doc 2 carries {a b c, b c d}; "a b c" now has GLOBAL df 3
+    // (> 2 — boilerplate as of this batch) and is suppressed, while the
+    // still-rare "b c d" attributes — so doc 2 reports exactly 1 shared
+    // gram. A batch-local cap (df 1 ≤ 2) would have reported 2.
+    val b1 = Seq((2L, "a b c d q")).toDF("doc_id", "text")
+    val r1 = Dedup.contaminationAuditStreamBatch(b1, eval, s"$dir/df",
+        maxGramDf = 2)
+      .select("train_id", "n_shared", "leak_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((2L, 1L, 5000L)))
+  }
+
   test("contaminationReport: closed-form pair counts, bp shares, df cap") {
     // eval doc 100: "a b c d" → trigrams {a b c, b c d} (2 grams)
     // train 0: full copy → shares both grams → leak_bp 10000
