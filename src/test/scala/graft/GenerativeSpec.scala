@@ -408,6 +408,53 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("postings store: append ≡ rebuild; batch/BM25 serving ≡ scan models") {
+    // random corpora over a tiny alphabet; the store is built in THREE
+    // increments (random content, fixed id split) and every serving
+    // surface must be indistinguishable from the direct derivation
+    val vocabG = Vector("a", "b", "c", "d")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(6, 14)
+      docs <- Gen.listOfN(n, Gen.choose(4, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocabG)).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(genCorpus).take(3).foreach { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("genpidx").toString
+      pipeline.Retrieval.writePostingsIndex(
+        df.where(col("doc_id") % 3 === 0), dir)
+      pipeline.Retrieval.appendToPostingsIndex(
+        df.where(col("doc_id") % 3 === 1), dir)
+      pipeline.Retrieval.appendToPostingsIndex(
+        df.where(col("doc_id") % 3 === 2), dir)
+      val stored = pipeline.Retrieval.readPostingsIndex(spark, dir)
+      assert(stored.as[(String, Long, Long)].collect().toSet ==
+        pipeline.Retrieval.positionalPostings(df)
+          .as[(String, Long, Long)].collect().toSet,
+        "incremental store diverged from a full rebuild")
+      // batch suite over the store ≡ per-phrase direct search
+      val suite = Seq(Seq("a", "b"), Seq("b", "b", "a"), Seq("c"))
+      val got = pipeline.Retrieval.phraseSearchAll(stored, suite)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = suite.zipWithIndex.flatMap { case (p, pid) =>
+        pipeline.Retrieval.phraseSearch(
+            pipeline.Retrieval.positionalPostings(df), p)
+          .as[(Long, Long, Long)].collect()
+          .map { case (d, n, f) => (pid.toLong, d, n, f) }
+      }.toSet
+      assert(got == want, "batch suite diverged from per-phrase search")
+      // index-served BM25 ≡ the corpus-scan path, full ranking
+      val fromIndex = pipeline.Retrieval.bm25TopKFromIndex(stored,
+        pipeline.Retrieval.readDocLengths(spark, dir),
+        Seq("a", "d"), k = corpus.size)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val fromScan = pipeline.Retrieval.bm25TopK(df, Seq("a", "d"),
+        k = corpus.size)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fromIndex == fromScan, "index BM25 diverged from scan BM25")
+    }
+  }
+
   test("planted simhash/embedding contracts hold on a re-seeded corpus") {
     // Corpus-INDEPENDENT re-statement of the two contract oracles
     // COVERAGE.md flags as corpus-dependent (q_dedup_simhash's measured
