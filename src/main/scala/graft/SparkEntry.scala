@@ -1253,6 +1253,35 @@ object SparkEntry {
         Seq("the", "of", "data"), k = 20)
     }),
 
+    // ---- the composed SEARCH/AUDIT pipeline (retrieval flagship):
+    // everything serves from the INCREMENTALLY-built postings store —
+    // BM25 top-20 from pruned postings + doclens, fused (RRF) with the
+    // brute-cosine top-20 for query vector 0, each fused hit annotated
+    // with its phrase-audit flag (one pruned index pass) and its length
+    // norm. Four round-9 surfaces chained the way a search result page
+    // chains them; integer-exact end-to-end ----
+    "q_pipeline_search" -> ((s, dir) => {
+      val R = graft.pipeline.Retrieval
+      val store = graft.sources.WireFixtures.postingsStoreDir(s, dir)
+      val postings = R.readPostingsIndex(s, store)
+      val doclens = R.readDocLengths(s, store)
+      val bm = R.bm25TopKFromIndex(postings, doclens,
+        Seq("the", "of", "data"), k = 20).select("doc_id", "rank")
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val vecRank = Ann.bruteForceTopK(e.where(col("id") === 0), e, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = R.rrfFuse(Seq(bm, vecRank), topK = 10)
+      val hits = R.phraseSearch(postings, Seq("table", "value"))
+      fused
+        .join(hits.select(col("doc_id"), lit(true).as("has_phrase")),
+          Seq("doc_id"), "left")
+        .join(doclens, "doc_id")
+        .select(col("rank"), col("doc_id"), col("rrf_e8"),
+          coalesce(col("has_phrase"), lit(false)).as("has_phrase"),
+          col("dl"))
+    }),
+
     // ---- HYBRID retrieval: reciprocal-rank fusion of the BM25 top-20
     // (lexical) with the brute-cosine top-20 for query vector 0
     // (semantic) — integer-exact floor(1e8/(60+rank)) contributions,
@@ -4146,6 +4175,42 @@ object SparkEntry {
         " SELECT batch_id, train_id, eval_id, n_shared, eval_grams," +
         " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
         " FROM p JOIN es USING (eval_id)"),
+
+    // composed search/audit flagship: the hybrid-RRF derivation
+    // extended with the phrase-audit flag and the store's length norm
+    // per fused hit
+    "q_pipeline_search" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def norm(a: String) =
+        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"WITH bm AS ($bm25TopKSql)," +
+        " q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)," +
+        " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
+        s" s AS (SELECT neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
+        " FROM c, q WHERE neighbor_id <> 0)," +
+        " ann AS (SELECT neighbor_id AS doc_id, rank FROM" +
+        " (SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s)" +
+        " WHERE rank <= 20)," +
+        " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
+        " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
+        " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
+        " FROM u GROUP BY 1)," +
+        " fused AS (SELECT doc_id, rrf_e8, rank FROM" +
+        " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
+        " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
+        " WHERE rank <= 10)," +
+        " t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
+        " FROM documents)," +
+        " ph AS (SELECT doc_id, TRUE AS hp FROM" +
+        " (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
+        " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
+        " WHERE len(st) > 0)," +
+        " dlt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t)" +
+        " SELECT rank, fused.doc_id, rrf_e8," +
+        " coalesce(hp, FALSE) AS has_phrase, dl" +
+        " FROM fused LEFT JOIN ph USING (doc_id) JOIN dlt USING (doc_id)"
+    },
 
     "q_pipeline_e2e" -> pipelineE2eSql,
 

