@@ -1321,6 +1321,19 @@ object SparkEntry {
         Seq("table", "value"))
     }),
 
+    // ---- BATCH BM25 serving: two term queries answered by ONE pruned
+    // pass over the postings store (df/norms shared — corpus
+    // properties); per-query scores bit-identical to the single-query
+    // index path, rank a per-query window ----
+    "q_bm25_multi" -> ((s, dir) => {
+      val store = graft.sources.WireFixtures.postingsStoreDir(s, dir)
+      graft.pipeline.Retrieval.bm25TopKFromIndexBatch(
+        graft.pipeline.Retrieval.readPostingsIndex(s, store),
+        graft.pipeline.Retrieval.readDocLengths(s, store),
+        Seq(0L -> Seq("the", "of", "data"), 1L -> Seq("table", "value")),
+        k = 10)
+    }),
+
     // ---- STREAMING phrase audit: each arriving doc batch appends its
     // own postings to the persisted index (O(batch) — the ScnIndex
     // append-listener discipline) and records its membership; the final
@@ -4704,6 +4717,18 @@ object SparkEntry {
     // same oracle proves it (tf/df/dl from the store, not the text)
     "q_bm25_index" -> bm25TopKSql,
 
+    // batch serving: per-query full scoring re-derived and ranked,
+    // tagged with the query id — the union is the batch
+    "q_bm25_multi" -> {
+      def one(qid: Int, terms: Seq[String]): String =
+        s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, dl, score_e4, rank" +
+          s" FROM (SELECT doc_id, dl, score_e4," +
+          " CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank" +
+          s" FROM (${bm25SqlFor(terms)})) WHERE rank <= 10"
+      one(0, Seq("the", "of", "data")) + " UNION ALL " +
+        one(1, Seq("table", "value"))
+    },
+
     "q_ann_brute" -> annBruteSql,
 
     "q_embed_norms" ->
@@ -5139,7 +5164,10 @@ object SparkEntry {
     * same alphabetical tie-break order and the same padded-split counting. */
   /** BM25 oracle (q_bm25 and its top-k): identical parenthesization per
     * factor; df/N/avgdl from one scalar row; per-term integer floors. */
-  private lazy val bm25Sql: String = {
+  /** Parameterized BM25 scoring SQL for an arbitrary term list —
+    * identical parenthesization per factor; df/N/avgdl from one scalar
+    * row; per-term floor(score*1e4 + 1e-6) summed as integers. */
+  private def bm25SqlFor(terms: Seq[String]): String = {
     def term(w: String, df: String): String = {
       val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
       val idf = s"ln((CAST((SELECT n FROM st) - (SELECT $df FROM st) AS DOUBLE) + 0.5)" +
@@ -5149,15 +5177,19 @@ object SparkEntry {
       s"CAST(floor($idf * (($tf * (1.2 + 1.0)) / ($tf + 1.2 *" +
         s" ((1.0 - 0.75) + 0.75 * ($dl / $avgdl)))) * 10000.0 + 1e-6) AS BIGINT)"
     }
+    val dfDefs = terms.zipWithIndex.map { case (w, i) =>
+      s" sum(CASE WHEN list_contains(tk, '$w') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",")
+    val score = terms.zipWithIndex
+      .map { case (w, i) => term(w, s"df$i") }.mkString(" + ")
     "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents)," +
-      " st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl," +
-      " sum(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END) AS df0," +
-      " sum(CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END) AS df1," +
-      " sum(CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END) AS df2 FROM t)" +
+      s" st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl,$dfDefs FROM t)" +
       " SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl," +
-      s" ${term("the", "df0")} + ${term("of", "df1")} + ${term("data", "df2")} AS score_e4" +
+      s" $score AS score_e4" +
       " FROM t"
   }
+
+  private lazy val bm25Sql: String = bm25SqlFor(Seq("the", "of", "data"))
 
   /** BM25 top-k oracle (q_bm25_topk and q_bm25_index — the index-served
     * path is bit-identical to the scan path by contract, so one oracle

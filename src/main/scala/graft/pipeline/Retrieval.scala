@@ -486,6 +486,71 @@ object Retrieval {
           (end0 - start0).cast("int")), " ").as("snippet"))
   }
 
+  /** BATCH BM25 serving: a whole batch of term queries answered by ONE
+    * pruned pass over the postings store — the multi-tenant search
+    * surface, where [[bm25TopKFromIndex]] per query would re-read the
+    * token-pruned index once per query. Scores are bit-identical to
+    * the single-query path per query (document frequency and length
+    * norms are corpus properties, shared across the batch; per-term
+    * contributions floored before the per-(query, doc) sum).
+    *
+    * Scale shape: the union of the batch's terms prunes the postings
+    * scan once (the query batch is driver-sized by definition, so the
+    * probe is a pushed `IN` literal — the Ann-codebook pattern); the
+    * query⋈term map is broadcast; the per-(query, doc) aggregate is
+    * map-side combined; the top-k rank is a per-query window (hash
+    * shuffle on query_id — no global sort). The zero-score membership
+    * contract costs doclens × |batch| narrow rows — right for a batch
+    * of tens of queries; a thousand-query batch would drop membership
+    * and rank positive-score docs only. */
+  def bm25TopKFromIndexBatch(postings: DataFrame, doclens: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKFromIndexBatch: empty batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKFromIndexBatch: duplicate query ids")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.distinct.size == ts.size,
+        s"bm25TopKFromIndexBatch: query $qid terms must be non-empty, distinct")
+    }
+    require(k > 0, s"k must be positive: $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val qids = queries.map(_._1).toDF("query_id")
+    val stats = doclens.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sumdl"))
+    val tf = postings.where(col("token").isin(allTerms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val tfD = col("__tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val idfExact = log(
+      ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = floor(idfExact * ((tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / avgdl)))) *
+      lit(10000.0) + lit(1e-6)).cast("long")
+    val perDoc = tf.join(broadcast(qt), "token")
+      .join(broadcast(dfs), "token")
+      .join(doclens, "doc_id")
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc_id"), contrib.as("__c"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("__c")).as("__s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+    doclens.crossJoin(broadcast(qids))
+      .join(perDoc, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        coalesce(col("__s"), lit(0L)).as("score_e4"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of N rankings — the standard hybrid-search
     * combiner (lexical BM25 top-k ⊕ embedding ANN top-k) a curation or
     * retrieval surface uses when neither signal alone ranks well:

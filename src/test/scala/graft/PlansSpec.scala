@@ -308,6 +308,18 @@ class PlansSpec extends SparkSpec {
     assert(a == b, "index-served BM25 diverged from the corpus-scan path")
   }
 
+  test("search flagship serves entirely from stores — document text never read") {
+    // BM25 ranks, the phrase-audit flag and the length norms all come
+    // from the postings store; only the ANN leg touches embeddings.
+    // If documents.parquet appears, some stage regressed to a corpus scan.
+    val out = SparkEntry.queries("q_pipeline_search")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("posexplode"),
+      s"search flagship re-read the corpus:\n$plan")
+    assert(plan.contains("postings_index"),
+      s"expected the postings store scan:\n$plan")
+  }
+
   test("incremental CDC chunks only the increment (one kernel in plan)") {
     // count GENERATE sites, not textual mentions — ExtractGenerator
     // materializes the kernel into a child Project, so the single
