@@ -93,6 +93,9 @@ object SparkEntry {
     WireFixtures.avroSnapshotDir(s, dir)
     WireFixtures.binlogDumpDir(s, dir)
     WireFixtures.annIndexDir(s, dir)
+    WireFixtures.annIncrIndexDir(s, dir)
+    WireFixtures.postingsStoreDir(s, dir)
+    WireFixtures.evalGramStoreDir(s, dir)
     WireFixtures.bpeMergesDir(s, dir)
     WireFixtures.imageSigStoreDir(s, dir)
     WireFixtures.winnowFpStoreDir(s, dir)
@@ -1201,20 +1204,24 @@ object SparkEntry {
 
     // ---- proximity search: 'spark' and 'table' within a 6-token
     // window, any order — the phrase voting frame with the slot
-    // constraint relaxed to distinct-term votes per start ----
+    // constraint relaxed to distinct-term votes per start; served from
+    // the PERSISTED index (token-pruned point read, no re-tokenize) ----
     "q_proximity_search" -> ((s, dir) =>
       graft.pipeline.Retrieval.proximitySearch(
-        graft.pipeline.Retrieval.positionalPostings(docs(s, dir)),
+        graft.pipeline.Retrieval.readPostingsIndex(s,
+          graft.sources.WireFixtures.postingsStoreDir(s, dir)),
         Seq("spark", "table"), window = 6)),
 
     // ---- KWIC snippets over the phrase hits: ±3 tokens of context
-    // around each doc's first occurrence, edge-clamped; text enters via
-    // one id-keyed join against the hit set, never a shuffle ----
+    // around each doc's first occurrence, edge-clamped; hits come from
+    // the PERSISTED index, text enters via one id-keyed join against
+    // the hit set (the only corpus touch), never a shuffle ----
     "q_kwic_snippets" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.pipeline.Retrieval.kwicSnippets(d,
         graft.pipeline.Retrieval.phraseSearch(
-          graft.pipeline.Retrieval.positionalPostings(d),
+          graft.pipeline.Retrieval.readPostingsIndex(s,
+            graft.sources.WireFixtures.postingsStoreDir(s, dir)),
           Seq("table", "value")),
         phraseLen = 2, context = 3)
     }),
@@ -1226,7 +1233,8 @@ object SparkEntry {
       val d = docs(s, dir)
       graft.pipeline.Retrieval.kwicProximity(d,
         graft.pipeline.Retrieval.proximitySearch(
-          graft.pipeline.Retrieval.positionalPostings(d),
+          graft.pipeline.Retrieval.readPostingsIndex(s,
+            graft.sources.WireFixtures.postingsStoreDir(s, dir)),
           Seq("spark", "table"), window = 6),
         window = 6, context = 3)
     }),
