@@ -46,7 +46,8 @@ object ScaleProbe {
     "q_winnow_align", "q_winnow_incr", "q_cdc_incr",
     // round-9 additions: index-served retrieval + capped attribution
     "q_postings_incr", "q_bm25_index", "q_kwic_proximity",
-    "q_phrase_batch", "q_postings_compact", "q_contamination_capped")
+    "q_phrase_batch", "q_postings_compact", "q_contamination_capped",
+    "q_bm25_multi", "q_hybrid_rrf", "q_pipeline_search")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

@@ -308,6 +308,18 @@ class PlansSpec extends SparkSpec {
     assert(a == b, "index-served BM25 diverged from the corpus-scan path")
   }
 
+  test("batch BM25 pushes the union of the batch's terms into one scan") {
+    val out = SparkEntry.queries("q_bm25_multi")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("posexplode"),
+      s"batch serving read document text:\n$plan")
+    // one pruned scan carries every query's terms
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term-union probe not pushed:\n$plan")
+    Seq("the", "of", "data", "table", "value").foreach(t =>
+      assert(plan.contains(t), s"term $t missing from the pushed probe"))
+  }
+
   test("search flagship serves entirely from stores — document text never read") {
     // BM25 ranks, the phrase-audit flag and the length norms all come
     // from the postings store; only the ANN leg touches embeddings.
