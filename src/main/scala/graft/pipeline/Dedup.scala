@@ -631,6 +631,28 @@ object Dedup {
     * checkpointed streaming guarantees. Same append-listener store
     * discipline as the minhash/postings families (reference:
     * ScnIndex.java:94 maintained on append). */
+  /** Compact a [[contaminationAuditStreamBatch]] df store: a long
+    * stream leaves one (g, df_part) partial file per micro-batch, and
+    * every trigger re-aggregates all of them. Compaction rolls the
+    * partials up into their sums (one row per gram) and swaps the
+    * result in atomically — a ROLLUP compaction, unlike the postings
+    * store's pure re-partition: the merge is `sum(df_part)`, exact by
+    * associativity, so audits before and after are identical. Run it
+    * on the same cadence a deployment compacts its event log. */
+  def compactGramDfStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"compactGramDfStore: numFiles $numFiles")
+    val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
+    spark.read.parquet(dir)
+      .groupBy("g").agg(sum(col("df_part")).as("df_part"))
+      .coalesce(numFiles).write.parquet(tmp)
+    val old = new java.io.File(dir)
+    val bak = new java.io.File(s"$dir.old.${ProcessHandle.current.pid}")
+    require(old.renameTo(bak), s"compact: cannot displace $old")
+    require(new java.io.File(tmp).renameTo(old), s"compact: cannot promote $tmp")
+    org.apache.commons.io.FileUtils.deleteDirectory(bak)
+  }
+
   def contaminationAuditStreamBatch(batch: DataFrame, evalGrams: DataFrame,
       dfStoreDir: String, maxGramDf: Int, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -664,6 +664,23 @@ class CorpusOpsSpec extends SparkSpec {
       .select("train_id", "n_shared", "leak_bp")
       .as[(Long, Long, Long)].collect().toSet
     assert(r1 == Set((2L, 1L, 5000L)))
+    // ROLLUP compaction: the two per-batch partial files merge into one
+    // summed row per gram; a post-compaction batch sees identical
+    // global df (the already-boilerplate gram stays suppressed)
+    val before = spark.read.parquet(s"$dir/df")
+      .groupBy("g").agg(sum($"df_part").as("d"))
+      .as[(Long, Long)].collect().toSet
+    Dedup.compactGramDfStore(spark, s"$dir/df")
+    assert(spark.read.parquet(s"$dir/df")
+      .as[(Long, Long)].collect().toSet == before)
+    assert(new java.io.File(s"$dir/df").listFiles()
+      .count(_.getName.startsWith("part-")) == 1)
+    val b2 = Seq((3L, "a b c z")).toDF("doc_id", "text")
+    val r2 = Dedup.contaminationAuditStreamBatch(b2, eval, s"$dir/df",
+        maxGramDf = 2)
+      .select("train_id", "n_shared")
+      .as[(Long, Long)].collect().toSet
+    assert(r2.isEmpty) // its only shared gram is over the cap
   }
 
   test("contaminationReport: closed-form pair counts, bp shares, df cap") {
