@@ -29,7 +29,6 @@ object ColdProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sfKey = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -52,7 +51,7 @@ object ColdProbe {
     println(f"${"family"}%-22s ${"cold(build+serve)"}%18s ${"warm"}%8s")
     Families.foreach { case (suffix, q) =>
       val storeDir = new java.io.File(
-        s"${graft.sources.WireFixtures.Root}/$sfKey/$suffix")
+        graft.sources.WireFixtures.storePath(sfDir, suffix))
       if (storeDir.isDirectory)
         org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
       graft.pipeline.PlanCache.clear()

@@ -914,7 +914,10 @@ object SparkEntry {
     "q_contamination_report" -> ((s, dir) => {
       val train = docs(s, dir).select("doc_id", "text")
       val eval = docs(s, dir).where(col("doc_id") < 50).select("doc_id", "text")
-      Dedup.contaminationReport(train, eval)
+      // explicit exact mode: this query's oracle is the UNcapped
+      // derivation, and the exact report is the audit-grade surface —
+      // the capped default (and its accounting) is q_contamination_capped
+      Dedup.contaminationReport(train, eval, maxGramDf = Int.MaxValue)
     }),
 
     // ---- capped attribution: the boilerplate-gram guard exercised —
@@ -1355,9 +1358,13 @@ object SparkEntry {
           .parquet(s"$root/in")
           .writeStream
           .foreachBatch { (b: DataFrame, batchId: Long) =>
-            graft.pipeline.Retrieval.appendToPostingsIndex(b, s"$root/index")
+            // batch-addressed writes: a foreachBatch retry rewrites its
+            // own partial (overwrite) instead of double-appending it
+            graft.pipeline.Retrieval.appendToPostingsIndexBatch(
+              b, s"$root/index", batchId)
             b.select(col("doc_id")).withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/member")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/member/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -3147,7 +3154,7 @@ object SparkEntry {
           .foreachBatch { (b: DataFrame, batchId: Long) =>
             graft.pipeline.Dedup.contaminationAuditStreamBatch(b,
                 b.sparkSession.read.parquet(storeDir),
-                s"$root/dfstore", maxGramDf = 2)
+                s"$root/dfstore", maxGramDf = 2, batchId = batchId)
               .withColumn("batch_id", lit(batchId))
               .coalesce(1).write.mode("append").parquet(s"$root/out")
             ()
@@ -4197,26 +4204,11 @@ object SparkEntry {
         " CAST(n_shared * 10000 // eval_grams AS BIGINT) AS leak_bp" +
         " FROM p JOIN es USING (eval_id)"),
 
-    // composed search/audit flagship: the hybrid-RRF derivation
+    // composed search/audit flagship: the shared hybrid-RRF derivation
     // extended with the phrase-audit flag and the store's length norm
     // per fused hit
-    "q_pipeline_search" -> {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      def norm(a: String) =
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      s"WITH bm AS ($bm25TopKSql)," +
-        " q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)," +
-        " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
-        s" s AS (SELECT neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
-        " FROM c, q WHERE neighbor_id <> 0)," +
-        " ann AS (SELECT neighbor_id AS doc_id, rank FROM" +
-        " (SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s)" +
-        " WHERE rank <= 20)," +
-        " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
-        " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
-        " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
-        " FROM u GROUP BY 1)," +
+    "q_pipeline_search" ->
+      (s"WITH bm AS ($bm25TopKSql), $rrfScoredCtes," +
         " fused AS (SELECT doc_id, rrf_e8, rank FROM" +
         " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
         " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
@@ -4230,8 +4222,7 @@ object SparkEntry {
         " dlt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t)" +
         " SELECT rank, fused.doc_id, rrf_e8," +
         " coalesce(hp, FALSE) AS has_phrase, dl" +
-        " FROM fused LEFT JOIN ph USING (doc_id) JOIN dlt USING (doc_id)"
-    },
+        " FROM fused LEFT JOIN ph USING (doc_id) JOIN dlt USING (doc_id)"),
 
     "q_pipeline_e2e" -> pipelineE2eSql,
 
@@ -4597,28 +4588,12 @@ object SparkEntry {
     // hybrid RRF: both rankings re-derived (BM25 top-20 via the shared
     // scoring SQL; brute cosine top-20 for query vector 0), fused with
     // the same integer floor(1e8/(60+rank)) contributions
-    "q_hybrid_rrf" -> {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      def norm(a: String) =
-        s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-      s"WITH bm AS ($bm25TopKSql)," +
-        " q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)," +
-        " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
-        s" s AS (SELECT neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
-        " FROM c, q WHERE neighbor_id <> 0)," +
-        " ann AS (SELECT neighbor_id AS doc_id, rank FROM" +
-        " (SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s)" +
-        " WHERE rank <= 20)," +
-        " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
-        " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
-        " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
-        " FROM u GROUP BY 1)" +
+    "q_hybrid_rrf" ->
+      (s"WITH bm AS ($bm25TopKSql), $rrfScoredCtes" +
         " SELECT doc_id, rrf_e8, rank FROM" +
         " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
         " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
-        " WHERE rank <= 10"
-    },
+        " WHERE rank <= 10"),
 
     // batch suite: union of per-phrase derivations tagged by phrase id
     // (single-token phrase 2 matches every doc containing the token)
@@ -5198,6 +5173,29 @@ object SparkEntry {
   }
 
   private lazy val bm25Sql: String = bm25SqlFor(Seq("the", "of", "data"))
+
+  /** Shared hybrid-RRF oracle CTEs (q_hybrid_rrf + the search
+    * flagship): brute-cosine top-20 ranking for query vector 0, integer
+    * floor(1e8/(60+rank)) contributions unioned with the caller's
+    * `bm` CTE (BM25 top-k), summed per doc — ends at `sc(doc_id,
+    * rrf_e8)`. ONE copy so the two oracles can never drift. */
+  private lazy val rrfScoredCtes: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def norm(a: String) =
+      s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)," +
+      " c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings)," +
+      s" s AS (SELECT neighbor_id, ${dot("qvec", "cvec")} / (${norm("qvec")} * ${norm("cvec")}) AS cosine" +
+      " FROM c, q WHERE neighbor_id <> 0)," +
+      " ann AS (SELECT neighbor_id AS doc_id, rank FROM" +
+      " (SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM s)" +
+      " WHERE rank <= 20)," +
+      " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
+      " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
+      " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
+      " FROM u GROUP BY 1)"
+  }
 
   /** BM25 top-k oracle (q_bm25_topk and q_bm25_index — the index-served
     * path is bit-identical to the scan path by contract, so one oracle

@@ -628,9 +628,13 @@ object Dedup {
     * A gram that crosses the cap mid-stream is reported for early
     * batches (it was not yet boilerplate) and suppressed from the one
     * that crosses it onward — deterministic given batch order, which
-    * checkpointed streaming guarantees. Same append-listener store
-    * discipline as the minhash/postings families (reference:
-    * ScnIndex.java:94 maintained on append). */
+    * checkpointed streaming guarantees. `batchId` (foreachBatch hands
+    * it over) makes the append IDEMPOTENT under at-least-once replay:
+    * each batch's partial lands in its own `batch=<id>` subdir with
+    * overwrite semantics, so a retried trigger rewrites rather than
+    * double-counts. Same append-listener store discipline as the
+    * minhash/postings families (reference: ScnIndex.java:94 maintained
+    * on append). */
   /** Compact a [[contaminationAuditStreamBatch]] df store: a long
     * stream leaves one (g, df_part) partial file per micro-batch, and
     * every trigger re-aggregates all of them. Compaction rolls the
@@ -643,18 +647,34 @@ object Dedup {
       dir: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"compactGramDfStore: numFiles $numFiles")
     val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
+    // the rolled-up partial keeps the batch=<value> layout (a
+    // non-numeric value that can never collide with a real batch id):
+    // post-compaction batches keep landing in their own subdirs and
+    // the read side stays a uniform partitioned scan
     spark.read.parquet(dir)
+      .select("g", "df_part")
       .groupBy("g").agg(sum(col("df_part")).as("df_part"))
-      .coalesce(numFiles).write.parquet(tmp)
+      .coalesce(numFiles).write.parquet(s"$tmp/batch=compacted")
+    swapDir(dir, tmp)
+  }
+
+  /** Two-rename directory swap with failure restore: dir moves aside,
+    * tmp promotes; if the promote fails the original is moved back, so
+    * the live path is never left missing (true multi-file atomicity
+    * needs a table format — this is the honest filesystem analog). */
+  private[pipeline] def swapDir(dir: String, tmp: String): Unit = {
     val old = new java.io.File(dir)
     val bak = new java.io.File(s"$dir.old.${ProcessHandle.current.pid}")
     require(old.renameTo(bak), s"compact: cannot displace $old")
-    require(new java.io.File(tmp).renameTo(old), s"compact: cannot promote $tmp")
+    if (!new java.io.File(tmp).renameTo(old)) {
+      bak.renameTo(old) // restore — leave the store serving its old state
+      throw new IllegalStateException(s"compact: cannot promote $tmp")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(bak)
   }
 
   def contaminationAuditStreamBatch(batch: DataFrame, evalGrams: DataFrame,
-      dfStoreDir: String, maxGramDf: Int, shingleN: Int = 3,
+      dfStoreDir: String, maxGramDf: Int, batchId: Long, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxGramDf < Int.MaxValue,
       "contaminationAuditStreamBatch: use contaminationReportFromGrams " +
@@ -663,9 +683,15 @@ object Dedup {
     val tg = PlanCache.getOrPersist(batch,
       s"contam-grams|$shingleN|$textCol|$idCol",
       gramHashes(batch, textCol, idCol, shingleN))
+    // batch-addressed with overwrite: foreachBatch is at-least-once, so
+    // a retried trigger must REWRITE its own partial, not append a
+    // second copy (a blind append would double the replayed grams'
+    // global df and suppress still-rare grams forever)
     tg.groupBy("g").agg(count(lit(1)).as("df_part"))
-      .coalesce(1).write.mode("append").parquet(dfStoreDir)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dfStoreDir/batch=$batchId")
     val overCap = spark.read.parquet(dfStoreDir)
+      .select("g", "df_part") // drop the batch partition column
       .groupBy("g").agg(sum(col("df_part")).as("__df"))
       .where(col("__df") > maxGramDf).select("g")
     val tgKept = tg.join(overCap, Seq("g"), "left_anti")

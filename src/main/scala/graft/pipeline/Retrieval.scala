@@ -231,6 +231,29 @@ object Retrieval {
       .coalesce(1).write.mode("append").parquet(s"$dir/doclens")
   }
 
+  /** STREAMING-append form of [[appendToPostingsIndex]]: the batch's
+    * postings and norms land in their own `batch=<id>` subdirs with
+    * OVERWRITE semantics, so a foreachBatch retry (at-least-once
+    * delivery) rewrites the same partial instead of appending a second
+    * copy — a blind append would silently double the replayed docs'
+    * tf/df/n_hits. The store reads like any postings index (the batch
+    * partition column rides along and every consumer ignores it); a
+    * stream-maintained store uses THIS form for every write from its
+    * first batch (partition discovery rejects a layout that mixes flat
+    * files with batch subdirs). */
+  def appendToPostingsIndexBatch(newDocs: DataFrame, dir: String,
+      batchId: Long, numFiles: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(numFiles > 0, s"appendToPostingsIndexBatch: numFiles $numFiles")
+    positionalPostings(newDocs, idCol, textCol)
+      .repartitionByRange(numFiles, col("token"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+      .write.mode("overwrite").parquet(s"$dir/postings/batch=$batchId")
+    docLengths(newDocs, idCol, textCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/doclens/batch=$batchId")
+  }
+
   /** The postings table of a persisted index (feed to [[phraseSearch]] /
     * [[proximitySearch]] / [[bm25TopKFromIndex]]). */
   def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
@@ -243,11 +266,12 @@ object Retrieval {
     * degrades back toward a full scan. Compaction rewrites the store
     * into the canonical layout (global token ranges, in-file sort),
     * restoring one-or-two-file prunes. Row-identical by construction
-    * (a pure re-partition — no merge logic), atomic by
-    * write-to-tmp + swap, so a reader holding the old file list keeps a
-    * consistent view and the next reader sees the compacted one. The
-    * store-maintenance op every append-only layout needs; reference
-    * analogue: the bootstrap DB's applied-log compaction
+    * (a pure re-partition — no merge logic); the swap is
+    * write-to-tmp + two renames with restore-on-failure (the live path
+    * is never left missing — see [[Dedup.swapDir]]; true multi-file
+    * atomicity needs a table format). The store-maintenance op every
+    * append-only layout needs; reference analogue: the bootstrap DB's
+    * applied-log compaction
     * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 4): Unit = {
@@ -255,12 +279,7 @@ object Retrieval {
     def swapIn(sub: String)(write: String => Unit): Unit = {
       val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"
       write(tmp)
-      val old = new java.io.File(s"$dir/$sub")
-      val bak = new java.io.File(s"$dir/$sub.old.${ProcessHandle.current.pid}")
-      require(old.renameTo(bak), s"compact: cannot displace $old")
-      require(new java.io.File(tmp).renameTo(old),
-        s"compact: cannot promote $tmp")
-      org.apache.commons.io.FileUtils.deleteDirectory(bak)
+      Dedup.swapDir(s"$dir/$sub", tmp)
     }
     swapIn("postings") { tmp =>
       spark.read.parquet(s"$dir/postings")
@@ -300,26 +319,8 @@ object Retrieval {
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
     require(k > 0, s"k must be positive: $k")
-    // one scalar row: N and total dl (same longs bm25 derives inline)
-    val stats = doclens.agg(count(lit(1)).as("__n"),
-      sum(col("dl")).as("__sumdl"))
-    val tf = postings.where(col("token").isin(terms: _*))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("__tf"))
-    // rows above are unique per (token, doc) ⇒ count = document freq
-    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    // every factor mirrors bm25's expression structure exactly (long
-    // arithmetic before the double casts, single-log idf, per-term
-    // floor BEFORE the sum) so libm/fp behavior cannot diverge
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val tfD = col("__tf").cast("double")
-    val dlD = col("dl").cast("double")
-    val idfExact = log(
-      ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
-        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
-    val contrib = floor(idfExact * ((tfD * lit(k1 + 1.0)) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / avgdl)))) *
-      lit(10000.0) + lit(1e-6)).cast("long")
+    val (stats, tf, dfs, contrib) =
+      bm25IndexCore(postings, doclens, terms, k1, b)
     val perDoc = tf.join(broadcast(dfs), "token")
       .join(doclens, "doc_id")
       .crossJoin(stats) // 1-row scalar, broadcast
@@ -520,21 +521,8 @@ object Retrieval {
     val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "token")
     val qids = queries.map(_._1).toDF("query_id")
-    val stats = doclens.agg(count(lit(1)).as("__n"),
-      sum(col("dl")).as("__sumdl"))
-    val tf = postings.where(col("token").isin(allTerms: _*))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("__tf"))
-    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val tfD = col("__tf").cast("double")
-    val dlD = col("dl").cast("double")
-    val idfExact = log(
-      ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
-        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
-    val contrib = floor(idfExact * ((tfD * lit(k1 + 1.0)) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / avgdl)))) *
-      lit(10000.0) + lit(1e-6)).cast("long")
+    val (stats, tf, dfs, contrib) =
+      bm25IndexCore(postings, doclens, allTerms, k1, b)
     val perDoc = tf.join(broadcast(qt), "token")
       .join(broadcast(dfs), "token")
       .join(doclens, "doc_id")
@@ -549,6 +537,36 @@ object Retrieval {
         coalesce(col("__s"), lit(0L)).as("score_e4"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Shared index-side BM25 scoring pieces: the 1-row corpus stats
+    * (N, Σdl), the token-pruned (token, doc) term frequencies, the
+    * per-token document frequencies, and the per-row integer score
+    * contribution. The bit-exactness contract — every factor mirrors
+    * [[bm25]]'s expression structure exactly (long arithmetic before
+    * the double casts, single-log idf, per-term floor BEFORE the sum),
+    * so libm/fp behavior cannot diverge — lives HERE once for both the
+    * single-query and batch serving paths. */
+  private def bm25IndexCore(postings: DataFrame, doclens: DataFrame,
+      allTerms: Seq[String], k1: Double, b: Double)
+      : (DataFrame, DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val stats = doclens.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sumdl"))
+    val tf = postings.where(col("token").isin(allTerms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+    // tf rows are unique per (token, doc) ⇒ count = document frequency
+    val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val tfD = col("__tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val idfExact = log(
+      ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = floor(idfExact * ((tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / avgdl)))) *
+      lit(10000.0) + lit(1e-6)).cast("long")
+    (stats, tf, dfs, contrib)
   }
 
   /** Reciprocal-rank fusion of N rankings — the standard hybrid-search

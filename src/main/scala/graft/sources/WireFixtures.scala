@@ -38,6 +38,12 @@ object WireFixtures {
     * Store.ensure): the promoted-marker check runs inside an exclusive
     * [[ProcessLock]], a promoted dir is never deleted, and only crashed
     * never-promoted partials are cleaned up while holding the lock. */
+  /** Store path for a family `suffix` at an SF dir — exposed so dev
+    * probes (ColdProbe) address exactly the dirs the builders write,
+    * instead of re-deriving the sanitization and silently drifting. */
+  private[graft] def storePath(sfDir: String, suffix: String): String =
+    s"$Root/${key(sfDir)}/$suffix"
+
   private def writeOnce(dest: String)(write: String => Unit): String = {
     if (Files.exists(Paths.get(dest, "_SUCCESS"))) return dest
     this.synchronized {

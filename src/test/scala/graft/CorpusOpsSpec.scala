@@ -650,7 +650,7 @@ class CorpusOpsSpec extends SparkSpec {
     // batch 0: gram "a b c" in 2 docs — at the cap (2), still reported
     val b0 = Seq((0L, "a b c"), (1L, "a b c x")).toDF("doc_id", "text")
     val r0 = Dedup.contaminationAuditStreamBatch(b0, eval, s"$dir/df",
-        maxGramDf = 2)
+        maxGramDf = 2, batchId = 0L)
       .select("train_id", "eval_id", "n_shared", "leak_bp")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(r0 == Set((0L, 100L, 1L, 5000L), (1L, 100L, 1L, 5000L)))
@@ -660,24 +660,33 @@ class CorpusOpsSpec extends SparkSpec {
     // gram. A batch-local cap (df 1 ≤ 2) would have reported 2.
     val b1 = Seq((2L, "a b c d q")).toDF("doc_id", "text")
     val r1 = Dedup.contaminationAuditStreamBatch(b1, eval, s"$dir/df",
-        maxGramDf = 2)
+        maxGramDf = 2, batchId = 1L)
       .select("train_id", "n_shared", "leak_bp")
       .as[(Long, Long, Long)].collect().toSet
     assert(r1 == Set((2L, 1L, 5000L)))
-    // ROLLUP compaction: the two per-batch partial files merge into one
-    // summed row per gram; a post-compaction batch sees identical
-    // global df (the already-boilerplate gram stays suppressed)
-    val before = spark.read.parquet(s"$dir/df")
+    // at-least-once REPLAY of batch 1 (same batchId): the partial is
+    // rewritten, not double-counted — df and report identical
+    val r1b = Dedup.contaminationAuditStreamBatch(b1, eval, s"$dir/df",
+        maxGramDf = 2, batchId = 1L)
+      .select("train_id", "n_shared", "leak_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1b == r1)
+    def dfState() = spark.read.parquet(s"$dir/df")
       .groupBy("g").agg(sum($"df_part").as("d"))
       .as[(Long, Long)].collect().toSet
+    val before = dfState()
+    // total (doc, gram) mass = 3 (batch 0) + 3 (batch 1) — a replayed
+    // append would read 9 here
+    assert(before.toSeq.map(_._2).sum == 6L)
+    // ROLLUP compaction: per-batch partials merge into one summed row
+    // per gram; the global df a later batch sees is unchanged
     Dedup.compactGramDfStore(spark, s"$dir/df")
-    assert(spark.read.parquet(s"$dir/df")
-      .as[(Long, Long)].collect().toSet == before)
-    assert(new java.io.File(s"$dir/df").listFiles()
+    assert(dfState() == before)
+    assert(new java.io.File(s"$dir/df/batch=compacted").listFiles()
       .count(_.getName.startsWith("part-")) == 1)
     val b2 = Seq((3L, "a b c z")).toDF("doc_id", "text")
     val r2 = Dedup.contaminationAuditStreamBatch(b2, eval, s"$dir/df",
-        maxGramDf = 2)
+        maxGramDf = 2, batchId = 2L)
       .select("train_id", "n_shared")
       .as[(Long, Long)].collect().toSet
     assert(r2.isEmpty) // its only shared gram is over the cap
