@@ -94,6 +94,8 @@ object SparkEntry {
     WireFixtures.binlogDumpDir(s, dir)
     WireFixtures.annIndexDir(s, dir)
     WireFixtures.annIncrIndexDir(s, dir)
+    WireFixtures.annTakedownIndexDir(s, dir)
+    WireFixtures.postingsTakedownDir(s, dir)
     WireFixtures.postingsStoreDir(s, dir)
     WireFixtures.evalGramStoreDir(s, dir)
     WireFixtures.bpeMergesDir(s, dir)
@@ -1384,6 +1386,45 @@ object SparkEntry {
         .select("batch_id", "doc_id", "n_hits", "first_pos")
     }),
 
+    // ---- TAKEDOWN-aware phrase serving: the store holds the full
+    // corpus but doc_id % 7 = 2 is tombstoned (O(request) — stored rows
+    // untouched); the read's broadcast anti-join must make the hits
+    // indistinguishable from an index that never saw those docs ----
+    "q_phrase_delete" -> ((s, dir) =>
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s,
+          graft.sources.WireFixtures.postingsTakedownDir(s, dir)),
+        Seq("table", "value"))),
+
+    // ---- TAKEDOWN-aware BM25 serving: the deleted docs must leave not
+    // just the result set but the CORPUS STATISTICS — N, avgdl and
+    // every df shrink to the live slice (the oracle recomputes all of
+    // them over live docs only), or deleted documents keep distorting
+    // every score ----
+    "q_bm25_delete" -> ((s, dir) => {
+      val store = graft.sources.WireFixtures.postingsTakedownDir(s, dir)
+      graft.pipeline.Retrieval.bm25TopKFromIndex(
+        graft.pipeline.Retrieval.readPostingsIndex(s, store),
+        graft.pipeline.Retrieval.readDocLengths(s, store),
+        Seq("the", "of", "data"), k = 20)
+    }),
+
+    // ---- takedown GC: tombstone, then COMPACT — the rewrite physically
+    // drops the tombstoned rows and clears the set (crash-safe ordering:
+    // the set clears LAST, and an anti-join of already-purged ids is a
+    // no-op) — then serve; results identical to the tombstone-only read ----
+    "q_postings_gc" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("pgc").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
+      graft.pipeline.Retrieval.tombstoneDocsDf(
+        d.select("doc_id").where(col("doc_id") % 7 === 2), s"$root/index")
+      graft.pipeline.Retrieval.compactPostingsIndex(s, s"$root/index")
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+        Seq("table", "value"))
+    }),
+
     // ---- the composed CCNet-shape pipeline: boilerplate line strip →
     // bigram-LM NLL over the CLEANED corpus (model trained on its 80%
     // slice) → per-language exact-quantile gate keeping the low-
@@ -2457,6 +2498,24 @@ object SparkEntry {
         all.select((col("id") + 1000000L).as("id"), col("vec")))
       val store = graft.sources.WireFixtures.annIncrIndexDir(s, dir)
       Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
+        store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- TAKEDOWN-aware ANN serving: the store holds each vector plus
+    // a twin (+1e6) and a tritwin (+2e6); the twins of query ids < 8
+    // are tombstoned. Identical vectors share a cell and the exact
+    // re-rank breaks cosine-1.0 ties by lowest neighbor id, so rank-1
+    // is the twin where it is live and the tritwin where it was taken
+    // down — the planted takedown contract, fully determined ----
+    "q_ann_delete" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val tripled = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 2000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.annTakedownIndexDir(s, dir)
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), tripled,
         store, k = 5)
         .where(col("rank") === 1)
     }),
@@ -3996,6 +4055,15 @@ object SparkEntry {
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // takedown contract: rank-1 is the twin (+1e6, the lowest-id
+    // cosine-1.0 candidate) where the twin is live, the tritwin (+2e6)
+    // where the twin was tombstoned (query ids < 8)
+    "q_ann_delete" ->
+      ("SELECT vec_id AS query_id, CASE WHEN vec_id < 8" +
+        " THEN vec_id + 2000000 ELSE vec_id + 1000000 END AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
     // power-iteration invariant (Rayleigh non-decreasing on PSD) + the
     // planted-anisotropy alignment — both contract booleans
     "q_pca_power" ->
@@ -4581,6 +4649,21 @@ object SparkEntry {
     // the oracle — identical output proves append ≡ rebuild
     "q_postings_incr" -> phraseSearchSql,
 
+    // takedown: serving over the tombstoned store must equal an index
+    // that never saw doc_id % 7 = 2 — the oracle re-derives over the
+    // live slice only; the GC query (physical purge + cleared set) has
+    // the identical contract
+    "q_phrase_delete" ->
+      phraseSearchSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+    "q_postings_gc" ->
+      phraseSearchSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+
+    // BM25 after takedown: N, avgdl and every df recomputed over the
+    // live slice — deleted docs leave the corpus statistics, not just
+    // the result set
+    "q_bm25_delete" ->
+      bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+
     // compaction is row-identical by construction — the same oracle
     // proves serving over the compacted store
     "q_postings_compact" -> phraseSearchSql,
@@ -5150,7 +5233,8 @@ object SparkEntry {
   /** Parameterized BM25 scoring SQL for an arbitrary term list —
     * identical parenthesization per factor; df/N/avgdl from one scalar
     * row; per-term floor(score*1e4 + 1e-6) summed as integers. */
-  private def bm25SqlFor(terms: Seq[String]): String = {
+  private def bm25SqlFor(terms: Seq[String],
+      from: String = "documents"): String = {
     def term(w: String, df: String): String = {
       val tf = s"CAST(len(list_filter(tk, x -> x = '$w')) AS DOUBLE)"
       val idf = s"ln((CAST((SELECT n FROM st) - (SELECT $df FROM st) AS DOUBLE) + 0.5)" +
@@ -5165,7 +5249,7 @@ object SparkEntry {
     }.mkString(",")
     val score = terms.zipWithIndex
       .map { case (w, i) => term(w, s"df$i") }.mkString(" + ")
-    "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents)," +
+    s"WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM $from)," +
       s" st AS (SELECT count(*) AS n, sum(len(tk)) AS sumdl,$dfDefs FROM t)" +
       " SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl," +
       s" $score AS score_e4" +
@@ -5200,17 +5284,23 @@ object SparkEntry {
   /** BM25 top-k oracle (q_bm25_topk and q_bm25_index — the index-served
     * path is bit-identical to the scan path by contract, so one oracle
     * proves both). */
-  private lazy val bm25TopKSql: String =
+  private lazy val bm25TopKSql: String = bm25TopKSqlFor("documents")
+
+  private def bm25TopKSqlFor(from: String): String =
     s"SELECT doc_id, dl, score_e4, rank FROM (SELECT doc_id, dl, score_e4," +
       " CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank" +
-      s" FROM ($bm25Sql)) WHERE rank <= 20"
+      s" FROM (${bm25SqlFor(Seq("the", "of", "data"), from)})) WHERE rank <= 20"
 
   /** Phrase-search oracle (q_phrase_search and q_postings_incr — the
     * incremental store covers the full corpus, so serving from it must
-    * reproduce the full-corpus derivation exactly). */
-  private lazy val phraseSearchSql: String =
+    * reproduce the full-corpus derivation exactly). The takedown
+    * queries (q_phrase_delete / q_postings_gc) re-derive over the live
+    * slice only via `from`. */
+  private lazy val phraseSearchSql: String = phraseSearchSqlFor("documents")
+
+  private def phraseSearchSqlFor(from: String): String =
     "WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk" +
-      " FROM documents)," +
+      s" FROM $from)," +
       " h AS (SELECT doc_id, list_filter(generate_series(1, len(tk) - 1)," +
       " i -> tk[i] = 'table' AND tk[i+1] = 'value') AS st FROM t)" +
       " SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits," +

@@ -315,9 +315,49 @@ object Ann {
       storeDir: String, k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = spark.read.parquet(s"$storeDir/codebook")
-    val cells = spark.read.parquet(s"$storeDir/cells")
+    val cells = readCells(spark, storeDir)
       .withColumnRenamed("id", "neighbor_id")
     ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
+  }
+
+  /** The LIVE cell assignments of a [[writeIndex]] store: stored rows
+    * minus any [[tombstoneVectors]] takedowns — candidate generation is
+    * the only place a vector exists in the serving path, so the
+    * anti-join here removes it from every retrieval at once. No
+    * takedowns, no plan overhead. */
+  def readCells(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    Tombstones.filterLive(spark.read.parquet(s"$storeDir/cells"),
+      storeDir, "id")
+
+  /** Record a vector takedown against a [[writeIndex]] store: the ids
+    * leave retrieval immediately (reads anti-join the tombstone set —
+    * see [[Tombstones]]); stored cells are never read or rewritten, so
+    * the request costs O(request) like [[appendToIndex]] costs
+    * O(batch). Physical removal is [[compactIndexCells]]'s job.
+    * Reference analogue: DbusOpcode.java:22-26 (DELETE as an event, not
+    * a buffer rewrite); BootstrapDBCleaner.java:1 (deferred cleanup). */
+  def tombstoneVectors(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: Seq[Long]): Unit =
+    Tombstones.append(spark, storeDir, ids)
+
+  /** Takedown GC for a [[writeIndex]] store: rewrite `cells/` without
+    * the tombstoned rows (clustered by cell_id, so the serving scan's
+    * cell probe keeps its pruning) and clear the tombstone set LAST —
+    * the same crash-safe ordering as [[Retrieval.compactPostingsIndex]]
+    * (a crash between leaves tombstones applied to already-purged
+    * cells; the anti-join of absent ids is a no-op). The codebook is
+    * untouched: centroids are corpus statistics, not memberships, and
+    * drift only on a full [[writeIndex]] retrain. */
+  def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"compactIndexCells: numFiles $numFiles")
+    val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
+    readCells(spark, storeDir)
+      .repartition(numFiles, col("cell_id"))
+      .write.parquet(tmp)
+    Dedup.swapDir(s"$storeDir/cells", tmp)
+    Tombstones.clear(storeDir)
   }
 
   /** Float-precision IVF retrieval against a [[writeIndex]] store: the
@@ -328,7 +368,7 @@ object Ann {
       storeDir: String, k: Int, nProbe: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = spark.read.parquet(s"$storeDir/codebook")
-    val cells = spark.read.parquet(s"$storeDir/cells")
+    val cells = readCells(spark, storeDir)
       .select(col("id").as("neighbor_id"), col("cell_id"))
     val probes = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))

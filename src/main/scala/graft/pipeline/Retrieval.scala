@@ -254,10 +254,33 @@ object Retrieval {
       .parquet(s"$dir/doclens/batch=$batchId")
   }
 
-  /** The postings table of a persisted index (feed to [[phraseSearch]] /
-    * [[proximitySearch]] / [[bm25TopKFromIndex]]). */
+  /** The LIVE postings of a persisted index (feed to [[phraseSearch]] /
+    * [[proximitySearch]] / [[bm25TopKFromIndex]]): the stored rows minus
+    * any [[tombstoneDocs]] takedowns — no takedowns, no plan overhead;
+    * otherwise one broadcast anti-join on doc_id (request-sized set). */
   def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = spark.read.parquet(s"$dir/postings")
+      dir: String): DataFrame =
+    Tombstones.filterLive(spark.read.parquet(s"$dir/postings"), dir, "doc_id")
+
+  /** Record a takedown against a [[writePostingsIndex]] store: the docs
+    * leave every serving surface AT ONCE — phrase/proximity hits, KWIC
+    * membership, and (because [[readDocLengths]] filters too) BM25's
+    * corpus statistics N, avgdl and df, which must shrink with the live
+    * set or deleted documents keep distorting every score. O(request):
+    * stored postings are never read or rewritten; physical removal is
+    * [[compactPostingsIndex]]'s job (the GC). Replay-safe by semantics —
+    * a tombstone set is idempotent under duplicate appends (see
+    * [[Tombstones]]). Reference analogue: deletes are first-class
+    * events, physical cleanup is a maintenance pass (DbusOpcode.java:
+    * 22-26; BootstrapDBCleaner.java:1). */
+  def tombstoneDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docIds: Seq[Long]): Unit = Tombstones.append(spark, dir, docIds)
+
+  /** Bulk-takedown form of [[tombstoneDocs]]: `ids` is a one-column
+    * frame of doc ids (a purge list computed by another query — e.g.
+    * every doc a contamination audit attributed to a leaked eval set). */
+  def tombstoneDocsDf(ids: DataFrame, dir: String): Unit =
+    Tombstones.appendDf(ids, dir)
 
   /** Compact a [[writePostingsIndex]] store in place: a long trickle of
     * single-file [[appendToPostingsIndex]] batches accumulates many
@@ -265,13 +288,17 @@ object Retrieval {
     * the `token IN (...)` min/max prune and the point-read discipline
     * degrades back toward a full scan. Compaction rewrites the store
     * into the canonical layout (global token ranges, in-file sort),
-    * restoring one-or-two-file prunes. Row-identical by construction
-    * (a pure re-partition — no merge logic); the swap is
-    * write-to-tmp + two renames with restore-on-failure (the live path
-    * is never left missing — see [[Dedup.swapDir]]; true multi-file
-    * atomicity needs a table format). The store-maintenance op every
-    * append-only layout needs; reference analogue: the bootstrap DB's
-    * applied-log compaction
+    * restoring one-or-two-file prunes — and doubles as the takedown GC:
+    * [[tombstoneDocs]]'d rows are physically dropped during the rewrite
+    * and the tombstone set cleared LAST (a crash between leaves the set
+    * applied to already-purged tables — an anti-join of absent ids is a
+    * no-op, so the store serves correctly at every intermediate state).
+    * Live-row-identical by construction (a re-partition of the live
+    * set — no merge logic); the swap is write-to-tmp + two renames with
+    * restore-on-failure (the live path is never left missing — see
+    * [[Dedup.swapDir]]; true multi-file atomicity needs a table
+    * format). The store-maintenance op every append-only layout needs;
+    * reference analogue: the bootstrap DB's applied-log compaction
     * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 4): Unit = {
@@ -282,20 +309,24 @@ object Retrieval {
       Dedup.swapDir(s"$dir/$sub", tmp)
     }
     swapIn("postings") { tmp =>
-      spark.read.parquet(s"$dir/postings")
+      readPostingsIndex(spark, dir) // live rows only: the takedown GC
         .repartitionByRange(numFiles, col("token"))
         .sortWithinPartitions("token", "doc_id", "pos")
         .write.parquet(tmp)
     }
     swapIn("doclens") { tmp =>
-      spark.read.parquet(s"$dir/doclens")
+      readDocLengths(spark, dir)
         .coalesce(math.min(numFiles, 2)).write.parquet(tmp)
     }
+    Tombstones.clear(dir)
   }
 
-  /** The doc-length norms of a persisted index. */
+  /** The LIVE doc-length norms of a persisted index (tombstone-aware,
+    * like [[readPostingsIndex]] — BM25's N/avgdl/df derive from this
+    * table, so takedowns shrink the corpus statistics too). */
   def readDocLengths(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = spark.read.parquet(s"$dir/doclens")
+      dir: String): DataFrame =
+    Tombstones.filterLive(spark.read.parquet(s"$dir/doclens"), dir, "doc_id")
 
   /** BM25 top-k served FROM a persisted [[writePostingsIndex]] store —
     * bit-identical scores to [[bm25TopK]] (same per-term floor-then-sum

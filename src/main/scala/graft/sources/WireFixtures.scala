@@ -182,6 +182,43 @@ object WireFixtures {
         d.where(col("doc_id") % 10 === 8), tmp)
     }
 
+  /** Full-corpus postings index with a RECORDED TAKEDOWN (doc_id % 7 = 2
+    * tombstoned, stored rows untouched): the store q_phrase_delete /
+    * q_bm25_delete serve from — every read must behave as if the
+    * tombstoned docs were never indexed (phrase hits, BM25 membership
+    * AND its N/avgdl/df corpus statistics), which the full-corpus
+    * oracles verify by recomputing over the live slice only. Built once
+    * under the promotion protocol; read-only thereafter (the GC path is
+    * exercised on a per-run temp store by q_postings_gc, never here). */
+  def postingsTakedownDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/postings_takedown_m7r2") { tmp =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      graft.pipeline.Retrieval.writePostingsIndex(d, tmp)
+      graft.pipeline.Retrieval.tombstoneDocsDf(
+        d.select("doc_id").where(col("doc_id") % 7 === 2), tmp)
+    }
+
+  /** IVF index over the embeddings corpus plus TWO planted duplicates
+    * per vector (twin +1e6, tritwin +2e6), with the twins of query ids
+    * < 8 TOMBSTONED: identical vectors share every argmin (one cell)
+    * and the exact re-rank breaks cosine ties by lowest neighbor id, so
+    * rank-1 for a query is its twin where the twin is live and its
+    * tritwin where the twin was taken down — a fully-determined planted
+    * contract for takedown-aware retrieval (q_ann_delete). */
+  def annTakedownIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/ann_takedown_k${k}i$iters") { tmp =>
+      val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val tripled = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 2000000L).as("id"), col("vec")))
+      graft.pipeline.Ann.writeIndex(tripled, tmp, k, iters)
+      graft.pipeline.Ann.tombstoneVectors(spark, tmp,
+        (0L until 8L).map(_ + 1000000L))
+    }
+
   /** Persisted perceptual signature store: (doc_id, 64-bit dHash) over
     * the smooth-image fixture corpus, decoded and signed ONCE — the
     * media analog of the minhash signature store. A new image batch

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Retrieval, Tombstones}
+
+/** Takedown (tombstone) discipline across the persisted stores:
+  * tombstone-only serving ≡ an index that never saw the docs, GC
+  * physically purges and clears, every intermediate crash state serves
+  * correctly, and the ANN planted contract flips twin → tritwin. */
+class TombstoneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val corpus = Seq(
+    (0L, "alpha table value beta"),
+    (1L, "table value table value"),
+    (2L, "gamma table value"),
+    (3L, "no phrase here at all"),
+    (4L, "table value ends this"),
+    (5L, "delta epsilon zeta"),
+    (6L, "the of data table value")
+  )
+
+  private def docsDf = corpus.toDF("doc_id", "text")
+
+  test("tombstoned postings store serves exactly like a live-only index") {
+    val full = s"${tmp("tomb")}/index"
+    val liveOnly = s"${tmp("tomb")}/index"
+    Retrieval.writePostingsIndex(docsDf, full)
+    Retrieval.tombstoneDocs(spark, full, Seq(1L, 4L))
+    Retrieval.writePostingsIndex(
+      docsDf.where(!col("doc_id").isin(1L, 4L)), liveOnly)
+
+    // postings and norms: row-identical both ways
+    val p1 = Retrieval.readPostingsIndex(spark, full)
+    val p2 = Retrieval.readPostingsIndex(spark, liveOnly)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    val d1 = Retrieval.readDocLengths(spark, full)
+    val d2 = Retrieval.readDocLengths(spark, liveOnly)
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+
+    // BM25 from the tombstoned store: N/avgdl/df all shrink to the live
+    // slice — bit-identical to the never-indexed store
+    val b1 = Retrieval.bm25TopKFromIndex(p1, d1, Seq("the", "of"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val b2 = Retrieval.bm25TopKFromIndex(p2, d2, Seq("the", "of"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(b1 == b2)
+
+    // phrase hits exclude the tombstoned docs
+    val hits = Retrieval.phraseSearch(p1, Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 2L, 6L))
+  }
+
+  test("duplicate tombstone appends are idempotent (semantic set)") {
+    val dir = s"${tmp("tomb")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L))
+    val once = Retrieval.readPostingsIndex(spark, dir).count()
+    // a replayed takedown request appends the same id again
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L))
+    assert(Retrieval.readPostingsIndex(spark, dir).count() == once)
+  }
+
+  test("compaction GC physically purges tombstoned rows and clears the set") {
+    val dir = s"${tmp("tomb")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    Retrieval.tombstoneDocsDf(Seq(1L, 4L).toDF("doc_id"), dir)
+    val before = Retrieval.phraseSearch(
+      Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .collect().map(_.toSeq).toSet
+    Retrieval.compactPostingsIndex(spark, dir)
+    // the set is gone and the RAW store (read without the filter) no
+    // longer contains the docs — the purge is physical
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    val raw = spark.read.parquet(s"$dir/postings")
+    assert(raw.where(col("doc_id").isin(1L, 4L)).isEmpty)
+    assert(spark.read.parquet(s"$dir/doclens")
+      .where(col("doc_id").isin(1L, 4L)).isEmpty)
+    // serving unchanged by the GC
+    val after = Retrieval.phraseSearch(
+      Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(before == after)
+    // crash-state invariant: tombstones of already-purged ids (the
+    // window between the table swaps and the set clear) are a no-op
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L, 4L))
+    val crashState = Retrieval.phraseSearch(
+      Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(crashState == after)
+  }
+
+  test("tombstone-aware read is a broadcast anti-join; clean read is a plain scan") {
+    val dir = s"${tmp("tomb")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    val clean = Retrieval.readPostingsIndex(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("LeftAnti"), s"unexpected join in clean read:\n$clean")
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L))
+    val tombed = Retrieval.readPostingsIndex(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tombed.contains("BroadcastHashJoin") && tombed.contains("LeftAnti"),
+      s"takedown read must broadcast anti-join:\n$tombed")
+  }
+
+  test("ANN takedown: rank-1 flips twin to tritwin, GC purges cells") {
+    // 4 base vectors, well separated; twin +100, tritwin +200 each
+    val base = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)))
+    val all = base.toDF("id", "vec")
+    val tripled = all
+      .unionByName(all.select((col("id") + 100L).as("id"), col("vec")))
+      .unionByName(all.select((col("id") + 200L).as("id"), col("vec")))
+    val dir = s"${tmp("tombann")}/index"
+    Ann.writeIndex(tripled, dir, k = 4, iters = 2)
+    // take down the twins of ids 0 and 1
+    Ann.tombstoneVectors(spark, dir, Seq(100L, 101L))
+    def rank1 = Ann.ivfQuantizedTopKFromStore(all, tripled, dir, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val served = rank1
+    assert(served == Map(0L -> 200L, 1L -> 201L, 2L -> 102L, 3L -> 103L),
+      s"takedown contract violated: $served")
+    // GC: physical purge, cleared set, identical serving
+    Ann.compactIndexCells(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(spark.read.parquet(s"$dir/cells")
+      .where(col("id").isin(100L, 101L)).isEmpty)
+    assert(rank1 == served)
+  }
+}
