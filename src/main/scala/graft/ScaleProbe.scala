@@ -47,7 +47,12 @@ object ScaleProbe {
     // round-9 additions: index-served retrieval + capped attribution
     "q_postings_incr", "q_bm25_index", "q_kwic_proximity",
     "q_phrase_batch", "q_postings_compact", "q_contamination_capped",
-    "q_bm25_multi", "q_hybrid_rrf", "q_pipeline_search")
+    "q_bm25_multi", "q_hybrid_rrf", "q_pipeline_search",
+    // takedown family: tombstone-filtered serving + the GC rewrite +
+    // CDC-maintained index + exact count-model unlearning
+    "q_phrase_delete", "q_bm25_delete", "q_postings_gc",
+    "q_index_cdc_stream", "q_nb_unlearn", "q_lm_unlearn",
+    "q_dedup_delete", "q_pipeline_takedown")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

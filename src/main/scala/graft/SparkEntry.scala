@@ -96,6 +96,7 @@ object SparkEntry {
     WireFixtures.annIncrIndexDir(s, dir)
     WireFixtures.annTakedownIndexDir(s, dir)
     WireFixtures.postingsTakedownDir(s, dir)
+    WireFixtures.minhashTakedownStoreDir(s, dir)
     WireFixtures.postingsStoreDir(s, dir)
     WireFixtures.evalGramStoreDir(s, dir)
     WireFixtures.bpeMergesDir(s, dir)
@@ -688,6 +689,25 @@ object SparkEntry {
         .where(col("jaccard") >= 0.8)
     }),
 
+    // ---- dedup: TAKEDOWN-aware incremental — the store's signature
+    // table has doc_id % 7 = 2 tombstoned; a fresh twin batch (docs
+    // % 4 = 0, ids +1e6) is signed and banded against the LIVE stored
+    // rows only, so the twin of a taken-down doc pairs with nothing.
+    // Without the tombstone filter a deleted doc keeps generating
+    // candidate pairs from its stored signatures forever ----
+    "q_dedup_delete" -> ((s, dir) => {
+      val store = graft.sources.WireFixtures.minhashTakedownStoreDir(s, dir)
+      val old = docs(s, dir).select("doc_id", "text")
+      val fresh = old.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val sigsNew = Dedup.minhashSignatures(fresh, "text", "doc_id", 3, 64)
+      val cand = Dedup.incrementalPairsFromSignatures(sigsNew,
+        Dedup.readSignatureStore(s, store), jaccardThreshold = 0.5)
+      Dedup.ngramJaccardVerify(old.unionByName(fresh),
+          cand.select("id_a", "id_b"))
+        .where(col("jaccard") >= 0.8)
+    }),
+
     // ---- dedup: STREAMING incremental — the fresh batch arrives as a
     // file stream in micro-batches, and the signature table is a PERSISTED
     // parquet store: each trigger signs ONLY its micro-batch (one
@@ -1079,6 +1099,19 @@ object SparkEntry {
       graft.pipeline.LangModel.scoreNll(model, d)
     }),
 
+    // ---- EXACT UNLEARNING (bigram LM): same algebra as q_nb_unlearn
+    // on the (uni, bi, vocab) tables — scoring under the unlearned
+    // model must match scoring under a model retrained without the
+    // forget slice, bigram-for-bigram ----
+    "q_lm_unlearn" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      val model = graft.pipeline.LangModel.train(train)
+      val unlearned = graft.pipeline.LangModel.unlearn(model,
+        train.where(col("doc_id") % 6 === 1))
+      graft.pipeline.LangModel.scoreNll(unlearned, d)
+    }),
+
     // ---- bigram-LM scoring against the PERSISTED model store: same
     // output contract as q_lm_perplexity (identical oracle), but the
     // counts come from the parquet model written once by the fixture
@@ -1420,6 +1453,80 @@ object SparkEntry {
       graft.pipeline.Retrieval.tombstoneDocsDf(
         d.select("doc_id").where(col("doc_id") % 7 === 2), s"$root/index")
       graft.pipeline.Retrieval.compactPostingsIndex(s, s"$root/index")
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+        Seq("table", "value"))
+    }),
+
+    // ---- the composed TAKEDOWN pipeline — the round trip a real
+    // leak response runs: (1) AUDIT: contamination attribution names
+    // every train doc sharing ≥10% of an eval item's shingles
+    // (self-matches excluded — eval ids overlap the corpus here);
+    // (2) PURGE: the attributed ids tombstone the persisted postings
+    // index in one O(request) write; (3) SERVE: BM25 from the store —
+    // scores must match a corpus that never contained the leaked docs
+    // (N, avgdl, df all shrink), which the oracle re-derives end-to-end
+    // from the same attribution predicate ----
+    "q_pipeline_takedown" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("tdpipe").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val purge = Dedup.contaminationReport(d,
+          d.where(col("doc_id") < 50), maxGramDf = Int.MaxValue)
+        .where(col("train_id") >= 50 && col("leak_bp") >= 1000)
+        .select(col("train_id").as("doc_id")).distinct()
+      graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
+      graft.pipeline.Retrieval.tombstoneDocsDf(purge, s"$root/index")
+      graft.pipeline.Retrieval.bm25TopKFromIndex(
+        graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+        graft.pipeline.Retrieval.readDocLengths(s, s"$root/index"),
+        Seq("the", "of", "data"), k = 20)
+    }),
+
+    // ---- CDC-maintained search index: a change FEED with the
+    // reference's opcode semantics (UPSERT/DELETE — DbusOpcode.java:
+    // 22-26) drives the postings store per micro-batch: upserts append
+    // batch-addressed postings (replay = overwrite of the same
+    // partial), deletes append tombstones (replay-safe by set
+    // semantics). Serving after the drain must equal an index built
+    // from the net surviving docs — the oracle re-derives exactly that.
+    // Takedowns here are permanent (ids never return); a doc UPDATE in
+    // this discipline is a new doc id, as in any append-only store ----
+    "q_index_cdc_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("cdcidx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      def drainOnce(): Unit = {
+        val q = s.readStream
+          .schema("opcode STRING, doc_id LONG, text STRING")
+          .parquet(s"$root/feed")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            graft.pipeline.Retrieval.appendToPostingsIndexBatch(
+              b.where(col("opcode") === "UPSERT").select("doc_id", "text"),
+              s"$root/index", batchId)
+            val dels = b.where(col("opcode") === "DELETE").select("doc_id")
+            if (!dels.isEmpty)
+              graft.pipeline.Retrieval.tombstoneDocsDf(dels, s"$root/index")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // feed batch 1: upsert the even half of the corpus
+      d.where(col("doc_id") % 2 === 0)
+        .select(lit("UPSERT").as("opcode"), col("doc_id"), col("text"))
+        .coalesce(1).write.parquet(s"$root/feed")
+      drainOnce()
+      // feed batch 2: upsert the odd half + take down doc_id % 8 = 0
+      // (docs indexed by batch 1 — the delete must reach stored rows)
+      d.where(col("doc_id") % 2 === 1)
+        .select(lit("UPSERT").as("opcode"), col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 8 === 0)
+          .select(lit("DELETE").as("opcode"), col("doc_id"),
+            lit(null).cast("string").as("text")))
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      drainOnce()
       graft.pipeline.Retrieval.phraseSearch(
         graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
         Seq("table", "value"))
@@ -2817,6 +2924,21 @@ object SparkEntry {
       graft.pipeline.Classifier.classify(model, d)
     }),
 
+    // ---- EXACT UNLEARNING (NB): the takedown request against a
+    // trained model — the forget slice's counts are subtracted from
+    // the persisted tables (O(forget) + O(model); the corpus is never
+    // rescanned) and v/n_all re-derive from the shrunken counts. The
+    // oracle RETRAINS on train∖forget: for count models, exact
+    // unlearning and retraining are the same function ----
+    "q_nb_unlearn" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      val model = graft.pipeline.Classifier.train(train, labelCol = "lang")
+      val unlearned = graft.pipeline.Classifier.unlearn(model,
+        train.where(col("doc_id") % 6 === 1), labelCol = "lang")
+      graft.pipeline.Classifier.classify(unlearned, d)
+    }),
+
     // ---- STREAMING NB classification: each micro-batch classifies
     // against the PERSISTED model store — the model trains zero times
     // in the scoring session (q_lm_stream's resumed-run structural
@@ -3468,9 +3590,11 @@ object SparkEntry {
   /** Naive Bayes oracle CTEs — mirror of Classifier.train + classify
     * over the 80% lang-labeled slice; per-(doc, class) scores land in
     * CTE `pairs` (doc_id, label, score_e4). */
-  private lazy val nbCtes: String =
+  private lazy val nbCtes: String = nbCtesFor("doc_id % 5 <> 0")
+
+  private def nbCtesFor(trainWhere: String): String =
     "tr AS (SELECT doc_id, lang AS label, text FROM documents" +
-      " WHERE doc_id % 5 <> 0)," +
+      s" WHERE $trainWhere)," +
       " trtok AS (SELECT label," +
       " unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
       " counts AS (SELECT label, tok, count(*) AS c_t FROM trtok" +
@@ -3497,9 +3621,13 @@ object SparkEntry {
       " FROM documents d CROSS JOIN lbl l" +
       " LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = l.label)"
 
-  /** Naive Bayes classification oracle (q_nb_classify). */
-  private lazy val nbClassifySql: String =
-    s"WITH $nbCtes" +
+  /** Naive Bayes classification oracle (q_nb_classify; q_nb_unlearn
+    * re-derives with the forget slice removed from the train set —
+    * exact unlearning means the retrained model IS the oracle). */
+  private lazy val nbClassifySql: String = nbClassifySqlFor(nbCtes)
+
+  private def nbClassifySqlFor(ctes: String): String =
+    s"WITH $ctes" +
       " SELECT doc_id, label, CAST(score_e4 AS BIGINT) AS nll_e4" +
       " FROM pairs QUALIFY row_number() OVER (PARTITION BY doc_id" +
       " ORDER BY score_e4, label) = 1"
@@ -3629,6 +3757,11 @@ object SparkEntry {
         " FROM documents GROUP BY CUBE (lang, source)"),
 
     "q_nb_classify" -> nbClassifySql,
+
+    // exact unlearning: the oracle retrains from scratch on
+    // train∖forget — count subtraction must land on the identical model
+    "q_nb_unlearn" -> nbClassifySqlFor(
+      nbCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
 
     // streaming NB: same persisted-model derivation restricted to the
     // two slices, stamped with their structural batch ids
@@ -3970,6 +4103,17 @@ object SparkEntry {
     "q_dedup_stream_incr" ->
       jaccardPairsOracleSql(0.8, "",
         " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)",
+        " WHERE doc_id % 4 = 0"),
+
+    // takedown-aware incremental pairs: touching-the-batch edges whose
+    // stored endpoint is LIVE (base ids with doc_id % 7 = 2 are
+    // tombstoned; a batch id < 1e6 never occurs, so the guards read
+    // "any base endpoint must not be taken down")
+    "q_dedup_delete" ->
+      jaccardPairsOracleSql(0.8, "",
+        " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)" +
+          " AND (p.id_a >= 1000000 OR p.id_a % 7 <> 2)" +
+          " AND (p.id_b >= 1000000 OR p.id_b % 7 <> 2)",
         " WHERE doc_id % 4 = 0"),
 
     "q_dedup_normalized" ->
@@ -4557,6 +4701,10 @@ object SparkEntry {
     // proves the parquet roundtrip preserves the model exactly
     "q_lm_store" -> lmNllSql,
 
+    // exact unlearning: retrained-on-train∖forget derivation
+    "q_lm_unlearn" -> lmNllSqlFor(
+      lmNllCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
+
     // streaming LM scoring: slice → batch_id is structural (resumed
     // runs), so the oracle is the per-slice restriction of the same
     // derivation stamped with its batch id
@@ -4663,6 +4811,33 @@ object SparkEntry {
     // the result set
     "q_bm25_delete" ->
       bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+
+    // composed takedown pipeline: the live slice is "every doc the
+    // attribution audit did NOT name" — same shingle/leak_bp derivation
+    // as the q_contamination_report oracle, inlined as the purge
+    // predicate, then the full BM25 re-derivation over what remains
+    "q_pipeline_takedown" -> bm25TopKSqlFor(
+      "(SELECT * FROM documents WHERE doc_id NOT IN (" +
+        "WITH sh AS (SELECT doc_id," +
+        " list_distinct(list_transform(generate_series(1," +
+        " greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))" +
+        " AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks" +
+        " FROM documents))," +
+        " tg AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh)," +
+        " eg AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh" +
+        " WHERE doc_id < 50)," +
+        " es AS (SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT)" +
+        " AS eval_grams FROM sh WHERE doc_id < 50)," +
+        " p AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT)" +
+        " AS n_shared FROM tg JOIN eg USING (g) GROUP BY 1, 2)" +
+        " SELECT DISTINCT train_id FROM p JOIN es USING (eval_id)" +
+        " WHERE train_id >= 50 AND n_shared * 10000 // eval_grams >= 1000))"),
+
+    // CDC stream: every doc upserted across the two batches minus the
+    // DELETE-opcode takedowns — serving must equal an index over the
+    // net surviving set
+    "q_index_cdc_stream" ->
+      phraseSearchSqlFor("(SELECT * FROM documents WHERE doc_id % 8 <> 0)"),
 
     // compaction is row-identical by construction — the same oracle
     // proves serving over the compacted store
@@ -5310,8 +5485,10 @@ object SparkEntry {
   /** Shared bigram-LM oracle CTEs: add-one-smoothed counts over the 80%
     * doc_id%5≠0 train slice, per-position integer-floored log2 terms
     * aggregated per doc (docs with < 2 tokens are absent from `sc`). */
-  private lazy val lmNllCtes: String =
-    "tr AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)," +
+  private lazy val lmNllCtes: String = lmNllCtesFor("doc_id % 5 <> 0")
+
+  private def lmNllCtesFor(trainWhere: String): String =
+    s"tr AS (SELECT text FROM documents WHERE $trainWhere)," +
       " trtok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM tr)," +
       " uni AS (SELECT tok, count(*) AS cu FROM trtok GROUP BY tok)," +
       " v AS (SELECT count(DISTINCT tok) AS v FROM trtok)," +
@@ -5328,9 +5505,12 @@ object SparkEntry {
       " LEFT JOIN uni ON uni.tok = dg.prev GROUP BY doc_id)"
 
   /** Bigram-LM NLL oracle (q_lm_perplexity and q_lm_store — the stored
-    * model is the same derivation). */
-  private lazy val lmNllSql: String =
-    s"WITH $lmNllCtes" +
+    * model is the same derivation; q_lm_unlearn re-derives with the
+    * forget slice removed from the train set). */
+  private lazy val lmNllSql: String = lmNllSqlFor(lmNllCtes)
+
+  private def lmNllSqlFor(ctes: String): String =
+    s"WITH $ctes" +
       " SELECT d.doc_id, CAST(coalesce(sc.n_terms, 0) AS BIGINT) AS n_terms," +
       " CAST(coalesce(sc.nll_e4, 0) AS BIGINT) AS nll_e4" +
       " FROM documents d LEFT JOIN sc USING (doc_id)"

@@ -70,6 +70,47 @@ object Classifier {
       classes = spark.read.parquet(s"$dir/classes"),
       stats = spark.read.parquet(s"$dir/stats"))
 
+  /** EXACT unlearning: remove `forget` (rows of the original training
+    * set — caller owns that membership, as with id disjointness on the
+    * append stores) from a trained model WITHOUT touching the training
+    * corpus. Count-based models make the takedown/right-to-be-forgotten
+    * request algebraic: the forget batch is re-counted (O(forget)) and
+    * subtracted from the stored tables (O(model) — vocabulary-sized,
+    * never corpus-sized), zero rows are dropped, and the vocab size is
+    * re-derived from the shrunken count table (a token survives iff any
+    * class still counts it — so v needs no corpus rescan). The result
+    * is row-identical to retraining on train∖forget, which is exactly
+    * what the oracle checks. The model-store member of the takedown
+    * discipline: stores delete by tombstone + GC ([[Tombstones]]);
+    * count models delete by subtraction. */
+  def unlearn(model: Model, forget: DataFrame, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): Model = {
+    val stream = forget.select(col(labelCol).as("label"),
+      explode(toks(col(textCol))).as("tok"))
+    val counts = model.counts
+      .join(stream.groupBy("label", "tok").agg(count(lit(1)).as("f_t")),
+        Seq("label", "tok"), "left")
+      .select(col("label"), col("tok"),
+        (col("c_t") - coalesce(col("f_t"), lit(0L))).as("c_t"))
+      .where(col("c_t") > 0)
+    val classes = model.classes
+      .join(forget.groupBy(col(labelCol).as("label"))
+          .agg(sum(size(toks(col(textCol)))).cast("long").as("f_toks"),
+            count(lit(1)).as("f_docs")),
+        Seq("label"), "left")
+      .select(col("label"),
+        (col("n_toks") - coalesce(col("f_toks"), lit(0L))).as("n_toks"),
+        (col("n_docs") - coalesce(col("f_docs"), lit(0L))).as("n_docs"))
+      .where(col("n_docs") > 0)
+    Model(
+      counts = counts,
+      classes = classes,
+      stats = counts.agg(countDistinct(col("tok")).as("v"))
+        .crossJoin(model.stats.select(col("n_all"))
+          .crossJoin(forget.agg(count(lit(1)).as("__f")))
+          .select((col("n_all") - col("__f")).as("n_all"))))
+  }
+
   private def e4Floor(ratio: Column): Column =
     floor(log2(ratio) * lit(10000.0) + lit(1e-6)).cast("long")
 

@@ -404,6 +404,33 @@ object Dedup {
     bandedBuckets(sigs, bands, k / bands)
   }
 
+  /** The LIVE signature rows of a persisted signature store (the
+    * `sigs/` table of the minhash-store layout): stored rows minus any
+    * [[tombstoneSignatures]] takedowns — the [[Tombstones]] discipline
+    * on the dedup store family. A taken-down doc must stop generating
+    * candidate pairs (it can otherwise keep winning keep-one elections
+    * or re-linking clusters long after its takedown), and the signature
+    * table is the only place it enters candidate generation. */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    Tombstones.filterLive(spark.read.parquet(s"$storeDir/sigs"),
+      storeDir, "id")
+
+  /** The LIVE banded blocking rows of a persisted signature store
+    * (tombstone-aware like [[readSignatureStore]]). */
+  def readBandedStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    Tombstones.filterLive(spark.read.parquet(s"$storeDir/banded"),
+      storeDir, "id")
+
+  /** Record a doc takedown against a persisted signature store —
+    * O(request), stored rows untouched; reads anti-join the set (see
+    * [[Tombstones]]). Physical removal belongs to the store's next
+    * compaction rewrite, as with [[Retrieval.compactPostingsIndex]]. */
+  def tombstoneSignatures(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: Seq[Long]): Unit =
+    Tombstones.append(spark, storeDir, ids)
+
   /** Collision candidates of a new banded frame against the full banded
     * table (which must already include the new rows for within-increment
     * pairs), oriented (min, max).

@@ -97,6 +97,35 @@ object LangModel {
       bi = spark.read.parquet(s"$dir/bi"),
       vocab = spark.read.parquet(s"$dir/vocab"))
 
+  /** EXACT unlearning for the bigram model — [[Classifier.unlearn]]'s
+    * algebra on the (uni, bi, vocab) tables: the forget batch (rows of
+    * the original training corpus — caller owns membership) is
+    * re-counted once (O(forget)) and subtracted from the stored counts
+    * (O(model), vocabulary-sized), zero rows are dropped, and the vocab
+    * scalar is re-derived from the shrunken unigram table (a token is
+    * in the remaining corpus iff its unigram count survives — no corpus
+    * rescan). Row-identical to retraining on train∖forget. */
+  def unlearn(model: Model, forget: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Model = {
+    val tokStream = forget.select(explode(toks(col(textCol))).as("tok"))
+    val uni = model.uni
+      .join(tokStream.groupBy(col("tok")).agg(count(lit(1)).as("f_u")),
+        Seq("tok"), "left")
+      .select(col("tok"),
+        (col("c_u") - coalesce(col("f_u"), lit(0L))).as("c_u"))
+      .where(col("c_u") > 0)
+    Model(
+      uni = uni,
+      bi = model.bi
+        .join(bigrams(forget, idCol, textCol)
+            .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("f_b")),
+          Seq("prev", "cur"), "left")
+        .select(col("prev"), col("cur"),
+          (col("c_b") - coalesce(col("f_b"), lit(0L))).as("c_b"))
+        .where(col("c_b") > 0),
+      vocab = uni.agg(countDistinct(col("tok")).as("__v")))
+  }
+
   /** Score a corpus under the model: (doc_id, n_terms, nll_e4) where
     * nll_e4 = Σ_positions floor(log2((c_prev + V)/(c_bigram + 1)) · 1e4
     * + 1e-6) — the document's total negative log2-likelihood in exact

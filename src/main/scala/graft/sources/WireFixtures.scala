@@ -199,6 +199,22 @@ object WireFixtures {
         d.select("doc_id").where(col("doc_id") % 7 === 2), tmp)
     }
 
+  /** Minhash signature store with a RECORDED TAKEDOWN (doc_id % 7 = 2
+    * tombstoned): the [[minhashStoreDir]] tables copied as-is (no
+    * re-signing — the takedown protocol never touches stored rows) plus
+    * the tombstone set. q_dedup_delete serves incremental near-dup pairs
+    * from it: a fresh twin batch must pair only with LIVE stored docs —
+    * the twin of a taken-down doc finds nothing. */
+  def minhashTakedownStoreDir(spark: SparkSession, sfDir: String): String =
+    writeOnce(s"$Root/${key(sfDir)}/minhash_takedown_m7r2") { tmp =>
+      val base = minhashStoreDir(spark, sfDir)
+      spark.read.parquet(s"$base/sigs").write.parquet(s"$tmp/sigs")
+      spark.read.parquet(s"$base/banded").write.parquet(s"$tmp/banded")
+      graft.pipeline.Tombstones.appendDf(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id").where(col("doc_id") % 7 === 2), tmp)
+    }
+
   /** IVF index over the embeddings corpus plus TWO planted duplicates
     * per vector (twin +1e6, tritwin +2e6), with the twins of query ids
     * < 8 TOMBSTONED: identical vectors share every argmin (one cell)

@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Retrieval, Tombstones}
+import graft.pipeline.{Ann, Classifier, LangModel, Retrieval, Tombstones}
 
-/** Takedown (tombstone) discipline across the persisted stores:
-  * tombstone-only serving ≡ an index that never saw the docs, GC
-  * physically purges and clears, every intermediate crash state serves
-  * correctly, and the ANN planted contract flips twin → tritwin. */
+/** Takedown discipline across the persisted stores: tombstone-only
+  * serving ≡ an index that never saw the docs, GC physically purges and
+  * clears, every intermediate crash state serves correctly, the ANN
+  * planted contract flips twin → tritwin, a CDC feed maintains the
+  * index (upserts append, deletes tombstone), and count-model EXACT
+  * UNLEARNING is table-identical to retraining on train∖forget. */
 class TombstoneSpec extends SparkSpec {
   import spark.implicits._
 
@@ -106,6 +108,86 @@ class TombstoneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(tombed.contains("BroadcastHashJoin") && tombed.contains("LeftAnti"),
       s"takedown read must broadcast anti-join:\n$tombed")
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("NB unlearn is table-identical to retraining on train minus forget") {
+    // 'qux' appears ONLY in forget docs (vocab must shrink); label 'el'
+    // exists ONLY on a forget doc (the class must disappear entirely)
+    val train = Seq(
+      (0L, "en", "the cat sat"), (1L, "en", "the dog ran qux"),
+      (2L, "fr", "le chat qux qux"), (3L, "fr", "le chien"),
+      (4L, "el", "alpha beta"), (5L, "en", "a cat ran")
+    ).toDF("doc_id", "label", "text")
+    val forget = train.where(col("doc_id").isin(1L, 2L, 4L))
+    val unlearned = Classifier.unlearn(Classifier.train(train), forget)
+    val retrained = Classifier.train(
+      train.where(!col("doc_id").isin(1L, 2L, 4L)))
+    assert(sameRows(unlearned.counts, retrained.counts))
+    assert(sameRows(unlearned.classes, retrained.classes))
+    assert(sameRows(unlearned.stats, retrained.stats))
+    // and the scoring surface agrees on every doc
+    val probe = Seq((9L, "the cat qux"), (10L, "le chien beta"))
+      .toDF("doc_id", "text")
+    assert(sameRows(Classifier.classify(unlearned, probe),
+      Classifier.classify(retrained, probe)))
+  }
+
+  test("LM unlearn is table-identical to retraining on train minus forget") {
+    val train = Seq(
+      (0L, "a b c a b"), (1L, "b c d"), (2L, "zz only here zz"),
+      (3L, "c a b c")).toDF("doc_id", "text")
+    val forget = train.where(col("doc_id").isin(1L, 2L))
+    val unlearned = LangModel.unlearn(LangModel.train(train), forget)
+    val retrained = LangModel.train(train.where(!col("doc_id").isin(1L, 2L)))
+    assert(sameRows(unlearned.uni, retrained.uni))
+    assert(sameRows(unlearned.bi, retrained.bi))
+    assert(sameRows(unlearned.vocab, retrained.vocab))
+    val probe = Seq((9L, "a b zz c")).toDF("doc_id", "text")
+    assert(sameRows(LangModel.scoreNll(unlearned, probe),
+      LangModel.scoreNll(retrained, probe)))
+  }
+
+  test("CDC feed maintains the index: upserts append, deletes tombstone") {
+    val dir = s"${tmp("cdc")}/index"
+    // batch 0: docs 0-3 upserted
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") < 4), dir, batchId = 0)
+    // batch 1: docs 4-6 upserted, docs 1 and 2 deleted
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") >= 4), dir, batchId = 1)
+    Retrieval.tombstoneDocsDf(Seq(1L, 2L).toDF("doc_id"), dir)
+    val hits = Retrieval.phraseSearch(
+      Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 4L, 6L))
+  }
+
+  test("signature-store takedown removes a doc from candidate generation") {
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today"),
+      (1L, "completely different text about spark catalyst plans here"),
+      (2L, "unrelated third document mentioning tombstone discipline")
+    ).toDF("doc_id", "text")
+    val store = s"${tmp("sigstore")}/store"
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 64)
+    sigs.write.parquet(s"$store/sigs")
+    Dedup.bandedBucketsFromSignatures(sigs).write.parquet(s"$store/banded")
+    // a twin of doc 0 arrives; with doc 0 live it pairs at jaccard 1
+    val twin = corpus.where(col("doc_id") === 0L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val sigsNew = Dedup.minhashSignatures(twin, "text", "doc_id", 3, 64)
+    def pairs = Dedup.incrementalPairsFromSignatures(sigsNew,
+        Dedup.readSignatureStore(spark, store), jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L)))
+    // taken down: the stored partner is gone, the twin matches nothing
+    Dedup.tombstoneSignatures(spark, store, Seq(0L))
+    assert(pairs.isEmpty)
   }
 
   test("ANN takedown: rank-1 flips twin to tritwin, GC purges cells") {
