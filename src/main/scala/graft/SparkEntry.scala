@@ -1458,6 +1458,24 @@ object SparkEntry {
         Seq("table", "value"))
     }),
 
+    // ---- SNAPSHOT-PINNED serving: three append batches land in the
+    // store, but the read pins `as of batch 1` — batch 2's files are
+    // partition-pruned out of the plan, and BM25's N/avgdl/df are the
+    // snapshot's, not the store head's. The reproducibility contract a
+    // training run needs: pin the index state it saw, replay it after
+    // any number of later appends ----
+    "q_postings_asof" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("asof").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      (0 until 3).foreach(b =>
+        graft.pipeline.Retrieval.appendToPostingsIndexBatch(
+          d.where(col("doc_id") % 3 === b), s"$root/index", b))
+      graft.pipeline.Retrieval.bm25TopKFromIndex(
+        graft.pipeline.Retrieval.readPostingsIndexAsOf(s, s"$root/index", 1L),
+        graft.pipeline.Retrieval.readDocLengthsAsOf(s, s"$root/index", 1L),
+        Seq("the", "of", "data"), k = 20)
+    }),
+
     // ---- the composed TAKEDOWN pipeline — the round trip a real
     // leak response runs: (1) AUDIT: contamination attribution names
     // every train doc sharing ≥10% of an eval item's shingles
@@ -4811,6 +4829,12 @@ object SparkEntry {
     // the result set
     "q_bm25_delete" ->
       bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+
+    // snapshot-pinned serving: the as-of-batch-1 state is exactly the
+    // docs batches 0 and 1 carried (doc_id % 3 <> 2) — BM25 statistics
+    // included
+    "q_postings_asof" ->
+      bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 3 <> 2)"),
 
     // composed takedown pipeline: the live slice is "every doc the
     // attribution audit did NOT name" — same shingle/leak_bp derivation

@@ -282,6 +282,36 @@ object Retrieval {
   def tombstoneDocsDf(ids: DataFrame, dir: String): Unit =
     Tombstones.appendDf(ids, dir)
 
+  /** SNAPSHOT-PINNED read of a stream-maintained postings store (one
+    * built by [[appendToPostingsIndexBatch]], whose `batch=` partition
+    * column is the append history): only batches ≤ `maxBatch` are
+    * scanned (partition pruning — later batches' files are never
+    * listed into the plan), so a training run can pin the exact index
+    * state it was built against and reproduce it after any number of
+    * later appends. Deliberate asymmetry: TOMBSTONES STILL APPLY.
+    * A takedown is legal erasure, and a time-travel read that
+    * resurrected deleted docs would defeat it — so as-of pins the
+    * append history, never the delete history. */
+  def readPostingsIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatch: Long): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/postings")
+    require(stored.columns.contains("batch"),
+      s"readPostingsIndexAsOf: $dir is not batch-addressed (flat store)")
+    Tombstones.filterLive(stored.where(col("batch") <= maxBatch),
+      dir, "doc_id")
+  }
+
+  /** As-of twin of [[readDocLengths]] for batch-addressed stores —
+    * pins BM25's corpus statistics to the same snapshot. */
+  def readDocLengthsAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatch: Long): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/doclens")
+    require(stored.columns.contains("batch"),
+      s"readDocLengthsAsOf: $dir is not batch-addressed (flat store)")
+    Tombstones.filterLive(stored.where(col("batch") <= maxBatch),
+      dir, "doc_id")
+  }
+
   /** Compact a [[writePostingsIndex]] store in place: a long trickle of
     * single-file [[appendToPostingsIndex]] batches accumulates many
     * small files whose token ranges all overlap — every file survives

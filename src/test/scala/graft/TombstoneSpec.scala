@@ -166,6 +166,32 @@ class TombstoneSpec extends SparkSpec {
     assert(hits == Set(0L, 4L, 6L))
   }
 
+  test("as-of read pins the append history; tombstones still apply to it") {
+    val dir = s"${tmp("asof")}/index"
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") < 3), dir, batchId = 0)
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") >= 3), dir, batchId = 1)
+    def asOf0 = Retrieval.readPostingsIndexAsOf(spark, dir, 0L)
+    // batch 1's docs are invisible at the pinned snapshot
+    assert(asOf0.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // the pruning is PARTITION pruning: batch 1's files never enter the
+    // scan (0 of 2 partition dirs would show as a filter, not a prune)
+    val scanned = asOf0.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("batch=1"), s"batch 1 leaked into the scan")
+    // a takedown recorded AFTER the snapshot still erases from it —
+    // time travel must not resurrect deleted docs
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L))
+    assert(asOf0.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    // flat (non-batch-addressed) stores reject the as-of read loudly
+    val flat = s"${tmp("asof")}/flat"
+    Retrieval.writePostingsIndex(docsDf, flat)
+    intercept[IllegalArgumentException] {
+      Retrieval.readPostingsIndexAsOf(spark, flat, 0L)
+    }
+  }
+
   test("signature-store takedown removes a doc from candidate generation") {
     import graft.pipeline.Dedup
     val corpus = Seq(
