@@ -366,6 +366,27 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
     }),
 
+    // ---- Z-ORDER layout: rewrite lineitem clustered on the Morton
+    // key of (l_orderkey, l_partkey) — the multi-dimensional lake
+    // layout a 2-D box predicate prunes against (every file's footer
+    // range is tight in BOTH columns; LayoutSpec measures the file-skip
+    // vs a single-column sort). The query serves a box read from the
+    // rewritten layout; zkey re-derived per row proves the native
+    // codegen interleave bit-for-bit against DuckDB shift-mask math ----
+    "q_zorder_box" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("zorder").toString +
+        "/layout"
+      graft.pipeline.Layout.zorderWrite(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+        out, "l_orderkey", "l_partkey", numFiles = 8)
+      s.read.parquet(out)
+        .where(col("l_orderkey").between(100, 1200) &&
+          col("l_partkey").between(20, 150))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          graft.pipeline.Layout.zorderKey(
+            col("l_orderkey"), col("l_partkey")).as("zkey"))
+    }),
+
     // ---- engine query surface: TPC-H Q18 shape (large-volume orders) —
     // agg-then-semi-join: the qualifying key set comes out of a grouped
     // HAVING and re-joins the facts. AQE broadcasts the (small) qualifying
@@ -4010,6 +4031,16 @@ object SparkEntry {
         " FROM orders JOIN q ON o_orderkey = l_orderkey" +
         " JOIN customer ON o_custkey = c_custkey"),
 
+    // z-order box read: row-identical to the raw box filter (the layout
+    // rewrite moves bytes, never rows), zkey re-derived by the same
+    // shift-mask spread the native expression generates
+    "q_zorder_box" ->
+      ("SELECT l_orderkey, l_partkey, l_quantity," +
+        s" (${zorderSpreadSql("l_orderkey")}" +
+        s" + 2 * ${zorderSpreadSql("l_partkey")}) AS zkey" +
+        " FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1200" +
+        " AND l_partkey BETWEEN 20 AND 150"),
+
     "q_topk_orders" ->
       ("SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (SELECT o_custkey," +
         " o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey" +
@@ -5429,6 +5460,18 @@ object SparkEntry {
     * same alphabetical tie-break order and the same padded-split counting. */
   /** BM25 oracle (q_bm25 and its top-k): identical parenthesization per
     * factor; df/N/avgdl from one scalar row; per-term integer floors. */
+  /** Morton-spread of a BIGINT column as DuckDB SQL — the literal
+    * shift-mask cascade [[graft.functions.ZorderKey.spread]] runs, so
+    * the q_zorder_box oracle re-derives the native expression's key
+    * bit-for-bit (masks in decimal: 0x0000ffff0000ffff etc.). */
+  private def zorderSpreadSql(c: String): String = {
+    val s1 = s"((($c) | (($c) << 16)) & 281470681808895)"
+    val s2 = s"(($s1 | ($s1 << 8)) & 71777214294589695)"
+    val s3 = s"(($s2 | ($s2 << 4)) & 1085102592571150095)"
+    val s4 = s"(($s3 | ($s3 << 2)) & 3689348814741910323)"
+    s"(($s4 | ($s4 << 1)) & 6148914691236517205)"
+  }
+
   /** Parameterized BM25 scoring SQL for an arbitrary term list —
     * identical parenthesization per factor; df/N/avgdl from one scalar
     * row; per-term floor(score*1e4 + 1e-6) summed as integers. */

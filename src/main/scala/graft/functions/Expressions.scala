@@ -626,6 +626,72 @@ object CdcChunkExpr {
   }
 }
 
+/** Morton (Z-order) interleave of two LONG columns — native Catalyst
+  * expression with whole-stage codegen; the sort key behind
+  * [[graft.pipeline.Layout.zorderWrite]]'s multi-dimensional clustering.
+  *
+  * Why a custom Expression: a 2-D box predicate over a single-column
+  * sort prunes only that column's files; sorting by the bit-interleaved
+  * key clusters rows so EVERY file's (min, max) footer range is tight
+  * in BOTH dimensions — parquet row-group pruning then works for both
+  * predicates at once (the OPTIMIZE ZORDER idea, computed here as one
+  * codegen'd key, 10 shift-mask steps, no UDF in the layout scan).
+  *
+  * Inputs must be in [0, 2^31): curation-pipeline layout keys (ids,
+  * lengths, day numbers, bucketed ranks) are non-negative by
+  * construction, and an out-of-range value fails LOUDLY — silently
+  * masking bits would interleave a different number than the caller
+  * sorted by, which corrupts the layout invariant without any visible
+  * error. Reference analogue: the buffer's (scn, index) two-level key
+  * discipline (ScnIndex.java:94) — this is the lake-layout form.
+  */
+case class ZorderKey(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder_key requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZorderKey.key(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = ZorderKey.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.key($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZorderKey = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "zorder_key"
+}
+
+object ZorderKey {
+  /** Spread the low 31 bits of x to even bit positions (0,2,4,…,60). */
+  @inline def spread(x: Long): Long = {
+    var v = x
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** 62-bit Morton key: bit i of `a` → bit 2i, bit i of `b` → bit
+    * 2i+1. Total order on keys = Z-curve order on (a, b). */
+  def key(a: Long, b: Long): Long = {
+    if (a < 0L || a > 0x7fffffffL || b < 0L || b > 0x7fffffffL)
+      throw new IllegalArgumentException(
+        s"zorder_key: inputs must be in [0, 2^31), got ($a, $b)")
+    spread(a) | (spread(b) << 1)
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -658,6 +724,10 @@ object GraftFunctions {
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def zorder_key(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ZorderKey(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Register SQL functions on an existing session
     * (`SELECT fnv_hash64(col) ...`, `SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit = {
@@ -673,6 +743,8 @@ object GraftFunctions {
       "l2sq", exprs => L2SqDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_key", exprs => ZorderKey(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_hashes", buildKgram, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -772,6 +844,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CdcChunkExpr].getName, "cdc_chunks"),
       (exprs: Seq[Expression]) => GraftFunctions.buildCdc(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ZorderKey].getName, "zorder_key"),
+      (exprs: Seq[Expression]) => ZorderKey(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }
