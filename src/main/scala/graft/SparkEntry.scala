@@ -1021,6 +1021,19 @@ object SparkEntry {
           TF.qualityScore(col("text")).as("quality")),
         scoreCol = "quality", stratumCol = "lang", qBp = 5000)),
 
+    // ---- SKETCH quantile gate (the 100 TB scale path for the exact
+    // q_quality_quantile): per-stratum GK sketch in ONE mergeable hash
+    // aggregate — no sort anywhere — with the rank-error guarantee
+    // surfaced as a contract boolean (the HLL/LSH/IVF oracle
+    // discipline: the cutoff is merge-order-dependent, the BOUND is
+    // not; exact n per stratum plus uniformly-true within_bound) ----
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.pipeline.Weighting.quantileSketchContract(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality")),
+        scoreCol = "quality", stratumCol = "lang", qBp = 5000,
+        accuracy = 1000)),
+
     // ---- deterministic stratified sampling: per-language basis-point
     // rates over an integer-exact hash stream — map-only, resumable,
     // re-derivable in plain SQL (upsample en, downsample zh) ----
@@ -4620,6 +4633,13 @@ object SparkEntry {
         " ((rank() OVER (PARTITION BY lang ORDER BY quality) - 1) * 10000 >=" +
         " 5000 * count(*) OVER (PARTITION BY lang)) AS selected" +
         " FROM s"),
+
+    // sketch-quantile contract: exact per-stratum n plus the GK rank
+    // bound required to hold uniformly — the cutoff value itself is
+    // merge-order-dependent and never surfaces
+    "q_quantile_sketch" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n, true AS within_bound" +
+        " FROM documents GROUP BY lang"),
 
     // quality tertiles: same exact rank machinery, two cross-multiplied
     // band cuts → CASE labels

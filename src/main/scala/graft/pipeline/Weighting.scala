@@ -110,6 +110,63 @@ object Weighting {
         col("cnt_below") * 10000L >= lit(qBp.toLong) * col("n"))
   }
 
+  /** SKETCH-quantile threshold — the 100 TB scale path for the quality
+    * gate [[quantileThreshold]] serves exactly. The exact form pays a
+    * per-stratum SORT (the rank window); this form runs Spark's
+    * mergeable Greenwald-Khanna sketch (`percentile_approx`) as ONE
+    * hash aggregate — partials merge map-side, nothing corpus-sized
+    * shuffles, no sort anywhere — then broadcasts the per-stratum
+    * cutoffs back over the corpus.
+    *
+    * The price is a BOUNDED rank error: GK guarantees the returned
+    * cutoff's true rank is within n/accuracy of the target. Because the
+    * sketch's merge order is partition-order-dependent, the selected
+    * SET is not bit-stable across runs — so the operator surfaces the
+    * CONTRACT instead: [[quantileSketchContract]] recomputes each
+    * cutoff's true rank with one exact aggregate (a count, not a sort)
+    * and emits the per-stratum bound check the driver oracle pins. The
+    * established discipline for approximation operators here (HLL,
+    * LSH, IVF): deterministic ground truth + a guarantee boolean. */
+  def quantileSketchThreshold(df: DataFrame, scoreCol: String,
+      stratumCol: String, qBp: Int, accuracy: Int = 10000): DataFrame = {
+    require(qBp > 0 && qBp < 10000, s"qBp must be in (0,10000): $qBp")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val cuts = df.groupBy(col(stratumCol))
+      .agg(percentile_approx(col(scoreCol), lit(qBp / 10000.0),
+        lit(accuracy)).as("cutoff"))
+    df.join(broadcast(cuts), Seq(stratumCol))
+      .withColumn("selected", col(scoreCol) >= col("cutoff"))
+  }
+
+  /** The guarantee check for [[quantileSketchThreshold]]: per stratum,
+    * the returned cutoff VALUE must occupy a sorted position within
+    * n/accuracy (+1 integer slack) of the target rank qBp·n/10000 —
+    * under ties the value occupies the position RANGE
+    * (count_below, count_below + count_eq], so the check is that this
+    * range overlaps the tolerance band (the honest GK statement; a
+    * strict |count_below − target| test would false-alarm on coarse
+    * integer scores where one value carries many rows). Both counts
+    * are exact single-pass aggregates — no sort. Emits
+    * (stratum, n, within_bound); the boolean is the contract an oracle
+    * can require to be uniformly true even though the cutoff itself is
+    * merge-order-dependent. */
+  def quantileSketchContract(df: DataFrame, scoreCol: String,
+      stratumCol: String, qBp: Int, accuracy: Int = 10000): DataFrame = {
+    val gated = quantileSketchThreshold(df, scoreCol, stratumCol, qBp,
+      accuracy)
+    val eps = col("n") / lit(accuracy.toLong) + lit(1L)
+    val target = (lit(qBp.toLong) * col("n")) / lit(10000L)
+    gated.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(scoreCol) < col("cutoff"), 1L).otherwise(0L))
+          .as("below"),
+        sum(when(col(scoreCol) === col("cutoff"), 1L).otherwise(0L))
+          .as("ties"))
+      .select(col(stratumCol), col("n"),
+        (col("below") <= target + eps &&
+          col("below") + col("ties") >= target - eps).as("within_bound"))
+  }
+
   /** Per-stratum quantile BUCKET labels (the CCNet head/middle/tail
     * artifact): each row gets the label of the band its score's exact
     * per-stratum rank falls in. `cutsBp` are ascending basis-point

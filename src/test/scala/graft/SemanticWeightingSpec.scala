@@ -152,6 +152,34 @@ class SemanticWeightingSpec extends SparkSpec {
     assert(out(7L) === ((2L, 3L, true)))
   }
 
+  test("quantileSketchThreshold: bound holds, selection tracks exact, no sort") {
+    import graft.pipeline.Weighting
+    // 1000 distinct scores in one stratum + a coarse tied stratum
+    val df = ((1 to 1000).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1001 to 1100).map(i => (i.toLong, "b", (i % 3).toDouble)))
+      .toDF("doc_id", "lang", "score")
+    val contract = Weighting.quantileSketchContract(
+        df, "score", "lang", qBp = 5000, accuracy = 100)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(contract("a") == ((1000L, true)) && contract("b") == ((100L, true)))
+    // selection is within the rank tolerance of the exact gate: stratum
+    // a's exact median keeps 501; the sketch keeps 501 ± n/accuracy
+    val kept = Weighting.quantileSketchThreshold(
+        df.where(col("lang") === "a"), "score", "lang", qBp = 5000,
+        accuracy = 100)
+      .where(col("selected")).count()
+    assert(math.abs(kept - 501L) <= 1000L / 100L + 1L, s"kept $kept")
+    // the scale claim: the sketch path plans NO sort (one mergeable
+    // aggregate + broadcast join), unlike the exact window gate
+    val sketchPlan = Weighting.quantileSketchThreshold(
+      df, "score", "lang", qBp = 5000).queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("Sort"), s"sketch path must not sort:\n$sketchPlan")
+    val exactPlan = Weighting.quantileThreshold(df, "score", "lang", 5000)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Sort"))
+  }
+
   test("Pca.topComponent recovers a planted dominant direction") {
     // 200 vectors in R^4: component 2 has variance ~400, others ~1.
     // Deterministic fixture (no RNG): component j = ±small lattice noise.
