@@ -1492,6 +1492,38 @@ object SparkEntry {
         Seq("table", "value"))
     }),
 
+    // ---- STORE FSCK: every documented failure window of the store
+    // layout, planted and detected — a ghost doc indexed without norms
+    // (the two-commit crash window), a blind double-append (the retry
+    // hazard batch-addressed writes prevent), a corrupt position, a
+    // duplicated norm row, and a tombstone naming an id the store never
+    // held (the GC crash window — serving no-op, operator-visible).
+    // The healthy ANN fixture store audits to all-zero findings in the
+    // same pass. Oracle = the closed-form expected findings ----
+    "q_store_fsck" -> ((s, dir) => {
+      import s.implicits._
+      val idx = java.nio.file.Files.createTempDirectory("fsck").toString +
+        "/index"
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.pipeline.Retrieval.writePostingsIndex(d, idx)
+      Seq(("ghost", 900001L, 0L), ("bad", 1L, -1L))
+        .toDF("token", "doc_id", "pos")
+        .write.mode("append").parquet(s"$idx/postings")
+      graft.pipeline.Retrieval.positionalPostings(
+          d.where(col("doc_id") === 0L))
+        .write.mode("append").parquet(s"$idx/postings")
+      Seq((900003L, 5L)).toDF("doc_id", "dl")
+        .write.mode("append").parquet(s"$idx/doclens")
+      graft.pipeline.Retrieval.docLengths(d.where(col("doc_id") === 2L))
+        .write.mode("append").parquet(s"$idx/doclens")
+      graft.pipeline.Retrieval.tombstoneDocs(s, idx, Seq(999999L, 3L))
+      graft.pipeline.StoreFsck.postingsStore(s, idx)
+        .unionByName(graft.pipeline.StoreFsck.annStore(s,
+            graft.sources.WireFixtures.annIndexDir(s, dir))
+          .select(concat(lit("ann_"), col("check_name")).as("check_name"),
+            col("n_bad")))
+    }),
+
     // ---- SNAPSHOT-PINNED serving: three append batches land in the
     // store, but the read pins `as of batch 1` — batch 2's files are
     // partition-pruned out of the plan, and BM25's N/avgdl/df are the
@@ -4880,6 +4912,24 @@ object SparkEntry {
     // the result set
     "q_bm25_delete" ->
       bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
+
+    // store fsck: closed-form expected findings — each planted
+    // corruption counted exactly (the double-append contributes one
+    // duplicate group per posting row of doc 0, i.e. its token count),
+    // and the healthy ANN store audits to zeros
+    "q_store_fsck" ->
+      ("SELECT 'postings_without_doclens' AS check_name," +
+        " CAST(1 AS BIGINT) AS n_bad" +
+        " UNION ALL SELECT 'doclens_without_postings', 1" +
+        " UNION ALL SELECT 'duplicate_postings'," +
+        " (SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)" +
+        " FROM documents WHERE doc_id = 0)" +
+        " UNION ALL SELECT 'duplicate_doclens', 1" +
+        " UNION ALL SELECT 'negative_positions', 1" +
+        " UNION ALL SELECT 'tombstones_of_absent_ids', 1" +
+        " UNION ALL SELECT 'ann_cells_with_unknown_centroid', 0" +
+        " UNION ALL SELECT 'ann_vectors_in_multiple_cells', 0" +
+        " UNION ALL SELECT 'ann_duplicate_cell_rows', 0"),
 
     // snapshot-pinned serving: the as-of-batch-1 state is exactly the
     // docs batches 0 and 1 carried (doc_id % 3 <> 2) — BM25 statistics

@@ -216,6 +216,34 @@ class TombstoneSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("fsck: healthy stores audit to zero findings; planted ANN corruption detected") {
+    import graft.pipeline.{Ann, StoreFsck}
+    val pDir = s"${tmp("fsck")}/postings"
+    Retrieval.writePostingsIndex(docsDf, pDir)
+    val clean = StoreFsck.postingsStore(spark, pDir)
+      .as[(String, Long)].collect().toMap
+    assert(clean.size == 6 && clean.values.forall(_ == 0L), s"$clean")
+    // a tombstone of a REAL doc is not a finding (that's just a takedown)
+    Retrieval.tombstoneDocs(spark, pDir, Seq(1L))
+    assert(StoreFsck.postingsStore(spark, pDir)
+      .where(col("n_bad") > 0).isEmpty)
+
+    val aDir = s"${tmp("fsck")}/ann"
+    val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "vec")
+    Ann.writeIndex(vecs, aDir, k = 2, iters = 2)
+    assert(StoreFsck.annStore(spark, aDir)
+      .where(col("n_bad") > 0).isEmpty)
+    // plant: vector 0 also assigned to a cell the codebook doesn't have
+    spark.read.parquet(s"$aDir/cells").where(col("id") === 0L)
+      .withColumn("cell_id", lit(99L))
+      .write.mode("append").parquet(s"$aDir/cells")
+    val bad = StoreFsck.annStore(spark, aDir)
+      .as[(String, Long)].collect().toMap
+    assert(bad("cells_with_unknown_centroid") == 1L &&
+      bad("vectors_in_multiple_cells") == 1L &&
+      bad("duplicate_cell_rows") == 0L, s"$bad")
+  }
+
   test("ANN takedown: rank-1 flips twin to tritwin, GC purges cells") {
     // 4 base vectors, well separated; twin +100, tritwin +200 each
     val base = Seq(
