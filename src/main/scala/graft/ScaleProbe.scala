@@ -53,7 +53,8 @@ object ScaleProbe {
     "q_phrase_delete", "q_bm25_delete", "q_postings_gc",
     "q_index_cdc_stream", "q_nb_unlearn", "q_lm_unlearn",
     "q_dedup_delete", "q_pipeline_takedown", "q_postings_asof",
-    "q_zorder_box", "q_quantile_sketch", "q_store_fsck")
+    "q_zorder_box", "q_quantile_sketch", "q_store_fsck",
+    "q_ann_cdc_stream")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

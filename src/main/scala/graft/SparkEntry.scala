@@ -2711,6 +2711,62 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- ANN CDC feed: the vector store maintained from an
+    // UPSERT/DELETE change stream (q_index_cdc_stream's discipline on
+    // the IVF store): the first micro-batch BOOTSTRAPS the store
+    // (writeIndex trains the codebook on it), every later batch
+    // appends under the frozen codebook (O(batch)) and deletes append
+    // tombstones. Batch 1 carries base + twins, batch 2 upserts
+    // tritwins and takes down the twins of query ids < 8 — serving
+    // lands on the q_ann_delete planted contract: rank-1 is the twin
+    // where live, the tritwin where taken down (identical vectors share
+    // every argmin, so the later-arriving tritwin joins its family's
+    // cell whatever the codebook saw first) ----
+    "q_ann_cdc_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("anncdc").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      def drainOnce(): Unit = {
+        val q = s.readStream
+          .schema("opcode STRING, id LONG, vec ARRAY<FLOAT>")
+          .parquet(s"$root/feed")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
+            if (new java.io.File(s"$root/index/codebook").isDirectory)
+              Ann.appendToIndex(ups, s"$root/index")
+            else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3)
+            val dels = b.where(col("opcode") === "DELETE").select("id")
+            if (!dels.isEmpty)
+              Ann.tombstoneVectorsDf(dels, s"$root/index")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val up = lit("UPSERT")
+      all.select(up.as("opcode"), col("id"), col("vec"))
+        .unionByName(all.select(up.as("opcode"),
+          (col("id") + 1000000L).as("id"), col("vec")))
+        .coalesce(1).write.parquet(s"$root/feed")
+      drainOnce()
+      all.select(up.as("opcode"), (col("id") + 2000000L).as("id"), col("vec"))
+        .unionByName(all.where(col("id") < 8)
+          .select(lit("DELETE").as("opcode"),
+            (col("id") + 1000000L).as("id"),
+            lit(null).cast("array<float>").as("vec")))
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      drainOnce()
+      val tripled = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 2000000L).as("id"), col("vec")))
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), tripled,
+        s"$root/index", k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- multimodal: binary payload plumbing + magic-sniffing decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -4290,6 +4346,15 @@ object SparkEntry {
     // identically to the all-at-once index
     "q_ann_store_incr" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // ANN CDC feed: the stream-maintained store lands on the same
+    // planted takedown contract as q_ann_delete (identical vectors
+    // share every argmin, whichever batch trained the codebook)
+    "q_ann_cdc_stream" ->
+      ("SELECT vec_id AS query_id, CASE WHEN vec_id < 8" +
+        " THEN vec_id + 2000000 ELSE vec_id + 1000000 END AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 

@@ -341,6 +341,12 @@ object Ann {
       storeDir: String, ids: Seq[Long]): Unit =
     Tombstones.append(spark, storeDir, ids)
 
+  /** Bulk/streaming form of [[tombstoneVectors]]: `ids` is a one-column
+    * frame (e.g. the DELETE slice of a change-feed micro-batch —
+    * replay-safe by tombstone set semantics). */
+  def tombstoneVectorsDf(ids: org.apache.spark.sql.DataFrame,
+      storeDir: String): Unit = Tombstones.appendDf(ids, storeDir)
+
   /** Takedown GC for a [[writeIndex]] store: rewrite `cells/` without
     * the tombstoned rows (clustered by cell_id, so the serving scan's
     * cell probe keeps its pruning) and clear the tombstone set LAST —
