@@ -25,7 +25,13 @@ object ColdProbe {
     "winnow_fp_k8w8" -> "q_winnow_incr",
     "cdc_chunks_k8d32" -> "q_cdc_incr",
     "image_sigs_dhash9x8" -> "q_image_incr",
-    "lm_bigram_t80" -> "q_lm_store")
+    "lm_bigram_t80" -> "q_lm_store",
+    // takedown stores: cold = index build + tombstone write + first
+    // tombstone-filtered serve — the fresh-deployment path of the
+    // takedown wave
+    "postings_takedown_m7r2" -> "q_phrase_delete",
+    "ann_takedown_k8i3" -> "q_ann_delete",
+    "minhash_takedown_m7r2" -> "q_dedup_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
