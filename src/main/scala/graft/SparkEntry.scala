@@ -1517,7 +1517,12 @@ object SparkEntry {
       graft.pipeline.Retrieval.docLengths(d.where(col("doc_id") === 2L))
         .write.mode("append").parquet(s"$idx/doclens")
       graft.pipeline.Retrieval.tombstoneDocs(s, idx, Seq(999999L, 3L))
+      // crashed-maintenance leftovers: a compaction tmp that never
+      // swapped in and a backup that never got deleted
+      new java.io.File(s"$idx/postings.compact.12345").mkdirs()
+      new java.io.File(s"$idx/doclens.old.12345").mkdirs()
       graft.pipeline.StoreFsck.postingsStore(s, idx)
+        .unionByName(graft.pipeline.StoreFsck.layoutArtifacts(s, idx))
         .unionByName(graft.pipeline.StoreFsck.annStore(s,
             graft.sources.WireFixtures.annIndexDir(s, dir))
           .select(concat(lit("ann_"), col("check_name")).as("check_name"),
@@ -4992,6 +4997,8 @@ object SparkEntry {
         " UNION ALL SELECT 'duplicate_doclens', 1" +
         " UNION ALL SELECT 'negative_positions', 1" +
         " UNION ALL SELECT 'tombstones_of_absent_ids', 1" +
+        " UNION ALL SELECT 'orphan_compact_tmp_dirs', 1" +
+        " UNION ALL SELECT 'orphan_backup_dirs', 1" +
         " UNION ALL SELECT 'ann_cells_with_unknown_centroid', 0" +
         " UNION ALL SELECT 'ann_vectors_in_multiple_cells', 0" +
         " UNION ALL SELECT 'ann_duplicate_cell_rows', 0"),

@@ -65,6 +65,28 @@ object StoreFsck {
         tomb.join(dDocs, Seq("doc_id"), "left_anti")))
   }
 
+  /** Filesystem-level layout artifacts a crashed maintenance pass
+    * leaves behind: `<table>.compact.<pid>` (compaction wrote its tmp,
+    * crashed before the swap — dead bytes, safe to delete) and
+    * `<table>.old.<pid>` (crashed between promote and backup delete —
+    * the swap SUCCEEDED, the backup is reclaimable space; if the live
+    * table is also missing, the crash hit between displace and
+    * promote, and recovery is renaming the backup back). One directory
+    * listing — store roots hold a handful of entries; this check runs
+    * even on a store whose tables no longer read. */
+  def layoutArtifacts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Option(new java.io.File(dir).listFiles)
+      .map(_.toSeq.filter(_.isDirectory).map(_.getName))
+      .getOrElse(Seq.empty)
+    Seq(
+      ("orphan_compact_tmp_dirs",
+        names.count(_.matches(".*\\.compact\\.\\d+$")).toLong),
+      ("orphan_backup_dirs",
+        names.count(_.matches(".*\\.old\\.\\d+$")).toLong))
+      .toDF("check_name", "n_bad")
+  }
+
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */
   def annStore(spark: SparkSession, dir: String): DataFrame = {
     val cells = spark.read.parquet(s"$dir/cells")

@@ -227,6 +227,15 @@ class TombstoneSpec extends SparkSpec {
     Retrieval.tombstoneDocs(spark, pDir, Seq(1L))
     assert(StoreFsck.postingsStore(spark, pDir)
       .where(col("n_bad") > 0).isEmpty)
+    // crashed-maintenance artifacts: clean store has none; a leftover
+    // compaction tmp is detected and the check runs without reading
+    // any table (it must survive a store whose tables no longer read)
+    assert(StoreFsck.layoutArtifacts(spark, pDir)
+      .where(col("n_bad") > 0).isEmpty)
+    new java.io.File(s"$pDir/postings.compact.42").mkdirs()
+    assert(StoreFsck.layoutArtifacts(spark, pDir)
+      .as[(String, Long)].collect().toMap
+      .apply("orphan_compact_tmp_dirs") == 1L)
 
     val aDir = s"${tmp("fsck")}/ann"
     val vecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "vec")
