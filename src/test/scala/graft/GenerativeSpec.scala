@@ -904,6 +904,78 @@ class GenerativeSpec extends SparkSpec {
       }
     }
   }
+
+  test("unlearn ≡ retrain for random corpora and random forget subsets") {
+    // the exact-unlearning claim, corpus-independently: for ANY training
+    // set and ANY forget subset (including empty, a whole class, and a
+    // token's last occurrences), count subtraction lands on the
+    // retrained tables row-for-row
+    import graft.pipeline.{Classifier, LangModel}
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val genSeed: Gen[Long] = Gen.choose(0L, Long.MaxValue)
+    samples(genSeed).take(4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(25)(i => s"t$i")
+      val labels = Vector("en", "fr", "de")
+      val corpus = (0L until 30L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, labels(rnd.nextInt(labels.size)),
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val train = corpus.toDF("doc_id", "label", "text")
+      val forgetIds = corpus.map(_._1).filter(_ => rnd.nextInt(3) == 0).toSet
+      val forget = train.where(col("doc_id").isin(forgetIds.toSeq: _*))
+      val keep = train.where(!col("doc_id").isin(forgetIds.toSeq: _*))
+
+      val nbU = Classifier.unlearn(Classifier.train(train), forget)
+      val nbR = Classifier.train(keep)
+      assert(same(nbU.counts, nbR.counts) && same(nbU.classes, nbR.classes)
+        && same(nbU.stats, nbR.stats), s"NB unlearn≠retrain at seed $seed")
+
+      val lmU = LangModel.unlearn(
+        LangModel.train(train.select("doc_id", "text")),
+        forget.select("doc_id", "text"))
+      val lmR = LangModel.train(keep.select("doc_id", "text"))
+      assert(same(lmU.uni, lmR.uni) && same(lmU.bi, lmR.bi)
+        && same(lmU.vocab, lmR.vocab), s"LM unlearn≠retrain at seed $seed")
+    }
+  }
+
+  test("CDC-maintained postings store ≡ rebuild over net live docs") {
+    // for ANY batch split and ANY delete subset of already-indexed
+    // docs, the stream-maintained store's live rows equal an index
+    // built from scratch on the surviving docs
+    import graft.pipeline.Retrieval
+    val genSeed: Gen[Long] = Gen.choose(0L, Long.MaxValue)
+    samples(genSeed).take(4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(15)(i => s"w$i")
+      val corpus = (0L until 24L).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val all = corpus.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("gencdc").toString +
+        "/index"
+      val nBatches = 2 + rnd.nextInt(2)
+      (0 until nBatches).foreach(b =>
+        Retrieval.appendToPostingsIndexBatch(
+          all.where(col("doc_id") % nBatches === b), dir, b))
+      val dels = corpus.map(_._1).filter(_ => rnd.nextInt(4) == 0)
+      if (dels.nonEmpty) Retrieval.tombstoneDocs(spark, dir, dels)
+      val live = all.where(!col("doc_id").isin(dels: _*))
+      val got = Retrieval.readPostingsIndex(spark, dir)
+        .select("token", "doc_id", "pos")
+      val want = Retrieval.positionalPostings(live)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"postings≠rebuild at seed $seed")
+      val gotDl = Retrieval.readDocLengths(spark, dir).select("doc_id", "dl")
+      val wantDl = Retrieval.docLengths(live)
+      assert(gotDl.exceptAll(wantDl).isEmpty &&
+        wantDl.exceptAll(gotDl).isEmpty, s"doclens≠rebuild at seed $seed")
+    }
+  }
 }
 
 object GenerativeSpec {
