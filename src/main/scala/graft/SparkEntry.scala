@@ -722,8 +722,15 @@ object SparkEntry {
       val fresh = old.where(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val sigsNew = Dedup.minhashSignatures(fresh, "text", "doc_id", 3, 64)
-      val cand = Dedup.incrementalPairsFromSignatures(sigsNew,
-        Dedup.readSignatureStore(s, store), jaccardThreshold = 0.5)
+      // the store-protocol shape: the increment bands only itself, the
+      // stored side serves its PERSISTED banded table (live rows only —
+      // the takedown filter applies at candidate generation), and the
+      // estimate joins signatures for candidate ids alone
+      val bNew = Dedup.bandedBucketsFromSignatures(sigsNew)
+      val cand = Dedup.incrementalPairsFromBanded(bNew,
+        Dedup.readBandedStore(s, store).unionByName(bNew),
+        Dedup.readSignatureStore(s, store).unionByName(sigsNew),
+        jaccardThreshold = 0.5)
       Dedup.ngramJaccardVerify(old.unionByName(fresh),
           cand.select("id_a", "id_b"))
         .where(col("jaccard") >= 0.8)

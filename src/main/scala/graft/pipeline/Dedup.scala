@@ -404,6 +404,21 @@ object Dedup {
     bandedBuckets(sigs, bands, k / bands)
   }
 
+  /** Full persisted-store increment path: candidates from the new
+    * batch's banded rows against the stored BANDED table (the increment
+    * bands only itself — the stored side is never re-run through the
+    * banding kernel, honoring the store protocol's contract), then the
+    * signature-match estimate over candidate ids only. `sigsAll` must
+    * cover both pair endpoints (stored live ∪ new); its scan is
+    * id-keyed and candidate-bounded. This is the form a takedown-aware
+    * store serves: pass [[readBandedStore]] / [[readSignatureStore]]
+    * and deleted docs leave candidate generation entirely. */
+  def incrementalPairsFromBanded(bandedNew: DataFrame, bandedAll: DataFrame,
+      sigsAll: DataFrame, k: Int = 64,
+      jaccardThreshold: Double = 0.5): DataFrame =
+    estimatePairs(incrementalCandidatesFromBanded(bandedNew, bandedAll),
+      sigsAll, k, jaccardThreshold)
+
   /** The LIVE signature rows of a persisted signature store (the
     * `sigs/` table of the minhash-store layout): stored rows minus any
     * [[tombstoneSignatures]] takedowns — the [[Tombstones]] discipline

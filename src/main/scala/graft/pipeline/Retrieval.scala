@@ -332,6 +332,18 @@ object Retrieval {
     * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 4): Unit = {
+    // Batch-addressed (stream-maintained) stores are REJECTED: their
+    // batch= partition layout IS the append history as-of reads pin —
+    // an in-place rewrite would either destroy it or leave the mixed
+    // flat-plus-batch layout partition discovery rejects. Their
+    // maintenance op is store ROTATION: writePostingsIndex of the live
+    // rows to a fresh root, swap the serving pointer, retire the old
+    // root (snapshot rotation — the same discipline as a codebook
+    // retrain). Loud here beats corrupt-on-next-append.
+    require(!spark.read.parquet(s"$dir/postings").columns.contains("batch"),
+      s"compactPostingsIndex: $dir is batch-addressed (stream-maintained)" +
+        " — compaction would destroy the append history as-of reads pin;" +
+        " rotate the store (writePostingsIndex to a new root) instead")
     require(numFiles > 0, s"compactPostingsIndex: numFiles $numFiles")
     def swapIn(sub: String)(write: String => Unit): Unit = {
       val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"

@@ -46,12 +46,19 @@ object Tombstones {
 
   /** Bulk takedown: `ids` must carry exactly one LONG-castable column
     * (any name). One narrow file per request keeps the set
-    * one-listing-cheap until GC. */
+    * one-listing-cheap until GC. A value that does not cast (or a null)
+    * FAILS the request loudly — a silently-null tombstone would record
+    * the legal-erasure request as a no-op (anti-joins never match null)
+    * while the caller believes it succeeded; the extra request-sized
+    * check job is the price of that guarantee. */
   def appendDf(ids: DataFrame, storeDir: String): Unit = {
     require(ids.columns.length == 1,
       s"Tombstones.appendDf: one id column expected, got ${ids.columns.toSeq}")
-    ids.select(col(ids.columns.head).cast("long").as("id"))
-      .coalesce(1).write.mode("append").parquet(dirOf(storeDir))
+    val cast = ids.select(col(ids.columns.head).cast("long").as("id"))
+    require(cast.where(col("id").isNull).isEmpty,
+      "Tombstones.appendDf: null or non-LONG-castable ids — the takedown" +
+        " would silently never match; fix the id column before recording")
+    cast.coalesce(1).write.mode("append").parquet(dirOf(storeDir))
   }
 
   /** The store's tombstone set, or None when no takedown was ever

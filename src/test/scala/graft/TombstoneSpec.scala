@@ -58,6 +58,25 @@ class TombstoneSpec extends SparkSpec {
     assert(hits == Set(0L, 2L, 6L))
   }
 
+  test("non-castable takedown ids fail loudly; batch stores refuse compaction") {
+    val dir = s"${tmp("tomb")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    // a null tombstone would anti-join nothing — the takedown must not
+    // be recordable as a silent no-op
+    intercept[IllegalArgumentException] {
+      Tombstones.appendDf(Seq("doc-42").toDF("doc_id"), dir)
+    }
+    assert(Tombstones.readOpt(spark, dir).isEmpty)
+    // batch-addressed stores: in-place compaction would destroy the
+    // append history as-of reads pin (and corrupt the layout for the
+    // next append) — rotation is their maintenance op
+    val streamDir = s"${tmp("tomb")}/stream"
+    Retrieval.appendToPostingsIndexBatch(docsDf, streamDir, batchId = 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.compactPostingsIndex(spark, streamDir)
+    }
+  }
+
   test("duplicate tombstone appends are idempotent (semantic set)") {
     val dir = s"${tmp("tomb")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
