@@ -56,10 +56,21 @@ object ColdProbe {
 
     println(f"${"family"}%-22s ${"cold(build+serve)"}%18s ${"warm"}%8s")
     Families.foreach { case (suffix, q) =>
-      val storeDir = new java.io.File(
-        graft.sources.WireFixtures.storePath(sfDir, suffix))
-      if (storeDir.isDirectory)
-        org.apache.commons.io.FileUtils.deleteDirectory(storeDir)
+      val storeDir = graft.sources.WireFixtures.storePath(sfDir, suffix)
+      // Demote-then-delete under the SAME ProcessLock writeOnce's
+      // promotion protocol uses ("a promoted dir is never deleted"):
+      // the _SUCCESS marker drops first, so a concurrent builder
+      // waiting on the lock sees an unpromoted partial and rebuilds
+      // rather than reading a dir mid-delete or re-promoting over it.
+      // (A reader already PAST writeOnce can still race the delete —
+      // the probe assumes no concurrent servers, which is its dev-only
+      // contract; the lock closes the builder race, the real one.)
+      graft.sources.ProcessLock.exclusive(s"$storeDir.lock") {
+        if (graft.pipeline.StoreFs.isDirectory(storeDir)) {
+          graft.pipeline.StoreFs.deleteRecursive(s"$storeDir/_SUCCESS")
+          graft.pipeline.StoreFs.deleteRecursive(storeDir)
+        }
+      }
       graft.pipeline.PlanCache.clear()
       val cold = run(q, sfDir)
       val warm = run(q, sfDir)

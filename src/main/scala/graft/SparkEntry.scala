@@ -387,6 +387,32 @@ object SparkEntry {
             col("l_orderkey"), col("l_partkey")).as("zkey"))
     }),
 
+    // ---- 3-D Z-ORDER layout: lineitem clustered on the Morton key of
+    // (l_partkey, l_suppkey, ship-day) — part × supplier × time, the
+    // box shape a lake tables' OPTIMIZE ZORDER actually uses. 21-bit
+    // budget per dim (loud overflow); the 3-predicate box serves from
+    // the rewritten layout and the key re-derivation proves the native
+    // 3-way interleave bit-for-bit against DuckDB shift-mask math ----
+    "q_zorder_box3" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("zorder3").toString +
+        "/layout"
+      val src = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("ship_day"),
+          col("l_quantity"))
+      graft.pipeline.Layout.zorderWriteN(src, out,
+        Seq("l_partkey", "l_suppkey", "ship_day"), numFiles = 8)
+      s.read.parquet(out)
+        .where(col("l_partkey").between(20, 150) &&
+          col("l_suppkey").between(2, 60) &&
+          col("ship_day").between(400, 1400))
+        .select(col("l_partkey"), col("l_suppkey"), col("ship_day"),
+          col("l_quantity"),
+          graft.pipeline.Layout.zorderKeyN(col("l_partkey"),
+            col("l_suppkey"), col("ship_day")).as("zkey3"))
+    }),
+
     // ---- engine query surface: TPC-H Q18 shape (large-volume orders) —
     // agg-then-semi-join: the qualifying key set comes out of a grouped
     // HAVING and re-joins the facts. AQE broadcasts the (small) qualifying
@@ -771,7 +797,7 @@ object SparkEntry {
       // frames), so signatures are the only store the protocol appends
       // to; before the first append the overlay is simply absent
       def overlaySigs() =
-        if (new java.io.File(s"$over/sigs").isDirectory)
+        if (graft.pipeline.StoreFs.isDirectory(s"$over/sigs"))
           s.read.parquet(s"$over/sigs")
         else s.read.parquet(s"$store/sigs").limit(0)
       val corpusText = old.unionByName(
@@ -1040,6 +1066,39 @@ object SparkEntry {
           TF.qualityScore(col("text")).as("quality")),
         scoreCol = "quality", stratumCol = "lang", qBp = 5000,
         accuracy = 1000)),
+
+    // ---- PERSISTED quantile-sketch store: per-trigger histogram
+    // partials (O(batch + buckets) each, batch-addressed overwrite →
+    // replay-safe) merge at serve into per-lang median cutoffs that are
+    // BIT-REPRODUCIBLE (histogram merge is sum — order-free, unlike
+    // GK), then gate the corpus through one broadcast join. The rollup
+    // compaction runs mid-query (reserved batch=-1, atomic swap) and
+    // must not change a single served row ----
+    "q_quantile_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("qstore").toString
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        floor(TF.qualityScore(col("text")) * 10000.0 + lit(1e-6))
+          .cast("long").as("q_e4"))
+      scored.where(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$root/in")
+      scored.where(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      val q = s.readStream.schema("doc_id LONG, lang STRING, q_e4 LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.pipeline.QuantileStore.appendBatch(b, s"$root/sketch",
+            batchId, "q_e4", "lang", bucketWidth = 50L)
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.QuantileStore.compact(s, s"$root/sketch")
+      graft.pipeline.QuantileStore.gateFromStore(scored, s"$root/sketch",
+        "q_e4", "lang", qBp = 5000, bucketWidth = 50L)
+    }),
 
     // ---- deterministic stratified sampling: per-language basis-point
     // rates over an integer-exact hash stream — map-only, resumable,
@@ -1383,6 +1442,38 @@ object SparkEntry {
       graft.pipeline.Retrieval.rrfFuse(Seq(textRank, vecRank), topK = 10)
     }),
 
+    // ---- STORE-SERVED hybrid retrieval: the same RRF fusion with both
+    // legs reading MAINTAINED INDEXES, never sources — the high-QPS
+    // twin of q_hybrid_rrf (which stays the exactness oracle for the
+    // fusion algebra over scan-path legs). Lexical leg: BM25 top-20
+    // from the postings store (token-pruned scan, bit-identical to the
+    // corpus-scan path by q_bm25_index's contract). Semantic leg: each
+    // query id < 15 probes the persisted IVF store and its planted
+    // rank-1 twin (cosine 1.0 — deterministic under any codebook, the
+    // q_ann_store contract) forms the related-docs ranking ordered by
+    // query id. Document text is never read and only the probed cells'
+    // int8 rows are scanned — PlansSpec holds both. Reference
+    // analogue: serving reads the maintained index, never the source
+    // (databus-core/.../ScnIndex.java:623 skip-scan) ----
+    "q_hybrid_rrf_store" -> ((s, dir) => {
+      val R = graft.pipeline.Retrieval
+      val pstore = graft.sources.WireFixtures.postingsStoreDir(s, dir)
+      val textRank = R.bm25TopKFromIndex(
+        R.readPostingsIndex(s, pstore), R.readDocLengths(s, pstore),
+        Seq("the", "of", "data"), k = 20).select("doc_id", "rank")
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val vecRank = Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15),
+          withTwins, graft.sources.WireFixtures.annIndexDir(s, dir), k = 5)
+        .where(col("rank") === 1)
+        .select(col("neighbor_id").as("doc_id"),
+          row_number().over(Window.orderBy(col("query_id")))
+            .cast("long").as("rank"))
+      R.rrfFuse(Seq(textRank, vecRank), topK = 10)
+    }),
+
     // ---- BATCH phrase suite: every phrase answered by ONE pass over
     // the union of the suite's token postings (vs a per-phrase rescan);
     // single-token and multi-token phrases share the voting frame ----
@@ -1499,6 +1590,92 @@ object SparkEntry {
         Seq("table", "value"))
     }),
 
+    // ---- STREAMING takedown: DELETE opcodes arrive on a checkpointed
+    // CDC feed and the first-class Tombstones.takedownStream sink
+    // routes them into the store's tombstone set per micro-batch —
+    // replay-safe with NO batch addressing because the tombstone set is
+    // a semantic set (re-appending ids changes nothing an anti-join
+    // observes). Two drains (the second feed file lands after the first
+    // drain checkpointed) prove resume; serving afterwards is identical
+    // to an index that never saw the deleted docs ----
+    "q_takedown_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("tdstream").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
+      def feed(m: Long, mode: String): Unit =
+        d.select(lit("DELETE").as("opcode"), col("doc_id").as("id"))
+          .where(col("id") % 9 === m)
+          .coalesce(1).write.mode(mode).parquet(s"$root/feed")
+      def drainOnce(): Unit =
+        graft.pipeline.Tombstones.takedownStream(
+          s.readStream.schema("opcode STRING, id LONG")
+            .parquet(s"$root/feed"),
+          s"$root/index", s"$root/cp").awaitTermination()
+      feed(4L, "overwrite"); drainOnce()
+      feed(7L, "append"); drainOnce()
+      graft.pipeline.Retrieval.phraseSearch(
+        graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
+        Seq("table", "value"))
+    }),
+
+    // ---- STREAMING exact unlearning (NB): forget rows ride a DELETE
+    // feed; each micro-batch lands in the batch-addressed FORGET LOG
+    // (overwrite per batch=<id> — subtraction is NOT idempotent, so
+    // replay safety comes from batch addressing, not set semantics),
+    // and serving composes unlearn(model, log) lazily — row-identical
+    // to retraining on train ∖ forgotten (q_nb_unlearn's oracle,
+    // reused verbatim) ----
+    "q_nb_unlearn_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("nbforget").toString
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      val model = graft.pipeline.Classifier.train(train, labelCol = "lang")
+      train.where(col("doc_id") % 6 === 1)
+        .coalesce(1).write.parquet(s"$root/feed")
+      val q = s.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/feed")
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.pipeline.ForgetLog.appendBatch(b, s"$root/forget", batchId)
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val unlearned = graft.pipeline.ForgetLog.readOpt(s, s"$root/forget")
+        .map(log => graft.pipeline.Classifier.unlearn(model, log,
+          labelCol = "lang"))
+        .getOrElse(model)
+      graft.pipeline.Classifier.classify(unlearned, d)
+    }),
+
+    // ---- STREAMING exact unlearning (bigram LM): same forget-log
+    // protocol, scored over the full corpus — q_lm_unlearn's oracle ----
+    "q_lm_unlearn_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("lmforget").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      val model = graft.pipeline.LangModel.train(train)
+      train.where(col("doc_id") % 6 === 1)
+        .coalesce(1).write.parquet(s"$root/feed")
+      val q = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/feed")
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.pipeline.ForgetLog.appendBatch(b, s"$root/forget", batchId)
+        }
+        .option("checkpointLocation", s"$root/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val unlearned = graft.pipeline.ForgetLog.readOpt(s, s"$root/forget")
+        .map(graft.pipeline.LangModel.unlearn(model, _))
+        .getOrElse(model)
+      graft.pipeline.LangModel.scoreNll(unlearned, d)
+    }),
+
     // ---- STORE FSCK: every documented failure window of the store
     // layout, planted and detected — a ghost doc indexed without norms
     // (the two-commit crash window), a blind double-append (the retry
@@ -1526,14 +1703,41 @@ object SparkEntry {
       graft.pipeline.Retrieval.tombstoneDocs(s, idx, Seq(999999L, 3L))
       // crashed-maintenance leftovers: a compaction tmp that never
       // swapped in and a backup that never got deleted
-      new java.io.File(s"$idx/postings.compact.12345").mkdirs()
-      new java.io.File(s"$idx/doclens.old.12345").mkdirs()
+      graft.pipeline.StoreFs.mkdirs(s"$idx/postings.compact.12345")
+      graft.pipeline.StoreFs.mkdirs(s"$idx/doclens.old.12345")
       graft.pipeline.StoreFsck.postingsStore(s, idx)
         .unionByName(graft.pipeline.StoreFsck.layoutArtifacts(s, idx))
         .unionByName(graft.pipeline.StoreFsck.annStore(s,
             graft.sources.WireFixtures.annIndexDir(s, dir))
           .select(concat(lit("ann_"), col("check_name")).as("check_name"),
             col("n_bad")))
+    }),
+
+    // ---- fsck COVERAGE for the remaining store families: the healthy
+    // fixture stores (NB model, bigram-LM model, minhash signature)
+    // plus a just-built batch-partial sketch store audit to ALL-ZERO
+    // findings in one pass — the operational baseline every deployment
+    // pins before trusting a store; injected-corruption detection per
+    // family is spec-side (StoreFsckSpec) ----
+    "q_store_fsck_models" -> ((s, dir) => {
+      val F = graft.pipeline.StoreFsck
+      val W = graft.sources.WireFixtures
+      def pfx(p: String, df: DataFrame) =
+        df.select(concat(lit(p), col("check_name")).as("check_name"),
+          col("n_bad"))
+      val dfDir = java.nio.file.Files.createTempDirectory("fsckdf")
+        .toString + "/sketch"
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"))
+      graft.pipeline.QuantileStore.appendBatch(
+        scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang", 50L)
+      graft.pipeline.QuantileStore.appendBatch(
+        scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang", 50L)
+      pfx("nb_", F.nbModelStore(s, W.nbModelDir(s, dir)))
+        .unionByName(pfx("lm_", F.lmModelStore(s, W.lmModelDir(s, dir))))
+        .unionByName(pfx("mh_", F.minhashStore(s, W.minhashStoreDir(s, dir))))
+        .unionByName(pfx("df_", F.batchPartialStore(s, dfDir,
+          Seq("stratum", "bucket"), "cnt")))
     }),
 
     // ---- SNAPSHOT-PINNED serving: three append batches land in the
@@ -1677,12 +1881,14 @@ object SparkEntry {
       val scored = d.join(dsirKeep, "doc_id")
         .select(col("doc_id"), col("lang"), col("text"),
           TF.qualityScore(col("text")).as("quality"))
-      // the quantile gate carries text THROUGH its stratum window
-      // (quantileThresholdKeeping) so the budget-mix stage — windowed on
-      // the same key — reuses the exchange and the id-keyed re-attach
-      // join the earlier form paid is gone: one shuffle serves both
-      // window stages (PlansSpec pins the single exchange)
-      val afterQual = W.quantileThresholdKeeping(scored,
+      // the quantile gate's rank is FOLDED INTO THE STRATUM AGGREGATE
+      // (quantileSelectByValue): selection is value-determined, so the
+      // cutoff derives from a narrow (lang, quality) count table and
+      // broadcasts back — the corpus text rows never sort and never
+      // shuffle for the gate. The only corpus exchange in the whole
+      // pipeline is the budget-mix window's (PlansSpec pins it: one
+      // text-carrying exchange, everything else narrow)
+      val afterQual = W.quantileSelectByValue(scored,
           scoreCol = "quality", stratumCol = "lang", qBp = 2500)
         .where(col("selected"))
       graft.pipeline.Sampling.mixToBudget(
@@ -2745,7 +2951,7 @@ object SparkEntry {
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
             val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
-            if (new java.io.File(s"$root/index/codebook").isDirectory)
+            if (graft.pipeline.StoreFs.isDirectory(s"$root/index/codebook"))
               Ann.appendToIndex(ups, s"$root/index")
             else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3)
             val dels = b.where(col("opcode") === "DELETE").select("id")
@@ -2955,7 +3161,7 @@ object SparkEntry {
       val store = graft.sources.WireFixtures.imageSigStoreDir(s, dir)
       val over = s"$root/overlay"
       def overlaySigs() =
-        if (new java.io.File(s"$over/sigs").isDirectory)
+        if (graft.pipeline.StoreFs.isDirectory(s"$over/sigs"))
           s.read.parquet(s"$over/sigs")
         else s.read.parquet(store).limit(0)
       val stream = s.readStream
@@ -4154,6 +4360,21 @@ object SparkEntry {
         " FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1200" +
         " AND l_partkey BETWEEN 20 AND 150"),
 
+    // 3-D layout box: the 3-way interleave re-derived by the stride-3
+    // shift-mask cascade over (part, supplier, ship-day)
+    "q_zorder_box3" ->
+      ("SELECT l_partkey, l_suppkey, ship_day, l_quantity," +
+        s" (${zorderSpread3Sql("l_partkey")}" +
+        s" + 2 * ${zorderSpread3Sql("l_suppkey")}" +
+        s" + 4 * ${zorderSpread3Sql("ship_day")}) AS zkey3" +
+        " FROM (SELECT l_partkey, l_suppkey," +
+        " CAST(date_diff('day', DATE '1992-01-01'," +
+        " CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day, l_quantity" +
+        " FROM lineitem)" +
+        " WHERE l_partkey BETWEEN 20 AND 150" +
+        " AND l_suppkey BETWEEN 2 AND 60" +
+        " AND ship_day BETWEEN 400 AND 1400"),
+
     "q_topk_orders" ->
       ("SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (SELECT o_custkey," +
         " o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey" +
@@ -4750,6 +4971,24 @@ object SparkEntry {
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n, true AS within_bound" +
         " FROM documents GROUP BY lang"),
 
+    // persisted histogram-sketch gate: the merged-store cutoff is
+    // bit-reproducible (sum-merge), so the oracle re-derives the FULL
+    // per-doc gate — bucket counts, cumulative cross-multiplied
+    // boundary, lower-bound cutoff — not just a contract boolean
+    "q_quantile_stream" ->
+      (s"WITH s AS (SELECT doc_id, lang," +
+        s" CAST(floor(round($qualityExprSql, 6) * 10000.0 + 1e-6) AS BIGINT)" +
+        " AS q_e4 FROM documents)," +
+        " b AS (SELECT lang, q_e4 // 50 AS bucket, count(*) AS cnt" +
+        " FROM s GROUP BY 1, 2)," +
+        " c AS (SELECT lang, bucket, cnt," +
+        " sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum," +
+        " sum(cnt) OVER (PARTITION BY lang) AS n FROM b)," +
+        " cut AS (SELECT lang, min(bucket) * 50 AS cutoff FROM c" +
+        " WHERE cum * 10000 > 5000 * n GROUP BY lang)" +
+        " SELECT doc_id, lang, q_e4, (q_e4 >= cutoff) AS selected" +
+        " FROM s JOIN cut USING (lang)"),
+
     // quality tertiles: same exact rank machinery, two cross-multiplied
     // band cuts → CASE labels
     "q_quality_tertile" ->
@@ -4984,6 +5223,18 @@ object SparkEntry {
     "q_postings_gc" ->
       phraseSearchSqlFor("(SELECT * FROM documents WHERE doc_id % 7 <> 2)"),
 
+    // streaming takedown: both drained DELETE slices gone from serving
+    "q_takedown_stream" ->
+      phraseSearchSqlFor(
+        "(SELECT * FROM documents WHERE doc_id % 9 NOT IN (4, 7))"),
+
+    // streaming unlearn: identical derivations to the batch unlearn
+    // queries — the forget-log protocol must land on the same model
+    "q_nb_unlearn_stream" -> nbClassifySqlFor(
+      nbCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
+    "q_lm_unlearn_stream" -> lmNllSqlFor(
+      lmNllCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
+
     // BM25 after takedown: N, avgdl and every df recomputed over the
     // live slice — deleted docs leave the corpus statistics, not just
     // the result set
@@ -5009,6 +5260,24 @@ object SparkEntry {
         " UNION ALL SELECT 'ann_cells_with_unknown_centroid', 0" +
         " UNION ALL SELECT 'ann_vectors_in_multiple_cells', 0" +
         " UNION ALL SELECT 'ann_duplicate_cell_rows', 0"),
+
+    // model/signature/partial-store fsck: healthy stores audit to
+    // all-zero findings — the closed-form operational baseline
+    "q_store_fsck_models" ->
+      (Seq("nb_nonpositive_counts", "nb_nonpositive_class_rows",
+          "nb_duplicate_count_rows", "nb_duplicate_class_rows",
+          "nb_counts_without_class", "nb_vocab_scalar_drift",
+          "nb_doc_total_drift",
+          "lm_nonpositive_unigrams", "lm_nonpositive_bigrams",
+          "lm_duplicate_unigrams", "lm_duplicate_bigrams",
+          "lm_bigrams_of_lost_tokens", "lm_vocab_scalar_drift",
+          "mh_signed_without_banding", "mh_banded_without_signature",
+          "mh_wrong_band_count", "mh_wrong_signature_width",
+          "mh_duplicate_signatures", "mh_tombstones_of_absent_ids",
+          "df_nonpositive_partials", "df_invalid_batch_ids",
+          "df_intra_batch_duplicates")
+        .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
+        .mkString(" UNION ALL ")),
 
     // snapshot-pinned serving: the as-of-batch-1 state is exactly the
     // docs batches 0 and 1 carried (doc_id % 3 <> 2) — BM25 statistics
@@ -5052,6 +5321,24 @@ object SparkEntry {
     // the same integer floor(1e8/(60+rank)) contributions
     "q_hybrid_rrf" ->
       (s"WITH bm AS ($bm25TopKSql), $rrfScoredCtes" +
+        " SELECT doc_id, rrf_e8, rank FROM" +
+        " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
+        " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
+        " WHERE rank <= 10"),
+
+    // store-served hybrid: the lexical leg is the same BM25 top-20 (the
+    // index path is bit-identical by contract), the semantic leg is the
+    // planted rank-1 twin of each query id < 15 ranked by query id —
+    // fusion algebra identical to q_hybrid_rrf
+    "q_hybrid_rrf_store" ->
+      (s"WITH bm AS ($bm25TopKSql)," +
+        " ann AS (SELECT vec_id + 1000000 AS doc_id," +
+        " CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rank" +
+        " FROM embeddings WHERE vec_id < 15)," +
+        " u AS (SELECT doc_id, 100000000 // (60 + rank) AS contrib FROM bm" +
+        " UNION ALL SELECT doc_id, 100000000 // (60 + rank) FROM ann)," +
+        " sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e8" +
+        " FROM u GROUP BY 1)" +
         " SELECT doc_id, rrf_e8, rank FROM" +
         " (SELECT doc_id, rrf_e8, CAST(row_number() OVER" +
         " (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rank FROM sc)" +
@@ -5619,6 +5906,17 @@ object SparkEntry {
     val s3 = s"(($s2 | ($s2 << 4)) & 1085102592571150095)"
     val s4 = s"(($s3 | ($s3 << 2)) & 3689348814741910323)"
     s"(($s4 | ($s4 << 1)) & 6148914691236517205)"
+  }
+
+  /** Stride-3 Morton spread (21-bit inputs → every 3rd bit) as DuckDB
+    * SQL — [[graft.functions.ZorderKeyN.spread3]]'s cascade, masks in
+    * decimal (0x1f00000000ffff etc.). */
+  private def zorderSpread3Sql(c: String): String = {
+    val s1 = s"((($c) | (($c) << 32)) & 8725724278095871)"
+    val s2 = s"(($s1 | ($s1 << 16)) & 8725728556220671)"
+    val s3 = s"(($s2 | ($s2 << 8)) & 1157144660301377551)"
+    val s4 = s"(($s3 | ($s3 << 4)) & 1207822528635744451)"
+    s"(($s4 | ($s4 << 2)) & 1317624576693539401)"
   }
 
   /** Parameterized BM25 scoring SQL for an arbitrary term list —

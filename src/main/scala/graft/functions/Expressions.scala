@@ -692,6 +692,122 @@ object ZorderKey {
   }
 }
 
+/** N-ary Morton key (3 or 4 dimensions) — the lake layouts a real
+  * deployment z-orders are rarely two-column (source_id × partition ×
+  * day, or id × length × day × domain-bucket). The 64-bit key budget
+  * splits evenly: 21 bits per dimension for 3 (63-bit key), 15 bits
+  * for 4 (60-bit key — 16 would put dim 3's top bit on the sign bit
+  * and break the total order). Out-of-budget inputs fail LOUDLY, same
+  * contract as [[ZorderKey]]: silently masking bits would interleave a
+  * different number than the caller sorted by — a corrupted layout
+  * with no visible error. Bit i of dimension d lands at bit i·n + d,
+  * so key order = Z-curve order on the tuple; the spreads are the
+  * standard Morton shift-mask cascades, verified bit-by-bit against a
+  * loop reference in LayoutSpec. */
+case class ZorderKeyN(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size < 3 || children.size > 4)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zorder_key_n supports 3 or 4 dimensions, got ${children.size}" +
+          " (use zorder_key for 2)")
+    else if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder_key_n requires BIGINT inputs, got " +
+        children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.size
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    if (n == 3) ZorderKeyN.key3(vals(0), vals(1), vals(2))
+    else ZorderKeyN.key4(vals(0), vals(1), vals(2), vals(3))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val cls = ZorderKeyN.getClass.getName.stripSuffix("$")
+    val fn = s"key${children.size}"
+    val args = evals.map(_.value).mkString(", ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    val nullCond =
+      if (nullable) evals.map(_.isNull.toString).mkString(" || ")
+      else "false"
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $nullCond;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) { ${ev.value} = $cls.$fn($args); }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZorderKeyN =
+    copy(children = newChildren)
+  override def prettyName: String = "zorder_key_n"
+}
+
+object ZorderKeyN {
+  /** Per-dimension bit budgets: 63/3 and 60/4 (bit 14·4+3 = 59 is the
+    * highest 4-D bit — 16-bit inputs would reach the sign bit). */
+  val MaxBits3 = 21
+  val MaxBits4 = 15
+
+  /** Spread the low 21 bits of x to every 3rd bit (0,3,…,60). */
+  @inline def spread3(x: Long): Long = {
+    var v = x
+    v = (v | (v << 32)) & 0x1f00000000ffffL
+    v = (v | (v << 16)) & 0x1f0000ff0000ffL
+    v = (v | (v << 8)) & 0x100f00f00f00f00fL
+    v = (v | (v << 4)) & 0x10c30c30c30c30c3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** Spread the low 15 bits of x to every 4th bit (0,4,…,56). */
+  @inline def spread4(x: Long): Long = {
+    var v = x
+    v = (v | (v << 24)) & 0x000000ff000000ffL
+    v = (v | (v << 12)) & 0x000f000f000f000fL
+    v = (v | (v << 6)) & 0x0303030303030303L
+    v = (v | (v << 3)) & 0x1111111111111111L
+    v
+  }
+
+  def key3(a: Long, b: Long, c: Long): Long = {
+    val max = (1L << MaxBits3) - 1L
+    if (a < 0L || a > max || b < 0L || b > max || c < 0L || c > max)
+      throw new IllegalArgumentException(
+        s"zorder_key_n: 3-D inputs must be in [0, 2^$MaxBits3), " +
+          s"got ($a, $b, $c)")
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+  }
+
+  def key4(a: Long, b: Long, c: Long, d: Long): Long = {
+    val max = (1L << MaxBits4) - 1L
+    if (a < 0L || a > max || b < 0L || b > max ||
+        c < 0L || c > max || d < 0L || d > max)
+      throw new IllegalArgumentException(
+        s"zorder_key_n: 4-D inputs must be in [0, 2^$MaxBits4), " +
+          s"got ($a, $b, $c, $d)")
+    spread4(a) | (spread4(b) << 1) | (spread4(c) << 2) | (spread4(d) << 3)
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -728,6 +844,9 @@ object GraftFunctions {
     ColumnBridge.column(
       ZorderKey(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def zorder_key_n(cols: Column*): Column =
+    ColumnBridge.column(ZorderKeyN(cols.map(ColumnBridge.expression)))
+
   /** Register SQL functions on an existing session
     * (`SELECT fnv_hash64(col) ...`, `SELECT cosine_sim(a, b) ...`). */
   def register(spark: SparkSession): Unit = {
@@ -745,6 +864,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_key", exprs => ZorderKey(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_key_n", exprs => ZorderKeyN(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kgram_hashes", buildKgram, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

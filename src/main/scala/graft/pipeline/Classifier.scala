@@ -83,7 +83,7 @@ object Classifier {
     * what the oracle checks. The model-store member of the takedown
     * discipline: stores delete by tombstone + GC ([[Tombstones]]);
     * count models delete by subtraction. */
-  def unlearn(model: Model, forget: DataFrame, idCol: String = "doc_id",
+  def unlearn(model: Model, forget: DataFrame,
       labelCol: String = "label", textCol: String = "text"): Model = {
     val stream = forget.select(col(labelCol).as("label"),
       explode(toks(col(textCol))).as("tok"))

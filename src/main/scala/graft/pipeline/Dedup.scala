@@ -689,30 +689,39 @@ object Dedup {
       dir: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"compactGramDfStore: numFiles $numFiles")
     val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
-    // the rolled-up partial keeps the batch=<value> layout (a
-    // non-numeric value that can never collide with a real batch id):
-    // post-compaction batches keep landing in their own subdirs and
-    // the read side stays a uniform partitioned scan
+    // the rolled-up partial keeps the batch=<value> layout under the
+    // RESERVED NUMERIC id -1: post-compaction batches keep landing in
+    // their own subdirs and the read side stays a uniform partitioned
+    // scan. The value must stay numeric — a string like "compacted"
+    // would flip the discovered `batch` partition column from long to
+    // string for every subsequent read, breaking (or silently
+    // lexicographic-ordering) any batch-pinned `col("batch") <= n`
+    // read. -1 can never collide with a real batch id (foreachBatch
+    // ids start at 0).
     spark.read.parquet(dir)
       .select("g", "df_part")
       .groupBy("g").agg(sum(col("df_part")).as("df_part"))
-      .coalesce(numFiles).write.parquet(s"$tmp/batch=compacted")
+      .coalesce(numFiles).write.parquet(s"$tmp/batch=-1")
     swapDir(dir, tmp)
   }
 
   /** Two-rename directory swap with failure restore: dir moves aside,
     * tmp promotes; if the promote fails the original is moved back, so
     * the live path is never left missing (true multi-file atomicity
-    * needs a table format — this is the honest filesystem analog). */
-  private[pipeline] def swapDir(dir: String, tmp: String): Unit = {
-    val old = new java.io.File(dir)
-    val bak = new java.io.File(s"$dir.old.${ProcessHandle.current.pid}")
-    require(old.renameTo(bak), s"compact: cannot displace $old")
-    if (!new java.io.File(tmp).renameTo(old)) {
-      bak.renameTo(old) // restore — leave the store serving its old state
+    * needs a table format — this is the honest filesystem analog).
+    * Renames go through the Hadoop FileSystem API ([[StoreFs.rename]])
+    * so compaction works on any store URI scheme Spark can write, not
+    * just a POSIX-local path — `java.io.File.renameTo` on hdfs://
+    * or s3a:// would fail (or worse, silently no-op) and strand the
+    * compaction tmp. */
+  private[graft] def swapDir(dir: String, tmp: String): Unit = {
+    val bak = s"$dir.old.${ProcessHandle.current.pid}"
+    require(StoreFs.rename(dir, bak), s"compact: cannot displace $dir")
+    if (!StoreFs.rename(tmp, dir)) {
+      StoreFs.rename(bak, dir) // restore — leave the store serving its old state
       throw new IllegalStateException(s"compact: cannot promote $tmp")
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    StoreFs.deleteRecursive(bak)
   }
 
   def contaminationAuditStreamBatch(batch: DataFrame, evalGrams: DataFrame,

@@ -61,4 +61,43 @@ object Layout {
       .groupBy("file")
       .agg(min(colA).as("a_min"), max(colA).as("a_max"),
         min(colB).as("b_min"), max(colB).as("b_max"))
+
+  /** The N-dimensional Morton key (3 or 4 non-negative LONG columns;
+    * bit budget 21/15 bits per dim — loud failure outside it, see
+    * [[graft.functions.ZorderKeyN]]). */
+  def zorderKeyN(cols: Column*): Column =
+    graft.functions.GraftFunctions.zorder_key_n(cols: _*)
+
+  /** [[zorderWrite]] generalized to 3-4 layout dimensions: every file's
+    * footer range is a small N-BOX of the key space, so an N-predicate
+    * box query prunes on every dimension at once. Same rewrite shape
+    * (range-partition + in-file sort on the key, key dropped before
+    * write); the per-dim bit budget shrinks (21 bits for 3 dims, 15
+    * for 4), so dimensions wider than the budget must be bucketed by
+    * the caller first — loudly enforced, never masked. */
+  def zorderWriteN(df: DataFrame, dir: String, cols: Seq[String],
+      numFiles: Int = 8): Unit = {
+    require(numFiles > 0, s"zorderWriteN: numFiles $numFiles")
+    require(cols.size >= 3 && cols.size <= 4,
+      s"zorderWriteN: 3 or 4 layout columns expected, got $cols" +
+        " (use zorderWrite for 2)")
+    df.withColumn("__zkey", zorderKeyN(cols.map(col): _*))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[fileBounds]] for an N-dim layout: one row per file with
+    * `<col>_min`/`<col>_max` per layout dimension — the N-box the scan
+    * planner prunes against. */
+  def fileBoundsN(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .select((input_file_name().as("file") +: cols.map(col)): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted MERGEABLE quantile-sketch store — the streaming/incremental
+  * form of the quality gate [[Weighting.quantileThreshold]] serves
+  * exactly and [[Weighting.quantileSketchThreshold]] serves
+  * approximately in one pass.
+  *
+  * The sketch is a fixed-width HISTOGRAM over an integer score:
+  * per micro-batch, (stratum, bucket, cnt) rows with
+  * `bucket = score div bucketWidth` — the one quantile summary that is
+  *   - EXACTLY mergeable (counts sum; merge order cannot matter, unlike
+  *     GK/KLL whose merged cutoff is order-dependent — that
+  *     nondeterminism is why the GK gate only surfaces a contract
+  *     boolean, while this store's cutoffs are bit-reproducible by any
+  *     engine and oracle directly),
+  *   - O(batch + #buckets) per trigger (the batch aggregates map-side
+  *     to at most #buckets × #strata narrow rows before writing),
+  *   - rank-bounded: the served cutoff's true rank differs from the
+  *     target by at most the cutoff bucket's own count, a bound the
+  *     store can STATE per serve ([[cutoffs]] emits it) rather than
+  *     merely promise.
+  *
+  * Integer scores are the engine's score convention anyway (e4-scaled
+  * quality, token counts, nll_e4) — for those, bucketWidth trades
+  * serve-side resolution against store width explicitly, and
+  * bucketWidth=1 degenerates to an EXACT count-by-value table when the
+  * domain is small.
+  *
+  * Store protocol (the gram-df-store discipline, [[Dedup]]): each batch
+  * lands in its own `batch=<id>` partition with OVERWRITE semantics, so
+  * an at-least-once foreachBatch replay rewrites rather than
+  * double-counts; serving re-aggregates the partials (merge-at-serve);
+  * [[compact]] rolls the partials into one summed generation under the
+  * reserved numeric batch id -1 via the atomic two-rename swap.
+  * Reference analogue: maintained-on-append summaries served without
+  * touching the source (databus-core/.../ScnIndex.java:94).
+  */
+object QuantileStore {
+
+  /** Record one micro-batch's score histogram. `scoreCol` must be an
+    * integral, non-negative column (loudly enforced — a silently
+    * floored double score would gate a different distribution than the
+    * caller computed). */
+  def appendBatch(batch: DataFrame, dir: String, batchId: Long,
+      scoreCol: String, stratumCol: String, bucketWidth: Long): Unit = {
+    require(bucketWidth > 0, s"QuantileStore: bucketWidth $bucketWidth")
+    val dt = batch.schema(scoreCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType,
+      s"QuantileStore.appendBatch: integral score expected, " +
+        s"got ${dt.catalogString} — floor/scale the score explicitly first")
+    // floor division via pmod: exact for negatives too (pmod is the
+    // non-negative remainder, so x - pmod(x, w) is the floor multiple
+    // and the division is exact), keeping bucket order = score order
+    // across the whole domain
+    val x = col(scoreCol).cast("long")
+    batch.select(col(stratumCol).as("stratum"),
+        ((x - pmod(x, lit(bucketWidth))) / lit(bucketWidth))
+          .cast("long").as("bucket"))
+      .groupBy("stratum", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+  }
+
+  /** The merged histogram: (stratum, bucket, cnt) summed across every
+    * appended batch — #buckets × #strata rows, never corpus-sized. */
+  def readHistogram(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select("stratum", "bucket", "cnt") // drop the batch partition col
+      .groupBy("stratum", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-stratum cutoffs for the qBp quantile, integer-exact from the
+    * merged histogram: `cut_bucket` is the smallest bucket whose
+    * cumulative count crosses the target rank (cross-multiplied — no
+    * division), `cutoff` its lower bound in score units, and
+    * `rank_bound` the cutoff bucket's own count — the stated maximum
+    * over-selection of the bucket gate vs the exact rank gate. The
+    * whole derivation runs over sketch-sized rows (the window is per
+    * stratum over buckets, not documents). */
+  def cutoffs(spark: SparkSession, dir: String, qBp: Int,
+      bucketWidth: Long): DataFrame = {
+    require(qBp > 0 && qBp < 10000, s"QuantileStore: qBp $qBp")
+    val h = readHistogram(spark, dir)
+    val byBucket = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("stratum"))
+    h.withColumn("cum", sum(col("cnt")).over(byBucket))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      // the exact gate selects rows with cnt_below·10⁴ ≥ qBp·n; the
+      // boundary row sits in the first bucket whose cum crosses it
+      .where(col("cum") * 10000L > lit(qBp.toLong) * col("n"))
+      .groupBy(col("stratum"))
+      .agg(min(col("bucket")).as("cut_bucket"),
+        first(col("n")).as("n"))
+      .join(h.select(col("stratum"), col("bucket").as("cut_bucket"),
+        col("cnt").as("rank_bound")), Seq("stratum", "cut_bucket"))
+      .select(col("stratum"), col("n").cast("long").as("n"),
+        col("cut_bucket"),
+        (col("cut_bucket") * bucketWidth).as("cutoff"),
+        col("rank_bound").cast("long").as("rank_bound"))
+  }
+
+  /** Gate a corpus against the store: rows whose score reaches the
+    * stratum's cutoff bucket are selected. One broadcast join of
+    * sketch-sized cutoffs — the corpus never shuffles. Selection
+    * over-admits at most `rank_bound` rows per stratum vs the exact
+    * rank gate (the rows of the cutoff bucket below the true boundary);
+    * under-admits none. Strata the store never saw have no cutoff and
+    * FAIL loudly rather than pass ungated. */
+  def gateFromStore(df: DataFrame, dir: String, scoreCol: String,
+      stratumCol: String, qBp: Int, bucketWidth: Long): DataFrame = {
+    val cuts = cutoffs(df.sparkSession, dir, qBp, bucketWidth)
+      .select(col("stratum").as(stratumCol), col("cutoff"))
+    val joined = df.join(broadcast(cuts), Seq(stratumCol), "left")
+    // loud null-cutoff guard: one request-sized action at serve time
+    // beats silently serving an ungated stratum
+    require(joined.where(col("cutoff").isNull).isEmpty,
+      s"QuantileStore.gateFromStore: $stratumCol values absent from the" +
+        s" sketch store at $dir — append their batches before gating")
+    joined.withColumn("selected",
+        col(scoreCol).cast("long") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
+  /** Roll the per-batch partials into one summed generation (reserved
+    * numeric batch id -1, atomic two-rename swap — exactly
+    * [[Dedup.compactGramDfStore]]'s protocol): a long stream's
+    * one-file-per-trigger tail folds to #buckets rows, and every
+    * serve-side aggregate afterwards reads one partial. Sums are
+    * associative, so cutoffs before and after are identical. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"QuantileStore.compact: numFiles $numFiles")
+    val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
+    readHistogram(spark, dir)
+      .coalesce(numFiles).write.parquet(s"$tmp/batch=-1")
+    Dedup.swapDir(dir, tmp)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem operations for STORE MAINTENANCE (tombstone probes,
+  * compaction swaps, fsck listings, codebook existence checks), routed
+  * through the Hadoop `FileSystem` API so they resolve the same URI
+  * schemes Spark's data plane does.
+  *
+  * Why this exists: the store data plane (parquet reads/writes) already
+  * goes through Spark and works on any `FileSystem` scheme — local,
+  * `file:`, HDFS, object stores. Maintenance paths written with
+  * `java.io.File` silently see NOTHING on a non-local URI: an existence
+  * probe returns false, a listing returns null. For a tombstone store
+  * that failure mode is a correctness hazard, not a perf one — a
+  * recorded legal takedown would silently stop filtering reads
+  * (`Tombstones.readOpt` ⇒ None ⇒ erased docs served as live). Routing
+  * every maintenance probe through `Path.getFileSystem` keeps local
+  * behavior identical and makes non-local store URIs either WORK or
+  * fail loudly — never no-op.
+  *
+  * Reference analogue: checkpoint persistence is deliberately
+  * provider-abstracted behind one interface with local-FS and cluster
+  * implementations (databus-client-api/.../checkpoint/
+  * FileSystemCheckpointPersistenceProvider.java:1,
+  * ClusterCheckpointPersistenceProvider.java:1) — maintenance I/O is a
+  * pluggable provider, never raw `java.io.File`.
+  *
+  * Configuration resolution: the active (else default) SparkSession's
+  * Hadoop conf, so `fs.*` settings (credentials, scheme impls) applied
+  * to the session govern maintenance too; a bare `new Configuration()`
+  * fallback keeps driver-side tools usable before any session exists.
+  */
+object StoreFs {
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** The FileSystem owning `dir`, plus `dir` as a Path — one resolution
+    * per maintenance op (FileSystem instances are cached by scheme +
+    * authority inside Hadoop; this is not a per-call connection). */
+  def fsPath(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(dir: String): Boolean = {
+    val (fs, p) = fsPath(dir)
+    fs.exists(p)
+  }
+
+  def isDirectory(dir: String): Boolean = {
+    val (fs, p) = fsPath(dir)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Child entry names of `dir` (empty when absent — the probe-a-store
+    * idiom; maintenance listings are store roots with a handful of
+    * entries, never corpus-sized). */
+  def listNames(dir: String): Seq[String] = {
+    val (fs, p) = fsPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Child DIRECTORY names of `dir` (fsck's layout-artifact listing). */
+  def listDirNames(dir: String): Seq[String] = {
+    val (fs, p) = fsPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Does `dir` exist and contain at least one file with `suffix`?
+    * (The tombstone-set existence probe: a dir with no data files is
+    * "no takedowns recorded", same as no dir.) */
+  def hasFileWithSuffix(dir: String, suffix: String): Boolean = {
+    val (fs, p) = fsPath(dir)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(st => st.isFile && st.getPath.getName.endsWith(suffix))
+  }
+
+  /** Recursive delete; no-op when absent (idempotent GC). */
+  def deleteRecursive(dir: String): Unit = {
+    val (fs, p) = fsPath(dir)
+    if (fs.exists(p)) {
+      require(fs.delete(p, true), s"StoreFs: cannot delete $dir")
+    }
+  }
+
+  /** Directory rename, false on failure. Callers own the swap protocol
+    * (displace/promote/restore — see [[Dedup.swapDir]]); this is the
+    * single primitive. `dst` must not exist — Hadoop rename onto an
+    * existing directory nests the source inside it rather than
+    * replacing, which would corrupt a swap, so that case fails loudly
+    * here instead. */
+  def rename(src: String, dst: String): Boolean = {
+    val (fs, s) = fsPath(src)
+    val d = new Path(dst)
+    require(!fs.exists(d),
+      s"StoreFs.rename: destination $dst exists — a rename onto an " +
+        "existing directory would nest, not replace; delete or displace it first")
+    // missing source → false, not FNFE: the swap protocol branches on
+    // the boolean (File.renameTo semantics); some FileSystem impls
+    // throw instead
+    fs.exists(s) && fs.rename(s, d)
+  }
+
+  def mkdirs(dir: String): Unit = {
+    val (fs, p) = fsPath(dir)
+    require(fs.mkdirs(p), s"StoreFs: cannot mkdirs $dir")
+  }
+}

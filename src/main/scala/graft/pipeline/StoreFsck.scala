@@ -76,15 +76,132 @@ object StoreFsck {
     * even on a store whose tables no longer read. */
   def layoutArtifacts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val names = Option(new java.io.File(dir).listFiles)
-      .map(_.toSeq.filter(_.isDirectory).map(_.getName))
-      .getOrElse(Seq.empty)
+    // Hadoop-FS listing (StoreFs): fsck must audit stores on any URI
+    // scheme the maintenance passes write to, not just POSIX-local
+    val names = StoreFs.listDirNames(dir)
     Seq(
       ("orphan_compact_tmp_dirs",
         names.count(_.matches(".*\\.compact\\.\\d+$")).toLong),
       ("orphan_backup_dirs",
         names.count(_.matches(".*\\.old\\.\\d+$")).toLong))
       .toDF("check_name", "n_bad")
+  }
+
+  /** Audit a minhash SIGNATURE store (`sigs/` (id, sig[k]) + `banded/`
+    * (id, band, bucket) — the WireFixtures onboarding layout). The two
+    * tables commit as separate file jobs, so the crash window between
+    * them is this store's documented hazard: a doc signed but never
+    * banded SILENTLY never blocks with anything (false-negative dedup),
+    * the worst store failure because nothing downstream errors. Checks:
+    *   - signed-but-not-banded / banded-but-not-signed docs,
+    *   - wrong per-doc band count (every id must carry one bucket per
+    *     band — a partial band write),
+    *   - wrong signature width (sig array length ≠ k),
+    *   - duplicate id rows in sigs,
+    *   - tombstones naming ids the store never signed. */
+  def minhashStore(spark: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val banded = spark.read.parquet(s"$dir/banded")
+    val sIds = sigs.select("id").distinct()
+    val bIds = banded.select("id").distinct()
+    val tomb = Tombstones.readOpt(spark, dir)
+      .map(_.select("id").distinct())
+      .getOrElse(sIds.limit(0))
+    finding("signed_without_banding", sIds.join(bIds, Seq("id"), "left_anti"))
+      .unionByName(finding("banded_without_signature",
+        bIds.join(sIds, Seq("id"), "left_anti")))
+      .unionByName(finding("wrong_band_count",
+        banded.groupBy("id").agg(count(lit(1)).as("c"))
+          .where(col("c") =!= bands)))
+      .unionByName(finding("wrong_signature_width",
+        sigs.where(size(col("sig")) =!= k)))
+      .unionByName(finding("duplicate_signatures",
+        sigs.groupBy("id").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+      .unionByName(finding("tombstones_of_absent_ids",
+        tomb.join(sIds, Seq("id"), "left_anti")))
+  }
+
+  /** Audit an NB model store ([[Classifier.save]]'s counts/classes/stats
+    * tables). Every invariant is one the EXACT-UNLEARNING algebra
+    * depends on — a violated row means subtraction drifted (the crash
+    * window of a non-batch-addressed forget replay) and every
+    * classification after it is silently wrong:
+    *   - non-positive counts (unlearn keeps strictly-positive rows),
+    *   - duplicate (label, token) / duplicate label rows,
+    *   - count rows for labels the class table lost,
+    *   - stats.v ≠ the count table's distinct-token count,
+    *   - stats.n_all ≠ Σ classes.n_docs. */
+  def nbModelStore(spark: SparkSession, dir: String): DataFrame = {
+    val counts = spark.read.parquet(s"$dir/counts")
+    val classes = spark.read.parquet(s"$dir/classes")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val vActual = counts.agg(countDistinct(col("tok")).as("va"))
+    val nActual = classes.agg(coalesce(sum(col("n_docs")), lit(0L)).as("na"))
+    finding("nonpositive_counts", counts.where(col("c_t") <= 0))
+      .unionByName(finding("nonpositive_class_rows",
+        classes.where(col("n_docs") <= 0 || col("n_toks") < 0)))
+      .unionByName(finding("duplicate_count_rows",
+        counts.groupBy("label", "tok").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .unionByName(finding("duplicate_class_rows",
+        classes.groupBy("label").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .unionByName(finding("counts_without_class",
+        counts.select("label").distinct()
+          .join(classes.select("label").distinct(), Seq("label"),
+            "left_anti")))
+      .unionByName(finding("vocab_scalar_drift",
+        stats.crossJoin(vActual).where(col("v") =!= col("va"))))
+      .unionByName(finding("doc_total_drift",
+        stats.crossJoin(nActual).where(col("n_all") =!= col("na"))))
+  }
+
+  /** Audit a bigram-LM model store ([[LangModel.save]]'s uni/bi/vocab
+    * tables) — same unlearning-algebra invariants as [[nbModelStore]]:
+    * non-positive counts, duplicate keys, bigrams whose endpoint tokens
+    * the unigram table no longer holds (impossible under correct
+    * subtraction: a token with any surviving bigram has c_u > 0), and
+    * vocab-scalar drift. */
+  def lmModelStore(spark: SparkSession, dir: String): DataFrame = {
+    val uni = spark.read.parquet(s"$dir/uni")
+    val bi = spark.read.parquet(s"$dir/bi")
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    val toks = uni.select("tok").distinct()
+    val vActual = uni.agg(countDistinct(col("tok")).as("va"))
+    finding("nonpositive_unigrams", uni.where(col("c_u") <= 0))
+      .unionByName(finding("nonpositive_bigrams", bi.where(col("c_b") <= 0)))
+      .unionByName(finding("duplicate_unigrams",
+        uni.groupBy("tok").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+      .unionByName(finding("duplicate_bigrams",
+        bi.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .unionByName(finding("bigrams_of_lost_tokens",
+        bi.select(col("prev").as("tok"))
+          .unionByName(bi.select(col("cur").as("tok"))).distinct()
+          .join(toks, Seq("tok"), "left_anti")))
+      .unionByName(finding("vocab_scalar_drift",
+        vocab.crossJoin(vActual).where(col("__v") =!= col("va"))))
+  }
+
+  /** Audit a batch-addressed df/histogram partial store (the
+    * contamination gram-df and quantile-sketch layouts: `batch=<id>`
+    * partitions of (key..., count) rows):
+    *   - non-positive partial counts,
+    *   - batch ids below the reserved compaction id -1,
+    *   - duplicate key rows WITHIN one batch partition (each trigger
+    *     writes one row per key; an intra-batch duplicate means some
+    *     writer blind-appended into a batch dir — the replay hazard
+    *     batch-addressed overwrite exists to prevent). */
+  def batchPartialStore(spark: SparkSession, dir: String,
+      keyCols: Seq[String], countCol: String): DataFrame = {
+    val t = spark.read.parquet(dir)
+    finding("nonpositive_partials", t.where(col(countCol) <= 0))
+      .unionByName(finding("invalid_batch_ids",
+        t.select("batch").distinct().where(col("batch") < -1L)))
+      .unionByName(finding("intra_batch_duplicates",
+        t.groupBy((col("batch") +: keyCols.map(col)): _*)
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)))
   }
 
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */

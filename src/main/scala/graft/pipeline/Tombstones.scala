@@ -46,29 +46,92 @@ object Tombstones {
 
   /** Bulk takedown: `ids` must carry exactly one LONG-castable column
     * (any name). One narrow file per request keeps the set
-    * one-listing-cheap until GC. A value that does not cast (or a null)
+    * one-listing-cheap until GC. A value that does not cast losslessly
     * FAILS the request loudly — a silently-null tombstone would record
-    * the legal-erasure request as a no-op (anti-joins never match null)
-    * while the caller believes it succeeded; the extra request-sized
-    * check job is the price of that guarantee. */
+    * the legal-erasure request as a no-op (anti-joins never match
+    * null), and a silently-TRUNCATED one (Double/Decimal 42.9 →
+    * cast("long") → 42) would record it against the WRONG id — both
+    * while the caller believes it succeeded. The round-trip check
+    * (cast to long, cast back, compare) rejects nulls, non-numeric
+    * strings, and fractional values in one request-sized job. */
   def appendDf(ids: DataFrame, storeDir: String): Unit = {
-    require(ids.columns.length == 1,
-      s"Tombstones.appendDf: one id column expected, got ${ids.columns.toSeq}")
-    val cast = ids.select(col(ids.columns.head).cast("long").as("id"))
-    require(cast.where(col("id").isNull).isEmpty,
-      "Tombstones.appendDf: null or non-LONG-castable ids — the takedown" +
-        " would silently never match; fix the id column before recording")
-    cast.coalesce(1).write.mode("append").parquet(dirOf(storeDir))
+    appendValidated(ids, storeDir)
+    ()
   }
 
+  /** Shared validated append: ONE request-sized job computes the row
+    * count and the invalid-id count, fails loudly on any invalid id,
+    * writes only when there is something to record (an empty batch must
+    * not litter the one-listing-cheap set with empty files), and
+    * returns the number of ids recorded. */
+  private def appendValidated(ids: DataFrame, storeDir: String): Long = {
+    require(ids.columns.length == 1,
+      s"Tombstones.appendDf: one id column expected, got ${ids.columns.toSeq}")
+    val orig = col(ids.columns.head)
+    val asLong = orig.cast("long")
+    val bad = asLong.isNull || asLong.cast(ids.schema.head.dataType) =!= orig
+    val r = ids.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("n_bad")).head()
+    require(r.getLong(1) == 0L,
+      "Tombstones.appendDf: null, non-LONG-castable or fractional ids —" +
+        " the takedown would silently no-op or hit the wrong id;" +
+        " fix the id column before recording")
+    if (r.getLong(0) > 0L)
+      ids.select(asLong.as("id"))
+        .coalesce(1).write.mode("append").parquet(dirOf(storeDir))
+    r.getLong(0)
+  }
+
+  /** One micro-batch of a STREAMING takedown: the `deleteOpcode` rows
+    * of a CDC batch append their ids to the store's tombstone set.
+    * Replay safety needs NO batch addressing here — the tombstone set
+    * is a semantic set (see the scaladoc above): an at-least-once
+    * foreachBatch retry re-appends the same ids and changes nothing an
+    * anti-join can observe. Invalid ids fail the trigger loudly, same
+    * contract as [[appendDf]]. Returns the ids recorded this batch.
+    * Reference analogue: DELETE is a first-class opcode in the event
+    * stream, applied by the consumer, never a buffer rewrite
+    * (databus-core/.../DbusOpcode.java:22-26). */
+  def takedownStreamBatch(batch: DataFrame, storeDir: String,
+      opcodeCol: String = "opcode", idCol: String = "id",
+      deleteOpcode: String = "DELETE"): Long =
+    appendValidated(
+      batch.where(col(opcodeCol) === lit(deleteOpcode)).select(idCol),
+      storeDir)
+
+  /** First-class streaming takedown sink: attach to a CDC feed and
+    * every micro-batch's DELETE opcodes tombstone `storeDir` — the
+    * extraction of the inline DELETE-routing the CDC index maintainers
+    * carry in their foreachBatch. The caller composes it with the
+    * upsert half of the protocol when maintaining a full index; alone
+    * it is the compliance sink (a takedown feed with no upserts).
+    * Checkpointed: a resumed run re-delivers at most the in-flight
+    * trigger, which re-appends idempotently. */
+  def takedownStream(feed: DataFrame, storeDir: String, checkpoint: String,
+      opcodeCol: String = "opcode", idCol: String = "id",
+      deleteOpcode: String = "DELETE")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        takedownStreamBatch(b, storeDir, opcodeCol, idCol, deleteOpcode)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The store's tombstone set, or None when no takedown was ever
-    * recorded (the common case — reads stay plain scans). */
-  def readOpt(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val d = new java.io.File(dirOf(storeDir))
-    if (d.isDirectory && d.listFiles.exists(_.getName.endsWith(".parquet")))
+    * recorded (the common case — reads stay plain scans). The existence
+    * probe goes through the Hadoop FileSystem API ([[StoreFs]]), not
+    * `java.io.File`: on a non-local store URI (hdfs://, s3a://, file:)
+    * a local-File probe would return None for a store that HAS recorded
+    * takedowns — silently serving legally-erased docs as live, the
+    * exact failure [[appendDf]]'s loud-failure contract exists to
+    * prevent. */
+  def readOpt(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (StoreFs.hasFileWithSuffix(dirOf(storeDir), ".parquet"))
       Some(spark.read.parquet(dirOf(storeDir)).select("id"))
     else None
-  }
 
   /** The live rows of a store table: `rows` minus the tombstoned ids.
     * No tombstones ⇒ `rows` unchanged (zero plan overhead); otherwise
@@ -93,8 +156,6 @@ object Tombstones {
     * set applied to already-purged tables, and an anti-join of absent
     * ids is a no-op — the store serves correctly at every intermediate
     * state. */
-  def clear(storeDir: String): Unit = {
-    val d = new java.io.File(dirOf(storeDir))
-    if (d.exists) org.apache.commons.io.FileUtils.deleteDirectory(d)
-  }
+  def clear(storeDir: String): Unit =
+    StoreFs.deleteRecursive(dirOf(storeDir))
 }

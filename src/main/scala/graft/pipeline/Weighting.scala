@@ -110,6 +110,46 @@ object Weighting {
         col("cnt_below") * 10000L >= lit(qBp.toLong) * col("n"))
   }
 
+  /** [[quantileThresholdKeeping]]'s SELECTED SET at AGGREGATE cost —
+    * the rank folded into the stratum aggregate. The insight: the exact
+    * gate's `cnt_below` (rank−1) counts rows with strictly SMALLER
+    * scores, so selection is a property of the score VALUE, not the
+    * row — every row of a value decides identically. The per-stratum
+    * boundary value therefore derives from a (stratum, score) COUNT
+    * table: map-side-combined aggregate (the shuffle carries distinct
+    * (stratum, score) pairs — score-domain-sized under the engine's
+    * rounded/e4 score conventions, never corpus-sized), a cumulative
+    * window over those narrow rows, and a broadcast of the per-stratum
+    * minimum selected value back over the corpus. The corpus itself is
+    * NEVER sorted and never shuffles — the exact form's per-stratum
+    * sort-window (its documented honest cost) disappears for pipelines
+    * that don't consume the per-row rank.
+    *
+    * Row-identical selection to [[quantileThresholdKeeping]] by
+    * construction (same integer cross-multiplied decision, applied to
+    * values); strata where no value qualifies (e.g. a single-valued
+    * stratum below the target) keep their rows with selected = false,
+    * exactly like the rank form. */
+  def quantileSelectByValue(df: DataFrame, scoreCol: String,
+      stratumCol: String, qBp: Int): DataFrame = {
+    require(qBp > 0 && qBp < 10000, s"qBp must be in (0,10000): $qBp")
+    val counts = df.groupBy(col(stratumCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val below = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(stratumCol))
+    val cuts = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(below), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .where(col("__below") * 10000L >= lit(qBp.toLong) * col("__n"))
+      .groupBy(col(stratumCol))
+      .agg(min(col(scoreCol)).as("__cutoff"))
+    df.join(broadcast(cuts), Seq(stratumCol), "left")
+      .withColumn("selected",
+        col("__cutoff").isNotNull && col(scoreCol) >= col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** SKETCH-quantile threshold — the 100 TB scale path for the quality
     * gate [[quantileThreshold]] serves exactly. The exact form pays a
     * per-stratum SORT (the rank window); this form runs Spark's

@@ -682,8 +682,15 @@ class CorpusOpsSpec extends SparkSpec {
     // per gram; the global df a later batch sees is unchanged
     Dedup.compactGramDfStore(spark, s"$dir/df")
     assert(dfState() == before)
-    assert(new java.io.File(s"$dir/df/batch=compacted").listFiles()
+    assert(new java.io.File(s"$dir/df/batch=-1").listFiles()
       .count(_.getName.startsWith("part-")) == 1)
+    // the rollup partial's reserved id is NUMERIC, so the discovered
+    // `batch` partition column keeps its integer type — a batch-pinned
+    // col("batch") <= n read still compares numerically post-compaction
+    assert(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+      .contains(spark.read.parquet(s"$dir/df").schema("batch").dataType))
     val b2 = Seq((3L, "a b c z")).toDF("doc_id", "text")
     val r2 = Dedup.contaminationAuditStreamBatch(b2, eval, s"$dir/df",
         maxGramDf = 2, batchId = 2L)

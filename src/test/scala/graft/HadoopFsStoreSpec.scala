@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Retrieval, StoreFs, StoreFsck, Tombstones}
+
+/** Store MAINTENANCE through a Hadoop-FS URI scheme (`file:`), the
+  * round-10 port from `java.io.File` to the `FileSystem` API.
+  *
+  * Why `file:` is the right probe: Spark's data plane resolves
+  * `file:/...` URIs fine, but `new java.io.File("file:/x")` names a
+  * literal relative path and sees NOTHING — exactly how hdfs:// and
+  * s3a:// behaved against the old local-File maintenance code. So a
+  * store exercised end-to-end (append → tombstone → serve → compact →
+  * fsck) under a `file:` root proves every maintenance probe now goes
+  * through `Path.getFileSystem`: with the old code the tombstone
+  * existence probe would return None here and a RECORDED TAKEDOWN
+  * would silently stop filtering reads — the correctness hazard this
+  * spec pins shut. */
+class HadoopFsStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uriTmp(prefix: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val corpus = Seq(
+    (0L, "alpha table value beta"),
+    (1L, "table value table value"),
+    (2L, "gamma table value"),
+    (3L, "no phrase here at all"),
+    (4L, "table value ends this"),
+    (5L, "delta epsilon zeta"),
+    (6L, "the of data table value"))
+
+  private def docsDf = corpus.toDF("doc_id", "text")
+
+  test("append → tombstone → serve → compact → fsck under a file: URI") {
+    val dir = s"${uriTmp("fsuri")}/index"
+    val liveOnly = s"${uriTmp("fsuri")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    Retrieval.writePostingsIndex(
+      docsDf.where(!col("doc_id").isin(1L, 4L)), liveOnly)
+
+    // the hazard case: the takedown is recorded under the URI root and
+    // MUST keep filtering reads (java.io.File saw nothing here)
+    Retrieval.tombstoneDocs(spark, dir, Seq(1L, 4L))
+    assert(Tombstones.readOpt(spark, dir).isDefined,
+      "tombstone probe missed a recorded takedown under a file: URI")
+    def sameLive(): Unit = {
+      val p1 = Retrieval.readPostingsIndex(spark, dir)
+      val p2 = Retrieval.readPostingsIndex(spark, liveOnly)
+      assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+      val b1 = Retrieval.bm25TopKFromIndex(p1,
+        Retrieval.readDocLengths(spark, dir), Seq("the", "of"), k = 10)
+      val b2 = Retrieval.bm25TopKFromIndex(p2,
+        Retrieval.readDocLengths(spark, liveOnly), Seq("the", "of"), k = 10)
+      assert(b1.collect().map(_.toSeq).toSeq == b2.collect().map(_.toSeq).toSeq)
+    }
+    sameLive()
+
+    // compaction = the GC: swapDir's displace/promote/cleanup renames
+    // all run through the FileSystem API under this URI root
+    Retrieval.compactPostingsIndex(spark, dir, numFiles = 2)
+    assert(Tombstones.readOpt(spark, dir).isEmpty,
+      "GC did not clear the tombstone set under a file: URI")
+    sameLive()
+
+    // fsck's layout listing sees crashed-maintenance artifacts under
+    // the URI root (old code: empty listing, findings silently 0)
+    StoreFs.mkdirs(s"$dir/postings.compact.12345")
+    StoreFs.mkdirs(s"$dir/doclens.old.12345")
+    val art = StoreFsck.layoutArtifacts(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(art("orphan_compact_tmp_dirs") == 1L)
+    assert(art("orphan_backup_dirs") == 1L)
+    assert(StoreFsck.postingsStore(spark, dir)
+      .as[(String, Long)].collect().forall(_._2 == 0L))
+  }
+
+  test("fractional takedown ids fail loudly (no silent truncation)") {
+    val dir = s"${uriTmp("fsuri")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    // Double 42.9 would cast("long") to 42 — recording the takedown
+    // against the WRONG id; the round-trip guard must reject it
+    intercept[IllegalArgumentException] {
+      Tombstones.appendDf(Seq(42.9).toDF("doc_id"), dir)
+    }
+    // fractional STRING ids must not slip through either
+    intercept[IllegalArgumentException] {
+      Tombstones.appendDf(Seq("42.9").toDF("doc_id"), dir)
+    }
+    assert(Tombstones.readOpt(spark, dir).isEmpty)
+    // integral values in non-long carriers still record fine
+    Tombstones.appendDf(Seq(4.0).toDF("doc_id"), dir)
+    Tombstones.appendDf(Seq("1").toDF("doc_id"), dir)
+    assert(Tombstones.readOpt(spark, dir).get
+      .as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("swapDir restore: failed promote leaves the store serving") {
+    val dir = s"${uriTmp("fsuri")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    val before = Retrieval.readPostingsIndex(spark, dir).count()
+    // promote fails (tmp never written) → displace must roll back
+    intercept[IllegalStateException] {
+      graft.pipeline.Dedup.swapDir(s"$dir/postings",
+        s"$dir/postings.compact.0")
+    }
+    assert(Retrieval.readPostingsIndex(spark, dir).count() == before)
+  }
+}

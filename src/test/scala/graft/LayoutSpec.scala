@@ -73,4 +73,77 @@ class LayoutSpec extends SparkSpec {
       .as[Long].head()
     assert(row == refKey(5L, 3L))
   }
+
+  private def refKeyN(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    var k = 0L
+    for (d <- 0 until n; i <- 0 until bits)
+      k |= ((vals(d) >> i) & 1L) << (i * n + d)
+    k
+  }
+
+  test("N-ary zorder key matches the bit-by-bit reference; loud overflow") {
+    import graft.functions.ZorderKeyN
+    val p3 = Seq(0L, 1L, 2L, 7L, 255L, 65535L, (1L << 21) - 1L)
+    for (a <- p3; b <- p3; c <- p3)
+      assert(ZorderKeyN.key3(a, b, c) == refKeyN(Seq(a, b, c), 21),
+        s"key3($a, $b, $c)")
+    val p4 = Seq(0L, 1L, 3L, 127L, 4095L, (1L << 15) - 1L)
+    for (a <- p4; b <- p4; c <- p4; d <- p4)
+      assert(ZorderKeyN.key4(a, b, c, d) == refKeyN(Seq(a, b, c, d), 15),
+        s"key4($a, $b, $c, $d)")
+    // octant nesting: all-low-half sorts before all-high-half
+    assert(ZorderKeyN.key3(15L, 15L, 15L) < ZorderKeyN.key3(16L, 16L, 16L))
+    // bit-budget overflow fails loudly — a masked bit would silently
+    // cluster by a different tuple than the caller's predicate space
+    intercept[IllegalArgumentException] { ZorderKeyN.key3(1L << 21, 0L, 0L) }
+    intercept[IllegalArgumentException] { ZorderKeyN.key3(0L, -1L, 0L) }
+    intercept[IllegalArgumentException] { ZorderKeyN.key4(0L, 0L, 0L, 1L << 15) }
+  }
+
+  test("a 3-D box intersects fewer 3-D z-ordered file boxes than a-sorted ones") {
+    // 16^3 grid, 16 files: the a-sort slices into thin slabs spanning
+    // the full (b, c) domain; the 3-D z-order tiles near-cubes
+    val grid = (0 until 16).flatMap(a => (0 until 16).flatMap(b =>
+      (0 until 16).map(c => (a.toLong, b.toLong, c.toLong))))
+      .toDF("a", "b", "c")
+    val root = java.nio.file.Files.createTempDirectory("z3spec").toString
+    Layout.zorderWriteN(grid, s"$root/z", Seq("a", "b", "c"), numFiles = 16)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$root/lin")
+
+    // wide in `a`, narrow in `b` and `c` — the two dims the a-sort
+    // cannot prune on at all
+    def hit(dir: String): Long = Layout.fileBoundsN(spark, dir,
+        Seq("a", "b", "c"))
+      .where(col("a_max") >= 1 && col("a_min") <= 14 &&
+        col("b_max") >= 6 && col("b_min") <= 9 &&
+        col("c_max") >= 6 && col("c_min") <= 9)
+      .count()
+    val (zHit, linHit) = (hit(s"$root/z"), hit(s"$root/lin"))
+    assert(zHit < linHit,
+      s"3-D z-order must prune better: z=$zHit linear=$linHit of 16 files")
+
+    // the rewrite moves bytes, never rows
+    val back = spark.read.parquet(s"$root/z")
+    assert(back.count() == 16L * 16L * 16L &&
+      back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+  }
+
+  test("zorder_key_n is SQL-registered; codegen and eval agree; arity checked") {
+    graft.functions.GraftFunctions.register(spark)
+    val k3 = spark.sql("SELECT zorder_key_n(CAST(5 AS BIGINT)," +
+      " CAST(3 AS BIGINT), CAST(9 AS BIGINT)) AS k").as[Long].head()
+    assert(k3 == refKeyN(Seq(5L, 3L, 9L), 21))
+    val k4 = spark.sql("SELECT zorder_key_n(CAST(5 AS BIGINT)," +
+      " CAST(3 AS BIGINT), CAST(9 AS BIGINT), CAST(2 AS BIGINT)) AS k")
+      .as[Long].head()
+    assert(k4 == refKeyN(Seq(5L, 3L, 9L, 2L), 15))
+    // 2 dims is zorder_key's job; 5 is over the key budget — analysis
+    // rejects both instead of silently interleaving something else
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder_key_n(CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+        .collect()
+    }
+  }
 }

@@ -263,19 +263,28 @@ class PlansSpec extends SparkSpec {
     assert(kernels == 1, s"expected exactly 1 winnow kernel, got $kernels:\n$plan")
   }
 
-  test("curation pipeline: one stratum exchange serves both window stages") {
-    // the quantile gate carries text through its per-lang window, so the
-    // budget-mix window (keyed on domain = renamed lang) must find its
-    // hash distribution already satisfied: exactly one lang exchange in
-    // the whole plan, and NO exchange on the renamed key — the window +
-    // id-join + window chain this replaced paid three
-    val out = SparkEntry.queries("q_pipeline_curation")(spark, sf())
-    val plan = out.queryExecution.executedPlan.toString
-    val langEx = plan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning(lang"))
-    assert(langEx == 1, s"expected exactly 1 lang exchange, got $langEx:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning(domain"),
-      s"budget-mix window re-shuffled the renamed stratum:\n$plan")
+  test("curation pipeline: document text never rides a shuffle — gate is aggregate-only") {
+    // the quantile gate folds its rank into a (lang, quality) count
+    // aggregate (quantileSelectByValue): its shuffles carry NARROW
+    // value-count rows. The budget-mix window derives n_tokens BEFORE
+    // its exchange, so with the rank window gone the pipeline moves
+    // document text across the wire ZERO times (the r9 form sorted
+    // text-heavy rows per stratum and reused that exchange for the
+    // mix — strictly more text movement than none).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the plan and hides exchanges from collect() until
+    // execution — turn it off for the shape assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = SparkEntry.queries("q_pipeline_curation")(spark, sf())
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case x: ShuffleExchangeExec => x
+      }
+      assert(shuffles.nonEmpty, "expected the narrow aggregate/window exchanges")
+      val textEx = shuffles.filter(_.output.exists(_.name == "text"))
+      assert(textEx.isEmpty,
+        s"document text rides a shuffle:\n${textEx.map(_.output).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("phrase search over the persisted index scans the store, never rebuilds") {
@@ -318,6 +327,36 @@ class PlansSpec extends SparkSpec {
       s"term-union probe not pushed:\n$plan")
     Seq("the", "of", "data", "table", "value").foreach(t =>
       assert(plan.contains(t), s"term $t missing from the pushed probe"))
+  }
+
+  test("store-served hybrid RRF reads only the indexes — no text, no unprobed vectors") {
+    val out = SparkEntry.queries("q_hybrid_rrf_store")(spark, sf())
+    val plan = out.queryExecution.executedPlan.toString
+    // lexical leg: postings store only — no corpus re-read, no tokenizer,
+    // term probe pushed into the pruned scan
+    assert(!plan.contains("documents.parquet") && !plan.contains("posexplode"),
+      s"document text read on the hybrid serving path:\n$plan")
+    assert(plan.contains("postings_index"),
+      s"expected the postings store scan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term probe not pushed to the postings scan:\n$plan")
+    // semantic leg: the persisted IVF store's int8 cells, probed —
+    // the candidate join keys on cell_id (only probed cells' members
+    // flow), and raw float vectors enter ONLY through the survivors'
+    // re-rank fetch, never a corpus-wide cosine
+    assert(plan.contains("ann_index"),
+      s"expected the persisted ANN store scan:\n$plan")
+    assert(plan.contains("cell_id"),
+      s"cell-probe join missing — vector leg degenerated to a full scan:\n$plan")
+    // the exactness twin q_hybrid_rrf is the only place a brute-force
+    // corpus cosine is allowed; here every cosine input is id-joined
+    val bruteCross = plan.linesIterator.count(l =>
+      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
+    // probeCells' query×centroid crossJoin (codebook-sized) and the
+    // 1-row corpus-stats scalar are the only legitimate nested-loop
+    // joins; a corpus×query product would appear as an extra one
+    assert(bruteCross <= 2,
+      s"unexpected corpus-wide nested-loop join on the store path:\n$plan")
   }
 
   test("search flagship serves entirely from stores — document text never read") {

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Classifier, Dedup, LangModel, QuantileStore, StoreFsck, Tombstones}
+
+/** Injected-corruption detection for the round-10 fsck families: every
+  * planted violation of a store invariant must surface as a non-zero
+  * finding, and the healthy baseline must stay all-zero — corruption a
+  * fsck can't see is corruption a deployment serves. */
+class StoreFsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val train = Seq(
+    (0L, "en", "the cat sat on the mat"),
+    (1L, "en", "the dog ran far"),
+    (2L, "fr", "le chat et le chien"),
+    (3L, "fr", "le chien dort"),
+    (4L, "el", "alpha beta gamma")
+  ).toDF("doc_id", "label", "text")
+
+  private def findings(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Long] =
+    df.as[(String, Long)].collect().toMap
+
+  test("NB model fsck: planted subtraction drift detected, healthy zero") {
+    val dir = s"${tmp("fsck")}/nb"
+    Classifier.save(Classifier.train(train), dir)
+    assert(findings(StoreFsck.nbModelStore(spark, dir))
+      .values.forall(_ == 0L))
+    // plant: a zero count for an existing token (the unlearn crash
+    // shape — subtraction that should have dropped the row) plus a
+    // count row under a label the class table never had
+    Seq(("en", "the", 0L), ("zz", "ghost", 3L))
+      .toDF("label", "tok", "c_t")
+      .write.mode("append").parquet(s"$dir/counts")
+    val bad = findings(StoreFsck.nbModelStore(spark, dir))
+    assert(bad("nonpositive_counts") == 1L)
+    assert(bad("counts_without_class") == 1L)
+    assert(bad("duplicate_count_rows") == 1L) // ("en","the") now twice
+    assert(bad("vocab_scalar_drift") == 1L)   // "ghost" entered the vocab
+  }
+
+  test("LM model fsck: planted lost-token bigram detected, healthy zero") {
+    val dir = s"${tmp("fsck")}/lm"
+    LangModel.save(LangModel.train(train.select("doc_id", "text")), dir)
+    assert(findings(StoreFsck.lmModelStore(spark, dir))
+      .values.forall(_ == 0L))
+    // plant: a bigram whose endpoints the unigram table doesn't hold
+    // (impossible under correct subtraction) and a negative unigram
+    Seq(("ghostA", "ghostB", 2L)).toDF("prev", "cur", "c_b")
+      .write.mode("append").parquet(s"$dir/bi")
+    Seq(("neg", -1L)).toDF("tok", "c_u")
+      .write.mode("append").parquet(s"$dir/uni")
+    val bad = findings(StoreFsck.lmModelStore(spark, dir))
+    assert(bad("bigrams_of_lost_tokens") == 2L) // ghostA and ghostB
+    assert(bad("nonpositive_unigrams") == 1L)
+    assert(bad("vocab_scalar_drift") == 1L) // "neg" entered the vocab
+  }
+
+  test("minhash store fsck: the signed-not-banded crash window detected") {
+    val dir = s"${tmp("fsck")}/mh"
+    val sigs = Dedup.minhashSignatures(
+      train.select("doc_id", "text"), "text", "doc_id", shingleN = 2, k = 8)
+    sigs.write.parquet(s"$dir/sigs")
+    // crash window: doc 4's banded rows never committed; doc 99 banded
+    // without a signature (the reverse impossibility); doc 3 lost half
+    // its bands
+    Dedup.bandedBucketsFromSignatures(sigs, k = 8, bands = 4)
+      .where(!(col("id") === 4L) &&
+        !(col("id") === 3L && col("band") >= 2))
+      .write.parquet(s"$dir/banded")
+    Seq((99L, 0, 123L)).toDF("id", "band", "bucket")
+      .write.mode("append").parquet(s"$dir/banded")
+    Tombstones.append(spark, dir, Seq(777L)) // names an unsigned id
+    val bad = findings(StoreFsck.minhashStore(spark, dir, k = 8, bands = 4))
+    assert(bad("signed_without_banding") == 1L)
+    assert(bad("banded_without_signature") == 1L)
+    assert(bad("wrong_band_count") == 2L) // doc 3 (2 bands) + doc 99 (1)
+    assert(bad("wrong_signature_width") == 0L)
+    assert(bad("tombstones_of_absent_ids") == 1L)
+  }
+
+  test("batch-partial store fsck: blind intra-batch append detected") {
+    val dir = s"${tmp("fsck")}/sketch"
+    val scored = Seq((10L, "a"), (20L, "a"), (80L, "b"))
+      .toDF("score", "stratum")
+    QuantileStore.appendBatch(scored, dir, 0L, "score", "stratum", 10L)
+    assert(findings(StoreFsck.batchPartialStore(spark, dir,
+      Seq("stratum", "bucket"), "cnt")).values.forall(_ == 0L))
+    // plant: a blind append into batch 0's partition (the replay hazard
+    // batch-addressed OVERWRITE exists to prevent) and a partial under
+    // a batch id below the reserved compaction id
+    Seq(("a", 1L, 1L), ("zz", 0L, 0L)).toDF("stratum", "bucket", "cnt")
+      .write.mode("append").parquet(s"$dir/batch=0")
+    Seq(("a", 1L, 1L)).toDF("stratum", "bucket", "cnt")
+      .write.parquet(s"$dir/batch=-7")
+    val bad = findings(StoreFsck.batchPartialStore(spark, dir,
+      Seq("stratum", "bucket"), "cnt"))
+    assert(bad("intra_batch_duplicates") == 1L) // ("a", bucket 1) twice in batch 0
+    assert(bad("nonpositive_partials") == 1L)
+    assert(bad("invalid_batch_ids") == 1L)
+  }
+}

@@ -297,4 +297,75 @@ class TombstoneSpec extends SparkSpec {
       .where(col("id").isin(100L, 101L)).isEmpty)
     assert(rank1 == served)
   }
+
+  test("streaming takedown: resumed drains + at-least-once replay serve identically") {
+    val root = tmp("tdstream")
+    Retrieval.writePostingsIndex(docsDf, s"$root/index")
+    def phraseHits = Retrieval.phraseSearch(
+        Retrieval.readPostingsIndex(spark, s"$root/index"),
+        Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet
+    def feed(ids: Seq[Long], mode: String): Unit =
+      ids.map(("DELETE", _)).toDF("opcode", "id")
+        .coalesce(1).write.mode(mode).parquet(s"$root/feed")
+    // drain 1 takes down doc 1; drain 2 RESUMES from the checkpoint
+    // (only the new file is delivered) and takes down doc 4
+    feed(Seq(1L), "overwrite")
+    Tombstones.takedownStream(
+      spark.readStream.schema("opcode STRING, id LONG")
+        .parquet(s"$root/feed"),
+      s"$root/index", s"$root/cp").awaitTermination()
+    assert(phraseHits == Set(0L, 2L, 4L, 6L))
+    feed(Seq(4L), "append")
+    Tombstones.takedownStream(
+      spark.readStream.schema("opcode STRING, id LONG")
+        .parquet(s"$root/feed"),
+      s"$root/index", s"$root/cp").awaitTermination()
+    assert(phraseHits == Set(0L, 2L, 6L))
+    // at-least-once REPLAY: re-delivering a drained trigger's batch
+    // re-appends the same ids — a semantic-set no-op, serving unchanged
+    val replayed = Seq(("DELETE", 1L), ("DELETE", 4L), ("UPSERT", 2L))
+      .toDF("opcode", "id")
+    assert(Tombstones.takedownStreamBatch(replayed, s"$root/index") == 2L)
+    assert(phraseHits == Set(0L, 2L, 6L))
+    // a batch with no DELETEs records nothing and writes no files
+    val files = new java.io.File(s"$root/index/tombstones").listFiles.length
+    assert(Tombstones.takedownStreamBatch(
+      Seq(("UPSERT", 9L)).toDF("opcode", "id"), s"$root/index") == 0L)
+    assert(new java.io.File(s"$root/index/tombstones").listFiles.length
+      == files)
+  }
+
+  test("forget log: batch-addressed replay cannot double-subtract the model") {
+    import graft.pipeline.ForgetLog
+    val dir = s"${tmp("forget")}/log"
+    val train = Seq(
+      (0L, "en", "the cat sat"), (1L, "en", "the dog ran qux"),
+      (2L, "fr", "le chat qux qux"), (3L, "fr", "le chien"),
+      (4L, "el", "alpha beta"), (5L, "en", "a cat ran")
+    ).toDF("doc_id", "label", "text")
+    val model = Classifier.train(train)
+    val forgetRows = train.where(col("doc_id").isin(1L, 4L))
+    // the same trigger delivered twice (at-least-once foreachBatch):
+    // batch=0 is OVERWRITTEN, not doubled — subtraction stays exact
+    ForgetLog.appendBatch(forgetRows, dir, batchId = 0L)
+    ForgetLog.appendBatch(forgetRows, dir, batchId = 0L)
+    val unlearned = Classifier.unlearn(model,
+      ForgetLog.readOpt(spark, dir).get)
+    val retrained = Classifier.train(
+      train.where(!col("doc_id").isin(1L, 4L)))
+    assert(sameRows(unlearned.counts, retrained.counts))
+    assert(sameRows(unlearned.classes, retrained.classes))
+    assert(sameRows(unlearned.stats, retrained.stats))
+    // fold-and-rotate GC: the folded generation serves identically and
+    // the log clears; an empty log means plain model loads from there on
+    val gen2 = s"${tmp("forget")}/model2"
+    ForgetLog.foldInto(spark, dir) { log =>
+      Classifier.save(Classifier.unlearn(model, log), gen2)
+    }
+    assert(ForgetLog.readOpt(spark, dir).isEmpty)
+    val folded = Classifier.load(spark, gen2)
+    assert(sameRows(folded.counts, retrained.counts))
+    assert(sameRows(folded.classes, retrained.classes))
+  }
 }
