@@ -54,7 +54,13 @@ object ScaleProbe {
     "q_index_cdc_stream", "q_nb_unlearn", "q_lm_unlearn",
     "q_dedup_delete", "q_pipeline_takedown", "q_postings_asof",
     "q_zorder_box", "q_quantile_sketch", "q_store_fsck",
-    "q_ann_cdc_stream")
+    "q_ann_cdc_stream",
+    // round-10 additions: streaming takedown/unlearning, store-served
+    // hybrid, 3-D z-order, the histogram quantile-sketch store, and
+    // the model/signature-store fsck baseline
+    "q_takedown_stream", "q_nb_unlearn_stream", "q_lm_unlearn_stream",
+    "q_hybrid_rrf_store", "q_zorder_box3", "q_quantile_stream",
+    "q_store_fsck_models")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

@@ -1878,16 +1878,23 @@ object SparkEntry {
           d.select("doc_id", "text"),
           d.where(col("lang") === "en").select("doc_id", "text"))
         .where(col("selected")).select("doc_id")
-      val scored = d.join(dsirKeep, "doc_id")
-        .select(col("doc_id"), col("lang"), col("text"),
-          TF.qualityScore(col("text")).as("quality"))
+      // persisted: the DSIR-selected scored slice feeds TWO consumers
+      // (the gate's value-count aggregate and the gate join itself) —
+      // without the persist the whole importance-weight chain runs
+      // twice. Same "write the snapshot once" PlanCache discipline as
+      // the ccnet cleaned corpus
+      val scored = graft.pipeline.PlanCache.getOrPersist(d,
+        "curation-scored|dsir-en|q6",
+        d.join(dsirKeep, "doc_id")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TF.qualityScore(col("text")).as("quality")))
       // the quantile gate's rank is FOLDED INTO THE STRATUM AGGREGATE
       // (quantileSelectByValue): selection is value-determined, so the
       // cutoff derives from a narrow (lang, quality) count table and
       // broadcasts back — the corpus text rows never sort and never
-      // shuffle for the gate. The only corpus exchange in the whole
-      // pipeline is the budget-mix window's (PlansSpec pins it: one
-      // text-carrying exchange, everything else narrow)
+      // shuffle for the gate; with the mix window deriving n_tokens
+      // before ITS exchange, document text now crosses the wire zero
+      // times in the whole pipeline (PlansSpec pins it)
       val afterQual = W.quantileSelectByValue(scored,
           scoreCol = "quality", stratumCol = "lang", qBp = 2500)
         .where(col("selected"))

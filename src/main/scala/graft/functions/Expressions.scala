@@ -970,6 +970,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ZorderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => ZorderKey(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key_n"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ZorderKeyN].getName, "zorder_key_n"),
+      (exprs: Seq[Expression]) => ZorderKeyN(exprs)))
     e.injectOptimizerRule(_ => graft.plans.ImpliedScnBandPushdown)
   }
 }
