@@ -117,14 +117,20 @@ object QuantileStore {
       stratumCol: String, qBp: Int, bucketWidth: Long): DataFrame = {
     val cuts = cutoffs(df.sparkSession, dir, qBp, bucketWidth)
       .select(col("stratum").as(stratumCol), col("cutoff"))
-    val joined = df.join(broadcast(cuts), Seq(stratumCol), "left")
-    // loud null-cutoff guard: one request-sized action at serve time
-    // beats silently serving an ungated stratum
-    require(joined.where(col("cutoff").isNull).isEmpty,
-      s"QuantileStore.gateFromStore: $stratumCol values absent from the" +
-        s" sketch store at $dir — append their batches before gating")
-    joined.withColumn("selected",
-        col(scoreCol).cast("long") >= col("cutoff"))
+    // loud null-cutoff guard IN THE PLAN (raise_error), zero extra
+    // cost: an ungated stratum fails the serving job on its first row
+    // instead of silently passing — and the guard adds no corpus-sized
+    // pre-scan (an eager `where(isNull).isEmpty` check would read the
+    // whole corpus once per serve just to validate)
+    df.join(broadcast(cuts), Seq(stratumCol), "left")
+      .withColumn("selected",
+        when(col("cutoff").isNull,
+          raise_error(concat(
+            lit(s"QuantileStore.gateFromStore: stratum '"),
+            col(stratumCol).cast("string"),
+            lit(s"' absent from the sketch store at $dir — append its" +
+              " batches before gating"))).cast("boolean"))
+          .otherwise(col(scoreCol).cast("long") >= col("cutoff")))
       .drop("cutoff")
   }
 

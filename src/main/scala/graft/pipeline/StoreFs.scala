@@ -74,6 +74,50 @@ object StoreFs {
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Recursively list the file NAMES under `dir` carrying `suffix` —
+    * the event-log compaction's provenance snapshot (names are unique
+    * per generation: Spark part-file names carry task UUIDs). Empty
+    * when absent. */
+  def listFileNamesRecursive(dir: String, suffix: String): Seq[String] = {
+    val (fs, p) = fsPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(suffix)) buf += st.getPath.getName
+      }
+      buf.result()
+    }
+  }
+
+  /** Recursive file statuses under `dir`: (full path, name, mtime).
+    * Empty when absent. The event-log writer's stamp bookkeeping. */
+  def listFileStatusesRecursive(dir: String): Seq[(String, String, Long)] = {
+    val (fs, p) = fsPath(dir)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath.toString, st.getPath.getName,
+          st.getModificationTime))
+      }
+      buf.result()
+    }
+  }
+
+  /** Set a file's modification time (the event-log generation stamp);
+    * throws on unsupported filesystems rather than silently keeping
+    * write-time mtimes (which would let the relay source admit parts
+    * out of sequence order). */
+  def setModificationTime(path: String, mtime: Long): Unit = {
+    val (fs, p) = fsPath(path)
+    fs.setTimes(p, mtime, -1)
+  }
+
   /** Does `dir` exist and contain at least one file with `suffix`?
     * (The tombstone-set existence probe: a dir with no data files is
     * "no takedowns recorded", same as no dir.) */

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -27,36 +25,45 @@ import graft.operators.Bootstrap
   */
 object Applier {
 
-  /** Current snapshot frame (empty before first apply). */
+  /** Current snapshot frame (empty before first apply). The probe and
+    * the swap below go through the Hadoop FileSystem API
+    * ([[graft.pipeline.StoreFs]]): the snapshot is a SERVING store, and
+    * on a non-local state URI a java.nio probe would silently report
+    * "no snapshot" and re-materialize from one batch — the same silent
+    * failure class as the tombstone probe. */
   def snapshot(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cur = Paths.get(stateDir, "current")
-    if (Files.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+    val cur = s"$stateDir/current"
+    if (graft.pipeline.StoreFs.exists(cur))
+      Some(spark.read.parquet(cur))
+    else None
   }
 
   /** Apply one micro-batch of envelope changes into the snapshot. */
   def applyBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       keyCols: Seq[String] = Seq("key_long")): Unit = {
+    import graft.pipeline.StoreFs
     val merged = snapshot(spark, stateDir) match {
       case Some(cur) =>
         Bootstrap.applyLog(cur.unionByName(batch, allowMissingColumns = true), keyCols)
       case None => Bootstrap.applyLog(batch, keyCols)
     }
-    val next = Paths.get(stateDir, s"next-${System.nanoTime()}")
-    merged.write.mode("overwrite").parquet(next.toString)
-    val cur = Paths.get(stateDir, "current")
-    val old = Paths.get(stateDir, s"old-${System.nanoTime()}")
-    if (Files.exists(cur)) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(next, cur, StandardCopyOption.ATOMIC_MOVE)
+    val next = s"$stateDir/next-${System.nanoTime()}"
+    merged.write.mode("overwrite").parquet(next)
+    val cur = s"$stateDir/current"
+    val old = s"$stateDir/old-${System.nanoTime()}"
+    if (StoreFs.exists(cur)) require(StoreFs.rename(cur, old),
+      s"applyBatch: cannot displace $cur")
+    require(StoreFs.rename(next, cur),
+      s"applyBatch: cannot promote $next")
     // retire the previous version (readers hold open handles in-flight;
     // a real deployment keeps N versions — table formats do this natively)
-    if (Files.exists(old))
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    StoreFs.deleteRecursive(old)
   }
 
   /** Start the continuous materializer on a relay stream. */
   def start(stream: DataFrame, stateDir: String, checkpointDir: String,
       keyCols: Seq[String] = Seq("key_long")): StreamingQuery = {
-    Files.createDirectories(Paths.get(stateDir))
+    graft.pipeline.StoreFs.mkdirs(stateDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch.sparkSession, batch, stateDir, keyCols)

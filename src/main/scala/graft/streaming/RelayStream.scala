@@ -62,9 +62,14 @@ object RelayStream {
     */
   def writeEventLog(envelope: DataFrame, dir: String, filesHint: Int = 8,
       partitionByTimeline: Boolean = false): Unit = {
-    val before = walk(new java.io.File(dir))
-      .filter(_.getName.startsWith("part-"))
-    val beforePaths = before.map(_.getAbsolutePath).toSet
+    // listing + stamping via the Hadoop FileSystem API (StoreFs), so
+    // logs on any URI scheme stamp their generations — a java.io.File
+    // walk sees nothing under file:/hdfs:/s3a: roots and would
+    // silently skip the stamp the source's admission order relies on
+    import graft.pipeline.StoreFs
+    val before = StoreFs.listFileStatusesRecursive(dir)
+      .filter(_._2.startsWith("part-"))
+    val beforePaths = before.map(_._1).toSet
     val w = envelope
       .repartitionByRange(filesHint, col("scn"))
       .sortWithinPartitions("partition_id", "scn", "seq")
@@ -78,15 +83,15 @@ object RelayStream {
     // strictly above every earlier generation's stamp — append batches
     // stay ordered even when issued within the same millisecond.
     val base = math.max(System.currentTimeMillis(),
-      before.map(_.lastModified()).foldLeft(0L)(math.max) + 2)
-    walk(new java.io.File(dir))
-      .filter(f => f.getName.startsWith("part-") &&
-        !beforePaths.contains(f.getAbsolutePath))
-      .foreach { f =>
-        val k = f.getName match { case PartNum(n) => n.toLong; case _ => 0L }
-        // surface a failed stamp: silently keeping write-time mtimes
-        // would let the source admit parts out of sequence order
-        require(f.setLastModified(base + k * 2), s"cannot stamp mtime on $f")
+      before.map(_._3).foldLeft(0L)(math.max) + 2)
+    StoreFs.listFileStatusesRecursive(dir)
+      .filter(f => f._2.startsWith("part-") && !beforePaths.contains(f._1))
+      .foreach { case (path, name, _) =>
+        val k = name match { case PartNum(n) => n.toLong; case _ => 0L }
+        // StoreFs.setModificationTime throws on failure: silently
+        // keeping write-time mtimes would let the source admit parts
+        // out of sequence order
+        StoreFs.setModificationTime(path, base + k * 2)
       }
   }
 
@@ -119,25 +124,29 @@ object RelayStream {
     * bands exactly as the original write did). */
   def compactEventLog(spark: SparkSession, dir: String,
       filesHint: Int = 8): Unit = {
-    val src = new java.io.File(dir)
-    require(src.isDirectory, s"compactEventLog: no log at $dir")
-    val tmp = new java.io.File(src.getParentFile, src.getName + ".compact-tmp")
-    val old = new java.io.File(src.getParentFile, src.getName + ".compact-old")
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    // maintenance I/O through the Hadoop FileSystem API (StoreFs): the
+    // event log is a serving store, and at scale it lives on whatever
+    // URI scheme the data plane writes — java.io.File renames would
+    // silently fail there (same hazard class as the tombstone probe)
+    import graft.pipeline.StoreFs
+    require(StoreFs.isDirectory(dir), s"compactEventLog: no log at $dir")
+    val tmp = s"$dir.compact-tmp"
+    val old = s"$dir.compact-old"
+    StoreFs.deleteRecursive(tmp)
+    StoreFs.deleteRecursive(old)
     // snapshot the file list, then materialize from EXACTLY those files
     // (not the dir) so the compacted generation's provenance is the list
     // we can re-check after the swap
-    def listData(d: java.io.File): Set[String] =
-      walk(d).filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
-    val snapshotFiles = listData(src)
+    def listData(d: String): Set[String] =
+      StoreFs.listFileNamesRecursive(d, ".parquet").toSet
+    val snapshotFiles = listData(dir)
     val snapshot = spark.read.schema(schema).parquet(dir)
-    writeEventLog(snapshot, tmp.getAbsolutePath, filesHint)
-    // swap: source -> .old, tmp -> source
-    if (!src.renameTo(old))
-      throw new java.io.IOException(s"compactEventLog: cannot move $src aside")
-    if (!tmp.renameTo(src)) {
-      old.renameTo(src) // restore
+    writeEventLog(snapshot, tmp, filesHint)
+    // swap: source -> .compact-old, tmp -> source
+    if (!StoreFs.rename(dir, old))
+      throw new java.io.IOException(s"compactEventLog: cannot move $dir aside")
+    if (!StoreFs.rename(tmp, dir)) {
+      StoreFs.rename(old, dir) // restore
       throw new java.io.IOException(s"compactEventLog: swap failed for $dir")
     }
     // late-append detection: any data file in the retired generation that
@@ -145,17 +154,15 @@ object RelayStream {
     // roll back instead of silently deleting it with .compact-old
     val late = listData(old) -- snapshotFiles
     if (late.nonEmpty) {
-      val compacted = new java.io.File(src.getParentFile,
-        src.getName + ".compact-tmp")
-      src.renameTo(compacted)
-      old.renameTo(src)
-      org.apache.commons.io.FileUtils.deleteQuietly(compacted)
+      StoreFs.rename(dir, tmp)
+      StoreFs.rename(old, dir)
+      StoreFs.deleteRecursive(tmp)
       throw new IllegalStateException(
         s"compactEventLog: ${late.size} file(s) were appended during " +
           s"compaction (stream not quiesced): ${late.take(3).mkString(", ")}…" +
           " — original log restored")
     }
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    StoreFs.deleteRecursive(old)
     ()
   }
 

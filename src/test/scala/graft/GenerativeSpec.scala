@@ -976,6 +976,114 @@ class GenerativeSpec extends SparkSpec {
         wantDl.exceptAll(gotDl).isEmpty, s"doclens≠rebuild at seed $seed")
     }
   }
+
+  test("quantileSelectByValue ≡ the rank-window gate on random corpora") {
+    // the curation pipeline's aggregate-folded gate must select the
+    // EXACT same rows as the per-stratum rank window for any score
+    // distribution (ties, constant strata, singleton strata included)
+    import graft.pipeline.Weighting
+    val genSeed: Gen[Long] = Gen.choose(0L, Long.MaxValue)
+    samples(genSeed).take(5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val strata = Vector.tabulate(1 + rnd.nextInt(4))(i => s"s$i")
+      val rows = (0L until (20L + rnd.nextInt(80))).map { id =>
+        // coarse scores force heavy ties; one stratum is constant-valued
+        val st = strata(rnd.nextInt(strata.size))
+        val score =
+          if (st == "s0") 7L else rnd.nextInt(12).toLong
+        (id, st, score)
+      } :+ ((999L, "lone", 3L)) // singleton stratum
+      val df0 = rows.toDF("doc_id", "stratum", "score")
+      val qBp = 1 + rnd.nextInt(9998)
+      val byValue = Weighting.quantileSelectByValue(df0, "score", "stratum",
+          qBp).where($"selected").select("doc_id")
+        .as[Long].collect().toSet
+      val byRank = Weighting.quantileThresholdKeeping(df0, "score",
+          "stratum", qBp).where($"selected").select("doc_id")
+        .as[Long].collect().toSet
+      assert(byValue == byRank,
+        s"value-gate≠rank-gate at seed $seed qBp $qBp: " +
+          s"only-value=${byValue -- byRank} only-rank=${byRank -- byValue}")
+    }
+  }
+
+  test("quantile-sketch store gate: bucket-cutoff semantics + rank bound, random splits") {
+    // for ANY batch split of ANY score distribution: the merged store's
+    // gate equals the single-shot histogram's derivation, and its
+    // over-admission vs the exact rank gate stays within the stated
+    // rank_bound per stratum
+    import graft.pipeline.{QuantileStore, Weighting}
+    val genSeed: Gen[Long] = Gen.choose(0L, Long.MaxValue)
+    samples(genSeed).take(4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val width = 1L + rnd.nextInt(20)
+      val qBp = 500 + rnd.nextInt(9000)
+      val rows = (0L until (30L + rnd.nextInt(120))).map { id =>
+        (id, s"s${rnd.nextInt(3)}", rnd.nextInt(200).toLong)
+      }
+      val df0 = rows.toDF("id", "stratum", "score")
+      val dir = java.nio.file.Files.createTempDirectory("genqs").toString +
+        "/sketch"
+      val nBatches = 1 + rnd.nextInt(4)
+      (0 until nBatches).foreach(b => QuantileStore.appendBatch(
+        df0.where($"id" % nBatches === b), dir, b.toLong,
+        "score", "stratum", width))
+      val gated = QuantileStore.gateFromStore(df0, dir, "score", "stratum",
+        qBp, width)
+      // gate ≡ score >= (stratum's cutoff), cutoff from the cutoffs view
+      val cuts = QuantileStore.cutoffs(spark, dir, qBp, width)
+        .select("stratum", "cutoff", "rank_bound")
+        .as[(String, Long, Long)].collect()
+        .map { case (s, c, b) => s -> (c, b) }.toMap
+      val gotSel = gated.where($"selected").groupBy("stratum").count()
+        .as[(String, Long)].collect().toMap
+      val modelSel = rows.groupBy(_._2).map { case (st, rs) =>
+        st -> rs.count(_._3 >= cuts(st)._1).toLong
+      }
+      assert(gotSel == modelSel.filter(_._2 > 0L),
+        s"gate≠cutoff-model at seed $seed")
+      val exactSel = Weighting.quantileThresholdKeeping(
+          df0.select($"id".as("doc_id"), $"stratum", $"score"),
+          "score", "stratum", qBp)
+        .where($"selected").groupBy("stratum").count()
+        .as[(String, Long)].collect().toMap
+      cuts.keys.foreach { st =>
+        val (g, e, b) = (modelSel.getOrElse(st, 0L),
+          exactSel.getOrElse(st, 0L), cuts(st)._2)
+        assert(g >= e && g - e <= b,
+          s"rank bound broken at seed $seed stratum $st: store=$g exact=$e bound=$b")
+      }
+    }
+  }
+
+  test("N-ary Morton keys equal the bit-loop reference on random inputs") {
+    import graft.functions.ZorderKeyN
+    val rnd = new scala.util.Random(4242L)
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      var k = 0L
+      for (d <- 0 until n; i <- 0 until bits)
+        k |= ((vals(d) >> i) & 1L) << (i * n + d)
+      k
+    }
+    (0 until 2000).foreach { _ =>
+      val (a, b, c) = (rnd.nextLong() & 0x1fffffL, rnd.nextLong() & 0x1fffffL,
+        rnd.nextLong() & 0x1fffffL)
+      assert(ZorderKeyN.key3(a, b, c) == ref(Seq(a, b, c), 21))
+      val (p, q, r, s) = (rnd.nextLong() & 0x7fffL, rnd.nextLong() & 0x7fffL,
+        rnd.nextLong() & 0x7fffL, rnd.nextLong() & 0x7fffL)
+      assert(ZorderKeyN.key4(p, q, r, s) == ref(Seq(p, q, r, s), 15))
+    }
+    // monotone-in-each-dim at fixed others (the pruning property):
+    // raising one coordinate never lowers the key
+    (0 until 500).foreach { _ =>
+      val (a, b, c) = (rnd.nextLong() & 0xffffL, rnd.nextLong() & 0xffffL,
+        rnd.nextLong() & 0xffffL)
+      assert(ZorderKeyN.key3(a + 1, b, c) > ZorderKeyN.key3(a, b, c))
+      assert(ZorderKeyN.key3(a, b + 1, c) > ZorderKeyN.key3(a, b, c))
+      assert(ZorderKeyN.key3(a, b, c + 1) > ZorderKeyN.key3(a, b, c))
+    }
+  }
 }
 
 object GenerativeSpec {

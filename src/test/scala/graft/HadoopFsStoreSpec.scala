@@ -97,6 +97,43 @@ class HadoopFsStoreSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("event-log compaction and applier snapshot swap work under a file: URI") {
+    import graft.streaming.{Applier, RelayStream}
+    import graft.sources.ChangeFeed
+    // event log: write under the URI root in several generations, then
+    // compact — listing, provenance snapshot and the two-rename swap
+    // all run through the FileSystem API
+    val logDir = s"${uriTmp("fsuri")}/eventlog"
+    val events = ChangeFeed.envelope(ChangeFeed.raw(spark, sf()))
+    RelayStream.writeEventLog(events.where(col("scn") % 2 === 0), logDir)
+    RelayStream.writeEventLog(events.where(col("scn") % 2 =!= 0), logDir)
+    val before = spark.read.parquet(logDir)
+      .select("scn", "seq").as[(Long, Long)].collect().toSet
+    RelayStream.compactEventLog(spark, logDir)
+    val after = spark.read.parquet(logDir)
+      .select("scn", "seq").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction changed the served event set")
+    assert(!StoreFs.exists(s"$logDir.compact-old") &&
+      !StoreFs.exists(s"$logDir.compact-tmp"))
+
+    // applier: the snapshot probe + atomic generation swap under the
+    // URI root (old code: java.nio probe saw no snapshot and batch 2
+    // would silently re-materialize from itself)
+    val stateDir = s"${uriTmp("fsuri")}/state"
+    StoreFs.mkdirs(stateDir)
+    val b1 = Seq((100L, 0L, 1L, "UPSERT", 10.0), (100L, 1L, 2L, "UPSERT", 20.0))
+      .toDF("scn", "seq", "key_long", "opcode", "value")
+    val b2 = Seq((200L, 2L, 1L, "UPSERT", 11.0), (200L, 3L, 2L, "DELETE", 0.0),
+      (200L, 4L, 3L, "UPSERT", 30.0))
+      .toDF("scn", "seq", "key_long", "opcode", "value")
+    Applier.applyBatch(spark, b1, stateDir)
+    Applier.applyBatch(spark, b2, stateDir)
+    val snap = Applier.snapshot(spark, stateDir).get
+      .select("key_long", "value").as[(Long, Double)].collect().toMap
+    assert(snap == Map(1L -> 11.0, 3L -> 30.0),
+      s"snapshot lost the prior generation under a file: URI: $snap")
+  }
+
   test("swapDir restore: failed promote leaves the store serving") {
     val dir = s"${uriTmp("fsuri")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)

@@ -91,10 +91,15 @@ class QuantileStoreSpec extends SparkSpec {
     }
     QuantileStore.appendBatch(Seq((5L, "a")).toDF("score", "stratum"),
       dir, 0L, "score", "stratum", 10L)
-    intercept[IllegalArgumentException] {
+    // the ungated-stratum guard lives IN the plan (raise_error): the
+    // serve fails on execution, with zero extra validation scan
+    val ex = intercept[Exception] {
       QuantileStore.gateFromStore(
         Seq((5L, "zz")).toDF("score", "stratum"), dir,
-        "score", "stratum", qBp = 5000, bucketWidth = 10L)
+        "score", "stratum", qBp = 5000, bucketWidth = 10L).collect()
     }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("absent from the sketch store"), msgs)
   }
 }
