@@ -60,7 +60,10 @@ object ScaleProbe {
     // the model/signature-store fsck baseline
     "q_takedown_stream", "q_nb_unlearn_stream", "q_lm_unlearn_stream",
     "q_hybrid_rrf_store", "q_zorder_box3", "q_quantile_stream",
-    "q_store_fsck_models")
+    "q_store_fsck_models",
+    // round-10 second wave: incremental layout maintenance, IVF cell
+    // rebalance, serving-state fsck
+    "q_zorder_incr", "q_ann_rebalance", "q_store_fsck_log")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

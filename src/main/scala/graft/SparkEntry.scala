@@ -413,6 +413,37 @@ object SparkEntry {
             col("l_suppkey"), col("ship_day")).as("zkey3"))
     }),
 
+    // ---- INCREMENTAL Z-ORDER maintenance: the layout built once, two
+    // later generations APPENDED (O(batch) each — no table rewrite on
+    // the write path), the clustering debt then MEASURED from parquet
+    // footers only (zero rows scanned) and repaired by one swap-rewrite.
+    // Three full-range generations must stack past depth 2, so the
+    // recluster is require()d to have run — a silent no-op would serve
+    // the degraded layout while claiming maintenance happened. Row
+    // identity through append+recluster is the oracle (the box read is
+    // generation-independent); LayoutSpec pins the depth math ----
+    "q_zorder_incr" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("zinc").toString +
+        "/layout"
+      val src = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val L = graft.pipeline.Layout
+      L.zorderWrite(src.where(col("l_orderkey") % 3 === 0), out,
+        "l_orderkey", "l_partkey", numFiles = 4)
+      L.zorderAppend(src.where(col("l_orderkey") % 3 === 1), out,
+        "l_orderkey", "l_partkey", numFiles = 4)
+      L.zorderAppend(src.where(col("l_orderkey") % 3 === 2), out,
+        "l_orderkey", "l_partkey", numFiles = 4)
+      val (depth, ran) = L.reclusterIfNeeded(s, out,
+        "l_orderkey", "l_partkey", maxDepth = 2, numFiles = 8)
+      require(ran, s"recluster did not trigger: measured depth $depth")
+      s.read.parquet(out)
+        .where(col("l_orderkey").between(100, 1200) &&
+          col("l_partkey").between(20, 150))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          L.zorderKey(col("l_orderkey"), col("l_partkey")).as("zkey"))
+    }),
+
     // ---- engine query surface: TPC-H Q18 shape (large-volume orders) —
     // agg-then-semi-join: the qualifying key set comes out of a grouped
     // HAVING and re-joins the facts. AQE broadcasts the (small) qualifying
@@ -1740,6 +1771,38 @@ object SparkEntry {
           Seq("stratum", "bucket"), "cnt")))
     }),
 
+    // ---- fsck for the SERVING-STATE stores (event log + applier
+    // snapshot): the healthy protocols audit clean, and every injected
+    // hazard — a blind re-append that bypassed the offset log (its
+    // windows now span files AND duplicate their (scn, seq) identity), a
+    // compaction tmp whose swap never ran, applier generations stranded
+    // mid-promote — surfaces as a non-zero finding the oracle re-derives
+    // from the same envelope ----
+    "q_store_fsck_log" -> ((s, dir) => {
+      val F = graft.pipeline.StoreFsck
+      def pfx(p: String, df: DataFrame) =
+        df.select(concat(lit(p), col("check_name")).as("check_name"),
+          col("n_bad"))
+      val root = java.nio.file.Files.createTempDirectory("fscklog").toString
+      val events = env(s, dir)
+      graft.streaming.RelayStream.writeEventLog(events, s"$root/log")
+      // inject: the 5 lowest (scn, seq) events re-appended blind, plus a
+      // crashed compaction's tmp
+      events.orderBy("scn", "seq").limit(5)
+        .write.mode("append").parquet(s"$root/log")
+      graft.pipeline.StoreFs.mkdirs(s"$root/log.compact-tmp")
+      // applier: two healthy generations, then swap leftovers injected
+      graft.pipeline.StoreFs.mkdirs(s"$root/state")
+      graft.streaming.Applier.applyBatch(s,
+        events.where(col("scn") % 2 === 0), s"$root/state")
+      graft.streaming.Applier.applyBatch(s,
+        events.where(col("scn") % 2 =!= 0), s"$root/state")
+      graft.pipeline.StoreFs.mkdirs(s"$root/state/next-12345")
+      graft.pipeline.StoreFs.mkdirs(s"$root/state/old-12345")
+      pfx("log_", F.eventLogStore(s, s"$root/log"))
+        .unionByName(pfx("state_", F.applierState(s, s"$root/state")))
+    }),
+
     // ---- SNAPSHOT-PINNED serving: three append batches land in the
     // store, but the read pins `as of batch 1` — batch 2's files are
     // partition-pruned out of the plan, and BM25's N/avgdl/df are the
@@ -2915,6 +2978,33 @@ object SparkEntry {
       val store = graft.sources.WireFixtures.annIncrIndexDir(s, dir)
       Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
         store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- IVF REBALANCE: a deliberately coarse index (k=4) whose cells
+    // are all far over the size cap gets its oversized cells SPLIT in
+    // place — per-cell k-means over that cell's members only, three
+    // atomic swaps, untouched rows never re-assigned. Serving after the
+    // split probes every sub-cell (the fixture is tiny; the point here
+    // is the maintenance protocol, LayoutSpec/DedupAnnSpec measure the
+    // balance) and must land on the same planted-twin contract as every
+    // other ANN store query — identical vectors share every argmin, so
+    // a twin follows its original through any split ----
+    "q_ann_rebalance" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("annreb").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.writeIndex(withTwins, s"$root/index", k = 4, iters = 3)
+      // n/5 < n/4 ≤ the largest cell, so at least one split always runs
+      val cap = math.max(1L, withTwins.count() / 5)
+      val report = Ann.rebalanceCells(s, s"$root/index", withTwins,
+        maxCellSize = cap, splitFactor = 2, iters = 3)
+      require(report.nonEmpty,
+        s"rebalance split nothing at cap $cap — the guard the query exists for")
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
+        s"$root/index", k = 5, nProbe = 8)
         .where(col("rank") === 1)
     }),
 
@@ -4367,6 +4457,16 @@ object SparkEntry {
         " FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1200" +
         " AND l_partkey BETWEEN 20 AND 150"),
 
+    // incremental layout: append + recluster move bytes, never rows —
+    // the box read over the maintained layout is row-identical to the
+    // raw box filter, zkey re-derivation included
+    "q_zorder_incr" ->
+      ("SELECT l_orderkey, l_partkey, l_quantity," +
+        s" (${zorderSpreadSql("l_orderkey")}" +
+        s" + 2 * ${zorderSpreadSql("l_partkey")}) AS zkey" +
+        " FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1200" +
+        " AND l_partkey BETWEEN 20 AND 150"),
+
     // 3-D layout box: the 3-way interleave re-derived by the stride-3
     // shift-mask cascade over (part, supplier, ship-day)
     "q_zorder_box3" ->
@@ -4585,6 +4685,14 @@ object SparkEntry {
     // frozen codebook must land in its original's cell and be served
     // identically to the all-at-once index
     "q_ann_store_incr" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // rebalanced store: splitting a cell re-assigns members among NEW
+    // sub-centroids only — identical vectors still share every argmin,
+    // so the planted-twin contract survives any sequence of splits
+    "q_ann_rebalance" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
@@ -5285,6 +5393,25 @@ object SparkEntry {
           "df_intra_batch_duplicates")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
         .mkString(" UNION ALL ")),
+
+    // serving-state fsck: the injected hazards are exact (5 re-appended
+    // events, one tmp dir, two stranded generations); the only
+    // data-dependent finding — how many WINDOWS the re-appended slice
+    // spans — re-derives from the envelope itself
+    "q_store_fsck_log" ->
+      (s"$ENV SELECT 'log_orphan_compact_tmp' AS check_name," +
+        " CAST(1 AS BIGINT) AS n_bad" +
+        " UNION ALL SELECT 'log_orphan_compact_backup', 0" +
+        " UNION ALL SELECT 'log_missing_with_backup', 0" +
+        " UNION ALL SELECT 'log_duplicate_log_events', 5" +
+        " UNION ALL SELECT 'log_windows_split_across_files'," +
+        " (SELECT CAST(count(DISTINCT scn) AS BIGINT) FROM" +
+        " (SELECT scn FROM envelope ORDER BY scn, seq LIMIT 5))" +
+        " UNION ALL SELECT 'state_orphan_next_generations', 1" +
+        " UNION ALL SELECT 'state_orphan_old_generations', 1" +
+        " UNION ALL SELECT 'state_snapshot_missing_with_generations', 0" +
+        " UNION ALL SELECT 'state_duplicate_snapshot_keys', 0" +
+        " UNION ALL SELECT 'state_delete_rows_in_snapshot', 0"),
 
     // snapshot-pinned serving: the as-of-batch-1 state is exactly the
     // docs batches 0 and 1 carried (doc_id % 3 <> 2) — BM25 statistics

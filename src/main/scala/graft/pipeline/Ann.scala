@@ -366,6 +366,102 @@ object Ann {
     Tombstones.clear(storeDir)
   }
 
+  /** Split every OVERSIZED cell of a [[writeIndex]] store — the IVF
+    * maintenance pass a long-lived index needs once appends concentrate:
+    * [[appendToIndex]] freezes the codebook, so a hot region's cell grows
+    * without bound and every probe that touches it scans the whole blob
+    * (probe cost is member-count-sized). Rebalancing retrains WITHIN each
+    * oversized cell only — k-means over that cell's members, never the
+    * corpus — and reassigns just those members to fresh sub-centroid ids,
+    * so the pass costs O(oversized cells' members), not O(store), and the
+    * untouched cells' rows rewrite clustered but unassigned-unchanged.
+    *
+    * Protocol (three atomic swaps, every crash window serving-safe and
+    * fsck-visible as layout artifacts):
+    *   1. codebook ← old ∪ sub-centroids (superset: new cells are empty,
+    *      serving unchanged — a probe may rank an empty cell, costing
+    *      recall nothing because its member scan is empty);
+    *   2. cells ← untouched rows ∪ reassigned members (live rows only —
+    *      the rewrite subsumes takedown GC exactly like
+    *      [[compactIndexCells]], and the tombstone set clears after);
+    *   3. codebook ← superset minus the split parents (now memberless).
+    *
+    * Duplicate-heavy cells may refuse to split (identical vectors share
+    * every argmin, so all members follow one sub-centroid); the returned
+    * report states per-cell outcomes rather than promising a bound the
+    * data can violate. Like compaction, the pass assumes appends are
+    * quiesced (the codebook generation changes underneath a concurrent
+    * [[appendToIndex]]).
+    *
+    * Reference analogue: the buffer's region re-carve under
+    * maintenance locks (DbusEventBuffer.java:2199-2202) — serving reads
+    * never see a half-moved region; here the swap is the lock. */
+  def rebalanceCells(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, corpus: DataFrame, maxCellSize: Long,
+      splitFactor: Int = 2, iters: Int = 3): Seq[(Long, Long)] = {
+    require(maxCellSize > 0, s"rebalanceCells: maxCellSize $maxCellSize")
+    require(splitFactor >= 2, s"rebalanceCells: splitFactor $splitFactor")
+    val live = readCells(spark, storeDir)
+    // codebook-bounded rows (one per cell) — driver-collectable by the
+    // same construction as every codebook collect here
+    val oversized = live.groupBy("cell_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCellSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (oversized.isEmpty) return Seq.empty
+    val book = spark.read.parquet(s"$storeDir/codebook").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    require(book.nonEmpty, s"rebalanceCells: empty codebook in $storeDir")
+    var nextId = book.map(_._1).max + 1
+    val splitIds = oversized.map(_._1).toSet
+    // per-cell sub-training: the loop is codebook-bounded (≤ #cells
+    // iterations) and each iteration's jobs are cell-sized
+    val perCell = oversized.map { case (cellId, _) =>
+      val memberIds = live.where(col("cell_id") === cellId).select("id")
+      val members = memberIds
+        .join(corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
+      // loud drift guard: a live id the corpus lost would silently drop
+      // out of the rewrite (an unrecorded erasure) — two cell-sized counts
+      val (nIds, nVecs) = (memberIds.count(), members.count())
+      require(nIds == nVecs, s"rebalanceCells: cell $cellId has " +
+        s"${nIds - nVecs} member id(s) absent from the corpus — repair the" +
+        " store (fsck) before rebalancing")
+      val (subs, _) = trainCentroids(members, splitFactor, iters)
+      val offset = subs.map { case (i, v) => (nextId + i, v) }
+      nextId += splitFactor
+      (cellId, offset)
+    }
+    val subBook = perCell.flatMap(_._2)
+    // swap 1: superset codebook
+    val tmpBook1 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
+    centroidsDf(spark, book ++ subBook)
+      .coalesce(1).write.parquet(tmpBook1)
+    Dedup.swapDir(s"$storeDir/codebook", tmpBook1)
+    // swap 2: cells — untouched rows as-is, split-cell members reassigned
+    // under their sub-codebooks (identical vectors share every argmin, so
+    // planted twins stay co-located through the split)
+    val reassigned = perCell.map { case (cellId, offsetBook) =>
+      quantizedCells(
+        live.where(col("cell_id") === cellId).select("id")
+          .join(corpus.select(col("id").cast("long").as("id"), col("vec")),
+            "id"),
+        offsetBook.toArray)
+    }.reduce(_ unionByName _)
+    val untouched = live.where(!col("cell_id").isin(splitIds.toSeq: _*))
+      .select("id", "cell_id", "q", "scale")
+    val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
+    untouched.unionByName(reassigned)
+      .repartition(4, col("cell_id"))
+      .write.parquet(tmpCells)
+    Dedup.swapDir(s"$storeDir/cells", tmpCells)
+    Tombstones.clear(storeDir) // the rewrite kept live rows only
+    // swap 3: drop the now-memberless split parents from the codebook
+    val tmpBook2 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
+    centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1)) ++ subBook)
+      .coalesce(1).write.parquet(tmpBook2)
+    Dedup.swapDir(s"$storeDir/codebook", tmpBook2)
+    oversized.toSeq
+  }
+
   /** Float-precision IVF retrieval against a [[writeIndex]] store: the
     * stored (id, cell_id) assignment bounds candidates per probed cell;
     * candidate ids join `corpus` for vectors (id-keyed, linear) — the

@@ -62,6 +62,144 @@ object Layout {
       .agg(min(colA).as("a_min"), max(colA).as("a_max"),
         min(colB).as("b_min"), max(colB).as("b_max"))
 
+  /** Append one batch to a Z-ordered layout WITHOUT rewriting the table:
+    * the batch is clustered on the Morton key within itself and lands as
+    * new files — O(batch) per append, the same discipline as every
+    * incremental store here. Each generation's files stay individually
+    * tight, but generations OVERLAP in key space (two appends covering
+    * the same region both claim it), so a box query's pruning degrades
+    * gradually as appends accumulate — measurable via
+    * [[clusteringDepth]], repaired by [[reclusterIfNeeded]]. This is the
+    * lake OPTIMIZE-ZORDER write/maintain split: appends never pay the
+    * table rewrite; the rewrite runs when the measured debt says so. */
+  def zorderAppend(df: DataFrame, dir: String, colA: String, colB: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"zorderAppend: numFiles $numFiles")
+    df.withColumn("__zkey", zorderKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Per-file (min, max) bounds of the two layout columns read from
+    * PARQUET FOOTERS ONLY — no row is scanned, so the maintenance
+    * decision costs O(files), the same metadata pass the scan planner
+    * itself runs. (The row-scanning [[fileBounds]] stays as the
+    * spec-side ground truth the footer path is checked against.)
+    * Loud failure on a column with no footer stats (wrong name or
+    * non-integral type) — a silent empty answer would read as
+    * "perfectly clustered". */
+  def footerBounds(dir: String, cols: Seq[String])
+      : Seq[(String, Seq[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    def asLong(v: Any, file: String, c: String): Long = v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => throw new IllegalArgumentException(
+        s"footerBounds: column $c in $file has non-integral footer stats" +
+          s" (${if (other == null) "none" else other.getClass.getName})")
+    }
+    val (fs, root) = StoreFs.fsPath(dir)
+    if (!fs.exists(root)) return Seq.empty
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      b.result()
+    }
+    files.map { path =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          path, fs.getConf))
+      try {
+        val chunks = rdr.getFooter.getBlocks.asScala.toSeq
+          .flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+        val bounds = cols.map { c =>
+          val cc = chunks.getOrElse(c, Seq.empty)
+            .filter(m => m.getStatistics != null &&
+              m.getStatistics.hasNonNullValue)
+          require(cc.nonEmpty,
+            s"footerBounds: no footer stats for column $c in $path")
+          (cc.map(m => asLong(m.getStatistics.genericGetMin, path.toString, c)).min,
+            cc.map(m => asLong(m.getStatistics.genericGetMax, path.toString, c)).max)
+        }
+        (path.toString, bounds)
+      } finally rdr.close()
+    }
+  }
+
+  /** The layout's CLUSTERING DEPTH: the maximum number of files whose
+    * footer boxes cover any single point of (colA, colB) space — exactly
+    * the files a point predicate must read under footer pruning, i.e.
+    * the layout's worst-case read amplification. Metadata-only: footer
+    * boxes plus a driver-side slab sweep (per distinct `a` boundary, a
+    * 1-D endpoint sweep over the active files' `b` intervals —
+    * O(files²·log) worst case, the planner-listing cost class; file
+    * counts here are a maintenance pass's, not a corpus's). A freshly
+    * [[zorderWrite]]-written layout tiles near-disjoint rectangles and
+    * measures ~1; every full-range [[zorderAppend]] generation stacks
+    * one more cover over the whole plane, so the measure rises by ~1
+    * per append wave — the trigger [[reclusterIfNeeded]] reads. */
+  def clusteringDepth(dir: String, colA: String, colB: String): Int =
+    boxStabDepth(footerBounds(dir, Seq(colA, colB))
+      .map { case (_, Seq(a, b)) => (a, b) })
+
+  /** Max number of closed boxes covering any (a, b) point — the pure
+    * sweep [[clusteringDepth]] runs over footer boxes. Slab sweep over
+    * `a` boundaries; depth inside a slab is the classic 1-D max-overlap
+    * of the active `b` intervals (opens before closes at equal
+    * endpoints — a closed interval still covers its endpoint). */
+  private[graft] def boxStabDepth(
+      boxes: Seq[((Long, Long), (Long, Long))]): Int = {
+    if (boxes.isEmpty) return 0
+    val aCuts = boxes.flatMap { case ((a0, a1), _) => Seq(a0, a1) }
+      .distinct.sorted
+    var maxDepth = 0
+    aCuts.foreach { a =>
+      val ev = boxes.collect {
+        case ((a0, a1), (b0, b1)) if a0 <= a && a <= a1 =>
+          Seq((b0, 1), (b1, -1))
+      }.flatten
+      var d = 0
+      ev.sortBy { case (b, delta) => (b, -delta) }.foreach { case (_, delta) =>
+        d += delta
+        if (d > maxDepth) maxDepth = d
+      }
+    }
+    maxDepth
+  }
+
+  /** Rewrite the layout IF the measured [[clusteringDepth]] exceeds
+    * `maxDepth` — the maintenance pass that turns [[zorderAppend]]'s
+    * accumulating debt back into a depth-1 layout. The decision reads
+    * footers only; the rewrite (one table scan, range-partitioned on the
+    * key) lands via the atomic two-rename swap, so readers serve the old
+    * generation until the new one promotes and a crash leaves a
+    * fsck-visible artifact, never a half-table
+    * ([[StoreFsck.layoutArtifacts]]). Returns the measured depth and
+    * whether the rewrite ran. */
+  def reclusterIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, colA: String, colB: String, maxDepth: Int = 2,
+      numFiles: Int = 8): (Int, Boolean) = {
+    require(maxDepth >= 1, s"reclusterIfNeeded: maxDepth $maxDepth")
+    val depth = clusteringDepth(dir, colA, colB)
+    if (depth <= maxDepth) return (depth, false)
+    val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
+    spark.read.parquet(dir)
+      .withColumn("__zkey", zorderKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.parquet(tmp)
+    Dedup.swapDir(dir, tmp)
+    (depth, true)
+  }
+
   /** The N-dimensional Morton key (3 or 4 non-negative LONG columns;
     * bit budget 21/15 bits per dim — loud failure outside it, see
     * [[graft.functions.ZorderKeyN]]). */

@@ -204,6 +204,81 @@ object StoreFsck {
           .agg(count(lit(1)).as("c")).where(col("c") > 1)))
   }
 
+  /** Audit an EVENT-LOG store ([[graft.streaming.RelayStream]]'s
+    * window-aligned layout). The log's documented crash/retry windows:
+    *
+    *   - `compactEventLog` is a write-tmp → two-rename swap; a crash
+    *     before the swap leaves `<dir>.compact-tmp` (dead bytes, safe to
+    *     delete), a crash between promote and backup delete (or mid
+    *     late-append rollback) leaves `<dir>.compact-old` (the swap
+    *     landed; the backup is reclaimable — unless the live dir is also
+    *     gone, in which case recovery is renaming the backup back);
+    *   - a blind re-append of a batch (retry without the source's offset
+    *     log) double-writes events — detectable as duplicate (scn, seq)
+    *     keys, the event identity the dispatcher dedups on;
+    *   - the writer range-partitions on scn so no transaction window
+    *     ever splits across files (the atomicity invariant the file
+    *     source's whole-file batches rely on); an scn spanning files
+    *     means some writer bypassed [[graft.streaming.RelayStream.writeEventLog]].
+    *
+    * Filesystem probes are one existence check each (StoreFs — any URI
+    * scheme); the two table checks are log-sized aggregates. */
+  def eventLogStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fsFindings = Seq(
+      ("orphan_compact_tmp",
+        if (StoreFs.exists(s"$dir.compact-tmp")) 1L else 0L),
+      ("orphan_compact_backup",
+        if (StoreFs.exists(s"$dir.compact-old")) 1L else 0L),
+      ("missing_with_backup",
+        if (!StoreFs.exists(dir) && StoreFs.exists(s"$dir.compact-old")) 1L
+        else 0L)).toDF("check_name", "n_bad")
+    if (!StoreFs.isDirectory(dir)) return fsFindings
+    val log = spark.read.schema(graft.streaming.RelayStream.schema)
+      .parquet(dir)
+    fsFindings
+      .unionByName(finding("duplicate_log_events",
+        log.groupBy("scn", "seq").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .unionByName(finding("windows_split_across_files",
+        log.select(col("scn"), input_file_name().as("f")).distinct()
+          .groupBy("scn").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+  }
+
+  /** Audit an [[graft.streaming.Applier]] snapshot-state store. The
+    * applier's generation protocol (write `next-*` → displace `current`
+    * to `old-*` → promote → retire) has three documented crash windows,
+    * each a distinct finding; the snapshot itself carries the apply-log
+    * algebra's invariants (exactly one row per key, no DELETE rows —
+    * [[graft.operators.Bootstrap.applyLog]] take-latest semantics). */
+  def applierState(spark: SparkSession, dir: String,
+      keyCols: Seq[String] = Seq("key_long")): DataFrame = {
+    import spark.implicits._
+    val names = StoreFs.listDirNames(dir)
+    val hasCurrent = StoreFs.exists(s"$dir/current")
+    val fsFindings = Seq(
+      // crash before promote: dead bytes, safe to delete
+      ("orphan_next_generations",
+        names.count(_.startsWith("next-")).toLong),
+      // crash before retire: the promote landed, backup is reclaimable
+      ("orphan_old_generations", names.count(_.startsWith("old-")).toLong),
+      // crash between displace and promote: serving sees NO snapshot and
+      // the next apply would silently re-materialize from one batch —
+      // recovery is renaming the newest old-*/next-* back to current
+      ("snapshot_missing_with_generations",
+        if (!hasCurrent && names.exists(n =>
+          n.startsWith("next-") || n.startsWith("old-"))) 1L
+        else 0L)).toDF("check_name", "n_bad")
+    if (!hasCurrent) return fsFindings
+    val snap = spark.read.parquet(s"$dir/current")
+    fsFindings
+      .unionByName(finding("duplicate_snapshot_keys",
+        snap.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .unionByName(finding("delete_rows_in_snapshot",
+        snap.where(col("opcode") === "DELETE")))
+  }
+
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */
   def annStore(spark: SparkSession, dir: String): DataFrame = {
     val cells = spark.read.parquet(s"$dir/cells")

@@ -320,6 +320,55 @@ class DedupAnnSpec extends SparkSpec {
     (0L until 5L).foreach(i => assert(top(i) == i + 100L))
   }
 
+  test("rebalanceCells: oversized cells split in place, serving and invariants hold") {
+    import graft.pipeline.{StoreFsck, Tombstones}
+    val dir = java.nio.file.Files.createTempDirectory("annreb").toString
+    // 2 cells over 35 vectors — both far over a maxCellSize of 10, the
+    // frozen-codebook hot-region shape rebalancing exists for
+    Ann.writeIndex(vectors, dir, k = 2, iters = 2)
+    val q = vectors.where($"id" < 5)
+    def top1(nProbe: Int = 4) = Ann.ivfQuantizedTopKFromStore(q, vectors,
+        dir, k = 1, nProbe = nProbe, rerank = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val pre = top1()
+    (0L until 5L).foreach(i => assert(pre(i) == i + 100L))
+
+    val report = Ann.rebalanceCells(spark, dir, vectors, maxCellSize = 10L,
+      splitFactor = 2, iters = 2)
+    assert(report.map(_._1).toSet.size == 2 &&
+      report.forall(_._2 > 10L), s"both cells were oversized: $report")
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == vectors.count(), "rebalance moved rows, never drops")
+    val bookIds = spark.read.parquet(s"$dir/codebook")
+      .select("id").as[Long].collect().toSet
+    report.foreach { case (cid, _) =>
+      assert(!bookIds.contains(cid), s"split parent $cid still in codebook") }
+    assert(cells.select("cell_id").distinct().as[Long].collect()
+      .forall(bookIds.contains), "cells reference unknown centroids")
+    // the store's structural invariants all hold post-swap
+    assert(StoreFsck.annStore(spark, dir)
+      .as[(String, Long)].collect().toMap.values.forall(_ == 0L))
+    // serving contract unchanged (4 sub-cells, all probed at nProbe=4)
+    assert(top1() == pre, "rebalance changed retrieval")
+
+    // a balanced store is a measured no-op
+    assert(Ann.rebalanceCells(spark, dir, vectors, maxCellSize = 100L).isEmpty)
+
+    // the rewrite subsumes takedown GC: tombstoned rows leave the store
+    // and the tombstone set clears (compactIndexCells' contract)
+    Ann.tombstoneVectors(spark, dir, Seq(29L))
+    val report2 = Ann.rebalanceCells(spark, dir, vectors, maxCellSize = 5L,
+      splitFactor = 2, iters = 2)
+    assert(report2.nonEmpty)
+    val after = spark.read.parquet(s"$dir/cells")
+    assert(after.count() == vectors.count() - 1)
+    assert(after.where($"id" === 29L).isEmpty)
+    assert(Tombstones.readOpt(spark, dir).isEmpty, "tombstones must clear")
+    // 8 sub-cells now — probe them all; a near-dup twin may sit one
+    // sub-cell over from its query after a fine split
+    assert(top1(nProbe = 8) == pre, "GC-subsuming rebalance changed retrieval")
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")

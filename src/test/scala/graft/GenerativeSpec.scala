@@ -1056,6 +1056,27 @@ class GenerativeSpec extends SparkSpec {
     }
   }
 
+  test("boxStabDepth equals the brute-force grid maximum on random boxes") {
+    // the clustering-depth sweep vs exhaustive point counting: box
+    // endpoints are integers, so the continuous max is attained on the
+    // integer grid the brute force walks
+    import graft.pipeline.Layout
+    val rnd = new scala.util.Random(777L)
+    (0 until 200).foreach { i =>
+      val n = 1 + rnd.nextInt(10)
+      val boxes = Seq.fill(n) {
+        val a0 = rnd.nextInt(20).toLong; val a1 = a0 + rnd.nextInt(8)
+        val b0 = rnd.nextInt(20).toLong; val b1 = b0 + rnd.nextInt(8)
+        ((a0, a1), (b0, b1))
+      }
+      val brute = (0L to 30L).flatMap(a => (0L to 30L).map(b =>
+        boxes.count { case ((a0, a1), (b0, b1)) =>
+          a0 <= a && a <= a1 && b0 <= b && b <= b1 })).max
+      assert(Layout.boxStabDepth(boxes) == brute,
+        s"sweep≠brute at case $i: $boxes")
+    }
+  }
+
   test("N-ary Morton keys equal the bit-loop reference on random inputs") {
     import graft.functions.ZorderKeyN
     val rnd = new scala.util.Random(4242L)

@@ -130,6 +130,74 @@ class LayoutSpec extends SparkSpec {
       back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
   }
 
+  test("incremental layout: footer bounds = scanned truth; appends deepen, recluster restores") {
+    // three generations each covering the WHOLE plane — the worst case
+    // for append overlap (every generation claims every key region)
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("zinc").toString
+    val dir = s"$root/t"
+    // the canonical fresh measure for THIS dataset and writer: one
+    // from-scratch z-order write of the full grid (range-partition
+    // boundaries are sampled, so a file can straddle a tile edge — the
+    // fresh depth is a small constant, not exactly 1; what matters is
+    // appends stacking ABOVE it and recluster paying back DOWN to it)
+    Layout.zorderWrite(grid, s"$root/canon", "a", "b", numFiles = 4)
+    val canonDepth = Layout.clusteringDepth(s"$root/canon", "a", "b")
+    assert(canonDepth >= 1 && canonDepth <= 4,
+      s"fresh full-grid z-order should be a small constant, got $canonDepth")
+
+    Layout.zorderWrite(grid.where(($"a" + $"b") % 3 === 0), dir, "a", "b",
+      numFiles = 4)
+    val freshDepth = Layout.clusteringDepth(dir, "a", "b")
+
+    Layout.zorderAppend(grid.where(($"a" + $"b") % 3 === 1), dir, "a", "b",
+      numFiles = 4)
+    Layout.zorderAppend(grid.where(($"a" + $"b") % 3 === 2), dir, "a", "b",
+      numFiles = 4)
+
+    // the footer-only bounds must equal the row-scanning ground truth
+    // (keyed by file name — footer paths and input_file_name render the
+    // same file with different URI spellings)
+    val truth = Layout.fileBounds(spark, dir, "a", "b")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (f, a0, a1, b0, b1) =>
+        f.split('/').last -> Seq((a0, a1), (b0, b1)) }.toMap
+    val footer = Layout.footerBounds(dir, Seq("a", "b"))
+      .map { case (f, bs) => f.split('/').last -> bs }.toMap
+    assert(footer == truth, s"footer bounds ≠ scanned bounds")
+
+    val deepDepth = Layout.clusteringDepth(dir, "a", "b")
+    assert(deepDepth >= freshDepth + 2,
+      s"3 full-plane generations must stack depth: $freshDepth → $deepDepth")
+
+    // box-query row identity is generation-independent
+    def box(d: String) = spark.read.parquet(d)
+      .where($"a".between(4, 59) && $"b".between(24, 39))
+    val before = box(dir).collect().toSet
+
+    // under the threshold: measured, not rewritten
+    val (d1, ran1) = Layout.reclusterIfNeeded(spark, dir, "a", "b",
+      maxDepth = deepDepth, numFiles = 4)
+    assert(d1 == deepDepth && !ran1)
+    // over the threshold: one swap-rewrite restores the canonical measure
+    val (d2, ran2) = Layout.reclusterIfNeeded(spark, dir, "a", "b",
+      maxDepth = freshDepth, numFiles = 4)
+    assert(d2 == deepDepth && ran2)
+    val after = Layout.clusteringDepth(dir, "a", "b")
+    assert(after <= canonDepth + 1 && deepDepth >= after + 2,
+      s"recluster must pay the append debt down to the from-scratch" +
+        s" measure: canon=$canonDepth deep=$deepDepth after=$after")
+    assert(box(dir).collect().toSet == before, "recluster changed rows")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64L * 64L && back.exceptAll(grid).isEmpty)
+    // the swap retired its tmp and backup
+    import graft.pipeline.StoreFs
+    val parent = dir.substring(0, dir.lastIndexOf('/'))
+    assert(!StoreFs.listDirNames(parent).exists(n =>
+      n.contains(".compact.") || n.contains(".old.")))
+  }
+
   test("zorder_key_n is SQL-registered; codegen and eval agree; arity checked") {
     graft.functions.GraftFunctions.register(spark)
     val k3 = spark.sql("SELECT zorder_key_n(CAST(5 AS BIGINT)," +

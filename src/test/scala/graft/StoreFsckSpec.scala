@@ -84,6 +84,62 @@ class StoreFsckSpec extends SparkSpec {
     assert(bad("tombstones_of_absent_ids") == 1L)
   }
 
+  test("event-log fsck: blind re-append, split windows and crash leftovers detected") {
+    import graft.sources.ChangeFeed
+    import graft.streaming.RelayStream
+    val root = tmp("fsck")
+    val dir = s"$root/eventlog"
+    val events = ChangeFeed.envelope(ChangeFeed.raw(spark, sf()))
+    RelayStream.writeEventLog(events, dir)
+    assert(findings(StoreFsck.eventLogStore(spark, dir))
+      .values.forall(_ == 0L))
+    // plant the documented hazards:
+    //  - a blind re-append of an scn slice (a retry that bypassed the
+    //    offset log) → duplicate (scn, seq) keys AND those windows now
+    //    span the original + replayed files
+    events.orderBy("scn", "seq").limit(5)
+      .write.mode("append").parquet(dir)
+    //  - a compaction that crashed before its swap (tmp left behind)
+    graft.pipeline.StoreFs.mkdirs(s"$dir.compact-tmp")
+    val bad = findings(StoreFsck.eventLogStore(spark, dir))
+    assert(bad("duplicate_log_events") == 5L, bad.toString)
+    assert(bad("windows_split_across_files") >= 1L, bad.toString)
+    assert(bad("orphan_compact_tmp") == 1L)
+    assert(bad("orphan_compact_backup") == 0L)
+    assert(bad("missing_with_backup") == 0L)
+  }
+
+  test("applier-state fsck: crashed generation swaps and snapshot algebra violations") {
+    import graft.streaming.Applier
+    val dir = s"${tmp("fsck")}/state"
+    graft.pipeline.StoreFs.mkdirs(dir)
+    val b1 = Seq((100L, 0L, 1L, "UPSERT", 10.0), (100L, 1L, 2L, "UPSERT", 20.0))
+      .toDF("scn", "seq", "key_long", "opcode", "value")
+    Applier.applyBatch(spark, b1, dir)
+    assert(findings(StoreFsck.applierState(spark, dir))
+      .values.forall(_ == 0L))
+    // plant: a next-* generation that never promoted, an old-* backup
+    // that never retired, and snapshot rows violating the apply-log
+    // algebra (a second row for key 1, a DELETE row that take-latest
+    // should have dropped)
+    graft.pipeline.StoreFs.mkdirs(s"$dir/next-123")
+    graft.pipeline.StoreFs.mkdirs(s"$dir/old-456")
+    Seq((90L, 9L, 1L, "UPSERT", 9.0), (101L, 2L, 3L, "DELETE", 0.0))
+      .toDF("scn", "seq", "key_long", "opcode", "value")
+      .write.mode("append").parquet(s"$dir/current")
+    val bad = findings(StoreFsck.applierState(spark, dir))
+    assert(bad("orphan_next_generations") == 1L)
+    assert(bad("orphan_old_generations") == 1L)
+    assert(bad("snapshot_missing_with_generations") == 0L)
+    assert(bad("duplicate_snapshot_keys") == 1L)
+    assert(bad("delete_rows_in_snapshot") == 1L)
+    // the displaced-current crash window: current gone, generations left
+    val dir2 = s"${tmp("fsck")}/state2"
+    graft.pipeline.StoreFs.mkdirs(s"$dir2/old-1")
+    val bad2 = findings(StoreFsck.applierState(spark, dir2))
+    assert(bad2("snapshot_missing_with_generations") == 1L)
+  }
+
   test("batch-partial store fsck: blind intra-batch append detected") {
     val dir = s"${tmp("fsck")}/sketch"
     val scored = Seq((10L, "a"), (20L, "a"), (80L, "b"))
