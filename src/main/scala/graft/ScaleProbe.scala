@@ -62,8 +62,11 @@ object ScaleProbe {
     "q_hybrid_rrf_store", "q_zorder_box3", "q_quantile_stream",
     "q_store_fsck_models",
     // round-10 second wave: incremental layout maintenance, IVF cell
-    // rebalance, serving-state fsck
-    "q_zorder_incr", "q_ann_rebalance", "q_store_fsck_log")
+    // rebalance, pointer-flip generation protocol (q_store_fsck_log is
+    // NOT probed: it audits the envelope event log, and the derived sf1
+    // set replicates only the lake tables — same reason every other
+    // envelope-family query sits outside this list)
+    "q_zorder_incr", "q_ann_rebalance", "q_bm25_versioned")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))

@@ -1821,6 +1821,42 @@ object SparkEntry {
         Seq("the", "of", "data"), k = 20)
     }),
 
+    // ---- VERSIONED multi-table index: the postings+doclens PAIR
+    // published as atomic generations behind one pointer flip — the
+    // protocol that ELIMINATES the two-commit crash window (docs
+    // indexed without norms) instead of detecting it. Generation 1
+    // indexes half the corpus, generation 2 the whole; a third publish
+    // CRASHES before its completeness marker (simulated) and must be
+    // invisible. Serving reads BOTH: the current generation (BM25 over
+    // the full corpus) and the PINNED generation 1 (BM25 over the half
+    // corpus — whole-rebuild snapshot reproducibility), tagged by gen;
+    // the oracle re-derives each from its slice ----
+    "q_bm25_versioned" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("vidx").toString +
+        "/index"
+      val R = graft.pipeline.Retrieval
+      val V = graft.pipeline.VersionedStore
+      val d = docs(s, dir).select("doc_id", "text")
+      def tables(slice: DataFrame) = Map(
+        "postings" -> R.positionalPostings(slice)
+          .repartitionByRange(4, col("token"))
+          .sortWithinPartitions("token", "doc_id", "pos"),
+        "doclens" -> R.docLengths(slice).coalesce(2))
+      val g1 = V.publish(root, tables(d.where(col("doc_id") % 2 === 0)))
+      val g2 = V.publish(root, tables(d))
+      // a publish that crashes mid-write leaves dead bytes, never a
+      // torn pair: tables down, marker missing, pointer unmoved
+      R.docLengths(d.limit(3)).write.parquet(s"$root/gen-9/doclens")
+      val terms = Seq("the", "of", "data")
+      R.bm25TopKFromIndex(V.read(s, root, "postings"),
+          V.read(s, root, "doclens"), terms, k = 20)
+        .withColumn("gen", lit(g2))
+        .unionByName(R.bm25TopKFromIndex(
+            V.readAsOf(s, root, "postings", g1),
+            V.readAsOf(s, root, "doclens", g1), terms, k = 20)
+          .withColumn("gen", lit(g1)))
+    }),
+
     // ---- the composed TAKEDOWN pipeline — the round trip a real
     // leak response runs: (1) AUDIT: contamination attribution names
     // every train doc sharing ≥10% of an eval item's shingles
@@ -5418,6 +5454,15 @@ object SparkEntry {
     // included
     "q_postings_asof" ->
       bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 3 <> 2)"),
+
+    // versioned index: the current generation is the full corpus, the
+    // pinned generation 1 the doc_id-even half; each BM25 re-derives
+    // from its slice (the crashed generation 9 must contribute nothing)
+    "q_bm25_versioned" ->
+      (s"SELECT *, CAST(2 AS BIGINT) AS gen FROM (${bm25TopKSqlFor(
+        "documents")})" +
+        s" UNION ALL SELECT *, CAST(1 AS BIGINT) AS gen FROM (${
+          bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 0)")})"),
 
     // composed takedown pipeline: the live slice is "every doc the
     // attribution audit did NOT name" — same shingle/leak_bp derivation

@@ -401,13 +401,16 @@ object Ann {
       splitFactor: Int = 2, iters: Int = 3): Seq[(Long, Long)] = {
     require(maxCellSize > 0, s"rebalanceCells: maxCellSize $maxCellSize")
     require(splitFactor >= 2, s"rebalanceCells: splitFactor $splitFactor")
-    val live = readCells(spark, storeDir)
+    // persisted once: the pass reads the cell table 2×#oversized times
+    // (member slices, counts) before the rewrite — each read must not
+    // re-scan the store
+    val live = readCells(spark, storeDir).persist()
     // codebook-bounded rows (one per cell) — driver-collectable by the
     // same construction as every codebook collect here
     val oversized = live.groupBy("cell_id").agg(count(lit(1)).as("n"))
       .where(col("n") > maxCellSize)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (oversized.isEmpty) return Seq.empty
+    if (oversized.isEmpty) { live.unpersist(); return Seq.empty }
     val book = spark.read.parquet(s"$storeDir/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
     require(book.nonEmpty, s"rebalanceCells: empty codebook in $storeDir")
@@ -453,6 +456,7 @@ object Ann {
       .repartition(4, col("cell_id"))
       .write.parquet(tmpCells)
     Dedup.swapDir(s"$storeDir/cells", tmpCells)
+    live.unpersist()
     Tombstones.clear(storeDir) // the rewrite kept live rows only
     // swap 3: drop the now-memberless split parents from the codebook
     val tmpBook2 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"

@@ -279,6 +279,43 @@ object StoreFsck {
         snap.where(col("opcode") === "DELETE")))
   }
 
+  /** Audit a [[VersionedStore]] root. The protocol's crash windows are
+    * all DEAD-BYTES states by design (readers resolve through the
+    * pointer, generations are immutable once complete), so every
+    * finding here is reclaimable space or a recovery hint — never a
+    * served wrong answer:
+    *   - `incomplete_generations`: publishes that crashed before their
+    *     `_COMPLETE` marker (gc retires the ones older than current);
+    *   - `unreferenced_complete_generations`: marker down, pointer flip
+    *     never landed — the publish is re-runnable or adoptable;
+    *   - `missing_pointer_with_generations`: complete generations exist
+    *     but no pointer (a first publish that crashed at the flip) —
+    *     recovery is pointing at the newest complete generation;
+    *   - `corrupt_pointer`: unreadable pointer content (must surface
+    *     here rather than as "empty store");
+    *   - `pointer_to_missing_generation`: the pointer names a
+    *     generation that is absent or incomplete (an over-eager manual
+    *     delete — the one state that DOES break reads, loudly). */
+  def versionedStore(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val gens = VersionedStore.listGens(root)
+    val (cur, corrupt) =
+      try (VersionedStore.currentGen(root), 0L)
+      catch { case _: IllegalStateException => (None, 1L) }
+    val complete = gens.filter(_._2).map(_._1)
+    Seq(
+      ("incomplete_generations", gens.count(!_._2).toLong),
+      ("unreferenced_complete_generations",
+        cur.map(c => complete.count(_ > c).toLong)
+          .getOrElse(if (corrupt == 1L) 0L else complete.size.toLong)),
+      ("missing_pointer_with_generations",
+        if (cur.isEmpty && corrupt == 0L && complete.nonEmpty) 1L else 0L),
+      ("corrupt_pointer", corrupt),
+      ("pointer_to_missing_generation",
+        if (cur.exists(c => !complete.contains(c))) 1L else 0L))
+      .toDF("check_name", "n_bad")
+  }
+
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */
   def annStore(spark: SparkSession, dir: String): DataFrame = {
     val cells = spark.read.parquet(s"$dir/cells")

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table store GENERATIONS published by one atomic pointer flip —
+  * the protocol that ELIMINATES (not merely detects) the two-commit
+  * crash windows the per-table swap protocols document.
+  *
+  * The problem: several stores here are PAIRS of tables that only make
+  * sense together — postings + doclens ([[Retrieval.writePostingsIndex]]:
+  * "a crash between them leaves docs indexed without length norms"),
+  * sigs + banded (the minhash store's signed-but-never-banded window,
+  * [[StoreFsck.minhashStore]]), codebook + cells. Each table's own
+  * commit is atomic (Spark publishes files at job commit; the
+  * two-rename swap is atomic per rename), but nothing makes the PAIR
+  * atomic, so every multi-table update carries a stated fsck-detectable
+  * window. That is detection; this module is prevention.
+  *
+  * Protocol (exactly how table formats version metadata, reduced to its
+  * filesystem core):
+  *
+  *   - a generation directory `gen-<id>/` holds EVERY table of the
+  *     store, plus an empty `_COMPLETE` marker written LAST;
+  *   - readers resolve through the `_CURRENT` pointer file, whose
+  *     content is the generation id — one small read per store open;
+  *   - publish = write all tables into a fresh `gen-<id>/`, drop the
+  *     marker, then flip `_CURRENT` via write-tmp + RENAME with
+  *     OVERWRITE ([[org.apache.hadoop.fs.FileContext]] — atomic on
+  *     POSIX and HDFS, the single-file rename every commit-protocol
+  *     ultimately bottoms out in). A crash ANYWHERE before the flip
+  *     leaves `_CURRENT` on the old generation: readers never see a
+  *     torn store, and the partial/unreferenced generation is an
+  *     [[StoreFsck.versionedStore]] finding plus [[gc]] fodder — dead
+  *     bytes, never wrong answers;
+  *   - old generations stay readable until [[gc]] retires them, which
+  *     gives snapshot pinning ([[readAsOf]]) for free — the
+  *     reproducibility contract [[Retrieval.readPostingsIndexAsOf]]
+  *     provides for batch-addressed appends, here for whole rebuilds.
+  *
+  * Scale shape: the pointer is metadata (one file, a handful of bytes);
+  * generation writes are the same distributed table writes the
+  * unversioned stores run; nothing store-sized ever moves to publish a
+  * generation beyond the tables themselves. Object stores whose rename
+  * is not atomic degrade to last-writer-wins on the POINTER — still
+  * never a torn multi-table state, because every generation directory
+  * is immutable once marked complete.
+  *
+  * Reference analogue: the bootstrap's two-phase snapshot/catchup
+  * apply, where consumers switch to a new consistent state only at the
+  * recorded SCN boundary, never mid-copy
+  * (BootstrapCheckpointHandler.java:103-203); checkpoint persistence
+  * likewise goes provider-abstracted metadata-first
+  * (FileSystemCheckpointPersistenceProvider.java:1).
+  */
+object VersionedStore {
+
+  private val Pointer = "_CURRENT"
+  private val Marker = "_COMPLETE"
+
+  private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
+
+  /** The generation `_CURRENT` points at — None before the first
+    * publish. Loud failure on unreadable pointer CONTENT (a corrupt
+    * pointer must not read as an empty store). */
+  def currentGen(root: String): Option[Long] = {
+    val (fs, p) = StoreFs.fsPath(s"$root/$Pointer")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val raw = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        Some(raw.toLong)
+      } catch {
+        // unparseable content and checksum-mismatched bytes are the same
+        // operational fact: the pointer is corrupt (it must surface as
+        // that, not as an empty store or a generic IO failure)
+        case e @ (_: NumberFormatException |
+                  _: org.apache.hadoop.fs.ChecksumException) =>
+          throw new IllegalStateException(
+            s"VersionedStore: corrupt pointer at $root/$Pointer", e)
+      } finally in.close()
+    }
+  }
+
+  /** Publish one new generation holding ALL of `tables`, and flip the
+    * pointer to it. Returns the new generation id. The flip happens
+    * only after every table and the completeness marker are down; any
+    * crash before it leaves readers on the previous generation. */
+  def publish(root: String, tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "VersionedStore.publish: no tables")
+    val gen = currentGen(root).getOrElse(0L) + 1L
+    val dir = genDir(root, gen)
+    require(!StoreFs.exists(s"$dir/$Marker"),
+      s"VersionedStore.publish: generation $gen already complete at $root" +
+        " — concurrent publisher? (single-writer protocol, like every" +
+        " maintenance pass here)")
+    // a crashed publish may have left a PARTIAL dir under this id; wipe
+    // it whole rather than per-table overwrite — otherwise a stale table
+    // the new publish doesn't carry would ride inside the completed
+    // generation and readAsOf would serve it as if published
+    StoreFs.deleteRecursive(dir)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    touch(s"$dir/$Marker")
+    flipPointer(root, gen)
+    gen
+  }
+
+  /** Read `table` at the CURRENT generation (loud when the store has
+    * never published — an empty frame would silently serve nothing). */
+  def read(spark: SparkSession, root: String, table: String): DataFrame =
+    readAsOf(spark, root, table, currentGen(root).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedStore.read: no published generation at $root")))
+
+  /** Read `table` PINNED at generation `gen` — the whole-rebuild form
+    * of snapshot reproducibility: a generation is immutable once
+    * complete, so any consumer that records `gen` can replay the exact
+    * store state it saw, regardless of later publishes (until [[gc]]
+    * retires it, which is the caller's retention policy). */
+  def readAsOf(spark: SparkSession, root: String, table: String,
+      gen: Long): DataFrame = {
+    require(StoreFs.exists(s"${genDir(root, gen)}/$Marker"),
+      s"VersionedStore.readAsOf: generation $gen at $root is absent or" +
+        " incomplete (crashed publish, or gc'd past the retention you" +
+        " need)")
+    spark.read.parquet(s"${genDir(root, gen)}/$table")
+  }
+
+  /** Retire generations: keep the current one plus the `keep` most
+    * recent complete predecessors, delete everything else — including
+    * INCOMPLETE generations older than current (crashed publishes:
+    * dead bytes by protocol). Returns the deleted generation ids.
+    * Incomplete generations NEWER than current are left alone — they
+    * may be a publish in flight. */
+  def gc(root: String, keep: Int = 1): Seq[Long] = {
+    require(keep >= 0, s"VersionedStore.gc: keep $keep")
+    val cur = currentGen(root).getOrElse(return Seq.empty)
+    val gens = listGens(root)
+    val keepSet = gens.filter(g => g._1 <= cur && g._2)
+      .map(_._1).sorted.reverse.take(keep + 1).toSet
+    val dead = gens.collect {
+      case (g, _) if g <= cur && !keepSet.contains(g) => g
+      case (g, complete) if g > cur && complete => g
+      // g > cur && !complete: possibly a publish in flight — kept
+    }.filterNot(_ == cur).sorted
+    dead.foreach(g => StoreFs.deleteRecursive(genDir(root, g)))
+    dead
+  }
+
+  /** (gen id, complete?) for every generation directory under root. */
+  private[graft] def listGens(root: String): Seq[(Long, Boolean)] =
+    StoreFs.listDirNames(root).collect {
+      case n if n.startsWith("gen-") && n.drop(4).forall(_.isDigit) =>
+        val g = n.drop(4).toLong
+        (g, StoreFs.exists(s"${genDir(root, g)}/$Marker"))
+    }
+
+  private def touch(path: String): Unit = {
+    val (fs, p) = StoreFs.fsPath(path)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  /** Atomic pointer flip: write the id into a tmp file, then RENAME
+    * with OVERWRITE through FileContext (the API that exposes POSIX
+    * rename semantics — plain FileSystem.rename refuses existing
+    * destinations). */
+  private def flipPointer(root: String, gen: Long): Unit = {
+    val (fs, _) = StoreFs.fsPath(root)
+    val tmp = fs.makeQualified(
+      new Path(s"$root/$Pointer.tmp.${ProcessHandle.current.pid}"))
+    val dst = fs.makeQualified(new Path(s"$root/$Pointer"))
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri, fs.getConf)
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+}

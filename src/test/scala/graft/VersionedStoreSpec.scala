@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{StoreFsck, VersionedStore}
+
+/** The pointer-flip generation protocol: readers never see a torn
+  * multi-table state (the window the per-table swap protocols can only
+  * detect), crashed publishes are invisible dead bytes, pinning is
+  * free, and gc + fsck account for every leftover. */
+class VersionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("vstore").toString + "/store"
+
+  private def fsck(root: String): Map[String, Long] =
+    StoreFsck.versionedStore(spark, root)
+      .as[(String, Long)].collect().toMap
+
+  test("publish flips atomically; both tables always from ONE generation") {
+    val root = tmp()
+    assert(VersionedStore.currentGen(root).isEmpty)
+    intercept[IllegalStateException] {
+      VersionedStore.read(spark, root, "a")
+    }
+    val g1 = VersionedStore.publish(root, Map(
+      "a" -> Seq((1L, "g1")).toDF("id", "v"),
+      "b" -> Seq((1L, 10L)).toDF("id", "n")))
+    assert(g1 == 1L && VersionedStore.currentGen(root).contains(1L))
+    val g2 = VersionedStore.publish(root, Map(
+      "a" -> Seq((1L, "g2"), (2L, "g2")).toDF("id", "v"),
+      "b" -> Seq((1L, 20L), (2L, 21L)).toDF("id", "n")))
+    assert(g2 == 2L)
+    // current = generation 2 on BOTH tables — never a mix
+    assert(VersionedStore.read(spark, root, "a").count() == 2)
+    assert(VersionedStore.read(spark, root, "b")
+      .where($"n" >= 20L).count() == 2)
+    // pinning: generation 1 replays exactly, both tables
+    assert(VersionedStore.readAsOf(spark, root, "a", 1L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "g1")))
+    assert(VersionedStore.readAsOf(spark, root, "b", 1L)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    assert(fsck(root).values.forall(_ == 0L))
+  }
+
+  test("crashed publishes are dead bytes, never served; gc + fsck account for them") {
+    val root = tmp()
+    VersionedStore.publish(root, Map("a" -> Seq((1L, "g1")).toDF("id", "v")))
+    VersionedStore.publish(root, Map("a" -> Seq((1L, "g2")).toDF("id", "v")))
+    // crash BEFORE the completeness marker: tables down, no _COMPLETE
+    // (including one table name later publishes will not carry)
+    Seq((9L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-3/a")
+    Seq((9L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-3/zombie")
+    // crash AFTER the marker, BEFORE the flip: complete but unreferenced
+    Seq((8L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-4/a")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-4/_COMPLETE"))
+    // serving is untouched by either crash shape
+    assert(VersionedStore.currentGen(root).contains(2L))
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "g2")))
+    val bad = fsck(root)
+    assert(bad("incomplete_generations") == 1L, bad.toString)
+    assert(bad("unreferenced_complete_generations") == 1L, bad.toString)
+    assert(bad("missing_pointer_with_generations") == 0L)
+    assert(bad("corrupt_pointer") == 0L)
+    assert(bad("pointer_to_missing_generation") == 0L)
+    // an incomplete generation cannot be pinned — loudly
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, "a", 3L)
+    }
+    // gc: keeps current, retires the old complete gen and the
+    // unreferenced complete gen ABOVE current; the incomplete gen above
+    // current is left alone (it may be a publish in flight)
+    val dead = VersionedStore.gc(root, keep = 0)
+    assert(dead == Seq(1L, 4L), s"gc retired $dead")
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "g2")))
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, "a", 1L)
+    }
+    assert(fsck(root)("incomplete_generations") == 1L)
+    // the next publish ADOPTS the numbering past the crashed dirs? No:
+    // publish refuses to overwrite a COMPLETE generation id and walks
+    // on from the pointer — gen 3's incomplete dir is overwritten by
+    // protocol (its tables were never visible)
+    val g3 = VersionedStore.publish(root,
+      Map("a" -> Seq((1L, "g3")).toDF("id", "v")))
+    assert(g3 == 3L)
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "g3")))
+    assert(fsck(root)("incomplete_generations") == 0L)
+    // the crashed gen-3 dir ALSO held a table the re-publish does not
+    // carry — publish wipes the partial whole, so the stale table must
+    // not ride inside the completed generation
+    intercept[Exception] {
+      VersionedStore.readAsOf(spark, root, "zombie", 3L).collect()
+    }
+  }
+
+  test("random publish/crash/gc interleavings: reads always serve the last flip") {
+    // model-based generative check: whatever order publishes, crashed
+    // partials and gc runs interleave in, (a) read serves exactly the
+    // last PUBLISHED content, (b) every retained generation replays
+    // immutably, (c) fsck's incomplete count matches the model's
+    (1L to 4L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = tmp()
+      var pointer = Option.empty[Long]
+      var complete = Map.empty[Long, Seq[(Long, String)]]
+      var incomplete = Set.empty[Long]
+      def content(tag: Int): Seq[(Long, String)] =
+        (0L until (1L + rnd.nextInt(3))).map(i => (i, s"v$tag-$i"))
+      (0 until 10).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // publish
+            val c = content(step)
+            val g = VersionedStore.publish(root,
+              Map("t" -> c.toDF("id", "v")))
+            assert(g == pointer.getOrElse(0L) + 1L)
+            complete += g -> c; incomplete -= g; pointer = Some(g)
+          case 1 => // crash: partial dir above the pointer, no marker
+            val g = pointer.getOrElse(0L) + 1L + rnd.nextInt(2)
+            content(step).toDF("id", "v").write.mode("overwrite")
+              .parquet(s"$root/gen-$g/t")
+            incomplete += g
+          case 2 => // gc
+            val keep = rnd.nextInt(2)
+            VersionedStore.gc(root, keep)
+            pointer.foreach { cur =>
+              val kept = complete.keys.filter(_ <= cur).toSeq
+                .sorted.reverse.take(keep + 1).toSet
+              complete = complete.filter { case (g, _) =>
+                kept.contains(g) }
+              incomplete = incomplete.filter(_ > cur)
+            }
+        }
+        // invariants, every step
+        assert(VersionedStore.currentGen(root) == pointer, s"seed $seed step $step")
+        pointer.foreach { cur =>
+          assert(VersionedStore.read(spark, root, "t")
+            .as[(Long, String)].collect().sorted.toSeq ==
+            complete(cur).sorted, s"seed $seed step $step")
+        }
+        complete.foreach { case (g, c) =>
+          assert(VersionedStore.readAsOf(spark, root, "t", g)
+            .as[(Long, String)].collect().sorted.toSeq == c.sorted,
+            s"seed $seed step $step gen $g")
+        }
+        val inc = StoreFsck.versionedStore(spark, root)
+          .as[(String, Long)].collect().toMap.apply("incomplete_generations")
+        assert(inc == incomplete.size.toLong, s"seed $seed step $step")
+      }
+    }
+  }
+
+  test("corrupt and missing pointers surface loudly, with recovery hints") {
+    val root = tmp()
+    VersionedStore.publish(root, Map("a" -> Seq((1L, "x")).toDF("id", "v")))
+    // corrupt the pointer: reads must fail loudly, fsck must name it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_CURRENT"), "not-a-gen")
+    intercept[IllegalStateException] {
+      VersionedStore.read(spark, root, "a")
+    }
+    assert(fsck(root)("corrupt_pointer") == 1L)
+    // first-publish crash at the flip: generations exist, no pointer
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_CURRENT"))
+    val bad = fsck(root)
+    assert(bad("missing_pointer_with_generations") == 1L)
+    assert(bad("unreferenced_complete_generations") == 1L)
+    assert(bad("corrupt_pointer") == 0L)
+  }
+}
