@@ -65,10 +65,17 @@ object ColdProbe {
       // (A reader already PAST writeOnce can still race the delete —
       // the probe assumes no concurrent servers, which is its dev-only
       // contract; the lock closes the builder race, the real one.)
-      graft.sources.ProcessLock.exclusive(s"$storeDir.lock") {
-        if (graft.pipeline.StoreFs.isDirectory(storeDir)) {
-          graft.pipeline.StoreFs.deleteRecursive(s"$storeDir/_SUCCESS")
-          graft.pipeline.StoreFs.deleteRecursive(storeDir)
+      // ProcessLock's contract: hold a JVM-local monitor around it —
+      // FileChannel.lock throws OverlappingFileLockException on
+      // same-JVM contention. writeOnce synchronizes on WireFixtures,
+      // so the probe takes the SAME monitor to serialize with any
+      // in-JVM builder before taking the cross-process lock.
+      graft.sources.WireFixtures.synchronized {
+        graft.sources.ProcessLock.exclusive(s"$storeDir.lock") {
+          if (graft.pipeline.StoreFs.isDirectory(storeDir)) {
+            graft.pipeline.StoreFs.deleteRecursive(s"$storeDir/_SUCCESS")
+            graft.pipeline.StoreFs.deleteRecursive(storeDir)
+          }
         }
       }
       graft.pipeline.PlanCache.clear()

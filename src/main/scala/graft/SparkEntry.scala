@@ -3032,11 +3032,14 @@ object SparkEntry {
         col("embedding").as("vec"))
       val withTwins = all.unionByName(
         all.select((col("id") + 1000000L).as("id"), col("vec")))
-      Ann.writeIndex(withTwins, s"$root/index", k = 4, iters = 3)
+      // iters=2: the planted contract is codebook-independent (identical
+      // vectors share every argmin at ANY training state), so the
+      // fixture build doesn't buy correctness with more k-means passes
+      Ann.writeIndex(withTwins, s"$root/index", k = 4, iters = 2)
       // n/5 < n/4 ≤ the largest cell, so at least one split always runs
       val cap = math.max(1L, withTwins.count() / 5)
       val report = Ann.rebalanceCells(s, s"$root/index", withTwins,
-        maxCellSize = cap, splitFactor = 2, iters = 3)
+        maxCellSize = cap, splitFactor = 2, iters = 2)
       require(report.nonEmpty,
         s"rebalance split nothing at cap $cap — the guard the query exists for")
       Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,

@@ -405,12 +405,13 @@ object Ann {
     // (member slices, counts) before the rewrite — each read must not
     // re-scan the store
     val live = readCells(spark, storeDir).persist()
+    try {
     // codebook-bounded rows (one per cell) — driver-collectable by the
     // same construction as every codebook collect here
     val oversized = live.groupBy("cell_id").agg(count(lit(1)).as("n"))
       .where(col("n") > maxCellSize)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (oversized.isEmpty) { live.unpersist(); return Seq.empty }
+    if (oversized.isEmpty) return Seq.empty
     val book = spark.read.parquet(s"$storeDir/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
     require(book.nonEmpty, s"rebalanceCells: empty codebook in $storeDir")
@@ -456,7 +457,6 @@ object Ann {
       .repartition(4, col("cell_id"))
       .write.parquet(tmpCells)
     Dedup.swapDir(s"$storeDir/cells", tmpCells)
-    live.unpersist()
     Tombstones.clear(storeDir) // the rewrite kept live rows only
     // swap 3: drop the now-memberless split parents from the codebook
     val tmpBook2 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
@@ -464,6 +464,11 @@ object Ann {
       .coalesce(1).write.parquet(tmpBook2)
     Dedup.swapDir(s"$storeDir/codebook", tmpBook2)
     oversized.toSeq
+    // every exit — early empty return, the loud guards, a failed swap —
+    // must release the persisted store copy, or repeated maintenance
+    // attempts against a store needing fsck pile caches into the block
+    // manager
+    } finally live.unpersist()
   }
 
   /** Float-precision IVF retrieval against a [[writeIndex]] store: the

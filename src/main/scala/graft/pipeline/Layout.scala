@@ -111,24 +111,33 @@ object Layout {
       }
       b.result()
     }
-    files.map { path =>
+    files.flatMap { path =>
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           path, fs.getConf))
       try {
-        val chunks = rdr.getFooter.getBlocks.asScala.toSeq
-          .flatMap(_.getColumns.asScala)
-          .groupBy(_.getPath.toDotString)
-        val bounds = cols.map { c =>
-          val cc = chunks.getOrElse(c, Seq.empty)
-            .filter(m => m.getStatistics != null &&
-              m.getStatistics.hasNonNullValue)
-          require(cc.nonEmpty,
-            s"footerBounds: no footer stats for column $c in $path")
-          (cc.map(m => asLong(m.getStatistics.genericGetMin, path.toString, c)).min,
-            cc.map(m => asLong(m.getStatistics.genericGetMax, path.toString, c)).max)
+        // a zero-row part file (e.g. an empty append trigger) has no
+        // row groups and legitimately no stats: it covers nothing and
+        // is SKIPPED, not an error — the loud failure below is reserved
+        // for files with rows whose named column carries no stats
+        // (wrong name or non-integral type)
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+          .filter(_.getRowCount > 0)
+        if (blocks.isEmpty) None
+        else {
+          val chunks = blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+          val bounds = cols.map { c =>
+            val cc = chunks.getOrElse(c, Seq.empty)
+              .filter(m => m.getStatistics != null &&
+                m.getStatistics.hasNonNullValue)
+            require(cc.nonEmpty,
+              s"footerBounds: no footer stats for column $c in $path")
+            (cc.map(m => asLong(m.getStatistics.genericGetMin, path.toString, c)).min,
+              cc.map(m => asLong(m.getStatistics.genericGetMax, path.toString, c)).max)
+          }
+          Some((path.toString, bounds))
         }
-        (path.toString, bounds)
       } finally rdr.close()
     }
   }

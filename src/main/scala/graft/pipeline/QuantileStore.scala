@@ -56,11 +56,15 @@ object QuantileStore {
         s"got ${dt.catalogString} — floor/scale the score explicitly first")
     // floor division via pmod: exact for negatives too (pmod is the
     // non-negative remainder, so x - pmod(x, w) is the floor multiple
-    // and the division is exact), keeping bucket order = score order
-    // across the whole domain
+    // and the INTEGRAL division of it is exact), keeping bucket order =
+    // score order across the whole domain. The division must be SQL
+    // `div` (IntegralDivide): Spark's `/` on longs is double division,
+    // which rounds above 2^53 and would silently land large scores in a
+    // neighboring bucket — breaking the bit-reproducibility contract
+    // and the oracle's integer `//` derivation
     val x = col(scoreCol).cast("long")
     batch.select(col(stratumCol).as("stratum"),
-        ((x - pmod(x, lit(bucketWidth))) / lit(bucketWidth))
+        call_function("div", x - pmod(x, lit(bucketWidth)), lit(bucketWidth))
           .cast("long").as("bucket"))
       .groupBy("stratum", "bucket")
       .agg(count(lit(1)).as("cnt"))
@@ -90,20 +94,21 @@ object QuantileStore {
     val byBucket = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("stratum"))
+    // ONE pass: the boundary row (first bucket whose cum crosses the
+    // target rank) already carries its own cnt, so rank_bound rides the
+    // window chain instead of a second store scan + re-aggregation
     h.withColumn("cum", sum(col("cnt")).over(byBucket))
       .withColumn("n", sum(col("cnt")).over(whole))
       // the exact gate selects rows with cnt_below·10⁴ ≥ qBp·n; the
       // boundary row sits in the first bucket whose cum crosses it
       .where(col("cum") * 10000L > lit(qBp.toLong) * col("n"))
-      .groupBy(col("stratum"))
-      .agg(min(col("bucket")).as("cut_bucket"),
-        first(col("n")).as("n"))
-      .join(h.select(col("stratum"), col("bucket").as("cut_bucket"),
-        col("cnt").as("rank_bound")), Seq("stratum", "cut_bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("bucket"))))
+      .where(col("__rn") === 1)
       .select(col("stratum"), col("n").cast("long").as("n"),
-        col("cut_bucket"),
-        (col("cut_bucket") * bucketWidth).as("cutoff"),
-        col("rank_bound").cast("long").as("rank_bound"))
+        col("bucket").as("cut_bucket"),
+        (col("bucket") * bucketWidth).as("cutoff"),
+        col("cnt").cast("long").as("rank_bound"))
   }
 
   /** Gate a corpus against the store: rows whose score reaches the

@@ -35,10 +35,27 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreFs {
 
+  // one Hadoop conf per session, not per call: newHadoopConf() CLONES
+  // the full configuration (hundreds of entries), and maintenance
+  // passes call StoreFs in per-file loops (mtime stamps, fsck probes) —
+  // O(files) clones for a lookup the FileSystem cache already keyed.
+  // Trade-off (deliberate): fs.* settings applied to a session AFTER
+  // its first StoreFs call are not picked up; maintenance credentials
+  // are session-construction state here, as in the reference's
+  // provider config (FileSystemCheckpointPersistenceProvider.java:1).
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+  @volatile private var noSessionConf: Configuration = null
+
   private def conf: Configuration =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        if (confCache.size > 8) confCache.clear() // stopped-session GC
+        confCache.computeIfAbsent(s, _.sessionState.newHadoopConf())
+      case None =>
+        if (noSessionConf == null) noSessionConf = new Configuration()
+        noSessionConf
+    }
 
   /** The FileSystem owning `dir`, plus `dir` as a Path — one resolution
     * per maintenance op (FileSystem instances are cached by scheme +

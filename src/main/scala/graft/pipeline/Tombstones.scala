@@ -106,10 +106,18 @@ object Tombstones {
     * upsert half of the protocol when maintaining a full index; alone
     * it is the compliance sink (a takedown feed with no upserts).
     * Checkpointed: a resumed run re-delivers at most the in-flight
-    * trigger, which re-appends idempotently. */
+    * trigger, which re-appends idempotently.
+    *
+    * `trigger` defaults to AvailableNow (the drain-style regime the
+    * specs and backfills use) but is a PARAMETER: a continuous
+    * compliance feed passes a processing-time trigger — a hardcoded
+    * drain would silently stop tombstoning after the initial backlog,
+    * the worst failure mode for a legal-erasure path. */
   def takedownStream(feed: DataFrame, storeDir: String, checkpoint: String,
       opcodeCol: String = "opcode", idCol: String = "id",
-      deleteOpcode: String = "DELETE")
+      deleteOpcode: String = "DELETE",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     feed.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -117,7 +125,7 @@ object Tombstones {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** The store's tombstone set, or None when no takedown was ever

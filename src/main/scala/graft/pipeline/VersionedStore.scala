@@ -90,7 +90,14 @@ object VersionedStore {
     * crash before it leaves readers on the previous generation. */
   def publish(root: String, tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "VersionedStore.publish: no tables")
-    val gen = currentGen(root).getOrElse(0L) + 1L
+    // number past every COMPLETE generation, not just the pointer: a
+    // publish that crashed between its marker and its flip leaves an
+    // unreferenced complete generation above the pointer, and the next
+    // publish must walk around it (re-running it is the recovery), not
+    // refuse forever
+    val gen = math.max(currentGen(root).getOrElse(0L),
+      listGens(root).collect { case (g, true) => g }
+        .maxOption.getOrElse(0L)) + 1L
     val dir = genDir(root, gen)
     require(!StoreFs.exists(s"$dir/$Marker"),
       s"VersionedStore.publish: generation $gen already complete at $root" +

@@ -97,10 +97,6 @@ object RelayStream {
 
   private val PartNum = """part-(\d+)-.*""".r
 
-  private def walk(f: java.io.File): Seq[java.io.File] =
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-    else if (f.exists()) Seq(f) else Seq.empty
-
   /** Compact an appended event log back to `filesHint` scn-banded
     * segments — the small-file remedy for an append-heavy stream (every
     * micro-batch append adds a file generation; a day of 10 s triggers is

@@ -155,6 +155,10 @@ class LayoutSpec extends SparkSpec {
       numFiles = 4)
     Layout.zorderAppend(grid.where(($"a" + $"b") % 3 === 2), dir, "a", "b",
       numFiles = 4)
+    // an EMPTY append (a no-rows trigger) writes a 0-row part file with
+    // no row groups: the footer pass must SKIP it (it covers nothing),
+    // not brick every later maintenance decision on this layout
+    Layout.zorderAppend(grid.where(lit(false)), dir, "a", "b", numFiles = 1)
 
     // the footer-only bounds must equal the row-scanning ground truth
     // (keyed by file name — footer paths and input_file_name render the

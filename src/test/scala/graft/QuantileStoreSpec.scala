@@ -91,6 +91,15 @@ class QuantileStoreSpec extends SparkSpec {
     }
     QuantileStore.appendBatch(Seq((5L, "a")).toDF("score", "stratum"),
       dir, 0L, "score", "stratum", 10L)
+    // bucket ids are INTEGRAL division: above 2^53 a double `/` would
+    // round to a neighboring bucket and silently break the
+    // bit-reproducibility contract (the oracle's integer `//`)
+    val big = (1L << 62) + 7L
+    val dirBig = s"${tmp("qsbig")}/big"
+    QuantileStore.appendBatch(Seq((big, "a")).toDF("score", "stratum"),
+      dirBig, 0L, "score", "stratum", 10L)
+    assert(QuantileStore.readHistogram(spark, dirBig)
+      .select("bucket").as[Long].head() == big / 10L)
     // the ungated-stratum guard lives IN the plan (raise_error): the
     // serve fails on execution, with zero extra validation scan
     val ex = intercept[Exception] {

@@ -97,6 +97,17 @@ class VersionedStoreSpec extends SparkSpec {
     intercept[Exception] {
       VersionedStore.readAsOf(spark, root, "zombie", 3L).collect()
     }
+    // a publish that crashed AFTER its marker but BEFORE its flip: the
+    // next publish must number past the unreferenced complete
+    // generation (re-publishing is the recovery), not refuse forever
+    Seq((7L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-7/a")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-7/_COMPLETE"))
+    val g8 = VersionedStore.publish(root,
+      Map("a" -> Seq((1L, "g8")).toDF("id", "v")))
+    assert(g8 == 8L, s"publish must walk past the crashed marker, got $g8")
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "g8")))
   }
 
   test("random publish/crash/gc interleavings: reads always serve the last flip") {
