@@ -159,29 +159,11 @@ object Layout {
       .map { case (_, Seq(a, b)) => (a, b) })
 
   /** Max number of closed boxes covering any (a, b) point — the pure
-    * sweep [[clusteringDepth]] runs over footer boxes. Slab sweep over
-    * `a` boundaries; depth inside a slab is the classic 1-D max-overlap
-    * of the active `b` intervals (opens before closes at equal
-    * endpoints — a closed interval still covers its endpoint). */
+    * sweep [[clusteringDepth]] runs over footer boxes; the 2-D face of
+    * the N-dim recursion [[boxStabDepthN]]. */
   private[graft] def boxStabDepth(
-      boxes: Seq[((Long, Long), (Long, Long))]): Int = {
-    if (boxes.isEmpty) return 0
-    val aCuts = boxes.flatMap { case ((a0, a1), _) => Seq(a0, a1) }
-      .distinct.sorted
-    var maxDepth = 0
-    aCuts.foreach { a =>
-      val ev = boxes.collect {
-        case ((a0, a1), (b0, b1)) if a0 <= a && a <= a1 =>
-          Seq((b0, 1), (b1, -1))
-      }.flatten
-      var d = 0
-      ev.sortBy { case (b, delta) => (b, -delta) }.foreach { case (_, delta) =>
-        d += delta
-        if (d > maxDepth) maxDepth = d
-      }
-    }
-    maxDepth
-  }
+      boxes: Seq[((Long, Long), (Long, Long))]): Int =
+    boxStabDepthN(boxes.map { case (a, b) => Seq(a, b) })
 
   /** Rewrite the layout IF the measured [[clusteringDepth]] exceeds
     * `maxDepth` — the maintenance pass that turns [[zorderAppend]]'s
@@ -233,6 +215,76 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[zorderAppend]] for an N-dim layout: O(batch) append, the batch
+    * clustered on the N-ary Morton key within itself. Same debt model
+    * as 2-D: generations overlap in key space until
+    * [[reclusterIfNeededN]] repays them. */
+  def zorderAppendN(df: DataFrame, dir: String, cols: Seq[String],
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"zorderAppendN: numFiles $numFiles")
+    require(cols.size >= 3 && cols.size <= 4,
+      s"zorderAppendN: 3 or 4 layout columns expected, got $cols" +
+        " (use zorderAppend for 2)")
+    df.withColumn("__zkey", zorderKeyN(cols.map(col): _*))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("append").parquet(dir)
+  }
+
+  /** [[clusteringDepth]] for an N-dim layout: max #files whose footer
+    * N-boxes cover any point — exact, via a recursive slab sweep (at
+    * each boundary of the first dimension, the active boxes' remaining
+    * dims solve the (N−1)-dim problem; the base case is the 1-D
+    * endpoint sweep). O(files^N · log) worst case on DRIVER-side file
+    * counts — the maintenance-decision cost class, not a data scan. */
+  def clusteringDepthN(dir: String, cols: Seq[String]): Int =
+    boxStabDepthN(footerBounds(dir, cols).map(_._2))
+
+  private[graft] def boxStabDepthN(boxes: Seq[Seq[(Long, Long)]]): Int = {
+    if (boxes.isEmpty) return 0
+    if (boxes.head.size == 1) {
+      // 1-D endpoint sweep (opens before closes at equal endpoints —
+      // a closed interval still covers its endpoint)
+      val ev = boxes.flatMap { case Seq((b0, b1)) => Seq((b0, 1), (b1, -1)) }
+      var d = 0
+      var m = 0
+      ev.sortBy { case (b, delta) => (b, -delta) }.foreach { case (_, delta) =>
+        d += delta
+        if (d > m) m = d
+      }
+      m
+    } else {
+      val cuts = boxes.flatMap { b => Seq(b.head._1, b.head._2) }
+        .distinct.sorted
+      cuts.foldLeft(0) { (m, a) =>
+        val active = boxes.collect {
+          case b if b.head._1 <= a && a <= b.head._2 => b.tail
+        }
+        math.max(m, boxStabDepthN(active))
+      }
+    }
+  }
+
+  /** [[reclusterIfNeeded]] for an N-dim layout: footer-only decision,
+    * atomic swap rewrite. Returns (measured depth, rewrote?). */
+  def reclusterIfNeededN(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String], maxDepth: Int = 2,
+      numFiles: Int = 8): (Int, Boolean) = {
+    require(maxDepth >= 1, s"reclusterIfNeededN: maxDepth $maxDepth")
+    val depth = clusteringDepthN(dir, cols)
+    if (depth <= maxDepth) return (depth, false)
+    val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
+    spark.read.parquet(dir)
+      .withColumn("__zkey", zorderKeyN(cols.map(col): _*))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.parquet(tmp)
+    Dedup.swapDir(dir, tmp)
+    (depth, true)
   }
 
   /** [[fileBounds]] for an N-dim layout: one row per file with

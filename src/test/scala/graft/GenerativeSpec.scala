@@ -1075,6 +1075,20 @@ class GenerativeSpec extends SparkSpec {
       assert(Layout.boxStabDepth(boxes) == brute,
         s"sweep≠brute at case $i: $boxes")
     }
+    // the N-dim recursion, 3-D face, vs exhaustive grid counting
+    (0 until 80).foreach { i =>
+      val n = 1 + rnd.nextInt(8)
+      val boxes = Seq.fill(n)(Seq.fill(3) {
+        val x0 = rnd.nextInt(10).toLong; (x0, x0 + rnd.nextInt(5))
+      })
+      val brute = (0L to 15L).flatMap(a => (0L to 15L).flatMap(b =>
+        (0L to 15L).map(c => boxes.count(bx =>
+          bx(0)._1 <= a && a <= bx(0)._2 &&
+          bx(1)._1 <= b && b <= bx(1)._2 &&
+          bx(2)._1 <= c && c <= bx(2)._2)))).max
+      assert(Layout.boxStabDepthN(boxes) == brute,
+        s"3-D sweep≠brute at case $i: $boxes")
+    }
   }
 
   test("N-ary Morton keys equal the bit-loop reference on random inputs") {

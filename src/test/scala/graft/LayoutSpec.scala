@@ -202,6 +202,31 @@ class LayoutSpec extends SparkSpec {
       n.contains(".compact.") || n.contains(".old.")))
   }
 
+  test("N-dim incremental layout: appends deepen the N-box measure, recluster restores") {
+    val grid = (0 until 16).flatMap(a => (0 until 16).flatMap(b =>
+      (0 until 16).map(c => (a.toLong, b.toLong, c.toLong))))
+      .toDF("a", "b", "c")
+    val dims = Seq("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("zinc3").toString + "/t"
+    Layout.zorderWriteN(grid.where(($"a" + $"b" + $"c") % 3 === 0), dir,
+      dims, numFiles = 4)
+    val fresh = Layout.clusteringDepthN(dir, dims)
+    Layout.zorderAppendN(grid.where(($"a" + $"b" + $"c") % 3 === 1), dir,
+      dims, numFiles = 4)
+    Layout.zorderAppendN(grid.where(($"a" + $"b" + $"c") % 3 === 2), dir,
+      dims, numFiles = 4)
+    val deep = Layout.clusteringDepthN(dir, dims)
+    assert(deep >= fresh + 2,
+      s"3 full-space generations must stack the N-box depth: $fresh → $deep")
+    val (d, ran) = Layout.reclusterIfNeededN(spark, dir, dims,
+      maxDepth = fresh, numFiles = 4)
+    assert(d == deep && ran)
+    val after = Layout.clusteringDepthN(dir, dims)
+    assert(deep >= after + 2, s"recluster must repay: deep=$deep after=$after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 16L * 16L * 16L && back.exceptAll(grid).isEmpty)
+  }
+
   test("zorder_key_n is SQL-registered; codegen and eval agree; arity checked") {
     graft.functions.GraftFunctions.register(spark)
     val k3 = spark.sql("SELECT zorder_key_n(CAST(5 AS BIGINT)," +
