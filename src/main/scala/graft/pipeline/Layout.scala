@@ -240,8 +240,19 @@ object Layout {
     * dims solve the (N−1)-dim problem; the base case is the 1-D
     * endpoint sweep). O(files^N · log) worst case on DRIVER-side file
     * counts — the maintenance-decision cost class, not a data scan. */
-  def clusteringDepthN(dir: String, cols: Seq[String]): Int =
-    boxStabDepthN(footerBounds(dir, cols).map(_._2))
+  def clusteringDepthN(dir: String, cols: Seq[String]): Int = {
+    val boxes = footerBounds(dir, cols).map(_._2)
+    // the recursion is O((2f)^(N-1) · f log f) in the FILE count — fine
+    // for maintained layouts (the recluster loop itself keeps file
+    // counts at numFiles-per-generation), pathological for a layout
+    // left un-reclustered for thousands of appends. Fail loudly there:
+    // at that point the answer is known ("recluster unconditionally"),
+    // and a silent multi-minute driver stall would read as a hang.
+    require(boxes.size <= 4096,
+      s"clusteringDepthN: ${boxes.size} files — a tail this long needs" +
+        " an unconditional recluster, not a depth measurement")
+    boxStabDepthN(boxes)
+  }
 
   private[graft] def boxStabDepthN(boxes: Seq[Seq[(Long, Long)]]): Int = {
     if (boxes.isEmpty) return 0

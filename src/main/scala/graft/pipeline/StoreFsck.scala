@@ -305,6 +305,10 @@ object StoreFsck {
     val complete = gens.filter(_._2).map(_._1)
     Seq(
       ("incomplete_generations", gens.count(!_._2).toLong),
+      // a flip that crashed between writing its tmp pointer and the
+      // rename leaves _CURRENT.tmp.<pid> — dead bytes, one listing
+      ("orphan_pointer_tmps",
+        StoreFs.listNames(root).count(_.startsWith("_CURRENT.tmp.")).toLong),
       ("unreferenced_complete_generations",
         cur.map(c => complete.count(_ > c).toLong)
           .getOrElse(if (corrupt == 1L) 0L else complete.size.toLong)),

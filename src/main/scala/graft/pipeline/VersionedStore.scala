@@ -46,6 +46,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never a torn multi-table state, because every generation directory
   * is immutable once marked complete.
   *
+  * Takedowns under this protocol are a NEW GENERATION publish (rebuild
+  * the tables without the erased rows, flip): generations are immutable
+  * by design, so the tombstone overlay does not apply here — and
+  * retention policy ([[gc]]'s `keep`) bounds how long erased rows can
+  * still be reached through pinned reads, which a compliance deployment
+  * sets accordingly (gc after a takedown publish is the purge).
+  *
   * Reference analogue: the bootstrap's two-phase snapshot/catchup
   * apply, where consumers switch to a new consistent state only at the
   * recorded SCN boundary, never mid-copy

@@ -134,6 +134,25 @@ class HadoopFsStoreSpec extends SparkSpec {
       s"snapshot lost the prior generation under a file: URI: $snap")
   }
 
+  test("versioned-store pointer flip and generation reads work under a file: URI") {
+    import graft.pipeline.VersionedStore
+    // the flip is FileContext.rename(OVERWRITE) on a scheme-qualified
+    // path — this pins that the pointer protocol resolves URI schemes
+    // like the data plane does (a java.io pointer would see nothing)
+    val root = s"${uriTmp("fsuri")}/vstore"
+    val g1 = VersionedStore.publish(root,
+      Map("t" -> Seq((1L, "g1")).toDF("id", "v")))
+    val g2 = VersionedStore.publish(root,
+      Map("t" -> Seq((1L, "g2")).toDF("id", "v")))
+    assert(g1 == 1L && g2 == 2L)
+    assert(VersionedStore.currentGen(root).contains(2L))
+    assert(VersionedStore.read(spark, root, "t")
+      .as[(Long, String)].head() == ((1L, "g2")))
+    assert(VersionedStore.readAsOf(spark, root, "t", 1L)
+      .as[(Long, String)].head() == ((1L, "g1")))
+    assert(VersionedStore.gc(root, keep = 0) == Seq(1L))
+  }
+
   test("swapDir restore: failed promote leaves the store serving") {
     val dir = s"${uriTmp("fsuri")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)

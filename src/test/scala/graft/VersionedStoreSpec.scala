@@ -176,11 +176,15 @@ class VersionedStoreSpec extends SparkSpec {
       VersionedStore.read(spark, root, "a")
     }
     assert(fsck(root)("corrupt_pointer") == 1L)
-    // first-publish crash at the flip: generations exist, no pointer
+    // first-publish crash at the flip: generations exist, no pointer —
+    // and the flip's tmp pointer file is left behind as dead bytes
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_CURRENT"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_CURRENT.tmp.99999"), "1")
     val bad = fsck(root)
     assert(bad("missing_pointer_with_generations") == 1L)
     assert(bad("unreferenced_complete_generations") == 1L)
     assert(bad("corrupt_pointer") == 0L)
+    assert(bad("orphan_pointer_tmps") == 1L)
   }
 }
