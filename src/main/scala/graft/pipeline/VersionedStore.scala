@@ -144,6 +144,26 @@ object VersionedStore {
     spark.read.parquet(s"${genDir(root, gen)}/$table")
   }
 
+  /** RECOVERY for the crashed-flip states [[StoreFsck.versionedStore]]
+    * reports (an unreferenced complete generation, a missing pointer
+    * with generations, a corrupt pointer): flip the pointer to the
+    * NEWEST complete generation when the pointer does not already
+    * reference it. Returns the adopted generation, or None when there
+    * is nothing newer to adopt. Safe by the same argument as publish —
+    * a complete generation is immutable and whole, so pointing at it
+    * can never expose a torn store; a corrupt pointer is REPLACED
+    * (newest-complete is the only recoverable definition of current). */
+  def adopt(root: String): Option[Long] = {
+    val cur =
+      try currentGen(root)
+      catch { case _: IllegalStateException => None } // corrupt: replace
+    val newest = listGens(root).collect { case (g, true) => g }.maxOption
+    newest.filter(g => cur.forall(_ < g)).map { g =>
+      flipPointer(root, g)
+      g
+    }
+  }
+
   /** Retire generations: keep the current one plus the `keep` most
     * recent complete predecessors, delete everything else — including
     * INCOMPLETE generations older than current (crashed publishes:
@@ -152,6 +172,11 @@ object VersionedStore {
     * may be a publish in flight. */
   def gc(root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 0, s"VersionedStore.gc: keep $keep")
+    // crashed-flip pointer tmps are dead bytes too (this process's own
+    // in-flight tmp cannot be among them: the flip writes and renames
+    // within one call, never across a gc)
+    StoreFs.listNames(root).filter(_.startsWith(s"$Pointer.tmp."))
+      .foreach(n => StoreFs.deleteRecursive(s"$root/$n"))
     val cur = currentGen(root).getOrElse(return Seq.empty)
     val gens = listGens(root)
     val keepSet = gens.filter(g => g._1 <= cur && g._2)

@@ -186,5 +186,23 @@ class VersionedStoreSpec extends SparkSpec {
     assert(bad("unreferenced_complete_generations") == 1L)
     assert(bad("corrupt_pointer") == 0L)
     assert(bad("orphan_pointer_tmps") == 1L)
+    // adopt = the recovery those findings hint at: flip to the newest
+    // complete generation; gc reclaims the crashed flip's tmp pointer
+    assert(VersionedStore.adopt(root).contains(1L))
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "x")))
+    VersionedStore.gc(root, keep = 0)
+    assert(fsck(root).values.forall(_ == 0L))
+    // nothing newer to adopt once the pointer references the newest
+    assert(VersionedStore.adopt(root).isEmpty)
+    // corrupt-pointer repair: adopt replaces unreadable pointer content
+    // with the newest complete generation (the only recoverable
+    // definition of current)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_CURRENT"), "junk-again")
+    assert(fsck(root)("corrupt_pointer") == 1L)
+    assert(VersionedStore.adopt(root).contains(1L))
+    assert(VersionedStore.currentGen(root).contains(1L))
+    assert(fsck(root).values.forall(_ == 0L))
   }
 }
