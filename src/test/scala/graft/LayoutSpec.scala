@@ -202,6 +202,32 @@ class LayoutSpec extends SparkSpec {
       n.contains(".compact.") || n.contains(".old.")))
   }
 
+  test("the recluster DECISION is metadata-only: zero Spark jobs launched") {
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b =>
+      (a.toLong, b.toLong))).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zmeta").toString + "/t"
+    Layout.zorderWrite(grid, dir, "a", "b", numFiles = 4)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = Layout.clusteringDepth(dir, "a", "b")
+      val (d2, ran) = Layout.reclusterIfNeeded(spark, dir, "a", "b",
+        maxDepth = math.max(d, 2), numFiles = 4)
+      assert(d2 == d && !ran)
+      // listener events post asynchronously — give the bus a beat
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"depth measurement launched ${jobs.get()} Spark job(s) — the" +
+          " decision must read footers only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("N-dim incremental layout: appends deepen the N-box measure, recluster restores") {
     val grid = (0 until 16).flatMap(a => (0 until 16).flatMap(b =>
       (0 until 16).map(c => (a.toLong, b.toLong, c.toLong))))

@@ -44,6 +44,20 @@ class VersionedStoreSpec extends SparkSpec {
     assert(fsck(root).values.forall(_ == 0L))
   }
 
+  test("versioned reads scan ONLY the pointed generation's files") {
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "g1")).toDF("id", "v")))
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "g2")).toDF("id", "v")))
+    Seq((9L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-3/t")
+    // the plan's input set is the generation dir, never a root glob —
+    // a "clever" multi-generation scan would read crashed bytes
+    val files = VersionedStore.read(spark, root, "t").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/gen-2/")),
+      files.mkString(", "))
+    val pinned = VersionedStore.readAsOf(spark, root, "t", 1L).inputFiles
+    assert(pinned.nonEmpty && pinned.forall(_.contains("/gen-1/")))
+  }
+
   test("crashed publishes are dead bytes, never served; gc + fsck account for them") {
     val root = tmp()
     VersionedStore.publish(root, Map("a" -> Seq((1L, "g1")).toDF("id", "v")))
