@@ -67,6 +67,39 @@ object VersionedStore {
 
   private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
 
+  /** MAINTENANCE operations (publish/gc/adopt) serialize under one
+    * lock per store root — two concurrent publishers would otherwise
+    * both claim the same generation id and interleave writes inside one
+    * directory. READERS never take it: a complete generation is
+    * immutable and the pointer flip is atomic, so reads are lock-free
+    * by construction (the whole point of the protocol). The JVM-local
+    * monitor wraps the file lock per ProcessLock's contract (same-JVM
+    * contention on FileChannel.lock throws).
+    *
+    * Scope stated honestly: the FileLock serializes publishers that can
+    * SEE the same lock file — all local/file: cases, and remote stores
+    * maintained from one host (the lock falls back to a host-local
+    * file keyed by the store URI). Publishers on DIFFERENT hosts
+    * against one remote store need an external coordinator, exactly
+    * the single-writer regime every maintenance pass here assumes
+    * (SURVEY §2.9: coordination is the driver's job, not the store's). */
+  private def maintenance[T](root: String)(body: => T): T = {
+    val lockFile = {
+      val scheme = try new java.net.URI(root).getScheme
+        catch { case _: java.net.URISyntaxException => null }
+      scheme match {
+        case null => s"$root/_MAINTENANCE.lock"
+        case "file" => s"${new java.net.URI(root).getPath}/_MAINTENANCE.lock"
+        case _ =>
+          val h = java.lang.Integer.toHexString(root.hashCode)
+          s"${System.getProperty("java.io.tmpdir")}/graft-vstore-$h.lock"
+      }
+    }
+    this.synchronized {
+      graft.sources.ProcessLock.exclusive(lockFile)(body)
+    }
+  }
+
   /** The generation `_CURRENT` points at — None before the first
     * publish. Loud failure on unreadable pointer CONTENT (a corrupt
     * pointer must not read as an empty store). */
@@ -97,6 +130,7 @@ object VersionedStore {
     * crash before it leaves readers on the previous generation. */
   def publish(root: String, tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "VersionedStore.publish: no tables")
+    maintenance(root) {
     // number past every COMPLETE generation, not just the pointer: a
     // publish that crashed between its marker and its flip leaves an
     // unreferenced complete generation above the pointer, and the next
@@ -121,6 +155,7 @@ object VersionedStore {
     touch(s"$dir/$Marker")
     flipPointer(root, gen)
     gen
+    }
   }
 
   /** Read `table` at the CURRENT generation (loud when the store has
@@ -153,7 +188,7 @@ object VersionedStore {
     * a complete generation is immutable and whole, so pointing at it
     * can never expose a torn store; a corrupt pointer is REPLACED
     * (newest-complete is the only recoverable definition of current). */
-  def adopt(root: String): Option[Long] = {
+  def adopt(root: String): Option[Long] = maintenance(root) {
     val cur =
       try currentGen(root)
       catch { case _: IllegalStateException => None } // corrupt: replace
@@ -172,22 +207,28 @@ object VersionedStore {
     * may be a publish in flight. */
   def gc(root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 0, s"VersionedStore.gc: keep $keep")
-    // crashed-flip pointer tmps are dead bytes too (this process's own
-    // in-flight tmp cannot be among them: the flip writes and renames
-    // within one call, never across a gc)
-    StoreFs.listNames(root).filter(_.startsWith(s"$Pointer.tmp."))
-      .foreach(n => StoreFs.deleteRecursive(s"$root/$n"))
-    val cur = currentGen(root).getOrElse(return Seq.empty)
-    val gens = listGens(root)
-    val keepSet = gens.filter(g => g._1 <= cur && g._2)
-      .map(_._1).sorted.reverse.take(keep + 1).toSet
-    val dead = gens.collect {
-      case (g, _) if g <= cur && !keepSet.contains(g) => g
-      case (g, complete) if g > cur && complete => g
-      // g > cur && !complete: possibly a publish in flight — kept
-    }.filterNot(_ == cur).sorted
-    dead.foreach(g => StoreFs.deleteRecursive(genDir(root, g)))
-    dead
+    maintenance(root) {
+      // crashed-flip pointer tmps are dead bytes too (no LIVE flip can
+      // be among them: flips happen under this same maintenance lock)
+      StoreFs.listNames(root).filter(_.startsWith(s"$Pointer.tmp."))
+        .foreach(n => StoreFs.deleteRecursive(s"$root/$n"))
+      currentGen(root) match {
+        case None => Seq.empty
+        case Some(cur) =>
+          val gens = listGens(root)
+          val keepSet = gens.filter(g => g._1 <= cur && g._2)
+            .map(_._1).sorted.reverse.take(keep + 1).toSet
+          val dead = gens.collect {
+            case (g, _) if g <= cur && !keepSet.contains(g) => g
+            case (g, complete) if g > cur && complete => g
+            // g > cur && !complete: kept — a cross-host publisher this
+            // lock cannot see may own it, and the next local publish
+            // wipes-and-reuses the dir anyway
+          }.filterNot(_ == cur).sorted
+          dead.foreach(g => StoreFs.deleteRecursive(genDir(root, g)))
+          dead
+      }
+    }
   }
 
   /** (gen id, complete?) for every generation directory under root. */

@@ -124,6 +124,27 @@ class VersionedStoreSpec extends SparkSpec {
       .as[(Long, String)].head() == ((1L, "g8")))
   }
 
+  test("concurrent publishers serialize under the maintenance lock") {
+    // without the lock, two publishers claim the same generation id and
+    // interleave writes inside one directory — with it, four parallel
+    // publishes land as four distinct, complete, readable generations
+    val root = tmp()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gens = Seq(1, 2, 3, 4).map { i =>
+      Future(VersionedStore.publish(root,
+        Map("t" -> Seq((i.toLong, s"w$i")).toDF("id", "v"))))
+    }.map(Await.result(_, 180.seconds)).sorted
+    assert(gens == Seq(1L, 2L, 3L, 4L), gens.toString)
+    assert(VersionedStore.currentGen(root).contains(4L))
+    gens.foreach { g =>
+      assert(VersionedStore.readAsOf(spark, root, "t", g).count() == 1L)
+    }
+    assert(StoreFsck.versionedStore(spark, root)
+      .as[(String, Long)].collect().toMap.values.forall(_ == 0L))
+  }
+
   test("random publish/crash/gc interleavings: reads always serve the last flip") {
     // model-based generative check: whatever order publishes, crashed
     // partials and gc runs interleave in, (a) read serves exactly the
