@@ -32,6 +32,17 @@ object Layout {
   def zorderKey(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.zorder_key(a, b)
 
+  /** The one clustered-write discipline every layout op here shares:
+    * range-partition on the (dropped-before-write) key, sort within
+    * each file so row-group stats are tight too. */
+  private def clusteredWrite(df: DataFrame, key: Column, dir: String,
+      numFiles: Int, mode: String): Unit =
+    df.withColumn("__zkey", key)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode(mode).parquet(dir)
+
   /** Rewrite `df` into `numFiles` parquet files clustered on the
     * Z-curve of (`colA`, `colB`): range-partition by the Morton key
     * (equal-count rectangles, skew-proof the way every range write here
@@ -41,11 +52,8 @@ object Layout {
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
       numFiles: Int = 8): Unit = {
     require(numFiles > 0, s"zorderWrite: numFiles $numFiles")
-    df.withColumn("__zkey", zorderKey(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(dir)
+    clusteredWrite(df, zorderKey(col(colA), col(colB)), dir, numFiles,
+      "overwrite")
   }
 
   /** Per-file (min, max) bounding rectangles of a written layout in the
@@ -75,11 +83,8 @@ object Layout {
   def zorderAppend(df: DataFrame, dir: String, colA: String, colB: String,
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"zorderAppend: numFiles $numFiles")
-    df.withColumn("__zkey", zorderKey(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("append").parquet(dir)
+    clusteredWrite(df, zorderKey(col(colA), col(colB)), dir, numFiles,
+      "append")
   }
 
   /** Per-file (min, max) bounds of the two layout columns read from
@@ -154,9 +159,16 @@ object Layout {
     * measures ~1; every full-range [[zorderAppend]] generation stacks
     * one more cover over the whole plane, so the measure rises by ~1
     * per append wave — the trigger [[reclusterIfNeeded]] reads. */
-  def clusteringDepth(dir: String, colA: String, colB: String): Int =
-    boxStabDepth(footerBounds(dir, Seq(colA, colB))
-      .map { case (_, Seq(a, b)) => (a, b) })
+  def clusteringDepth(dir: String, colA: String, colB: String): Int = {
+    val boxes = footerBounds(dir, Seq(colA, colB))
+      .map { case (_, Seq(a, b)) => (a, b) }
+    // O(f² log f) sweep: 4096 files stays in the seconds range; a tail
+    // longer than that has a known answer — recluster unconditionally
+    require(boxes.size <= 4096,
+      s"clusteringDepth: ${boxes.size} files — a tail this long needs" +
+        " an unconditional recluster, not a depth measurement")
+    boxStabDepth(boxes)
+  }
 
   /** Max number of closed boxes covering any (a, b) point — the pure
     * sweep [[clusteringDepth]] runs over footer boxes; the 2-D face of
@@ -181,12 +193,8 @@ object Layout {
     val depth = clusteringDepth(dir, colA, colB)
     if (depth <= maxDepth) return (depth, false)
     val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
-    spark.read.parquet(dir)
-      .withColumn("__zkey", zorderKey(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.parquet(tmp)
+    clusteredWrite(spark.read.parquet(dir),
+      zorderKey(col(colA), col(colB)), tmp, numFiles, "error")
     Dedup.swapDir(dir, tmp)
     (depth, true)
   }
@@ -210,11 +218,8 @@ object Layout {
     require(cols.size >= 3 && cols.size <= 4,
       s"zorderWriteN: 3 or 4 layout columns expected, got $cols" +
         " (use zorderWrite for 2)")
-    df.withColumn("__zkey", zorderKeyN(cols.map(col): _*))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(dir)
+    clusteredWrite(df, zorderKeyN(cols.map(col): _*), dir, numFiles,
+      "overwrite")
   }
 
   /** [[zorderAppend]] for an N-dim layout: O(batch) append, the batch
@@ -227,11 +232,8 @@ object Layout {
     require(cols.size >= 3 && cols.size <= 4,
       s"zorderAppendN: 3 or 4 layout columns expected, got $cols" +
         " (use zorderAppend for 2)")
-    df.withColumn("__zkey", zorderKeyN(cols.map(col): _*))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("append").parquet(dir)
+    clusteredWrite(df, zorderKeyN(cols.map(col): _*), dir, numFiles,
+      "append")
   }
 
   /** [[clusteringDepth]] for an N-dim layout: max #files whose footer
@@ -241,16 +243,21 @@ object Layout {
     * endpoint sweep). O(files^N · log) worst case on DRIVER-side file
     * counts — the maintenance-decision cost class, not a data scan. */
   def clusteringDepthN(dir: String, cols: Seq[String]): Int = {
+    require(cols.size >= 3 && cols.size <= 4,
+      s"clusteringDepthN: 3 or 4 layout columns expected, got $cols" +
+        " (use clusteringDepth for 2)")
     val boxes = footerBounds(dir, cols).map(_._2)
-    // the recursion is O((2f)^(N-1) · f log f) in the FILE count — fine
-    // for maintained layouts (the recluster loop itself keeps file
-    // counts at numFiles-per-generation), pathological for a layout
-    // left un-reclustered for thousands of appends. Fail loudly there:
-    // at that point the answer is known ("recluster unconditionally"),
-    // and a silent multi-minute driver stall would read as a hang.
-    require(boxes.size <= 4096,
-      s"clusteringDepthN: ${boxes.size} files — a tail this long needs" +
-        " an unconditional recluster, not a depth measurement")
+    // the recursion is O((2f)^(N-1) · f log f) in the FILE count, so
+    // the loud-failure cap must be calibrated PER N (a 2-D-sized cap
+    // would admit hour-long 3/4-D stalls): 256 files in 3-D and 64 in
+    // 4-D keep the sweep in the seconds range. Maintained layouts stay
+    // far below this (the recluster loop resets to numFiles); a tail
+    // that long has a known answer — recluster unconditionally.
+    val cap = if (cols.size == 3) 256 else 64
+    require(boxes.size <= cap,
+      s"clusteringDepthN: ${boxes.size} files exceeds the ${cols.size}-D" +
+        s" sweep cap $cap — a tail this long needs an unconditional" +
+        " recluster, not a depth measurement")
     boxStabDepthN(boxes)
   }
 
@@ -285,15 +292,11 @@ object Layout {
       dir: String, cols: Seq[String], maxDepth: Int = 2,
       numFiles: Int = 8): (Int, Boolean) = {
     require(maxDepth >= 1, s"reclusterIfNeededN: maxDepth $maxDepth")
-    val depth = clusteringDepthN(dir, cols)
+    val depth = clusteringDepthN(dir, cols) // arity-checked there
     if (depth <= maxDepth) return (depth, false)
     val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
-    spark.read.parquet(dir)
-      .withColumn("__zkey", zorderKeyN(cols.map(col): _*))
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.parquet(tmp)
+    clusteredWrite(spark.read.parquet(dir),
+      zorderKeyN(cols.map(col): _*), tmp, numFiles, "error")
     Dedup.swapDir(dir, tmp)
     (depth, true)
   }

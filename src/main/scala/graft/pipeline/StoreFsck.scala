@@ -286,6 +286,8 @@ object StoreFsck {
     * served wrong answer:
     *   - `incomplete_generations`: publishes that crashed before their
     *     `_COMPLETE` marker (gc retires the ones older than current);
+    *   - `orphan_pointer_tmps`: flips that crashed between writing
+    *     their tmp pointer and the rename (gc reclaims them);
     *   - `unreferenced_complete_generations`: marker down, pointer flip
     *     never landed — the publish is re-runnable or adoptable;
     *   - `missing_pointer_with_generations`: complete generations exist
@@ -306,9 +308,11 @@ object StoreFsck {
     Seq(
       ("incomplete_generations", gens.count(!_._2).toLong),
       // a flip that crashed between writing its tmp pointer and the
-      // rename leaves _CURRENT.tmp.<pid> — dead bytes, one listing
+      // rename leaves dead bytes — one listing; the prefix is SHARED
+      // with VersionedStore so audit and gc can never drift apart
       ("orphan_pointer_tmps",
-        StoreFs.listNames(root).count(_.startsWith("_CURRENT.tmp.")).toLong),
+        StoreFs.listNames(root)
+          .count(_.startsWith(VersionedStore.PointerTmpPrefix)).toLong),
       ("unreferenced_complete_generations",
         cur.map(c => complete.count(_ > c).toLong)
           .getOrElse(if (corrupt == 1L) 0L else complete.size.toLong)),

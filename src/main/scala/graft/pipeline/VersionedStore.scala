@@ -65,6 +65,10 @@ object VersionedStore {
   private val Pointer = "_CURRENT"
   private val Marker = "_COMPLETE"
 
+  /** The crashed-flip tmp prefix — shared with [[StoreFsck]] so the
+    * audit and the gc can never drift apart on the naming. */
+  private[graft] val PointerTmpPrefix = s"$Pointer.tmp."
+
   private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
 
   /** MAINTENANCE operations (publish/gc/adopt) serialize under one
@@ -83,19 +87,26 @@ object VersionedStore {
     * against one remote store need an external coordinator, exactly
     * the single-writer regime every maintenance pass here assumes
     * (SURVEY §2.9: coordination is the driver's job, not the store's). */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def maintenance[T](root: String)(body: => T): T = {
-    val lockFile = {
-      val scheme = try new java.net.URI(root).getScheme
-        catch { case _: java.net.URISyntaxException => null }
-      scheme match {
-        case null => s"$root/_MAINTENANCE.lock"
-        case "file" => s"${new java.net.URI(root).getPath}/_MAINTENANCE.lock"
-        case _ =>
-          val h = java.lang.Integer.toHexString(root.hashCode)
-          s"${System.getProperty("java.io.tmpdir")}/graft-vstore-$h.lock"
-      }
+    // resolve the SCHEME through the Hadoop conf, not string parsing: a
+    // scheme-less root under fs.defaultFS=hdfs://... is a REMOTE store,
+    // and a java.nio lock file on local disk there would be exactly the
+    // silent-local-probe hazard StoreFs exists to close
+    val (fs, p) = StoreFs.fsPath(root)
+    val qualified = fs.makeQualified(p).toUri
+    val lockFile = qualified.getScheme match {
+      case null | "file" => s"${qualified.getPath}/_MAINTENANCE.lock"
+      case _ =>
+        val h = java.lang.Integer.toHexString(qualified.toString.hashCode)
+        s"${System.getProperty("java.io.tmpdir")}/graft-vstore-$h.lock"
     }
-    this.synchronized {
+    // per-LOCKFILE monitor (ProcessLock's same-JVM contract), not a
+    // global one: publishes to unrelated roots must not serialize
+    val mon = monitors.computeIfAbsent(lockFile, _ => new Object)
+    mon.synchronized {
       graft.sources.ProcessLock.exclusive(lockFile)(body)
     }
   }
@@ -189,11 +200,15 @@ object VersionedStore {
     * can never expose a torn store; a corrupt pointer is REPLACED
     * (newest-complete is the only recoverable definition of current). */
   def adopt(root: String): Option[Long] = maintenance(root) {
+    val complete = listGens(root).collect { case (g, true) => g }
     val cur =
-      try currentGen(root)
-      catch { case _: IllegalStateException => None } // corrupt: replace
-    val newest = listGens(root).collect { case (g, true) => g }.maxOption
-    newest.filter(g => cur.forall(_ < g)).map { g =>
+      (try currentGen(root)
+      catch { case _: IllegalStateException => None }) // corrupt: replace
+        // a DANGLING pointer (its generation deleted or incomplete) is
+        // as unrecoverable a reference as corrupt content — and it is
+        // the one fsck state that breaks reads, so adopt must repair it
+        .filter(complete.contains)
+    complete.maxOption.filter(g => cur.forall(_ < g)).map { g =>
       flipPointer(root, g)
       g
     }
@@ -208,9 +223,14 @@ object VersionedStore {
   def gc(root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 0, s"VersionedStore.gc: keep $keep")
     maintenance(root) {
-      // crashed-flip pointer tmps are dead bytes too (no LIVE flip can
-      // be among them: flips happen under this same maintenance lock)
-      StoreFs.listNames(root).filter(_.startsWith(s"$Pointer.tmp."))
+      // crashed-flip pointer tmps are dead bytes too: no flip this lock
+      // can see is in flight while we hold it. (A cross-host publisher
+      // is outside the lock's stated scope ENTIRELY — a deployment that
+      // runs maintenance from several hosts against one remote store
+      // needs the external coordinator the scaladoc requires; the
+      // incomplete-generation sparing below is belt-and-braces for that
+      // misuse, free because the next publish wipes-and-reuses the dir.)
+      StoreFs.listNames(root).filter(_.startsWith(PointerTmpPrefix))
         .foreach(n => StoreFs.deleteRecursive(s"$root/$n"))
       currentGen(root) match {
         case None => Seq.empty

@@ -239,5 +239,19 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.adopt(root).contains(1L))
     assert(VersionedStore.currentGen(root).contains(1L))
     assert(fsck(root).values.forall(_ == 0L))
+    // DANGLING pointer (its generation deleted out-of-band): the one
+    // state that breaks reads — adopt treats the unrecoverable
+    // reference like corruption and flips to the newest complete
+    // generation that still exists
+    VersionedStore.publish(root, Map("a" -> Seq((2L, "y")).toDF("id", "v")))
+    graft.pipeline.StoreFs.deleteRecursive(s"$root/gen-2")
+    assert(fsck(root)("pointer_to_missing_generation") == 1L)
+    intercept[Exception] {
+      VersionedStore.read(spark, root, "a").collect()
+    }
+    assert(VersionedStore.adopt(root).contains(1L))
+    assert(VersionedStore.read(spark, root, "a")
+      .as[(Long, String)].head() == ((1L, "x")))
+    assert(fsck(root).values.forall(_ == 0L))
   }
 }
