@@ -241,6 +241,15 @@ class LayoutSpec extends SparkSpec {
       dims, numFiles = 4)
     Layout.zorderAppendN(grid.where(($"a" + $"b" + $"c") % 3 === 2), dir,
       dims, numFiles = 4)
+    // the footer-only N-boxes must equal the row-scanning ground truth
+    val truth = Layout.fileBoundsN(spark, dir, dims)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (f, a0, a1, b0, b1, c0, c1) =>
+        f.split('/').last -> Seq((a0, a1), (b0, b1), (c0, c1)) }.toMap
+    val footer = Layout.footerBounds(dir, dims)
+      .map { case (f, bs) => f.split('/').last -> bs }.toMap
+    assert(footer == truth, "N-dim footer bounds ≠ scanned bounds")
+
     val deep = Layout.clusteringDepthN(dir, dims)
     assert(deep >= fresh + 2,
       s"3 full-space generations must stack the N-box depth: $fresh → $deep")
