@@ -19,9 +19,9 @@ object ColdProbe {
 
   /** (store-dir suffix under WireFixtures' per-SF root, serving query) */
   private val Families = Seq(
-    "ann_index_k8i3" -> "q_ann_store",
-    "ann_index_incr_k8i3" -> "q_ann_store_incr",
-    "postings_index" -> "q_postings_incr",
+    "ann_index_k8i3g" -> "q_ann_store",
+    "ann_index_incr_k8i3g" -> "q_ann_store_incr",
+    "postings_index_g" -> "q_postings_incr",
     "winnow_fp_k8w8" -> "q_winnow_incr",
     "cdc_chunks_k8d32" -> "q_cdc_incr",
     "image_sigs_dhash9x8" -> "q_image_incr",
@@ -29,9 +29,9 @@ object ColdProbe {
     // takedown stores: cold = index build + tombstone write + first
     // tombstone-filtered serve — the fresh-deployment path of the
     // takedown wave
-    "postings_takedown_m7r2" -> "q_phrase_delete",
-    "ann_takedown_k8i3" -> "q_ann_delete",
-    "minhash_takedown_m7r2" -> "q_dedup_delete")
+    "postings_takedown_m7r2g" -> "q_phrase_delete",
+    "ann_takedown_k8i3g" -> "q_ann_delete",
+    "minhash_takedown_m7r2g" -> "q_dedup_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

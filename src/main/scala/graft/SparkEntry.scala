@@ -830,7 +830,7 @@ object SparkEntry {
       def overlaySigs() =
         if (graft.pipeline.StoreFs.isDirectory(s"$over/sigs"))
           s.read.parquet(s"$over/sigs")
-        else s.read.parquet(s"$store/sigs").limit(0)
+        else Dedup.readSignatureStore(s, store).limit(0)
       val corpusText = old.unionByName(
         s.read.schema("doc_id LONG, text STRING").parquet(s"$root/in"))
       val stream = s.readStream
@@ -852,7 +852,7 @@ object SparkEntry {
           val b = batch.localCheckpoint(true)
           val sigsNew = Dedup.minhashSignatures(b, "text", "doc_id", 3, 64)
           val bandedNew = Dedup.bandedBucketsFromSignatures(sigsNew)
-          val bandedAll = s.read.parquet(s"$store/banded")
+          val bandedAll = Dedup.readBandedStore(s, store)
             .unionByName(Dedup.bandedBucketsFromSignatures(overlaySigs()))
             .unionByName(bandedNew)
           Dedup.incrementalCandidatesFromBanded(bandedNew, bandedAll,
@@ -867,7 +867,7 @@ object SparkEntry {
       q.awaitTermination()
       // candidates touch overlay ids on one side and store∪overlay on the
       // other; the estimate reads both signature generations
-      val sigsAll = s.read.parquet(s"$store/sigs")
+      val sigsAll = Dedup.readSignatureStore(s, store)
         .unionByName(overlaySigs())
       // candidates are collision-sized — broadcast them through the
       // estimate and verify joins so the signature/text tables stream
@@ -1721,23 +1721,28 @@ object SparkEntry {
         "/index"
       val d = docs(s, dir).select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(d, idx)
+      // corruption is planted INSIDE the current generation (the store
+      // is versioned now; in-generation appends are where the two-commit
+      // and blind-re-append windows still live)
+      val gen = graft.pipeline.VersionedStore.tableRoot(idx)
       Seq(("ghost", 900001L, 0L), ("bad", 1L, -1L))
         .toDF("token", "doc_id", "pos")
-        .write.mode("append").parquet(s"$idx/postings")
+        .write.mode("append").parquet(s"$gen/postings")
       graft.pipeline.Retrieval.positionalPostings(
           d.where(col("doc_id") === 0L))
-        .write.mode("append").parquet(s"$idx/postings")
+        .write.mode("append").parquet(s"$gen/postings")
       Seq((900003L, 5L)).toDF("doc_id", "dl")
-        .write.mode("append").parquet(s"$idx/doclens")
+        .write.mode("append").parquet(s"$gen/doclens")
       graft.pipeline.Retrieval.docLengths(d.where(col("doc_id") === 2L))
-        .write.mode("append").parquet(s"$idx/doclens")
+        .write.mode("append").parquet(s"$gen/doclens")
       graft.pipeline.Retrieval.tombstoneDocs(s, idx, Seq(999999L, 3L))
       // crashed-maintenance leftovers: a compaction tmp that never
-      // swapped in and a backup that never got deleted
-      graft.pipeline.StoreFs.mkdirs(s"$idx/postings.compact.12345")
-      graft.pipeline.StoreFs.mkdirs(s"$idx/doclens.old.12345")
+      // swapped in and a backup that never got deleted (legacy flat
+      // roots still run the swap protocol — the artifact audit stays)
+      graft.pipeline.StoreFs.mkdirs(s"$gen/postings.compact.12345")
+      graft.pipeline.StoreFs.mkdirs(s"$gen/doclens.old.12345")
       graft.pipeline.StoreFsck.postingsStore(s, idx)
-        .unionByName(graft.pipeline.StoreFsck.layoutArtifacts(s, idx))
+        .unionByName(graft.pipeline.StoreFsck.layoutArtifacts(s, gen))
         .unionByName(graft.pipeline.StoreFsck.annStore(s,
             graft.sources.WireFixtures.annIndexDir(s, dir))
           .select(concat(lit("ann_"), col("check_name")).as("check_name"),
@@ -1855,6 +1860,38 @@ object SparkEntry {
             V.readAsOf(s, root, "postings", g1),
             V.readAsOf(s, root, "doclens", g1), terms, k = 20)
           .withColumn("gen", lit(g1)))
+    }),
+
+    // ---- VERSIONED takedown: the O(request) erasure path for
+    // generation-published stores — the id set lands as a tombstone
+    // OVERLAY under EVERY retained complete generation (request-sized
+    // appends; no table read or rewritten, no immediate corpus-sized
+    // republish), and live serving filters it everywhere: the current
+    // generation's BM25 (N/avgdl/df shrink) AND the pinned generation
+    // (time travel must not resurrect erased docs). The physical purge
+    // rides the next live-row publish; gc bounds pinned-read
+    // reachability. Oracle re-derives both generations from their live
+    // slices ----
+    "q_takedown_versioned" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("vtd").toString +
+        "/index"
+      val R = graft.pipeline.Retrieval
+      val V = graft.pipeline.VersionedStore
+      val d = docs(s, dir).select("doc_id", "text")
+      R.writePostingsIndex(d.where(col("doc_id") % 2 === 0), root) // gen 1
+      R.writePostingsIndex(d, root) // gen 2
+      // the erasure request — one O(request) overlay append per
+      // retained generation, routed by the store-root layout dispatch
+      R.tombstoneDocsDf(d.select("doc_id").where(col("doc_id") % 7 === 2),
+        root)
+      val terms = Seq("the", "of", "data")
+      R.bm25TopKFromIndex(R.readPostingsIndex(s, root),
+          R.readDocLengths(s, root), terms, k = 20)
+        .withColumn("gen", lit(2L))
+        .unionByName(R.bm25TopKFromIndex(
+            V.readAsOfLive(s, root, "postings", 1L, "doc_id"),
+            V.readAsOfLive(s, root, "doclens", 1L, "doc_id"), terms, k = 20)
+          .withColumn("gen", lit(1L)))
     }),
 
     // ---- the composed TAKEDOWN pipeline — the round trip a real
@@ -3047,6 +3084,33 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- IVF cell MERGE: the codebook-shrinking counterpart of
+    // q_ann_rebalance — thin cells' members reassign to their nearest
+    // surviving centroid in ONE fused assignment job (no training) and
+    // the dead/thin centroids leave the codebook, so churn never grows
+    // probe cost monotonically. k=8 with floor=avg: pigeonhole
+    // guarantees a survivor (largest cell ≥ avg) and the fixture's
+    // k-means leaves thin cells below it (require-guarded). Serving
+    // after the merge probes every surviving cell (nProbe=8 ≥ post-merge
+    // codebook) — exact, so the planted twins stay rank-1 ----
+    "q_ann_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("annmrg").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      Ann.writeIndex(withTwins, s"$root/index", k = 8, iters = 2)
+      val floor = math.max(2L, withTwins.count() / 8)
+      val report = Ann.mergeCells(s, s"$root/index", withTwins,
+        minCellSize = floor)
+      require(report.nonEmpty,
+        s"merge absorbed nothing at floor $floor — the guard the query" +
+          " exists for")
+      Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
+        s"$root/index", k = 5, nProbe = 8)
+        .where(col("rank") === 1)
+    }),
+
     // ---- TAKEDOWN-aware ANN serving: the store holds each vector plus
     // a twin (+1e6) and a tritwin (+2e6); the twins of query ids < 8
     // are tombstoned. Identical vectors share a cell and the exact
@@ -3087,7 +3151,7 @@ object SparkEntry {
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
             val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
-            if (graft.pipeline.StoreFs.isDirectory(s"$root/index/codebook"))
+            if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
               Ann.appendToIndex(ups, s"$root/index")
             else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3)
             val dels = b.where(col("opcode") === "DELETE").select("id")
@@ -4736,6 +4800,15 @@ object SparkEntry {
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // merged store: absorbing thin cells re-assigns their members among
+    // SURVIVING centroids only — identical vectors still share every
+    // argmin, and probing all surviving cells is exact, so the planted
+    // twins stay rank-1 through any merge
+    "q_ann_merge" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
     // ANN CDC feed: the stream-maintained store lands on the same
     // planted takedown contract as q_ann_delete (identical vectors
     // share every argmin, whichever batch trained the codebook)
@@ -5466,6 +5539,18 @@ object SparkEntry {
         "documents")})" +
         s" UNION ALL SELECT *, CAST(1 AS BIGINT) AS gen FROM (${
           bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 0)")})"),
+
+    // versioned takedown: the erased ids (doc_id % 7 = 2) leave BOTH
+    // generations' serving — current re-derives from the full live
+    // slice, the pinned generation from its even-id live slice (the
+    // overlay applies to pinned reads; erasure wins over time travel)
+    "q_takedown_versioned" ->
+      (s"SELECT *, CAST(2 AS BIGINT) AS gen FROM (${bm25TopKSqlFor(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 2)")})" +
+        s" UNION ALL SELECT *, CAST(1 AS BIGINT) AS gen FROM (${
+          bm25TopKSqlFor(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0" +
+              " AND doc_id % 7 <> 2)")})"),
 
     // composed takedown pipeline: the live slice is "every doc the
     // attribution audit did NOT name" — same shingle/leak_bp derivation

@@ -1,7 +1,8 @@
 package graft.model
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.pipeline.StoreFs
 
 /** C2 — checkpoint persistence providers.
   *
@@ -13,6 +14,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * reference's contract: a consumer can be moved between clients by
   * carrying its checkpoint), with atomic write-rename like the reference's
   * staging-file protocol.
+  *
+  * All I/O goes through [[StoreFs]] (the Hadoop `FileSystem` API), NOT
+  * `java.nio`: on a non-local root (hdfs://, file:, object stores) a
+  * local-file probe returns "no checkpoint" for a consumer that HAS one —
+  * the consumer silently restarts from scratch (at-least-once still
+  * holds, but the checkpoint contract is silently lost), the same
+  * silent-local-probe hazard class the store maintenance paths closed.
+  * The write is [[StoreFs.writeAtomic]] (write-tmp + FileContext rename
+  * with OVERWRITE) — a reader sees the old checkpoint or the new, never
+  * a torn one, on every scheme that renames atomically.
   */
 trait CheckpointStore {
   def store(consumerId: String, cp: CheckpointMult): Unit
@@ -20,22 +31,17 @@ trait CheckpointStore {
 }
 
 class FileSystemCheckpointStore(rootDir: String) extends CheckpointStore {
-  private def path(id: String): Path = Paths.get(rootDir, s"$id.json")
+  private def path(id: String): String = s"$rootDir/$id.json"
 
   override def store(consumerId: String, cp: CheckpointMult): Unit = {
-    Files.createDirectories(Paths.get(rootDir))
-    val tmp = Paths.get(rootDir, s".$consumerId.json.tmp")
-    Files.write(tmp, cp.toJson.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path(consumerId), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    StoreFs.mkdirs(rootDir)
+    StoreFs.writeAtomic(path(consumerId),
+      cp.toJson.getBytes(StandardCharsets.UTF_8))
   }
 
-  override def load(consumerId: String): Option[CheckpointMult] = {
-    val p = path(consumerId)
-    if (!Files.exists(p)) None
-    else Some(CheckpointStore.parseMult(
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-  }
+  override def load(consumerId: String): Option[CheckpointMult] =
+    StoreFs.readBytesOpt(path(consumerId)).map(b =>
+      CheckpointStore.parseMult(new String(b, StandardCharsets.UTF_8)))
 }
 
 object CheckpointStore {

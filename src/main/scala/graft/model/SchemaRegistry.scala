@@ -47,32 +47,53 @@ case class VersionedSchemaSet(schemas: Seq[VersionedSchema]) {
   * Reference: FileSystemVersionedSchemaSetProvider.java:1 (file-name
   * pattern `(.*)\.(\d+).avsc`, recursive directory walk, suffix filter);
   * files without a parseable version are skipped, unreadable roots throw.
+  *
+  * The walk goes through the Hadoop `FileSystem` API
+  * ([[graft.pipeline.StoreFs]]), not `java.io.File`: a registry rooted
+  * on a non-local URI (hdfs://, file:) would otherwise load ZERO
+  * schemas without an error — and every digest lookup downstream would
+  * fail at decode time deep inside a query instead of at registry load.
+  * Missing roots still throw (the reference's unreadable-root
+  * contract); registry trees are tens of files, so the driver-side walk
+  * is registry-sized, never data-sized.
   */
 object FileSystemSchemaProvider {
 
   private val FileName = """(.*)\.(\d+)\.avsc""".r
 
   def loadSchemas(dirs: Seq[java.io.File],
+      suffix: String): VersionedSchemaSet =
+    loadSchemasFrom(dirs.map(_.getPath), suffix)
+
+  def loadSchemas(dirs: Seq[java.io.File]): VersionedSchemaSet =
+    loadSchemasFrom(dirs.map(_.getPath), ".avsc")
+
+  def loadSchemasFrom(dirs: Seq[String],
       suffix: String = ".avsc"): VersionedSchemaSet = {
-    def walk(f: java.io.File): Seq[VersionedSchema] = {
-      if (!f.exists() || !f.canRead)
+    import graft.pipeline.StoreFs
+    def walk(path: String): Seq[VersionedSchema] = {
+      val (fs, p) = StoreFs.fsPath(path)
+      if (!fs.exists(p))
         throw new IllegalArgumentException(
-          s"File does not exist or cannot be read: ${f.getAbsolutePath}")
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else if (f.getName.endsWith(suffix)) f.getName match {
-        case FileName(source, version) =>
-          Seq(VersionedSchema(source, version.toShort,
-            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
-        case _ => Seq.empty // suffix matches but no version segment
-      }
+          s"File does not exist or cannot be read: $path")
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName)
+          .flatMap(c => walk(c.getPath.toString)).toSeq
+      else if (st.getPath.getName.endsWith(suffix))
+        st.getPath.getName match {
+          case FileName(source, version) =>
+            Seq(VersionedSchema(source, version.toShort,
+              new String(StoreFs.readBytesOpt(path).get, "UTF-8")))
+          case _ => Seq.empty // suffix matches but no version segment
+        }
       else Seq.empty
     }
     VersionedSchemaSet(dirs.flatMap(walk))
   }
 
   def loadSchemas(dir: String): VersionedSchemaSet =
-    loadSchemas(Seq(new java.io.File(dir)))
+    loadSchemasFrom(Seq(dir))
 }
 
 class NoSuchSchemaException(msg: String) extends RuntimeException(msg)

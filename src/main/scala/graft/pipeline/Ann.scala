@@ -253,18 +253,21 @@ object Ann {
     * with [[ivfQuantizedTopKFromStore]] / [[ivfTopKFromStore]]; only the
     * exact re-rank ever touches the float corpus again.
     *
-    * The caller owns build-once atomicity (promote-after-write, e.g.
-    * WireFixtures' _SUCCESS-marker protocol for the bench/test store);
-    * this method just renders the two tables. */
+    * The codebook+cells PAIR commits as one [[VersionedStore]]
+    * generation behind one atomic pointer flip — a crash mid-build
+    * leaves readers on the previous generation (or loudly unpublished),
+    * never a codebook whose cells are missing or vice versa; the
+    * two-commit window this writer used to delegate to the caller's
+    * promote protocol is structurally impossible on the publish path. */
   def writeIndex(corpus: DataFrame, dir: String, k: Int, iters: Int): Unit = {
     val (codebook, _) = trainCentroids(corpus, k, iters)
-    centroidsDf(corpus.sparkSession, codebook)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    // narrow rows (two longs + dim int8s + a double) — a handful of files
-    // keeps store re-reads one-listing cheap at fixture scale; a 100 TB
-    // corpus sizes this by cells/ bytes like any lake table
-    quantizedCells(corpus, codebook)
-      .coalesce(4).write.mode("overwrite").parquet(s"$dir/cells")
+    // narrow cell rows (two longs + dim int8s + a double) — a handful of
+    // files keeps store re-reads one-listing cheap at fixture scale; a
+    // 100 TB corpus sizes this by cells/ bytes like any lake table
+    VersionedStore.publish(dir, Map(
+      "codebook" -> centroidsDf(corpus.sparkSession, codebook).coalesce(1),
+      "cells" -> quantizedCells(corpus, codebook).coalesce(4)))
+    ()
   }
 
   /** Append a NEW vector batch to a [[writeIndex]] store without
@@ -293,7 +296,8 @@ object Ann {
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToIndex: numFiles $numFiles")
     val spark = newVectors.sparkSession
-    val codebook = spark.read.parquet(s"$dir/codebook")
+    val t = VersionedStore.tableRoot(dir)
+    val codebook = spark.read.parquet(s"$t/codebook")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
@@ -302,7 +306,7 @@ object Ann {
     val shaped =
       if (numFiles == 1) cells.coalesce(1)
       else cells.repartition(numFiles, col("cell_id"))
-    shaped.write.mode("append").parquet(s"$dir/cells")
+    shaped.write.mode("append").parquet(s"$t/cells")
   }
 
   /** IVF+int8 retrieval against a [[writeIndex]] store: candidates come
@@ -314,7 +318,8 @@ object Ann {
   def ivfQuantizedTopKFromStore(queries: DataFrame, corpus: DataFrame,
       storeDir: String, k: Int, nProbe: Int = 2, rerank: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = spark.read.parquet(s"$storeDir/codebook")
+    val centroids =
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
     val cells = readCells(spark, storeDir)
       .withColumnRenamed("id", "neighbor_id")
     ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
@@ -326,9 +331,10 @@ object Ann {
     * anti-join here removes it from every retrieval at once. No
     * takedowns, no plan overhead. */
   def readCells(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String): DataFrame =
-    Tombstones.filterLive(spark.read.parquet(s"$storeDir/cells"),
-      storeDir, "id")
+      storeDir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/cells"), t, "id")
+  }
 
   /** Record a vector takedown against a [[writeIndex]] store: the ids
     * leave retrieval immediately (reads anti-join the tombstone set —
@@ -349,21 +355,33 @@ object Ann {
 
   /** Takedown GC for a [[writeIndex]] store: rewrite `cells/` without
     * the tombstoned rows (clustered by cell_id, so the serving scan's
-    * cell probe keeps its pruning) and clear the tombstone set LAST —
-    * the same crash-safe ordering as [[Retrieval.compactPostingsIndex]]
-    * (a crash between leaves tombstones applied to already-purged
-    * cells; the anti-join of absent ids is a no-op). The codebook is
-    * untouched: centroids are corpus statistics, not memberships, and
-    * drift only on a full [[writeIndex]] retrain. */
+    * cell probe keeps its pruning). On a VERSIONED store the rewrite is
+    * one fresh-generation publish (codebook carried over unchanged,
+    * live cells only) followed by gc — atomic, no clear-last ordering,
+    * old overlay retired with its generation; the swap + clear-LAST
+    * protocol (crash between leaves tombstones applied to
+    * already-purged cells, an anti-join no-op) remains for legacy flat
+    * roots. The codebook's CONTENT is untouched either way: centroids
+    * are corpus statistics, not memberships, and drift only on a full
+    * [[writeIndex]] retrain. */
   def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, numFiles: Int = 4): Unit = {
     require(numFiles > 0, s"compactIndexCells: numFiles $numFiles")
-    val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-    readCells(spark, storeDir)
+    val liveCells = readCells(spark, storeDir)
       .repartition(numFiles, col("cell_id"))
-      .write.parquet(tmp)
-    Dedup.swapDir(s"$storeDir/cells", tmp)
-    Tombstones.clear(storeDir)
+    if (VersionedStore.isVersioned(storeDir)) {
+      val t = VersionedStore.tableRoot(storeDir)
+      VersionedStore.publish(storeDir, Map(
+        "codebook" -> spark.read.parquet(s"$t/codebook"),
+        "cells" -> liveCells))
+      VersionedStore.gc(storeDir, keep = 0)
+      ()
+    } else {
+      val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
+      liveCells.write.parquet(tmp)
+      Dedup.swapDir(s"$storeDir/cells", tmp)
+      Tombstones.clear(storeDir)
+    }
   }
 
   /** Split every OVERSIZED cell of a [[writeIndex]] store — the IVF
@@ -376,8 +394,11 @@ object Ann {
     * so the pass costs O(oversized cells' members), not O(store), and the
     * untouched cells' rows rewrite clustered but unassigned-unchanged.
     *
-    * Protocol (three atomic swaps, every crash window serving-safe and
-    * fsck-visible as layout artifacts):
+    * Publish protocol: on a VERSIONED store the final codebook and the
+    * rewritten cells land as ONE atomic generation (publish + gc) — no
+    * intermediate states at all. On a legacy flat root the pass runs
+    * the three-swap protocol, every crash window serving-safe and
+    * fsck-visible as layout artifacts:
     *   1. codebook ← old ∪ sub-centroids (superset: new cells are empty,
     *      serving unchanged — a probe may rank an empty cell, costing
     *      recall nothing because its member scan is empty);
@@ -412,7 +433,8 @@ object Ann {
       .where(col("n") > maxCellSize)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     if (oversized.isEmpty) return Seq.empty
-    val book = spark.read.parquet(s"$storeDir/codebook").collect()
+    val book = spark.read
+      .parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
     require(book.nonEmpty, s"rebalanceCells: empty codebook in $storeDir")
     var nextId = book.map(_._1).max + 1
@@ -435,13 +457,8 @@ object Ann {
       (cellId, offset)
     }
     val subBook = perCell.flatMap(_._2)
-    // swap 1: superset codebook
-    val tmpBook1 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
-    centroidsDf(spark, book ++ subBook)
-      .coalesce(1).write.parquet(tmpBook1)
-    Dedup.swapDir(s"$storeDir/codebook", tmpBook1)
-    // swap 2: cells — untouched rows as-is, split-cell members reassigned
-    // under their sub-codebooks (identical vectors share every argmin, so
+    // cells — untouched rows as-is, split-cell members reassigned under
+    // their sub-codebooks (identical vectors share every argmin, so
     // planted twins stay co-located through the split)
     val reassigned = perCell.map { case (cellId, offsetBook) =>
       quantizedCells(
@@ -452,22 +469,127 @@ object Ann {
     }.reduce(_ unionByName _)
     val untouched = live.where(!col("cell_id").isin(splitIds.toSeq: _*))
       .select("id", "cell_id", "q", "scale")
-    val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-    untouched.unionByName(reassigned)
+    val newCells = untouched.unionByName(reassigned)
       .repartition(4, col("cell_id"))
-      .write.parquet(tmpCells)
-    Dedup.swapDir(s"$storeDir/cells", tmpCells)
-    Tombstones.clear(storeDir) // the rewrite kept live rows only
-    // swap 3: drop the now-memberless split parents from the codebook
-    val tmpBook2 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
-    centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1)) ++ subBook)
-      .coalesce(1).write.parquet(tmpBook2)
-    Dedup.swapDir(s"$storeDir/codebook", tmpBook2)
+    val finalBook =
+      centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1))
+        ++ subBook).coalesce(1)
+    if (VersionedStore.isVersioned(storeDir)) {
+      // one atomic generation: final codebook + rewritten cells together
+      // (the live frame is persisted, so the publish reads cached rows,
+      // not the old generation's files mid-retirement)
+      VersionedStore.publish(storeDir, Map(
+        "codebook" -> finalBook, "cells" -> newCells))
+      VersionedStore.gc(storeDir, keep = 0)
+    } else {
+      // legacy flat root: three-swap protocol (see scaladoc)
+      val tmpBook1 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
+      centroidsDf(spark, book ++ subBook)
+        .coalesce(1).write.parquet(tmpBook1)
+      Dedup.swapDir(s"$storeDir/codebook", tmpBook1)
+      val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
+      newCells.write.parquet(tmpCells)
+      Dedup.swapDir(s"$storeDir/cells", tmpCells)
+      Tombstones.clear(storeDir) // the rewrite kept live rows only
+      // drop the now-memberless split parents from the codebook
+      val tmpBook2 = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
+      finalBook.write.parquet(tmpBook2)
+      Dedup.swapDir(s"$storeDir/codebook", tmpBook2)
+    }
     oversized.toSeq
     // every exit — early empty return, the loud guards, a failed swap —
     // must release the persisted store copy, or repeated maintenance
     // attempts against a store needing fsck pile caches into the block
     // manager
+    } finally live.unpersist()
+  }
+
+  /** Absorb every UNDERSIZED cell of a [[writeIndex]] store into its
+    * members' nearest SURVIVING centroids — [[rebalanceCells]]' merge
+    * counterpart, and the maintenance pass that keeps churn from
+    * monotonically growing the codebook: takedowns and rebalance splits
+    * leave behind thin and outright DEAD (memberless) centroids, every
+    * one of which every query still ranks during the probe step —
+    * probe cost creeps up with codebook size while recall gains
+    * nothing. The pass drops dead centroids outright and reassigns the
+    * thin cells' members under the survivor codebook (`n ≥
+    * minCellSize`; the argmin is the same fused assignment appends
+    * run), so its cost is O(merged cells' members) in ONE assignment
+    * job — no training, no per-cell loop, stored float vectors of
+    * untouched cells never read.
+    *
+    * Publish protocol mirrors [[rebalanceCells]]: one atomic generation
+    * (publish + gc) on a versioned store; on a legacy flat root the
+    * CELLS swap lands first (reassigned rows reference survivors, which
+    * the old codebook also carries — every intermediate state audits
+    * clean) and the codebook shrink follows. The rewrite keeps live
+    * rows only, so it subsumes takedown GC like every rewrite here.
+    * Like compaction, the pass assumes appends are quiesced.
+    *
+    * Loud floor guard: a `minCellSize` no cell reaches would absorb the
+    * whole codebook into nothing — that is a retrain
+    * ([[writeIndex]]), not a merge, and fails here explicitly.
+    * Returns (merged cell id, member count) per absorbed cell — a
+    * count of 0 is a dead centroid dropped without any reassignment.
+    *
+    * Reference analogue: same maintenance-pass discipline as the
+    * bootstrap DB cleaner (BootstrapDBCleaner.java:1) — serving never
+    * sees a half-moved region. */
+  def mergeCells(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, corpus: DataFrame, minCellSize: Long,
+      numFiles: Int = 4): Seq[(Long, Long)] = {
+    require(minCellSize > 0, s"mergeCells: minCellSize $minCellSize")
+    require(numFiles > 0, s"mergeCells: numFiles $numFiles")
+    val live = readCells(spark, storeDir).persist()
+    try {
+      // codebook-bounded rows (one per cell) — driver-collectable
+      val counts = live.groupBy("cell_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val book = spark.read
+        .parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+      require(book.nonEmpty, s"mergeCells: empty codebook in $storeDir")
+      val sized = book.map { case (id, _) => (id, counts.getOrElse(id, 0L)) }
+      val merged = sized.filter(_._2 < minCellSize)
+      if (merged.isEmpty) return Seq.empty
+      val mergedIds = merged.map(_._1).toSet
+      val survivors = book.filterNot(c => mergedIds.contains(c._1))
+      require(survivors.nonEmpty,
+        s"mergeCells: minCellSize $minCellSize absorbs every cell of" +
+          s" $storeDir — that is a retrain (writeIndex), not a merge")
+      // ONE fused assignment over all thin cells' members (no training);
+      // the drift guard is the same loud check rebalance runs — a live
+      // id the corpus lost would silently vanish from the rewrite
+      val thinMembers = live
+        .where(col("cell_id").isin(mergedIds.toSeq: _*)).select("id")
+      val members = thinMembers.join(
+        corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
+      val (nIds, nVecs) = (thinMembers.count(), members.count())
+      require(nIds == nVecs, s"mergeCells: ${nIds - nVecs} merged-cell" +
+        " member id(s) absent from the corpus — repair the store (fsck)" +
+        " before merging")
+      val reassigned = quantizedCells(members, survivors.toArray)
+      val untouched = live.where(!col("cell_id").isin(mergedIds.toSeq: _*))
+        .select("id", "cell_id", "q", "scale")
+      val newCells = untouched.unionByName(reassigned)
+        .repartition(numFiles, col("cell_id"))
+      val newBook = centroidsDf(spark, survivors).coalesce(1)
+      if (VersionedStore.isVersioned(storeDir)) {
+        VersionedStore.publish(storeDir, Map(
+          "codebook" -> newBook, "cells" -> newCells))
+        VersionedStore.gc(storeDir, keep = 0)
+      } else {
+        // flat root: cells first (reassigned rows point at survivors the
+        // old codebook also carries), then the codebook shrink
+        val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
+        newCells.write.parquet(tmpCells)
+        Dedup.swapDir(s"$storeDir/cells", tmpCells)
+        Tombstones.clear(storeDir) // the rewrite kept live rows only
+        val tmpBook = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
+        newBook.write.parquet(tmpBook)
+        Dedup.swapDir(s"$storeDir/codebook", tmpBook)
+      }
+      merged.toSeq.sortBy(_._1)
     } finally live.unpersist()
   }
 
@@ -478,7 +600,8 @@ object Ann {
   def ivfTopKFromStore(queries: DataFrame, corpus: DataFrame,
       storeDir: String, k: Int, nProbe: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = spark.read.parquet(s"$storeDir/codebook")
+    val centroids =
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
     val cells = readCells(spark, storeDir)
       .select(col("id").as("neighbor_id"), col("cell_id"))
     val probes = probeCells(queries, centroids, nProbe)

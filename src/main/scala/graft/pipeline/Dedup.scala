@@ -427,16 +427,42 @@ object Dedup {
     * or re-linking clusters long after its takedown), and the signature
     * table is the only place it enters candidate generation. */
   def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String): DataFrame =
-    Tombstones.filterLive(spark.read.parquet(s"$storeDir/sigs"),
-      storeDir, "id")
+      storeDir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/sigs"), t, "id")
+  }
 
   /** The LIVE banded blocking rows of a persisted signature store
     * (tombstone-aware like [[readSignatureStore]]). */
   def readBandedStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String): DataFrame =
-    Tombstones.filterLive(spark.read.parquet(s"$storeDir/banded"),
-      storeDir, "id")
+      storeDir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/banded"), t, "id")
+  }
+
+  /** Render a PERSISTED minhash signature store for `docs` into `dir` —
+    * the one-time corpus onboarding of the signature-store dedup
+    * protocol: `sigs/` (id, sig[k]) plus `banded/` (id, band, bucket),
+    * committed as ONE [[VersionedStore]] generation behind one atomic
+    * pointer flip. The signed-but-never-banded crash window
+    * ([[StoreFsck.minhashStore]]'s headline finding — the worst store
+    * failure, because a doc missing from `banded/` silently never
+    * blocks with anything) is structurally impossible on this path: a
+    * crash mid-build leaves readers on the previous generation.
+    * Incremental batches keep their own overlay stores (the streaming
+    * demos' discipline); a re-onboarding is the next generation. */
+  def writeSignatureStore(docs: DataFrame, dir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"writeSignatureStore: numFiles $numFiles")
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    VersionedStore.publish(dir, Map(
+      "sigs" -> sigs.coalesce(numFiles),
+      "banded" -> bandedBucketsFromSignatures(sigs, k, bands)
+        .coalesce(numFiles)))
+    ()
+  }
 
   /** Record a doc takedown against a persisted signature store —
     * O(request), stored rows untouched; reads anti-join the set (see

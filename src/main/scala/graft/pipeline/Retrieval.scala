@@ -181,18 +181,26 @@ object Retrieval {
     * Built once per corpus snapshot, then maintained by
     * [[appendToPostingsIndex]] as document batches arrive — the durable
     * store every phrase/proximity/BM25 query reads instead of
-    * re-tokenizing the corpus. The caller owns build-once atomicity
-    * (promote-after-write), as with [[Ann.writeIndex]]. */
+    * re-tokenizing the corpus.
+    *
+    * The PAIR commits as one [[VersionedStore]] generation behind one
+    * atomic pointer flip: the "docs indexed without length norms"
+    * two-commit crash window this writer used to document is
+    * structurally impossible on the publish path — a crash anywhere
+    * mid-build leaves readers on the previous generation (or, for a
+    * first build, on "never published", which reads loudly). Incremental
+    * appends land INSIDE the current generation (see
+    * [[appendToPostingsIndex]]); a rebuild is the next generation. */
   def writePostingsIndex(docs: DataFrame, dir: String, numFiles: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(numFiles > 0, s"writePostingsIndex: numFiles $numFiles")
-    positionalPostings(docs, idCol, textCol)
-      .repartitionByRange(numFiles, col("token"))
-      .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    docLengths(docs, idCol, textCol)
-      .coalesce(math.min(numFiles, 2))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+    VersionedStore.publish(dir, Map(
+      "postings" -> positionalPostings(docs, idCol, textCol)
+        .repartitionByRange(numFiles, col("token"))
+        .sortWithinPartitions("token", "doc_id", "pos"),
+      "doclens" -> docLengths(docs, idCol, textCol)
+        .coalesce(math.min(numFiles, 2))))
+    ()
   }
 
   /** Append a NEW document batch to a [[writePostingsIndex]] store.
@@ -211,24 +219,27 @@ object Retrieval {
     * store here. `numFiles` defaults to 1 for the trickle regime; a
     * bulk backfill raises it so the batch tokenize + write parallelize.
     *
-    * Crash-consistency caveat (stated, not hidden): the postings and
-    * doclens appends are two separate file commits — a crash between
-    * them leaves the batch indexed without its length norms. Each
-    * commit is individually atomic (Spark's committer publishes files
-    * only at job commit), so recovery is "re-run the batch append
-    * after dropping its doc ids" or a [[compactPostingsIndex]]-style
-    * rebuild; the production form is a table format with multi-file
-    * atomic commits, which this layout maps onto directly. */
+    * On a versioned store the append lands INSIDE the current
+    * generation (the verdict-of-record layout: whole rebuilds are
+    * generations, increments are in-generation appends). Crash caveat
+    * (stated, not hidden): one APPEND is still two file commits — a
+    * crash between them leaves the batch indexed without its length
+    * norms, recoverable by re-running the batch or by the next
+    * [[compactPostingsIndex]]/rebuild publish; the replay-safe form is
+    * [[appendToPostingsIndexBatch]]. The BUILD path no longer carries
+    * this window at all ([[writePostingsIndex]] publishes the pair
+    * atomically). */
   def appendToPostingsIndex(newDocs: DataFrame, dir: String,
       numFiles: Int = 1, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(numFiles > 0, s"appendToPostingsIndex: numFiles $numFiles")
+    val t = VersionedStore.tableRoot(dir)
     positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("append").parquet(s"$t/postings")
     docLengths(newDocs, idCol, textCol)
-      .coalesce(1).write.mode("append").parquet(s"$dir/doclens")
+      .coalesce(1).write.mode("append").parquet(s"$t/doclens")
   }
 
   /** STREAMING-append form of [[appendToPostingsIndex]]: the batch's
@@ -245,13 +256,14 @@ object Retrieval {
       batchId: Long, numFiles: Int = 1, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(numFiles > 0, s"appendToPostingsIndexBatch: numFiles $numFiles")
+    val t = VersionedStore.tableRoot(dir)
     positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$dir/postings/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$t/postings/batch=$batchId")
     docLengths(newDocs, idCol, textCol)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/doclens/batch=$batchId")
+      .parquet(s"$t/doclens/batch=$batchId")
   }
 
   /** The LIVE postings of a persisted index (feed to [[phraseSearch]] /
@@ -259,8 +271,10 @@ object Retrieval {
     * any [[tombstoneDocs]] takedowns — no takedowns, no plan overhead;
     * otherwise one broadcast anti-join on doc_id (request-sized set). */
   def readPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    Tombstones.filterLive(spark.read.parquet(s"$dir/postings"), dir, "doc_id")
+      dir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(dir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/postings"), t, "doc_id")
+  }
 
   /** Record a takedown against a [[writePostingsIndex]] store: the docs
     * leave every serving surface AT ONCE — phrase/proximity hits, KWIC
@@ -294,22 +308,24 @@ object Retrieval {
     * append history, never the delete history. */
   def readPostingsIndexAsOf(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxBatch: Long): DataFrame = {
-    val stored = spark.read.parquet(s"$dir/postings")
+    val t = VersionedStore.tableRoot(dir)
+    val stored = spark.read.parquet(s"$t/postings")
     require(stored.columns.contains("batch"),
       s"readPostingsIndexAsOf: $dir is not batch-addressed (flat store)")
     Tombstones.filterLive(stored.where(col("batch") <= maxBatch),
-      dir, "doc_id")
+      t, "doc_id")
   }
 
   /** As-of twin of [[readDocLengths]] for batch-addressed stores —
     * pins BM25's corpus statistics to the same snapshot. */
   def readDocLengthsAsOf(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxBatch: Long): DataFrame = {
-    val stored = spark.read.parquet(s"$dir/doclens")
+    val t = VersionedStore.tableRoot(dir)
+    val stored = spark.read.parquet(s"$t/doclens")
     require(stored.columns.contains("batch"),
       s"readDocLengthsAsOf: $dir is not batch-addressed (flat store)")
     Tombstones.filterLive(stored.where(col("batch") <= maxBatch),
-      dir, "doc_id")
+      t, "doc_id")
   }
 
   /** Compact a [[writePostingsIndex]] store in place: a long trickle of
@@ -324,11 +340,16 @@ object Retrieval {
     * applied to already-purged tables — an anti-join of absent ids is a
     * no-op, so the store serves correctly at every intermediate state).
     * Live-row-identical by construction (a re-partition of the live
-    * set — no merge logic); the swap is write-to-tmp + two renames with
-    * restore-on-failure (the live path is never left missing — see
-    * [[Dedup.swapDir]]; true multi-file atomicity needs a table
-    * format). The store-maintenance op every append-only layout needs;
-    * reference analogue: the bootstrap DB's applied-log compaction
+    * set — no merge logic). On a VERSIONED store the rewrite is one
+    * fresh-generation publish of the live rows followed by gc: the
+    * pair lands atomically, the new generation starts with an empty
+    * tombstone overlay (no clear-last ordering to get right), and the
+    * gc is the physical purge — the swap protocol and its documented
+    * crash windows exist only for legacy flat roots, where the
+    * write-to-tmp + two-rename path (restore-on-failure, see
+    * [[Dedup.swapDir]]) still applies. The store-maintenance op every
+    * append-only layout needs; reference analogue: the bootstrap DB's
+    * applied-log compaction
     * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 4): Unit = {
@@ -340,35 +361,48 @@ object Retrieval {
     // rows to a fresh root, swap the serving pointer, retire the old
     // root (snapshot rotation — the same discipline as a codebook
     // retrain). Loud here beats corrupt-on-next-append.
-    require(!spark.read.parquet(s"$dir/postings").columns.contains("batch"),
+    require(!spark.read
+        .parquet(s"${VersionedStore.tableRoot(dir)}/postings")
+        .columns.contains("batch"),
       s"compactPostingsIndex: $dir is batch-addressed (stream-maintained)" +
         " — compaction would destroy the append history as-of reads pin;" +
         " rotate the store (writePostingsIndex to a new root) instead")
     require(numFiles > 0, s"compactPostingsIndex: numFiles $numFiles")
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"
-      write(tmp)
-      Dedup.swapDir(s"$dir/$sub", tmp)
+    val postingsLive = readPostingsIndex(spark, dir) // live rows: takedown GC
+      .repartitionByRange(numFiles, col("token"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+    val doclensLive = readDocLengths(spark, dir)
+      .coalesce(math.min(numFiles, 2))
+    if (VersionedStore.isVersioned(dir)) {
+      // live reads above are lazy plans over the OLD generation; publish
+      // writes them into the new one, then gc retires everything the
+      // pointer no longer references — including the purged rows and the
+      // old overlay (compaction IS the erasure deadline, so pinned reads
+      // of pre-compaction generations do not survive it)
+      VersionedStore.publish(dir, Map(
+        "postings" -> postingsLive, "doclens" -> doclensLive))
+      VersionedStore.gc(dir, keep = 0)
+      ()
+    } else {
+      def swapIn(sub: String)(write: String => Unit): Unit = {
+        val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"
+        write(tmp)
+        Dedup.swapDir(s"$dir/$sub", tmp)
+      }
+      swapIn("postings")(postingsLive.write.parquet(_))
+      swapIn("doclens")(doclensLive.write.parquet(_))
+      Tombstones.clear(dir)
     }
-    swapIn("postings") { tmp =>
-      readPostingsIndex(spark, dir) // live rows only: the takedown GC
-        .repartitionByRange(numFiles, col("token"))
-        .sortWithinPartitions("token", "doc_id", "pos")
-        .write.parquet(tmp)
-    }
-    swapIn("doclens") { tmp =>
-      readDocLengths(spark, dir)
-        .coalesce(math.min(numFiles, 2)).write.parquet(tmp)
-    }
-    Tombstones.clear(dir)
   }
 
   /** The LIVE doc-length norms of a persisted index (tombstone-aware,
     * like [[readPostingsIndex]] — BM25's N/avgdl/df derive from this
     * table, so takedowns shrink the corpus statistics too). */
   def readDocLengths(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    Tombstones.filterLive(spark.read.parquet(s"$dir/doclens"), dir, "doc_id")
+      dir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(dir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/doclens"), t, "doc_id")
+  }
 
   /** BM25 top-k served FROM a persisted [[writePostingsIndex]] store —
     * bit-identical scores to [[bm25TopK]] (same per-term floor-then-sum

@@ -174,4 +174,39 @@ object StoreFs {
     val (fs, p) = fsPath(dir)
     require(fs.mkdirs(p), s"StoreFs: cannot mkdirs $dir")
   }
+
+  /** Read a SMALL file fully (pointer/checkpoint/schema-sized — never
+    * data-plane bytes), None when absent. Routed through the FileSystem
+    * API for the same reason every probe here is: a `java.nio` read of
+    * a non-local URI sees nothing, and "no checkpoint" silently
+    * restarts a consumer from scratch. */
+  def readBytesOpt(path: String): Option[Array[Byte]] = {
+    val (fs, p) = fsPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+      finally in.close()
+    }
+  }
+
+  /** Atomically REPLACE `path` with `bytes`: write a tmp sibling, then
+    * rename with OVERWRITE through [[org.apache.hadoop.fs.FileContext]]
+    * (the API exposing POSIX rename semantics — plain FileSystem.rename
+    * refuses existing destinations). The single-file commit primitive
+    * the versioned-store pointer flip and the checkpoint store share;
+    * readers see the old bytes or the new, never a torn write.
+    * `tmpSuffix` names the in-flight file (pid-scoped by default) so
+    * crashed flips are identifiable dead bytes. */
+  def writeAtomic(path: String, bytes: Array[Byte],
+      tmpSuffix: String = s".tmp.${ProcessHandle.current.pid}"): Unit = {
+    val (fs, p) = fsPath(path)
+    val dst = fs.makeQualified(p)
+    val tmp = fs.makeQualified(new Path(path + tmpSuffix))
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, fs.getConf)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 }

@@ -37,8 +37,13 @@ object StoreFsck {
 
   /** Audit a [[Retrieval.writePostingsIndex]]-layout store. Reads RAW
     * tables (tombstones included as their own subject, not applied as a
-    * filter — fsck inspects the store, not the serving view). */
-  def postingsStore(spark: SparkSession, dir: String): DataFrame = {
+    * filter — fsck inspects the store, not the serving view). A
+    * versioned root audits its CURRENT generation's tables (the
+    * generation protocol itself is [[versionedStore]]'s subject); the
+    * pair-window findings here remain structurally impossible for the
+    * publish path and now cover only in-generation appends. */
+  def postingsStore(spark: SparkSession, dir0: String): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
     val postings = spark.read.parquet(s"$dir/postings")
     val doclens = spark.read.parquet(s"$dir/doclens")
     val pDocs = postings.select("doc_id").distinct()
@@ -99,8 +104,9 @@ object StoreFsck {
     *   - wrong signature width (sig array length ≠ k),
     *   - duplicate id rows in sigs,
     *   - tombstones naming ids the store never signed. */
-  def minhashStore(spark: SparkSession, dir: String, k: Int = 64,
+  def minhashStore(spark: SparkSession, dir0: String, k: Int = 64,
       bands: Int = 16): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
     val sigs = spark.read.parquet(s"$dir/sigs")
     val banded = spark.read.parquet(s"$dir/banded")
     val sIds = sigs.select("id").distinct()
@@ -325,7 +331,8 @@ object StoreFsck {
   }
 
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */
-  def annStore(spark: SparkSession, dir: String): DataFrame = {
+  def annStore(spark: SparkSession, dir0: String): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
     val cells = spark.read.parquet(s"$dir/cells")
     val codebook = spark.read.parquet(s"$dir/codebook")
     finding("cells_with_unknown_centroid",

@@ -59,12 +59,16 @@ object Tombstones {
     ()
   }
 
-  /** Shared validated append: ONE request-sized job computes the row
-    * count and the invalid-id count, fails loudly on any invalid id,
-    * writes only when there is something to record (an empty batch must
-    * not litter the one-listing-cheap set with empty files), and
-    * returns the number of ids recorded. */
-  private def appendValidated(ids: DataFrame, storeDir: String): Long = {
+  /** Validate a takedown request: ONE request-sized job computes the
+    * row count and the invalid-id count, fails loudly on any invalid
+    * id. Returns the validated `(id LONG)` projection plus the row
+    * count. String ids must be CANONICAL decimal — the round-trip check
+    * (cast to long, cast back, compare) rejects lossless-but-cosmetic
+    * forms like `"042"`/`" 42"`/`"+42"` alongside nulls, non-numeric
+    * strings and fractional values; fail-safe by design, since a
+    * silently-normalized id and a silently-dropped one are
+    * indistinguishable to the requester. */
+  private[pipeline] def validated(ids: DataFrame): (DataFrame, Long) = {
     require(ids.columns.length == 1,
       s"Tombstones.appendDf: one id column expected, got ${ids.columns.toSeq}")
     val orig = col(ids.columns.head)
@@ -76,10 +80,31 @@ object Tombstones {
       "Tombstones.appendDf: null, non-LONG-castable or fractional ids —" +
         " the takedown would silently no-op or hit the wrong id;" +
         " fix the id column before recording")
-    if (r.getLong(0) > 0L)
-      ids.select(asLong.as("id"))
-        .coalesce(1).write.mode("append").parquet(dirOf(storeDir))
-    r.getLong(0)
+    (ids.select(asLong.as("id")), r.getLong(0))
+  }
+
+  /** Raw set write under ONE store root (no validation, no layout
+    * dispatch) — the primitive [[appendValidated]] and
+    * [[VersionedStore.takedownValidated]] share. */
+  private[pipeline] def writeSet(idsLong: DataFrame, storeDir: String): Unit =
+    idsLong.coalesce(1).write.mode("append").parquet(dirOf(storeDir))
+
+  /** Shared validated append: validates once, writes only when there is
+    * something to record (an empty batch must not litter the
+    * one-listing-cheap set with empty files), and returns the number of
+    * ids recorded. LAYOUT DISPATCH lives here: a versioned store root
+    * routes to the per-generation overlay ([[VersionedStore
+    * .takedownValidated]] — every retained generation, pinned reads
+    * included), a flat root appends under `<store>/tombstones`; either
+    * way every takedown entry point above stays O(request). */
+  private def appendValidated(ids: DataFrame, storeDir: String): Long = {
+    val (v, n) = validated(ids)
+    if (n > 0L) {
+      if (VersionedStore.isVersioned(storeDir))
+        VersionedStore.takedownValidated(v, storeDir)
+      else writeSet(v, storeDir)
+    }
+    n
   }
 
   /** One micro-batch of a STREAMING takedown: the `deleteOpcode` rows

@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Multi-table store GENERATIONS published by one atomic pointer flip —
@@ -46,12 +45,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never a torn multi-table state, because every generation directory
   * is immutable once marked complete.
   *
-  * Takedowns under this protocol are a NEW GENERATION publish (rebuild
-  * the tables without the erased rows, flip): generations are immutable
-  * by design, so the tombstone overlay does not apply here — and
-  * retention policy ([[gc]]'s `keep`) bounds how long erased rows can
-  * still be reached through pinned reads, which a compliance deployment
-  * sets accordingly (gc after a takedown publish is the purge).
+  * Takedowns are an O(request) PER-GENERATION TOMBSTONE OVERLAY
+  * ([[takedownDf]]): the id set appends under every retained complete
+  * generation's own `gen-<id>/tombstones`, live reads
+  * ([[readLive]]/[[readAsOfLive]] and every store-family reader) anti-join
+  * it, and the next [[publish]] — built from live rows — starts with an
+  * empty set, making the eventual physical rewrite ride a publish that was
+  * happening anyway instead of forcing an immediate corpus-sized republish.
+  * Generation TABLES stay immutable (the overlay is a side table, the same
+  * shape as the flat stores' [[Tombstones]] discipline); pinned reads
+  * filter too — legal erasure must not be resurrectable through time
+  * travel — and [[gc]]'s `keep` still bounds how long any pre-takedown
+  * bytes exist at all.
   *
   * Reference analogue: the bootstrap's two-phase snapshot/catchup
   * apply, where consumers switch to a new consistent state only at the
@@ -169,12 +174,85 @@ object VersionedStore {
     }
   }
 
+  /** Is `root` a versioned store? One pointer-existence probe — the
+    * layout dispatch every migrated store family runs before choosing
+    * between generation-resolved and flat-table paths. */
+  def isVersioned(root: String): Boolean = StoreFs.exists(s"$root/$Pointer")
+
+  /** The directory holding `root`'s LIVE tables: the current generation
+    * when the store is versioned, `root` itself for a flat (unversioned
+    * or stream-maintained) store — the single resolution point that lets
+    * every store reader serve either layout. Loud on a dangling pointer
+    * (a generation someone hand-deleted): serving a missing dir as an
+    * empty store is the silent failure this module exists to prevent. */
+  def tableRoot(root: String): String =
+    currentGen(root) match {
+      case None => root
+      case Some(g) =>
+        require(StoreFs.exists(s"${genDir(root, g)}/$Marker"),
+          s"VersionedStore.tableRoot: pointer at $root names generation $g" +
+            " which is absent or incomplete — repair with adopt() (fsck:" +
+            " pointer_to_missing_generation)")
+        genDir(root, g)
+    }
+
+  /** O(request) takedown for a versioned store: append `ids` (one
+    * LONG-castable column, [[Tombstones.appendDf]]'s contract) to the
+    * tombstone overlay of EVERY retained complete generation — current
+    * AND pinned, because erasure must hold under [[readAsOfLive]] too
+    * (time travel never resurrects deleted rows). Request-sized × a
+    * handful of generations; stored tables are never read or rewritten.
+    * Serialized with publish/gc under the maintenance lock so a
+    * concurrent publish cannot slip a generation past the overlay
+    * append. Physical purge is the next live-row publish (e.g. the
+    * store families' compaction paths), whose fresh generation starts
+    * with an empty overlay. */
+  def takedownDf(ids: DataFrame, root: String): Unit = {
+    val (v, n) = Tombstones.validated(ids)
+    if (n > 0) takedownValidated(v, root)
+  }
+
+  /** The post-validation half of [[takedownDf]] — also the landing
+    * point [[Tombstones.appendDf]] routes to when its store root turns
+    * out to be versioned, so every flat-store takedown entry point
+    * (tombstoneDocs/tombstoneVectors/tombstoneSignatures/the streaming
+    * sink) is generation-aware without per-family changes. */
+  private[pipeline] def takedownValidated(idsLong: DataFrame,
+      root: String): Unit = maintenance(root) {
+    val gens = listGens(root).collect { case (g, true) => g }
+    require(gens.nonEmpty,
+      s"VersionedStore.takedownDf: no complete generation at $root —" +
+        " a takedown against an unpublished store would record nothing")
+    gens.foreach(g => Tombstones.writeSet(idsLong, genDir(root, g)))
+  }
+
   /** Read `table` at the CURRENT generation (loud when the store has
     * never published — an empty frame would silently serve nothing). */
   def read(spark: SparkSession, root: String, table: String): DataFrame =
     readAsOf(spark, root, table, currentGen(root).getOrElse(
       throw new IllegalStateException(
         s"VersionedStore.read: no published generation at $root")))
+
+  /** [[read]] minus the current generation's tombstone overlay — the
+    * serving view of a versioned store table whose rows are keyed by
+    * `idCol`. No takedowns, no plan overhead; otherwise one broadcast
+    * anti-join ([[Tombstones.filterLive]]). */
+  def readLive(spark: SparkSession, root: String, table: String,
+      idCol: String): DataFrame = {
+    val t = tableRoot(root)
+    require(t != root, s"VersionedStore.readLive: $root has no pointer")
+    Tombstones.filterLive(spark.read.parquet(s"$t/$table"), t, idCol)
+  }
+
+  /** [[readAsOf]] minus generation `gen`'s tombstone overlay: pinned
+    * reproducibility for the APPEND history only — takedowns recorded
+    * after the pin still erase from it ([[takedownDf]] writes every
+    * retained generation), the same non-resurrection rule as
+    * [[Retrieval.readPostingsIndexAsOf]]. */
+  def readAsOfLive(spark: SparkSession, root: String, table: String,
+      gen: Long, idCol: String): DataFrame =
+    Tombstones.filterLive(readAsOf(spark, root, table, gen),
+      genDir(root, gen), idCol)
 
   /** Read `table` PINNED at generation `gen` — the whole-rebuild form
     * of snapshot reproducibility: a generation is immutable once
@@ -198,7 +276,9 @@ object VersionedStore {
     * is nothing newer to adopt. Safe by the same argument as publish —
     * a complete generation is immutable and whole, so pointing at it
     * can never expose a torn store; a corrupt pointer is REPLACED
-    * (newest-complete is the only recoverable definition of current). */
+    * (newest-complete is the only recoverable definition of current).
+    * Ordering vs [[gc]]: adopt FIRST — gc retires unreferenced complete
+    * generations, including the crashed publish adopt would recover. */
   def adopt(root: String): Option[Long] = maintenance(root) {
     val complete = listGens(root).collect { case (g, true) => g }
     val cur =
@@ -217,9 +297,15 @@ object VersionedStore {
   /** Retire generations: keep the current one plus the `keep` most
     * recent complete predecessors, delete everything else — including
     * INCOMPLETE generations older than current (crashed publishes:
-    * dead bytes by protocol). Returns the deleted generation ids.
-    * Incomplete generations NEWER than current are left alone — they
-    * may be a publish in flight. */
+    * dead bytes by protocol) and COMPLETE generations newer than
+    * current (a crashed flip's unreferenced publish — [[adopt]]'s
+    * recovery target). That last case is a deliberate ORDERING
+    * contract, not an accident: gc treats anything the pointer does not
+    * reference as retired, so an operator who wants a crashed publish
+    * recovered must run [[adopt]] BEFORE gc — gc first permanently
+    * discards it (re-running the publish is then the only recovery).
+    * Returns the deleted generation ids. Incomplete generations NEWER
+    * than current are left alone — they may be a publish in flight. */
   def gc(root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 0, s"VersionedStore.gc: keep $keep")
     maintenance(root) {
@@ -265,18 +351,10 @@ object VersionedStore {
     out.close()
   }
 
-  /** Atomic pointer flip: write the id into a tmp file, then RENAME
-    * with OVERWRITE through FileContext (the API that exposes POSIX
-    * rename semantics — plain FileSystem.rename refuses existing
-    * destinations). */
-  private def flipPointer(root: String, gen: Long): Unit = {
-    val (fs, _) = StoreFs.fsPath(root)
-    val tmp = fs.makeQualified(
-      new Path(s"$root/$Pointer.tmp.${ProcessHandle.current.pid}"))
-    val dst = fs.makeQualified(new Path(s"$root/$Pointer"))
-    val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(tmp.toUri, fs.getConf)
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
-  }
+  /** Atomic pointer flip — [[StoreFs.writeAtomic]]'s tmp + RENAME with
+    * OVERWRITE, with the tmp name pinned to [[PointerTmpPrefix]] so a
+    * crashed flip is the exact dead-bytes artifact fsck and gc name. */
+  private def flipPointer(root: String, gen: Long): Unit =
+    StoreFs.writeAtomic(s"$root/$Pointer", gen.toString.getBytes("UTF-8"),
+      tmpSuffix = s".tmp.${ProcessHandle.current.pid}")
 }

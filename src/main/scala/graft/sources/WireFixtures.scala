@@ -119,16 +119,15 @@ object WireFixtures {
   def minhashStoreDir(spark: SparkSession, sfDir: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16): String =
     // algorithm params in the cache path: a future shingle/k/bands change
-    // must never silently reuse a store signed under the old parameters
-    writeOnce(s"$Root/${key(sfDir)}/minhash_store_n${shingleN}k${k}b$bands") {
+    // must never silently reuse a store signed under the old parameters.
+    // The `g` suffix versions the LAYOUT (VersionedStore generations) so
+    // a cached flat-layout store from an older build never serves here.
+    writeOnce(s"$Root/${key(sfDir)}/minhash_store_n${shingleN}k${k}b${bands}g") {
       tmp =>
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select("doc_id", "text")
-        val sigs = graft.pipeline.Dedup.minhashSignatures(
-          docs, "text", "doc_id", shingleN, k)
-        sigs.coalesce(4).write.parquet(s"$tmp/sigs")
-        graft.pipeline.Dedup.bandedBucketsFromSignatures(sigs, k, bands)
-          .coalesce(4).write.parquet(s"$tmp/banded")
+        graft.pipeline.Dedup.writeSignatureStore(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text"),
+          tmp, shingleN = shingleN, k = k, bands = bands)
     }
 
   /** Persisted IVF index (codebook + quantized cell assignments — see
@@ -139,7 +138,7 @@ object WireFixtures {
     * store, so a k/iters change never reuses a stale index). */
   def annIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_index_k${k}i$iters") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_k${k}i${iters}g") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val withTwins = all.unionByName(
@@ -155,7 +154,7 @@ object WireFixtures {
     * the all-at-once index (q_ann_store_incr's contract). */
   def annIncrIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_index_incr_k${k}i$iters") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_incr_k${k}i${iters}g") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writeIndex(all, tmp, k, iters)
@@ -173,7 +172,7 @@ object WireFixtures {
     * from a full-corpus index (q_postings_incr / q_bm25_index verify
     * against full-corpus oracles). */
   def postingsStoreDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/postings_index") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/postings_index_g") { tmp =>
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(
@@ -191,7 +190,7 @@ object WireFixtures {
     * under the promotion protocol; read-only thereafter (the GC path is
     * exercised on a per-run temp store by q_postings_gc, never here). */
   def postingsTakedownDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/postings_takedown_m7r2") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/postings_takedown_m7r2g") { tmp =>
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(d, tmp)
@@ -206,10 +205,11 @@ object WireFixtures {
     * from it: a fresh twin batch must pair only with LIVE stored docs —
     * the twin of a taken-down doc finds nothing. */
   def minhashTakedownStoreDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/minhash_takedown_m7r2") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/minhash_takedown_m7r2g") { tmp =>
       val base = minhashStoreDir(spark, sfDir)
-      spark.read.parquet(s"$base/sigs").write.parquet(s"$tmp/sigs")
-      spark.read.parquet(s"$base/banded").write.parquet(s"$tmp/banded")
+      graft.pipeline.VersionedStore.publish(tmp, Map(
+        "sigs" -> graft.pipeline.Dedup.readSignatureStore(spark, base),
+        "banded" -> graft.pipeline.Dedup.readBandedStore(spark, base)))
       graft.pipeline.Tombstones.appendDf(
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select("doc_id").where(col("doc_id") % 7 === 2), tmp)
@@ -224,7 +224,7 @@ object WireFixtures {
     * contract for takedown-aware retrieval (q_ann_delete). */
   def annTakedownIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_takedown_k${k}i$iters") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_takedown_k${k}i${iters}g") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val tripled = all

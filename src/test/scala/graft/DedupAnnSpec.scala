@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Ann, Dedup}
+import graft.pipeline.{Ann, Dedup, VersionedStore}
 import graft.functions.{VectorFunctions => VF}
 
 import org.apache.spark.sql.DataFrame
@@ -209,9 +209,11 @@ class DedupAnnSpec extends SparkSpec {
   test("persisted IVF index: store-served retrieval matches in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("annstore").toString
     Ann.writeIndex(vectors, dir, k = 4, iters = 2)
-    // the store renders both tables with the schema the loaders expect
-    assert(spark.read.parquet(s"$dir/codebook").count() == 4)
-    val cells = spark.read.parquet(s"$dir/cells")
+    // the store renders both tables (one published generation) with the
+    // schema the loaders expect
+    val gen = VersionedStore.tableRoot(dir)
+    assert(spark.read.parquet(s"$gen/codebook").count() == 4)
+    val cells = spark.read.parquet(s"$gen/cells")
     assert(cells.columns.sorted.toSeq == Seq("cell_id", "id", "q", "scale"))
     assert(cells.count() == vectors.count())
     val q = vectors.where($"id" < 5)
@@ -275,9 +277,10 @@ class DedupAnnSpec extends SparkSpec {
     val base = vectors.where($"id" < 100L)
     val batch = vectors.where($"id" >= 100L) // the twins arrive LATER
     Ann.writeIndex(base, dir, k = 4, iters = 2)
-    assert(spark.read.parquet(s"$dir/cells").count() == base.count())
+    val gen = VersionedStore.tableRoot(dir)
+    assert(spark.read.parquet(s"$gen/cells").count() == base.count())
     Ann.appendToIndex(batch, dir)
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$gen/cells")
     assert(cells.count() == vectors.count())
     assert(cells.select("id").distinct().count() == vectors.count())
     // serving from the incrementally-built store is bit-identical to the
@@ -306,11 +309,12 @@ class DedupAnnSpec extends SparkSpec {
     // a backfill batch must not serialize through one task: numFiles > 1
     // clusters the append by cell_id across that many files
     Ann.appendToIndex(batch, dir, numFiles = 3)
-    val appended = new java.io.File(s"$dir/cells").listFiles()
+    val gen = VersionedStore.tableRoot(dir)
+    val appended = new java.io.File(s"$gen/cells").listFiles()
       .count(f => f.getName.startsWith("part-"))
     assert(appended > 4 + 1,
       s"bulk append did not fan out (cells/ has $appended part files)")
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$gen/cells")
     assert(cells.count() == vectors.count())
     // identical serving to the single-file append protocol
     val q = vectors.where($"id" < 5)
@@ -337,9 +341,9 @@ class DedupAnnSpec extends SparkSpec {
       splitFactor = 2, iters = 2)
     assert(report.map(_._1).toSet.size == 2 &&
       report.forall(_._2 > 10L), s"both cells were oversized: $report")
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/cells")
     assert(cells.count() == vectors.count(), "rebalance moved rows, never drops")
-    val bookIds = spark.read.parquet(s"$dir/codebook")
+    val bookIds = spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/codebook")
       .select("id").as[Long].collect().toSet
     report.foreach { case (cid, _) =>
       assert(!bookIds.contains(cid), s"split parent $cid still in codebook") }
@@ -360,13 +364,62 @@ class DedupAnnSpec extends SparkSpec {
     val report2 = Ann.rebalanceCells(spark, dir, vectors, maxCellSize = 5L,
       splitFactor = 2, iters = 2)
     assert(report2.nonEmpty)
-    val after = spark.read.parquet(s"$dir/cells")
+    val after = spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/cells")
     assert(after.count() == vectors.count() - 1)
     assert(after.where($"id" === 29L).isEmpty)
-    assert(Tombstones.readOpt(spark, dir).isEmpty, "tombstones must clear")
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).isEmpty,
+      "tombstone overlay must be gone after the rewrite")
     // 8 sub-cells now — probe them all; a near-dup twin may sit one
     // sub-cell over from its query after a fine split
     assert(top1(nProbe = 8) == pre, "GC-subsuming rebalance changed retrieval")
+  }
+
+  test("mergeCells: dead and thin centroids absorbed, serving exact, codebook shrinks") {
+    import graft.pipeline.{StoreFsck, Tombstones}
+    val dir = java.nio.file.Files.createTempDirectory("annmrg").toString
+    // 4 orthogonal families of identical pairs; init picks ids 0-3 (the
+    // k lowest), so Lloyd's lands one cell per direction, 2 members each
+    val base = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)))
+    val all = base.toDF("id", "vec")
+    val withTwins = all.unionByName(
+      all.select(($"id" + 100L).as("id"), $"vec"))
+    Ann.writeIndex(withTwins, dir, k = 4, iters = 2)
+    // takedown empties family 3's cell → a DEAD centroid every probe
+    // still ranks; merge must drop it without touching any member
+    Ann.tombstoneVectors(spark, dir, Seq(3L, 103L))
+    val report = Ann.mergeCells(spark, dir, withTwins, minCellSize = 2L)
+    assert(report == Seq((3L, 0L)), s"expected one dead centroid: $report")
+    def book() = spark.read
+      .parquet(s"${VersionedStore.tableRoot(dir)}/codebook")
+      .select("id").as[Long].collect().toSet
+    assert(book() == Set(0L, 1L, 2L), "codebook must shrink")
+    assert(StoreFsck.annStore(spark, dir).where(col("n_bad") > 0).isEmpty)
+    // the rewrite subsumed takedown GC: overlay gone, rows purged
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).isEmpty)
+    assert(Ann.readCells(spark, dir).count() == 6L)
+    // serving exact over all surviving cells: twins stay rank-1
+    val top = Ann.ivfQuantizedTopKFromStore(all.where($"id" < 3), withTwins,
+        dir, k = 1, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(top(i) == i + 100L))
+    // a balanced store is a measured no-op
+    assert(Ann.mergeCells(spark, dir, withTwins, minCellSize = 2L).isEmpty)
+    // THIN (nonzero) cell: family 2 loses its original; the lone twin
+    // reassigns to its nearest surviving centroid in one fused job
+    Ann.tombstoneVectors(spark, dir, Seq(2L))
+    val report2 = Ann.mergeCells(spark, dir, withTwins, minCellSize = 2L)
+    assert(report2 == Seq((2L, 1L)), s"expected one thin cell: $report2")
+    assert(book() == Set(0L, 1L))
+    val moved = Ann.readCells(spark, dir).where($"id" === 102L)
+      .select("cell_id").as[Long].collect().toSeq
+    assert(moved.length == 1 && Set(0L, 1L).contains(moved.head))
+    assert(StoreFsck.annStore(spark, dir).where(col("n_bad") > 0).isEmpty)
+    // a floor no cell reaches is a retrain, not a merge — loud
+    intercept[IllegalArgumentException] {
+      Ann.mergeCells(spark, dir, withTwins, minCellSize = 100L)
+    }
   }
 
   test("vector functions: cosine/dot/norm identities") {

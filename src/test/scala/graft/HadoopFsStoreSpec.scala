@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Retrieval, StoreFs, StoreFsck, Tombstones}
+import graft.pipeline.{Retrieval, StoreFs, StoreFsck, Tombstones, VersionedStore}
 
 /** Store MAINTENANCE through a Hadoop-FS URI scheme (`file:`), the
   * round-10 port from `java.io.File` to the `FileSystem` API.
@@ -41,10 +41,11 @@ class HadoopFsStoreSpec extends SparkSpec {
     Retrieval.writePostingsIndex(
       docsDf.where(!col("doc_id").isin(1L, 4L)), liveOnly)
 
-    // the hazard case: the takedown is recorded under the URI root and
-    // MUST keep filtering reads (java.io.File saw nothing here)
+    // the hazard case: the takedown is recorded under the URI root
+    // (inside the current generation — the store publishes versioned
+    // now) and MUST keep filtering reads (java.io.File saw nothing here)
     Retrieval.tombstoneDocs(spark, dir, Seq(1L, 4L))
-    assert(Tombstones.readOpt(spark, dir).isDefined,
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).isDefined,
       "tombstone probe missed a recorded takedown under a file: URI")
     def sameLive(): Unit = {
       val p1 = Retrieval.readPostingsIndex(spark, dir)
@@ -58,18 +59,20 @@ class HadoopFsStoreSpec extends SparkSpec {
     }
     sameLive()
 
-    // compaction = the GC: swapDir's displace/promote/cleanup renames
-    // all run through the FileSystem API under this URI root
+    // compaction = the GC: on a versioned root it is a fresh-generation
+    // publish + gc, all through the FileSystem API under this URI root —
+    // the purged generation (and its tombstone overlay) is gone
     Retrieval.compactPostingsIndex(spark, dir, numFiles = 2)
-    assert(Tombstones.readOpt(spark, dir).isEmpty,
-      "GC did not clear the tombstone set under a file: URI")
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).isEmpty,
+      "GC did not clear the tombstone overlay under a file: URI")
     sameLive()
 
     // fsck's layout listing sees crashed-maintenance artifacts under
     // the URI root (old code: empty listing, findings silently 0)
-    StoreFs.mkdirs(s"$dir/postings.compact.12345")
-    StoreFs.mkdirs(s"$dir/doclens.old.12345")
-    val art = StoreFsck.layoutArtifacts(spark, dir)
+    val gen = VersionedStore.tableRoot(dir)
+    StoreFs.mkdirs(s"$gen/postings.compact.12345")
+    StoreFs.mkdirs(s"$gen/doclens.old.12345")
+    val art = StoreFsck.layoutArtifacts(spark, gen)
       .as[(String, Long)].collect().toMap
     assert(art("orphan_compact_tmp_dirs") == 1L)
     assert(art("orphan_backup_dirs") == 1L)
@@ -89,11 +92,11 @@ class HadoopFsStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Tombstones.appendDf(Seq("42.9").toDF("doc_id"), dir)
     }
-    assert(Tombstones.readOpt(spark, dir).isEmpty)
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).isEmpty)
     // integral values in non-long carriers still record fine
     Tombstones.appendDf(Seq(4.0).toDF("doc_id"), dir)
     Tombstones.appendDf(Seq("1").toDF("doc_id"), dir)
-    assert(Tombstones.readOpt(spark, dir).get
+    assert(Tombstones.readOpt(spark, VersionedStore.tableRoot(dir)).get
       .as[Long].collect().toSet == Set(1L, 4L))
   }
 
@@ -153,14 +156,63 @@ class HadoopFsStoreSpec extends SparkSpec {
     assert(VersionedStore.gc(root, keep = 0) == Seq(1L))
   }
 
+  test("checkpoint store and schema registry work under a file: URI") {
+    import graft.model.{Checkpoint, CheckpointMult, FileSystemCheckpointStore}
+    // the r10 verdict's last java.nio holdouts in durable state: a
+    // checkpoint store on a non-local root used to probe with
+    // java.nio.Files → load() returned None and the consumer silently
+    // restarted from scratch; a registry dir on a URI root loaded zero
+    // schemas. Both now walk the FileSystem API.
+    val root = uriTmp("fsuri")
+    val store = new FileSystemCheckpointStore(s"$root/checkpoints")
+    val cp = CheckpointMult(
+      Map(0.toShort -> Checkpoint(windowScn = 42L, windowOffset = 7L),
+        1.toShort -> Checkpoint(windowScn = 99L)),
+      cursorPartition = Some(1.toShort))
+    store.store("consumer-a", cp)
+    assert(store.load("consumer-a").contains(cp),
+      "checkpoint written under a file: URI must load back")
+    // overwrite is the atomic-replace path (write-tmp + rename OVERWRITE)
+    val cp2 = CheckpointMult(
+      Map(0.toShort -> Checkpoint(windowScn = 43L)), None)
+    store.store("consumer-a", cp2)
+    assert(store.load("consumer-a").contains(cp2))
+    assert(store.load("consumer-b").isEmpty, "absent is None, not an error")
+
+    // registry walk: nested dirs, versioned names, stray files skipped
+    val regDir = s"$root/registry"
+    StoreFs.mkdirs(s"$regDir/nested")
+    def put(rel: String, body: String): Unit =
+      StoreFs.writeAtomic(s"$regDir/$rel", body.getBytes("UTF-8"))
+    val s1 = """{"type":"record","name":"A","fields":[{"name":"x","type":"long"}]}"""
+    val s2 = """{"type":"record","name":"A","fields":[{"name":"x","type":"long"},{"name":"y","type":["null","string"],"default":null}]}"""
+    put("src.1.avsc", s1)
+    put("nested/src.2.avsc", s2)
+    put("README.txt", "not a schema")
+    put("noversion.avsc", s1) // suffix matches, no version segment: skipped
+    val set = graft.model.FileSystemSchemaProvider.loadSchemas(regDir)
+    assert(set.schemas.map(s => (s.sourceName, s.version)).toSet ==
+      Set(("src", 1.toShort), ("src", 2.toShort)),
+      s"registry walk under a file: URI loaded ${set.schemas}")
+    assert(set.getLatest("src").map(_.version).contains(2.toShort))
+    // a missing root throws (the reference's unreadable-root contract) —
+    // never an empty set that fails at decode time instead
+    intercept[IllegalArgumentException] {
+      graft.model.FileSystemSchemaProvider.loadSchemas(s"$root/absent")
+    }
+  }
+
   test("swapDir restore: failed promote leaves the store serving") {
     val dir = s"${uriTmp("fsuri")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
     val before = Retrieval.readPostingsIndex(spark, dir).count()
     // promote fails (tmp never written) → displace must roll back
+    // (swapDir is the legacy-flat-root protocol; point it at the live
+    // generation's table to exercise the restore under a file: URI)
+    val gen = VersionedStore.tableRoot(dir)
     intercept[IllegalStateException] {
-      graft.pipeline.Dedup.swapDir(s"$dir/postings",
-        s"$dir/postings.compact.0")
+      graft.pipeline.Dedup.swapDir(s"$gen/postings",
+        s"$gen/postings.compact.0")
     }
     assert(Retrieval.readPostingsIndex(spark, dir).count() == before)
   }

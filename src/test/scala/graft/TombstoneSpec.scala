@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Ann, Classifier, LangModel, Retrieval, Tombstones}
+import graft.pipeline.{Ann, Classifier, LangModel, Retrieval, Tombstones, VersionedStore}
 
 /** Takedown discipline across the persisted stores: tombstone-only
   * serving ≡ an index that never saw the docs, GC physically purges and
@@ -95,13 +95,18 @@ class TombstoneSpec extends SparkSpec {
       Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
       .collect().map(_.toSeq).toSet
     Retrieval.compactPostingsIndex(spark, dir)
-    // the set is gone and the RAW store (read without the filter) no
-    // longer contains the docs — the purge is physical
-    assert(!new java.io.File(s"$dir/tombstones").exists)
-    val raw = spark.read.parquet(s"$dir/postings")
+    // the overlay is gone (the purged generation was retired whole) and
+    // the RAW store (read without the filter) no longer contains the
+    // docs — the purge is physical
+    val gen = VersionedStore.tableRoot(dir)
+    assert(Tombstones.readOpt(spark, gen).isEmpty)
+    val raw = spark.read.parquet(s"$gen/postings")
     assert(raw.where(col("doc_id").isin(1L, 4L)).isEmpty)
-    assert(spark.read.parquet(s"$dir/doclens")
+    assert(spark.read.parquet(s"$gen/doclens")
       .where(col("doc_id").isin(1L, 4L)).isEmpty)
+    // pre-compaction generations are retired: pinned reads of erased
+    // rows do not outlive the purge
+    assert(VersionedStore.listGens(dir).map(_._1) == Seq(gen.split("gen-").last.toLong))
     // serving unchanged by the GC
     val after = Retrieval.phraseSearch(
       Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
@@ -262,9 +267,11 @@ class TombstoneSpec extends SparkSpec {
     assert(StoreFsck.annStore(spark, aDir)
       .where(col("n_bad") > 0).isEmpty)
     // plant: vector 0 also assigned to a cell the codebook doesn't have
-    spark.read.parquet(s"$aDir/cells").where(col("id") === 0L)
+    // (inside the live generation — where in-generation appends land)
+    val aGen = VersionedStore.tableRoot(aDir)
+    spark.read.parquet(s"$aGen/cells").where(col("id") === 0L)
       .withColumn("cell_id", lit(99L))
-      .write.mode("append").parquet(s"$aDir/cells")
+      .write.mode("append").parquet(s"$aGen/cells")
     val bad = StoreFsck.annStore(spark, aDir)
       .as[(String, Long)].collect().toMap
     assert(bad("cells_with_unknown_centroid") == 1L &&
@@ -290,10 +297,12 @@ class TombstoneSpec extends SparkSpec {
     val served = rank1
     assert(served == Map(0L -> 200L, 1L -> 201L, 2L -> 102L, 3L -> 103L),
       s"takedown contract violated: $served")
-    // GC: physical purge, cleared set, identical serving
+    // GC: physical purge (fresh generation, old one retired), cleared
+    // overlay, identical serving
     Ann.compactIndexCells(spark, dir)
-    assert(!new java.io.File(s"$dir/tombstones").exists)
-    assert(spark.read.parquet(s"$dir/cells")
+    val gen = VersionedStore.tableRoot(dir)
+    assert(Tombstones.readOpt(spark, gen).isEmpty)
+    assert(spark.read.parquet(s"$gen/cells")
       .where(col("id").isin(100L, 101L)).isEmpty)
     assert(rank1 == served)
   }
@@ -329,11 +338,11 @@ class TombstoneSpec extends SparkSpec {
     assert(Tombstones.takedownStreamBatch(replayed, s"$root/index") == 2L)
     assert(phraseHits == Set(0L, 2L, 6L))
     // a batch with no DELETEs records nothing and writes no files
-    val files = new java.io.File(s"$root/index/tombstones").listFiles.length
+    val tombDir = s"${VersionedStore.tableRoot(s"$root/index")}/tombstones"
+    val files = new java.io.File(tombDir).listFiles.length
     assert(Tombstones.takedownStreamBatch(
       Seq(("UPSERT", 9L)).toDF("opcode", "id"), s"$root/index") == 0L)
-    assert(new java.io.File(s"$root/index/tombstones").listFiles.length
-      == files)
+    assert(new java.io.File(tombDir).listFiles.length == files)
   }
 
   test("forget log: batch-addressed replay cannot double-subtract the model") {

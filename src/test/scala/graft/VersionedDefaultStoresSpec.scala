@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Dedup, Retrieval, StoreFsck, Tombstones, VersionedStore}
+
+/** The round-11 migration: the incumbent PAIRED stores publish through
+  * [[VersionedStore]] generations BY DEFAULT — postings+doclens
+  * (Retrieval.writePostingsIndex), sigs+banded (Dedup.writeSignatureStore),
+  * codebook+cells (Ann.writeIndex). Their documented two-commit crash
+  * windows are structurally impossible on the publish path, so these
+  * specs assert the PREVENTION contract ("a crashed rebuild leaves the
+  * OLD generation serving, bit-identically") rather than the old
+  * detection contract ("fsck finds the torn pair") — exactly the switch
+  * the consumers make in the reference, which move to a new consistent
+  * state only at the recorded boundary, never mid-copy
+  * (databus-bootstrap-common/.../BootstrapCheckpointHandler.java:103-203).
+  */
+class VersionedDefaultStoresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val corpus = Seq(
+    (0L, "alpha table value beta"),
+    (1L, "table value table value"),
+    (2L, "gamma table value"),
+    (3L, "no phrase here at all"),
+    (4L, "table value ends this"),
+    (5L, "delta epsilon zeta"),
+    (6L, "the of data table value"))
+
+  private def docsDf = corpus.toDF("doc_id", "text")
+
+  test("postings store: a crashed rebuild leaves the old generation serving") {
+    val dir = s"${tmp("vdef")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    assert(VersionedStore.isVersioned(dir),
+      "writePostingsIndex must publish through generations by default")
+    val served = Retrieval.phraseSearch(
+        Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == Set(0L, 1L, 2L, 4L, 6L))
+
+    // a rebuild that crashes mid-write: tables down in the next gen dir,
+    // marker missing, pointer unmoved. THE OLD PAIR KEEPS SERVING —
+    // there is no state in which postings exist without their norms.
+    val crashedGen = VersionedStore.currentGen(dir).get + 1
+    Retrieval.positionalPostings(docsDf.limit(2))
+      .write.parquet(s"$dir/gen-$crashedGen/postings")
+    // (doclens never landed — the exact torn-pair state the flat layout
+    // documented as its hazard)
+    assert(Retrieval.phraseSearch(
+        Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet == served,
+      "a crashed rebuild must be invisible to readers")
+    // fsck accounts for the dead bytes; the PAIR findings stay zero
+    val vf = StoreFsck.versionedStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(vf("incomplete_generations") == 1L)
+    assert(StoreFsck.postingsStore(spark, dir)
+      .where(col("n_bad") > 0).isEmpty,
+      "current-generation tables must audit clean")
+    // the next successful rebuild walks around the crashed dir
+    Retrieval.writePostingsIndex(docsDf.where(col("doc_id") < 3), dir)
+    assert(Retrieval.readDocLengths(spark, dir).count() == 3)
+  }
+
+  test("signature store: signed-but-never-banded cannot exist on the publish path") {
+    val dir = s"${tmp("vdef")}/mh"
+    Dedup.writeSignatureStore(docsDf, dir, k = 64, bands = 16)
+    assert(VersionedStore.isVersioned(dir))
+    val sigCount = Dedup.readSignatureStore(spark, dir).count()
+    assert(sigCount == 7L &&
+      Dedup.readBandedStore(spark, dir).count() == 7L * 16L)
+
+    // crashed re-onboarding: sigs written, banded never landed, no
+    // marker — the exact window StoreFsck.minhashStore's headline
+    // finding detects on flat stores. Readers never see it.
+    val crashedGen = VersionedStore.currentGen(dir).get + 1
+    Dedup.minhashSignatures(docsDf.limit(2), "text", "doc_id", 3, 64)
+      .write.parquet(s"$dir/gen-$crashedGen/sigs")
+    assert(Dedup.readSignatureStore(spark, dir).count() == sigCount)
+    val mh = StoreFsck.minhashStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(mh.values.forall(_ == 0L),
+      s"current generation must audit clean (crashed publish is dead bytes): $mh")
+    assert(StoreFsck.versionedStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+      .apply("incomplete_generations") == 1L)
+  }
+
+  test("ANN store: crashed retrain leaves old codebook+cells pair serving") {
+    val base = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)))
+    val all = base.toDF("id", "vec")
+    val withTwins = all.unionByName(
+      all.select((col("id") + 100L).as("id"), col("vec")))
+    val dir = s"${tmp("vdef")}/ann"
+    Ann.writeIndex(withTwins, dir, k = 4, iters = 2)
+    assert(VersionedStore.isVersioned(dir))
+    def rank1 = Ann.ivfQuantizedTopKFromStore(all, withTwins, dir,
+        k = 1, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val served = rank1
+    assert(served == Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 103L))
+
+    // crashed retrain: a NEW codebook lands, cells never do — the state
+    // that would break probe accounting on a flat store. Invisible here.
+    val crashedGen = VersionedStore.currentGen(dir).get + 1
+    Seq((0L, Seq(9f, 9f, 9f, 9f))).toDF("id", "vec")
+      .write.parquet(s"$dir/gen-$crashedGen/codebook")
+    assert(rank1 == served, "crashed retrain must be invisible to serving")
+    assert(StoreFsck.annStore(spark, dir).where(col("n_bad") > 0).isEmpty)
+  }
+
+  test("versioned takedown: O(request) overlay erases from current AND pinned generations") {
+    val dir = s"${tmp("vdef")}/index"
+    val R = Retrieval
+    R.writePostingsIndex(docsDf.where(col("doc_id") < 4), dir) // gen 1
+    R.writePostingsIndex(docsDf, dir) // gen 2
+    val g1 = 1L
+    // the erasure request: doc 1 leaves EVERY serving surface at once —
+    // the current generation and the pinned one (time travel must not
+    // resurrect erased docs)
+    R.tombstoneDocs(spark, dir, Seq(1L))
+    assert(!R.readPostingsIndex(spark, dir)
+      .select("doc_id").as[Long].collect().toSet.contains(1L))
+    assert(VersionedStore.readAsOfLive(spark, dir, "doclens", g1, "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+    // ... while the overlay stays request-sized: stored tables untouched
+    assert(VersionedStore.readAsOf(spark, dir, "doclens", g1).count() == 4L)
+    // physical purge rides the next live-row publish (compaction):
+    // fresh generation, no overlay, erased rows gone from raw bytes
+    R.compactPostingsIndex(spark, dir)
+    val gen = VersionedStore.tableRoot(dir)
+    assert(Tombstones.readOpt(spark, gen).isEmpty)
+    assert(spark.read.parquet(s"$gen/doclens")
+      .where(col("doc_id") === 1L).isEmpty)
+    // and the retired generations (including the pinned one) are gone —
+    // gc bounds how long any pre-takedown bytes exist
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, dir, "doclens", g1)
+    }
+  }
+
+  test("takedown against an unpublished versioned root fails loudly") {
+    val dir = s"${tmp("vdef")}/index"
+    Retrieval.writePostingsIndex(docsDf, dir)
+    // delete the only generation's marker → no complete generation; a
+    // takedown that silently recorded nothing would be the compliance
+    // failure the loud contract exists to prevent
+    graft.pipeline.StoreFs.deleteRecursive(
+      s"${VersionedStore.tableRoot(dir)}/_COMPLETE")
+    intercept[IllegalArgumentException] {
+      VersionedStore.takedownDf(Seq(1L).toDF("doc_id"), dir)
+    }
+  }
+}
