@@ -1769,11 +1769,27 @@ object SparkEntry {
         scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang", 50L)
       graft.pipeline.QuantileStore.appendBatch(
         scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang", 50L)
+      // registry coverage: the digest-dispatch decode silently drops
+      // rows whose schema_id no registered schema resolves — audit it
+      // like every other store hazard. Healthy store (all digests
+      // registered) → 0; one event stamped with a digest the registry
+      // never saw → 1, re-derived exactly by the oracle
+      val v1 = graft.model.VersionedSchemaSet.eventPayloadV1
+      val regSet = graft.model.VersionedSchemaSet(Seq(v1))
+      val ghost = graft.model.VersionedSchema("ghost", 1,
+        """{"type":"record","name":"Ghost","fields":[]}""")
+      val stamped = env(s, dir).limit(100)
+        .select(lit(v1.digest).as("schema_id"))
       pfx("nb_", F.nbModelStore(s, W.nbModelDir(s, dir)))
         .unionByName(pfx("lm_", F.lmModelStore(s, W.lmModelDir(s, dir))))
         .unionByName(pfx("mh_", F.minhashStore(s, W.minhashStoreDir(s, dir))))
         .unionByName(pfx("df_", F.batchPartialStore(s, dfDir,
           Seq("stratum", "bucket"), "cnt")))
+        .unionByName(pfx("reg_ok_", F.schemaCoverage(s, stamped, regSet)))
+        .unionByName(pfx("reg_", F.schemaCoverage(s,
+          stamped.unionByName(
+            stamped.limit(1).select(lit(ghost.digest).as("schema_id"))),
+          regSet)))
     }),
 
     // ---- fsck for the SERVING-STATE stores (event log + applier
@@ -5501,10 +5517,14 @@ object SparkEntry {
           "mh_signed_without_banding", "mh_banded_without_signature",
           "mh_wrong_band_count", "mh_wrong_signature_width",
           "mh_duplicate_signatures", "mh_tombstones_of_absent_ids",
+          "df_legacy_string_batch_dirs",
           "df_nonpositive_partials", "df_invalid_batch_ids",
-          "df_intra_batch_duplicates")
+          "df_intra_batch_duplicates",
+          "reg_ok_events_with_unregistered_schema")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
-        .mkString(" UNION ALL ")),
+        .mkString(" UNION ALL ") +
+        " UNION ALL SELECT 'reg_events_with_unregistered_schema'" +
+        " AS check_name, CAST(1 AS BIGINT) AS n_bad"),
 
     // serving-state fsck: the injected hazards are exact (5 re-appended
     // events, one tmp dir, two stranded generations); the only

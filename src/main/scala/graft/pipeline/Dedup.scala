@@ -714,6 +714,19 @@ object Dedup {
   def compactGramDfStore(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"compactGramDfStore: numFiles $numFiles")
+    // MIGRATION (one-time): stores compacted by the pre-r10 code rolled
+    // up under the STRING id `batch=compacted`; mixing it with numeric
+    // ids flips partition discovery's inferred type (or fails the read
+    // outright), so the legacy dir renames to the reserved -1 here —
+    // before the rollup read — and can never coexist with a real -1
+    // (only old code wrote the string form, and old code never wrote -1)
+    if (StoreFs.exists(s"$dir/batch=compacted")) {
+      require(!StoreFs.exists(s"$dir/batch=-1"),
+        s"compactGramDfStore: $dir carries BOTH batch=compacted and" +
+          " batch=-1 — mixed-era compactions; merge them manually")
+      require(StoreFs.rename(s"$dir/batch=compacted", s"$dir/batch=-1"),
+        s"compactGramDfStore: cannot migrate $dir/batch=compacted")
+    }
     val tmp = s"$dir.compact.${ProcessHandle.current.pid}"
     // the rolled-up partial keeps the batch=<value> layout under the
     // RESERVED NUMERIC id -1: post-compaction batches keep landing in

@@ -56,19 +56,37 @@ object ForgetLog {
     * rotation, after the folded model generation is durably promoted. */
   def clear(dir: String): Unit = StoreFs.deleteRecursive(dir)
 
-  /** Fold the log into a NEW model generation: `saveFolded` persists
-    * the unlearned model to a fresh root (the caller flips its serving
-    * pointer afterwards), then the log clears. A crash before `clear`
-    * leaves the OLD root + log pair fully consistent (serving never
-    * reads the new root until the pointer flips); a crash after is the
-    * folded steady state. The old-generation retire is the caller's
-    * pointer flip — this method never touches the old model root. */
+  /** Fold the log into a NEW model generation, with the ORDERING
+    * enforced by the signature: `saveFolded` persists the unlearned
+    * model to a fresh root (durable, not yet serving), `promote` flips
+    * the serving pointer to it, and ONLY THEN does the log clear.
+    *
+    * The contract that makes every crash state safe is that a forget
+    * log is PAIRED WITH ONE MODEL GENERATION (this `dir` belongs to the
+    * root being folded; the folded generation starts with its own,
+    * absent, log path) — serving always composes a root with ITS OWN
+    * log, never another generation's. Then: a crash before `promote` →
+    * the old (root, full log) pair serves consistently and the folded
+    * root is re-foldable dead bytes; between `promote` and `clear` →
+    * the folded root serves with its empty log (the old log is already
+    * dead bytes, not a double-subtraction input); after `clear` → the
+    * folded steady state, old log gone.
+    *
+    * The promote callback is REQUIRED, not advisory: the previous
+    * caller-side "flip afterwards" contract let clear run first, and a
+    * crash (or just the window) between clear and a later flip served
+    * the OLD root with an EMPTY log — an un-unlearned model, the exact
+    * compliance failure this protocol exists to prevent. The
+    * old-generation retire stays with the caller. A no-op when nothing
+    * was ever forgotten (`promote` is not called — there is nothing to
+    * switch to). */
   def foldInto(spark: SparkSession, dir: String)(
-      saveFolded: DataFrame => Unit): Unit = {
+      saveFolded: DataFrame => Unit)(promote: () => Unit): Unit = {
     readOpt(spark, dir) match {
       case None => ()
       case Some(log) =>
         saveFolded(log)
+        promote()
         clear(dir)
     }
   }

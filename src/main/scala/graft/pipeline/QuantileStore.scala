@@ -42,9 +42,10 @@ import org.apache.spark.sql.functions._
 object QuantileStore {
 
   /** Record one micro-batch's score histogram. `scoreCol` must be an
-    * integral, non-negative column (loudly enforced — a silently
-    * floored double score would gate a different distribution than the
-    * caller computed). */
+    * INTEGRAL column (loudly enforced — a silently floored double score
+    * would gate a different distribution than the caller computed).
+    * Negative scores are in contract: the pmod/div floor bucketing below
+    * keeps bucket order = score order across the whole signed domain. */
   def appendBatch(batch: DataFrame, dir: String, batchId: Long,
       scoreCol: String, stratumCol: String, bucketWidth: Long): Unit = {
     require(bucketWidth > 0, s"QuantileStore: bucketWidth $bucketWidth")

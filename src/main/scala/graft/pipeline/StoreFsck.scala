@@ -201,8 +201,22 @@ object StoreFsck {
     *     batch-addressed overwrite exists to prevent). */
   def batchPartialStore(spark: SparkSession, dir: String,
       keyCols: Seq[String], countCol: String): DataFrame = {
+    import spark.implicits._
+    // pre-r10 compactions rolled up under the STRING id batch=compacted;
+    // mixed with numeric ids it flips (or fails) partition discovery —
+    // an FS-level probe, checked FIRST because the table read itself may
+    // not survive the mixed layout (compactGramDfStore migrates it)
+    val legacy =
+      StoreFs.listDirNames(dir).count(_ == "batch=compacted").toLong
+    val fsFindings = Seq(("legacy_string_batch_dirs", legacy))
+      .toDF("check_name", "n_bad")
+    if (legacy > 0) return fsFindings
+      .unionByName(Seq(("nonpositive_partials", -1L),
+        ("invalid_batch_ids", -1L), ("intra_batch_duplicates", -1L))
+        .toDF("check_name", "n_bad")) // -1 = unauditable until migrated
     val t = spark.read.parquet(dir)
-    finding("nonpositive_partials", t.where(col(countCol) <= 0))
+    fsFindings
+      .unionByName(finding("nonpositive_partials", t.where(col(countCol) <= 0)))
       .unionByName(finding("invalid_batch_ids",
         t.select("batch").distinct().where(col("batch") < -1L)))
       .unionByName(finding("intra_batch_duplicates",
@@ -328,6 +342,28 @@ object StoreFsck {
       ("pointer_to_missing_generation",
         if (cur.exists(c => !complete.contains(c))) 1L else 0L))
       .toDF("check_name", "n_bad")
+  }
+
+  /** Audit SCHEMA-REGISTRY coverage of a digest-carrying event store:
+    * distinct `schema_id` values the registry cannot resolve. The
+    * registry is load-only, so a store whose payload digest no longer
+    * resolves fails at DECODE TIME deep inside a query — and the
+    * digest-dispatch path ([[graft.functions.AvroCodec.decodeByDigest]])
+    * silently DROPS such rows, since each per-digest branch filters on
+    * a known digest. A cheap audit row surfaces it like every other
+    * store hazard: one distinct-aggregate over a 16-byte column (few
+    * distinct digests — schema versions, not rows) anti-joined against
+    * the registry's broadcast-sized digest set. Reference analogue: the
+    * decoder's loud no-such-schema path
+    * (DbusEventAvroDecoder.getGenericRecord / SchemaRegistryService). */
+  def schemaCoverage(spark: SparkSession, events: DataFrame,
+      set: graft.model.VersionedSchemaSet,
+      schemaIdCol: String = "schema_id"): DataFrame = {
+    import spark.implicits._
+    val known = set.schemas.map(_.digestHex).toDF("digest")
+    finding("events_with_unregistered_schema",
+      events.select(lower(hex(col(schemaIdCol))).as("digest")).distinct()
+        .join(broadcast(known), Seq("digest"), "left_anti"))
   }
 
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */

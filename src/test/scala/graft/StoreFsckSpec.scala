@@ -84,6 +84,29 @@ class StoreFsckSpec extends SparkSpec {
     assert(bad("tombstones_of_absent_ids") == 1L)
   }
 
+  test("schema-coverage fsck: an unresolvable payload digest surfaces at audit time") {
+    import graft.model.{VersionedSchema, VersionedSchemaSet}
+    // the decode-by-digest path silently drops rows whose digest no
+    // registered schema resolves (each branch filters on a known
+    // digest) — the audit must name it BEFORE a query loses rows
+    val v1 = VersionedSchemaSet.eventPayloadV1
+    val v2 = VersionedSchemaSet.orderWithItemsV1
+    val set = VersionedSchemaSet(Seq(v1, v2))
+    val ghost = VersionedSchema("ghost", 1,
+      """{"type":"record","name":"Ghost","fields":[]}""")
+    val healthy = Seq(v1.digest, v2.digest, v1.digest)
+      .toDF("schema_id")
+    assert(findings(StoreFsck.schemaCoverage(spark, healthy, set))
+      .values.forall(_ == 0L))
+    val drifted = healthy.unionByName(Seq(ghost.digest).toDF("schema_id"))
+    assert(findings(StoreFsck.schemaCoverage(spark, drifted, set))
+      .apply("events_with_unregistered_schema") == 1L)
+    // an EMPTY registry reports every distinct digest, not zero
+    assert(findings(StoreFsck.schemaCoverage(spark, healthy,
+      VersionedSchemaSet.empty))
+      .apply("events_with_unregistered_schema") == 2L)
+  }
+
   test("event-log fsck: blind re-append, split windows and crash leftovers detected") {
     import graft.sources.ChangeFeed
     import graft.streaming.RelayStream
@@ -159,5 +182,32 @@ class StoreFsckSpec extends SparkSpec {
     assert(bad("intra_batch_duplicates") == 1L) // ("a", bucket 1) twice in batch 0
     assert(bad("nonpositive_partials") == 1L)
     assert(bad("invalid_batch_ids") == 1L)
+    assert(bad("legacy_string_batch_dirs") == 0L)
+  }
+
+  test("batch-partial fsck: legacy string-compacted layout flagged; compact migrates it") {
+    import graft.pipeline.{Dedup, StoreFs}
+    // a store compacted by pre-r10 code rolled up under the STRING id
+    // batch=compacted — mixed with numeric ids the partition column
+    // flips type (or the read fails), so fsck flags it at the FS level
+    // (the table checks report -1 = unauditable) and compactGramDfStore
+    // renames it one-time to the reserved numeric -1
+    val dir = s"${tmp("fsck")}/gramdf"
+    Seq(("g1", 2L), ("g2", 1L)).toDF("g", "df_part")
+      .write.parquet(s"$dir/batch=compacted")
+    Seq(("g1", 1L)).toDF("g", "df_part").write.parquet(s"$dir/batch=0")
+    val bad = findings(StoreFsck.batchPartialStore(spark, dir,
+      Seq("g"), "df_part"))
+    assert(bad("legacy_string_batch_dirs") == 1L)
+    assert(bad("nonpositive_partials") == -1L) // unauditable until migrated
+    Dedup.compactGramDfStore(spark, dir)
+    assert(!StoreFs.exists(s"$dir/batch=compacted"))
+    val after = findings(StoreFsck.batchPartialStore(spark, dir,
+      Seq("g"), "df_part"))
+    assert(after.values.forall(_ == 0L), s"$after")
+    // the migrated rollup preserved the sums
+    assert(spark.read.parquet(dir).groupBy("g")
+      .agg(sum($"df_part").as("s")).as[(String, Long)].collect().toMap ==
+      Map("g1" -> 3L, "g2" -> 1L))
   }
 }

@@ -367,11 +367,17 @@ class TombstoneSpec extends SparkSpec {
     assert(sameRows(unlearned.classes, retrained.classes))
     assert(sameRows(unlearned.stats, retrained.stats))
     // fold-and-rotate GC: the folded generation serves identically and
-    // the log clears; an empty log means plain model loads from there on
+    // the log clears ONLY AFTER the required promote callback ran (the
+    // signature-enforced ordering — clear-before-flip would serve the
+    // old root with an empty log, an un-unlearned model)
     val gen2 = s"${tmp("forget")}/model2"
+    var promoted = false
     ForgetLog.foldInto(spark, dir) { log =>
       Classifier.save(Classifier.unlearn(model, log), gen2)
-    }
+      assert(ForgetLog.readOpt(spark, dir).isDefined,
+        "log must survive until the serving pointer flips")
+    } { () => promoted = true }
+    assert(promoted, "foldInto must run the promote step")
     assert(ForgetLog.readOpt(spark, dir).isEmpty)
     val folded = Classifier.load(spark, gen2)
     assert(sameRows(folded.counts, retrained.counts))
