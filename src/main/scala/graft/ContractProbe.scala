@@ -17,11 +17,11 @@ import graft.pipeline.Dedup
   *      by exhaustive scan — brute force on purpose: the validation must
   *      not depend on the recall of the structure it validates.
   *
-  * Usage: runMain graft.ContractProbe [dataDir]   (default /tmp/graft_sf1)
+  * Usage: runMain graft.ContractProbe [dataDir]   (default ScaleProbe.DerivedDir)
   */
 object ContractProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val dir = args.headOption.getOrElse(graft.ScaleProbe.DerivedDir)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  val DerivedDir = "/tmp/graft_sf1"
+  // the `e` suffix versions the derivation (round 11 added the events
+  // table) so a cached events-less sf1 set from an older build never
+  // serves a probe that expects the envelope families to run
+  val DerivedDir = "/tmp/graft_sf1e"
   val Factor = 10
 
   private val Probes = Seq(
@@ -62,11 +65,25 @@ object ScaleProbe {
     "q_hybrid_rrf_store", "q_zorder_box3", "q_quantile_stream",
     "q_store_fsck_models",
     // round-10 second wave: incremental layout maintenance, IVF cell
-    // rebalance, pointer-flip generation protocol (q_store_fsck_log is
-    // NOT probed: it audits the envelope event log, and the derived sf1
-    // set replicates only the lake tables — same reason every other
-    // envelope-family query sits outside this list)
-    "q_zorder_incr", "q_ann_rebalance", "q_bm25_versioned")
+    // rebalance, pointer-flip generation protocol
+    "q_zorder_incr", "q_ann_rebalance", "q_bm25_versioned",
+    // round-11: versioned takedown overlay + IVF merge
+    "q_takedown_versioned", "q_ann_merge",
+    // round-11: the ENVELOPE families — the derived set now carries a
+    // 10× events table (SCN-window-aligned id shifts, key-space shifts
+    // preserving partition routing), closing the sf1 blind spot for
+    // exactly the CDC families the reference is about. Every row here
+    // reads env(s, dir) or a fixture derived from it.
+    "q_envelope", "q_merge_txn", "q_apply_log", "q_stats_totals",
+    "q_percentiles", "q_max_scn", "q_windowed_stats", "q_dispatch_order",
+    "q_scn_regress", "q_window_delivery", "q_snapshot_scan",
+    "q_catchup_scan", "q_bootstrap_scns", "q_stream_checkpoint",
+    "q_stream_budget", "q_stream_since_ts", "q_stream_mult",
+    "q_filter_keymod", "q_filter_composite", "q_route_partitions",
+    "q_capture_txlog", "q_compact_log", "q_relay_source",
+    "q_store_fsck_log", "q_dtail_json", "q_to_v1", "q_file_log_consumer",
+    "q_falloff_bootstrap", "q_checkpoint_store", "q_seeder_chunks",
+    "q_clean_log")
 
   def derive(spark: SparkSession, src: String, dest: String): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
@@ -111,6 +128,27 @@ object ScaleProbe {
             .cast("float")),
           slice(col("embedding"), 2, 10000)))
     }.write.parquet(s"$dest/embeddings.parquet")
+    // events: id shift is a MULTIPLE OF THE WINDOW SIZE past the max id,
+    // so every replica's scn = event_id - event_id % WindowSize windows
+    // stay intact (no replica boundary ever splits a transaction window
+    // and windows are disjoint across replicas — the EOW/window-delivery
+    // invariants the relay families pin); user ids shift by a multiple
+    // of NumPartitions, preserving each key's partition routing and
+    // keeping per-key CDC history depth constant (10× keys, not 10×
+    // versions per key — the linear shape of a 10× feed)
+    val ev = graft.sources.ChangeFeed.raw(spark, src)
+    val (maxId, maxUser) = {
+      val r = ev.agg(max("event_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val w = graft.sources.ChangeFeed.WindowSize
+    val p = graft.sources.ChangeFeed.NumPartitions
+    val idShift = (maxId / w + 1) * w
+    val userShift = (maxUser / p + 1) * p
+    reps { i =>
+      ev.withColumn("event_id", col("event_id") + i * idShift)
+        .withColumn("user_id", col("user_id") + i * userShift)
+    }.write.parquet(s"$dest/events.parquet")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
   }
 
@@ -131,6 +169,46 @@ object ScaleProbe {
     val ccOnly = args.contains("cc")
     val mediaOnly = args.contains("media")
     val prOnly = args.contains("pr")
+    val relayOnly = args.contains("relay")
+
+    if (relayOnly) {
+      // relay-pipeline THROUGHPUT at both scales (Bench's three legs:
+      // envelope scan, binary segment source, DbusEventV2 wire decode —
+      // each source → mod-filter → ordered dispatch, fully consumed,
+      // best-of-2). The sf1 row puts the 10×-feed events/s on record:
+      // the pipeline is a narrow codegen'd map over a partitioned scan,
+      // so events/s should hold roughly flat as the feed grows.
+      import graft.operators.{DbusKeyFilter, KeyModFilter}
+      def leg(consume: () => Long): (Long, Double) = {
+        def once(): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = consume()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (n, if (sec > 0) n / sec else 0.0)
+        }
+        val a = once(); val b = once()
+        if (b._2 > a._2) b else a
+      }
+      val f = DbusKeyFilter("MOD", Seq(KeyModFilter(4, 0, 3)))
+      def probe(dir: String): Unit = {
+        val (n, eps) = leg(() => graft.operators.Relay.streamOrdered(
+          graft.sources.Store.eventLog(spark, dir), filter = f).count())
+        val bin = graft.sources.WireFixtures.relayLogDir(spark, dir)
+        val (_, binEps) = leg(() => graft.operators.Relay.streamOrdered(
+          spark.read.format("graft-relay").option("path", bin).load(),
+          filter = f).count())
+        val wire = graft.sources.WireFixtures.dbusv2LogDir(spark, dir)
+        val (_, wireEps) = leg(() => graft.operators.Relay.streamOrdered(
+          spark.read.format("graft-relay").option("path", wire).load(),
+          filter = f).count())
+        println(f"relay $dir%-18s events=$n%9d pipeline=${eps.round}%9d/s" +
+          f" binary=${binEps.round}%9d/s wire=${wireEps.round}%9d/s")
+      }
+      probe(base)
+      probe(DerivedDir)
+      spark.stop(); return
+    }
+
     val probes =
       if (args.isEmpty || ccOnly || mediaOnly || prOnly) Probes
       else {

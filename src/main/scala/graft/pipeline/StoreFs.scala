@@ -91,6 +91,20 @@ object StoreFs {
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  // Recursive walks go through plain listStatus per directory, NOT
+  // fs.listFiles(p, recursive=true): listFiles returns
+  // LocatedFileStatus and fetches BLOCK LOCATIONS per file, which on
+  // LocalFileSystem costs ~50 ms per listing of a dozen files (measured
+  // — it dominated the event-log append path, ~2 listings per
+  // generation) where a listStatus walk is ~0.5 ms. Maintenance
+  // listings never need block locations; store trees are a handful of
+  // directories deep.
+  private def walkFiles(fs: FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walkFiles(fs, st.getPath) else Seq(st)
+    }
+
   /** Recursively list the file NAMES under `dir` carrying `suffix` —
     * the event-log compaction's provenance snapshot (names are unique
     * per generation: Spark part-file names carry task UUIDs). Empty
@@ -98,15 +112,7 @@ object StoreFs {
   def listFileNamesRecursive(dir: String, suffix: String): Seq[String] = {
     val (fs, p) = fsPath(dir)
     if (!fs.exists(p)) Seq.empty
-    else {
-      val it = fs.listFiles(p, true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(suffix)) buf += st.getPath.getName
-      }
-      buf.result()
-    }
+    else walkFiles(fs, p).map(_.getPath.getName).filter(_.endsWith(suffix))
   }
 
   /** Recursive file statuses under `dir`: (full path, name, mtime).
@@ -114,16 +120,8 @@ object StoreFs {
   def listFileStatusesRecursive(dir: String): Seq[(String, String, Long)] = {
     val (fs, p) = fsPath(dir)
     if (!fs.exists(p)) Seq.empty
-    else {
-      val it = fs.listFiles(p, true)
-      val buf = Seq.newBuilder[(String, String, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        buf += ((st.getPath.toString, st.getPath.getName,
-          st.getModificationTime))
-      }
-      buf.result()
-    }
+    else walkFiles(fs, p).map(st =>
+      (st.getPath.toString, st.getPath.getName, st.getModificationTime))
   }
 
   /** Set a file's modification time (the event-log generation stamp);
