@@ -25,7 +25,7 @@ object ColdProbe {
     "winnow_fp_k8w8" -> "q_winnow_incr",
     "cdc_chunks_k8d32" -> "q_cdc_incr",
     "image_sigs_dhash9x8" -> "q_image_incr",
-    "lm_bigram_t80" -> "q_lm_store",
+    "lm_bigram_t80g" -> "q_lm_store",
     // takedown stores: cold = index build + tombstone write + first
     // tombstone-filtered serve — the fresh-deployment path of the
     // takedown wave

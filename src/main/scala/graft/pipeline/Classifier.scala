@@ -58,17 +58,27 @@ object Classifier {
   }
 
   /** Persist as three parquet tables (LangModel.save discipline). */
+  /** Persist the model's three tables as ONE [[VersionedStore]]
+    * generation — a crash mid-save leaves readers on the previous model
+    * version, never counts whose class/stats tables disagree (the same
+    * torn-pair hazard class as postings-without-doclens, here a
+    * torn-TRIPLE: stats.v against a counts table from another save
+    * silently mis-smooths every score). */
   def save(model: Model, dir: String): Unit = {
-    model.counts.write.mode("overwrite").parquet(s"$dir/counts")
-    model.classes.write.mode("overwrite").parquet(s"$dir/classes")
-    model.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    VersionedStore.publish(dir, Map(
+      "counts" -> model.counts,
+      "classes" -> model.classes,
+      "stats" -> model.stats))
+    ()
   }
 
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val t = VersionedStore.tableRoot(dir)
     Model(
-      counts = spark.read.parquet(s"$dir/counts"),
-      classes = spark.read.parquet(s"$dir/classes"),
-      stats = spark.read.parquet(s"$dir/stats"))
+      counts = spark.read.parquet(s"$t/counts"),
+      classes = spark.read.parquet(s"$t/classes"),
+      stats = spark.read.parquet(s"$t/stats"))
+  }
 
   /** EXACT unlearning: remove `forget` (rows of the original training
     * set — caller owns that membership, as with id disjointness on the

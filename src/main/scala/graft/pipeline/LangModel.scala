@@ -84,18 +84,22 @@ object LangModel {
     * reference corpus is scanned once at training time, every later
     * session scores against the stored counts. */
   def save(model: Model, dir: String): Unit = {
-    model.uni.write.mode("overwrite").parquet(s"$dir/uni")
-    model.bi.write.mode("overwrite").parquet(s"$dir/bi")
-    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    // one atomic generation for the triple ([[Classifier.save]]'s
+    // rationale: a torn uni/bi/vocab set silently mis-scores)
+    VersionedStore.publish(dir, Map(
+      "uni" -> model.uni, "bi" -> model.bi, "vocab" -> model.vocab))
+    ()
   }
 
   /** Load a persisted model — score-path plans read the parquet counts
     * directly (columnar scans, joinable like the in-session frames). */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val t = VersionedStore.tableRoot(dir)
     Model(
-      uni = spark.read.parquet(s"$dir/uni"),
-      bi = spark.read.parquet(s"$dir/bi"),
-      vocab = spark.read.parquet(s"$dir/vocab"))
+      uni = spark.read.parquet(s"$t/uni"),
+      bi = spark.read.parquet(s"$t/bi"),
+      vocab = spark.read.parquet(s"$t/vocab"))
+  }
 
   /** EXACT unlearning for the bigram model — [[Classifier.unlearn]]'s
     * algebra on the (uni, bi, vocab) tables: the forget batch (rows of

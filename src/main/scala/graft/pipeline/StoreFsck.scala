@@ -138,7 +138,8 @@ object StoreFsck {
     *   - count rows for labels the class table lost,
     *   - stats.v ≠ the count table's distinct-token count,
     *   - stats.n_all ≠ Σ classes.n_docs. */
-  def nbModelStore(spark: SparkSession, dir: String): DataFrame = {
+  def nbModelStore(spark: SparkSession, dir0: String): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
     val counts = spark.read.parquet(s"$dir/counts")
     val classes = spark.read.parquet(s"$dir/classes")
     val stats = spark.read.parquet(s"$dir/stats")
@@ -169,7 +170,8 @@ object StoreFsck {
     * the unigram table no longer holds (impossible under correct
     * subtraction: a token with any surviving bigram has c_u > 0), and
     * vocab-scalar drift. */
-  def lmModelStore(spark: SparkSession, dir: String): DataFrame = {
+  def lmModelStore(spark: SparkSession, dir0: String): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
     val uni = spark.read.parquet(s"$dir/uni")
     val bi = spark.read.parquet(s"$dir/bi")
     val vocab = spark.read.parquet(s"$dir/vocab")

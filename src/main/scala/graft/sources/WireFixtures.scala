@@ -270,7 +270,7 @@ object WireFixtures {
     * reference corpus). Trained on the doc_id % 5 ≠ 0 slice, matching
     * q_lm_perplexity's in-session derivation. */
   def lmModelDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/lm_bigram_t80") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/lm_bigram_t80g") { tmp =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text").where(col("doc_id") % 5 =!= 0)
       graft.pipeline.LangModel.save(
@@ -337,7 +337,7 @@ object WireFixtures {
     * the streaming classify query's store (train zero times in the
     * scoring session). */
   def nbModelDir(spark: SparkSession, sfDir: String): String =
-    writeOnce(s"$Root/${key(sfDir)}/nb_lang_t80") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/nb_lang_t80g") { tmp =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "lang", "text").where(col("doc_id") % 5 =!= 0)
       graft.pipeline.Classifier.save(

@@ -31,12 +31,13 @@ class StoreFsckSpec extends SparkSpec {
     Classifier.save(Classifier.train(train), dir)
     assert(findings(StoreFsck.nbModelStore(spark, dir))
       .values.forall(_ == 0L))
+    val gen = graft.pipeline.VersionedStore.tableRoot(dir)
     // plant: a zero count for an existing token (the unlearn crash
     // shape — subtraction that should have dropped the row) plus a
     // count row under a label the class table never had
     Seq(("en", "the", 0L), ("zz", "ghost", 3L))
       .toDF("label", "tok", "c_t")
-      .write.mode("append").parquet(s"$dir/counts")
+      .write.mode("append").parquet(s"$gen/counts")
     val bad = findings(StoreFsck.nbModelStore(spark, dir))
     assert(bad("nonpositive_counts") == 1L)
     assert(bad("counts_without_class") == 1L)
@@ -49,12 +50,13 @@ class StoreFsckSpec extends SparkSpec {
     LangModel.save(LangModel.train(train.select("doc_id", "text")), dir)
     assert(findings(StoreFsck.lmModelStore(spark, dir))
       .values.forall(_ == 0L))
+    val gen = graft.pipeline.VersionedStore.tableRoot(dir)
     // plant: a bigram whose endpoints the unigram table doesn't hold
     // (impossible under correct subtraction) and a negative unigram
     Seq(("ghostA", "ghostB", 2L)).toDF("prev", "cur", "c_b")
-      .write.mode("append").parquet(s"$dir/bi")
+      .write.mode("append").parquet(s"$gen/bi")
     Seq(("neg", -1L)).toDF("tok", "c_u")
-      .write.mode("append").parquet(s"$dir/uni")
+      .write.mode("append").parquet(s"$gen/uni")
     val bad = findings(StoreFsck.lmModelStore(spark, dir))
     assert(bad("bigrams_of_lost_tokens") == 2L) // ghostA and ghostB
     assert(bad("nonpositive_unigrams") == 1L)
