@@ -365,7 +365,7 @@ object Ann {
     * are corpus statistics, not memberships, and drift only on a full
     * [[writeIndex]] retrain. */
   def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, numFiles: Int = 4): Unit = {
+      storeDir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
     require(numFiles > 0, s"compactIndexCells: numFiles $numFiles")
     val liveCells = readCells(spark, storeDir)
       .repartition(numFiles, col("cell_id"))
@@ -374,7 +374,9 @@ object Ann {
       VersionedStore.publish(storeDir, Map(
         "codebook" -> spark.read.parquet(s"$t/codebook"),
         "cells" -> liveCells))
-      VersionedStore.gc(storeDir, keep = 0)
+      // keepGenerations: [[Retrieval.compactPostingsIndex]]'s retention
+      // knob — 0 (default) makes compaction the erasure deadline
+      VersionedStore.gc(storeDir, keep = keepGenerations)
       ()
     } else {
       val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"

@@ -351,8 +351,15 @@ object Retrieval {
     * append-only layout needs; reference analogue: the bootstrap DB's
     * applied-log compaction
     * (databus-bootstrap-producer/.../BootstrapDBCleaner.java:1). */
+  /** `keepGenerations` (versioned roots only): how many PRE-compaction
+    * generations stay pinned-readable after the rewrite. The default 0
+    * is the compliance posture — compaction is the erasure deadline, so
+    * no pre-takedown bytes survive it; a deployment that values
+    * reproducibility windows over immediate physical purge raises it
+    * (erased rows stay filtered by each generation's overlay either
+    * way — retention only affects raw bytes, never serving). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int = 4): Unit = {
+      dir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
     // Batch-addressed (stream-maintained) stores are REJECTED: their
     // batch= partition layout IS the append history as-of reads pin —
     // an in-place rewrite would either destroy it or leave the mixed
@@ -381,7 +388,7 @@ object Retrieval {
       // of pre-compaction generations do not survive it)
       VersionedStore.publish(dir, Map(
         "postings" -> postingsLive, "doclens" -> doclensLive))
-      VersionedStore.gc(dir, keep = 0)
+      VersionedStore.gc(dir, keep = keepGenerations)
       ()
     } else {
       def swapIn(sub: String)(write: String => Unit): Unit = {

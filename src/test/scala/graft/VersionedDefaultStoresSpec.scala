@@ -146,6 +146,44 @@ class VersionedDefaultStoresSpec extends SparkSpec {
     }
   }
 
+  test("retention keeps pinned reads live-filtered; dangling pointers read loudly") {
+    val dir = s"${tmp("vdef")}/index"
+    val R = Retrieval
+    R.writePostingsIndex(docsDf.where(col("doc_id") < 4), dir) // gen 1
+    R.writePostingsIndex(docsDf, dir) // gen 2
+    R.tombstoneDocs(spark, dir, Seq(1L))
+    // compaction with retention: the purge publishes gen 3 but keeps one
+    // predecessor pinned-readable — and the retained generation's
+    // overlay KEEPS filtering the erased doc (retention affects raw
+    // bytes, never serving)
+    R.compactPostingsIndex(spark, dir, keepGenerations = 1)
+    assert(VersionedStore.listGens(dir).map(_._1).sorted == Seq(2L, 3L))
+    assert(VersionedStore.readAsOfLive(spark, dir, "doclens", 2L, "doc_id")
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 2L, 3L, 4L, 5L, 6L))
+    // a takedown recorded NOW lands in both retained generations
+    R.tombstoneDocs(spark, dir, Seq(4L))
+    assert(VersionedStore.readAsOfLive(spark, dir, "doclens", 2L, "doc_id")
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 2L, 3L, 5L, 6L))
+    assert(!R.readDocLengths(spark, dir)
+      .select("doc_id").as[Long].collect().toSet.contains(4L))
+
+    // a pointer whose generation someone hand-deleted must read loudly —
+    // "empty store" would be the silent failure the protocol exists for
+    graft.pipeline.StoreFs.deleteRecursive(s"$dir/gen-3")
+    intercept[IllegalArgumentException] {
+      VersionedStore.tableRoot(dir)
+    }
+    // adopt() repairs the dangling pointer: flip to the newest complete
+    // survivor (a dangling reference is as unrecoverable as a corrupt
+    // one, and gen 2 is immutable and whole — pointing at it is safe)
+    assert(VersionedStore.adopt(dir).contains(2L))
+    assert(Retrieval.readDocLengths(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 2L, 3L, 5L, 6L)) // gen 2 serving, both takedowns filtered
+  }
+
   test("takedown against an unpublished versioned root fails loudly") {
     val dir = s"${tmp("vdef")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
