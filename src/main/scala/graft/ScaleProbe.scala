@@ -67,8 +67,8 @@ object ScaleProbe {
     // round-10 second wave: incremental layout maintenance, IVF cell
     // rebalance, pointer-flip generation protocol
     "q_zorder_incr", "q_ann_rebalance", "q_bm25_versioned",
-    // round-11: versioned takedown overlay + IVF merge
-    "q_takedown_versioned", "q_ann_merge",
+    // round-11: versioned takedown overlay + IVF merge + persisted PQ
+    "q_takedown_versioned", "q_ann_merge", "q_ann_pq_store",
     // round-11: the ENVELOPE families — the derived set now carries a
     // 10× events table (SCN-window-aligned id shifts, key-space shifts
     // preserving partition routing), closing the sf1 blind spot for

@@ -3486,6 +3486,23 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- PQ retrieval served FROM the persisted store (books + code
+    // words as one atomic generation; the twins arrived through a
+    // frozen-book O(batch) append): ADC scans m-entry code words, never
+    // floats; only the rerank survivors touch the lake. Identical
+    // vectors encode to identical code words under any training, so
+    // the planted twin is the unique minimal-ADC candidate and rank-1
+    // after the exact re-rank — the q_ann_pq contract, store-served ----
+    "q_ann_pq_store" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.pqIndexDir(s, dir)
+      Ann.pqTopKFromStore(all.where(col("id") < 20), withTwins, store,
+        k = 5).where(col("rank") === 1)
+    }),
+
     // ---- Naive Bayes document classification (the model-based filter
     // tier — language routing here; quality tiers are the same machinery
     // with different labels): train on the 80% slice's own lang labels,
@@ -4266,6 +4283,14 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
 
     "q_ann_pq" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 20"),
+
+    // store-served PQ: same planted contract — frozen-book appends
+    // encode a twin to its original's code word, ADC keeps it minimal,
+    // the exact re-rank puts it first
+    "q_ann_pq_store" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 20"),

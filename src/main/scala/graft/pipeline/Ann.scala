@@ -697,11 +697,122 @@ object Ann {
     * approximate score is m lookups instead of dim multiply-adds. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
       ksub: Int = 16, iters: Int = 3, rerank: Int = 50): DataFrame = {
-    import corpus.sparkSession.implicits._
     val books = trainPqCodebooks(corpus, m, ksub, iters)
     val codes = PlanCache.getOrPersist(corpus, s"pq-codes|$m|$ksub|$iters",
       corpus.select(col("id").as("neighbor_id"),
         pqCodesExpr(books, col("vec")).as("codes")))
+    pqCore(queries, codes, books, corpus, k, rerank)
+  }
+
+  /** Render a PERSISTED PQ index for `corpus` into `dir` — the durable
+    * form of [[pqTopK]]'s per-session training, committed as ONE
+    * [[VersionedStore]] generation:
+    *
+    *   - `books/` — (subspace, id, vec), the m sub-codebooks (m·ksub
+    *     rows, driver-sized — the PQ analog of the IVF codebook table);
+    *   - `codes/` — (id, codes), every corpus vector's m-entry code
+    *     word (the 16–380× smaller scan tier ADC reads instead of
+    *     floats).
+    *
+    * The pair is exactly the torn-store shape the generation protocol
+    * exists for: codes are meaningless under any other training's
+    * books, so a crash between the two commits on a flat layout would
+    * silently mis-rank everything. Serving is [[pqTopKFromStore]];
+    * increments are [[appendToPqIndex]] (frozen books, O(batch));
+    * takedowns are [[Tombstones]] via the store root (per-generation
+    * overlay), and the exact re-rank keeps scoring honest for any
+    * survivor set. */
+  def writePqIndex(corpus: DataFrame, dir: String, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"writePqIndex: numFiles $numFiles")
+    val spark = corpus.sparkSession
+    val books = trainPqCodebooks(corpus, m, ksub, iters)
+    import spark.implicits._
+    val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cid, v) => (j, cid, v) }
+    }.toSeq
+    VersionedStore.publish(dir, Map(
+      "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
+      "codes" -> corpus.select(col("id").cast("long").as("id"),
+        pqCodesExpr(books, col("vec")).as("codes")).coalesce(numFiles)))
+    ()
+  }
+
+  /** The m sub-codebooks of a [[writePqIndex]] store, loudly validated:
+    * every subspace must carry a dense 0..ksub-1 cell-id range (the ADC
+    * LUT is indexed as lut[j·ksub + cell] — a gap would silently
+    * misalign every later subspace) and uniform slice width. Driver-
+    * sized by construction (m·ksub rows). */
+  def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Array[Array[(Long, Seq[Float])]] = {
+    val t = VersionedStore.tableRoot(storeDir)
+    val rows = spark.read.parquet(s"$t/books").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
+    require(rows.nonEmpty, s"readPqBooks: empty books table in $storeDir")
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, bs) =>
+      bs.sortBy(_._2).map { case (_, cid, v) => (cid, v) }.toArray
+    }.toArray
+    val ksub = books(0).length
+    val sub = books(0).head._2.length
+    books.zipWithIndex.foreach { case (book, j) =>
+      require(book.map(_._1).toSeq == (0L until ksub.toLong),
+        s"readPqBooks: subspace $j of $storeDir has a sparse/short " +
+          "cell-id range — the LUT indexing would silently misalign")
+      require(book.forall(_._2.length == sub),
+        s"readPqBooks: subspace $j of $storeDir has mixed slice widths")
+    }
+    books
+  }
+
+  /** The LIVE code words of a [[writePqIndex]] store (tombstone-aware —
+    * candidate scoring is the only place a vector enters PQ retrieval). */
+  def readPqCodes(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    Tombstones.filterLive(spark.read.parquet(s"$t/codes"), t, "id")
+  }
+
+  /** Append a NEW vector batch to a [[writePqIndex]] store: the frozen
+    * sub-codebooks load from the store (driver-sized), ONLY the batch
+    * encodes (O(batch), the [[appendToIndex]] discipline), and the
+    * resulting code words append to `codes/` inside the current
+    * generation. Books are frozen by design — sub-centroids drift only
+    * on a full [[writePqIndex]] retrain. An identical vector encodes to
+    * its original's code word, so the planted-twin contract holds
+    * across increments. */
+  def appendToPqIndex(newVectors: DataFrame, dir: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToPqIndex: numFiles $numFiles")
+    val spark = newVectors.sparkSession
+    val books = readPqBooks(spark, dir)
+    val t = VersionedStore.tableRoot(dir)
+    newVectors.select(col("id").cast("long").as("id"),
+        pqCodesExpr(books, col("vec")).as("codes"))
+      .coalesce(numFiles).write.mode("append").parquet(s"$t/codes")
+  }
+
+  /** PQ retrieval served FROM a persisted [[writePqIndex]] store —
+    * [[pqTopK]]'s exact frame (broadcast LUT queries, code-word scan,
+    * bounded per-partition heap, exact re-rank) with training and
+    * encoding replaced by store reads: the books load once
+    * (driver-sized), the corpus-sized input is ONE scan of the m-entry
+    * code words, and only `queries × rerank` survivors fetch float
+    * vectors from `corpus` (id-keyed join into the lake). */
+  def pqTopKFromStore(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = readPqBooks(spark, storeDir)
+    val codes = readPqCodes(spark, storeDir)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    pqCore(queries, codes, books, corpus, k, rerank)
+  }
+
+  private def pqCore(queries: DataFrame, codes: DataFrame,
+      books: Array[Array[(Long, Seq[Float])]], corpus: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val m = books.length
+    val ksub = books(0).length
     val q = queries.select(col("id").as("query_id"),
       adcLutExpr(books, col("vec")).as("lut"))
     val approx = (0 until m).map(j =>

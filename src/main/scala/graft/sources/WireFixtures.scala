@@ -162,6 +162,23 @@ object WireFixtures {
         all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
     }
 
+  /** Persisted PQ index (m sub-codebooks + per-vector code words — see
+    * [[graft.pipeline.Ann.writePqIndex]]) over the embeddings corpus,
+    * with the shifted twins arriving LATER through
+    * [[graft.pipeline.Ann.appendToPqIndex]] — books frozen, only the
+    * batch encoded. Serving from this store must keep the planted-twin
+    * rank-1 contract (identical vectors encode to identical code
+    * words under any training). */
+  def pqIndexDir(spark: SparkSession, sfDir: String, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/pq_index_m${m}k${ksub}i${iters}g") { tmp =>
+      val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.pipeline.Ann.writePqIndex(all, tmp, m, ksub, iters)
+      graft.pipeline.Ann.appendToPqIndex(
+        all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
+    }
+
   /** Incrementally-built positional-postings index over the documents
     * corpus: the base slice (doc_id % 10 ≠ 8) indexes via
     * [[graft.pipeline.Retrieval.writePostingsIndex]], then the held-back

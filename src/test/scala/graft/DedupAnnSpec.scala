@@ -422,6 +422,45 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: frozen-book appends, takedowns, loud book validation") {
+    import graft.pipeline.Tombstones
+    val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
+    // dim 8 (m=4 → 2-dim slices), 8 base vectors with distinct slices
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 + 1).toFloat))
+    }.toDF("id", "vec")
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    assert(VersionedStore.isVersioned(dir))
+    // twins of ids 0-3 arrive LATER under the frozen books
+    val twins = base.where($"id" < 4)
+      .select(($"id" + 100L).as("id"), $"vec")
+    Ann.appendToPqIndex(twins, dir)
+    val gen = VersionedStore.tableRoot(dir)
+    assert(spark.read.parquet(s"$gen/codes").count() == 12L)
+    // identical vectors encode to identical code words → the twin is
+    // the minimal-ADC candidate and rank-1 after the exact re-rank
+    val all = base.unionByName(twins)
+    def top1() = Ann.pqTopKFromStore(base.where($"id" < 4), all, dir,
+        k = 1, rerank = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> ((n, c)) }.toMap
+    val served = top1()
+    (0L until 4L).foreach(i => assert(served(i) == ((i + 100L, 1.0))))
+    // takedown: query 0's twin leaves candidate scoring entirely
+    Ann.tombstoneVectorsDf(Seq(100L).toDF("id"), dir)
+    val after = top1()
+    assert(after(0L)._1 != 100L)
+    (1L until 4L).foreach(i => assert(after(i) == ((i + 100L, 1.0))))
+    // a books table with a sparse cell-id range must fail the load —
+    // silent LUT misalignment would mis-rank everything downstream
+    val bad = java.nio.file.Files.createTempDirectory("pqbad").toString
+    VersionedStore.publish(bad, Map(
+      "books" -> spark.read.parquet(s"$gen/books").where($"id" =!= 2L),
+      "codes" -> spark.read.parquet(s"$gen/codes")))
+    intercept[IllegalArgumentException] { Ann.readPqBooks(spark, bad) }
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
