@@ -68,7 +68,7 @@ object ScaleProbe {
     // rebalance, pointer-flip generation protocol
     "q_zorder_incr", "q_ann_rebalance", "q_bm25_versioned",
     // round-11: versioned takedown overlay + IVF merge + persisted PQ
-    "q_takedown_versioned", "q_ann_merge", "q_ann_pq_store",
+    "q_takedown_versioned", "q_ann_merge", "q_ann_pq_store", "q_ann_ivfpq",
     // round-11: the ENVELOPE families — the derived set now carries a
     // 10× events table (SCN-window-aligned id shifts, key-space shifts
     // preserving partition routing), closing the sf1 blind spot for

@@ -3127,6 +3127,25 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- IVF-PQ retrieval from the persisted store — the production
+    // ANN shape: the coarse quantizer bounds CANDIDATES (only probed
+    // cells' rows scan), residual product quantization bounds BYTES
+    // (m-entry code words, per-(query,cell) residual ADC LUTs), exact
+    // re-rank on the survivors only. The store is a three-table
+    // generation (codebook + books + cells — each meaningless under the
+    // others' alternatives); twins arrived through a frozen-quantizer
+    // O(batch) append and share their original's cell AND code word, so
+    // rank-1 is the planted twin at cosine 1.0 ----
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.ivfPqIndexDir(s, dir)
+      Ann.ivfPqTopKFromStore(all.where(col("id") < 15), withTwins, store,
+        k = 5).where(col("rank") === 1)
+    }),
+
     // ---- TAKEDOWN-aware ANN serving: the store holds each vector plus
     // a twin (+1e6) and a tritwin (+2e6); the twins of query ids < 8
     // are tombstoned. Identical vectors share a cell and the exact
@@ -4294,6 +4313,14 @@ object SparkEntry {
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 20"),
+
+    // IVF-PQ: identical vectors share the coarse argmin AND the
+    // residual code word — the twin is in the query's first-probed cell
+    // at the minimal ADC sum, and the exact re-rank fixes rank 1
+    "q_ann_ivfpq" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
 
     "q_decontaminate_semantic" ->
       "SELECT vec_id AS id FROM embeddings WHERE vec_id >= 10",

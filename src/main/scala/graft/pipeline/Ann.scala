@@ -807,6 +807,151 @@ object Ann {
     pqCore(queries, codes, books, corpus, k, rerank)
   }
 
+  /** Write a PERSISTED IVF-PQ index for `corpus` into `dir` — the
+    * production ANN shape (coarse quantizer bounds CANDIDATES, product
+    * quantizer bounds BYTES), committed as ONE [[VersionedStore]]
+    * generation of three tables:
+    *
+    *   - `codebook/` — (id, vec), the k coarse centroids ([[writeIndex]]'s
+    *     table);
+    *   - `books/`    — (subspace, id, vec), m sub-codebooks trained on
+    *     RESIDUALS (vec − assigned centroid) — residual PQ, the classic
+    *     IVF-ADC form (Jégou et al., public knowledge): residuals
+    *     concentrate near the origin, so a fixed ksub budget spends its
+    *     resolution where the candidates actually are;
+    *   - `cells/`    — (id, cell_id, codes), every vector's coarse
+    *     assignment plus its m-entry residual code word, clustered by
+    *     cell so a probe's scan prunes to its cells' files.
+    *
+    * The TRIPLE is one generation because each table is meaningless
+    * under the others' alternatives (codes decode only against these
+    * books, which quantize residuals only against this codebook) — the
+    * torn-store shape the protocol prevents outright. Serving is
+    * [[ivfPqTopKFromStore]]; increments [[appendToIvfPqIndex]] (frozen
+    * codebook AND books, O(batch)); takedowns the per-generation
+    * overlay. Identical vectors share the coarse argmin AND the
+    * residual code word, so the planted-twin contract survives any
+    * training state, append order, and probe budget ≥ 1. */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String, k: Int, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"writeIvfPqIndex: numFiles $numFiles")
+    val spark = corpus.sparkSession
+    val (coarse, _) = trainCentroids(corpus, k, iters)
+    val residuals = residualFrame(corpus, spark, coarse)
+    // PQ books train on the residual frame — persisted once here, reused
+    // by the m per-subspace trainings and the encode below (each is a
+    // slice projection of this one cached plan)
+    val res = PlanCache.getOrPersist(corpus, s"ivfpq-res|$k|$iters",
+      residuals)
+    val books = trainPqCodebooks(
+      res.select(col("id"), col("res").as("vec")), m, ksub, iters)
+    import spark.implicits._
+    val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cid, v) => (j, cid, v) }
+    }.toSeq
+    VersionedStore.publish(dir, Map(
+      "codebook" -> centroidsDf(spark, coarse).coalesce(1),
+      "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
+      "cells" -> res.select(col("id"), col("cell_id"),
+          pqCodesExpr(books, col("res")).as("codes"))
+        .repartition(numFiles, col("cell_id"))))
+    ()
+  }
+
+  /** (id, cell_id, res): coarse assignment + residual, via one fused
+    * argmin projection and one broadcast centroid join. */
+  private def residualFrame(corpus: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      coarse: Array[(Long, Seq[Float])]): DataFrame = {
+    val cent = centroidsDf(spark, coarse)
+      .select(col("id").as("cell_id"), col("vec").as("cent"))
+    corpus.select(col("id").cast("long").as("id"), col("vec"),
+        nearestCellExpr(coarse, col("vec")).as("cell_id"))
+      .join(broadcast(cent), "cell_id")
+      .select(col("id"), col("cell_id"),
+        zip_with(col("vec"), col("cent"), (a, b) => a - b).as("res"))
+  }
+
+  /** Append a NEW vector batch to a [[writeIvfPqIndex]] store: coarse
+    * codebook and PQ books load from the store (driver-sized), ONLY the
+    * batch assigns + residual-encodes, and the rows append to `cells/`
+    * inside the current generation — O(batch), stored rows never read.
+    * Both quantizers are frozen by design (drift = full retrain). */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToIvfPqIndex: numFiles $numFiles")
+    val spark = newVectors.sparkSession
+    val t = VersionedStore.tableRoot(dir)
+    val coarse = spark.read.parquet(s"$t/codebook").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    require(coarse.nonEmpty, s"appendToIvfPqIndex: empty codebook in $dir")
+    val books = readPqBooks(spark, dir)
+    val shaped = residualFrame(newVectors, spark, coarse)
+      .select(col("id"), col("cell_id"),
+        pqCodesExpr(books, col("res")).as("codes"))
+    (if (numFiles == 1) shaped.coalesce(1)
+     else shaped.repartition(numFiles, col("cell_id")))
+      .write.mode("append").parquet(s"$t/cells")
+  }
+
+  /** IVF-PQ retrieval against a [[writeIvfPqIndex]] store: each query
+    * ranks the coarse centroids and keeps `nProbe` cells; PER PROBED
+    * CELL it builds the residual ADC LUT (query − that cell's centroid
+    * — residual PQ scores against cell-local geometry, which is why the
+    * LUT is per-(query, cell) and not global); candidates come from the
+    * probed cells' stored rows only, approximate distance is m array
+    * lookups, and only `queries × rerank` survivors fetch float vectors
+    * from `corpus`.
+    *
+    * Scale shape: the corpus-sized input is ONE scan of the m-entry
+    * code words restricted to probed cells (broadcast hash join on
+    * cell_id — the cells table is clustered by it); the LUT side is
+    * queries × nProbe rows of m·ksub doubles, broadcast; the rerank cut
+    * is a per-query window; the exact pass is id-keyed into the lake. */
+  def ivfPqTopKFromStore(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2, rerank: Int = 50)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.tableRoot(storeDir)
+    val centroids = spark.read.parquet(s"$t/codebook")
+    val books = readPqBooks(spark, storeDir)
+    val m = books.length
+    val ksub = books(0).length
+    val cells = Tombstones.filterLive(
+        spark.read.parquet(s"$t/cells"), t, "id")
+      .withColumnRenamed("id", "neighbor_id")
+    val probes = probeCells(queries, centroids, nProbe)
+      .withColumn("lut", adcLutExpr(books,
+        zip_with(col("qvec"), col("cent"), (a, b) => a - b)))
+      .select("query_id", "cell_id", "lut")
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"), col("codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    // rerank cut keeps the SMALLEST ADC; ties keep the LARGEST ids —
+    // the same duplicate-heavy-corpus convention as pqTopK's heap and
+    // ivfQuantizedCore's cut (the planted twin must reach the re-rank)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").desc)
+    val survivors = cells
+      .join(broadcast(probes), "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
+      .withColumn("r", row_number().over(wApprox))
+      .where(col("r") <= rerank)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    survivors
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qvec"))), "query_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wA))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   private def pqCore(queries: DataFrame, codes: DataFrame,
       books: Array[Array[(Long, Seq[Float])]], corpus: DataFrame, k: Int,
       rerank: Int): DataFrame = {

@@ -179,6 +179,21 @@ object WireFixtures {
         all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
     }
 
+  /** Persisted IVF-PQ index (coarse codebook + residual sub-codebooks +
+    * coded cells — [[graft.pipeline.Ann.writeIvfPqIndex]]) over the
+    * embeddings corpus, twins appended LATER under both frozen
+    * quantizers ([[graft.pipeline.Ann.appendToIvfPqIndex]]). */
+  def ivfPqIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3): String =
+    writeOnce(
+      s"$Root/${key(sfDir)}/ivfpq_index_k${k}m${m}s${ksub}i${iters}g") { tmp =>
+      val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.pipeline.Ann.writeIvfPqIndex(all, tmp, k, m, ksub, iters)
+      graft.pipeline.Ann.appendToIvfPqIndex(
+        all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
+    }
+
   /** Incrementally-built positional-postings index over the documents
     * corpus: the base slice (doc_id % 10 ≠ 8) indexes via
     * [[graft.pipeline.Retrieval.writePostingsIndex]], then the held-back

@@ -461,6 +461,52 @@ class DedupAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ann.readPqBooks(spark, bad) }
   }
 
+  test("persisted IVF-PQ index: residual codes, frozen-quantizer appends, takedowns") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    // 4 orthogonal-ish families in dim 8 (m=4 → 2-dim residual slices)
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (if (d / 2 == (i % 4)) 10f else 0f) + ((i * 3 + d) % 5).toFloat))
+    }.toDF("id", "vec")
+    Ann.writeIvfPqIndex(base, dir, k = 4, m = 4, ksub = 4, iters = 2)
+    assert(VersionedStore.isVersioned(dir))
+    val gen = VersionedStore.tableRoot(dir)
+    // the triple landed together: coarse codebook, residual books, cells
+    assert(spark.read.parquet(s"$gen/codebook").count() == 4L)
+    assert(spark.read.parquet(s"$gen/books")
+      .select("subspace").distinct().count() == 4L)
+    val cells = spark.read.parquet(s"$gen/cells")
+    assert(cells.count() == 8L &&
+      cells.columns.sorted.toSeq == Seq("cell_id", "codes", "id"))
+    // twins arrive later under BOTH frozen quantizers: same cell, same
+    // residual code word as their originals
+    val twins = base.where($"id" < 4)
+      .select(($"id" + 100L).as("id"), $"vec")
+    Ann.appendToIvfPqIndex(twins, dir)
+    val byId = spark.read.parquet(s"$gen/cells")
+      .select("id", "cell_id", "codes")
+      .as[(Long, Long, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    (0L until 4L).foreach(i => assert(byId(i) == byId(i + 100L),
+      s"twin $i drifted: ${byId(i)} vs ${byId(i + 100L)}"))
+    // serving: planted twins rank-1 at cosine 1.0 through the store
+    val all = base.unionByName(twins)
+    def top1() = Ann.ivfPqTopKFromStore(base.where($"id" < 4), all, dir,
+        k = 1, nProbe = 2, rerank = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> ((n, c)) }.toMap
+    val served = top1()
+    (0L until 4L).foreach(i => assert(served(i) == ((i + 100L, 1.0)),
+      s"query $i: ${served(i)}"))
+    // takedown leaves candidate generation immediately; fsck's ANN
+    // structural checks hold on the coded cells table too
+    Ann.tombstoneVectorsDf(Seq(100L).toDF("id"), dir)
+    assert(top1()(0L)._1 != 100L)
+    assert(graft.pipeline.StoreFsck.annStore(spark, dir)
+      .where(col("n_bad") > 0).isEmpty)
+  }
+
   test("vector functions: cosine/dot/norm identities") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 2f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f))).toDF("a", "b")
