@@ -1790,6 +1790,12 @@ object SparkEntry {
           stamped.unionByName(
             stamped.limit(1).select(lit(ghost.digest).as("schema_id"))),
           regSet)))
+        // the PQ tier of both round-11 ANN stores: dense books, m-wide
+        // in-range code words, no double-coded ids — all zero healthy
+        .unionByName(pfx("pq_", F.pqStore(s,
+          graft.sources.WireFixtures.pqIndexDir(s, dir))))
+        .unionByName(pfx("ivfpq_", F.pqStore(s,
+          graft.sources.WireFixtures.ivfPqIndexDir(s, dir), "cells")))
     }),
 
     // ---- fsck for the SERVING-STATE stores (event log + applier
@@ -5572,7 +5578,11 @@ object SparkEntry {
           "df_legacy_string_batch_dirs",
           "df_nonpositive_partials", "df_invalid_batch_ids",
           "df_intra_batch_duplicates",
-          "reg_ok_events_with_unregistered_schema")
+          "reg_ok_events_with_unregistered_schema",
+          "pq_sparse_subspace_books", "pq_wrong_code_width",
+          "pq_codes_out_of_range", "pq_duplicate_code_ids",
+          "ivfpq_sparse_subspace_books", "ivfpq_wrong_code_width",
+          "ivfpq_codes_out_of_range", "ivfpq_duplicate_code_ids")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
         .mkString(" UNION ALL ") +
         " UNION ALL SELECT 'reg_events_with_unregistered_schema'" +

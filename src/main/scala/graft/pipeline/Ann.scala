@@ -952,6 +952,42 @@ object Ann {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Takedown GC for a [[writePqIndex]] store: one fresh-generation
+    * publish of the frozen books plus the LIVE code words, then gc —
+    * the [[compactIndexCells]] discipline on the PQ family (atomic, no
+    * clear-last ordering, retired generations take their overlays with
+    * them; `keepGenerations` is the same retention knob). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
+    require(numFiles > 0, s"compactPqIndex: numFiles $numFiles")
+    require(VersionedStore.isVersioned(dir),
+      s"compactPqIndex: $dir is not a versioned PQ store")
+    val t = VersionedStore.tableRoot(dir)
+    VersionedStore.publish(dir, Map(
+      "books" -> spark.read.parquet(s"$t/books"),
+      "codes" -> readPqCodes(spark, dir).coalesce(numFiles)))
+    VersionedStore.gc(dir, keep = keepGenerations)
+    ()
+  }
+
+  /** Takedown GC for a [[writeIvfPqIndex]] store — same shape, three
+    * tables (coarse codebook and books carried over, live cells only). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
+    require(numFiles > 0, s"compactIvfPqIndex: numFiles $numFiles")
+    require(VersionedStore.isVersioned(dir),
+      s"compactIvfPqIndex: $dir is not a versioned IVF-PQ store")
+    val t = VersionedStore.tableRoot(dir)
+    val live = Tombstones.filterLive(
+      spark.read.parquet(s"$t/cells"), t, "id")
+    VersionedStore.publish(dir, Map(
+      "codebook" -> spark.read.parquet(s"$t/codebook"),
+      "books" -> spark.read.parquet(s"$t/books"),
+      "cells" -> live.repartition(numFiles, col("cell_id"))))
+    VersionedStore.gc(dir, keep = keepGenerations)
+    ()
+  }
+
   private def pqCore(queries: DataFrame, codes: DataFrame,
       books: Array[Array[(Long, Seq[Float])]], corpus: DataFrame, k: Int,
       rerank: Int): DataFrame = {

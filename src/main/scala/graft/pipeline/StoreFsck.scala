@@ -368,6 +368,44 @@ object StoreFsck {
         .join(broadcast(known), Seq("digest"), "left_anti"))
   }
 
+  /** Audit the PQ tier of an [[Ann.writePqIndex]] /
+    * [[Ann.writeIvfPqIndex]] store (`books/` + the code-word table).
+    * Every check is a violated decode precondition:
+    *   - `sparse_subspace_books`: a subspace whose cell ids are not the
+    *     dense 0..ksub-1 range — the ADC LUT indexes lut[j·ksub + cell],
+    *     so a gap silently misaligns every later subspace (the
+    *     load-time guard in [[Ann.readPqBooks]], surfaced at audit time
+    *     like every other store hazard);
+    *   - `wrong_code_width`: a code word with ≠ m entries (a writer
+    *     under different training parameters appended into this store);
+    *   - `codes_out_of_range`: a code referencing a sub-centroid the
+    *     book does not hold;
+    *   - `duplicate_code_ids`: one vector coded twice (blind re-append).
+    * Books are driver-sized; the code checks are one index-sized scan
+    * (the posexplode is m small ints per row). */
+  def pqStore(spark: SparkSession, dir0: String,
+      codesTable: String = "codes"): DataFrame = {
+    val dir = VersionedStore.tableRoot(dir0)
+    val books = spark.read.parquet(s"$dir/books")
+    val codes = spark.read.parquet(s"$dir/$codesTable")
+    val mDf = books.agg(countDistinct(col("subspace")).cast("int").as("m"))
+    val perSub = books.groupBy("subspace")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+    finding("sparse_subspace_books",
+        perSub.where(col("lo") =!= 0L || col("hi") =!= col("n") - 1L))
+      .unionByName(finding("wrong_code_width",
+        codes.crossJoin(mDf) // 1-row scalar, broadcast
+          .where(size(col("codes")) =!= col("m"))))
+      .unionByName(finding("codes_out_of_range",
+        codes.select(posexplode(col("codes")).as(Seq("subspace", "code")))
+          .join(perSub.select(col("subspace").cast("int").as("subspace"),
+            col("hi")), "subspace")
+          .where(col("code") < 0 || col("code") > col("hi"))))
+      .unionByName(finding("duplicate_code_ids",
+        codes.groupBy("id").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+  }
+
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */
   def annStore(spark: SparkSession, dir0: String): DataFrame = {
     val dir = VersionedStore.tableRoot(dir0)

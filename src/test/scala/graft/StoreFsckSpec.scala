@@ -109,6 +109,39 @@ class StoreFsckSpec extends SparkSpec {
       .apply("events_with_unregistered_schema") == 2L)
   }
 
+  test("PQ-tier fsck: planted width/range/book corruption detected; GC audits clean") {
+    import graft.pipeline.{Ann, VersionedStore}
+    val dir = s"${tmp("fsck")}/pq"
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 + 1).toFloat))
+    }.toDF("id", "vec")
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    assert(findings(StoreFsck.pqStore(spark, dir)).values.forall(_ == 0L))
+    val gen = VersionedStore.tableRoot(dir)
+    // plant: a code word from a different training (wrong width), a
+    // code referencing a sub-centroid the book lacks, a double-coded id
+    Seq((50L, Seq(0, 1)), (51L, Seq(0, 1, 2, 9)))
+      .toDF("id", "codes")
+      .write.mode("append").parquet(s"$gen/codes")
+    Seq((0L, Seq(0, 0, 0, 0))).toDF("id", "codes")
+      .write.mode("append").parquet(s"$gen/codes")
+    val bad = findings(StoreFsck.pqStore(spark, dir))
+    assert(bad("wrong_code_width") == 1L, bad.toString)
+    assert(bad("codes_out_of_range") == 1L, bad.toString)
+    assert(bad("duplicate_code_ids") == 1L, bad.toString)
+    assert(bad("sparse_subspace_books") == 0L)
+    // the takedown GC publishes a clean generation: tombstone the
+    // planted ids, compact, and the store audits clean again (wrong-
+    // width rows are by definition dead rows the live rewrite keeps —
+    // so purge them through the same takedown protocol)
+    graft.pipeline.Tombstones.appendDf(
+      Seq(50L, 51L, 0L).toDF("id"), dir)
+    Ann.compactPqIndex(spark, dir)
+    val after = findings(StoreFsck.pqStore(spark, dir))
+    assert(after.values.forall(_ == 0L), after.toString)
+    assert(Ann.readPqCodes(spark, dir).count() == 7L) // 0 erased too
+  }
+
   test("event-log fsck: blind re-append, split windows and crash leftovers detected") {
     import graft.sources.ChangeFeed
     import graft.streaming.RelayStream
