@@ -5579,9 +5579,11 @@ object SparkEntry {
           "df_nonpositive_partials", "df_invalid_batch_ids",
           "df_intra_batch_duplicates",
           "reg_ok_events_with_unregistered_schema",
-          "pq_sparse_subspace_books", "pq_wrong_code_width",
+          "pq_sparse_subspace_books", "pq_missing_subspace_books",
+          "pq_wrong_code_width",
           "pq_codes_out_of_range", "pq_duplicate_code_ids",
-          "ivfpq_sparse_subspace_books", "ivfpq_wrong_code_width",
+          "ivfpq_sparse_subspace_books", "ivfpq_missing_subspace_books",
+          "ivfpq_wrong_code_width",
           "ivfpq_codes_out_of_range", "ivfpq_duplicate_code_ids")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
         .mkString(" UNION ALL ") +

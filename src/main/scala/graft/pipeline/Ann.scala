@@ -749,6 +749,16 @@ object Ann {
     val rows = spark.read.parquet(s"$t/books").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
     require(rows.nonEmpty, s"readPqBooks: empty books table in $storeDir")
+    // the SUBSPACE ids must be the dense 0..m-1 set, not just each
+    // subspace's cells: a books table missing one whole subspace (e.g.
+    // 0,1,3) would load as a 3-book array where code position j scores
+    // against the WRONG book — silent mis-ranking, the same LUT
+    // misalignment class as a sparse cell range inside one book
+    val subIds = rows.map(_._1).distinct.sorted.toSeq
+    require(subIds == (0 until subIds.length),
+      s"readPqBooks: books table of $storeDir carries subspaces $subIds" +
+        " — not the dense 0..m-1 set; code positions would score against" +
+        " the wrong sub-codebook")
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, bs) =>
       bs.sortBy(_._2).map { case (_, cid, v) => (cid, v) }.toArray
     }.toArray

@@ -57,18 +57,31 @@ object Classifier {
         .crossJoin(labeled.agg(count(lit(1)).as("n_all"))))
   }
 
-  /** Persist as three parquet tables (LangModel.save discipline). */
   /** Persist the model's three tables as ONE [[VersionedStore]]
     * generation — a crash mid-save leaves readers on the previous model
     * version, never counts whose class/stats tables disagree (the same
     * torn-pair hazard class as postings-without-doclens, here a
     * torn-TRIPLE: stats.v against a counts table from another save
-    * silently mis-smooths every score). */
-  def save(model: Model, dir: String): Unit = {
+    * silently mis-smooths every score).
+    *
+    * `keepGenerations` is the retention knob every other migrated
+    * family's compaction carries ([[Retrieval.compactPostingsIndex]] /
+    * [[Ann.compactIndexCells]]): save publishes the fresh generation and
+    * then gc's down to it plus `keepGenerations` predecessors. The
+    * default 0 makes save the ERASURE DEADLINE on the unlearn path — an
+    * [[unlearn]] followed by save to the same root physically deletes
+    * the pre-unlearn counts (the forgotten training data), matching the
+    * old overwrite-in-place semantics; raising it trades that deadline
+    * for [[VersionedStore.readAsOf]] pinning of recent model versions.
+    * Note the model frames may lazily READ the same root (unlearn does):
+    * publish executes them while the old generation still exists, and
+    * only then does gc retire it. */
+  def save(model: Model, dir: String, keepGenerations: Int = 0): Unit = {
     VersionedStore.publish(dir, Map(
       "counts" -> model.counts,
       "classes" -> model.classes,
       "stats" -> model.stats))
+    VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
 

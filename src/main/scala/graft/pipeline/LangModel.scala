@@ -82,12 +82,21 @@ object LangModel {
   /** Persist the model as three parquet tables (the store discipline of
     * the minhash-signature / drift-reference / IVF-codebook stores): the
     * reference corpus is scanned once at training time, every later
-    * session scores against the stored counts. */
-  def save(model: Model, dir: String): Unit = {
+    * session scores against the stored counts.
+    *
+    * `keepGenerations` — [[Classifier.save]]'s retention knob: publish
+    * the fresh generation, then gc down to it plus `keepGenerations`
+    * predecessors. The default 0 makes save the erasure deadline on the
+    * [[unlearn]] path (the pre-unlearn counts — the forgotten training
+    * data — are physically deleted, the old overwrite semantics);
+    * raising it keeps recent model versions pinnable via
+    * [[VersionedStore.readAsOf]] at the documented retention cost. */
+  def save(model: Model, dir: String, keepGenerations: Int = 0): Unit = {
     // one atomic generation for the triple ([[Classifier.save]]'s
     // rationale: a torn uni/bi/vocab set silently mis-scores)
     VersionedStore.publish(dir, Map(
       "uni" -> model.uni, "bi" -> model.bi, "vocab" -> model.vocab))
+    VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
 

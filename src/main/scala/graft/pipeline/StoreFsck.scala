@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integrity audit (fsck) for the persisted store layouts — the
@@ -376,6 +377,12 @@ object StoreFsck {
     *     so a gap silently misaligns every later subspace (the
     *     load-time guard in [[Ann.readPqBooks]], surfaced at audit time
     *     like every other store hazard);
+    *   - `missing_subspace_books`: the subspace IDS themselves are not
+    *     the dense 0..m-1 set (a books table that lost one whole
+    *     subspace, e.g. 0,1,3) — the loaded book array would compact
+    *     and code position j would score against the wrong book;
+    *     [[Ann.readPqBooks]] refuses such a table at load, this row
+    *     surfaces it at audit;
     *   - `wrong_code_width`: a code word with ≠ m entries (a writer
     *     under different training parameters appended into this store);
     *   - `codes_out_of_range`: a code referencing a sub-centroid the
@@ -394,6 +401,14 @@ object StoreFsck {
         max(col("id")).as("hi"))
     finding("sparse_subspace_books",
         perSub.where(col("lo") =!= 0L || col("hi") =!= col("n") - 1L))
+      // dense-subspace check: a subspace id out of step with its dense
+      // rank means a whole book is missing (or duplicated under another
+      // id) — the driver-sized frame makes the gap check one window
+      .unionByName(finding("missing_subspace_books",
+        perSub.select(col("subspace"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("subspace"))) - 1)
+          .where(col("subspace") =!= col("rn"))))
       .unionByName(finding("wrong_code_width",
         codes.crossJoin(mDf) // 1-row scalar, broadcast
           .where(size(col("codes")) =!= col("m"))))

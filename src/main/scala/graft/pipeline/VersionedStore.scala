@@ -223,7 +223,17 @@ object VersionedStore {
     require(gens.nonEmpty,
       s"VersionedStore.takedownDf: no complete generation at $root —" +
         " a takedown against an unpublished store would record nothing")
-    gens.foreach(g => Tombstones.writeSet(idsLong, genDir(root, g)))
+    // materialize the id set ONCE before the per-generation fan-out: a
+    // nondeterministic ids source (a query over changing data, a sampled
+    // frame) re-executed per generation could record DIFFERENT sets in
+    // different generations' overlays, breaking the invariant the
+    // fan-out exists for (erasure holds under pinned reads too).
+    // Request-sized by the Tombstones contract, so the driver collect is
+    // bounded — the same bound the read-side broadcast anti-join relies on
+    val spark = idsLong.sparkSession
+    import spark.implicits._
+    val pinned = idsLong.as[Long].collect().toSeq.toDF("id")
+    gens.foreach(g => Tombstones.writeSet(pinned, genDir(root, g)))
   }
 
   /** Read `table` at the CURRENT generation (loud when the store has

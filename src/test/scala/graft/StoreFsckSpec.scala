@@ -142,6 +142,60 @@ class StoreFsckSpec extends SparkSpec {
     assert(Ann.readPqCodes(spark, dir).count() == 7L) // 0 erased too
   }
 
+  test("PQ-tier fsck: a books table missing one whole subspace is flagged and refuses to load") {
+    import graft.pipeline.{Ann, StoreFs, VersionedStore}
+    val dir = s"${tmp("fsck")}/pqsub"
+    val base = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 5 + d * 7) % 13 + 1).toFloat))
+    }.toDF("id", "vec")
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    val gen = VersionedStore.tableRoot(dir)
+    // plant: drop subspace 2's book wholesale — the dense 0..ksub-1
+    // range INSIDE each surviving book still holds, so the old sparse
+    // check alone would pass while a load would compact {0,1,3} into a
+    // 3-book array and score code position 2 against subspace 3's book
+    val kept = spark.read.parquet(s"$gen/books")
+      .where(col("subspace") =!= 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq)).toSeq
+    StoreFs.deleteRecursive(s"$gen/books")
+    kept.toDF("subspace", "id", "vec").coalesce(1)
+      .write.parquet(s"$gen/books")
+    val bad = findings(StoreFsck.pqStore(spark, dir))
+    assert(bad("missing_subspace_books") >= 1L, bad.toString)
+    assert(bad("sparse_subspace_books") == 0L, bad.toString)
+    intercept[IllegalArgumentException] {
+      Ann.readPqBooks(spark, dir)
+    }
+  }
+
+  test("model save retention: repeated saves gc to one generation; unlearn+save erases the pre-unlearn counts") {
+    import graft.pipeline.VersionedStore
+    val dir = s"${tmp("fsck")}/nbret"
+    val m1 = Classifier.train(train)
+    Classifier.save(m1, dir)
+    Classifier.save(Classifier.train(train.limit(4)), dir)
+    // default keepGenerations=0: save is the erasure deadline — one
+    // complete generation on disk, not an unbounded history
+    assert(VersionedStore.listGens(dir).count(_._2) == 1)
+    // unlearn → save to the SAME root: the pre-unlearn counts (the
+    // forgotten training data) are physically deleted, matching the old
+    // overwrite-in-place semantics the migration must not regress
+    val before = VersionedStore.currentGen(dir).get
+    val unlearned = Classifier.unlearn(Classifier.load(spark, dir),
+      train.limit(1))
+    Classifier.save(unlearned, dir)
+    assert(VersionedStore.listGens(dir).map(_._1) == Seq(before + 1))
+    // the retention knob keeps predecessors pinnable when asked
+    Classifier.save(Classifier.load(spark, dir), dir, keepGenerations = 1)
+    assert(VersionedStore.listGens(dir).count(_._2) == 2)
+    // LangModel.save carries the same knob
+    val lmDir = s"${tmp("fsck")}/lmret"
+    val lm = LangModel.train(train.select("doc_id", "text"))
+    LangModel.save(lm, lmDir)
+    LangModel.save(lm, lmDir)
+    assert(VersionedStore.listGens(lmDir).count(_._2) == 1)
+  }
+
   test("event-log fsck: blind re-append, split windows and crash leftovers detected") {
     import graft.sources.ChangeFeed
     import graft.streaming.RelayStream
