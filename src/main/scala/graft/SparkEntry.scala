@@ -3190,11 +3190,19 @@ object SparkEntry {
           .schema("opcode STRING, id LONG, vec ARRAY<FLOAT>")
           .parquet(s"$root/feed")
           .writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          .foreachBatch { (b: DataFrame, bid: Long) =>
             val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
+            // the batchId THREADS THROUGH to the store writes: a
+            // replayed micro-batch (foreachBatch is at-least-once)
+            // overwrites its own batch=<id> partition instead of
+            // double-appending cell rows — replay-idempotent appends,
+            // the appendToPostingsIndexBatch discipline on the ANN
+            // store (deletes were already idempotent by tombstone-set
+            // semantics)
             if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
-              Ann.appendToIndex(ups, s"$root/index")
-            else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3)
+              Ann.appendToIndexBatch(ups, s"$root/index", bid)
+            else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3,
+              batchId = Some(bid))
             val dels = b.where(col("opcode") === "DELETE").select("id")
             if (!dels.isEmpty)
               Ann.tombstoneVectorsDf(dels, s"$root/index")

@@ -259,16 +259,41 @@ object Ann {
     * never a codebook whose cells are missing or vice versa; the
     * two-commit window this writer used to delegate to the caller's
     * promote protocol is structurally impossible on the publish path. */
-  def writeIndex(corpus: DataFrame, dir: String, k: Int, iters: Int): Unit = {
+  def writeIndex(corpus: DataFrame, dir: String, k: Int, iters: Int,
+      batchId: Option[Long] = None): Unit = {
     val (codebook, _) = trainCentroids(corpus, k, iters)
     // narrow cell rows (two longs + dim int8s + a double) — a handful of
     // files keeps store re-reads one-listing cheap at fixture scale; a
-    // 100 TB corpus sizes this by cells/ bytes like any lake table
+    // 100 TB corpus sizes this by cells/ bytes like any lake table.
+    // batchId selects the BATCH-ADDRESSED layout from the first write
+    // (the table name is a relative path, so the generation's cells/
+    // is born as a batch=<id> partition dir): a stream-maintained store
+    // must start this way — partition discovery rejects a layout that
+    // mixes flat files with batch subdirs, so the bootstrap batch
+    // chooses the store's append discipline for life
     VersionedStore.publish(dir, Map(
       "codebook" -> centroidsDf(corpus.sparkSession, codebook).coalesce(1),
-      "cells" -> quantizedCells(corpus, codebook).coalesce(4)))
+      batchId.fold("cells")(b => s"cells/batch=$b") ->
+        quantizedCells(corpus, codebook).coalesce(4)))
     ()
   }
+
+  /** Does `tableDir` carry the batch-addressed layout
+    * ([[appendToIndexBatch]]'s `batch=<id>` partition dirs)? One
+    * listing — the dispatch every maintenance rewrite runs so its
+    * output stays appendable under the store's own discipline. */
+  private def hasBatchLayout(tableDir: String): Boolean =
+    StoreFs.listDirNames(tableDir).exists(_.startsWith("batch="))
+
+  /** The table name a maintenance REWRITE publishes `table` under: a
+    * batch-addressed store keeps the partitioned layout (the rolled-up
+    * rows land under the RESERVED id -1, [[Dedup.compactGramDfStore]]'s
+    * convention — numeric so the discovered `batch` column's type never
+    * flips, impossible as a real id since foreachBatch ids start at 0),
+    * so post-rewrite batches keep landing in their own subdirs and the
+    * read side stays one uniform partitioned scan. */
+  private def rewriteName(tableRoot: String, table: String): String =
+    if (hasBatchLayout(s"$tableRoot/$table")) s"$table/batch=-1" else table
 
   /** Append a NEW vector batch to a [[writeIndex]] store without
     * retraining and without re-scanning the stored corpus: the frozen
@@ -309,6 +334,40 @@ object Ann {
     shaped.write.mode("append").parquet(s"$t/cells")
   }
 
+  /** STREAMING-append form of [[appendToIndex]] — the
+    * [[Retrieval.appendToPostingsIndexBatch]] idiom on the ANN cell
+    * table: the batch's assignments land in their own `batch=<id>`
+    * subdir with OVERWRITE semantics, so a foreachBatch retry
+    * (at-least-once delivery) rewrites the same partial instead of
+    * appending a second copy — a blind append would silently
+    * double-append the replayed vectors' cell rows, duplicate
+    * candidates in every later top-k (the fsck `duplicate_cell_rows`
+    * finding DETECTS that after the fact; this form PREVENTS it, the
+    * engine's standard). Encoding is deterministic under the frozen
+    * codebook, so a replay reproduces the exact rows it overwrites.
+    * The `batch` partition column is LAYOUT, not data — every reader
+    * drops it ([[readCells]]). A stream-maintained store uses this form
+    * for every write from its first batch
+    * ([[writeIndex]]'s `batchId`): partition discovery rejects a layout
+    * that mixes flat files with batch subdirs. Reference analogue: the
+    * dispatcher's rollback/replay contract assumes idempotent
+    * application (GenericDispatcher.java:551,921). */
+  def appendToIndexBatch(newVectors: DataFrame, dir: String, batchId: Long,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToIndexBatch: numFiles $numFiles")
+    val spark = newVectors.sparkSession
+    val t = VersionedStore.tableRoot(dir)
+    val codebook = spark.read.parquet(s"$t/codebook")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1)
+    require(codebook.nonEmpty, s"appendToIndexBatch: empty codebook in $dir")
+    val cells = quantizedCells(newVectors, codebook)
+    (if (numFiles == 1) cells.coalesce(1)
+     else cells.repartition(numFiles, col("cell_id")))
+      .write.mode("overwrite").parquet(s"$t/cells/batch=$batchId")
+  }
+
   /** IVF+int8 retrieval against a [[writeIndex]] store: candidates come
     * from the STORED cell assignment (no corpus re-assignment scan, no
     * re-training — the r6 gap where every new session re-trained the
@@ -329,11 +388,15 @@ object Ann {
     * minus any [[tombstoneVectors]] takedowns — candidate generation is
     * the only place a vector exists in the serving path, so the
     * anti-join here removes it from every retrieval at once. No
-    * takedowns, no plan overhead. */
+    * takedowns, no plan overhead. On a batch-addressed store
+    * ([[appendToIndexBatch]]) the discovered `batch` partition column
+    * is LAYOUT, not data — dropped here so every consumer (serving,
+    * fsck, maintenance rewrites) sees one schema either way. */
   def readCells(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
     val t = VersionedStore.tableRoot(storeDir)
-    Tombstones.filterLive(spark.read.parquet(s"$t/cells"), t, "id")
+    Tombstones.filterLive(
+      spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
   }
 
   /** Record a vector takedown against a [[writeIndex]] store: the ids
@@ -369,18 +432,23 @@ object Ann {
     require(numFiles > 0, s"compactIndexCells: numFiles $numFiles")
     val liveCells = readCells(spark, storeDir)
       .repartition(numFiles, col("cell_id"))
+    // a batch-addressed store keeps its layout through the rewrite
+    // (rolled-up rows under the reserved batch=-1 — see [[rewriteName]])
+    // so post-compaction [[appendToIndexBatch]] writes keep working
+    val t0 = VersionedStore.tableRoot(storeDir)
+    val cellsName = rewriteName(t0, "cells")
     if (VersionedStore.isVersioned(storeDir)) {
-      val t = VersionedStore.tableRoot(storeDir)
       VersionedStore.publish(storeDir, Map(
-        "codebook" -> spark.read.parquet(s"$t/codebook"),
-        "cells" -> liveCells))
+        "codebook" -> spark.read.parquet(s"$t0/codebook"),
+        cellsName -> liveCells))
       // keepGenerations: [[Retrieval.compactPostingsIndex]]'s retention
       // knob — 0 (default) makes compaction the erasure deadline
       VersionedStore.gc(storeDir, keep = keepGenerations)
       ()
     } else {
       val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-      liveCells.write.parquet(tmp)
+      liveCells.write.parquet(
+        if (cellsName == "cells") tmp else s"$tmp/batch=-1")
       Dedup.swapDir(s"$storeDir/cells", tmp)
       Tombstones.clear(storeDir)
     }
@@ -476,12 +544,13 @@ object Ann {
     val finalBook =
       centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1))
         ++ subBook).coalesce(1)
+    val cellsName = rewriteName(VersionedStore.tableRoot(storeDir), "cells")
     if (VersionedStore.isVersioned(storeDir)) {
       // one atomic generation: final codebook + rewritten cells together
       // (the live frame is persisted, so the publish reads cached rows,
       // not the old generation's files mid-retirement)
       VersionedStore.publish(storeDir, Map(
-        "codebook" -> finalBook, "cells" -> newCells))
+        "codebook" -> finalBook, cellsName -> newCells))
       VersionedStore.gc(storeDir, keep = 0)
     } else {
       // legacy flat root: three-swap protocol (see scaladoc)
@@ -490,7 +559,8 @@ object Ann {
         .coalesce(1).write.parquet(tmpBook1)
       Dedup.swapDir(s"$storeDir/codebook", tmpBook1)
       val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-      newCells.write.parquet(tmpCells)
+      newCells.write.parquet(
+        if (cellsName == "cells") tmpCells else s"$tmpCells/batch=-1")
       Dedup.swapDir(s"$storeDir/cells", tmpCells)
       Tombstones.clear(storeDir) // the rewrite kept live rows only
       // drop the now-memberless split parents from the codebook
@@ -576,15 +646,18 @@ object Ann {
       val newCells = untouched.unionByName(reassigned)
         .repartition(numFiles, col("cell_id"))
       val newBook = centroidsDf(spark, survivors).coalesce(1)
+      val cellsName =
+        rewriteName(VersionedStore.tableRoot(storeDir), "cells")
       if (VersionedStore.isVersioned(storeDir)) {
         VersionedStore.publish(storeDir, Map(
-          "codebook" -> newBook, "cells" -> newCells))
+          "codebook" -> newBook, cellsName -> newCells))
         VersionedStore.gc(storeDir, keep = 0)
       } else {
         // flat root: cells first (reassigned rows point at survivors the
         // old codebook also carries), then the codebook shrink
         val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-        newCells.write.parquet(tmpCells)
+        newCells.write.parquet(
+          if (cellsName == "cells") tmpCells else s"$tmpCells/batch=-1")
         Dedup.swapDir(s"$storeDir/cells", tmpCells)
         Tombstones.clear(storeDir) // the rewrite kept live rows only
         val tmpBook = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
@@ -723,7 +796,8 @@ object Ann {
     * overlay), and the exact re-rank keeps scoring honest for any
     * survivor set. */
   def writePqIndex(corpus: DataFrame, dir: String, m: Int = 4,
-      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4): Unit = {
+      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4,
+      batchId: Option[Long] = None): Unit = {
     require(numFiles > 0, s"writePqIndex: numFiles $numFiles")
     val spark = corpus.sparkSession
     val books = trainPqCodebooks(corpus, m, ksub, iters)
@@ -731,10 +805,14 @@ object Ann {
     val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
       book.map { case (cid, v) => (j, cid, v) }
     }.toSeq
+    // batchId: bootstrap the BATCH-ADDRESSED layout (writeIndex's
+    // contract) so a stream-maintained store replays idempotently from
+    // its very first batch
     VersionedStore.publish(dir, Map(
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
-      "codes" -> corpus.select(col("id").cast("long").as("id"),
-        pqCodesExpr(books, col("vec")).as("codes")).coalesce(numFiles)))
+      batchId.fold("codes")(b => s"codes/batch=$b") ->
+        corpus.select(col("id").cast("long").as("id"),
+          pqCodesExpr(books, col("vec")).as("codes")).coalesce(numFiles)))
     ()
   }
 
@@ -775,11 +853,14 @@ object Ann {
   }
 
   /** The LIVE code words of a [[writePqIndex]] store (tombstone-aware —
-    * candidate scoring is the only place a vector enters PQ retrieval). */
+    * candidate scoring is the only place a vector enters PQ retrieval).
+    * The `batch` partition column of a batch-addressed store is layout,
+    * not data — dropped here ([[readCells]]'s rule). */
   def readPqCodes(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
     val t = VersionedStore.tableRoot(storeDir)
-    Tombstones.filterLive(spark.read.parquet(s"$t/codes"), t, "id")
+    Tombstones.filterLive(
+      spark.read.parquet(s"$t/codes").drop("batch"), t, "id")
   }
 
   /** Append a NEW vector batch to a [[writePqIndex]] store: the frozen
@@ -799,6 +880,26 @@ object Ann {
     newVectors.select(col("id").cast("long").as("id"),
         pqCodesExpr(books, col("vec")).as("codes"))
       .coalesce(numFiles).write.mode("append").parquet(s"$t/codes")
+  }
+
+  /** STREAMING-append form of [[appendToPqIndex]] —
+    * [[appendToIndexBatch]]'s replay-idempotent `batch=<id>` overwrite
+    * on the PQ code table: a foreachBatch retry rewrites its own
+    * partial (encoding is deterministic under the frozen books) instead
+    * of double-appending code rows the fsck would only DETECT as
+    * `duplicate_code_ids`. Same layout contract: batch-addressed from
+    * the first write ([[writePqIndex]]'s `batchId`), `batch` column
+    * dropped on read. */
+  def appendToPqIndexBatch(newVectors: DataFrame, dir: String,
+      batchId: Long, numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToPqIndexBatch: numFiles $numFiles")
+    val spark = newVectors.sparkSession
+    val books = readPqBooks(spark, dir)
+    val t = VersionedStore.tableRoot(dir)
+    newVectors.select(col("id").cast("long").as("id"),
+        pqCodesExpr(books, col("vec")).as("codes"))
+      .coalesce(numFiles).write.mode("overwrite")
+      .parquet(s"$t/codes/batch=$batchId")
   }
 
   /** PQ retrieval served FROM a persisted [[writePqIndex]] store —
@@ -843,7 +944,8 @@ object Ann {
     * residual code word, so the planted-twin contract survives any
     * training state, append order, and probe budget ≥ 1. */
   def writeIvfPqIndex(corpus: DataFrame, dir: String, k: Int, m: Int = 4,
-      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4): Unit = {
+      ksub: Int = 16, iters: Int = 3, numFiles: Int = 4,
+      batchId: Option[Long] = None): Unit = {
     require(numFiles > 0, s"writeIvfPqIndex: numFiles $numFiles")
     val spark = corpus.sparkSession
     val (coarse, _) = trainCentroids(corpus, k, iters)
@@ -862,7 +964,9 @@ object Ann {
     VersionedStore.publish(dir, Map(
       "codebook" -> centroidsDf(spark, coarse).coalesce(1),
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
-      "cells" -> res.select(col("id"), col("cell_id"),
+      // batchId: bootstrap the batch-addressed layout ([[writeIndex]])
+      batchId.fold("cells")(b => s"cells/batch=$b") ->
+        res.select(col("id"), col("cell_id"),
           pqCodesExpr(books, col("res")).as("codes"))
         .repartition(numFiles, col("cell_id"))))
     ()
@@ -904,6 +1008,30 @@ object Ann {
       .write.mode("append").parquet(s"$t/cells")
   }
 
+  /** STREAMING-append form of [[appendToIvfPqIndex]] —
+    * [[appendToIndexBatch]]'s replay-idempotent `batch=<id>` overwrite
+    * on the coded-cells table: assignment AND residual encoding are
+    * deterministic under the two frozen quantizers, so a foreachBatch
+    * retry rewrites its exact partial. Batch-addressed from the first
+    * write ([[writeIvfPqIndex]]'s `batchId`); `batch` dropped on read. */
+  def appendToIvfPqIndexBatch(newVectors: DataFrame, dir: String,
+      batchId: Long, numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToIvfPqIndexBatch: numFiles $numFiles")
+    val spark = newVectors.sparkSession
+    val t = VersionedStore.tableRoot(dir)
+    val coarse = spark.read.parquet(s"$t/codebook").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    require(coarse.nonEmpty,
+      s"appendToIvfPqIndexBatch: empty codebook in $dir")
+    val books = readPqBooks(spark, dir)
+    val shaped = residualFrame(newVectors, spark, coarse)
+      .select(col("id"), col("cell_id"),
+        pqCodesExpr(books, col("res")).as("codes"))
+    (if (numFiles == 1) shaped.coalesce(1)
+     else shaped.repartition(numFiles, col("cell_id")))
+      .write.mode("overwrite").parquet(s"$t/cells/batch=$batchId")
+  }
+
   /** IVF-PQ retrieval against a [[writeIvfPqIndex]] store: each query
     * ranks the coarse centroids and keeps `nProbe` cells; PER PROBED
     * CELL it builds the residual ADC LUT (query − that cell's centroid
@@ -928,7 +1056,7 @@ object Ann {
     val m = books.length
     val ksub = books(0).length
     val cells = Tombstones.filterLive(
-        spark.read.parquet(s"$t/cells"), t, "id")
+        spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
       .withColumnRenamed("id", "neighbor_id")
     val probes = probeCells(queries, centroids, nProbe)
       .withColumn("lut", adcLutExpr(books,
@@ -948,6 +1076,9 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
       .withColumn("r", row_number().over(wApprox))
       .where(col("r") <= rerank)
+      // defense-in-depth on the rerank-cut frame (request-sized — see
+      // pqCore): a double-coded id can never serve twice in one top-k
+      .dropDuplicates("query_id", "neighbor_id")
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     survivors
@@ -975,7 +1106,8 @@ object Ann {
     val t = VersionedStore.tableRoot(dir)
     VersionedStore.publish(dir, Map(
       "books" -> spark.read.parquet(s"$t/books"),
-      "codes" -> readPqCodes(spark, dir).coalesce(numFiles)))
+      rewriteName(t, "codes") -> readPqCodes(spark, dir)
+        .coalesce(numFiles)))
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
@@ -989,11 +1121,12 @@ object Ann {
       s"compactIvfPqIndex: $dir is not a versioned IVF-PQ store")
     val t = VersionedStore.tableRoot(dir)
     val live = Tombstones.filterLive(
-      spark.read.parquet(s"$t/cells"), t, "id")
+      spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
     VersionedStore.publish(dir, Map(
       "codebook" -> spark.read.parquet(s"$t/codebook"),
       "books" -> spark.read.parquet(s"$t/books"),
-      "cells" -> live.repartition(numFiles, col("cell_id"))))
+      rewriteName(t, "cells") ->
+        live.repartition(numFiles, col("cell_id"))))
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
@@ -1037,6 +1170,12 @@ object Ann {
           h.iterator.map { case (_, nid) => (qid, nid) }
         }
       }.toDF("query_id", "neighbor_id")
+      // defense-in-depth AFTER the cut, where the frame is
+      // queries×rerank×partitions-sized (a pre-heap dedup would shuffle
+      // the corpus-sized ADC scan): even a corrupted store — a
+      // double-coded id the fsck would flag — cannot emit the same
+      // neighbor twice in a served top-k
+      .dropDuplicates("query_id", "neighbor_id")
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     partial

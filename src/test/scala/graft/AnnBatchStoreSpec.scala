@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, StoreFsck, VersionedStore}
+
+/** Replay idempotency for the batch-addressed ANN-family stores: a
+  * foreachBatch retry (at-least-once delivery) must OVERWRITE its own
+  * `batch=<id>` partial instead of double-appending cell/code rows —
+  * the `appendToPostingsIndexBatch` discipline extended to the IVF, PQ
+  * and IVF-PQ stores. Each spec runs the same batch twice and asserts
+  * store state AND served top-k are identical — prevention, where the
+  * fsck `duplicate_*` rows only detect. Reference analogue: the
+  * dispatcher's rollback/replay contract assumes idempotent
+  * application (GenericDispatcher.java:551,921). */
+class AnnBatchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  // deterministic 8-dim corpus, pairwise distinct (13i mod 97 is
+  // injective over the id range — no accidental twins)
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(8)(d => ((i * 13 + d * d) % 97 + 1).toFloat)
+
+  private def base = (0L until 12L).map(i => (i, vec(i))).toDF("id", "vec")
+  // batch 1: exact twins of ids 0..5 under shifted ids (planted rank-1)
+  private def twins =
+    (0L until 6L).map(i => (i + 1000L, vec(i))).toDF("id", "vec")
+  private def queries = (0L until 6L).map(i => (i, vec(i))).toDF("id", "vec")
+  private def corpus = base.unionByName(twins)
+
+  test("IVF store: a replayed batch append overwrites its own partial") {
+    val dir = s"${tmp("annb")}/index"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    val once = Ann.readCells(spark, dir).collect().toSet
+    val servedOnce = Ann.ivfQuantizedTopKFromStore(
+      queries, corpus, dir, k = 3, nProbe = 4).collect().toSet
+    // REPLAY batch 1 (the at-least-once retry): same rows, not doubled
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    assert(Ann.readCells(spark, dir).collect().toSet == once,
+      "a replayed batch must leave the store bit-identical")
+    assert(!Ann.readCells(spark, dir).columns.contains("batch"),
+      "the batch partition column is layout, not data")
+    val fsck = StoreFsck.annStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(fsck("duplicate_cell_rows") == 0L, fsck.toString)
+    assert(Ann.ivfQuantizedTopKFromStore(
+      queries, corpus, dir, k = 3, nProbe = 4).collect().toSet == servedOnce)
+    // twin still rank-1 at cosine 1.0 through the replay
+    val r1 = Ann.ivfQuantizedTopKFromStore(queries, corpus, dir,
+        k = 3, nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 6L).foreach(q => assert(r1(q) == q + 1000L, s"query $q"))
+  }
+
+  test("IVF store: compaction preserves the batch layout and appendability") {
+    val dir = s"${tmp("annb")}/index"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.tombstoneVectors(spark, dir, Seq(11L))
+    Ann.compactIndexCells(spark, dir)
+    assert(Ann.readCells(spark, dir).select("id").as[Long]
+      .collect().toSet == (0L until 11L).toSet)
+    // the rewrite rolled up under batch=-1: later batches keep landing
+    // in their own subdirs and the read stays one partitioned scan
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L) // replay after GC
+    assert(Ann.readCells(spark, dir).count() == 11L + 6L)
+    val fsck = StoreFsck.annStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(fsck("duplicate_cell_rows") == 0L, fsck.toString)
+  }
+
+  test("PQ store: a replayed batch append overwrites its own partial") {
+    val dir = s"${tmp("annb")}/pq"
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToPqIndexBatch(twins, dir, batchId = 1L)
+    val once = Ann.readPqCodes(spark, dir).collect().toSet
+    Ann.appendToPqIndexBatch(twins, dir, batchId = 1L)
+    assert(Ann.readPqCodes(spark, dir).collect().toSet == once)
+    assert(!Ann.readPqCodes(spark, dir).columns.contains("batch"))
+    val fsck = StoreFsck.pqStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(fsck("duplicate_code_ids") == 0L, fsck.toString)
+    val r1 = Ann.pqTopKFromStore(queries, corpus, dir, k = 3)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 6L).foreach(q => assert(r1(q) == q + 1000L, s"query $q"))
+    // compaction keeps the layout; the store stays appendable after
+    Ann.compactPqIndex(spark, dir)
+    Ann.appendToPqIndexBatch(twins, dir, batchId = 2L)
+    Ann.appendToPqIndexBatch(twins, dir, batchId = 2L)
+    assert(Ann.readPqCodes(spark, dir).count() == once.size + 6L)
+  }
+
+  test("IVF-PQ store: a replayed batch append overwrites its own partial") {
+    val dir = s"${tmp("annb")}/ivfpq"
+    Ann.writeIvfPqIndex(base, dir, k = 4, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToIvfPqIndexBatch(twins, dir, batchId = 1L)
+    val t = VersionedStore.tableRoot(dir)
+    val once = spark.read.parquet(s"$t/cells").drop("batch")
+      .collect().toSet
+    val servedOnce = Ann.ivfPqTopKFromStore(
+      queries, corpus, dir, k = 3, nProbe = 4).collect().toSet
+    Ann.appendToIvfPqIndexBatch(twins, dir, batchId = 1L)
+    assert(spark.read.parquet(s"$t/cells").drop("batch")
+      .collect().toSet == once)
+    val fsck = StoreFsck.pqStore(spark, dir, "cells")
+      .as[(String, Long)].collect().toMap
+    assert(fsck("duplicate_code_ids") == 0L, fsck.toString)
+    assert(Ann.ivfPqTopKFromStore(
+      queries, corpus, dir, k = 3, nProbe = 4).collect().toSet == servedOnce)
+    val r1 = Ann.ivfPqTopKFromStore(queries, corpus, dir, k = 3, nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 6L).foreach(q => assert(r1(q) == q + 1000L, s"query $q"))
+    // compaction keeps the layout; replayed post-GC appends stay exact
+    Ann.compactIvfPqIndex(spark, dir)
+    Ann.appendToIvfPqIndexBatch(twins, dir, batchId = 2L)
+    Ann.appendToIvfPqIndexBatch(twins, dir, batchId = 2L)
+    assert(spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/cells")
+      .count() == once.size + 6L)
+  }
+
+  test("serve-path dedup: a hand-planted double-coded id serves once per top-k") {
+    // FLAT-file stores (no batchId) so the planted blind append mimics
+    // the corruption the fsck duplicate rows flag — the serving paths
+    // must still emit k DISTINCT neighbor ids (defense-in-depth: the
+    // dedup rides the request-sized rerank-cut frame, never the scan)
+    val dir = s"${tmp("annb")}/pqdup"
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    val t = VersionedStore.tableRoot(dir)
+    // plant: vector 1's code row appended a second time
+    val dup = spark.read.parquet(s"$t/codes").where(col("id") === 1L)
+    dup.write.mode("append").parquet(s"$t/codes")
+    assert(StoreFsck.pqStore(spark, dir)
+      .as[(String, Long)].collect().toMap.apply("duplicate_code_ids") == 1L)
+    val served = Ann.pqTopKFromStore(queries, base, dir, k = 3)
+    val perQuery = served.groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("neighbor_id")).as("d"))
+      .as[(Long, Long, Long)].collect()
+    perQuery.foreach { case (q, n, d) =>
+      assert(n == 3L && d == 3L, s"query $q served $n rows, $d distinct")
+    }
+
+    val ivfDir = s"${tmp("annb")}/ivfpqdup"
+    Ann.writeIvfPqIndex(base, ivfDir, k = 4, m = 4, ksub = 4, iters = 2)
+    val it = VersionedStore.tableRoot(ivfDir)
+    val idup = spark.read.parquet(s"$it/cells").where(col("id") === 1L)
+    idup.write.mode("append").parquet(s"$it/cells")
+    val iserved = Ann.ivfPqTopKFromStore(queries, base, ivfDir,
+      k = 3, nProbe = 4)
+    iserved.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("neighbor_id")).as("d"))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (q, n, d) =>
+        assert(n == 3L && d == 3L, s"query $q served $n rows, $d distinct")
+      }
+  }
+}
