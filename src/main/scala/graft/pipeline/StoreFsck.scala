@@ -320,7 +320,11 @@ object StoreFsck {
     *     here rather than as "empty store");
     *   - `pointer_to_missing_generation`: the pointer names a
     *     generation that is absent or incomplete (an over-eager manual
-    *     delete — the one state that DOES break reads, loudly). */
+    *     delete — the one state that DOES break reads, loudly);
+    *   - `superseded_flat_dirs`: pre-migration FLAT layout dirs still
+    *     sitting beside the generations (a publish whose post-flip
+    *     cleanup crashed, or a migration by an older build) —
+    *     unreachable bytes, re-swept by the next publish. */
   def versionedStore(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val gens = VersionedStore.listGens(root)
@@ -343,7 +347,11 @@ object StoreFsck {
         if (cur.isEmpty && corrupt == 0L && complete.nonEmpty) 1L else 0L),
       ("corrupt_pointer", corrupt),
       ("pointer_to_missing_generation",
-        if (cur.exists(c => !complete.contains(c))) 1L else 0L))
+        if (cur.exists(c => !complete.contains(c))) 1L else 0L),
+      ("superseded_flat_dirs",
+        if (gens.isEmpty) 0L
+        else StoreFs.listDirNames(root)
+          .count(!_.startsWith("gen-")).toLong))
       .toDF("check_name", "n_bad")
   }
 

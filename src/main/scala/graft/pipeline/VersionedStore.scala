@@ -143,9 +143,34 @@ object VersionedStore {
   /** Publish one new generation holding ALL of `tables`, and flip the
     * pointer to it. Returns the new generation id. The flip happens
     * only after every table and the completeness marker are down; any
-    * crash before it leaves readers on the previous generation. */
+    * crash before it leaves readers on the previous generation.
+    *
+    * LEGACY-FLAT MIGRATION: a publish over a root that still carries the
+    * FLAT layout (pre-generation tables, and in particular a flat
+    * `tombstones/` set) supersedes it — and a pending takedown recorded
+    * under the old layout must not stop filtering just because the
+    * store was rebuilt: the flat id set is CARRIED into the new
+    * generation's overlay before the marker lands (a rebuilt table may
+    * re-index the erased ids; live-rows rebuilds carry them redundantly,
+    * which an anti-join cannot observe). After the flip the superseded
+    * flat set and any flat dir shadowing a published table name are
+    * DELETED — they are unreferenced bytes no reader can reach and no
+    * gc would otherwise retire; a crash mid-cleanup leaves them for the
+    * next publish's idempotent re-sweep (fsck: `superseded_flat_dirs`).
+    *
+    * Table names are slash-separable relative paths (a batch-addressed
+    * bootstrap publishes `cells/batch=0`); the BASE segment must not
+    * collide with the protocol's own artifacts. */
   def publish(root: String, tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "VersionedStore.publish: no tables")
+    tables.keys.foreach { n =>
+      val base = n.split('/').head
+      require(base.nonEmpty && !base.startsWith("gen-") &&
+        base != "tombstones" && !base.startsWith(Pointer) &&
+        base != Marker,
+        s"VersionedStore.publish: table name '$n' collides with the" +
+          " store protocol's own layout")
+    }
     maintenance(root) {
     // number past every COMPLETE generation, not just the pointer: a
     // publish that crashed between its marker and its flip leaves an
@@ -168,8 +193,25 @@ object VersionedStore {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
     }
+    // legacy-flat migration half 1 (see scaladoc): pending takedowns
+    // recorded under the superseded flat layout carry into this
+    // generation's overlay BEFORE the marker — a complete generation
+    // always already filters them (adopt() may flip to it later)
+    val flatSet = s"$root/tombstones"
+    if (StoreFs.hasFileWithSuffix(flatSet, ".parquet")) {
+      val spark = tables.head._2.sparkSession
+      Tombstones.writeSet(
+        spark.read.parquet(flatSet).select("id").distinct(), dir)
+    }
     touch(s"$dir/$Marker")
     flipPointer(root, gen)
+    // half 2, after the flip: the flat layout is unreachable now (every
+    // reader resolves through the pointer) — retire it rather than leave
+    // unreferenced bytes no gc names. Idempotent: a crash mid-sweep
+    // leaves dirs the next publish re-deletes and fsck reports meanwhile
+    StoreFs.deleteRecursive(flatSet)
+    tables.keys.map(_.split('/').head).toSet[String]
+      .foreach(base => StoreFs.deleteRecursive(s"$root/$base"))
     gen
     }
   }

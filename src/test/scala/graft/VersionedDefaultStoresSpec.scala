@@ -184,6 +184,47 @@ class VersionedDefaultStoresSpec extends SparkSpec {
       Set(0L, 2L, 3L, 5L, 6L)) // gen 2 serving, both takedowns filtered
   }
 
+  test("rebuilding over a legacy flat root carries its pending takedowns and retires the flat tables") {
+    import graft.pipeline.StoreFs
+    val dir = s"${tmp("vdef")}/index"
+    // a LEGACY store: flat tables at the root (the pre-generation
+    // layout), plus a pending takedown recorded under it
+    Retrieval.positionalPostings(docsDf).coalesce(1)
+      .write.parquet(s"$dir/postings")
+    Retrieval.docLengths(docsDf).coalesce(1).write.parquet(s"$dir/doclens")
+    Tombstones.appendDf(Seq(1L).toDF("doc_id"), dir)
+    assert(!VersionedStore.isVersioned(dir))
+    assert(!Retrieval.phraseSearch(Retrieval.readPostingsIndex(spark, dir),
+      Seq("table", "value")).select("doc_id").as[Long]
+      .collect().contains(1L))
+
+    // the REBUILD publishes gen-1 over the flat root: the erased id must
+    // keep filtering (the rebuilt tables re-index it!) and the
+    // superseded flat layout must not remain as unreferenced bytes
+    Retrieval.writePostingsIndex(docsDf, dir)
+    assert(VersionedStore.isVersioned(dir))
+    val served = Retrieval.phraseSearch(
+        Retrieval.readPostingsIndex(spark, dir), Seq("table", "value"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == Set(0L, 2L, 4L, 6L),
+      s"pending flat takedown must survive the rebuild (got $served)")
+    // pinned reads filter too (erasure is never resurrectable)
+    val gen = VersionedStore.currentGen(dir).get
+    assert(!VersionedStore.readAsOfLive(spark, dir, "doclens", gen, "doc_id")
+      .select("doc_id").as[Long].collect().contains(1L))
+    // the flat tables and the flat set are gone; fsck audits clean
+    assert(StoreFs.listDirNames(dir).forall(_.startsWith("gen-")),
+      StoreFs.listDirNames(dir).toString)
+    val vf = StoreFsck.versionedStore(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(vf("superseded_flat_dirs") == 0L, vf.toString)
+    // a crashed cleanup's leftover IS the fsck finding
+    StoreFs.mkdirs(s"$dir/postings")
+    assert(StoreFsck.versionedStore(spark, dir)
+      .as[(String, Long)].collect().toMap.apply("superseded_flat_dirs") == 1L)
+    StoreFs.deleteRecursive(s"$dir/postings")
+  }
+
   test("takedown against an unpublished versioned root fails loudly") {
     val dir = s"${tmp("vdef")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
