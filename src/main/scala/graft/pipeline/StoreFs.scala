@@ -196,6 +196,25 @@ object StoreFs {
     * readers see the old bytes or the new, never a torn write.
     * `tmpSuffix` names the in-flight file (pid-scoped by default) so
     * crashed flips are identifiable dead bytes. */
+  /** Create `path` CREATE-EXCLUSIVE (fails, returns false, when it
+    * already exists — never overwrites): the conditional-write
+    * primitive object-store pointer protocols need where rename is
+    * copy+delete or last-writer-wins. On S3A-class stores Hadoop maps
+    * overwrite=false to a conditional PUT; on POSIX it is the
+    * O_CREAT|O_EXCL check. Any other IO failure stays loud. */
+  def createExclusive(path: String, bytes: Array[Byte] = Array.empty)
+      : Boolean = {
+    val (fs, p) = fsPath(path)
+    try {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(p)) false else throw e
+    }
+  }
+
   def writeAtomic(path: String, bytes: Array[Byte],
       tmpSuffix: String = s".tmp.${ProcessHandle.current.pid}"): Unit = {
     val (fs, p) = fsPath(path)

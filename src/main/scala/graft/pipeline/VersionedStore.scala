@@ -41,9 +41,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * generation writes are the same distributed table writes the
   * unversioned stores run; nothing store-sized ever moves to publish a
   * generation beyond the tables themselves. Object stores whose rename
-  * is not atomic degrade to last-writer-wins on the POINTER — still
-  * never a torn multi-table state, because every generation directory
-  * is immutable once marked complete.
+  * is not atomic use the CREATE-EXCLUSIVE pointer protocol instead
+  * (`graft.store.pointerProtocol`, auto-selected by scheme): each flip
+  * writes an immutable `_POINTER.<gen>` marker conditionally, current
+  * resolves as the max — racing flips write different markers and the
+  * max wins deterministically, so no flip record is ever overwritten
+  * and a torn multi-table state remains impossible on every store
+  * class.
   *
   * Takedowns are an O(request) PER-GENERATION TOMBSTONE OVERLAY
   * ([[takedownDf]]): the id set appends under every retained complete
@@ -69,6 +73,88 @@ object VersionedStore {
 
   private val Pointer = "_CURRENT"
   private val Marker = "_COMPLETE"
+  private val Reserved = "_RESERVED"
+  private val reserveNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Pointer-marker prefix of the CREATE-EXCLUSIVE flip protocol:
+    * `_POINTER.<gen>` files, one per flip, resolved as the max — shared
+    * with [[StoreFsck]] like [[PointerTmpPrefix]]. */
+  private[graft] val PointerMarkerPrefix = "_POINTER."
+
+  /** The flip-protocol knob (a Spark conf, runtime-settable):
+    * `rename` — one `_CURRENT` file updated by write-tmp + atomic
+    * RENAME-OVERWRITE (POSIX, HDFS); `exclusive` — an immutable
+    * `_POINTER.<gen>` marker per flip, written CREATE-EXCLUSIVE, the
+    * max resolving as current (object stores, where rename is
+    * copy+delete and an overwrite is last-writer-wins: two racing
+    * flips under `exclusive` write two different markers and the max
+    * wins deterministically — neither record is ever destroyed);
+    * `auto` (default) — by scheme: file/hdfs/viewfs rename, everything
+    * else exclusive. Resolution ([[currentGen]]) always honors BOTH
+    * record forms, so a store migrates protocols by just flipping the
+    * knob. */
+  private val ProtocolConf = "graft.store.pointerProtocol"
+
+  private def flipProtocol(root: String): String = {
+    val mode = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get(ProtocolConf, "auto")).getOrElse("auto")
+    mode match {
+      case "rename" | "exclusive" => mode
+      case "auto" =>
+        val (fs, p) = StoreFs.fsPath(root)
+        fs.makeQualified(p).toUri.getScheme match {
+          case null | "file" | "hdfs" | "viewfs" => "rename"
+          case _ => "exclusive"
+        }
+      case other => throw new IllegalArgumentException(
+        s"$ProtocolConf must be auto|rename|exclusive, got '$other'")
+    }
+  }
+
+  /** Generation ids recorded by `_POINTER.<gen>` flip markers. */
+  private def markerGens(root: String): Seq[Long] =
+    StoreFs.listNames(root).collect {
+      case n if n.startsWith(PointerMarkerPrefix) &&
+          n.length > PointerMarkerPrefix.length &&
+          n.drop(PointerMarkerPrefix.length).forall(_.isDigit) =>
+        n.drop(PointerMarkerPrefix.length).toLong
+    }
+
+  /** This host's name, as written into reservation tokens — gc's
+    * pid-liveness check only applies to reservations OUR host made
+    * (a pid is meaningless across hosts). */
+  private[graft] lazy val hostId: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown-host" }
+
+  /** (host, pid) of a generation's reservation token — Some while a
+    * publish holds the dir (or crashed holding it), None for committed
+    * generations and pre-protocol partials. A token whose format is
+    * unrecognized reads as a FOREIGN reservation (never retired by the
+    * liveness rule) rather than as none. */
+  private[graft] def reservation(root: String, gen: Long)
+      : Option[(String, Long)] =
+    StoreFs.readBytesOpt(s"${genDir(root, gen)}/$Reserved").map { b =>
+      new String(b, "UTF-8").trim.split(' ') match {
+        case Array(host, pid, _) if pid.forall(_.isDigit) =>
+          (host, pid.toLong)
+        case _ => ("unparseable-token", -1L)
+      }
+    }
+
+  /** A reservation THIS host made whose publisher is no longer alive —
+    * the one kind of crashed in-flight publish gc can prove dead and
+    * retire. Foreign-host reservations are spared (their liveness is
+    * unknowable here; the cross-host maintenance regime already
+    * requires an external coordinator). */
+  private[graft] def staleReservation(root: String, gen: Long): Boolean =
+    reservation(root, gen).exists { case (host, pid) =>
+      host == hostId && pid >= 0 && {
+        val h = ProcessHandle.of(pid)
+        !(h.isPresent && h.get.isAlive)
+      }
+    }
 
   /** The crashed-flip tmp prefix — shared with [[StoreFsck]] so the
     * audit and the gc can never drift apart on the naming. */
@@ -76,10 +162,16 @@ object VersionedStore {
 
   private def genDir(root: String, gen: Long) = s"$root/gen-$gen"
 
-  /** MAINTENANCE operations (publish/gc/adopt) serialize under one
-    * lock per store root — two concurrent publishers would otherwise
-    * both claim the same generation id and interleave writes inside one
-    * directory. READERS never take it: a complete generation is
+  /** MAINTENANCE operations (publish's reserve/commit steps, takedown,
+    * gc, adopt) serialize under one lock per store root — two
+    * concurrent publishers would otherwise both claim the same
+    * generation id, and a takedown could slip a generation past its
+    * overlay append. The lock is held only for METADATA steps: a
+    * publish's distributed table write happens OUTSIDE it (between
+    * reserve and commit), so a takedown — the compliance sink's
+    * foreachBatch included — never blocks behind a corpus-sized
+    * rebuild; it records into the in-flight reservation's overlay
+    * instead. READERS never take it: a complete generation is
     * immutable and the pointer flip is atomic, so reads are lock-free
     * by construction (the whole point of the protocol). The JVM-local
     * monitor wraps the file lock per ProcessLock's contract (same-JVM
@@ -116,28 +208,34 @@ object VersionedStore {
     }
   }
 
-  /** The generation `_CURRENT` points at — None before the first
-    * publish. Loud failure on unreadable pointer CONTENT (a corrupt
-    * pointer must not read as an empty store). */
+  /** The current generation — the NEWEST flip record across both
+    * pointer protocols: the `_CURRENT` file's content (rename protocol)
+    * and the max `_POINTER.<gen>` marker (exclusive protocol). None
+    * before the first publish. Loud failure on unreadable `_CURRENT`
+    * CONTENT even when markers exist (a corrupt pointer is an
+    * operational fact demanding [[adopt]], never silently out-voted). */
   def currentGen(root: String): Option[Long] = {
     val (fs, p) = StoreFs.fsPath(s"$root/$Pointer")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val raw = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        Some(raw.toLong)
-      } catch {
-        // unparseable content and checksum-mismatched bytes are the same
-        // operational fact: the pointer is corrupt (it must surface as
-        // that, not as an empty store or a generic IO failure)
-        case e @ (_: NumberFormatException |
-                  _: org.apache.hadoop.fs.ChecksumException) =>
-          throw new IllegalStateException(
-            s"VersionedStore: corrupt pointer at $root/$Pointer", e)
-      } finally in.close()
-    }
+    val renamed =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val raw = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          Some(raw.toLong)
+        } catch {
+          // unparseable content and checksum-mismatched bytes are the
+          // same operational fact: the pointer is corrupt (it must
+          // surface as that, not as an empty store or a generic IO
+          // failure)
+          case e @ (_: NumberFormatException |
+                    _: org.apache.hadoop.fs.ChecksumException) =>
+            throw new IllegalStateException(
+              s"VersionedStore: corrupt pointer at $root/$Pointer", e)
+        } finally in.close()
+      }
+    (renamed ++ markerGens(root)).maxOption
   }
 
   /** Publish one new generation holding ALL of `tables`, and flip the
@@ -171,55 +269,102 @@ object VersionedStore {
         s"VersionedStore.publish: table name '$n' collides with the" +
           " store protocol's own layout")
     }
-    maintenance(root) {
-    // number past every COMPLETE generation, not just the pointer: a
-    // publish that crashed between its marker and its flip leaves an
-    // unreferenced complete generation above the pointer, and the next
-    // publish must walk around it (re-running it is the recovery), not
-    // refuse forever
-    val gen = math.max(currentGen(root).getOrElse(0L),
-      listGens(root).collect { case (g, true) => g }
-        .maxOption.getOrElse(0L)) + 1L
+    // RESERVE under a SHORT lock, write the tables OUTSIDE it, COMMIT
+    // under a second short lock: the maintenance lock is never held for
+    // the duration of a distributed table write, so a takedown
+    // (including the compliance sink's foreachBatch) is no longer
+    // blocked behind a corpus-sized rebuild on the same root — it
+    // appends under the lock to every complete generation AND to this
+    // reservation's overlay ([[takedownValidated]]), which is exactly
+    // why the reservation must be visible before the first table byte
+    val (gen, token) = reserve(root)
     val dir = genDir(root, gen)
-    require(!StoreFs.exists(s"$dir/$Marker"),
-      s"VersionedStore.publish: generation $gen already complete at $root" +
-        " — concurrent publisher? (single-writer protocol, like every" +
-        " maintenance pass here)")
-    // a crashed publish may have left a PARTIAL dir under this id; wipe
-    // it whole rather than per-table overwrite — otherwise a stale table
-    // the new publish doesn't carry would ride inside the completed
-    // generation and readAsOf would serve it as if published
-    StoreFs.deleteRecursive(dir)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
     }
-    // legacy-flat migration half 1 (see scaladoc): pending takedowns
-    // recorded under the superseded flat layout carry into this
-    // generation's overlay BEFORE the marker — a complete generation
-    // always already filters them (adopt() may flip to it later)
-    val flatSet = s"$root/tombstones"
-    if (StoreFs.hasFileWithSuffix(flatSet, ".parquet")) {
-      val spark = tables.head._2.sparkSession
-      Tombstones.writeSet(
-        spark.read.parquet(flatSet).select("id").distinct(), dir)
-    }
-    touch(s"$dir/$Marker")
-    flipPointer(root, gen)
-    // half 2, after the flip: the flat layout is unreachable now (every
-    // reader resolves through the pointer) — retire it rather than leave
-    // unreferenced bytes no gc names. Idempotent: a crash mid-sweep
-    // leaves dirs the next publish re-deletes and fsck reports meanwhile
-    StoreFs.deleteRecursive(flatSet)
-    tables.keys.map(_.split('/').head).toSet[String]
-      .foreach(base => StoreFs.deleteRecursive(s"$root/$base"))
-    gen
-    }
+    commit(root, gen, token, tables.keys.map(_.split('/').head).toSet,
+      tables.head._2.sparkSession)
   }
 
-  /** Is `root` a versioned store? One pointer-existence probe — the
-    * layout dispatch every migrated store family runs before choosing
-    * between generation-resolved and flat-table paths. */
-  def isVersioned(root: String): Boolean = StoreFs.exists(s"$root/$Pointer")
+  /** Claim the next generation id under the maintenance lock and mark
+    * the dir with a reservation token. Numbering past every COMPLETE
+    * generation stays the recovery for crashed publishes (re-running
+    * one reuses its partial dir, wiped whole here); dirs another
+    * publisher has RESERVED — live, or crashed but not yet gc'd — are
+    * skipped, never wiped: the reservation is what makes the
+    * write-outside-the-lock protocol collision-free. */
+  private[graft] def reserve(root: String): (Long, String) =
+    maintenance(root) {
+      var gen = math.max(currentGen(root).getOrElse(0L),
+        listGens(root).collect { case (g, true) => g }
+          .maxOption.getOrElse(0L)) + 1L
+      while (reservation(root, gen).isDefined) gen += 1L
+      val dir = genDir(root, gen)
+      require(!StoreFs.exists(s"$dir/$Marker"),
+        s"VersionedStore.publish: generation $gen already complete at" +
+          s" $root — concurrent publisher? (single-writer protocol, like" +
+          " every maintenance pass here)")
+      // a crashed publish may have left a PARTIAL dir under this id;
+      // wipe it whole rather than per-table overwrite — otherwise a
+      // stale table the new publish doesn't carry would ride inside the
+      // completed generation and readAsOf would serve it as if published
+      StoreFs.deleteRecursive(dir)
+      val token = s"$hostId ${ProcessHandle.current.pid}" +
+        s" ${reserveNonce.incrementAndGet()}"
+      StoreFs.writeAtomic(s"$dir/$Reserved", token.getBytes("UTF-8"))
+      (gen, token)
+    }
+
+  /** The marker+flip half of [[publish]], under its own short lock. The
+    * reservation token is re-checked first: if a stale-reservation gc
+    * (or an operator) retired the dir while the tables were writing,
+    * committing over it would publish torn state — fail loudly instead.
+    * The flip is MONOTONE: concurrent publishers (outside the
+    * single-writer contract, but serialized per-step here) commit in
+    * write-finish order, and the pointer must never move BACKWARD to an
+    * earlier reservation — a non-flipped commit stays readable via
+    * [[readAsOf]] and is [[adopt]]/gc fodder like any unreferenced
+    * complete generation. */
+  private[graft] def commit(root: String, gen: Long, token: String,
+      tableBases: Set[String], spark: SparkSession): Long =
+    maintenance(root) {
+      val dir = genDir(root, gen)
+      val held = StoreFs.readBytesOpt(s"$dir/$Reserved")
+        .map(new String(_, "UTF-8"))
+      require(held.contains(token),
+        s"VersionedStore.publish: reservation for generation $gen at" +
+          s" $root was ${held.fold("retired mid-write (stale-reservation" +
+            " gc against a live publisher?)")(t => s"overwritten by '$t'")}" +
+          " — refusing to commit")
+      // legacy-flat migration half 1 (see publish scaladoc): pending
+      // takedowns recorded under the superseded flat layout carry into
+      // this generation's overlay BEFORE the marker — commit-time, so a
+      // takedown recorded flat WHILE a first publish was writing its
+      // tables is carried too; a complete generation always already
+      // filters them (adopt() may flip to it later)
+      val flatSet = s"$root/tombstones"
+      if (StoreFs.hasFileWithSuffix(flatSet, ".parquet")) {
+        Tombstones.writeSet(
+          spark.read.parquet(flatSet).select("id").distinct(), dir)
+      }
+      touch(s"$dir/$Marker")
+      StoreFs.deleteRecursive(s"$dir/$Reserved")
+      if (currentGen(root).forall(_ < gen)) flipPointer(root, gen)
+      // half 2, after the flip: the flat layout is unreachable now
+      // (every reader resolves through the pointer) — retire it rather
+      // than leave unreferenced bytes no gc names. Idempotent: a crash
+      // mid-sweep leaves dirs the next publish re-deletes and fsck
+      // reports meanwhile
+      StoreFs.deleteRecursive(flatSet)
+      tableBases.foreach(base => StoreFs.deleteRecursive(s"$root/$base"))
+      gen
+    }
+
+  /** Is `root` a versioned store? One pointer probe per protocol form —
+    * the layout dispatch every migrated store family runs before
+    * choosing between generation-resolved and flat-table paths. */
+  def isVersioned(root: String): Boolean =
+    StoreFs.exists(s"$root/$Pointer") || markerGens(root).nonEmpty
 
   /** The directory holding `root`'s LIVE tables: the current generation
     * when the store is versioned, `root` itself for a flat (unversioned
@@ -261,10 +406,20 @@ object VersionedStore {
     * sink) is generation-aware without per-family changes. */
   private[pipeline] def takedownValidated(idsLong: DataFrame,
       root: String): Unit = maintenance(root) {
-    val gens = listGens(root).collect { case (g, true) => g }
-    require(gens.nonEmpty,
+    val all = listGens(root)
+    val complete = all.collect { case (g, true) => g }
+    require(complete.nonEmpty,
       s"VersionedStore.takedownDf: no complete generation at $root —" +
         " a takedown against an unpublished store would record nothing")
+    // an IN-FLIGHT publish (a reservation whose tables are writing
+    // outside the lock) gets the overlay too: its tables were built
+    // from rows read before this takedown, so without the append here
+    // the new generation would serve the erased ids the moment it
+    // flipped. Appending into a CRASHED reservation is dead bytes gc
+    // retires with the dir
+    val gens = complete ++ all.collect {
+      case (g, false) if reservation(root, g).isDefined => g
+    }
     // materialize the id set ONCE before the per-generation fan-out: a
     // nondeterministic ids source (a query over changing data, a sampled
     // frame) re-executed per generation could record DIFFERENT sets in
@@ -333,14 +488,26 @@ object VersionedStore {
     * generations, including the crashed publish adopt would recover. */
   def adopt(root: String): Option[Long] = maintenance(root) {
     val complete = listGens(root).collect { case (g, true) => g }
-    val cur =
-      (try currentGen(root)
-      catch { case _: IllegalStateException => None }) // corrupt: replace
-        // a DANGLING pointer (its generation deleted or incomplete) is
-        // as unrecoverable a reference as corrupt content — and it is
-        // the one fsck state that breaks reads, so adopt must repair it
-        .filter(complete.contains)
-    complete.maxOption.filter(g => cur.forall(_ < g)).map { g =>
+    val (cur, corrupt) =
+      (try (currentGen(root), false)
+      catch { case _: IllegalStateException => (None, true) }) // replace
+    // a DANGLING pointer (its generation deleted or incomplete) is
+    // as unrecoverable a reference as corrupt content — and it is
+    // the one fsck state that breaks reads, so adopt must repair it
+    val usable = cur.filter(complete.contains)
+    complete.maxOption.filter(g => usable.forall(_ < g)).map { g =>
+      // corrupt or DANGLING records must be REMOVED, not out-voted:
+      // resolution takes the max over both record forms, so a stale
+      // `_CURRENT` content or `_POINTER.<gen>` marker above the adopted
+      // generation would keep winning (or keep throwing, if corrupt).
+      // Recovery-time non-atomicity is acceptable here — a crash
+      // mid-repair leaves a missing-pointer state adopt itself recovers,
+      // never a torn read
+      if (corrupt || cur.exists(_ > g)) {
+        StoreFs.deleteRecursive(s"$root/$Pointer")
+        markerGens(root).filter(_ > g).foreach(m =>
+          StoreFs.deleteRecursive(s"$root/$PointerMarkerPrefix$m"))
+      }
       flipPointer(root, g)
       g
     }
@@ -370,18 +537,38 @@ object VersionedStore {
       // misuse, free because the next publish wipes-and-reuses the dir.)
       StoreFs.listNames(root).filter(_.startsWith(PointerTmpPrefix))
         .foreach(n => StoreFs.deleteRecursive(s"$root/$n"))
+      // superseded pointer MARKERS (exclusive protocol): every
+      // `_POINTER.<g>` below the resolved current is a dead flip record
+      // — the max is the pointer; one small file per retired flip
+      currentGen(root).foreach { cur =>
+        markerGens(root).filter(_ < cur).foreach(g =>
+          StoreFs.deleteRecursive(s"$root/$PointerMarkerPrefix$g"))
+      }
       currentGen(root) match {
         case None => Seq.empty
         case Some(cur) =>
           val gens = listGens(root)
           val keepSet = gens.filter(g => g._1 <= cur && g._2)
             .map(_._1).sorted.reverse.take(keep + 1).toSet
+          // a LIVE (or foreign-host) reservation is spared at ANY
+          // position: a slower publisher's generation id can fall below
+          // cur once a later reservation commits first, and retiring it
+          // mid-write would fail that publisher's commit for no reason
+          // (the token re-check keeps even that failure loud, never torn)
+          def liveReservation(g: Long): Boolean =
+            reservation(root, g).isDefined && !staleReservation(root, g)
           val dead = gens.collect {
-            case (g, _) if g <= cur && !keepSet.contains(g) => g
+            case (g, _) if g <= cur && !keepSet.contains(g) &&
+              !liveReservation(g) => g
             case (g, complete) if g > cur && complete => g
-            // g > cur && !complete: kept — a cross-host publisher this
-            // lock cannot see may own it, and the next local publish
-            // wipes-and-reuses the dir anyway
+            // g > cur && !complete, reservation from THIS host whose
+            // publisher pid is dead: a crashed in-flight publish —
+            // provably abandoned, and numbering skips reserved dirs so
+            // (unlike pre-protocol partials) no publish ever reuses it
+            case (g, false) if g > cur && staleReservation(root, g) => g
+            // g > cur && !complete otherwise: kept — a cross-host or
+            // still-live publisher may own it (pre-protocol partials:
+            // the next local publish wipes-and-reuses the dir anyway)
           }.filterNot(_ == cur).sorted
           dead.foreach(g => StoreFs.deleteRecursive(genDir(root, g)))
           dead
@@ -403,10 +590,22 @@ object VersionedStore {
     out.close()
   }
 
-  /** Atomic pointer flip — [[StoreFs.writeAtomic]]'s tmp + RENAME with
-    * OVERWRITE, with the tmp name pinned to [[PointerTmpPrefix]] so a
-    * crashed flip is the exact dead-bytes artifact fsck and gc name. */
+  /** Atomic pointer flip, by the root's protocol ([[ProtocolConf]]):
+    * rename — [[StoreFs.writeAtomic]]'s tmp + RENAME with OVERWRITE,
+    * tmp name pinned to [[PointerTmpPrefix]] so a crashed flip is the
+    * exact dead-bytes artifact fsck and gc name; exclusive — one
+    * immutable `_POINTER.<gen>` marker written CREATE-EXCLUSIVE (an
+    * existing marker for the SAME generation states the same fact, so
+    * the collision is an idempotent success — publish generation ids
+    * are reservation-unique, adopt may legitimately re-flip). */
   private def flipPointer(root: String, gen: Long): Unit =
-    StoreFs.writeAtomic(s"$root/$Pointer", gen.toString.getBytes("UTF-8"),
-      tmpSuffix = s".tmp.${ProcessHandle.current.pid}")
+    flipProtocol(root) match {
+      case "rename" =>
+        StoreFs.writeAtomic(s"$root/$Pointer",
+          gen.toString.getBytes("UTF-8"),
+          tmpSuffix = s".tmp.${ProcessHandle.current.pid}")
+      case _ =>
+        StoreFs.createExclusive(s"$root/$PointerMarkerPrefix$gen")
+        ()
+    }
 }

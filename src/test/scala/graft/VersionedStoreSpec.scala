@@ -145,6 +145,134 @@ class VersionedStoreSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap.values.forall(_ == 0L))
   }
 
+  test("a takedown during an in-flight publish lands in that generation's overlay") {
+    val root = tmp()
+    VersionedStore.publish(root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    // a publish is mid-write: reservation taken, tables writing OUTSIDE
+    // the maintenance lock (the split-lock protocol)
+    val (gen, token) = VersionedStore.reserve(root)
+    assert(gen == 2L)
+    Seq((1L, "a2"), (2L, "b2")).toDF("id", "v")
+      .write.parquet(s"$root/gen-$gen/t")
+    // the takedown does NOT wait for the table write to finish — and it
+    // must reach the in-flight generation too, because its tables were
+    // built from rows read BEFORE the erasure
+    VersionedStore.takedownDf(Seq(2L).toDF("id"), root)
+    VersionedStore.commit(root, gen, token, Set("t"), spark)
+    assert(VersionedStore.currentGen(root).contains(gen))
+    assert(VersionedStore.readLive(spark, root, "t", "id")
+      .select("v").as[String].collect().toSeq == Seq("a2"),
+      "the erased id must not serve from the generation published around" +
+        " the takedown")
+    assert(VersionedStore.readAsOfLive(spark, root, "t", 1L, "id")
+      .select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("stale reservations: gc retires dead-publisher dirs, spares live and foreign ones") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // LIVE reservation (our pid): numbering skips it, gc spares it,
+    // fsck does not flag it
+    val (gen2, token2) = VersionedStore.reserve(root)
+    assert(VersionedStore.gc(root).isEmpty)
+    assert(fsck(root)("stale_reservations") == 0L)
+    // a concurrent publish numbers PAST the live reservation
+    val g3 = VersionedStore.publish(root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    assert(g3 == gen2 + 1L)
+    // DEAD same-host reservation: provably abandoned — flagged, retired
+    StoreFs.writeAtomic(s"$root/gen-9/_RESERVED",
+      s"${VersionedStore.hostId} 2147483647 1".getBytes("UTF-8"))
+    assert(fsck(root)("stale_reservations") == 1L)
+    // gc retires the dead reservation; the LIVE one — now BELOW cur,
+    // because a later reservation committed first — is spared (retiring
+    // it would fail the slower publisher's commit for no reason)
+    assert(VersionedStore.gc(root) == Seq(9L))
+    assert(!StoreFs.exists(s"$root/gen-9"))
+    assert(StoreFs.exists(s"$root/gen-$gen2/_RESERVED"))
+    // FOREIGN-host reservation: liveness unknowable — spared, not flagged
+    StoreFs.writeAtomic(s"$root/gen-8/_RESERVED",
+      "some-other-host 1 1".getBytes("UTF-8"))
+    assert(fsck(root)("stale_reservations") == 0L)
+    assert(VersionedStore.gc(root).isEmpty)
+    StoreFs.deleteRecursive(s"$root/gen-8")
+    // a retired-then-stolen reservation must refuse to commit: the
+    // tables may be torn under a dir someone else now owns
+    StoreFs.writeAtomic(s"$root/gen-${gen2}/_RESERVED",
+      "thief 99 1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      VersionedStore.commit(root, gen2, token2, Set("t"), spark)
+    }
+    assert(!StoreFs.exists(s"$root/gen-$gen2/_COMPLETE"),
+      "a refused commit must not mark the generation complete")
+    assert(VersionedStore.currentGen(root).contains(g3))
+  }
+
+  test("exclusive pointer protocol: create-exclusive markers, max-resolution, protocol migration") {
+    import graft.pipeline.StoreFs
+    // simulate an object store whose rename is NOT atomic: force the
+    // create-exclusive protocol (auto picks it for s3a/gs/abfs schemes)
+    spark.conf.set("graft.store.pointerProtocol", "exclusive")
+    try {
+      val root = tmp()
+      val g1 = VersionedStore.publish(root,
+        Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+      assert(g1 == 1L && VersionedStore.currentGen(root).contains(1L))
+      assert(!StoreFs.exists(s"$root/_CURRENT"),
+        "exclusive protocol writes flip markers, never a mutable pointer")
+      assert(StoreFs.exists(s"$root/_POINTER.1"))
+      assert(VersionedStore.isVersioned(root))
+      assert(VersionedStore.readLive(spark, root, "t", "id").count() == 1L)
+      val g2 = VersionedStore.publish(root,
+        Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+      assert(g2 == 2L && VersionedStore.currentGen(root).contains(2L))
+      // both flip records exist — NEITHER was overwritten (the property
+      // rename-on-object-store cannot give); max resolves, gc sweeps
+      assert(StoreFs.exists(s"$root/_POINTER.1") &&
+        StoreFs.exists(s"$root/_POINTER.2"))
+      assert(fsck(root)("superseded_pointer_markers") == 1L)
+      VersionedStore.gc(root, keep = 1)
+      assert(!StoreFs.exists(s"$root/_POINTER.1") &&
+        StoreFs.exists(s"$root/_POINTER.2"))
+      assert(fsck(root)("superseded_pointer_markers") == 0L)
+      assert(VersionedStore.readAsOf(spark, root, "t", 1L).count() == 1L,
+        "gc keep=1 retains the pinned generation; only the marker retired")
+
+      // PROTOCOL MIGRATION: a store born under rename keeps working
+      // when the knob flips — resolution honors both record forms
+      spark.conf.set("graft.store.pointerProtocol", "rename")
+      val r2 = tmp()
+      VersionedStore.publish(r2, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+      assert(StoreFs.exists(s"$r2/_CURRENT"))
+      spark.conf.set("graft.store.pointerProtocol", "exclusive")
+      VersionedStore.publish(r2, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+      assert(VersionedStore.currentGen(r2).contains(2L),
+        "the marker record must out-resolve the older _CURRENT content")
+      assert(VersionedStore.read(spark, r2, "t")
+        .select("v").as[String].collect().toSeq == Seq("b"))
+      // and back: a rename flip above the marker wins by max again
+      spark.conf.set("graft.store.pointerProtocol", "rename")
+      VersionedStore.publish(r2, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+      assert(VersionedStore.currentGen(r2).contains(3L))
+
+      // recovery: a dangling marker (its generation hand-deleted) reads
+      // loudly and adopt REMOVES the stale record — under this protocol
+      // a lower flip cannot out-vote it
+      spark.conf.set("graft.store.pointerProtocol", "exclusive")
+      val r3 = tmp()
+      VersionedStore.publish(r3, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+      VersionedStore.publish(r3, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+      StoreFs.deleteRecursive(s"$r3/gen-2")
+      intercept[IllegalArgumentException] { VersionedStore.tableRoot(r3) }
+      assert(VersionedStore.adopt(r3).contains(1L))
+      assert(!StoreFs.exists(s"$r3/_POINTER.2"))
+      assert(VersionedStore.read(spark, r3, "t")
+        .select("v").as[String].collect().toSeq == Seq("a"))
+    } finally spark.conf.unset("graft.store.pointerProtocol")
+  }
+
   test("random publish/crash/gc interleavings: reads always serve the last flip") {
     // model-based generative check: whatever order publishes, crashed
     // partials and gc runs interleave in, (a) read serves exactly the
