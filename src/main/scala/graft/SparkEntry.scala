@@ -1780,6 +1780,30 @@ object SparkEntry {
         """{"type":"record","name":"Ghost","fields":[]}""")
       val stamped = env(s, dir).limit(100)
         .select(lit(v1.digest).as("schema_id"))
+      // evolution round-trip: one sampled row per digest decodes
+      // against the latest reader. Healthy: v1+v2 payloads, v2 reader
+      // (the defaulted-field evolution decodeByDigest serves) → 0. A
+      // planted v3 reader whose new field has NO default cannot resolve
+      // either writer → both digests fail AT AUDIT TIME, not mid-query
+      val encV1 = graft.functions.AvroCodec.encodeEventPayload(v1.schemaJson)
+      val v2 = graft.model.VersionedSchema("events", 2,
+        v1.schemaJson.dropRight(2) +
+          """,{"name":"extra","type":["string","null"],"default":"x"}]}""")
+      val v3bad = graft.model.VersionedSchema("events", 3,
+        v1.schemaJson.dropRight(2) +
+          """,{"name":"required_new","type":"string"}]}""")
+      val encV2 = graft.functions.AvroCodec.encodeEventPayload(v2.schemaJson)
+      val payloadStruct = struct(
+        col("seq").as("event_id"), col("key_long").as("user_id"),
+        graft.sources.ChangeFeed.registry.nameCol(col("source_id"))
+          .as("event_type"),
+        col("value"), col("props"))
+      val mixed = env(s, dir).limit(200).select(col("seq"),
+        when(col("seq") % 2 === 0, encV1(payloadStruct))
+          .otherwise(encV2(payloadStruct)).as("payload"),
+        when(col("seq") % 2 === 0, lit(v1.digest))
+          .otherwise(lit(v2.digest)).as("schema_id"))
+      val evoSet = graft.model.VersionedSchemaSet(Seq(v1, v2))
       pfx("nb_", F.nbModelStore(s, W.nbModelDir(s, dir)))
         .unionByName(pfx("lm_", F.lmModelStore(s, W.lmModelDir(s, dir))))
         .unionByName(pfx("mh_", F.minhashStore(s, W.minhashStoreDir(s, dir))))
@@ -1790,12 +1814,32 @@ object SparkEntry {
           stamped.unionByName(
             stamped.limit(1).select(lit(ghost.digest).as("schema_id"))),
           regSet)))
+        .unionByName(pfx("reg_ok_",
+          F.schemaEvolution(s, mixed, evoSet, "events")))
+        .unionByName(pfx("reg_evo_",
+          F.schemaEvolution(s, mixed, evoSet.add(v3bad), "events")))
         // the PQ tier of both round-11 ANN stores: dense books, m-wide
         // in-range code words, no double-coded ids — all zero healthy
         .unionByName(pfx("pq_", F.pqStore(s,
           graft.sources.WireFixtures.pqIndexDir(s, dir))))
         .unionByName(pfx("ivfpq_", F.pqStore(s,
           graft.sources.WireFixtures.ivfPqIndexDir(s, dir), "cells")))
+        // quantizer drift: the frozen books' live reconstruction error
+        // vs the persisted at-train baseline — the twins append encodes
+        // identically to its originals, so a healthy store measures
+        // exactly the train figure (ratio 1 < threshold) and the audit
+        // is deterministic; a shifted corpus flips the row (spec-pinned)
+        .unionByName({
+          val all = emb(s, dir).select(col("vec_id").as("id"),
+            col("embedding").as("vec"))
+          val withTwins = all.unionByName(
+            all.select((col("id") + 1000000L).as("id"), col("vec")))
+          pfx("pq_", F.pqDrift(s,
+              graft.sources.WireFixtures.pqIndexDir(s, dir), withTwins))
+            .unionByName(pfx("ivfpq_", F.pqDrift(s,
+              graft.sources.WireFixtures.ivfPqIndexDir(s, dir), withTwins,
+              "cells")))
+        })
     }),
 
     // ---- fsck for the SERVING-STATE stores (event log + applier
@@ -5592,11 +5636,15 @@ object SparkEntry {
           "pq_codes_out_of_range", "pq_duplicate_code_ids",
           "ivfpq_sparse_subspace_books", "ivfpq_missing_subspace_books",
           "ivfpq_wrong_code_width",
-          "ivfpq_codes_out_of_range", "ivfpq_duplicate_code_ids")
+          "ivfpq_codes_out_of_range", "ivfpq_duplicate_code_ids",
+          "pq_quantizer_stats_missing", "pq_adc_error_drift",
+          "ivfpq_quantizer_stats_missing", "ivfpq_adc_error_drift",
+          "reg_ok_digests_failing_latest_reader")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
         .mkString(" UNION ALL ") +
         " UNION ALL SELECT 'reg_events_with_unregistered_schema'" +
-        " AS check_name, CAST(1 AS BIGINT) AS n_bad"),
+        " AS check_name, CAST(1 AS BIGINT) AS n_bad" +
+        " UNION ALL SELECT 'reg_evo_digests_failing_latest_reader', 2"),
 
     // serving-state fsck: the injected hazards are exact (5 re-appended
     // events, one tmp dir, two stranded generations); the only

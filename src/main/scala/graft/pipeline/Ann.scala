@@ -735,6 +735,51 @@ object Ann {
     }: _*)
   }
 
+  /** Squared reconstruction error of a PQ code word against its source
+    * vector: Σ_j ‖slice_j − book_j[code_j]‖² — for a vector ENCODED by
+    * these books this equals the subspace-wise minimum (encode picks
+    * the argmin), so its corpus mean at train time is the quantizer's
+    * baseline distortion; re-measured later over appended vectors it is
+    * the drift signal ([[StoreFsck.pqDrift]]): frozen books spend their
+    * resolution where the TRAINING distribution lived, and a shifted
+    * corpus silently loses recall with no error raised anywhere — this
+    * expression is what makes "when to retrain" measurable. */
+  private[pipeline] def pqReconErrExpr(books: Array[Array[(Long, Seq[Float])]],
+      vecCol: org.apache.spark.sql.Column,
+      codesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sub = books(0).head._2.length
+    books.zipWithIndex.map { case (book, j) =>
+      l2sq(slice(vecCol, j * sub + 1, sub),
+        element_at(typedlit(book.sortBy(_._1).map(_._2).toSeq),
+          codesCol.getItem(j) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Mean squared reconstruction error over a deterministic hash-sample
+    * of `frame`'s (id, vec) rows under `books` — the train-time
+    * distortion figure [[writePqIndex]]/[[writeIvfPqIndex]] persist and
+    * the drift audit re-measures. `sampleMod` = 1 scans everything
+    * (fixture scale); a 100 TB corpus raises it so the figure costs one
+    * sampled scan (hash(id) is partition-stable and replayable — no
+    * RNG). Falls back to the full frame when the sample lands empty
+    * (tiny corpora). */
+  private[pipeline] def pqReconMse(frame: DataFrame,
+      books: Array[Array[(Long, Seq[Float])]], sampleMod: Int): Double = {
+    require(sampleMod > 0, s"pqReconMse: sampleMod $sampleMod")
+    def mse(df: DataFrame): Option[Double] = {
+      val r = df.select(pqReconErrExpr(books, col("vec"),
+          pqCodesExpr(books, col("vec"))).as("e"))
+        .agg(avg(col("e"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val sampled =
+      if (sampleMod == 1) frame
+      else frame.where(pmod(hash(col("id")), lit(sampleMod)) === 0)
+    mse(sampled).orElse(mse(frame)).getOrElse(
+      throw new IllegalArgumentException(
+        "pqReconMse: empty corpus — nothing to measure"))
+  }
+
   /** Per-query ADC lookup table: l2 distance from the query's j-th slice
     * to every sub-centroid, flattened as lut[j*ksub + cell]. m·ksub
     * doubles per query — built once on the (broadcast) query side, so
@@ -797,7 +842,7 @@ object Ann {
     * survivor set. */
   def writePqIndex(corpus: DataFrame, dir: String, m: Int = 4,
       ksub: Int = 16, iters: Int = 3, numFiles: Int = 4,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, statsSampleMod: Int = 1): Unit = {
     require(numFiles > 0, s"writePqIndex: numFiles $numFiles")
     val spark = corpus.sparkSession
     val books = trainPqCodebooks(corpus, m, ksub, iters)
@@ -805,11 +850,22 @@ object Ann {
     val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
       book.map { case (cid, v) => (j, cid, v) }
     }.toSeq
+    // the AT-TRAIN distortion figure rides the generation (one
+    // driver-sized row): the books are frozen forever after this write,
+    // and without a baseline nothing can ever say when append drift has
+    // eaten the recall budget — [[StoreFsck.pqDrift]] re-measures
+    // against it (the stats/monitoring discipline of the serving
+    // surfaces — reference: DbusEventsTotalStats.java:1)
+    val trainMse = pqReconMse(
+      corpus.select(col("id").cast("long").as("id"), col("vec")),
+      books, statsSampleMod)
     // batchId: bootstrap the BATCH-ADDRESSED layout (writeIndex's
     // contract) so a stream-maintained store replays idempotently from
     // its very first batch
     VersionedStore.publish(dir, Map(
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
+      "quant_stats" -> Seq(("train_recon_mse", trainMse))
+        .toDF("metric", "value").coalesce(1),
       batchId.fold("codes")(b => s"codes/batch=$b") ->
         corpus.select(col("id").cast("long").as("id"),
           pqCodesExpr(books, col("vec")).as("codes")).coalesce(numFiles)))
@@ -945,7 +1001,7 @@ object Ann {
     * training state, append order, and probe budget ≥ 1. */
   def writeIvfPqIndex(corpus: DataFrame, dir: String, k: Int, m: Int = 4,
       ksub: Int = 16, iters: Int = 3, numFiles: Int = 4,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, statsSampleMod: Int = 1): Unit = {
     require(numFiles > 0, s"writeIvfPqIndex: numFiles $numFiles")
     val spark = corpus.sparkSession
     val (coarse, _) = trainCentroids(corpus, k, iters)
@@ -961,9 +1017,16 @@ object Ann {
     val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
       book.map { case (cid, v) => (j, cid, v) }
     }.toSeq
+    // at-train RESIDUAL distortion baseline (writePqIndex's rationale —
+    // drift on an IVF-PQ store is measured on residuals, the space the
+    // books actually quantize)
+    val trainMse = pqReconMse(
+      res.select(col("id"), col("res").as("vec")), books, statsSampleMod)
     VersionedStore.publish(dir, Map(
       "codebook" -> centroidsDf(spark, coarse).coalesce(1),
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
+      "quant_stats" -> Seq(("train_recon_mse", trainMse))
+        .toDF("metric", "value").coalesce(1),
       // batchId: bootstrap the batch-addressed layout ([[writeIndex]])
       batchId.fold("cells")(b => s"cells/batch=$b") ->
         res.select(col("id"), col("cell_id"),
@@ -1107,10 +1170,20 @@ object Ann {
     VersionedStore.publish(dir, Map(
       "books" -> spark.read.parquet(s"$t/books"),
       rewriteName(t, "codes") -> readPqCodes(spark, dir)
-        .coalesce(numFiles)))
+        .coalesce(numFiles)) ++ quantStats(spark, t))
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
+
+  /** The frozen quantizer's at-train stats table, carried through every
+    * compaction rewrite (books frozen ⇒ baseline still applies); empty
+    * for stores written before the stats table existed — their next
+    * full retrain records one. */
+  private def quantStats(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String): Map[String, DataFrame] =
+    if (StoreFs.hasFileWithSuffix(s"$tableRoot/quant_stats", ".parquet"))
+      Map("quant_stats" -> spark.read.parquet(s"$tableRoot/quant_stats"))
+    else Map.empty
 
   /** Takedown GC for a [[writeIvfPqIndex]] store — same shape, three
     * tables (coarse codebook and books carried over, live cells only). */
@@ -1126,7 +1199,7 @@ object Ann {
       "codebook" -> spark.read.parquet(s"$t/codebook"),
       "books" -> spark.read.parquet(s"$t/books"),
       rewriteName(t, "cells") ->
-        live.repartition(numFiles, col("cell_id"))))
+        live.repartition(numFiles, col("cell_id"))) ++ quantStats(spark, t))
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }

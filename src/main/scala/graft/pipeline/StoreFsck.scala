@@ -324,7 +324,14 @@ object StoreFsck {
     *   - `superseded_flat_dirs`: pre-migration FLAT layout dirs still
     *     sitting beside the generations (a publish whose post-flip
     *     cleanup crashed, or a migration by an older build) —
-    *     unreachable bytes, re-swept by the next publish. */
+    *     unreachable bytes, re-swept by the next publish;
+    *   - `stale_reservations`: in-flight publish reservations whose
+    *     same-host publisher is provably dead (crashed between reserve
+    *     and commit) — gc retires them; a LIVE publisher mid-write is
+    *     never flagged;
+    *   - `superseded_pointer_markers`: exclusive-protocol flip records
+    *     below the resolved current (the max marker is the pointer) —
+    *     dead bytes gc sweeps. */
   def versionedStore(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val gens = VersionedStore.listGens(root)
@@ -351,7 +358,24 @@ object StoreFsck {
       ("superseded_flat_dirs",
         if (gens.isEmpty) 0L
         else StoreFs.listDirNames(root)
-          .count(!_.startsWith("gen-")).toLong))
+          .count(!_.startsWith("gen-")).toLong),
+      // a reservation THIS host made whose publisher pid is dead — a
+      // crashed in-flight publish (the split-lock protocol's one
+      // abandoned-bytes state); gc retires them, live and foreign
+      // reservations are never flagged
+      ("stale_reservations",
+        gens.collect { case (g, false) => g }
+          .count(g => VersionedStore.staleReservation(root, g)).toLong),
+      // exclusive-protocol flip records below the resolved current —
+      // dead bytes the next gc sweeps (the max marker IS the pointer)
+      ("superseded_pointer_markers",
+        cur.map(c => StoreFs.listNames(root).collect {
+          case n if n.startsWith(VersionedStore.PointerMarkerPrefix) &&
+              n.drop(VersionedStore.PointerMarkerPrefix.length)
+                .forall(_.isDigit) &&
+              n.length > VersionedStore.PointerMarkerPrefix.length =>
+            n.drop(VersionedStore.PointerMarkerPrefix.length).toLong
+        }.count(_ < c).toLong).getOrElse(0L)))
       .toDF("check_name", "n_bad")
   }
 
@@ -375,6 +399,49 @@ object StoreFsck {
     finding("events_with_unregistered_schema",
       events.select(lower(hex(col(schemaIdCol))).as("digest")).distinct()
         .join(broadcast(known), Seq("digest"), "left_anti"))
+  }
+
+  /** Audit SCHEMA-EVOLUTION round-trips: [[schemaCoverage]] proves every
+    * digest RESOLVES; this proves every digest's payloads still DECODE
+    * against the latest reader schema — the evolution contract the
+    * digest-dispatch path ([[graft.functions.AvroCodec.decodeByDigest]])
+    * assumes. An incompatible evolution (a new reader field without a
+    * default, a type change Avro resolution rejects) otherwise fails at
+    * decode time deep inside the first query that touches the old rows
+    * — possibly long after the registry change shipped. One sampled row
+    * per distinct digest (digest-count-sized: schema versions, not
+    * rows) decodes driver-side writer→reader, exactly the per-branch
+    * resolution the query path runs. Unregistered digests are
+    * [[schemaCoverage]]'s row, not this one's. Reference analogue: the
+    * decoder's resolution against the latest source schema
+    * (DbusEventAvroDecoder.getGenericRecord / VersionedSchemaSet). */
+  def schemaEvolution(spark: SparkSession, events: DataFrame,
+      set: graft.model.VersionedSchemaSet, sourceName: String,
+      payloadCol: String = "payload", schemaIdCol: String = "schema_id")
+      : DataFrame = {
+    import spark.implicits._
+    val reader = set.getLatest(sourceName)
+    val samples = events
+      .select(lower(hex(col(schemaIdCol))).as("digest"),
+        col(payloadCol).as("p"))
+      .groupBy("digest").agg(first(col("p")).as("p"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]]("p")))
+    val failing = samples.count { case (digest, bytes) =>
+      set.schemas.find(_.digestHex == digest).exists { ws =>
+        reader match {
+          case None => true // a source with no latest reader decodes nothing
+          case Some(rs) =>
+            try {
+              graft.functions.AvroCodec.deserialize(bytes,
+                new org.apache.avro.Schema.Parser().parse(ws.schemaJson),
+                new org.apache.avro.Schema.Parser().parse(rs.schemaJson))
+              false
+            } catch { case scala.util.control.NonFatal(_) => true }
+        }
+      }
+    }
+    Seq(("digests_failing_latest_reader", failing.toLong))
+      .toDF("check_name", "n_bad")
   }
 
   /** Audit the PQ tier of an [[Ann.writePqIndex]] /
@@ -427,6 +494,87 @@ object StoreFsck {
           .where(col("code") < 0 || col("code") > col("hi"))))
       .unionByName(finding("duplicate_code_ids",
         codes.groupBy("id").agg(count(lit(1)).as("c")).where(col("c") > 1)))
+  }
+
+  /** Audit QUANTIZER DRIFT on a frozen PQ tier ([[Ann.writePqIndex]] /
+    * [[Ann.writeIvfPqIndex]]): the books never retrain under appends, so
+    * a corpus whose distribution shifts silently loses recall with
+    * nothing raised anywhere — the one failure mode of the
+    * frozen-quantizer append regime that no structural check can see.
+    * The audit re-measures the mean squared reconstruction error of the
+    * LIVE code words against `corpus`'s float vectors (a deterministic
+    * hash-sample of `1/sampleMod` ids; IVF-PQ stores measure residuals,
+    * auto-detected from the cell_id column) and compares it to the
+    * at-train figure the writer persisted:
+    *   - `quantizer_stats_missing`: no at-train baseline in the store
+    *     (written before the stats table existed) — drift is
+    *     unmeasurable until the next full retrain records one;
+    *   - `adc_error_drift`: current error exceeds `threshold` × the
+    *     at-train error — the retrain signal. The default 2.0 flags a
+    *     doubled distortion; COVERAGE.md documents the knob.
+    * Cost: one sampled scan of the code table joined id-keyed into the
+    * lake — never a training pass. Reference analogue: the reference
+    * instruments every surface it serves (DbusEventsTotalStats.java:1). */
+  def pqDrift(spark: SparkSession, storeDir: String, corpus: DataFrame,
+      codesTable: String = "codes", threshold: Double = 2.0,
+      sampleMod: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0, s"pqDrift: threshold $threshold")
+    require(sampleMod > 0, s"pqDrift: sampleMod $sampleMod")
+    val t = VersionedStore.tableRoot(storeDir)
+    val statsMissing =
+      !StoreFs.hasFileWithSuffix(s"$t/quant_stats", ".parquet")
+    val drift: Long =
+      if (statsMissing) 0L
+      else {
+        val train = spark.read.parquet(s"$t/quant_stats")
+          .where(col("metric") === "train_recon_mse")
+          .select("value").as[Double].head()
+        val books = Ann.readPqBooks(spark, storeDir)
+        val live = Tombstones.filterLive(
+          spark.read.parquet(s"$t/$codesTable").drop("batch"), t, "id")
+        val sampled =
+          if (sampleMod == 1) live
+          else live.where(pmod(hash(col("id")), lit(sampleMod)) === 0)
+        val withVec = sampled.join(
+          corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
+        // IVF-PQ stores code RESIDUALS — measure in the coded space
+        val target =
+          if (!sampled.columns.contains("cell_id")) withVec
+          else withVec.join(broadcast(
+              spark.read.parquet(s"$t/codebook")
+                .select(col("id").as("cell_id"), col("vec").as("cent"))),
+              "cell_id")
+            .select(col("id"),
+              zip_with(col("vec"), col("cent"), (a, b) => a - b).as("vec"),
+              col("codes"))
+        val r = target
+          .select(Ann.pqReconErrExpr(books, col("vec"), col("codes"))
+            .as("e"))
+          .agg(avg(col("e"))).head()
+        val cur = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        if (cur > threshold * train + 1e-12) 1L else 0L
+      }
+    Seq(("quantizer_stats_missing", if (statsMissing) 1L else 0L),
+      ("adc_error_drift", drift)).toDF("check_name", "n_bad")
+  }
+
+  /** Audit PER-CELL FILL SKEW on an IVF-family cells table: cells whose
+    * member count exceeds `factor` × the mean — the frozen coarse
+    * quantizer's drift signal (appends concentrating in a hot region
+    * grow one cell until every probe that ranks it scans a blob;
+    * [[Ann.rebalanceCells]] is the repair). One cells-table aggregate;
+    * the mean is a 1-row scalar broadcast. */
+  def cellFillSkew(spark: SparkSession, storeDir: String,
+      factor: Double = 8.0, cellsTable: String = "cells"): DataFrame = {
+    require(factor > 1, s"cellFillSkew: factor $factor")
+    val t = VersionedStore.tableRoot(storeDir)
+    val counts = spark.read.parquet(s"$t/$cellsTable").drop("batch")
+      .groupBy("cell_id").agg(count(lit(1)).as("n"))
+    val meanDf = counts.agg(avg(col("n")).as("mean_n"))
+    finding("overfull_cells",
+      counts.crossJoin(meanDf) // 1-row scalar, broadcast
+        .where(col("n") > lit(factor) * col("mean_n")))
   }
 
   /** Audit an [[Ann.writeIndex]]-layout store (codebook + cells). */

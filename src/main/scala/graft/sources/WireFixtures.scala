@@ -171,7 +171,8 @@ object WireFixtures {
     * words under any training). */
   def pqIndexDir(spark: SparkSession, sfDir: String, m: Int = 4,
       ksub: Int = 16, iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/pq_index_m${m}k${ksub}i${iters}g") { tmp =>
+    // `q` suffix: the store gained the quant_stats table (drift baseline)
+    writeOnce(s"$Root/${key(sfDir)}/pq_index_m${m}k${ksub}i${iters}qg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writePqIndex(all, tmp, m, ksub, iters)
@@ -185,8 +186,9 @@ object WireFixtures {
     * quantizers ([[graft.pipeline.Ann.appendToIvfPqIndex]]). */
   def ivfPqIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       m: Int = 4, ksub: Int = 16, iters: Int = 3): String =
+    // `q` suffix: the store gained the quant_stats table (drift baseline)
     writeOnce(
-      s"$Root/${key(sfDir)}/ivfpq_index_k${k}m${m}s${ksub}i${iters}g") { tmp =>
+      s"$Root/${key(sfDir)}/ivfpq_index_k${k}m${m}s${ksub}i${iters}qg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writeIvfPqIndex(all, tmp, k, m, ksub, iters)

@@ -127,6 +127,73 @@ class AnnBatchStoreSpec extends SparkSpec {
       .count() == once.size + 6L)
   }
 
+  test("quantizer drift: a shifted append flips the fsck row; healthy appends measure the train baseline") {
+    val dir = s"${tmp("annb")}/pqdrift"
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    // healthy: twins encode identically to their originals — the live
+    // error IS the train figure, ratio 1
+    Ann.appendToPqIndex(twins, dir)
+    val healthyCorpus = corpus
+    val h = StoreFsck.pqDrift(spark, dir, healthyCorpus)
+      .as[(String, Long)].collect().toMap
+    assert(h("quantizer_stats_missing") == 0L, h.toString)
+    assert(h("adc_error_drift") == 0L, h.toString)
+    // DRIFT: a batch from a shifted distribution (far outside anything
+    // the frozen books trained on) — reconstruction error explodes and
+    // the retrain signal fires
+    val shifted = (0L until 12L)
+      .map(i => (i + 5000L, vec(i).map(_ + 500f)))
+      .toDF("id", "vec")
+    Ann.appendToPqIndex(shifted, dir)
+    val d = StoreFsck.pqDrift(spark, dir, healthyCorpus.unionByName(shifted))
+      .as[(String, Long)].collect().toMap
+    assert(d("adc_error_drift") == 1L, d.toString)
+    // IVF-PQ: same contract on the residual space
+    val ivfDir = s"${tmp("annb")}/ivfpqdrift"
+    Ann.writeIvfPqIndex(base, ivfDir, k = 3, m = 4, ksub = 4, iters = 2)
+    val h2 = StoreFsck.pqDrift(spark, ivfDir, base, "cells")
+      .as[(String, Long)].collect().toMap
+    assert(h2("quantizer_stats_missing") == 0L && h2("adc_error_drift") == 0L,
+      h2.toString)
+    Ann.appendToIvfPqIndex(shifted, ivfDir)
+    val d2 = StoreFsck.pqDrift(spark, ivfDir, base.unionByName(shifted),
+        "cells")
+      .as[(String, Long)].collect().toMap
+    assert(d2("adc_error_drift") == 1L, d2.toString)
+    // a pre-stats legacy store reports the missing baseline, not a crash
+    val legacy = s"${tmp("annb")}/pqlegacy"
+    Ann.writePqIndex(base, legacy, m = 4, ksub = 4, iters = 2)
+    graft.pipeline.StoreFs.deleteRecursive(
+      s"${VersionedStore.tableRoot(legacy)}/quant_stats")
+    val l = StoreFsck.pqDrift(spark, legacy, base)
+      .as[(String, Long)].collect().toMap
+    assert(l("quantizer_stats_missing") == 1L && l("adc_error_drift") == 0L,
+      l.toString)
+  }
+
+  test("cell fill skew: a hot-region append concentration flags the overfull cell") {
+    val dir = s"${tmp("annb")}/skew"
+    Ann.writeIndex(base, dir, k = 4, iters = 2)
+    // factor must sit BELOW the cell count: with k cells the most
+    // skewed state possible is one cell holding everything = k × mean,
+    // so a factor ≥ k can never fire (the spec pins the audit's own
+    // geometry constraint)
+    val h = StoreFsck.cellFillSkew(spark, dir, factor = 3.0)
+      .as[(String, Long)].collect().toMap
+    assert(h("overfull_cells") == 0L, h.toString)
+    // 200 near-identical vectors land in ONE cell (the argmin is
+    // unmoved by a ±0.2 perturbation on coordinates spread over 1..97):
+    // that cell now holds ~3.8× the diluted mean — the hot-region
+    // append concentration rebalanceCells exists to repair
+    val hot = (0L until 200L)
+      .map(i => (10000L + i, vec(3).map(_ + 0.001f * i)))
+      .toDF("id", "vec")
+    Ann.appendToIndex(hot, dir)
+    val s = StoreFsck.cellFillSkew(spark, dir, factor = 3.0)
+      .as[(String, Long)].collect().toMap
+    assert(s("overfull_cells") == 1L, s.toString)
+  }
+
   test("serve-path dedup: a hand-planted double-coded id serves once per top-k") {
     // FLAT-file stores (no batchId) so the planted blind append mimics
     // the corruption the fsck duplicate rows flag — the serving paths

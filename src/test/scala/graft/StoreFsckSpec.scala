@@ -109,6 +109,49 @@ class StoreFsckSpec extends SparkSpec {
       .apply("events_with_unregistered_schema") == 2L)
   }
 
+  test("schema-evolution fsck: an incompatible latest reader fails digests at audit, not mid-query") {
+    import graft.model.{VersionedSchema, VersionedSchemaSet}
+    import graft.functions.AvroCodec
+    val v1 = VersionedSchemaSet.eventPayloadV1
+    // the COMPATIBLE evolution decodeByDigest serves every day: a new
+    // field with a default — v1 payloads resolve under the v2 reader
+    val v2 = VersionedSchema("events", 2,
+      v1.schemaJson.dropRight(2) +
+        """,{"name":"extra","type":["string","null"],"default":"x"}]}""")
+    // the INCOMPATIBLE one: a new field with NO default — Avro
+    // resolution of any older writer against it throws
+    val v3bad = VersionedSchema("events", 3,
+      v1.schemaJson.dropRight(2) +
+        """,{"name":"required_new","type":"string"}]}""")
+    val enc1 = AvroCodec.encodeEventPayload(v1.schemaJson)
+    val enc2 = AvroCodec.encodeEventPayload(v2.schemaJson)
+    val base = Seq((1L, 5L, "click", 1.5, Map("a" -> "b")),
+      (2L, 6L, "view", 2.5, Map("c" -> "d")))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val payloadStruct = struct(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val events = base.select(
+      when(col("event_id") % 2 === 0, enc1(payloadStruct))
+        .otherwise(enc2(payloadStruct)).as("payload"),
+      when(col("event_id") % 2 === 0, lit(v1.digest))
+        .otherwise(lit(v2.digest)).as("schema_id"))
+    val good = VersionedSchemaSet(Seq(v1, v2))
+    assert(findings(StoreFsck.schemaEvolution(spark, events, good,
+      "events")).apply("digests_failing_latest_reader") == 0L)
+    // ship the bad reader: BOTH stored digests stop decoding — the
+    // audit names it before the first query loses its rows
+    assert(findings(StoreFsck.schemaEvolution(spark, events,
+        good.add(v3bad), "events"))
+      .apply("digests_failing_latest_reader") == 2L)
+    // unregistered digests are schemaCoverage's finding, never this one
+    val ghost = VersionedSchema("ghost", 1,
+      """{"type":"record","name":"Ghost","fields":[]}""")
+    val withGhost = events.unionByName(events.limit(1)
+      .select(col("payload"), lit(ghost.digest).as("schema_id")))
+    assert(findings(StoreFsck.schemaEvolution(spark, withGhost, good,
+      "events")).apply("digests_failing_latest_reader") == 0L)
+  }
+
   test("PQ-tier fsck: planted width/range/book corruption detected; GC audits clean") {
     import graft.pipeline.{Ann, VersionedStore}
     val dir = s"${tmp("fsck")}/pq"
