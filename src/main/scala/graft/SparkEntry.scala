@@ -3214,6 +3214,43 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- SNAPSHOT-PINNED ANN serving (q_postings_asof's contract on
+    // the batch-addressed IVF store): batch 0 = base corpus, batch 1 =
+    // twins at +1e6, batch 2 = twins at +5e5 — LOWER ids, so at the
+    // store head they win the cosine-1.0 tie (re-rank breaks ties by
+    // lowest neighbor id) while the `as of batch 1` pin partition-prunes
+    // their files out of the plan entirely and serves the +1e6 twin.
+    // The training run that recorded maxBatch=1 replays the exact
+    // retrieval it saw, after any number of later appends ----
+    "q_ann_asof" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("annasof").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
+        batchId = Some(0L))
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 1000000L).as("id"), col("vec")),
+        s"$root/index", 1L)
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 500000L).as("id"), col("vec")),
+        s"$root/index", 2L)
+      val corpus = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 500000L).as("id"), col("vec")))
+      val q = all.where(col("id") < 15)
+      Ann.ivfQuantizedTopKFromStoreAsOf(q, corpus, s"$root/index", k = 5,
+          maxBatch = 1L, nProbe = 8)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("pinned").as("probe_view"))
+        .unionByName(
+          Ann.ivfQuantizedTopKFromStore(q, corpus, s"$root/index", k = 5,
+              nProbe = 8)
+            .where(col("rank") === 1)
+            .select(col("query_id"), col("neighbor_id"),
+              lit("head").as("probe_view")))
+    }),
+
     // ---- ANN CDC feed: the vector store maintained from an
     // UPSERT/DELETE change stream (q_index_cdc_stream's discipline on
     // the IVF store): the first micro-batch BOOTSTRAPS the store
@@ -4951,6 +4988,15 @@ object SparkEntry {
       ("SELECT vec_id AS query_id, CASE WHEN vec_id < 8" +
         " THEN vec_id + 2000000 ELSE vec_id + 1000000 END AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // snapshot-pinned ANN: the as-of-batch-1 read serves the +1e6 twin
+    // (batch 2's lower-id twins are pruned out of the plan); the head
+    // read serves the +5e5 twin that wins the cosine-1.0 tie
+    "q_ann_asof" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
         " FROM embeddings WHERE vec_id < 15"),
 
     // power-iteration invariant (Rayleigh non-decreasing on PSD) + the

@@ -399,6 +399,47 @@ object Ann {
       spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
   }
 
+  /** [[readCells]] PINNED at append batch `maxBatch` — snapshot
+    * reproducibility for a batch-addressed store
+    * ([[appendToIndexBatch]], whose `batch=` partition column IS the
+    * append history): only batches ≤ `maxBatch` scan (partition
+    * pruning — later batches' files never enter the plan), so a
+    * training run can pin the exact index state it retrieved against
+    * and replay it after any number of later appends —
+    * [[Retrieval.readPostingsIndexAsOf]]'s contract on the ANN store.
+    * Same deliberate asymmetry: TOMBSTONES STILL APPLY — a takedown is
+    * legal erasure, and a time-travel read that resurrected deleted
+    * vectors would defeat it, so as-of pins the append history, never
+    * the delete history. The PQ-family tables pin identically (their
+    * `batch` column is the same layout); the IVF reader carries the
+    * serving variant ([[ivfQuantizedTopKFromStoreAsOf]]) as the
+    * representative. */
+  def readCellsAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatch: Long): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    val raw = spark.read.parquet(s"$t/cells")
+    require(raw.columns.contains("batch"),
+      s"readCellsAsOf: $storeDir is not batch-addressed — only" +
+        " appendToIndexBatch stores carry a pinnable append history")
+    Tombstones.filterLive(
+      raw.where(col("batch") <= maxBatch).drop("batch"), t, "id")
+  }
+
+  /** [[ivfQuantizedTopKFromStore]] against the [[readCellsAsOf]] pin:
+    * candidates come only from batches ≤ `maxBatch` (the codebook is
+    * frozen across appends, so the pinned state is exactly what the
+    * store served when batch `maxBatch` was its head). */
+  def ivfQuantizedTopKFromStoreAsOf(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, maxBatch: Long, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids =
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
+    val cells = readCellsAsOf(spark, storeDir, maxBatch)
+      .withColumnRenamed("id", "neighbor_id")
+    ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
+  }
+
   /** Record a vector takedown against a [[writeIndex]] store: the ids
     * leave retrieval immediately (reads anti-join the tombstone set —
     * see [[Tombstones]]); stored cells are never read or rewritten, so

@@ -127,6 +127,35 @@ class AnnBatchStoreSpec extends SparkSpec {
       .count() == once.size + 6L)
   }
 
+  test("as-of reads pin the append history, never the delete history") {
+    val dir = s"${tmp("annb")}/asof"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    // pin at batch 0: the later twins' files are partition-pruned out
+    assert(Ann.readCellsAsOf(spark, dir, 0L).select("id").as[Long]
+      .collect().toSet == (0L until 12L).toSet)
+    assert(Ann.readCellsAsOf(spark, dir, 1L).count() == 18L)
+    // the pinned retrieval ignores the later batch: rank-1 for query 0
+    // is a real neighbor, not its (batch-1) twin
+    val pinned = Ann.ivfQuantizedTopKFromStoreAsOf(queries, corpus, dir,
+        k = 3, maxBatch = 0L, nProbe = 4)
+      .where(col("rank") === 1).select("neighbor_id").as[Long]
+      .collect().toSet
+    assert(pinned.forall(_ < 1000L), pinned.toString)
+    // a takedown recorded AFTER the pin still erases from it — as-of
+    // pins appends, never deletes (legal erasure is not resurrectable)
+    Ann.tombstoneVectors(spark, dir, Seq(2L))
+    assert(!Ann.readCellsAsOf(spark, dir, 0L).select("id").as[Long]
+      .collect().contains(2L))
+    // a flat (non-batch-addressed) store has no pinnable history and
+    // must refuse loudly, not silently serve everything
+    val flat = s"${tmp("annb")}/asofflat"
+    Ann.writeIndex(base, flat, k = 4, iters = 2)
+    intercept[IllegalArgumentException] {
+      Ann.readCellsAsOf(spark, flat, 0L)
+    }
+  }
+
   test("quantizer drift: a shifted append flips the fsck row; healthy appends measure the train baseline") {
     val dir = s"${tmp("annb")}/pqdrift"
     Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
