@@ -3315,6 +3315,63 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- CDC maintenance of the PRODUCTION ANN shape (IVF-PQ):
+    // q_ann_cdc_stream's protocol on the three-table residual-PQ store
+    // — the first micro-batch bootstraps it (writeIvfPqIndex trains
+    // coarse codebook + residual books on the batch, born
+    // batch-addressed), every later batch assigns + residual-encodes
+    // under BOTH frozen quantizers into its own batch=<id> partition
+    // (replay overwrites its exact partial), deletes append tombstones.
+    // Serving lands on the q_ann_delete planted contract: identical
+    // vectors share the coarse argmin AND the code word whatever the
+    // quantizers trained on, so rank-1 is the twin where live, the
+    // tritwin where taken down ----
+    "q_ivfpq_cdc_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("ivfpqcdc").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      def drainOnce(): Unit = {
+        val q = s.readStream
+          .schema("opcode STRING, id LONG, vec ARRAY<FLOAT>")
+          .parquet(s"$root/feed")
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
+            if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
+              Ann.appendToIvfPqIndexBatch(ups, s"$root/index", bid)
+            else Ann.writeIvfPqIndex(ups, s"$root/index", k = 8,
+              batchId = Some(bid))
+            val dels = b.where(col("opcode") === "DELETE").select("id")
+            if (!dels.isEmpty)
+              Ann.tombstoneVectorsDf(dels, s"$root/index")
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val up = lit("UPSERT")
+      all.select(up.as("opcode"), col("id"), col("vec"))
+        .unionByName(all.select(up.as("opcode"),
+          (col("id") + 1000000L).as("id"), col("vec")))
+        .coalesce(1).write.parquet(s"$root/feed")
+      drainOnce()
+      all.select(up.as("opcode"), (col("id") + 2000000L).as("id"), col("vec"))
+        .unionByName(all.where(col("id") < 8)
+          .select(lit("DELETE").as("opcode"),
+            (col("id") + 1000000L).as("id"),
+            lit(null).cast("array<float>").as("vec")))
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      drainOnce()
+      val tripled = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 2000000L).as("id"), col("vec")))
+      Ann.ivfPqTopKFromStore(all.where(col("id") < 15), tripled,
+        s"$root/index", k = 5)
+        .where(col("rank") === 1)
+    }),
+
     // ---- multimodal: binary payload plumbing + magic-sniffing decode ----
     "q_multimodal_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -4976,6 +5033,15 @@ object SparkEntry {
     // planted takedown contract as q_ann_delete (identical vectors
     // share every argmin, whichever batch trained the codebook)
     "q_ann_cdc_stream" ->
+      ("SELECT vec_id AS query_id, CASE WHEN vec_id < 8" +
+        " THEN vec_id + 2000000 ELSE vec_id + 1000000 END AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // same planted contract on the CDC-maintained IVF-PQ store
+    // (identical vectors share the coarse argmin AND the residual code
+    // word under any training state)
+    "q_ivfpq_cdc_stream" ->
       ("SELECT vec_id AS query_id, CASE WHEN vec_id < 8" +
         " THEN vec_id + 2000000 ELSE vec_id + 1000000 END AS neighbor_id," +
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
