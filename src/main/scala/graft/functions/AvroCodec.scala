@@ -52,15 +52,34 @@ object AvroCodec {
     *
     * The per-digest split is a predicate on a 16-byte column — cheap, and
     * each branch scans only its slice (at scale, distinct digests per
-    * source are few: schema versions, not rows). */
+    * source are few: schema versions, not rows).
+    *
+    * Rows whose digest the registry does not resolve have NO branch and
+    * silently drop — the operational default (the reference's decoder
+    * skips events it cannot resolve rather than halting the relay), with
+    * [[graft.pipeline.StoreFsck.schemaCoverage]] as the audit that
+    * surfaces them. `strict = true` inverts the trade for pipelines
+    * where a dropped row is worse than a halted job (training-data
+    * extraction, compliance scans): one digest-count-sized
+    * distinct-aggregate up front fails the query loudly, naming the
+    * unresolvable digests, before any slice decodes. */
   def decodeByDigest(df: org.apache.spark.sql.DataFrame,
       set: graft.model.VersionedSchemaSet, sourceName: String,
-      payloadCol: String = "payload", schemaIdCol: String = "schema_id")
-      : org.apache.spark.sql.DataFrame = {
+      payloadCol: String = "payload", schemaIdCol: String = "schema_id",
+      strict: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lower, hex, lit}
     val reader = set.getLatest(sourceName).getOrElse(
       throw new IllegalArgumentException(s"no schema for $sourceName"))
     val versions = set.schemas.filter(_.sourceName == sourceName)
+    if (strict) {
+      val known = set.schemas.map(_.digestHex).toSet
+      val unknown = df.select(lower(hex(col(schemaIdCol))).as("d"))
+        .distinct().collect().map(_.getString(0)).filterNot(known)
+      require(unknown.isEmpty,
+        s"decodeByDigest(strict): ${unknown.length} digest(s) resolve to" +
+          s" no registered schema — rows would silently drop:" +
+          s" ${unknown.take(5).mkString(", ")}")
+    }
     versions.map { vs =>
       val dec = decodeEventPayloadEvolved(vs.schemaJson, reader.schemaJson)
       df.where(lower(hex(col(schemaIdCol))) === lit(vs.digestHex))

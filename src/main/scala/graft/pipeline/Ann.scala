@@ -999,6 +999,21 @@ object Ann {
       .parquet(s"$t/codes/batch=$batchId")
   }
 
+  /** [[readPqCodes]] PINNED at append batch `maxBatch` —
+    * [[readCellsAsOf]]'s contract on the PQ code table (batches past
+    * the pin partition-prune out of the plan; tombstones STILL apply;
+    * flat stores refuse loudly). */
+  def readPqCodesAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatch: Long): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    val raw = spark.read.parquet(s"$t/codes")
+    require(raw.columns.contains("batch"),
+      s"readPqCodesAsOf: $storeDir is not batch-addressed — only" +
+        " appendToPqIndexBatch stores carry a pinnable append history")
+    Tombstones.filterLive(
+      raw.where(col("batch") <= maxBatch).drop("batch"), t, "id")
+  }
+
   /** PQ retrieval served FROM a persisted [[writePqIndex]] store —
     * [[pqTopK]]'s exact frame (broadcast LUT queries, code-word scan,
     * bounded per-partition heap, exact re-rank) with training and
@@ -1011,6 +1026,19 @@ object Ann {
     val spark = corpus.sparkSession
     val books = readPqBooks(spark, storeDir)
     val codes = readPqCodes(spark, storeDir)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    pqCore(queries, codes, books, corpus, k, rerank)
+  }
+
+  /** [[pqTopKFromStore]] against the [[readPqCodesAsOf]] pin — the
+    * books are frozen across appends, so the pinned state is exactly
+    * what the store served at batch `maxBatch`. */
+  def pqTopKFromStoreAsOf(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, maxBatch: Long, rerank: Int = 50)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val books = readPqBooks(spark, storeDir)
+    val codes = readPqCodesAsOf(spark, storeDir, maxBatch)
       .select(col("id").as("neighbor_id"), col("codes"))
     pqCore(queries, codes, books, corpus, k, rerank)
   }
@@ -1155,13 +1183,42 @@ object Ann {
       : DataFrame = {
     val spark = corpus.sparkSession
     val t = VersionedStore.tableRoot(storeDir)
+    ivfPqServe(queries, corpus, storeDir,
+      Tombstones.filterLive(
+        spark.read.parquet(s"$t/cells").drop("batch"), t, "id"),
+      k, nProbe, rerank)
+  }
+
+  /** [[ivfPqTopKFromStore]] PINNED at append batch `maxBatch`
+    * ([[readCellsAsOf]]'s contract on the coded-cells table: both
+    * quantizers are frozen across appends, so the pinned state is
+    * exactly what the store served at batch `maxBatch`; tombstones
+    * still apply; flat stores refuse loudly). */
+  def ivfPqTopKFromStoreAsOf(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, maxBatch: Long, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.tableRoot(storeDir)
+    val raw = spark.read.parquet(s"$t/cells")
+    require(raw.columns.contains("batch"),
+      s"ivfPqTopKFromStoreAsOf: $storeDir is not batch-addressed — only" +
+        " appendToIvfPqIndexBatch stores carry a pinnable append history")
+    ivfPqServe(queries, corpus, storeDir,
+      Tombstones.filterLive(
+        raw.where(col("batch") <= maxBatch).drop("batch"), t, "id"),
+      k, nProbe, rerank)
+  }
+
+  private def ivfPqServe(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, liveCells: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.tableRoot(storeDir)
     val centroids = spark.read.parquet(s"$t/codebook")
     val books = readPqBooks(spark, storeDir)
     val m = books.length
     val ksub = books(0).length
-    val cells = Tombstones.filterLive(
-        spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
-      .withColumnRenamed("id", "neighbor_id")
+    val cells = liveCells.withColumnRenamed("id", "neighbor_id")
     val probes = probeCells(queries, centroids, nProbe)
       .withColumn("lut", adcLutExpr(books,
         zip_with(col("qvec"), col("cent"), (a, b) => a - b)))

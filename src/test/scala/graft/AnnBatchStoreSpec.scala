@@ -154,6 +154,31 @@ class AnnBatchStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ann.readCellsAsOf(spark, flat, 0L)
     }
+
+    // the PQ families pin identically (frozen quantizers: the pinned
+    // state is exactly what the store served at that batch)
+    val pq = s"${tmp("annb")}/pqasof"
+    Ann.writePqIndex(base, pq, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToPqIndexBatch(twins, pq, batchId = 1L)
+    assert(Ann.readPqCodesAsOf(spark, pq, 0L).count() == 12L)
+    assert(Ann.pqTopKFromStoreAsOf(queries, corpus, pq, k = 3,
+        maxBatch = 0L)
+      .where(col("rank") === 1).select("neighbor_id").as[Long]
+      .collect().forall(_ < 1000L))
+    val ivfpq = s"${tmp("annb")}/ivfpqasof"
+    Ann.writeIvfPqIndex(base, ivfpq, k = 3, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToIvfPqIndexBatch(twins, ivfpq, batchId = 1L)
+    assert(Ann.ivfPqTopKFromStoreAsOf(queries, corpus, ivfpq, k = 3,
+        maxBatch = 0L, nProbe = 3)
+      .where(col("rank") === 1).select("neighbor_id").as[Long]
+      .collect().forall(_ < 1000L))
+    assert(Ann.ivfPqTopKFromStore(queries, corpus, ivfpq, k = 3,
+        nProbe = 3)
+      .where(col("rank") === 1).select("neighbor_id").as[Long]
+      .collect().forall(_ >= 1000L),
+      "the head read must serve the later twins the pin excludes")
   }
 
   test("quantizer drift: a shifted append flips the fsck row; healthy appends measure the train baseline") {

@@ -129,5 +129,25 @@ class CaptureSpec extends SparkSpec {
       .select($"payload_rec.event_id", $"payload_rec.event_type")
       .as[(Option[Long], Option[String])].collect().toSet
     assert(decoded == Set((Some(1L), Some("click")), (Some(2L), Some("view"))))
+
+    // an UNREGISTERED digest: the default silently drops its rows (the
+    // reference decoder's skip-don't-halt regime, audited by
+    // StoreFsck.schemaCoverage); strict mode fails the query loudly
+    // BEFORE any slice decodes — for pipelines where a dropped row is
+    // worse than a halted job
+    val ghost = graft.model.VersionedSchema("ghost", 1,
+      """{"type":"record","name":"Ghost","fields":[]}""")
+    val withGhost = mixed.unionByName(mixed.limit(1)
+      .select($"event_id", $"payload",
+        org.apache.spark.sql.functions.lit(ghost.digest).as("schema_id")))
+    assert(AvroCodec.decodeByDigest(withGhost, set, "events")
+      .count() == 2L) // ghost row dropped, not decoded
+    val e = intercept[IllegalArgumentException] {
+      AvroCodec.decodeByDigest(withGhost, set, "events", strict = true)
+    }
+    assert(e.getMessage.contains("silently drop"))
+    // strict on a fully-registered frame decodes identically
+    assert(AvroCodec.decodeByDigest(mixed, set, "events", strict = true)
+      .count() == 2L)
   }
 }
