@@ -258,13 +258,16 @@ object ScaleProbe {
       probes.foreach { q =>
         // a family that errors at either scale prints LOUDLY and the
         // sweep continues — one broken fixture must not vacate the
-        // whole artifact, and a FAILED line is a finding, not a skip
+        // whole artifact, and a FAILED line is a finding, not a skip.
+        // NonFatal only: an OOM must kill the run, not leave every
+        // later family timing against a thrashing JVM and landing those
+        // numbers in the checked-in artifact as if healthy
         try {
           val a = time(q, base)
           val b = time(q, DerivedDir)
           println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             println(f"$q%-22s FAILED ${e.getClass.getSimpleName}:" +
               s" ${Option(e.getMessage).getOrElse("").take(120)}")
         }

@@ -285,15 +285,6 @@ object Ann {
   private def hasBatchLayout(tableDir: String): Boolean =
     StoreFs.listDirNames(tableDir).exists(_.startsWith("batch="))
 
-  /** The table name a maintenance REWRITE publishes `table` under: a
-    * batch-addressed store keeps the partitioned layout (the rolled-up
-    * rows land under the RESERVED id -1, [[Dedup.compactGramDfStore]]'s
-    * convention — numeric so the discovered `batch` column's type never
-    * flips, impossible as a real id since foreachBatch ids start at 0),
-    * so post-rewrite batches keep landing in their own subdirs and the
-    * read side stays one uniform partitioned scan. */
-  private def rewriteName(tableRoot: String, table: String): String =
-    if (hasBatchLayout(s"$tableRoot/$table")) s"$table/batch=-1" else table
 
   /** Append a NEW vector batch to a [[writeIndex]] store without
     * retraining and without re-scanning the stored corpus: the frozen
@@ -320,6 +311,17 @@ object Ann {
   def appendToIndex(newVectors: DataFrame, dir: String,
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToIndex: numFiles $numFiles")
+    val (t, cells) = encodedCells(newVectors, dir)
+    requireLayout(s"$t/cells", batched = false, "appendToIndex")
+    shapeByCell(cells, numFiles).write.mode("append").parquet(s"$t/cells")
+  }
+
+  /** Frozen-codebook assignment of a new batch — the ONE encode both
+    * append forms share, so the blind and the batch-addressed writes can
+    * never drift apart on what a row means. Returns the resolved table
+    * root alongside the encoded frame. */
+  private def encodedCells(newVectors: DataFrame,
+      dir: String): (String, DataFrame) = {
     val spark = newVectors.sparkSession
     val t = VersionedStore.tableRoot(dir)
     val codebook = spark.read.parquet(s"$t/codebook")
@@ -327,11 +329,31 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1)
     require(codebook.nonEmpty, s"appendToIndex: empty codebook in $dir")
-    val cells = quantizedCells(newVectors, codebook)
-    val shaped =
-      if (numFiles == 1) cells.coalesce(1)
-      else cells.repartition(numFiles, col("cell_id"))
-    shaped.write.mode("append").parquet(s"$t/cells")
+    (t, quantizedCells(newVectors, codebook))
+  }
+
+  private def shapeByCell(df: DataFrame, numFiles: Int): DataFrame =
+    if (numFiles == 1) df.coalesce(1)
+    else df.repartition(numFiles, col("cell_id"))
+
+  /** WRITE-TIME layout guard: the blind append forms require a FLAT
+    * table, the batch-addressed forms a batch-partitioned one — a write
+    * that mixed the two would succeed and then break every later read
+    * at partition discovery ("conflicting directory structures"),
+    * bricking the store long after the writer returned. Loud here beats
+    * corrupt-at-read. */
+  private def requireLayout(tableDir: String, batched: Boolean,
+      who: String): Unit = {
+    val has = hasBatchLayout(tableDir)
+    require(has == batched,
+      if (batched)
+        s"$who: $tableDir is a flat table — batch-addressed appends" +
+          " would mix layouts and break partition discovery; bootstrap" +
+          " the store with batchId (or use the blind append form)"
+      else
+        s"$who: $tableDir is batch-addressed (stream-maintained) — a" +
+          " blind append would mix layouts and break partition" +
+          " discovery; use the batch-addressed form with its batchId")
   }
 
   /** STREAMING-append form of [[appendToIndex]] — the
@@ -355,16 +377,9 @@ object Ann {
   def appendToIndexBatch(newVectors: DataFrame, dir: String, batchId: Long,
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToIndexBatch: numFiles $numFiles")
-    val spark = newVectors.sparkSession
-    val t = VersionedStore.tableRoot(dir)
-    val codebook = spark.read.parquet(s"$t/codebook")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
-      .sortBy(_._1)
-    require(codebook.nonEmpty, s"appendToIndexBatch: empty codebook in $dir")
-    val cells = quantizedCells(newVectors, codebook)
-    (if (numFiles == 1) cells.coalesce(1)
-     else cells.repartition(numFiles, col("cell_id")))
+    val (t, cells) = encodedCells(newVectors, dir)
+    requireLayout(s"$t/cells", batched = true, "appendToIndexBatch")
+    shapeByCell(cells, numFiles)
       .write.mode("overwrite").parquet(s"$t/cells/batch=$batchId")
   }
 
@@ -471,25 +486,31 @@ object Ann {
   def compactIndexCells(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
     require(numFiles > 0, s"compactIndexCells: numFiles $numFiles")
-    val liveCells = readCells(spark, storeDir)
-      .repartition(numFiles, col("cell_id"))
-    // a batch-addressed store keeps its layout through the rewrite
-    // (rolled-up rows under the reserved batch=-1 — see [[rewriteName]])
-    // so post-compaction [[appendToIndexBatch]] writes keep working
     val t0 = VersionedStore.tableRoot(storeDir)
-    val cellsName = rewriteName(t0, "cells")
+    val batched = hasBatchLayout(s"$t0/cells")
+    // a batch-addressed store keeps its FULL batch=<id> layout through
+    // the rewrite (a row's batch identity is preserved, not rolled up):
+    // compaction drops tombstoned rows only, so the as-of pin
+    // ([[readCellsAsOf]]) stays exact across the GC — a rollup would
+    // silently pull later batches under every earlier pin — and
+    // post-compaction [[appendToIndexBatch]] writes keep working
+    val liveCells = Tombstones.filterLive(
+        spark.read.parquet(s"$t0/cells"), t0, "id")
+      .repartition(numFiles, col("cell_id"))
     if (VersionedStore.isVersioned(storeDir)) {
       VersionedStore.publish(storeDir, Map(
         "codebook" -> spark.read.parquet(s"$t0/codebook"),
-        cellsName -> liveCells))
+        "cells" -> liveCells),
+        partitionBy =
+          if (batched) Map("cells" -> Seq("batch")) else Map.empty)
       // keepGenerations: [[Retrieval.compactPostingsIndex]]'s retention
       // knob — 0 (default) makes compaction the erasure deadline
       VersionedStore.gc(storeDir, keep = keepGenerations)
       ()
     } else {
       val tmp = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-      liveCells.write.parquet(
-        if (cellsName == "cells") tmp else s"$tmp/batch=-1")
+      (if (batched) liveCells.write.partitionBy("batch")
+       else liveCells.write).parquet(tmp)
       Dedup.swapDir(s"$storeDir/cells", tmp)
       Tombstones.clear(storeDir)
     }
@@ -533,6 +554,17 @@ object Ann {
       splitFactor: Int = 2, iters: Int = 3): Seq[(Long, Long)] = {
     require(maxCellSize > 0, s"rebalanceCells: maxCellSize $maxCellSize")
     require(splitFactor >= 2, s"rebalanceCells: splitFactor $splitFactor")
+    // batch-addressed (stream-maintained) stores are REJECTED — the
+    // compactPostingsIndex rule: an assignment rewrite is not a row
+    // drop, so preserving the batch column would still change what a
+    // pinned read retrieves. Their maintenance op is store ROTATION
+    // (writeIndex of the live rows to a fresh root — the periodic
+    // retrain a frozen-codebook regime schedules anyway)
+    require(!hasBatchLayout(s"${VersionedStore.tableRoot(storeDir)}/cells"),
+      s"rebalanceCells: $storeDir is batch-addressed (stream-maintained)" +
+        " — an assignment rewrite would invalidate the append history" +
+        " as-of reads pin; rotate the store (writeIndex to a fresh root)" +
+        " instead")
     // persisted once: the pass reads the cell table 2×#oversized times
     // (member slices, counts) before the rewrite — each read must not
     // re-scan the store
@@ -585,13 +617,12 @@ object Ann {
     val finalBook =
       centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1))
         ++ subBook).coalesce(1)
-    val cellsName = rewriteName(VersionedStore.tableRoot(storeDir), "cells")
     if (VersionedStore.isVersioned(storeDir)) {
       // one atomic generation: final codebook + rewritten cells together
       // (the live frame is persisted, so the publish reads cached rows,
       // not the old generation's files mid-retirement)
       VersionedStore.publish(storeDir, Map(
-        "codebook" -> finalBook, cellsName -> newCells))
+        "codebook" -> finalBook, "cells" -> newCells))
       VersionedStore.gc(storeDir, keep = 0)
     } else {
       // legacy flat root: three-swap protocol (see scaladoc)
@@ -600,8 +631,7 @@ object Ann {
         .coalesce(1).write.parquet(tmpBook1)
       Dedup.swapDir(s"$storeDir/codebook", tmpBook1)
       val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-      newCells.write.parquet(
-        if (cellsName == "cells") tmpCells else s"$tmpCells/batch=-1")
+      newCells.write.parquet(tmpCells)
       Dedup.swapDir(s"$storeDir/cells", tmpCells)
       Tombstones.clear(storeDir) // the rewrite kept live rows only
       // drop the now-memberless split parents from the codebook
@@ -653,6 +683,13 @@ object Ann {
       numFiles: Int = 4): Seq[(Long, Long)] = {
     require(minCellSize > 0, s"mergeCells: minCellSize $minCellSize")
     require(numFiles > 0, s"mergeCells: numFiles $numFiles")
+    // assignment rewrite — refuses batch-addressed stores for the same
+    // reason as [[rebalanceCells]] (rotation is their maintenance op)
+    require(!hasBatchLayout(s"${VersionedStore.tableRoot(storeDir)}/cells"),
+      s"mergeCells: $storeDir is batch-addressed (stream-maintained) —" +
+        " an assignment rewrite would invalidate the append history" +
+        " as-of reads pin; rotate the store (writeIndex to a fresh root)" +
+        " instead")
     val live = readCells(spark, storeDir).persist()
     try {
       // codebook-bounded rows (one per cell) — driver-collectable
@@ -687,18 +724,15 @@ object Ann {
       val newCells = untouched.unionByName(reassigned)
         .repartition(numFiles, col("cell_id"))
       val newBook = centroidsDf(spark, survivors).coalesce(1)
-      val cellsName =
-        rewriteName(VersionedStore.tableRoot(storeDir), "cells")
       if (VersionedStore.isVersioned(storeDir)) {
         VersionedStore.publish(storeDir, Map(
-          "codebook" -> newBook, cellsName -> newCells))
+          "codebook" -> newBook, "cells" -> newCells))
         VersionedStore.gc(storeDir, keep = 0)
       } else {
         // flat root: cells first (reassigned rows point at survivors the
         // old codebook also carries), then the codebook shrink
         val tmpCells = s"$storeDir/cells.compact.${ProcessHandle.current.pid}"
-        newCells.write.parquet(
-          if (cellsName == "cells") tmpCells else s"$tmpCells/batch=-1")
+        newCells.write.parquet(tmpCells)
         Dedup.swapDir(s"$storeDir/cells", tmpCells)
         Tombstones.clear(storeDir) // the rewrite kept live rows only
         val tmpBook = s"$storeDir/codebook.compact.${ProcessHandle.current.pid}"
@@ -971,12 +1005,19 @@ object Ann {
   def appendToPqIndex(newVectors: DataFrame, dir: String,
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToPqIndex: numFiles $numFiles")
-    val spark = newVectors.sparkSession
-    val books = readPqBooks(spark, dir)
-    val t = VersionedStore.tableRoot(dir)
-    newVectors.select(col("id").cast("long").as("id"),
-        pqCodesExpr(books, col("vec")).as("codes"))
-      .coalesce(numFiles).write.mode("append").parquet(s"$t/codes")
+    val (t, codes) = encodedPqCodes(newVectors, dir)
+    requireLayout(s"$t/codes", batched = false, "appendToPqIndex")
+    codes.coalesce(numFiles).write.mode("append").parquet(s"$t/codes")
+  }
+
+  /** Frozen-books encode shared by both PQ append forms
+    * ([[encodedCells]]'s rationale). */
+  private def encodedPqCodes(newVectors: DataFrame,
+      dir: String): (String, DataFrame) = {
+    val books = readPqBooks(newVectors.sparkSession, dir)
+    (VersionedStore.tableRoot(dir),
+      newVectors.select(col("id").cast("long").as("id"),
+        pqCodesExpr(books, col("vec")).as("codes")))
   }
 
   /** STREAMING-append form of [[appendToPqIndex]] —
@@ -990,12 +1031,9 @@ object Ann {
   def appendToPqIndexBatch(newVectors: DataFrame, dir: String,
       batchId: Long, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToPqIndexBatch: numFiles $numFiles")
-    val spark = newVectors.sparkSession
-    val books = readPqBooks(spark, dir)
-    val t = VersionedStore.tableRoot(dir)
-    newVectors.select(col("id").cast("long").as("id"),
-        pqCodesExpr(books, col("vec")).as("codes"))
-      .coalesce(numFiles).write.mode("overwrite")
+    val (t, codes) = encodedPqCodes(newVectors, dir)
+    requireLayout(s"$t/codes", batched = true, "appendToPqIndexBatch")
+    codes.coalesce(numFiles).write.mode("overwrite")
       .parquet(s"$t/codes/batch=$batchId")
   }
 
@@ -1126,18 +1164,24 @@ object Ann {
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
       numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToIvfPqIndex: numFiles $numFiles")
+    val (t, cells) = encodedIvfPqCells(newVectors, dir)
+    requireLayout(s"$t/cells", batched = false, "appendToIvfPqIndex")
+    shapeByCell(cells, numFiles).write.mode("append").parquet(s"$t/cells")
+  }
+
+  /** Frozen coarse-codebook assignment + frozen-books residual encode
+    * shared by both IVF-PQ append forms ([[encodedCells]]'s rationale). */
+  private def encodedIvfPqCells(newVectors: DataFrame,
+      dir: String): (String, DataFrame) = {
     val spark = newVectors.sparkSession
     val t = VersionedStore.tableRoot(dir)
     val coarse = spark.read.parquet(s"$t/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
     require(coarse.nonEmpty, s"appendToIvfPqIndex: empty codebook in $dir")
     val books = readPqBooks(spark, dir)
-    val shaped = residualFrame(newVectors, spark, coarse)
+    (t, residualFrame(newVectors, spark, coarse)
       .select(col("id"), col("cell_id"),
-        pqCodesExpr(books, col("res")).as("codes"))
-    (if (numFiles == 1) shaped.coalesce(1)
-     else shaped.repartition(numFiles, col("cell_id")))
-      .write.mode("append").parquet(s"$t/cells")
+        pqCodesExpr(books, col("res")).as("codes")))
   }
 
   /** STREAMING-append form of [[appendToIvfPqIndex]] —
@@ -1149,18 +1193,9 @@ object Ann {
   def appendToIvfPqIndexBatch(newVectors: DataFrame, dir: String,
       batchId: Long, numFiles: Int = 1): Unit = {
     require(numFiles > 0, s"appendToIvfPqIndexBatch: numFiles $numFiles")
-    val spark = newVectors.sparkSession
-    val t = VersionedStore.tableRoot(dir)
-    val coarse = spark.read.parquet(s"$t/codebook").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
-    require(coarse.nonEmpty,
-      s"appendToIvfPqIndexBatch: empty codebook in $dir")
-    val books = readPqBooks(spark, dir)
-    val shaped = residualFrame(newVectors, spark, coarse)
-      .select(col("id"), col("cell_id"),
-        pqCodesExpr(books, col("res")).as("codes"))
-    (if (numFiles == 1) shaped.coalesce(1)
-     else shaped.repartition(numFiles, col("cell_id")))
+    val (t, cells) = encodedIvfPqCells(newVectors, dir)
+    requireLayout(s"$t/cells", batched = true, "appendToIvfPqIndexBatch")
+    shapeByCell(cells, numFiles)
       .write.mode("overwrite").parquet(s"$t/cells/batch=$batchId")
   }
 
@@ -1265,10 +1300,17 @@ object Ann {
     require(VersionedStore.isVersioned(dir),
       s"compactPqIndex: $dir is not a versioned PQ store")
     val t = VersionedStore.tableRoot(dir)
+    // batch-addressed stores keep their full batch=<id> history through
+    // the rewrite (compactIndexCells' rationale: a row drop must not
+    // move rows under earlier as-of pins)
+    val batched = hasBatchLayout(s"$t/codes")
     VersionedStore.publish(dir, Map(
       "books" -> spark.read.parquet(s"$t/books"),
-      rewriteName(t, "codes") -> readPqCodes(spark, dir)
-        .coalesce(numFiles)) ++ quantStats(spark, t))
+      "codes" -> Tombstones.filterLive(
+          spark.read.parquet(s"$t/codes"), t, "id")
+        .coalesce(numFiles)) ++ quantStats(spark, t),
+      partitionBy =
+        if (batched) Map("codes" -> Seq("batch")) else Map.empty)
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }
@@ -1291,13 +1333,17 @@ object Ann {
     require(VersionedStore.isVersioned(dir),
       s"compactIvfPqIndex: $dir is not a versioned IVF-PQ store")
     val t = VersionedStore.tableRoot(dir)
+    val batched = hasBatchLayout(s"$t/cells")
+    // batch history preserved through the rewrite (compactIndexCells)
     val live = Tombstones.filterLive(
-      spark.read.parquet(s"$t/cells").drop("batch"), t, "id")
+      spark.read.parquet(s"$t/cells"), t, "id")
     VersionedStore.publish(dir, Map(
       "codebook" -> spark.read.parquet(s"$t/codebook"),
       "books" -> spark.read.parquet(s"$t/books"),
-      rewriteName(t, "cells") ->
-        live.repartition(numFiles, col("cell_id"))) ++ quantStats(spark, t))
+      "cells" ->
+        live.repartition(numFiles, col("cell_id"))) ++ quantStats(spark, t),
+      partitionBy =
+        if (batched) Map("cells" -> Seq("batch")) else Map.empty)
     VersionedStore.gc(dir, keep = keepGenerations)
     ()
   }

@@ -205,13 +205,22 @@ object StoreFs {
   def createExclusive(path: String, bytes: Array[Byte] = Array.empty)
       : Boolean = {
     val (fs, p) = fsPath(path)
-    try {
-      val out = fs.create(p, false)
-      try out.write(bytes) finally out.close()
-      true
-    } catch {
+    val out =
+      try fs.create(p, false)
+      catch {
+        // only a CREATE failure may read as "already existed" — a write
+        // failure after a successful create must not (the torn partial
+        // would masquerade as a complete prior copy); hence the split
+        // try blocks
+        case e: java.io.IOException =>
+          if (fs.exists(p)) return false else throw e
+      }
+    try { out.write(bytes); out.close(); true }
+    catch {
       case e: java.io.IOException =>
-        if (fs.exists(p)) false else throw e
+        try out.close() catch { case _: java.io.IOException => () }
+        fs.delete(p, false) // remove the torn partial we created
+        throw e
     }
   }
 

@@ -92,16 +92,23 @@ object Tombstones {
   /** Shared validated append: validates once, writes only when there is
     * something to record (an empty batch must not litter the
     * one-listing-cheap set with empty files), and returns the number of
-    * ids recorded. LAYOUT DISPATCH lives here: a versioned store root
-    * routes to the per-generation overlay ([[VersionedStore
-    * .takedownValidated]] — every retained generation, pinned reads
-    * included), a flat root appends under `<store>/tombstones`; either
-    * way every takedown entry point above stays O(request). */
+    * ids recorded. LAYOUT DISPATCH lives here, and it runs UNDER the
+    * store's maintenance lock: a versioned root routes to the
+    * per-generation overlay ([[VersionedStore.takedownValidatedLocked]]
+    * — every retained generation, pinned reads AND in-flight
+    * reservations included), a flat root appends under
+    * `<store>/tombstones`. The lock (not just the dispatch) is what
+    * closes the migration race: without it, a takedown recorded while
+    * the store's FIRST publish is committing could dispatch flat, land
+    * around the superseded-flat sweep, and either be deleted or sit in
+    * a set no versioned reader consults — a silently-voided legal
+    * erasure. Either way every takedown entry point above stays
+    * O(request). */
   private def appendValidated(ids: DataFrame, storeDir: String): Long = {
     val (v, n) = validated(ids)
-    if (n > 0L) {
+    if (n > 0L) VersionedStore.withMaintenanceLock(storeDir) {
       if (VersionedStore.isVersioned(storeDir))
-        VersionedStore.takedownValidated(v, storeDir)
+        VersionedStore.takedownValidatedLocked(v, storeDir)
       else writeSet(v, storeDir)
     }
     n

@@ -213,7 +213,15 @@ object VersionedStore {
     * and the max `_POINTER.<gen>` marker (exclusive protocol). None
     * before the first publish. Loud failure on unreadable `_CURRENT`
     * CONTENT even when markers exist (a corrupt pointer is an
-    * operational fact demanding [[adopt]], never silently out-voted). */
+    * operational fact demanding [[adopt]], never silently out-voted).
+    *
+    * Cost: one root LISTING plus the pointer read — deliberately
+    * unconditional (skipping the listing when `_CURRENT` exists would
+    * silently time-travel a store whose knob flipped exclusive→rename
+    * while markers above `_CURRENT` remained). Store opens are
+    * per-query, never per-row, and a store root holds a handful of
+    * entries; a metadata cache would trade that for staleness across
+    * processes. */
   def currentGen(root: String): Option[Long] = {
     val (fs, p) = StoreFs.fsPath(s"$root/$Pointer")
     val renamed =
@@ -258,14 +266,25 @@ object VersionedStore {
     *
     * Table names are slash-separable relative paths (a batch-addressed
     * bootstrap publishes `cells/batch=0`); the BASE segment must not
-    * collide with the protocol's own artifacts. */
-  def publish(root: String, tables: Map[String, DataFrame]): Long = {
+    * collide with the protocol's own artifacts — no underscore-prefixed
+    * names (all protocol records start with `_`, and Spark readers
+    * ignore `_`-prefixed paths anyway, so such a table could never be
+    * read back).
+    *
+    * `partitionBy` maps a table name to partition columns for its
+    * write — how a compaction rewrite preserves a batch-addressed
+    * table's `batch=<id>` append history (the as-of pin) through the
+    * fresh generation. */
+  def publish(root: String, tables: Map[String, DataFrame],
+      partitionBy: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "VersionedStore.publish: no tables")
+    require(partitionBy.keySet.subsetOf(tables.keySet),
+      s"VersionedStore.publish: partitionBy names unknown tables" +
+        s" ${partitionBy.keySet -- tables.keySet}")
     tables.keys.foreach { n =>
       val base = n.split('/').head
       require(base.nonEmpty && !base.startsWith("gen-") &&
-        base != "tombstones" && !base.startsWith(Pointer) &&
-        base != Marker,
+        base != "tombstones" && !base.startsWith("_"),
         s"VersionedStore.publish: table name '$n' collides with the" +
           " store protocol's own layout")
     }
@@ -280,7 +299,10 @@ object VersionedStore {
     val (gen, token) = reserve(root)
     val dir = genDir(root, gen)
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
+      val w = df.write.mode("overwrite")
+      partitionBy.get(name).filter(_.nonEmpty)
+        .fold(w)(cols => w.partitionBy(cols: _*))
+        .parquet(s"$dir/$name")
     }
     commit(root, gen, token, tables.keys.map(_.split('/').head).toSet,
       tables.head._2.sparkSession)
@@ -404,8 +426,26 @@ object VersionedStore {
     * out to be versioned, so every flat-store takedown entry point
     * (tombstoneDocs/tombstoneVectors/tombstoneSignatures/the streaming
     * sink) is generation-aware without per-family changes. */
+  /** [[Tombstones.appendValidated]]'s serialization point: the FLAT
+    * takedown route must also hold the maintenance lock, or a takedown
+    * recorded while a migration publish is committing can be destroyed
+    * by the superseded-flat sweep (recorded → swept → silently serving
+    * erased rows) or land after it in a flat set no versioned reader
+    * consults. The lock is NOT reentrant (ProcessLock throws on same-JVM
+    * re-acquisition), so the layout dispatch runs inside ONE hold and
+    * calls the unlocked bodies. */
+  private[pipeline] def withMaintenanceLock[T](root: String)(body: => T): T =
+    maintenance(root)(body)
+
   private[pipeline] def takedownValidated(idsLong: DataFrame,
       root: String): Unit = maintenance(root) {
+    takedownValidatedLocked(idsLong, root)
+  }
+
+  /** The lock-free body of [[takedownValidated]] — callable only while
+    * the caller holds [[withMaintenanceLock]] for `root`. */
+  private[pipeline] def takedownValidatedLocked(idsLong: DataFrame,
+      root: String): Unit = {
     val all = listGens(root)
     val complete = all.collect { case (g, true) => g }
     require(complete.nonEmpty,

@@ -57,21 +57,66 @@ class AnnBatchStoreSpec extends SparkSpec {
     (0L until 6L).foreach(q => assert(r1(q) == q + 1000L, s"query $q"))
   }
 
-  test("IVF store: compaction preserves the batch layout and appendability") {
+  test("IVF store: compaction preserves the batch HISTORY and appendability") {
     val dir = s"${tmp("annb")}/index"
     Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
     Ann.tombstoneVectors(spark, dir, Seq(11L))
     Ann.compactIndexCells(spark, dir)
     assert(Ann.readCells(spark, dir).select("id").as[Long]
-      .collect().toSet == (0L until 11L).toSet)
-    // the rewrite rolled up under batch=-1: later batches keep landing
-    // in their own subdirs and the read stays one partitioned scan
-    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
-    Ann.appendToIndexBatch(twins, dir, batchId = 1L) // replay after GC
-    assert(Ann.readCells(spark, dir).count() == 11L + 6L)
+      .collect().toSet ==
+      ((0L until 11L) ++ (1000L until 1006L)).toSet)
+    // the rewrite preserved each row's batch identity (NOT a rollup):
+    // an as-of pin recorded before the GC still reads exactly the
+    // batch-0 state — a rollup would silently pull batch 1 under it
+    assert(Ann.readCellsAsOf(spark, dir, 0L).select("id").as[Long]
+      .collect().toSet == (0L until 11L).toSet,
+      "compaction must not move rows under earlier as-of pins")
+    // later batches keep landing in their own subdirs; replay is still
+    // an overwrite after the GC
+    Ann.appendToIndexBatch(twins, dir, batchId = 2L)
+    Ann.appendToIndexBatch(twins, dir, batchId = 2L) // replay after GC
+    assert(Ann.readCells(spark, dir).count() == 11L + 6L + 6L)
     val fsck = StoreFsck.annStore(spark, dir)
       .as[(String, Long)].collect().toMap
-    assert(fsck("duplicate_cell_rows") == 0L, fsck.toString)
+    assert(fsck("vectors_in_multiple_cells") == 0L, fsck.toString)
+  }
+
+  test("layout guards: mixed flat/batch writes and batch-store rewrites refuse loudly") {
+    // a blind append into a batch-addressed store (or a batch append
+    // into a flat one) would succeed and then break every later read at
+    // partition discovery — the guards refuse at write time
+    val batched = s"${tmp("annb")}/guards"
+    Ann.writeIndex(base, batched, k = 4, iters = 2, batchId = Some(0L))
+    intercept[IllegalArgumentException] {
+      Ann.appendToIndex(twins, batched)
+    }
+    val flat = s"${tmp("annb")}/guardsflat"
+    Ann.writeIndex(base, flat, k = 4, iters = 2)
+    intercept[IllegalArgumentException] {
+      Ann.appendToIndexBatch(twins, flat, batchId = 1L)
+    }
+    // assignment rewrites refuse batch-addressed stores (rotation is
+    // their maintenance op — preserving the batch column would still
+    // change what a pinned read retrieves)
+    intercept[IllegalArgumentException] {
+      Ann.rebalanceCells(spark, batched, base, maxCellSize = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.mergeCells(spark, batched, base, minCellSize = 100L)
+    }
+    // the PQ pairs carry the same guards
+    val pq = s"${tmp("annb")}/guardspq"
+    Ann.writePqIndex(base, pq, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    intercept[IllegalArgumentException] {
+      Ann.appendToPqIndex(twins, pq)
+    }
+    val ivfpq = s"${tmp("annb")}/guardsivfpq"
+    Ann.writeIvfPqIndex(base, ivfpq, k = 3, m = 4, ksub = 4, iters = 2)
+    intercept[IllegalArgumentException] {
+      Ann.appendToIvfPqIndexBatch(twins, ivfpq, batchId = 1L)
+    }
   }
 
   test("PQ store: a replayed batch append overwrites its own partial") {

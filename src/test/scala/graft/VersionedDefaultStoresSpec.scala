@@ -225,6 +225,33 @@ class VersionedDefaultStoresSpec extends SparkSpec {
     StoreFs.deleteRecursive(s"$dir/postings")
   }
 
+  test("a takedown racing the migration publish is never lost") {
+    // the flat takedown route serializes under the same maintenance
+    // lock as publish's commit, so an erasure recorded around the
+    // migration lands EITHER in the flat set before the carry (and is
+    // carried) OR in the versioned overlay after the flip — never in a
+    // flat set the sweep deletes or no versioned reader consults
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { i =>
+      val dir = s"${tmp("vdef")}/race$i"
+      Retrieval.positionalPostings(docsDf).coalesce(1)
+        .write.parquet(s"$dir/postings")
+      Retrieval.docLengths(docsDf).coalesce(1)
+        .write.parquet(s"$dir/doclens")
+      val takedown = Future {
+        Tombstones.appendDf(Seq(2L).toDF("doc_id"), dir)
+      }
+      val rebuild = Future { Retrieval.writePostingsIndex(docsDf, dir) }
+      Await.result(takedown, 120.seconds)
+      Await.result(rebuild, 120.seconds)
+      assert(!Retrieval.readDocLengths(spark, dir)
+        .select("doc_id").as[Long].collect().contains(2L),
+        s"iteration $i: the racing takedown was lost")
+    }
+  }
+
   test("takedown against an unpublished versioned root fails loudly") {
     val dir = s"${tmp("vdef")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
