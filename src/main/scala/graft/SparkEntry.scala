@@ -41,6 +41,17 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
+  /** Pinned organic recall@10 floors for q_ann_recall — measured on the
+    * natural embedding corpus at sf0.01 / sf0.1 / sf1 (values in
+    * COVERAGE.md) and pinned with headroom below the minimum; the
+    * deliberate low-budget case that proves the floors DISCRIMINATE is
+    * AnnBatchStoreSpec's. Fully deterministic (deterministic k-means
+    * init, no RNG), so a drop below a floor is a code or store change,
+    * never box variance. */
+  private val RecallFloorIvfQ = 0.78
+  private val RecallFloorPq = 0.74
+  private val RecallFloorIvfPq = 0.74
+
   /** Documents corpus with planted exact duplicates (each doc twice, the
     * copy shifted by +1,000,000 in id) — exercises the near-dup pipeline on
     * data that genuinely contains duplicates. */
@@ -3251,6 +3262,91 @@ object SparkEntry {
               lit("head").as("probe_view")))
     }),
 
+    // ---- UNIFIED TIME-TRAVEL PIN: as-of has two axes — generation
+    // (whole rebuilds) and append batch (within a generation) — and a
+    // reader wanting "the store as served at T" must otherwise know
+    // both. Ann.pinIndex captures ONE (gen, maxBatch) token; the pinned
+    // server replays it across a later APPEND (batch 2, lower-id twins
+    // that would win the cosine tie) AND a later PUBLISH (compaction →
+    // fresh generation): pinned serves the +1e6 twin, head the +5e5 —
+    // q_ann_asof's contract with the publish axis moving too ----
+    "q_ann_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("annpin").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
+        batchId = Some(0L))
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 1000000L).as("id"), col("vec")),
+        s"$root/index", 1L)
+      val pin = Ann.pinIndex(s"$root/index")
+      // BOTH axes move after the capture: one more append batch, then a
+      // compaction that publishes a fresh generation (keepGenerations=1
+      // is the retention policy that keeps the pin alive)
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 500000L).as("id"), col("vec")),
+        s"$root/index", 2L)
+      Ann.compactIndexCells(s, s"$root/index", keepGenerations = 1)
+      val corpus = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 500000L).as("id"), col("vec")))
+      val q = all.where(col("id") < 15)
+      Ann.ivfQuantizedTopKFromStorePinned(q, corpus, s"$root/index", k = 5,
+          pin, nProbe = 8)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("pinned").as("probe_view"))
+        .unionByName(
+          Ann.ivfQuantizedTopKFromStore(q, corpus, s"$root/index", k = 5,
+              nProbe = 8)
+            .where(col("rank") === 1)
+            .select(col("query_id"), col("neighbor_id"),
+              lit("head").as("probe_view")))
+    }),
+
+    // ---- ORGANIC recall floor for the quantized ANN tier: every other
+    // ANN oracle is a planted-twin invariant; this one measures
+    // recall@10 of the three store-served quantized paths against the
+    // exact brute-force answer ON THE NATURAL CORPUS (no twins) at the
+    // serving probe budgets, and fails loudly below the pinned floors
+    // (measured first, documented in COVERAGE.md; the discriminating
+    // nProbe=1/ksub=2 case is AnnBatchStoreSpec's). A bad m/ksub/nProbe
+    // interaction never drifts and passes every structural gate — this
+    // is the gate that sees it ----
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val q = all.where(col("id") < 30)
+      val exact = Ann.bruteForceTopK(q, all, k = 10)
+      // budgets are the production shape for dim=64: m=8 → 8-dim
+      // subspaces (8 code bytes vs 256 float bytes, still a 32× scan
+      // cut), probe 6 of 16 cells, rerank 100 exact — recall measured
+      // under exactly what a deployment would run, not a demo setting
+      val ivf = graft.sources.WireFixtures.annOrganicIndexDir(s, dir)
+      val pq = graft.sources.WireFixtures.pqOrganicIndexDir(s, dir, m = 8)
+      val ivfpq =
+        graft.sources.WireFixtures.ivfPqOrganicIndexDir(s, dir, m = 8)
+      val served = Seq(
+        ("ivf_quantized", Ann.ivfQuantizedTopKFromStore(q, all, ivf,
+          k = 10, nProbe = 6, rerank = 100), RecallFloorIvfQ),
+        ("pq_adc", Ann.pqTopKFromStore(q, all, pq, k = 10, rerank = 200),
+          RecallFloorPq),
+        ("ivf_pq", Ann.ivfPqTopKFromStore(q, all, ivfpq, k = 10,
+          nProbe = 6, rerank = 100), RecallFloorIvfPq))
+      served.map { case (m, approx, floor) =>
+        val r = Ann.recallAtK(approx, exact)
+        // the measured value is the scale-probe datum (SCALING.md) —
+        // print it; the FLOOR is the gate
+        println(f"[recall] sf=$dir%s method=$m%s recall_at_10=$r%.4f" +
+          f" floor=$floor%.2f")
+        require(r >= floor,
+          s"q_ann_recall: $m recall@10 = $r below the pinned floor $floor" +
+            " — the quantized tier lost organic retrieval quality")
+        (m, floor, true)
+      }.toDF("method", "floor", "floor_ok").orderBy("method")
+    }),
+
     // ---- ANN CDC feed: the vector store maintained from an
     // UPSERT/DELETE change stream (q_index_cdc_stream's discipline on
     // the IVF store): the first micro-batch BOOTSTRAPS the store
@@ -5065,6 +5161,25 @@ object SparkEntry {
         " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // unified (gen, maxBatch) pin: q_ann_asof's contract holding across
+    // a later append AND a later compaction-publish — pinned serves the
+    // +1e6 twin, the post-publish head the +5e5 tie-winner
+    "q_ann_pin" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // organic recall gate: the Spark side measures recall@10 vs the
+    // exact brute-force answer and REQUIRES each method over its pinned
+    // floor (a sub-floor store fails the query loudly, so these rows
+    // existing IS the assertion); floors documented in COVERAGE.md
+    "q_ann_recall" ->
+      ("SELECT 'ivf_pq' AS method, CAST(0.74 AS DOUBLE) AS floor," +
+        " TRUE AS floor_ok" +
+        " UNION ALL SELECT 'ivf_quantized', CAST(0.78 AS DOUBLE), TRUE" +
+        " UNION ALL SELECT 'pq_adc', CAST(0.74 AS DOUBLE), TRUE"),
+
     // power-iteration invariant (Rayleigh non-decreasing on PSD) + the
     // planted-anisotropy alignment — both contract booleans
     "q_pca_power" ->
@@ -5750,7 +5865,9 @@ object SparkEntry {
           "ivfpq_wrong_code_width",
           "ivfpq_codes_out_of_range", "ivfpq_duplicate_code_ids",
           "pq_quantizer_stats_missing", "pq_adc_error_drift",
+          "pq_corpus_binding_mismatch", "pq_drift_unmeasurable",
           "ivfpq_quantizer_stats_missing", "ivfpq_adc_error_drift",
+          "ivfpq_corpus_binding_mismatch", "ivfpq_drift_unmeasurable",
           "reg_ok_digests_failing_latest_reader")
         .map(n => s"SELECT '$n' AS check_name, CAST(0 AS BIGINT) AS n_bad")
         .mkString(" UNION ALL ") +

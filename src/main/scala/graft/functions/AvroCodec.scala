@@ -72,13 +72,17 @@ object AvroCodec {
       throw new IllegalArgumentException(s"no schema for $sourceName"))
     val versions = set.schemas.filter(_.sourceName == sourceName)
     if (strict) {
-      val known = set.schemas.map(_.digestHex).toSet
+      // the guard must mirror the decode branches EXACTLY: branches below
+      // cover only THIS source's schema versions, so a digest registered
+      // under a different source still has no branch and would drop —
+      // building `known` from all sources' schemas would wave it through
+      val known = versions.map(_.digestHex).toSet
       val unknown = df.select(lower(hex(col(schemaIdCol))).as("d"))
         .distinct().collect().map(_.getString(0)).filterNot(known)
       require(unknown.isEmpty,
         s"decodeByDigest(strict): ${unknown.length} digest(s) resolve to" +
-          s" no registered schema — rows would silently drop:" +
-          s" ${unknown.take(5).mkString(", ")}")
+          s" no schema registered for source '$sourceName' — rows would" +
+          s" silently drop: ${unknown.take(5).mkString(", ")}")
     }
     versions.map { vs =>
       val dec = decodeEventPayloadEvolved(vs.schemaJson, reader.schemaJson)

@@ -200,6 +200,30 @@ object Ann {
       .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
   }
 
+  /** The distinct cell ids a probe frame touches, as a DRIVER LITERAL:
+    * probes is queries × nProbe rows by construction (the same bound
+    * that lets [[probeCells]] broadcast it), so collecting the ids is
+    * request-sized — and turning them into a literal
+    * `cell_id.isin(...)` filter ON THE CELLS SCAN is what lets the
+    * cell_id-clustered store layout ([[writeIndex]]/[[writeIvfPqIndex]]
+    * repartition by cell_id, so parquet footers carry tight min/max
+    * stats) actually SKIP row groups: a broadcast-join key is not a
+    * pushable predicate, so without the literal every serving call
+    * reads the whole coded tier and filters in the join — at 100 TB the
+    * coded tier is small (int8/PQ codes) but still TBs, and serving
+    * must be an index probe, not a tier scan. Reference analogue:
+    * ScnIndex.java:623 — seek then scan, never scan-then-filter. */
+  private def probedCellIds(probes: DataFrame): Seq[Long] =
+    probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** `cells` restricted to the probed ids as a PUSHABLE literal filter
+    * (see [[probedCellIds]]); applied before the probe join in every
+    * cell-probing serving path. */
+  private def pruneToProbedCells(cells: DataFrame,
+      probes: DataFrame): DataFrame =
+    cells.where(col("cell_id").isin(probedCellIds(probes): _*))
+
   private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
       centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
       rerank: Int): DataFrame = {
@@ -213,7 +237,7 @@ object Ann {
     // re-rank; an ascending tie-break would cut it first
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").desc)
-    val survivors = cells
+    val survivors = pruneToProbedCells(cells, probes)
       .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -260,21 +284,24 @@ object Ann {
     * two-commit window this writer used to delegate to the caller's
     * promote protocol is structurally impossible on the publish path. */
   def writeIndex(corpus: DataFrame, dir: String, k: Int, iters: Int,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, numFiles: Int = 4): Unit = {
+    require(numFiles > 0, s"writeIndex: numFiles $numFiles")
     val (codebook, _) = trainCentroids(corpus, k, iters)
-    // narrow cell rows (two longs + dim int8s + a double) — a handful of
-    // files keeps store re-reads one-listing cheap at fixture scale; a
-    // 100 TB corpus sizes this by cells/ bytes like any lake table.
-    // batchId selects the BATCH-ADDRESSED layout from the first write
-    // (the table name is a relative path, so the generation's cells/
-    // is born as a batch=<id> partition dir): a stream-maintained store
-    // must start this way — partition discovery rejects a layout that
-    // mixes flat files with batch subdirs, so the bootstrap batch
+    // narrow cell rows (two longs + dim int8s + a double), CLUSTERED by
+    // cell range ([[shapeByCell]]) so the serving scan's probed-cell
+    // literal prunes on footer stats; `numFiles` sizes the write — a
+    // handful keeps fixture-scale re-reads one-listing cheap, a 100 TB
+    // corpus raises it toward ~one cell range per file like any lake
+    // table. batchId selects the BATCH-ADDRESSED layout from the first
+    // write (the table name is a relative path, so the generation's
+    // cells/ is born as a batch=<id> partition dir): a stream-maintained
+    // store must start this way — partition discovery rejects a layout
+    // that mixes flat files with batch subdirs, so the bootstrap batch
     // chooses the store's append discipline for life
     VersionedStore.publish(dir, Map(
       "codebook" -> centroidsDf(corpus.sparkSession, codebook).coalesce(1),
       batchId.fold("cells")(b => s"cells/batch=$b") ->
-        quantizedCells(corpus, codebook).coalesce(4)))
+        shapeByCell(quantizedCells(corpus, codebook), numFiles)))
     ()
   }
 
@@ -332,9 +359,20 @@ object Ann {
     (t, quantizedCells(newVectors, codebook))
   }
 
+  /** Cell-CLUSTERED write shape: contiguous cell ranges per file
+    * (repartitionByRange) and rows sorted by cell_id within each — the
+    * layout that makes every parquet footer's cell_id min/max TIGHT, so
+    * the serving paths' literal probed-cell filter
+    * ([[probedCellIds]]) skips whole files and, at production file
+    * sizes (many row groups per 128 MB file), whole row groups inside
+    * them. A hash repartition co-locates a cell's rows just as well but
+    * smears each file's min/max across the id space, and footer stats
+    * can never prune a wide box. The sort is per-task over its own
+    * slice — no extra shuffle beyond the range exchange. */
   private def shapeByCell(df: DataFrame, numFiles: Int): DataFrame =
-    if (numFiles == 1) df.coalesce(1)
-    else df.repartition(numFiles, col("cell_id"))
+    (if (numFiles == 1) df.coalesce(1)
+     else df.repartitionByRange(numFiles, col("cell_id")))
+      .sortWithinPartitions("cell_id")
 
   /** WRITE-TIME layout guard: the blind append forms require a FLAT
     * table, the batch-addressed forms a batch-partitioned one — a write
@@ -455,6 +493,124 @@ object Ann {
     ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
   }
 
+  /** ONE time-travel coordinate for an ANN store — the unified pin the
+    * two as-of axes compose into: `gen` is the [[VersionedStore]]
+    * generation (whole rebuilds/compactions), `maxBatch` the append
+    * batch WITHIN it (`None` on a store without the batch-addressed
+    * layout). A training job captures this at read time ([[pinIndex]])
+    * and records a single token; replaying through the `*FromStorePinned`
+    * servers then reproduces the exact store state it retrieved against
+    * — across any number of later appends AND later publishes — without
+    * knowing which axis moved. Tombstones deliberately still apply
+    * (takedowns fan into every retained generation's overlay): a pin
+    * reproduces the append history, never resurrects erasure. The pin
+    * dies when [[VersionedStore.gc]] retires its generation — retention
+    * is the caller's policy, and a dead pin fails LOUDLY
+    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+  final case class AnnPin(gen: Long, maxBatch: Option[Long])
+
+  /** Capture the CURRENT pin of a versioned ANN-family store (IVF, PQ,
+    * or IVF-PQ — the coded table is `cells/` or `codes/`): the flipped
+    * generation plus the highest append batch inside it. Metadata-only:
+    * one pointer resolution + one directory listing (the `batch=<id>`
+    * partition dirs), never a table scan. */
+  def pinIndex(storeDir: String): AnnPin = {
+    val gen = VersionedStore.currentGen(storeDir).getOrElse(
+      throw new IllegalStateException(s"Ann.pinIndex: $storeDir has no" +
+        " published generation — only versioned stores carry a pinnable" +
+        " coordinate"))
+    val t = VersionedStore.generationRoot(storeDir, gen)
+    val table = if (StoreFs.listDirNames(t).contains("cells")) "cells"
+      else "codes"
+    val batches = StoreFs.listDirNames(s"$t/$table").collect {
+      case n if n.startsWith("batch=") &&
+          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
+    }
+    AnnPin(gen, batches.maxOption)
+  }
+
+  /** The live rows of `table` under an already-resolved generation dir,
+    * optionally pinned at a max append batch — the one read every
+    * pinned server shares: batches past the pin partition-prune out of
+    * the plan, the generation's own tombstone overlay still applies
+    * (erasure holds under time travel), and the layout `batch` column
+    * never reaches a consumer. */
+  private def liveRowsAt(spark: org.apache.spark.sql.SparkSession,
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$genRoot/$table")
+    val pinned = maxBatch match {
+      case None => raw
+      case Some(mb) =>
+        require(raw.columns.contains("batch"),
+          s"Ann: $genRoot/$table carries no batch-addressed layout but" +
+            s" the pin names append batch $mb — pin and store disagree" +
+            " (a compaction that dropped the layout would be exactly" +
+            " this, and it never does)")
+        raw.where(col("batch") <= mb)
+    }
+    Tombstones.filterLive(pinned.drop("batch"), genRoot, "id")
+  }
+
+  /** [[ivfQuantizedTopKFromStore]] at a captured [[AnnPin]]: codebook
+    * AND cells resolve from the pinned generation (not the head), cells
+    * additionally pin at the recorded append batch. */
+  def ivfQuantizedTopKFromStorePinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    val centroids = spark.read.parquet(s"$t/codebook")
+    val cells = liveRowsAt(spark, t, "cells", pin.maxBatch)
+      .withColumnRenamed("id", "neighbor_id")
+    ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
+  }
+
+  /** [[pqTopKFromStore]] at a captured [[AnnPin]] — the books load from
+    * the pinned generation too (a later retrain publishes new books; a
+    * pin must never score old codes under them). */
+  def pqTopKFromStorePinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    val books = readPqBooksAt(spark, t)
+    val codes = liveRowsAt(spark, t, "codes", pin.maxBatch)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    pqCore(queries, codes, books, corpus, k, rerank)
+  }
+
+  /** [[ivfPqTopKFromStore]] at a captured [[AnnPin]] — all three tables
+    * (codebook, books, cells) resolve from the pinned generation. */
+  def ivfPqTopKFromStorePinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    ivfPqServeAt(queries, corpus, t,
+      liveRowsAt(spark, t, "cells", pin.maxBatch), k, nProbe, rerank)
+  }
+
+  /** Mean recall@k of an approximate top-k frame against the exact one
+    * (both in the (query_id, neighbor_id, rank, cosine) serving shape,
+    * already cut at their k): per query, |approx ∩ exact| / |exact|,
+    * averaged over the queries the exact side answers. THE organic
+    * quality gate for the quantized tier — every planted-twin contract
+    * asserts an invariant; this measures retrieval against ground truth
+    * on natural data, which is what catches a bad m/ksub/nProbe
+    * interaction that never drifts ([[StoreFsck.pqDrift]] cannot see
+    * it). Request-sized: both frames are queries × k. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    val r = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("hit")), lit(0L)).as("h"))
+      .agg(avg(col("h").cast("double") / col("n"))).head()
+    require(!r.isNullAt(0), "recallAtK: exact side has no queries")
+    r.getDouble(0)
+  }
+
   /** Record a vector takedown against a [[writeIndex]] store: the ids
     * leave retrieval immediately (reads anti-join the tombstone set —
     * see [[Tombstones]]); stored cells are never read or rewritten, so
@@ -494,9 +650,8 @@ object Ann {
     // ([[readCellsAsOf]]) stays exact across the GC — a rollup would
     // silently pull later batches under every earlier pin — and
     // post-compaction [[appendToIndexBatch]] writes keep working
-    val liveCells = Tombstones.filterLive(
-        spark.read.parquet(s"$t0/cells"), t0, "id")
-      .repartition(numFiles, col("cell_id"))
+    val liveCells = shapeByCell(Tombstones.filterLive(
+      spark.read.parquet(s"$t0/cells"), t0, "id"), numFiles)
     if (VersionedStore.isVersioned(storeDir)) {
       VersionedStore.publish(storeDir, Map(
         "codebook" -> spark.read.parquet(s"$t0/codebook"),
@@ -612,8 +767,7 @@ object Ann {
     }.reduce(_ unionByName _)
     val untouched = live.where(!col("cell_id").isin(splitIds.toSeq: _*))
       .select("id", "cell_id", "q", "scale")
-    val newCells = untouched.unionByName(reassigned)
-      .repartition(4, col("cell_id"))
+    val newCells = shapeByCell(untouched.unionByName(reassigned), 4)
     val finalBook =
       centroidsDf(spark, book.filterNot(c => splitIds.contains(c._1))
         ++ subBook).coalesce(1)
@@ -721,8 +875,8 @@ object Ann {
       val reassigned = quantizedCells(members, survivors.toArray)
       val untouched = live.where(!col("cell_id").isin(mergedIds.toSeq: _*))
         .select("id", "cell_id", "q", "scale")
-      val newCells = untouched.unionByName(reassigned)
-        .repartition(numFiles, col("cell_id"))
+      val newCells = shapeByCell(untouched.unionByName(reassigned),
+        numFiles)
       val newBook = centroidsDf(spark, survivors).coalesce(1)
       if (VersionedStore.isVersioned(storeDir)) {
         VersionedStore.publish(storeDir, Map(
@@ -757,7 +911,9 @@ object Ann {
     val probes = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cells
+    // literal probed-cell pushdown ([[probedCellIds]]): the store scan
+    // skips unprobed row groups instead of filtering in the join
+    pruneToProbedCells(cells, probes)
       .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -855,6 +1011,52 @@ object Ann {
         "pqReconMse: empty corpus — nothing to measure"))
   }
 
+  /** Modulus for the corpus-fingerprint id checksum: prime, < 2^31, so
+    * the stored double holds the value exactly and any recomputation is
+    * bit-equal. */
+  private[pipeline] val ChecksumMod = 1000000007L
+
+  /** Order-independent checksum over the hash-sampled ids of a frame —
+    * the fingerprint half of quant_stats ([[quantStatsDf]]): long
+    * addition is commutative even under wraparound, the sample
+    * predicate is the same deterministic `hash(id) % sampleMod` the MSE
+    * sample uses, and the final pmod bounds the value into
+    * double-exact range. Recomputable by any auditor over any frame
+    * with an `id` column. */
+  private[pipeline] def idChecksumAgg(sampleMod: Int)
+      : org.apache.spark.sql.Column =
+    pmod(coalesce(sum(when(pmod(hash(col("id")), lit(sampleMod)) === 0,
+        pmod(hash(col("id")).cast("long"), lit(ChecksumMod)))
+      .otherwise(lit(0L))), lit(0L)), lit(ChecksumMod))
+
+  /** The at-train quant_stats table a PQ-family write persists with its
+    * frozen books: the distortion baseline (`train_recon_mse` — what
+    * [[StoreFsck.pqDrift]] re-measures) plus the CORPUS FINGERPRINT
+    * that BINDS it — row count, vector dim, the stats sample modulus,
+    * and a deterministic sampled-id checksum. Without the binding, an
+    * audit run against the wrong lake snapshot measures real error
+    * against an unrelated baseline and returns a confident nonsense
+    * verdict; with it, pqDrift hard-fails a wrong-dim corpus and flags
+    * a same-size-different-ids one before measuring anything. All rows
+    * are driver-sized; the fingerprint costs one column-pruned
+    * aggregate over the train frame. */
+  private def quantStatsDf(frame: DataFrame,
+      books: Array[Array[(Long, Seq[Float])]],
+      statsSampleMod: Int): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val trainMse = pqReconMse(frame, books, statsSampleMod)
+    val r = frame.agg(count(lit(1)).as("n"),
+      idChecksumAgg(statsSampleMod).as("c")).head()
+    val dim = frame.select(size(col("vec"))).head().getInt(0)
+    Seq(("train_recon_mse", trainMse),
+        ("train_rows", r.getLong(0).toDouble),
+        ("train_dim", dim.toDouble),
+        ("train_stats_sample_mod", statsSampleMod.toDouble),
+        ("train_id_checksum", r.getLong(1).toDouble))
+      .toDF("metric", "value").coalesce(1)
+  }
+
   /** Per-query ADC lookup table: l2 distance from the query's j-th slice
     * to every sub-centroid, flattened as lut[j*ksub + cell]. m·ksub
     * doubles per query — built once on the (broadcast) query side, so
@@ -925,22 +1127,22 @@ object Ann {
     val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
       book.map { case (cid, v) => (j, cid, v) }
     }.toSeq
-    // the AT-TRAIN distortion figure rides the generation (one
-    // driver-sized row): the books are frozen forever after this write,
-    // and without a baseline nothing can ever say when append drift has
-    // eaten the recall budget — [[StoreFsck.pqDrift]] re-measures
-    // against it (the stats/monitoring discipline of the serving
+    // the AT-TRAIN distortion figure plus its corpus fingerprint ride
+    // the generation (driver-sized rows): the books are frozen forever
+    // after this write, and without a baseline nothing can ever say
+    // when append drift has eaten the recall budget —
+    // [[StoreFsck.pqDrift]] re-measures against it, and the fingerprint
+    // ([[quantStatsDf]]) keeps that audit honest about WHAT the books
+    // trained on (the stats/monitoring discipline of the serving
     // surfaces — reference: DbusEventsTotalStats.java:1)
-    val trainMse = pqReconMse(
-      corpus.select(col("id").cast("long").as("id"), col("vec")),
-      books, statsSampleMod)
     // batchId: bootstrap the BATCH-ADDRESSED layout (writeIndex's
     // contract) so a stream-maintained store replays idempotently from
     // its very first batch
     VersionedStore.publish(dir, Map(
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
-      "quant_stats" -> Seq(("train_recon_mse", trainMse))
-        .toDF("metric", "value").coalesce(1),
+      "quant_stats" -> quantStatsDf(
+        corpus.select(col("id").cast("long").as("id"), col("vec")),
+        books, statsSampleMod),
       batchId.fold("codes")(b => s"codes/batch=$b") ->
         corpus.select(col("id").cast("long").as("id"),
           pqCodesExpr(books, col("vec")).as("codes")).coalesce(numFiles)))
@@ -953,8 +1155,15 @@ object Ann {
     * misalign every later subspace) and uniform slice width. Driver-
     * sized by construction (m·ksub rows). */
   def readPqBooks(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String): Array[Array[(Long, Seq[Float])]] = {
-    val t = VersionedStore.tableRoot(storeDir)
+      storeDir: String): Array[Array[(Long, Seq[Float])]] =
+    readPqBooksAt(spark, VersionedStore.tableRoot(storeDir))
+
+  /** [[readPqBooks]] against an ALREADY-RESOLVED table root (current
+    * generation, a pinned one, or a flat dir) — the pinned servers must
+    * load the books of the generation they serve, never the head's. */
+  private def readPqBooksAt(spark: org.apache.spark.sql.SparkSession,
+      t: String): Array[Array[(Long, Seq[Float])]] = {
+    val storeDir = t // diagnostic naming below
     val rows = spark.read.parquet(s"$t/books").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
     require(rows.nonEmpty, s"readPqBooks: empty books table in $storeDir")
@@ -1124,21 +1333,20 @@ object Ann {
     val bookRows = books.zipWithIndex.flatMap { case (book, j) =>
       book.map { case (cid, v) => (j, cid, v) }
     }.toSeq
-    // at-train RESIDUAL distortion baseline (writePqIndex's rationale —
-    // drift on an IVF-PQ store is measured on residuals, the space the
-    // books actually quantize)
-    val trainMse = pqReconMse(
-      res.select(col("id"), col("res").as("vec")), books, statsSampleMod)
+    // at-train RESIDUAL distortion baseline + corpus fingerprint
+    // (writePqIndex's rationale — drift on an IVF-PQ store is measured
+    // on residuals, the space the books actually quantize; the
+    // fingerprint's ids and dim are the float corpus's, which is what a
+    // later audit is handed)
     VersionedStore.publish(dir, Map(
       "codebook" -> centroidsDf(spark, coarse).coalesce(1),
       "books" -> bookRows.toDF("subspace", "id", "vec").coalesce(1),
-      "quant_stats" -> Seq(("train_recon_mse", trainMse))
-        .toDF("metric", "value").coalesce(1),
+      "quant_stats" -> quantStatsDf(
+        res.select(col("id"), col("res").as("vec")), books, statsSampleMod),
       // batchId: bootstrap the batch-addressed layout ([[writeIndex]])
       batchId.fold("cells")(b => s"cells/batch=$b") ->
-        res.select(col("id"), col("cell_id"),
-          pqCodesExpr(books, col("res")).as("codes"))
-        .repartition(numFiles, col("cell_id"))))
+        shapeByCell(res.select(col("id"), col("cell_id"),
+          pqCodesExpr(books, col("res")).as("codes")), numFiles)))
     ()
   }
 
@@ -1246,11 +1454,19 @@ object Ann {
 
   private def ivfPqServe(queries: DataFrame, corpus: DataFrame,
       storeDir: String, liveCells: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame =
+    ivfPqServeAt(queries, corpus, VersionedStore.tableRoot(storeDir),
+      liveCells, k, nProbe, rerank)
+
+  /** [[ivfPqServe]] against an already-resolved table root ([[
+    * readPqBooksAt]]'s rationale: a pinned serve loads ITS generation's
+    * quantizers). */
+  private def ivfPqServeAt(queries: DataFrame, corpus: DataFrame,
+      t: String, liveCells: DataFrame, k: Int, nProbe: Int,
       rerank: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val t = VersionedStore.tableRoot(storeDir)
     val centroids = spark.read.parquet(s"$t/codebook")
-    val books = readPqBooks(spark, storeDir)
+    val books = readPqBooksAt(spark, t)
     val m = books.length
     val ksub = books(0).length
     val cells = liveCells.withColumnRenamed("id", "neighbor_id")
@@ -1266,15 +1482,21 @@ object Ann {
     // ivfQuantizedCore's cut (the planted twin must reach the re-rank)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").desc)
-    val survivors = cells
+    // literal probed-cell pushdown ([[probedCellIds]]), then dedup
+    // BEFORE the rerank cut (min ADC per (query, neighbor)): a
+    // double-coded id — a corrupt store the fsck flags — must not
+    // consume two rerank slots and evict a legitimate candidate from
+    // the pool. The frame here is probed-cells-sized and already headed
+    // into a per-query shuffle, so the aggregate is the same exchange
+    // class the window needs, not a corpus-sized detour
+    val survivors = pruneToProbedCells(cells, probes)
       .join(broadcast(probes), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("adc")).as("adc"))
       .withColumn("r", row_number().over(wApprox))
       .where(col("r") <= rerank)
-      // defense-in-depth on the rerank-cut frame (request-sized — see
-      // pqCore): a double-coded id can never serve twice in one top-k
-      .dropDuplicates("query_id", "neighbor_id")
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     survivors
@@ -1340,8 +1562,7 @@ object Ann {
     VersionedStore.publish(dir, Map(
       "codebook" -> spark.read.parquet(s"$t/codebook"),
       "books" -> spark.read.parquet(s"$t/books"),
-      "cells" ->
-        live.repartition(numFiles, col("cell_id"))) ++ quantStats(spark, t),
+      "cells" -> shapeByCell(live, numFiles)) ++ quantStats(spark, t),
       partitionBy =
         if (batched) Map("cells" -> Seq("batch")) else Map.empty)
     VersionedStore.gc(dir, keep = keepGenerations)

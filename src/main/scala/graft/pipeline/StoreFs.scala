@@ -133,6 +133,15 @@ object StoreFs {
     fs.setTimes(p, mtime, -1)
   }
 
+  /** A path's modification time, None when absent — the reservation
+    * lease's age probe ([[VersionedStore]]): mtime is the one liveness
+    * signal a foreign host's crashed publisher leaves behind. */
+  def modificationTime(path: String): Option[Long] = {
+    val (fs, p) = fsPath(path)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+    else None
+  }
+
   /** Does `dir` exist and contain at least one file with `suffix`?
     * (The tombstone-set existence probe: a dir with no data files is
     * "no takedowns recorded", same as no dir.) */

@@ -509,12 +509,29 @@ object StoreFsck {
     *   - `quantizer_stats_missing`: no at-train baseline in the store
     *     (written before the stats table existed) — drift is
     *     unmeasurable until the next full retrain records one;
+    *   - `corpus_binding_mismatch`: the handed corpus is demonstrably
+    *     NOT (a superset of) what the books trained on — fewer rows
+    *     than `train_rows`, or equal rows with a different sampled-id
+    *     checksum ([[Ann.idChecksumAgg]]; a GROWN lake cannot be
+    *     checksum-verified, which is exactly why the row-count floor
+    *     exists). Drift is NOT measured under a mis-bound corpus: real
+    *     error against an unrelated baseline is a confident nonsense
+    *     verdict, the failure this row exists to prevent. A wrong
+    *     vector DIM fails loudly outright (that is operator error, not
+    *     a finding). Stores written before the fingerprint rows existed
+    *     skip the binding checks (nothing recorded to bind against);
+    *   - `drift_unmeasurable`: the sampled measurement came back EMPTY
+    *     (aggressive sampleMod, fully-tombstoned code table, or a
+    *     corpus join matching no ids) even after falling back to the
+    *     unsampled frame — reported as its own row, never as a
+    *     silently-healthy cur=0;
     *   - `adc_error_drift`: current error exceeds `threshold` × the
     *     at-train error — the retrain signal. The default 2.0 flags a
     *     doubled distortion; COVERAGE.md documents the knob.
     * Cost: one sampled scan of the code table joined id-keyed into the
-    * lake — never a training pass. Reference analogue: the reference
-    * instruments every surface it serves (DbusEventsTotalStats.java:1). */
+    * lake — never a training pass; the binding adds one column-pruned
+    * corpus aggregate. Reference analogue: the reference instruments
+    * every surface it serves (DbusEventsTotalStats.java:1). */
   def pqDrift(spark: SparkSession, storeDir: String, corpus: DataFrame,
       codesTable: String = "codes", threshold: Double = 2.0,
       sampleMod: Int = 1): DataFrame = {
@@ -524,39 +541,69 @@ object StoreFsck {
     val t = VersionedStore.tableRoot(storeDir)
     val statsMissing =
       !StoreFs.hasFileWithSuffix(s"$t/quant_stats", ".parquet")
-    val drift: Long =
-      if (statsMissing) 0L
-      else {
-        val train = spark.read.parquet(s"$t/quant_stats")
-          .where(col("metric") === "train_recon_mse")
-          .select("value").as[Double].head()
-        val books = Ann.readPqBooks(spark, storeDir)
-        val live = Tombstones.filterLive(
-          spark.read.parquet(s"$t/$codesTable").drop("batch"), t, "id")
-        val sampled =
-          if (sampleMod == 1) live
-          else live.where(pmod(hash(col("id")), lit(sampleMod)) === 0)
-        val withVec = sampled.join(
-          corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
-        // IVF-PQ stores code RESIDUALS — measure in the coded space
-        val target =
-          if (!sampled.columns.contains("cell_id")) withVec
-          else withVec.join(broadcast(
-              spark.read.parquet(s"$t/codebook")
-                .select(col("id").as("cell_id"), col("vec").as("cent"))),
-              "cell_id")
-            .select(col("id"),
-              zip_with(col("vec"), col("cent"), (a, b) => a - b).as("vec"),
-              col("codes"))
-        val r = target
-          .select(Ann.pqReconErrExpr(books, col("vec"), col("codes"))
-            .as("e"))
-          .agg(avg(col("e"))).head()
-        val cur = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-        if (cur > threshold * train + 1e-12) 1L else 0L
-      }
-    Seq(("quantizer_stats_missing", if (statsMissing) 1L else 0L),
-      ("adc_error_drift", drift)).toDF("check_name", "n_bad")
+    def rows(binding: Long, unmeasurable: Long, drift: Long) =
+      Seq(("quantizer_stats_missing", if (statsMissing) 1L else 0L),
+        ("corpus_binding_mismatch", binding),
+        ("drift_unmeasurable", unmeasurable),
+        ("adc_error_drift", drift)).toDF("check_name", "n_bad")
+    if (statsMissing) return rows(0L, 0L, 0L)
+    val stats = spark.read.parquet(s"$t/quant_stats")
+      .select("metric", "value").as[(String, Double)].collect().toMap
+    val train = stats.getOrElse("train_recon_mse",
+      throw new IllegalArgumentException(
+        s"pqDrift: quant_stats of $storeDir has no train_recon_mse row"))
+    val idCorpus =
+      corpus.select(col("id").cast("long").as("id"), col("vec"))
+    // corpus binding (fingerprint rows present only on r13+ writes)
+    stats.get("train_dim").foreach { d =>
+      val cd = idCorpus.select(size(col("vec"))).head().getInt(0)
+      require(cd.toDouble == d,
+        s"pqDrift: corpus dim $cd but the books of $storeDir trained at" +
+          s" dim ${d.toLong} — this is the wrong corpus, not drift")
+    }
+    val binding: Long = stats.get("train_rows").fold(0L) { tr =>
+      val mod = stats.getOrElse("train_stats_sample_mod", 1.0).toInt
+      val r = idCorpus.agg(count(lit(1)).as("n"),
+        Ann.idChecksumAgg(mod).as("c")).head()
+      val (n, c) = (r.getLong(0), r.getLong(1))
+      if (n < tr.toLong) 1L // the train corpus cannot have shrunk
+      else if (n == tr.toLong &&
+        stats.get("train_id_checksum").exists(_ != c.toDouble)) 1L
+      else 0L // grown lake: count floor passed, checksum unverifiable
+    }
+    if (binding > 0) return rows(1L, 0L, 0L)
+    val books = Ann.readPqBooks(spark, storeDir)
+    val live = Tombstones.filterLive(
+      spark.read.parquet(s"$t/$codesTable").drop("batch"), t, "id")
+    def measure(codesFrame: DataFrame): Option[Double] = {
+      val withVec = codesFrame.join(idCorpus, "id")
+      // IVF-PQ stores code RESIDUALS — measure in the coded space
+      val target =
+        if (!codesFrame.columns.contains("cell_id")) withVec
+        else withVec.join(broadcast(
+            spark.read.parquet(s"$t/codebook")
+              .select(col("id").as("cell_id"), col("vec").as("cent"))),
+            "cell_id")
+          .select(col("id"),
+            zip_with(col("vec"), col("cent"), (a, b) => a - b).as("vec"),
+            col("codes"))
+      val r = target
+        .select(Ann.pqReconErrExpr(books, col("vec"), col("codes"))
+          .as("e"))
+        .agg(avg(col("e"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val sampled =
+      if (sampleMod == 1) live
+      else live.where(pmod(hash(col("id")), lit(sampleMod)) === 0)
+    // an empty sample falls back to the FULL live frame (pqReconMse's
+    // own rule); still-empty is its own finding, never cur=0 "healthy"
+    measure(sampled).orElse(if (sampleMod == 1) None else measure(live))
+      match {
+      case None => rows(0L, 1L, 0L)
+      case Some(cur) =>
+        rows(0L, 0L, if (cur > threshold * train + 1e-12) 1L else 0L)
+    }
   }
 
   /** Audit PER-CELL FILL SKEW on an IVF-family cells table: cells whose

@@ -131,8 +131,8 @@ object VersionedStore {
   /** (host, pid) of a generation's reservation token — Some while a
     * publish holds the dir (or crashed holding it), None for committed
     * generations and pre-protocol partials. A token whose format is
-    * unrecognized reads as a FOREIGN reservation (never retired by the
-    * liveness rule) rather than as none. */
+    * unrecognized reads as a FOREIGN reservation (retired only by the
+    * lease, never the pid-liveness rule) rather than as none. */
   private[graft] def reservation(root: String, gen: Long)
       : Option[(String, Long)] =
     StoreFs.readBytesOpt(s"${genDir(root, gen)}/$Reserved").map { b =>
@@ -143,16 +143,43 @@ object VersionedStore {
       }
     }
 
-  /** A reservation THIS host made whose publisher is no longer alive —
-    * the one kind of crashed in-flight publish gc can prove dead and
-    * retire. Foreign-host reservations are spared (their liveness is
-    * unknowable here; the cross-host maintenance regime already
-    * requires an external coordinator). */
+  /** Lease (ms) on FOREIGN-host reservations: gc retires a `_RESERVED`
+    * dir another host wrote once the token file's mtime is older than
+    * this — the cross-host analog of the same-host pid-liveness check
+    * (without it, a publisher that crashes on another host leaves dead
+    * bytes NO sweep ever names — unbounded on a multi-writer cluster).
+    * The default is deliberately generous (7 days); the operational
+    * rule is LEASE > THE LONGEST PLAUSIBLE TABLE WRITE, because a
+    * publisher swept mid-write fails LOUDLY at commit (the reservation
+    * token recheck) — a too-short lease wastes a rebuild, never tears
+    * state. 0 disables (pre-r13 behavior: foreign reservations are
+    * never retired). Runtime-settable Spark conf. */
+  private val LeaseConf = "graft.store.reservationLeaseMs"
+  private val DefaultLeaseMs: Long = 7L * 24 * 3600 * 1000
+
+  private def reservationLeaseMs: Long =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get(LeaseConf, DefaultLeaseMs.toString).toLong)
+      .getOrElse(DefaultLeaseMs)
+
+  /** A provably-abandoned reservation — the crashed in-flight publishes
+    * gc can retire: one THIS host made whose publisher pid is dead, or
+    * a FOREIGN-host one (unparseable tokens included) whose token file
+    * has outlived the [[reservationLeaseMs]] lease. A live same-host
+    * publisher is never stale regardless of age (liveness is provable);
+    * a fresh foreign reservation is spared (its liveness is unknowable,
+    * so the lease is the contract). */
   private[graft] def staleReservation(root: String, gen: Long): Boolean =
     reservation(root, gen).exists { case (host, pid) =>
-      host == hostId && pid >= 0 && {
+      if (host == hostId && pid >= 0) {
         val h = ProcessHandle.of(pid)
         !(h.isPresent && h.get.isAlive)
+      } else {
+        val lease = reservationLeaseMs
+        lease > 0 &&
+          StoreFs.modificationTime(s"${genDir(root, gen)}/$Reserved")
+            .exists(m => System.currentTimeMillis() - m > lease)
       }
     }
 
@@ -363,11 +390,23 @@ object VersionedStore {
       // this generation's overlay BEFORE the marker — commit-time, so a
       // takedown recorded flat WHILE a first publish was writing its
       // tables is carried too; a complete generation always already
-      // filters them (adopt() may flip to it later)
+      // filters them (adopt() may flip to it later). The carry FANS OUT
+      // like takedownValidatedLocked: into every complete generation
+      // and every OTHER in-flight reservation as well — with two
+      // serialized-concurrent first publishes over a flat root, the
+      // commit landing second sees no flat set (this commit deletes it
+      // below), yet its complete generation is readAsOf-pinnable and
+      // would otherwise serve the erased ids
       val flatSet = s"$root/tombstones"
       if (StoreFs.hasFileWithSuffix(flatSet, ".parquet")) {
-        Tombstones.writeSet(
-          spark.read.parquet(flatSet).select("id").distinct(), dir)
+        val flatIds = spark.read.parquet(flatSet).select("id").distinct()
+        val all = listGens(root)
+        val targets = (all.collect { case (g, true) => g } ++
+          all.collect {
+            case (g, false) if g != gen && reservation(root, g).isDefined =>
+              g
+          } :+ gen).distinct
+        targets.foreach(g => Tombstones.writeSet(flatIds, genDir(root, g)))
       }
       touch(s"$dir/$Marker")
       StoreFs.deleteRecursive(s"$dir/$Reserved")
@@ -404,6 +443,20 @@ object VersionedStore {
             " pointer_to_missing_generation)")
         genDir(root, g)
     }
+
+  /** The directory holding generation `gen`'s tables — [[tableRoot]]'s
+    * pinned counterpart, for readers that captured a pin and resolve
+    * every table of one consistent generation from it (e.g.
+    * [[graft.pipeline.Ann]]'s pinned servers, whose codebook/books and
+    * coded rows must come from the SAME training). Loud on an absent or
+    * incomplete generation, like [[readAsOf]]. */
+  def generationRoot(root: String, gen: Long): String = {
+    require(StoreFs.exists(s"${genDir(root, gen)}/$Marker"),
+      s"VersionedStore.generationRoot: generation $gen at $root is absent" +
+        " or incomplete (crashed publish, or gc'd past the retention you" +
+        " need)")
+    genDir(root, gen)
+  }
 
   /** O(request) takedown for a versioned store: append `ids` (one
     * LONG-castable column, [[Tombstones.appendDf]]'s contract) to the

@@ -138,7 +138,7 @@ object WireFixtures {
     * store, so a k/iters change never reuses a stale index). */
   def annIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_index_k${k}i${iters}g") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_k${k}i${iters}rg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val withTwins = all.unionByName(
@@ -154,7 +154,7 @@ object WireFixtures {
     * the all-at-once index (q_ann_store_incr's contract). */
   def annIncrIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_index_incr_k${k}i${iters}g") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_index_incr_k${k}i${iters}rg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writeIndex(all, tmp, k, iters)
@@ -171,8 +171,8 @@ object WireFixtures {
     * words under any training). */
   def pqIndexDir(spark: SparkSession, sfDir: String, m: Int = 4,
       ksub: Int = 16, iters: Int = 3): String =
-    // `q` suffix: the store gained the quant_stats table (drift baseline)
-    writeOnce(s"$Root/${key(sfDir)}/pq_index_m${m}k${ksub}i${iters}qg") { tmp =>
+    // `q2` suffix: quant_stats gained the corpus-fingerprint rows (r13)
+    writeOnce(s"$Root/${key(sfDir)}/pq_index_m${m}k${ksub}i${iters}q2g") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writePqIndex(all, tmp, m, ksub, iters)
@@ -186,14 +186,54 @@ object WireFixtures {
     * quantizers ([[graft.pipeline.Ann.appendToIvfPqIndex]]). */
   def ivfPqIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       m: Int = 4, ksub: Int = 16, iters: Int = 3): String =
-    // `q` suffix: the store gained the quant_stats table (drift baseline)
+    // `q2` suffix: quant_stats gained the corpus-fingerprint rows (r13)
     writeOnce(
-      s"$Root/${key(sfDir)}/ivfpq_index_k${k}m${m}s${ksub}i${iters}qg") { tmp =>
+      s"$Root/${key(sfDir)}/ivfpq_index_k${k}m${m}s${ksub}i${iters}q2rg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       graft.pipeline.Ann.writeIvfPqIndex(all, tmp, k, m, ksub, iters)
       graft.pipeline.Ann.appendToIvfPqIndex(
         all.select((col("id") + 1000000L).as("id"), col("vec")), tmp)
+    }
+
+  /** IVF index over the ORGANIC embedding corpus (no planted twins) —
+    * the store q_ann_recall measures recall@10 against brute force on:
+    * planted fixtures verify invariants, this one carries natural
+    * near-neighbor structure. k=16 so the default probe budgets are a
+    * real subset of the codebook. */
+  def annOrganicIndexDir(spark: SparkSession, sfDir: String, k: Int = 16,
+      iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/ann_organic_k${k}i${iters}rg") { tmp =>
+      // numFiles = k: ~one cell range per file, the layout that lets the
+      // probed-cell literal skip most of the tier (PlansSpec pins it)
+      graft.pipeline.Ann.writeIndex(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        tmp, k, iters, numFiles = k)
+    }
+
+  /** PQ index over the organic embedding corpus ([[annOrganicIndexDir]]'s
+    * rationale on the ADC tier). */
+  def pqOrganicIndexDir(spark: SparkSession, sfDir: String, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3): String =
+    writeOnce(s"$Root/${key(sfDir)}/pq_organic_m${m}k${ksub}i${iters}g") {
+      tmp =>
+        graft.pipeline.Ann.writePqIndex(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          tmp, m, ksub, iters)
+    }
+
+  /** IVF-PQ index over the organic embedding corpus. */
+  def ivfPqOrganicIndexDir(spark: SparkSession, sfDir: String, k: Int = 16,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3): String =
+    writeOnce(
+      s"$Root/${key(sfDir)}/ivfpq_organic_k${k}m${m}s${ksub}i${iters}rg") {
+      tmp =>
+        graft.pipeline.Ann.writeIvfPqIndex(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          tmp, k, m, ksub, iters)
     }
 
   /** Incrementally-built positional-postings index over the documents
@@ -258,7 +298,7 @@ object WireFixtures {
     * contract for takedown-aware retrieval (q_ann_delete). */
   def annTakedownIndexDir(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 3): String =
-    writeOnce(s"$Root/${key(sfDir)}/ann_takedown_k${k}i${iters}g") { tmp =>
+    writeOnce(s"$Root/${key(sfDir)}/ann_takedown_k${k}i${iters}rg") { tmp =>
       val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val tripled = all

@@ -226,6 +226,157 @@ class AnnBatchStoreSpec extends SparkSpec {
       "the head read must serve the later twins the pin excludes")
   }
 
+  test("unified pin: one (gen, maxBatch) token replays across later appends AND a later publish") {
+    val dir = s"${tmp("annb")}/pin"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    val pin = Ann.pinIndex(dir)
+    assert(pin.maxBatch.contains(1L), pin.toString)
+    val laterTwins =
+      (0L until 6L).map(i => (i + 500L, vec(i))).toDF("id", "vec")
+    val corpus3 = corpus.unionByName(laterTwins)
+    val pinnedBefore = Ann.ivfQuantizedTopKFromStorePinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+    // BOTH axes move: a later append batch (lower-id twins that win the
+    // cosine tie at head) and a later PUBLISH (compaction → fresh gen)
+    Ann.appendToIndexBatch(laterTwins, dir, batchId = 2L)
+    Ann.compactIndexCells(spark, dir, keepGenerations = 1)
+    assert(VersionedStore.currentGen(dir).exists(_ > pin.gen),
+      "compaction must have published past the pinned generation")
+    val pinnedAfter = Ann.ivfQuantizedTopKFromStorePinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+    assert(pinnedAfter == pinnedBefore,
+      "the pin must replay the exact retrieval it captured")
+    // pinned rank-1 = the +1000 twin; head rank-1 = the +500 tie-winner
+    Ann.ivfQuantizedTopKFromStorePinned(queries, corpus3, dir, k = 3, pin,
+        nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 1000L, s"pinned query $q") }
+    Ann.ivfQuantizedTopKFromStore(queries, corpus3, dir, k = 3, nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 500L, s"head query $q") }
+    // erasure recorded AFTER the pin still holds under it (takedowns fan
+    // into every retained generation — time travel never resurrects)
+    Ann.tombstoneVectors(spark, dir, Seq(1000L))
+    assert(!Ann.ivfQuantizedTopKFromStorePinned(queries, corpus3, dir,
+        k = 3, pin, nProbe = 4)
+      .select("neighbor_id").as[Long].collect().contains(1000L),
+      "a takedown after the pin must still erase from the pinned read")
+    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    VersionedStore.gc(dir, keep = 0)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfQuantizedTopKFromStorePinned(queries, corpus3, dir, k = 3,
+        pin, nProbe = 4)
+    }
+    assert(e.getMessage.contains("absent or incomplete"), e.getMessage)
+  }
+
+  test("PQ / IVF-PQ pinned servers resolve the PINNED generation's quantizers") {
+    // PQ: pin, then a full RETRAIN on a shifted corpus publishes new
+    // books — the pin must keep scoring its own generation's codes
+    // under its own generation's books
+    val dir = s"${tmp("annb")}/pinpq"
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    val pin = Ann.pinIndex(dir)
+    assert(pin.maxBatch.contains(0L), pin.toString)
+    val before = Ann.pqTopKFromStorePinned(queries, base, dir, k = 3, pin)
+      .collect().toSet
+    val shifted = (0L until 12L)
+      .map(i => (i + 5000L, vec(i).map(_ + 500f))).toDF("id", "vec")
+    Ann.writePqIndex(base.unionByName(shifted), dir, m = 4, ksub = 4,
+      iters = 2, batchId = Some(0L))
+    assert(VersionedStore.currentGen(dir).exists(_ > pin.gen))
+    assert(Ann.pqTopKFromStorePinned(queries, base, dir, k = 3, pin)
+      .collect().toSet == before,
+      "the PQ pin must replay under its own generation's books")
+    // IVF-PQ: pin before a later append batch; pinned excludes it
+    val idir = s"${tmp("annb")}/pinivfpq"
+    Ann.writeIvfPqIndex(base, idir, k = 3, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToIvfPqIndexBatch(twins, idir, batchId = 1L)
+    val ipin = Ann.pinIndex(idir)
+    val laterTwins =
+      (0L until 6L).map(i => (i + 500L, vec(i))).toDF("id", "vec")
+    Ann.appendToIvfPqIndexBatch(laterTwins, idir, batchId = 2L)
+    val corpus3 = corpus.unionByName(laterTwins)
+    Ann.ivfPqTopKFromStorePinned(queries, corpus3, idir, k = 3, ipin,
+        nProbe = 3)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 1000L, s"pinned query $q") }
+    Ann.ivfPqTopKFromStore(queries, corpus3, idir, k = 3, nProbe = 3)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 500L, s"head query $q") }
+  }
+
+  test("pqDrift refuses a mis-bound corpus instead of reporting fake drift") {
+    val dir = s"${tmp("annb")}/pqbind"
+    Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)
+    // same-size DIFFERENT-ids lake: the fingerprint checksum catches
+    // it; drift is NOT measured (real error vs an unrelated baseline
+    // is a confident nonsense verdict)
+    val wrongIds =
+      (100L until 112L).map(i => (i, vec(i))).toDF("id", "vec")
+    val b = StoreFsck.pqDrift(spark, dir, wrongIds)
+      .as[(String, Long)].collect().toMap
+    assert(b("corpus_binding_mismatch") == 1L, b.toString)
+    assert(b("adc_error_drift") == 0L && b("drift_unmeasurable") == 0L,
+      b.toString)
+    // a SHRUNK lake (fewer rows than trained) cannot be the train
+    // corpus's superset — flagged before any measurement
+    val s = StoreFsck.pqDrift(spark, dir, base.where(col("id") < 6))
+      .as[(String, Long)].collect().toMap
+    assert(s("corpus_binding_mismatch") == 1L, s.toString)
+    // a wrong-DIM corpus is operator error: loud failure, not a finding
+    val wrongDim = (0L until 12L)
+      .map(i => (i, Array.tabulate(4)(d => (i + d + 1).toFloat)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      StoreFsck.pqDrift(spark, dir, wrongDim)
+    }
+    assert(e.getMessage.contains("wrong corpus"), e.getMessage)
+    // a fully-tombstoned code table has nothing to measure: its own
+    // row, never a silently-healthy cur=0
+    graft.pipeline.Tombstones.appendDf(base.select("id"), dir)
+    val u = StoreFsck.pqDrift(spark, dir, base)
+      .as[(String, Long)].collect().toMap
+    assert(u("drift_unmeasurable") == 1L && u("adc_error_drift") == 0L,
+      u.toString)
+  }
+
+  test("recall floors discriminate: a starved probe budget falls below them") {
+    // the ORGANIC embedding corpus (what q_ann_recall measures on —
+    // a synthetic line-structured corpus clusters each query's true
+    // neighbors into its own cell and nProbe=1 looks spuriously good):
+    // the floor must be a real gate — the serving budgets clear it, a
+    // starved budget (nProbe=1 of 16, rerank=k) must NOT
+    val all = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = all.where(col("id") < 10)
+    val exact = Ann.bruteForceTopK(qs, all, k = 10)
+    // ksub=2 with rerank=k: two centroids per 32-dim subspace is an ADC
+    // that can barely rank, and a k-sized rerank pool cannot repair it
+    val pqDir = s"${tmp("annb")}/starvedpq"
+    Ann.writePqIndex(all, pqDir, m = 2, ksub = 2, iters = 2)
+    val starved = Ann.recallAtK(
+      Ann.pqTopKFromStore(qs, all, pqDir, k = 10, rerank = 10), exact)
+    assert(starved < 0.74,
+      s"ksub=2 recall $starved does not discriminate the pinned floors")
+    // and the full-budget IVF path recovers brute force exactly —
+    // probing every cell with an exact-size rerank IS the exact search
+    val dir = graft.sources.WireFixtures.annOrganicIndexDir(spark, sf())
+    val full = Ann.recallAtK(
+      Ann.ivfQuantizedTopKFromStore(qs, all, dir, k = 10, nProbe = 16,
+        rerank = 200), exact)
+    assert(full > starved && full > 0.99,
+      s"full-budget recall $full (starved $starved): probing every cell" +
+        " with an exact-size rerank must recover brute force")
+  }
+
   test("quantizer drift: a shifted append flips the fsck row; healthy appends measure the train baseline") {
     val dir = s"${tmp("annb")}/pqdrift"
     Ann.writePqIndex(base, dir, m = 4, ksub = 4, iters = 2)

@@ -146,6 +146,20 @@ class CaptureSpec extends SparkSpec {
       AvroCodec.decodeByDigest(withGhost, set, "events", strict = true)
     }
     assert(e.getMessage.contains("silently drop"))
+    // a digest registered under a DIFFERENT source is just as branchless
+    // as an unregistered one (decode branches cover only this source's
+    // versions) — strict must refuse it too, not wave it through because
+    // the registry knows the digest somewhere
+    val otherSet = VersionedSchemaSet(Seq(v1, v2, ghost))
+    val withOther = mixed.unionByName(mixed.limit(1)
+      .select($"event_id", $"payload",
+        org.apache.spark.sql.functions.lit(ghost.digest).as("schema_id")))
+    assert(AvroCodec.decodeByDigest(withOther, otherSet, "events")
+      .count() == 2L) // cross-source row dropped by the lenient default
+    val e2 = intercept[IllegalArgumentException] {
+      AvroCodec.decodeByDigest(withOther, otherSet, "events", strict = true)
+    }
+    assert(e2.getMessage.contains("source 'events'"))
     // strict on a fully-registered frame decodes identically
     assert(AvroCodec.decodeByDigest(mixed, set, "events", strict = true)
       .count() == 2L)

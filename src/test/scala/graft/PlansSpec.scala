@@ -447,4 +447,55 @@ class PlansSpec extends SparkSpec {
     assert(wide.isEmpty,
       s"document-sized column in a shuffle:\n${wide.map(_.output)}")
   }
+
+  test("ANN serving pushes the probed cells into the store scan as a literal In") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the probes frame is queries × nProbe (driver-sized by
+    // construction), so its distinct cell ids become a LITERAL isin on
+    // the cells/codes scan — pushed to parquet, where the
+    // cell_id-clustered layout's footer stats skip unprobed row groups.
+    // Without it the scan reads the whole coded tier and filters in the
+    // join (seek-then-scan, never scan-then-filter — ScnIndex.java:623)
+    for (q <- Seq("q_ann_store", "q_ann_ivfpq")) {
+      val out = SparkEntry.queries(q)(spark, sf())
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(cell_id")),
+        s"$q: probed-cell literal not pushed to the store scan:\n$plan")
+    }
+    // float-precision IVF store path (no driver query of its own), plus
+    // the RUNTIME proof: rows flowing out of the int8 cells scan are
+    // probed-cells-sized, not store-sized
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the k=16 organic store with FEW queries: 3 queries × nProbe=2
+      // probe ≤ 6 of 16 cells, so the literal must leave most of the
+      // tier out of the scan's output (many queries × a tiny codebook
+      // legitimately probes everything — that is the one case pruning
+      // cannot help, not a counterexample)
+      val store =
+        graft.sources.WireFixtures.annOrganicIndexDir(spark, sf())
+      val all = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val fl = graft.pipeline.Ann.ivfTopKFromStore(
+        all.where(col("id") < 3), all, store, k = 5, nProbe = 2)
+      val flPlan = fl.queryExecution.executedPlan.toString
+      assert(flPlan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(cell_id")),
+        s"ivfTopKFromStore: probed-cell literal not pushed:\n$flPlan")
+      val served = graft.pipeline.Ann.ivfQuantizedTopKFromStore(
+        all.where(col("id") < 3), all, store, k = 5, nProbe = 2)
+      served.collect()
+      val cellScans = served.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.output.exists(_.name == "q") => s
+      }
+      assert(cellScans.nonEmpty, "expected the int8 cells scan")
+      val scanned = cellScans.map(_.metrics("numOutputRows").value).sum
+      val storeRows = spark.read.parquet(
+        s"${graft.pipeline.VersionedStore.tableRoot(store)}/cells").count()
+      assert(scanned < storeRows / 2,
+        s"cells scan emitted $scanned of $storeRows rows — the probed" +
+          " cells' literal pruned nothing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

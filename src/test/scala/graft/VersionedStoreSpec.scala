@@ -210,6 +210,62 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.currentGen(root).contains(g3))
   }
 
+  test("reservation lease: gc retires foreign tokens past the lease, spares fresh ones") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val ancient = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    // a publisher that CRASHED on another host: no pid-liveness check
+    // can ever prove it dead here — the token's age is the contract
+    StoreFs.writeAtomic(s"$root/gen-7/_RESERVED",
+      "crashed-other-host 1 1".getBytes("UTF-8"))
+    StoreFs.setModificationTime(s"$root/gen-7/_RESERVED", ancient)
+    // a FRESH foreign token is spared (its publisher may be mid-write)
+    StoreFs.writeAtomic(s"$root/gen-8/_RESERVED",
+      "live-other-host 1 1".getBytes("UTF-8"))
+    assert(VersionedStore.gc(root) == Seq(7L))
+    assert(!StoreFs.exists(s"$root/gen-7"))
+    assert(StoreFs.exists(s"$root/gen-8/_RESERVED"),
+      "a fresh foreign reservation must survive gc")
+    // lease 0 disables the sweep entirely (the pre-lease regime)
+    StoreFs.writeAtomic(s"$root/gen-9/_RESERVED",
+      "crashed-other-host 1 1".getBytes("UTF-8"))
+    StoreFs.setModificationTime(s"$root/gen-9/_RESERVED", ancient)
+    spark.conf.set("graft.store.reservationLeaseMs", "0")
+    try assert(VersionedStore.gc(root).isEmpty)
+    finally spark.conf.unset("graft.store.reservationLeaseMs")
+    // back under the default lease the abandoned dir is retired — and a
+    // publisher swept mid-write would fail LOUDLY at commit (the token
+    // recheck the stale-reservation spec pins), never publish torn state
+    assert(VersionedStore.gc(root) == Seq(9L))
+  }
+
+  test("a flat tombstone set fans into EVERY in-flight reservation at migration commit") {
+    val root = tmp()
+    // legacy FLAT store with a pending takedown recorded under it
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$root/t")
+    graft.pipeline.Tombstones.appendDf(Seq(2L).toDF("id"), root)
+    // two serialized-concurrent FIRST publishes over the flat root: B
+    // reserves and writes; A publishes completely while B is mid-write
+    val (genB, tokenB) = VersionedStore.reserve(root)
+    Seq((1L, "a2"), (2L, "b2")).toDF("id", "v")
+      .write.parquet(s"$root/gen-$genB/t")
+    val genA = VersionedStore.publish(root,
+      Map("t" -> Seq((1L, "a1"), (2L, "b1")).toDF("id", "v")))
+    assert(genA != genB)
+    // A's commit consumed (and deleted) the flat set — B's own commit
+    // sees none, so without the fan-out B's complete, readAsOf-pinnable
+    // generation would serve the erased id
+    VersionedStore.commit(root, genB, tokenB, Set("t"), spark)
+    Seq(genA, genB).foreach { g =>
+      assert(!VersionedStore.readAsOfLive(spark, root, "t", g, "id")
+        .select("id").as[Long].collect().contains(2L),
+        s"generation $g serves the id erased under the flat layout")
+    }
+    assert(!VersionedStore.readLive(spark, root, "t", "id")
+      .select("id").as[Long].collect().contains(2L))
+  }
+
   test("exclusive pointer protocol: create-exclusive markers, max-resolution, protocol migration") {
     import graft.pipeline.StoreFs
     // simulate an object store whose rename is NOT atomic: force the
