@@ -30,6 +30,14 @@ object ScaleProbe {
   val DerivedDir = "/tmp/graft_sf1e"
   val Factor = 10
 
+  /** Second-decade derivation (round 13): sf1 × 10 — the scale record
+    * used to stop at 10×, and 100 TB claims extrapolated two decades
+    * from one measured point; `sf10` probes the heaviest families at a
+    * second one. Derived FROM the sf1 set with the same replication
+    * recipes, shifts computed from the source's own maxima (the sf1
+    * constants assume sf0.1 cardinalities). */
+  val Derived10Dir = "/tmp/graft_sf10e"
+
 
   /** Families deliberately OFF the probe list, each with a reason —
     * everything else in [[SparkEntry.queries]] probes at both scales
@@ -114,6 +122,76 @@ object ScaleProbe {
     java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
   }
 
+  /** [[derive]] generalized past its sf0.1-sized key-shift constants:
+    * every shift derives from the SOURCE's own max key (rounded up to
+    * the same window/partition units where ordering invariants demand
+    * it), so the recipe composes — sf1 → sf10 here, another decade if
+    * ever needed. The per-replica letter rotation composes imperfectly
+    * (alphabet length 9 < factor 10: replicas 0 and 9 share a rotation,
+    * so ONE replica pair contributes cross-replica near-dup structure —
+    * the same bounded artifact the sf1 set already carries; pair counts
+    * stay ~linear, documented rather than hidden). */
+  def deriveNext(spark: SparkSession, src: String, dest: String): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
+      return
+    val d = new java.io.File(dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    d.mkdirs()
+    def reps(f: Int => DataFrame): DataFrame =
+      (0 until Factor).map(f).reduce(_ unionByName _)
+    def maxOf(t: String, c: String): Long =
+      spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).head().getLong(0)
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dest/$t.parquet")
+    }
+    val custShift = maxOf("customer", "c_custkey") + 1L
+    val orderShift = maxOf("orders", "o_orderkey") + 1L
+    reps { i =>
+      spark.read.parquet(s"$src/customer.parquet")
+        .withColumn("c_custkey", col("c_custkey") + i * custShift)
+    }.write.parquet(s"$dest/customer.parquet")
+    reps { i =>
+      spark.read.parquet(s"$src/orders.parquet")
+        .withColumn("o_orderkey", col("o_orderkey") + i * orderShift)
+        .withColumn("o_custkey", col("o_custkey") + i * custShift)
+    }.write.parquet(s"$dest/orders.parquet")
+    reps { i =>
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
+    }.write.parquet(s"$dest/lineitem.parquet")
+    val alpha = "etaoinshr"
+    val docShift = maxOf("documents", "doc_id") + 1L
+    reps { i =>
+      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + i * docShift)
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }.write.parquet(s"$dest/documents.parquet")
+    val vecShift = maxOf("embeddings", "vec_id") + 1L
+    reps { i =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + i * vecShift)
+        .withColumn("embedding", concat(
+          array((element_at(col("embedding"), 1) + lit(i * 0.00037f))
+            .cast("float")),
+          slice(col("embedding"), 2, 10000)))
+    }.write.parquet(s"$dest/embeddings.parquet")
+    val ev = graft.sources.ChangeFeed.raw(spark, src)
+    val (maxId, maxUser) = {
+      val r = ev.agg(max("event_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val w = graft.sources.ChangeFeed.WindowSize
+    val p = graft.sources.ChangeFeed.NumPartitions
+    val idShift = (maxId / w + 1) * w
+    val userShift = (maxUser / p + 1) * p
+    reps { i =>
+      ev.withColumn("event_id", col("event_id") + i * idShift)
+        .withColumn("user_id", col("user_id") + i * userShift)
+    }.write.parquet(s"$dest/events.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -132,6 +210,40 @@ object ScaleProbe {
     val mediaOnly = args.contains("media")
     val prOnly = args.contains("pr")
     val relayOnly = args.contains("relay")
+    val sf10Only = args.contains("sf10")
+
+    if (args.contains("annprune")) {
+      // SCAN-SIDE proof that store-served ANN is an index probe (round
+      // 13): rows flowing out of the int8 cells scan must track the
+      // probed cells' population, not the store size — the literal
+      // In(cell_id) + range-clustered layout at work. AQE off so the
+      // executed plan's scan metrics are directly addressable.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def probePrune(dir: String): Unit = {
+        val store = graft.sources.WireFixtures.annOrganicIndexDir(spark, dir)
+        val all = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val served = graft.pipeline.Ann.ivfQuantizedTopKFromStore(
+          all.where(col("id") < 3), all, store, k = 10, nProbe = 2)
+        served.collect()
+        val scanned = served.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "q") => s
+        }.map(_.metrics("numOutputRows").value).sum
+        val t = graft.pipeline.VersionedStore.tableRoot(store)
+        val total = spark.read.parquet(s"$t/cells").count()
+        val cells = spark.read.parquet(s"$t/codebook").count()
+        // 3 queries × nProbe=2 probe ≤ 6 of `cells` centroids: frac must
+        // sit at ~probed/cells across scales (rows ∝ the probed cells'
+        // population), never at 1.0 (the old whole-tier scan)
+        println(f"annprune $dir%-22s store_rows=$total%8d" +
+          f" scan_rows=$scanned%8d cells=$cells%3d queries=3 nProbe=2" +
+          f" frac=${scanned.toDouble / total}%.3f")
+      }
+      probePrune(base)
+      probePrune(DerivedDir)
+      spark.stop(); return
+    }
 
     if (relayOnly) {
       // relay-pipeline THROUGHPUT at both scales (Bench's three legs:
@@ -184,7 +296,7 @@ object ScaleProbe {
 
     val all = AllProbes
     val probes =
-      if (args.isEmpty || ccOnly || mediaOnly || prOnly) all
+      if (args.isEmpty || ccOnly || mediaOnly || prOnly || sf10Only) all
       else {
         // fail loudly on a typo'd or unprobed name — silently filtering
         // would print an empty "successful" run
@@ -252,6 +364,108 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once())
+    }
+
+    if (sf10Only) {
+      // SECOND-DECADE probe (round 13): sf1 → sf10 for the heaviest
+      // families — the sf1 sweep is exhaustive, this pins the curve's
+      // second point where extrapolation to 100 TB was a single-segment
+      // line. List = the top of BENCH_sf1_r12 by wall time plus the
+      // verdict-named store-maintenance shapes; min-of-2 per scale,
+      // FAILED lines loud, sweep continues (the sf1 sweep's rules).
+      deriveNext(spark, DerivedDir, Derived10Dir)
+      val heavyAll = Seq(
+        "q_ivfpq_cdc_stream", "q_ann_cdc_stream", "q_index_cdc_stream",
+        "q_dedup_stream_incr", "q_ann_rebalance", "q_postings_compact",
+        "q_repetition", "q_gopher_rules", "q_zorder_incr",
+        "q_pipeline_web", "q_store_fsck_models", "q_quantile_stream")
+      // extra args filter the list (resuming a partial sweep after an
+      // environment-sized failure re-times only what is missing)
+      val sel = args.toSeq.filterNot(_ == "sf10")
+      val heavy =
+        if (sel.isEmpty) heavyAll else heavyAll.filter(sel.contains)
+      heavy.foreach { q =>
+        try Bench.force(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      println(f"${"query"}%-22s ${"sf1"}%8s ${"sf10"}%8s  ratio")
+      heavy.foreach { q =>
+        try {
+          val a = time(q, DerivedDir)
+          val b = time(q, Derived10Dir)
+          println(f"$q%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(f"$q%-22s FAILED ${e.getClass.getSimpleName}:" +
+              s" ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      }
+      // semdedup at the deployment configuration (k ∝ N, constant cell
+      // size — the sf1 adjudication's scale-honest shape, third point)
+      def semdedup10(dir: String, k: Int): Double = {
+        def once(): Double = {
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          val withDups = e.unionByName(
+            e.select((col("id") + 100000000L).as("id"), col("vec")))
+          val t0 = System.nanoTime()
+          Bench.force(graft.pipeline.Semantic.semanticDedup(
+            withDups, k = k, iters = 3))
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      if (sel.isEmpty || sel.contains("q_semdedup_kN")) try {
+        val sa = semdedup10(DerivedDir, 80)
+        val sb = semdedup10(Derived10Dir, 800)
+        println(f"${"q_semdedup_kN"}%-22s $sa%8.2f $sb%8.2f  ${sb / sa}%5.1f×")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(f"${"q_semdedup_kN"}%-22s FAILED" +
+            s" ${e.getClass.getSimpleName}:" +
+            s" ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+      // the two SCALE-HONEST semdedup configurations over the same
+      // corpus (the k∝N row above is the documented quadratic: flat
+      // assignment evaluates k distances per row, so 10× rows × 10× k
+      // = 100× work). Hierarchical grows leaf count ∝ N through
+      // √-sized levels (9²=81 leaves at sf1, 28²=784 at sf10 — the same
+      // cell-size targets as k=80/800); fixed-k+LSH keeps assignment
+      // linear and bucket-bounds the hot-cell pairs
+      def withDupsOf(dir: String) = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        e.unionByName(
+          e.select((col("id") + 100000000L).as("id"), col("vec")))
+      }
+      def leg(label: String)(run: String => Unit): Unit =
+        if (sel.isEmpty || sel.contains(label)) try {
+          def one(dir: String): Double = {
+            def once(): Double = {
+              val t0 = System.nanoTime(); run(dir)
+              (System.nanoTime() - t0) / 1e9
+            }
+            math.min(once(), once())
+          }
+          val a = one(DerivedDir); val b = one(Derived10Dir)
+          println(f"$label%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            println(f"$label%-22s FAILED ${e.getClass.getSimpleName}:" +
+              s" ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      leg("q_semdedup_hier") { dir =>
+        val (kc, ks) = if (dir == Derived10Dir) (28, 28) else (9, 9)
+        Bench.force(graft.pipeline.Semantic.semanticDedupHier(
+          withDupsOf(dir), kCoarse = kc, kSub = ks, iters = 3,
+          trainSampleCap = 4096))
+      }
+      leg("q_semdedup_lsh64") { dir =>
+        Bench.force(graft.pipeline.Semantic.semanticDedup(
+          withDupsOf(dir), k = 64, iters = 3, intraCellPlanes = 12,
+          intraCellTables = 4))
+      }
+      spark.stop(); return
     }
     if (!ccOnly && !prOnly) {
       println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  ratio")

@@ -995,6 +995,22 @@ object SparkEntry {
         cosineThreshold = 0.99, intraCellPlanes = 8, intraCellTables = 4)
     }),
 
+    // ---- semantic dedup, HIERARCHICAL assignment: two-level codebook
+    // (kCoarse cells, then a kSub sub-codebook per cell), leaf = coarse
+    // × kSub + sub — the configuration that stays near-linear when the
+    // leaf count must grow with the corpus (flat k∝N assignment is
+    // O(N·k); the sf10 probe measured 121×). Identical twins share the
+    // coarse AND sub argmins, so the planted contract — and the oracle
+    // — is exactly q_semdedup's ----
+    "q_semdedup_hier" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withDups = e.unionByName(
+        e.select((col("id") + 1000000L).as("id"), col("vec")))
+      graft.pipeline.Semantic.semanticDedupHier(withDups, kCoarse = 4,
+        kSub = 4, iters = 3, cosineThreshold = 0.99)
+    }),
+
     // ---- K1/C4: CheckpointMult multi-timeline serve — per-partition
     // checkpoint bands + round-robin visit order after the cursor ----
     "q_stream_mult" -> ((s, dir) => {
@@ -5061,6 +5077,13 @@ object SparkEntry {
     // argmin (same k-means cell) at cosine 1.0, the corpus has no natural
     // ≥0.99 pair, and the greedy policy keeps the lower id of each pair
     "q_semdedup" ->
+      ("SELECT vec_id AS doc_id, TRUE AS kept FROM embeddings" +
+        " UNION ALL" +
+        " SELECT vec_id + 1000000 AS doc_id, FALSE AS kept FROM embeddings"),
+
+    // hierarchical assignment: twins share the coarse and sub argmins,
+    // so the leaf co-location — and the contract — is q_semdedup's
+    "q_semdedup_hier" ->
       ("SELECT vec_id AS doc_id, TRUE AS kept FROM embeddings" +
         " UNION ALL" +
         " SELECT vec_id + 1000000 AS doc_id, FALSE AS kept FROM embeddings"),

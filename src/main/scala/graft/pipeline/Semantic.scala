@@ -22,12 +22,16 @@ object Semantic {
     * centroid with the fused argmin projection (one scan, no shuffle —
     * [[Ann.nearestCellExpr]]), then compare pairs only WITHIN a cell. The
     * cross product never leaves a cell, so the pair search costs
-    * Σ|cell|² instead of N²; `k` is the knob that bounds cell size (at
-    * 100 TB pick k ∝ N / targetCellSize — the within-cell join shuffles
-    * both sides once on cell_id and each cell's block is a bounded
-    * in-partition product; for very hot cells, compose with the
-    * hyperplane-LSH blocking of [[Dedup.embeddingNearDups]] inside the
-    * cell). Drop policy is greedy lowest-id-wins: a doc is dropped iff
+    * Σ|cell|² instead of N²; `k` is the knob that bounds cell size.
+    * CAVEAT the round-13 sf10 probe measured: the flat assignment
+    * evaluates k distances per row, so growing k ∝ N to hold cell size
+    * constant makes the ASSIGNMENT pass O(N·k) — quadratic overall
+    * (80→800 cells at 10× rows ran 121×). The scale-honest
+    * configurations at 100 TB are [[semanticDedupHier]] (two-level
+    * codebook, √k distances per row) or a FIXED moderate k with
+    * `intraCellPlanes > 0` (LSH-blocked pair search inside hot cells —
+    * linear assignment, bucket-bounded pairs). Drop policy is greedy
+    * lowest-id-wins: a doc is dropped iff
     * some lower-id doc in its cell has cosine ≥ `cosineThreshold`. For
     * EXACT-duplicate groups (the planted-twin contract) this keeps
     * exactly the minimum id. Note the policy is deliberately greedy, not
@@ -74,6 +78,129 @@ object Semantic {
     val (codebook, _) = Ann.trainCentroids(base, k, iters)
     val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
       base.withColumn("cell_id", Ann.nearestCellExpr(codebook, col("vec"))))
+    dedupWithinCells(cells, cosineThreshold, intraCellPlanes,
+      intraCellTables)
+  }
+
+  /** TWO-LEVEL (hierarchical) semantic dedup — the configuration that
+    * stays near-linear when the cell-count knob must grow with the
+    * corpus. [[semanticDedup]]'s flat assignment evaluates k distances
+    * per row, so the "k ∝ N / targetCellSize" regime that bounds the
+    * within-cell pair pass makes the ASSIGNMENT pass O(N·k) = O(N²/c) —
+    * the round-13 sf1→sf10 probe measured exactly that (k 80→800 at 10×
+    * rows: 121×). Here the codebook is a tree: `kCoarse` top-level
+    * centroids over the corpus, then one `kSub`-centroid sub-codebook
+    * trained per coarse cell ON ITS MEMBERS ONLY, leaf id = coarse ×
+    * kSub + sub. Assignment costs kCoarse + kSub distances per row —
+    * √k-shaped when kCoarse = kSub = √k — and training costs the same
+    * per scan (each sub-training's corpus is one cell), so kCoarse·kSub
+    * leaves at 10× data cost ~3× per row instead of 10×. The per-cell
+    * training loop is codebook-bounded driver orchestration (the
+    * [[Ann.rebalanceCells]] discipline), each iteration's jobs
+    * cell-sized.
+    *
+    * The dedup contract is [[semanticDedup]]'s, unchanged: identical
+    * vectors share the coarse argmin AND the sub argmin (both
+    * deterministic expressions), so twins land in one leaf and the
+    * greedy lowest-id-wins policy keeps exactly the minimum id of every
+    * exact-duplicate group — the planted-twin oracle holds under any
+    * training state. Near-dup recall differs from flat k-means only
+    * through cell boundaries (a near-pair split across leaves is missed
+    * by EITHER method; the tree's boundaries are just drawn elsewhere).
+    * Thin coarse cells (≤ kSub members) skip sub-training — the coarse
+    * cell is already pair-searchable as one leaf.
+    *
+    * TRAINING runs on a deterministic hash-SAMPLE of each slice
+    * (`trainSampleCap` rows, [[Sampling.hashSample]] — codebooks are
+    * corpus statistics, the sampling discipline [[Ann.trainCentroids]]
+    * prescribes at 100 TB): the per-cell training loop's cost is then
+    * bounded by kCoarse × cap regardless of corpus size, and only the
+    * single fused ASSIGNMENT projection ever scans everything. Sampling
+    * moves centroids, never the contract (identical vectors still share
+    * every argmin under whatever codebook trained). Cap 0 trains on
+    * full slices (exact fixture parity). */
+  def semanticDedupHier(vecs: DataFrame, idCol: String = "id",
+      vecCol: String = "vec", kCoarse: Int = 16, kSub: Int = 16,
+      iters: Int = 3, cosineThreshold: Double = 0.99,
+      intraCellPlanes: Int = 0, intraCellTables: Int = 4,
+      trainSampleCap: Int = 0): DataFrame = {
+    require(kCoarse > 0 && kSub > 0,
+      s"semanticDedupHier: kCoarse $kCoarse, kSub $kSub")
+    require(trainSampleCap == 0 || trainSampleCap >= math.max(kCoarse, kSub),
+      s"semanticDedupHier: trainSampleCap $trainSampleCap below the" +
+        " codebook sizes — training would see fewer rows than centroids")
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    // deterministic training sample: basis-point rate from the frame's
+    // size (one count, driver-held) — hash-stable, so every run trains
+    // the same codebook
+    def sampled(df: DataFrame, n: Long, cap: Long): DataFrame =
+      if (trainSampleCap == 0 || n <= cap) df
+      else Sampling.hashSample(df, "id",
+        math.max(1, (cap * 10000L / n).toInt))
+    val nAll = base.count()
+    val (coarse, _) =
+      Ann.trainCentroids(sampled(base, nAll, trainSampleCap), kCoarse,
+        iters)
+    val coarseCells = PlanCache.getOrPersist(base,
+      s"semdedup-hier|$kCoarse|$kSub|$iters|$trainSampleCap",
+      base.withColumn("c", Ann.nearestCellExpr(coarse, col("vec"))))
+    // codebook-bounded rows (one per coarse cell) — driver-collectable
+    val counts = coarseCells.groupBy("c").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ONE materialized training pool for every sub-training (~kCoarse ×
+    // cap rows, mass-proportional per cell): without it each of the
+    // kCoarse per-cell trainings re-scans the full corpus just to
+    // sample its slice — a √k × N = N^1.5 term the round-13 sf10 probe
+    // measured before this pool existed. Per-cell training reads then
+    // cost pool-sized scans; the full corpus is scanned once here and
+    // once by the leaf assignment, like every store build in the engine
+    val trainPool =
+      if (trainSampleCap == 0) coarseCells
+      else PlanCache.getOrPersist(base,
+        s"semdedup-hier-pool|$kCoarse|$kSub|$iters|$trainSampleCap",
+        sampled(coarseCells, nAll, trainSampleCap.toLong * kCoarse))
+    // pool rows per cell (codebook-bounded) — a cell whose pool slice
+    // is thinner than kSub falls back to the unsplit branch rather than
+    // training a degenerate book
+    val poolCounts =
+      if (trainSampleCap == 0) counts
+      else trainPool.groupBy("c").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val leafPlan = coarse.map(_._1).filter(counts.contains).map { cid =>
+      val slice = coarseCells.where(col("c") === cid)
+        .select(col("id"), col("vec"))
+      if (counts(cid) <= kSub.toLong ||
+        poolCounts.getOrElse(cid, 0L) < kSub.toLong)
+        // too thin to split: the coarse cell IS the leaf
+        slice.withColumn("cell_id", lit(cid * kSub.toLong))
+      else {
+        val (sub, _) = Ann.trainCentroids(
+          trainPool.where(col("c") === cid).select(col("id"), col("vec")),
+          kSub, iters)
+        slice.withColumn("cell_id",
+          lit(cid * kSub.toLong) + Ann.nearestCellExpr(sub, col("vec")))
+      }
+    }.reduce(_ unionByName _)
+    // persisted like the flat path's cells frame — the dedup tail
+    // evaluates its cells input several times (both pair-join sides,
+    // the verify fetch, the exclusion join), and re-executing the
+    // kCoarse-branch union per use would re-run every leaf assignment
+    // each time
+    val leaves = PlanCache.getOrPersist(base,
+      s"semdedup-hier-leaves|$kCoarse|$kSub|$iters|$trainSampleCap",
+      leafPlan)
+    dedupWithinCells(leaves, cosineThreshold, intraCellPlanes,
+      intraCellTables)
+  }
+
+  /** The shared dedup tail: within-cell candidate pairs (all-pairs per
+    * cell, or hyperplane-LSH-blocked inside each cell), exact cosine
+    * verify, greedy lowest-id-wins exclusion. `cells` carries
+    * (id, vec, cell_id); both entry points land here so the flat and
+    * hierarchical assignments can never drift on policy. */
+  private def dedupWithinCells(cells: DataFrame, cosineThreshold: Double,
+      intraCellPlanes: Int, intraCellTables: Int): DataFrame = {
     val candidates =
       if (intraCellPlanes <= 0) {
         // within-cell pair search: the join key is the cell id alone, so

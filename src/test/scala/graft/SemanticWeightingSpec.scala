@@ -39,6 +39,49 @@ class SemanticWeightingSpec extends SparkSpec {
     assert(Seq(100L, 101L, 102L).forall(!out(_)))
   }
 
+  test("semanticDedupHier: twins co-locate through both codebook levels") {
+    // 24 signed pseudo-random vectors, max pairwise cosine 0.77 (checked
+    // offline) — no accidental near-pair can cross the 0.99 threshold,
+    // and coarse cells exceed kSub so the sub-training path runs
+    val base = (0L until 24L).map { i =>
+      (i, Seq.tabulate(8)(d =>
+        (((i * 37 + d * d * 11 + i * d * 5) % 29) - 14).toFloat))
+    }
+    val vecs = (base ++ base.map { case (id, v) => (id + 100L, v) })
+      .toDF("id", "vec")
+    val out = Semantic.semanticDedupHier(vecs, kCoarse = 2, kSub = 3,
+        iters = 2, cosineThreshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === 48)
+    // every twin pair: lower id kept, +100 copy dropped — identical
+    // vectors share the coarse argmin AND the sub argmin, so the pair
+    // meets in one leaf whatever the training state
+    (0L until 24L).foreach { i =>
+      assert(out(i), s"original $i must be kept")
+      assert(!out(i + 100L), s"copy ${i + 100L} must drop")
+    }
+    // sampled training (the 100 TB regime: codebooks from a hash-sample,
+    // assignment over everything) — the planted contract is
+    // codebook-independent, so the outcome is identical
+    val outS = Semantic.semanticDedupHier(vecs, kCoarse = 2, kSub = 3,
+        iters = 2, cosineThreshold = 0.99, trainSampleCap = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 24L).foreach { i =>
+      assert(outS(i) && !outS(i + 100L), s"sampled-training twin $i")
+    }
+    // thin-cell skip branch: kCoarse=12 over 25 vectors leaves coarse
+    // cells at ≤ kSub members (average ~2) that skip sub-training and
+    // pair-search as their own leaf — nothing may drop (no dups) and
+    // the far-off singleton survives
+    val lone = (Seq((999L, Seq.fill(8)(-50f))) ++ base)
+      .toDF("id", "vec")
+    val kept2 = Semantic.semanticDedupHier(lone, kCoarse = 12, kSub = 3,
+        iters = 2)
+      .where(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept2.contains(999L), "singleton leaf must survive")
+    assert(kept2.size === 25, "no dups in the corpus — everything kept")
+  }
+
   test("semanticDedup keeps a representative of every near-dup relation") {
     // a chain of identical vectors: greedy lowest-id-wins keeps only the
     // minimum (all three share a cell and pairwise cosine 1.0)
