@@ -838,9 +838,14 @@ object SparkEntry {
       // signatures per trigger (a cheap kernel over increment-sized
       // frames), so signatures are the only store the protocol appends
       // to; before the first append the overlay is simply absent
+      // overlay writes are BATCH-ADDRESSED (batch=<id> overwrite, the
+      // appendToSignatureStoreBatch idiom): a foreachBatch retry
+      // rewrites its own partial instead of double-appending replayed
+      // signatures into every later estimate join; the discovered batch
+      // column is layout, not data
       def overlaySigs() =
         if (graft.pipeline.StoreFs.isDirectory(s"$over/sigs"))
-          s.read.parquet(s"$over/sigs")
+          s.read.parquet(s"$over/sigs").drop("batch")
         else Dedup.readSignatureStore(s, store).limit(0)
       val corpusText = old.unionByName(
         s.read.schema("doc_id LONG, text STRING").parquet(s"$root/in"))
@@ -849,7 +854,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 2)
         .parquet(s"$root/in")
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // THREE jobs per trigger — detach, candidates, append — because
           // local-mode job latency, not data, dominates a micro-batch:
           // sign + band THE BATCH ONLY (O(batch); the PipelineOpsSpec
@@ -859,7 +864,11 @@ object SparkEntry {
           // shuffle), write candidates, append the batch signatures. The
           // estimate/verify stages run once after the stream drains —
           // signatures are immutable per id, so that is bit-identical to
-          // estimating per increment.
+          // estimating per increment. Both overlay writes land in their
+          // own batch=<id> subdir with OVERWRITE semantics: a replayed
+          // trigger recomputes the identical rows (minhash is
+          // deterministic; the candidate set is distinct under the
+          // replay's already-landed sigs) and rewrites its own partial
           val b = batch.localCheckpoint(true)
           val sigsNew = Dedup.minhashSignatures(b, "text", "doc_id", 3, 64)
           val bandedNew = Dedup.bandedBucketsFromSignatures(sigsNew)
@@ -868,8 +877,10 @@ object SparkEntry {
             .unionByName(bandedNew)
           Dedup.incrementalCandidatesFromBanded(bandedNew, bandedAll,
               broadcastNew = true)
-            .coalesce(4).write.mode("append").parquet(s"$over/cand")
-          sigsNew.coalesce(4).write.mode("append").parquet(s"$over/sigs")
+            .coalesce(4).write.mode("overwrite")
+            .parquet(s"$over/cand/batch=$batchId")
+          sigsNew.coalesce(4).write.mode("overwrite")
+            .parquet(s"$over/sigs/batch=$batchId")
           ()
         }
         .option("checkpointLocation", s"$root/cp")
@@ -884,11 +895,43 @@ object SparkEntry {
       // estimate and verify joins so the signature/text tables stream
       // through build-side-free (no shuffle of the big sides)
       val cand = Dedup.estimatePairsFromSignatures(
-        broadcast(s.read.parquet(s"$over/cand").distinct()), sigsAll,
-        jaccardThreshold = 0.5)
+        broadcast(s.read.parquet(s"$over/cand").drop("batch").distinct()),
+        sigsAll, jaccardThreshold = 0.5)
       Dedup.ngramJaccardVerify(corpusText,
           broadcast(cand.select("id_a", "id_b")))
         .where(col("jaccard") >= 0.8).distinct()
+    }),
+
+    // ---- ONE time-travel coordinate for the dedup signature store —
+    // the dedup twin of q_ann_pin / q_retrieval_pin: BOTH axes move
+    // after the capture (one more append batch, then a compaction that
+    // publishes a fresh generation), and the pinned read still serves
+    // the snapshot's near-dup pair set while the head serves the full
+    // post-compaction store. keepGenerations=1 keeps the pin alive ----
+    "q_dedup_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("dedpin").toString
+      val old = docs(s, dir).select("doc_id", "text")
+      val corpus = old.unionByName(
+        old.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def slice(b: Int) = corpus.where(col("doc_id") % 3 === b)
+      val store = s"$root/store"
+      Dedup.writeSignatureStore(slice(0), store, batchId = Some(0L))
+      Dedup.appendToSignatureStoreBatch(slice(1), store, 1L)
+      val pin = Dedup.pinSignatureStore(store)
+      Dedup.appendToSignatureStoreBatch(slice(2), store, 2L)
+      Dedup.compactSignatureStore(s, store, keepGenerations = 1)
+      def verified(pairs: org.apache.spark.sql.DataFrame) =
+        Dedup.ngramJaccardVerify(corpus,
+            broadcast(pairs.select("id_a", "id_b")))
+          .where(col("jaccard") >= 0.8)
+      val headBanded = Dedup.readBandedStore(s, store)
+      val headPairs = Dedup.estimatePairsFromSignatures(
+        Dedup.incrementalCandidatesFromBanded(headBanded, headBanded),
+        Dedup.readSignatureStore(s, store), jaccardThreshold = 0.5)
+      verified(Dedup.nearDupPairsFromStorePinned(s, store, pin))
+        .withColumn("probe_view", lit("pinned"))
+        .unionByName(
+          verified(headPairs).withColumn("probe_view", lit("head")))
     }),
 
     // ---- dedup: exact n-gram Jaccard (brute, small subset baseline) ----
@@ -1917,6 +1960,34 @@ object SparkEntry {
         graft.pipeline.Retrieval.readPostingsIndexAsOf(s, s"$root/index", 1L),
         graft.pipeline.Retrieval.readDocLengthsAsOf(s, s"$root/index", 1L),
         Seq("the", "of", "data"), k = 20)
+    }),
+
+    // ---- ONE time-travel coordinate for the postings store — the
+    // retrieval twin of q_ann_pin: BOTH axes move after the capture
+    // (one more append batch, then a compaction that publishes a fresh
+    // generation), and the pinned BM25 still serves the snapshot's
+    // scores — corpus statistics included — while the head serves the
+    // full post-compaction store. keepGenerations=1 is the retention
+    // policy that keeps the pin alive ----
+    "q_retrieval_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("retpin").toString
+      val R = graft.pipeline.Retrieval
+      val d = docs(s, dir).select("doc_id", "text")
+      R.writePostingsIndex(d.where(col("doc_id") % 3 === 0), s"$root/index",
+        batchId = Some(0L))
+      R.appendToPostingsIndexBatch(
+        d.where(col("doc_id") % 3 === 1), s"$root/index", 1L)
+      val pin = R.pinPostings(s"$root/index")
+      R.appendToPostingsIndexBatch(
+        d.where(col("doc_id") % 3 === 2), s"$root/index", 2L)
+      R.compactPostingsIndex(s, s"$root/index", keepGenerations = 1)
+      val terms = Seq("the", "of", "data")
+      R.bm25TopKFromStorePinned(s, s"$root/index", pin, terms, k = 20)
+        .withColumn("probe_view", lit("pinned"))
+        .unionByName(R.bm25TopKFromIndex(
+            R.readPostingsIndex(s, s"$root/index"),
+            R.readDocLengths(s, s"$root/index"), terms, k = 20)
+          .withColumn("probe_view", lit("head")))
     }),
 
     // ---- VERSIONED multi-table index: the postings+doclens PAIR
@@ -5030,6 +5101,19 @@ object SparkEntry {
         " AND (p.id_a >= 1000000 OR p.id_b >= 1000000)",
         " WHERE doc_id % 4 = 0"),
 
+    // unified (gen, maxBatch) pin on the dedup signature store: the
+    // pinned view's pair set derives from the two pinned batches' docs
+    // (combined-corpus ids with doc_id % 3 ∈ {0, 1} — note a twin's id
+    // is doc_id + 1e6, so it lands in a different batch than its base),
+    // the head view from the full twin corpus after a later append AND
+    // a compaction-publish
+    "q_dedup_pin" ->
+      ("SELECT *, 'pinned' AS probe_view FROM (" +
+        jaccardPairsOracleSql(0.8, "",
+          corpusWhere = " WHERE doc_id % 3 <> 2") +
+        ") UNION ALL SELECT *, 'head' FROM (" +
+        jaccardPairsOracleSql(0.8, "") + ")"),
+
     // takedown-aware incremental pairs: touching-the-batch edges whose
     // stored endpoint is LIVE (base ids with doc_id % 7 = 2 are
     // tombstoned; a batch id < 1e6 never occurs, so the guards read
@@ -5922,6 +6006,15 @@ object SparkEntry {
     // included
     "q_postings_asof" ->
       bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 3 <> 2)"),
+
+    // unified (gen, maxBatch) pin on the postings store: q_postings_asof's
+    // snapshot contract holding across a later append AND a later
+    // compaction-publish — pinned scores derive from the two pinned
+    // batches' slice, head from the full corpus
+    "q_retrieval_pin" ->
+      ("SELECT *, 'pinned' AS probe_view FROM (" +
+        bm25TopKSqlFor("(SELECT * FROM documents WHERE doc_id % 3 <> 2)") +
+        ") UNION ALL SELECT *, 'head' FROM (" + bm25TopKSql + ")"),
 
     // versioned index: the current generation is the full corpus, the
     // pinned generation 1 the doc_id-even half; each BM25 re-derives
@@ -6918,11 +7011,12 @@ object SparkEntry {
     * columns — shared by the minhash oracle and the simhash
     * signature-quality contract. */
   private def jaccardPairsOracleSql(threshold: Double, extraCols: String,
-      extraWhere: String = "", freshWhere: String = ""): String = {
+      extraWhere: String = "", freshWhere: String = "",
+      corpusWhere: String = ""): String = {
     val sh = "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> array_to_string(toks[i:i+2], ' ')))"
     "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL" +
       s" SELECT doc_id + 1000000 AS doc_id, text FROM documents$freshWhere)," +
-      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))," +
+      s" sh AS (SELECT doc_id, $sh AS s FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus$corpusWhere))," +
       " u AS (SELECT doc_id, unnest(s) AS g FROM sh)," +
       " pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared" +
       " FROM u x JOIN u y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)" +

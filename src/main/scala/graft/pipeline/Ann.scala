@@ -200,29 +200,35 @@ object Ann {
       .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
   }
 
-  /** The distinct cell ids a probe frame touches, as a DRIVER LITERAL:
-    * probes is queries × nProbe rows by construction (the same bound
-    * that lets [[probeCells]] broadcast it), so collecting the ids is
-    * request-sized — and turning them into a literal
-    * `cell_id.isin(...)` filter ON THE CELLS SCAN is what lets the
-    * cell_id-clustered store layout ([[writeIndex]]/[[writeIvfPqIndex]]
-    * repartition by cell_id, so parquet footers carry tight min/max
-    * stats) actually SKIP row groups: a broadcast-join key is not a
-    * pushable predicate, so without the literal every serving call
-    * reads the whole coded tier and filters in the join — at 100 TB the
-    * coded tier is small (int8/PQ codes) but still TBs, and serving
-    * must be an index probe, not a tier scan. Reference analogue:
-    * ScnIndex.java:623 — seek then scan, never scan-then-filter. */
-  private def probedCellIds(probes: DataFrame): Seq[Long] =
-    probes.select("cell_id").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-
-  /** `cells` restricted to the probed ids as a PUSHABLE literal filter
-    * (see [[probedCellIds]]); applied before the probe join in every
-    * cell-probing serving path. */
-  private def pruneToProbedCells(cells: DataFrame,
-      probes: DataFrame): DataFrame =
-    cells.where(col("cell_id").isin(probedCellIds(probes): _*))
+  /** Materialize a probe frame ONCE on the driver, returning the
+    * distinct probed cell ids AS A LITERAL plus the same rows as a
+    * LocalRelation for the probe join. probes is queries × nProbe rows
+    * by construction (the same bound that lets [[probeCells]] broadcast
+    * it), so one collect is request-sized — and turning the ids into a
+    * literal `cell_id.isin(...)` filter ON THE CELLS SCAN is what lets
+    * the cell_id-clustered store layout ([[writeIndex]]/
+    * [[writeIvfPqIndex]] repartition by cell_id, so parquet footers
+    * carry tight min/max stats) actually SKIP row groups: a
+    * broadcast-join key is not a pushable predicate, so without the
+    * literal every serving call reads the whole coded tier and filters
+    * in the join — at 100 TB the coded tier is small (int8/PQ codes)
+    * but still TBs, and serving must be an index probe, not a tier
+    * scan. Reference analogue: ScnIndex.java:623 — seek then scan,
+    * never scan-then-filter. Collecting once (rather than a distinct-id
+    * job for the literal plus a broadcast exchange recomputing the
+    * probe plan) keeps serving at ONE driver-sized job: the returned
+    * frame is a LocalRelation, so its broadcast ships rows already in
+    * driver memory instead of re-running the crossJoin+window. */
+  private def materializeProbes(probes: DataFrame,
+      cols: String*): (Seq[Long], DataFrame) = {
+    val spark = probes.sparkSession
+    val narrow = probes.select(cols.head, cols.tail: _*)
+    val rows = narrow.collect()
+    val ids = rows.map(_.getAs[Long]("cell_id")).distinct.sorted.toSeq
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), narrow.schema)
+    (ids, local)
+  }
 
   private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
       centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
@@ -237,8 +243,10 @@ object Ann {
     // re-rank; an ascending tie-break would cut it first
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").desc)
-    val survivors = pruneToProbedCells(cells, probes)
-      .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
+    val (probedIds, probesL) =
+      materializeProbes(probes, "cell_id", "query_id")
+    val survivors = cells.where(col("cell_id").isin(probedIds: _*))
+      .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .join(broadcast(queries.select(col("id").as("query_id"),
@@ -363,7 +371,7 @@ object Ann {
     * (repartitionByRange) and rows sorted by cell_id within each — the
     * layout that makes every parquet footer's cell_id min/max TIGHT, so
     * the serving paths' literal probed-cell filter
-    * ([[probedCellIds]]) skips whole files and, at production file
+    * ([[materializeProbes]]) skips whole files and, at production file
     * sizes (many row groups per 128 MB file), whole row groups inside
     * them. A hash repartition co-locates a cell's rows just as well but
     * smears each file's min/max across the id space, and footer stats
@@ -911,10 +919,12 @@ object Ann {
     val probes = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    // literal probed-cell pushdown ([[probedCellIds]]): the store scan
-    // skips unprobed row groups instead of filtering in the join
-    pruneToProbedCells(cells, probes)
-      .join(broadcast(probes.select("cell_id", "query_id")), "cell_id")
+    // literal probed-cell pushdown ([[materializeProbes]]): the store
+    // scan skips unprobed row groups instead of filtering in the join
+    val (probedIds, probesL) =
+      materializeProbes(probes, "cell_id", "query_id")
+    cells.where(col("cell_id").isin(probedIds: _*))
+      .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
@@ -1482,15 +1492,17 @@ object Ann {
     // ivfQuantizedCore's cut (the planted twin must reach the re-rank)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").desc)
-    // literal probed-cell pushdown ([[probedCellIds]]), then dedup
+    // literal probed-cell pushdown ([[materializeProbes]]), then dedup
     // BEFORE the rerank cut (min ADC per (query, neighbor)): a
     // double-coded id — a corrupt store the fsck flags — must not
     // consume two rerank slots and evict a legitimate candidate from
     // the pool. The frame here is probed-cells-sized and already headed
     // into a per-query shuffle, so the aggregate is the same exchange
     // class the window needs, not a corpus-sized detour
-    val survivors = pruneToProbedCells(cells, probes)
-      .join(broadcast(probes), "cell_id")
+    val (probedIds, probesL) =
+      materializeProbes(probes, "query_id", "cell_id", "lut")
+    val survivors = cells.where(col("cell_id").isin(probedIds: _*))
+      .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
       .groupBy(col("query_id"), col("neighbor_id"))

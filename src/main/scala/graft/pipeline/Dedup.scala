@@ -425,11 +425,15 @@ object Dedup {
     * on the dedup store family. A taken-down doc must stop generating
     * candidate pairs (it can otherwise keep winning keep-one elections
     * or re-linking clusters long after its takedown), and the signature
-    * table is the only place it enters candidate generation. */
+    * table is the only place it enters candidate generation. On a
+    * batch-addressed store ([[appendToSignatureStoreBatch]]) the
+    * discovered `batch` partition column is LAYOUT, not data — dropped
+    * here so every consumer sees one schema either way. */
   def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
     val t = VersionedStore.tableRoot(storeDir)
-    Tombstones.filterLive(spark.read.parquet(s"$t/sigs"), t, "id")
+    Tombstones.filterLive(
+      spark.read.parquet(s"$t/sigs").drop("batch"), t, "id")
   }
 
   /** The LIVE banded blocking rows of a persisted signature store
@@ -437,7 +441,8 @@ object Dedup {
   def readBandedStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String): DataFrame = {
     val t = VersionedStore.tableRoot(storeDir)
-    Tombstones.filterLive(spark.read.parquet(s"$t/banded"), t, "id")
+    Tombstones.filterLive(
+      spark.read.parquet(s"$t/banded").drop("batch"), t, "id")
   }
 
   /** Render a PERSISTED minhash signature store for `docs` into `dir` —
@@ -450,18 +455,222 @@ object Dedup {
     * blocks with anything) is structurally impossible on this path: a
     * crash mid-build leaves readers on the previous generation.
     * Incremental batches keep their own overlay stores (the streaming
-    * demos' discipline); a re-onboarding is the next generation. */
+    * demos' discipline); a re-onboarding is the next generation.
+    *
+    * `batchId` selects the BATCH-ADDRESSED layout from the first write
+    * (the same bootstrap switch as [[Ann.writeIndex]] /
+    * [[Retrieval.writePostingsIndex]]): both tables are born as
+    * `batch=<id>` partition dirs, so the store is maintained by
+    * [[appendToSignatureStoreBatch]] for life — partition discovery
+    * rejects a layout that mixes flat files with batch subdirs, and the
+    * batch history is what [[readSignatureStoreAsOf]] /
+    * [[pinSignatureStore]] pin. */
   def writeSignatureStore(docs: DataFrame, dir: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      numFiles: Int = 4): Unit = {
+      numFiles: Int = 4, batchId: Option[Long] = None): Unit = {
     require(numFiles > 0, s"writeSignatureStore: numFiles $numFiles")
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
     VersionedStore.publish(dir, Map(
-      "sigs" -> sigs.coalesce(numFiles),
-      "banded" -> bandedBucketsFromSignatures(sigs, k, bands)
+      batchId.fold("sigs")(b => s"sigs/batch=$b") -> sigs.coalesce(numFiles),
+      batchId.fold("banded")(b => s"banded/batch=$b") ->
+        bandedBucketsFromSignatures(sigs, k, bands)
         .coalesce(numFiles)))
     ()
+  }
+
+  /** STREAMING-append form of the signature-store increment — the
+    * [[Ann.appendToIndexBatch]] idiom on the dedup store family: the
+    * batch is signed and banded ONCE (O(batch) — the stored corpus is
+    * never re-signed, the persisted-signature protocol's contract) and
+    * both row sets land in their own `batch=<id>` subdirs with
+    * OVERWRITE semantics, so a foreachBatch retry (at-least-once
+    * delivery) rewrites the same partial instead of appending a second
+    * copy. A blind `mode("append")` would silently double-append the
+    * replayed docs' signature rows — every later [[estimatePairs]]
+    * join would then multiply candidate rows per duplicated id, and
+    * [[StoreFsck.minhashStore]]'s `duplicate_signatures` finding could
+    * only DETECT that after the fact; this form PREVENTS it, the
+    * engine's standard. The minhash kernel is deterministic in
+    * (shingleN, k), so a replay reproduces the exact rows it
+    * overwrites. Caller owns id disjointness across batches and
+    * parameter constancy — a mismatched `k` is caught by the fsck's
+    * `wrong_signature_width` row, never at this write. Reference
+    * analogue: the dispatcher's rollback/replay contract assumes
+    * idempotent application (GenericDispatcher.java:551,921). */
+  def appendToSignatureStoreBatch(newDocs: DataFrame, dir: String,
+      batchId: Long, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"appendToSignatureStoreBatch: numFiles $numFiles")
+    val t = VersionedStore.tableRoot(dir)
+    // WRITE-TIME layout guard (the [[Ann.appendToIndexBatch]] rule): a
+    // batch subdir under a flat sigs/ table would break every later
+    // read at partition discovery — loud here beats corrupt-at-read
+    require(!StoreFs.isDirectory(s"$t/sigs") ||
+        StoreFs.listDirNames(s"$t/sigs").exists(_.startsWith("batch=")),
+      s"appendToSignatureStoreBatch: $dir is a flat store — a" +
+        " batch-addressed append would mix layouts and break partition" +
+        " discovery; bootstrap the store with writeSignatureStore's" +
+        " batchId")
+    val sigs = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
+    sigs.coalesce(numFiles)
+      .write.mode("overwrite").parquet(s"$t/sigs/batch=$batchId")
+    bandedBucketsFromSignatures(sigs, k, bands).coalesce(numFiles)
+      .write.mode("overwrite").parquet(s"$t/banded/batch=$batchId")
+  }
+
+  /** [[readSignatureStore]] PINNED at append batch `maxBatch` —
+    * snapshot reproducibility for a batch-addressed signature store:
+    * only batches ≤ `maxBatch` scan (partition pruning — later batches'
+    * files never enter the plan), so a training run can replay the
+    * exact dedup decision set it was curated under after any number of
+    * later appends. Same deliberate asymmetry as every as-of read here:
+    * TOMBSTONES STILL APPLY — a takedown is legal erasure, and time
+    * travel must never resurrect a deleted doc's candidate pairs. */
+  def readSignatureStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatch: Long): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    val raw = spark.read.parquet(s"$t/sigs")
+    require(raw.columns.contains("batch"),
+      s"readSignatureStoreAsOf: $storeDir is not batch-addressed — only" +
+        " appendToSignatureStoreBatch stores carry a pinnable append" +
+        " history")
+    Tombstones.filterLive(
+      raw.where(col("batch") <= maxBatch).drop("batch"), t, "id")
+  }
+
+  /** As-of twin of [[readBandedStore]] — candidate generation pins to
+    * the same snapshot as the signature estimate. */
+  def readBandedStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, maxBatch: Long): DataFrame = {
+    val t = VersionedStore.tableRoot(storeDir)
+    val raw = spark.read.parquet(s"$t/banded")
+    require(raw.columns.contains("batch"),
+      s"readBandedStoreAsOf: $storeDir is not batch-addressed — only" +
+        " appendToSignatureStoreBatch stores carry a pinnable append" +
+        " history")
+    Tombstones.filterLive(
+      raw.where(col("batch") <= maxBatch).drop("batch"), t, "id")
+  }
+
+  /** ONE time-travel coordinate for a signature store — the dedup twin
+    * of [[Ann.AnnPin]] / [[Retrieval.RetrievalPin]]: `gen` is the
+    * [[VersionedStore]] generation (whole rebuilds/compactions),
+    * `maxBatch` the append batch WITHIN it (`None` on a store without
+    * the batch-addressed layout). A curation job captures this at read
+    * time ([[pinSignatureStore]]) and records a single token; the
+    * `*Pinned` readers then reproduce the exact store state its dedup
+    * decisions were made against — across later appends AND later
+    * publishes — without knowing which axis moved. Tombstones
+    * deliberately still apply; a gc-retired pin fails LOUDLY
+    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+  final case class DedupPin(gen: Long, maxBatch: Option[Long])
+
+  /** Capture the CURRENT pin of a versioned signature store: the
+    * flipped generation plus the highest append batch inside it.
+    * Metadata-only: one pointer resolution + one directory listing. */
+  def pinSignatureStore(storeDir: String): DedupPin = {
+    val gen = VersionedStore.currentGen(storeDir).getOrElse(
+      throw new IllegalStateException(s"Dedup.pinSignatureStore:" +
+        s" $storeDir has no published generation — only versioned" +
+        " stores carry a pinnable coordinate"))
+    val t = VersionedStore.generationRoot(storeDir, gen)
+    val batches = StoreFs.listDirNames(s"$t/sigs").collect {
+      case n if n.startsWith("batch=") &&
+          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
+    }
+    DedupPin(gen, batches.maxOption)
+  }
+
+  /** The live rows of `table` under an already-resolved generation dir,
+    * optionally pinned at a max append batch — [[Ann]]'s `liveRowsAt`
+    * discipline on the dedup tables. */
+  private def liveSigRowsAt(spark: org.apache.spark.sql.SparkSession,
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$genRoot/$table")
+    val pinned = maxBatch match {
+      case None => raw
+      case Some(mb) =>
+        require(raw.columns.contains("batch"),
+          s"Dedup: $genRoot/$table carries no batch-addressed layout" +
+            s" but the pin names append batch $mb — pin and store" +
+            " disagree (a compaction that dropped the layout would be" +
+            " exactly this, and it never does)")
+        raw.where(col("batch") <= mb)
+    }
+    Tombstones.filterLive(pinned.drop("batch"), genRoot, "id")
+  }
+
+  /** [[readSignatureStore]] at a captured [[DedupPin]]. */
+  def readSignatureStorePinned(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, pin: DedupPin): DataFrame =
+    liveSigRowsAt(spark, VersionedStore.generationRoot(storeDir, pin.gen),
+      "sigs", pin.maxBatch)
+
+  /** [[readBandedStore]] at a captured [[DedupPin]]. */
+  def readBandedStorePinned(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, pin: DedupPin): DataFrame =
+    liveSigRowsAt(spark, VersionedStore.generationRoot(storeDir, pin.gen),
+      "banded", pin.maxBatch)
+
+  /** The store's full near-dup candidate pair set (estimate stage) at a
+    * captured [[DedupPin]]: banding, candidate generation AND the
+    * signature-match estimate all resolve from the pinned snapshot, so
+    * the pairs are exactly the ones the store would have served when
+    * the pin was captured (modulo takedowns, which always apply). Feed
+    * the result to [[ngramJaccardVerify]] for the exact-verify stage —
+    * document text lives in the lake, not the store, and verification
+    * is collision-bounded either way. */
+  def nearDupPairsFromStorePinned(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, pin: DedupPin, k: Int = 64,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val banded = readBandedStorePinned(spark, storeDir, pin)
+    estimatePairsFromSignatures(
+      incrementalCandidatesFromBanded(banded, banded),
+      readSignatureStorePinned(spark, storeDir, pin), k, jaccardThreshold)
+  }
+
+  /** Compact a [[writeSignatureStore]] store in place — the takedown GC
+    * [[tombstoneSignatures]]' scaladoc promises: tombstoned rows drop
+    * physically from both tables and the set clears (on a versioned
+    * store, stays behind in retired generations the gc sweeps). A
+    * batch-addressed store keeps its FULL `batch=<id>` layout through
+    * the rewrite — the [[Ann.compactIndexCells]] rule: a row's batch
+    * identity is preserved, never rolled up, so as-of pins stay exact
+    * across the GC and post-compaction [[appendToSignatureStoreBatch]]
+    * writes keep working. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
+    require(numFiles > 0, s"compactSignatureStore: numFiles $numFiles")
+    val t0 = VersionedStore.tableRoot(dir)
+    val batched = StoreFs.listDirNames(s"$t0/sigs")
+      .exists(_.startsWith("batch="))
+    // raw reads keep the discovered batch column (the public readers
+    // drop it — layout, not data — but the rewrite must preserve it)
+    def live(table: String): DataFrame = Tombstones.filterLive(
+      spark.read.parquet(s"$t0/$table"), t0, "id").coalesce(numFiles)
+    val sigsLive = live("sigs")
+    val bandedLive = live("banded")
+    if (VersionedStore.isVersioned(dir)) {
+      VersionedStore.publish(dir, Map(
+        "sigs" -> sigsLive, "banded" -> bandedLive),
+        partitionBy =
+          if (batched) Map("sigs" -> Seq("batch"), "banded" -> Seq("batch"))
+          else Map.empty)
+      VersionedStore.gc(dir, keep = keepGenerations)
+      ()
+    } else {
+      def swapIn(sub: String)(df: DataFrame): Unit = {
+        val tmp = s"$dir/$sub.compact.${ProcessHandle.current.pid}"
+        (if (batched) df.write.partitionBy("batch") else df.write)
+          .parquet(tmp)
+        swapDir(s"$dir/$sub", tmp)
+      }
+      swapIn("sigs")(sigsLive)
+      swapIn("banded")(bandedLive)
+      Tombstones.clear(dir)
+    }
   }
 
   /** Record a doc takedown against a persisted signature store —

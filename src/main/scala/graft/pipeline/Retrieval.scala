@@ -190,16 +190,27 @@ object Retrieval {
     * mid-build leaves readers on the previous generation (or, for a
     * first build, on "never published", which reads loudly). Incremental
     * appends land INSIDE the current generation (see
-    * [[appendToPostingsIndex]]); a rebuild is the next generation. */
+    * [[appendToPostingsIndex]]); a rebuild is the next generation.
+    *
+    * `batchId` selects the BATCH-ADDRESSED layout from the first write
+    * (the same bootstrap switch as [[Ann.writeIndex]]): both tables are
+    * born as `batch=<id>` partition dirs, so the store is maintained by
+    * [[appendToPostingsIndexBatch]] for life — partition discovery
+    * rejects a layout that mixes flat files with batch subdirs, and the
+    * batch history is what [[readPostingsIndexAsOf]]/[[pinPostings]]
+    * pin. */
   def writePostingsIndex(docs: DataFrame, dir: String, numFiles: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      batchId: Option[Long] = None): Unit = {
     require(numFiles > 0, s"writePostingsIndex: numFiles $numFiles")
     VersionedStore.publish(dir, Map(
-      "postings" -> positionalPostings(docs, idCol, textCol)
-        .repartitionByRange(numFiles, col("token"))
-        .sortWithinPartitions("token", "doc_id", "pos"),
-      "doclens" -> docLengths(docs, idCol, textCol)
-        .coalesce(math.min(numFiles, 2))))
+      batchId.fold("postings")(b => s"postings/batch=$b") ->
+        positionalPostings(docs, idCol, textCol)
+          .repartitionByRange(numFiles, col("token"))
+          .sortWithinPartitions("token", "doc_id", "pos"),
+      batchId.fold("doclens")(b => s"doclens/batch=$b") ->
+        docLengths(docs, idCol, textCol)
+          .coalesce(math.min(numFiles, 2))))
     ()
   }
 
@@ -328,6 +339,87 @@ object Retrieval {
       t, "doc_id")
   }
 
+  /** ONE time-travel coordinate for a postings store — the retrieval
+    * twin of [[Ann.AnnPin]]: `gen` is the [[VersionedStore]] generation
+    * (whole rebuilds/compactions), `maxBatch` the append batch WITHIN
+    * it (`None` on a store without the batch-addressed layout). A
+    * training job captures this at read time ([[pinPostings]]) and
+    * records a single token; the `*Pinned` readers then reproduce the
+    * exact index state it retrieved against — across any number of
+    * later appends AND later publishes — without knowing which axis
+    * moved. Tombstones deliberately still apply (takedowns fan into
+    * every retained generation's overlay): a pin reproduces the append
+    * history, never resurrects erasure. The pin dies when
+    * [[VersionedStore.gc]] retires its generation — retention is the
+    * caller's policy, and a dead pin fails LOUDLY
+    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+  final case class RetrievalPin(gen: Long, maxBatch: Option[Long])
+
+  /** Capture the CURRENT pin of a versioned postings store: the flipped
+    * generation plus the highest append batch inside it. Metadata-only:
+    * one pointer resolution + one directory listing (the `batch=<id>`
+    * partition dirs), never a table scan. */
+  def pinPostings(dir: String): RetrievalPin = {
+    val gen = VersionedStore.currentGen(dir).getOrElse(
+      throw new IllegalStateException(s"Retrieval.pinPostings: $dir has" +
+        " no published generation — only versioned stores carry a" +
+        " pinnable coordinate"))
+    val t = VersionedStore.generationRoot(dir, gen)
+    val batches = StoreFs.listDirNames(s"$t/postings").collect {
+      case n if n.startsWith("batch=") &&
+          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
+    }
+    RetrievalPin(gen, batches.maxOption)
+  }
+
+  /** The live rows of `table` under an already-resolved generation dir,
+    * optionally pinned at a max append batch — [[Ann]]'s `liveRowsAt`
+    * discipline on the doc_id-keyed tables: batches past the pin
+    * partition-prune out of the plan, the generation's own tombstone
+    * overlay still applies (erasure holds under time travel), and the
+    * layout `batch` column never reaches a consumer. */
+  private def liveDocsAt(spark: org.apache.spark.sql.SparkSession,
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$genRoot/$table")
+    val pinned = maxBatch match {
+      case None => raw
+      case Some(mb) =>
+        require(raw.columns.contains("batch"),
+          s"Retrieval: $genRoot/$table carries no batch-addressed layout" +
+            s" but the pin names append batch $mb — pin and store" +
+            " disagree (a compaction that dropped the layout would be" +
+            " exactly this, and it never does)")
+        raw.where(col("batch") <= mb)
+    }
+    Tombstones.filterLive(pinned.drop("batch"), genRoot, "doc_id")
+  }
+
+  /** [[readPostingsIndex]] at a captured [[RetrievalPin]] — feed to
+    * [[phraseSearch]]/[[proximitySearch]]/[[bm25TopKFromIndex]] to
+    * replay any retrieval surface at the pinned snapshot. */
+  def readPostingsIndexPinned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pin: RetrievalPin): DataFrame =
+    liveDocsAt(spark, VersionedStore.generationRoot(dir, pin.gen),
+      "postings", pin.maxBatch)
+
+  /** [[readDocLengths]] at a captured [[RetrievalPin]] — BM25's corpus
+    * statistics (N, avgdl, df) pin to the same snapshot, which is what
+    * makes a pinned score bit-identical to the score served then. */
+  def readDocLengthsPinned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pin: RetrievalPin): DataFrame =
+    liveDocsAt(spark, VersionedStore.generationRoot(dir, pin.gen),
+      "doclens", pin.maxBatch)
+
+  /** [[bm25TopKFromIndex]] at a captured [[RetrievalPin]]: postings AND
+    * length norms resolve from the pinned generation at the pinned
+    * append batch, so the scores are the ones the store served when the
+    * pin was captured (modulo takedowns, which always apply). */
+  def bm25TopKFromStorePinned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pin: RetrievalPin, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromIndex(readPostingsIndexPinned(spark, dir, pin),
+      readDocLengthsPinned(spark, dir, pin), terms, k, k1, b)
+
   /** Compact a [[writePostingsIndex]] store in place: a long trickle of
     * single-file [[appendToPostingsIndex]] batches accumulates many
     * small files whose token ranges all overlap — every file survives
@@ -360,24 +452,25 @@ object Retrieval {
     * way — retention only affects raw bytes, never serving). */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int = 4, keepGenerations: Int = 0): Unit = {
-    // Batch-addressed (stream-maintained) stores are REJECTED: their
-    // batch= partition layout IS the append history as-of reads pin —
-    // an in-place rewrite would either destroy it or leave the mixed
-    // flat-plus-batch layout partition discovery rejects. Their
-    // maintenance op is store ROTATION: writePostingsIndex of the live
-    // rows to a fresh root, swap the serving pointer, retire the old
-    // root (snapshot rotation — the same discipline as a codebook
-    // retrain). Loud here beats corrupt-on-next-append.
-    require(!spark.read
-        .parquet(s"${VersionedStore.tableRoot(dir)}/postings")
-        .columns.contains("batch"),
-      s"compactPostingsIndex: $dir is batch-addressed (stream-maintained)" +
-        " — compaction would destroy the append history as-of reads pin;" +
-        " rotate the store (writePostingsIndex to a new root) instead")
     require(numFiles > 0, s"compactPostingsIndex: numFiles $numFiles")
-    val postingsLive = readPostingsIndex(spark, dir) // live rows: takedown GC
-      .repartitionByRange(numFiles, col("token"))
-      .sortWithinPartitions("token", "doc_id", "pos")
+    // A batch-addressed (stream-maintained) store keeps its FULL
+    // batch=<id> layout through the rewrite — the [[Ann.compactIndexCells]]
+    // rule: compaction drops tombstoned rows only, a row's batch
+    // identity is preserved, never rolled up — so as-of reads
+    // ([[readPostingsIndexAsOf]]) and pins ([[pinPostings]]) stay exact
+    // across the GC and post-compaction [[appendToPostingsIndexBatch]]
+    // writes keep working. Batched files cluster by (batch, token) so
+    // each batch dir keeps the token-range point-read discipline.
+    val batched = spark.read
+      .parquet(s"${VersionedStore.tableRoot(dir)}/postings")
+      .columns.contains("batch")
+    def shaped(df: DataFrame): DataFrame =
+      if (batched)
+        df.repartitionByRange(numFiles, col("batch"), col("token"))
+          .sortWithinPartitions("batch", "token", "doc_id", "pos")
+      else df.repartitionByRange(numFiles, col("token"))
+        .sortWithinPartitions("token", "doc_id", "pos")
+    val postingsLive = shaped(readPostingsIndex(spark, dir)) // takedown GC
     val doclensLive = readDocLengths(spark, dir)
       .coalesce(math.min(numFiles, 2))
     if (VersionedStore.isVersioned(dir)) {
@@ -387,7 +480,11 @@ object Retrieval {
       // old overlay (compaction IS the erasure deadline, so pinned reads
       // of pre-compaction generations do not survive it)
       VersionedStore.publish(dir, Map(
-        "postings" -> postingsLive, "doclens" -> doclensLive))
+        "postings" -> postingsLive, "doclens" -> doclensLive),
+        partitionBy =
+          if (batched) Map("postings" -> Seq("batch"),
+            "doclens" -> Seq("batch"))
+          else Map.empty)
       VersionedStore.gc(dir, keep = keepGenerations)
       ()
     } else {
@@ -396,8 +493,11 @@ object Retrieval {
         write(tmp)
         Dedup.swapDir(s"$dir/$sub", tmp)
       }
-      swapIn("postings")(postingsLive.write.parquet(_))
-      swapIn("doclens")(doclensLive.write.parquet(_))
+      def writer(df: DataFrame)(tmp: String): Unit =
+        (if (batched) df.write.partitionBy("batch") else df.write)
+          .parquet(tmp)
+      swapIn("postings")(writer(postingsLive))
+      swapIn("doclens")(writer(doclensLive))
       Tombstones.clear(dir)
     }
   }

@@ -58,7 +58,7 @@ class TombstoneSpec extends SparkSpec {
     assert(hits == Set(0L, 2L, 6L))
   }
 
-  test("non-castable takedown ids fail loudly; batch stores refuse compaction") {
+  test("non-castable takedown ids fail loudly; batch compaction keeps layout") {
     val dir = s"${tmp("tomb")}/index"
     Retrieval.writePostingsIndex(docsDf, dir)
     // a null tombstone would anti-join nothing — the takedown must not
@@ -67,14 +67,35 @@ class TombstoneSpec extends SparkSpec {
       Tombstones.appendDf(Seq("doc-42").toDF("doc_id"), dir)
     }
     assert(Tombstones.readOpt(spark, dir).isEmpty)
-    // batch-addressed stores: in-place compaction would destroy the
-    // append history as-of reads pin (and corrupt the layout for the
-    // next append) — rotation is their maintenance op
+    // batch-addressed stores compact under the compactIndexCells rule:
+    // tombstoned rows drop, every surviving row KEEPS its batch identity
+    // (as-of pins stay exact), and the next batch append still works
     val streamDir = s"${tmp("tomb")}/stream"
-    Retrieval.appendToPostingsIndexBatch(docsDf, streamDir, batchId = 0)
-    intercept[IllegalArgumentException] {
-      Retrieval.compactPostingsIndex(spark, streamDir)
-    }
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") < 4), streamDir, batchId = 0)
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") >= 4), streamDir, batchId = 1)
+    Retrieval.tombstoneDocs(spark, streamDir, Seq(1L))
+    Retrieval.compactPostingsIndex(spark, streamDir)
+    val raw = spark.read.parquet(s"$streamDir/postings")
+    assert(raw.columns.contains("batch"),
+      "compaction must preserve the batch-addressed layout")
+    assert(raw.where(col("doc_id") === 1L).isEmpty,
+      "compaction is the physical purge")
+    assert(raw.select(col("doc_id"), col("batch").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L)),
+      "surviving rows keep their original batch identity")
+    assert(Tombstones.readOpt(spark, streamDir).isEmpty)
+    // post-compaction appends land under their own batch as before, and
+    // the as-of pin still cuts exactly at the batch boundary
+    Retrieval.appendToPostingsIndexBatch(
+      docsDf.select((col("doc_id") + 100L).as("doc_id"), col("text")),
+      streamDir, batchId = 2)
+    val pinned = Retrieval.readPostingsIndexAsOf(spark, streamDir, 1L)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(pinned == Set(0L, 2L, 3L, 4L, 5L, 6L))
   }
 
   test("duplicate tombstone appends are idempotent (semantic set)") {

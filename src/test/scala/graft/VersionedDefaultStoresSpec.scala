@@ -146,6 +146,129 @@ class VersionedDefaultStoresSpec extends SparkSpec {
     }
   }
 
+  test("retrieval pin: one (gen, maxBatch) token replays across later appends AND a later publish") {
+    val dir = s"${tmp("vdef")}/pin"
+    val R = Retrieval
+    R.writePostingsIndex(docsDf.where(col("doc_id") % 3 === 0), dir,
+      batchId = Some(0L))
+    assert(spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/postings")
+      .columns.contains("batch"),
+      "batchId must bootstrap the batch-addressed layout at publish")
+    R.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") % 3 === 1), dir, 1L)
+    val pin = R.pinPostings(dir)
+    assert(pin.maxBatch.contains(1L), pin.toString)
+    val terms = Seq("the", "of", "data")
+    val before = R.bm25TopKFromStorePinned(spark, dir, pin, terms, k = 10)
+      .collect().toSet
+    // BOTH axes move: one more append batch, then a compaction publish
+    R.appendToPostingsIndexBatch(
+      docsDf.where(col("doc_id") % 3 === 2), dir, 2L)
+    R.compactPostingsIndex(spark, dir, keepGenerations = 1)
+    assert(VersionedStore.currentGen(dir).exists(_ > pin.gen),
+      "compaction must have published past the pinned generation")
+    assert(R.bm25TopKFromStorePinned(spark, dir, pin, terms, k = 10)
+      .collect().toSet == before,
+      "the pin must replay the exact scores it captured")
+    // pinned membership is the two pinned batches' docs — BM25's N and
+    // avgdl come from the pinned norms (corpus statistics pin too)
+    assert(R.readDocLengthsPinned(spark, dir, pin)
+      .select("doc_id").as[Long].collect().toSet ==
+      corpus.map(_._1).filter(_ % 3 != 2).toSet)
+    // erasure recorded AFTER the pin still holds under it (takedowns fan
+    // into every retained generation — time travel never resurrects)
+    R.tombstoneDocs(spark, dir, Seq(0L))
+    assert(!R.readPostingsIndexPinned(spark, dir, pin)
+      .select("doc_id").as[Long].collect().toSet.contains(0L),
+      "a takedown after the pin must still erase from the pinned read")
+    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    VersionedStore.gc(dir, keep = 0)
+    intercept[IllegalArgumentException] {
+      R.bm25TopKFromStorePinned(spark, dir, pin, terms, k = 10).collect()
+    }
+    // pinPostings on an unversioned root refuses — flat stores carry no
+    // pinnable generation coordinate
+    val flat = s"${tmp("vdef")}/flat"
+    R.appendToPostingsIndexBatch(docsDf, flat, 0L)
+    intercept[IllegalStateException] { R.pinPostings(flat) }
+  }
+
+  test("dedup pin: one (gen, maxBatch) token replays across later appends AND a later publish") {
+    val dir = s"${tmp("vdef")}/dpin"
+    val D = Dedup
+    // twin corpus: every doc has an identical twin at id+100 — the
+    // jaccard-1.0 pairs the store must serve. A twin's id lands in a
+    // different %3 slice than its base ((d+100)%3 = (d+1)%3), so the
+    // pinned membership cuts real pairs, not just rows
+    val twins = docsDf.unionByName(
+      docsDf.select((col("doc_id") + 100L).as("doc_id"), col("text")))
+    def slice(b: Int) = twins.where(col("doc_id") % 3 === b)
+    D.writeSignatureStore(slice(0), dir, batchId = Some(0L))
+    assert(spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/sigs")
+      .columns.contains("batch"),
+      "batchId must bootstrap the batch-addressed layout at publish")
+    D.appendToSignatureStoreBatch(slice(1), dir, 1L)
+    // REPLAY the append (at-least-once delivery): the overwrite rewrites
+    // the same partial — proven below by the fsck's duplicate row and
+    // the exact pinned pair set
+    D.appendToSignatureStoreBatch(slice(1), dir, 1L)
+    assert(StoreFsck.minhashStore(spark, dir).as[(String, Long)]
+      .collect().toMap.forall(_._2 == 0L),
+      "a replayed batch append must leave zero fsck findings")
+    val pin = D.pinSignatureStore(dir)
+    assert(pin.maxBatch.contains(1L), pin.toString)
+    // pinned slice {batch 0, 1} = ids %3 ∈ {0,1}: twin pairs survive
+    // only for bases d%3==0 (their twins land in slice 1)
+    val expectPinned = corpus.map(_._1).filter(_ % 3 == 0)
+      .map(d => (d, d + 100L)).toSet
+    val before = D.nearDupPairsFromStorePinned(spark, dir, pin)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(before == expectPinned, before.toString)
+    // BOTH axes move: one more append batch, then a compaction publish
+    D.appendToSignatureStoreBatch(slice(2), dir, 2L)
+    D.compactSignatureStore(spark, dir, keepGenerations = 1)
+    assert(VersionedStore.currentGen(dir).exists(_ > pin.gen),
+      "compaction must have published past the pinned generation")
+    assert(spark.read.parquet(s"${VersionedStore.tableRoot(dir)}/sigs")
+      .columns.contains("batch"),
+      "compaction must preserve the batch-addressed layout")
+    assert(D.nearDupPairsFromStorePinned(spark, dir, pin)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == before,
+      "the pin must replay the exact pair set it captured")
+    // the raw as-of read cuts at the same boundary post-compaction
+    assert(D.readSignatureStoreAsOf(spark, dir, 1L)
+      .select("id").as[Long].collect().toSet ==
+      corpus.map(_._1).flatMap(d => Seq(d, d + 100L))
+        .filter(_ % 3 != 2).toSet)
+    // head serves every twin pair
+    val headBanded = D.readBandedStore(spark, dir)
+    assert(D.estimatePairsFromSignatures(
+        D.incrementalCandidatesFromBanded(headBanded, headBanded),
+        D.readSignatureStore(spark, dir))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      corpus.map(_._1).map(d => (d, d + 100L)).toSet)
+    // erasure recorded AFTER the pin still holds under it
+    D.tombstoneSignatures(spark, dir, Seq(0L))
+    assert(!D.readSignatureStorePinned(spark, dir, pin)
+      .select("id").as[Long].collect().toSet.contains(0L),
+      "a takedown after the pin must still erase from the pinned read")
+    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    VersionedStore.gc(dir, keep = 0)
+    intercept[IllegalArgumentException] {
+      D.nearDupPairsFromStorePinned(spark, dir, pin).collect()
+    }
+    // a flat (unversioned, batch-addressed) root carries no pinnable
+    // generation; a FLAT-LAYOUT store refuses the batch append outright
+    val flat = s"${tmp("vdef")}/dflat"
+    D.appendToSignatureStoreBatch(twins, flat, 0L)
+    intercept[IllegalStateException] { D.pinSignatureStore(flat) }
+    val plain = s"${tmp("vdef")}/dplain"
+    D.writeSignatureStore(docsDf, plain)
+    intercept[IllegalArgumentException] {
+      D.appendToSignatureStoreBatch(docsDf, plain, 0L)
+    }
+  }
+
   test("retention keeps pinned reads live-filtered; dangling pointers read loudly") {
     val dir = s"${tmp("vdef")}/index"
     val R = Retrieval
