@@ -934,6 +934,70 @@ object SparkEntry {
           verified(headPairs).withColumn("probe_view", lit("head")))
     }),
 
+    // ---- CDC-maintained SIGNATURE store — the production streaming
+    // dedup shape (the q_index_cdc_stream / q_ivfpq_cdc_stream
+    // discipline on the dedup store family): the change feed's
+    // UPSERT/DELETE opcodes drive the store per micro-batch. The first
+    // micro-batch bootstraps the batch-addressed layout at publish;
+    // later upserts sign+band O(batch) into their own batch=<id>
+    // overwrite dirs (a replayed trigger rewrites its partial); deletes
+    // append tombstones (replay-safe by set semantics). Serving after
+    // the drain equals the near-dup pair set over an index built from
+    // the net surviving docs ----
+    "q_sigstore_cdc_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("cdcsig").toString
+      val old = docs(s, dir).select("doc_id", "text")
+      val corpus = old.unionByName(
+        old.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val store = s"$root/store"
+      def drainOnce(): Unit = {
+        val q = s.readStream
+          .schema("opcode STRING, doc_id LONG, text STRING")
+          .parquet(s"$root/feed")
+          .writeStream
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val ups = b.where(col("opcode") === "UPSERT")
+              .select("doc_id", "text")
+            if (graft.pipeline.VersionedStore.currentGen(store).isEmpty)
+              Dedup.writeSignatureStore(ups, store,
+                batchId = Some(batchId))
+            else
+              Dedup.appendToSignatureStoreBatch(ups, store, batchId)
+            val dels = b.where(col("opcode") === "DELETE").select("doc_id")
+            if (!dels.isEmpty) Dedup.tombstoneSignaturesDf(dels, store)
+            ()
+          }
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // feed batch 1: upsert the even half of the twin corpus (a twin's
+      // id has its base's parity — 1e6 is even — so twin pairs never
+      // straddle a batch here)
+      corpus.where(col("doc_id") % 2 === 0)
+        .select(lit("UPSERT").as("opcode"), col("doc_id"), col("text"))
+        .coalesce(1).write.parquet(s"$root/feed")
+      drainOnce()
+      // feed batch 2: upsert the odd half + take down doc_id % 8 = 0
+      // (rows the FIRST batch indexed — the delete must reach stored
+      // rows; 1e6 % 8 = 0, so a deleted base's twin is deleted too)
+      corpus.where(col("doc_id") % 2 === 1)
+        .select(lit("UPSERT").as("opcode"), col("doc_id"), col("text"))
+        .unionByName(corpus.where(col("doc_id") % 8 === 0)
+          .select(lit("DELETE").as("opcode"), col("doc_id"),
+            lit(null).cast("string").as("text")))
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      drainOnce()
+      val banded = Dedup.readBandedStore(s, store)
+      val est = Dedup.estimatePairsFromSignatures(
+        Dedup.incrementalCandidatesFromBanded(banded, banded),
+        Dedup.readSignatureStore(s, store), jaccardThreshold = 0.5)
+      Dedup.ngramJaccardVerify(corpus,
+          broadcast(est.select("id_a", "id_b")))
+        .where(col("jaccard") >= 0.8)
+    }),
+
     // ---- dedup: exact n-gram Jaccard (brute, small subset baseline) ----
     "q_dedup_ngram" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") < 100).select("doc_id", "text")
@@ -1811,11 +1875,38 @@ object SparkEntry {
       // roots still run the swap protocol — the artifact audit stays)
       graft.pipeline.StoreFs.mkdirs(s"$gen/postings.compact.12345")
       graft.pipeline.StoreFs.mkdirs(s"$gen/doclens.old.12345")
+      // batch-layout audit (listing-sized, no rows read): plant by hand
+      // the states the write guards refuse to create — a torn two-table
+      // batch append (sigs/batch=2 landed, banded/batch=2 never did), a
+      // MIXED flat+batch table (top-level data file next to batch=
+      // dirs — the state that bricks partition discovery), and an
+      // invalid batch subdir (would type the discovered batch column as
+      // string, breaking every batch <= n pin lexicographically)
+      val bl = java.nio.file.Files.createTempDirectory("fsckbl").toString +
+        "/sig"
+      Dedup.writeSignatureStore(d.where(col("doc_id") < 4), bl,
+        batchId = Some(0L))
+      Dedup.appendToSignatureStoreBatch(d.where(col("doc_id") >= 4), bl, 1L)
+      val blGen = graft.pipeline.VersionedStore.tableRoot(bl)
+      Seq(900100L).toDF("id").write.parquet(s"$blGen/sigs/batch=2")
+      Seq((900101L, 0, 0L)).toDF("id", "band", "bucket")
+        .write.mode("append").parquet(s"$blGen/banded")
+      graft.pipeline.StoreFs.mkdirs(s"$blGen/sigs/batch=abc")
       graft.pipeline.StoreFsck.postingsStore(s, idx)
         .unionByName(graft.pipeline.StoreFsck.layoutArtifacts(s, gen))
         .unionByName(graft.pipeline.StoreFsck.annStore(s,
             graft.sources.WireFixtures.annIndexDir(s, dir))
           .select(concat(lit("ann_"), col("check_name")).as("check_name"),
+            col("n_bad")))
+        .unionByName(graft.pipeline.StoreFsck.batchLayout(s, bl,
+            Seq("sigs", "banded"))
+          .select(concat(lit("batch_"), col("check_name")).as("check_name"),
+            col("n_bad")))
+        // the healthy baseline: a FLAT store is a valid (just unpinnable)
+        // layout and must score zero on every batch-layout row
+        .unionByName(graft.pipeline.StoreFsck.batchLayout(s, idx,
+            Seq("postings", "doclens"))
+          .select(concat(lit("flat_"), col("check_name")).as("check_name"),
             col("n_bad")))
     }),
 
@@ -5114,6 +5205,13 @@ object SparkEntry {
         ") UNION ALL SELECT *, 'head' FROM (" +
         jaccardPairsOracleSql(0.8, "") + ")"),
 
+    // CDC-maintained signature store: pairs over the net surviving docs
+    // — every combined-corpus id with doc_id % 8 = 0 was taken down by
+    // the second feed batch (twin ids included: 1e6 % 8 = 0)
+    "q_sigstore_cdc_stream" ->
+      jaccardPairsOracleSql(0.8, "",
+        corpusWhere = " WHERE doc_id % 8 <> 0"),
+
     // takedown-aware incremental pairs: touching-the-batch edges whose
     // stored endpoint is LIVE (base ids with doc_id % 7 = 2 are
     // tombstoned; a batch id < 1e6 never occurs, so the guards read
@@ -5946,7 +6044,13 @@ object SparkEntry {
         " UNION ALL SELECT 'orphan_backup_dirs', 1" +
         " UNION ALL SELECT 'ann_cells_with_unknown_centroid', 0" +
         " UNION ALL SELECT 'ann_vectors_in_multiple_cells', 0" +
-        " UNION ALL SELECT 'ann_duplicate_cell_rows', 0"),
+        " UNION ALL SELECT 'ann_duplicate_cell_rows', 0" +
+        " UNION ALL SELECT 'batch_mixed_flat_and_batch_layout', 1" +
+        " UNION ALL SELECT 'batch_invalid_batch_subdirs', 1" +
+        " UNION ALL SELECT 'batch_torn_batch_appends', 1" +
+        " UNION ALL SELECT 'flat_mixed_flat_and_batch_layout', 0" +
+        " UNION ALL SELECT 'flat_invalid_batch_subdirs', 0" +
+        " UNION ALL SELECT 'flat_torn_batch_appends', 0"),
 
     // model/signature/partial-store fsck: healthy stores audit to
     // all-zero findings — the closed-form operational baseline

@@ -681,6 +681,13 @@ object Dedup {
       storeDir: String, ids: Seq[Long]): Unit =
     Tombstones.append(spark, storeDir, ids)
 
+  /** Bulk-takedown form of [[tombstoneSignatures]]: `ids` is a
+    * one-column frame (the CDC sinks' DELETE slice lands here without a
+    * driver round-trip; see [[Tombstones.appendDf]] for the set
+    * semantics and the non-castable-id refusal). */
+  def tombstoneSignaturesDf(ids: DataFrame, storeDir: String): Unit =
+    Tombstones.appendDf(ids, storeDir)
+
   /** Collision candidates of a new banded frame against the full banded
     * table (which must already include the new rows for within-increment
     * pairs), oriented (min, max).

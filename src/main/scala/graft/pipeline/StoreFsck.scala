@@ -93,6 +93,69 @@ object StoreFsck {
       .toDF("check_name", "n_bad")
   }
 
+  /** Audit the BATCH-ADDRESSED layout of a store's tables — pure
+    * LISTING-sized checks (no rows read, so the audit still runs on a
+    * store so torn that partition discovery itself would refuse to):
+    *   - `mixed_flat_and_batch_layout`: a table dir holding BOTH
+    *     `batch=<id>` subdirs and top-level data files. The write-time
+    *     guards ([[Ann.appendToIndexBatch]] and family) refuse to
+    *     create this state, but an external writer or a crashed
+    *     hand-migration can — and it bricks EVERY reader at partition
+    *     discovery ("conflicting directory structures"), long after
+    *     the writer returned.
+    *   - `invalid_batch_subdirs`: a subdir that is not `batch=<long>` —
+    *     discovery would either reject it or (worse) type the batch
+    *     column as string, silently breaking every `batch <= n` as-of
+    *     pin by lexicographic comparison.
+    *   - `torn_batch_appends`: a batch id present in SOME of the
+    *     store's paired tables but not all. The two (or three) table
+    *     writes of one batch append are separate jobs, so a crash
+    *     between them is this layout's append-path window — e.g. a
+    *     signed-but-never-banded BATCH, the same silent false-negative
+    *     hazard [[minhashStore]] finds row-wise, caught here from the
+    *     listings alone. Recovery is re-running the same batch append:
+    *     overwrite semantics make it heal in place.
+    * `tables` names the store's batch-carrying pair (e.g. sigs+banded,
+    * postings+doclens, or just cells); tables absent on disk are
+    * skipped (a flat store scores zero everywhere — flat IS a valid
+    * layout, just not a pinnable one). */
+  def batchLayout(spark: SparkSession, dir0: String,
+      tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val dir = VersionedStore.tableRoot(dir0)
+    val present = tables.filter(t => StoreFs.isDirectory(s"$dir/$t"))
+    val perTable = present.map { t =>
+      val names = StoreFs.listNames(s"$dir/$t")
+      val dirs = StoreFs.listDirNames(s"$dir/$t")
+      val batchDirs = dirs.filter(_.startsWith("batch="))
+      val ids = batchDirs.collect {
+        case n if n.drop(6).nonEmpty &&
+            n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
+      }.toSet
+      // data files at top level: anything that is not a subdir and not
+      // a _metadata/_SUCCESS-style marker
+      val flatData = (names.toSet -- dirs.toSet)
+        .exists(n => !n.startsWith("_") && !n.startsWith("."))
+      val invalid = batchDirs.length - ids.size
+      (t, ids, flatData, invalid.toLong)
+    }
+    val mixed = perTable.count { case (_, ids, flatData, _) =>
+      ids.nonEmpty && flatData }
+    val invalid = perTable.map(_._4).sum
+    // a batch id is torn if any batch-carrying table misses it while
+    // another has it (tables that never went batched don't participate)
+    val batchedTables = perTable.filter(_._2.nonEmpty)
+    val union = batchedTables.flatMap(_._2).toSet
+    val torn =
+      if (batchedTables.size < 2) 0L
+      else union.count(id => batchedTables.exists(!_._2.contains(id))).toLong
+    Seq(
+      ("mixed_flat_and_batch_layout", mixed.toLong),
+      ("invalid_batch_subdirs", invalid),
+      ("torn_batch_appends", torn))
+      .toDF("check_name", "n_bad")
+  }
+
   /** Audit a minhash SIGNATURE store (`sigs/` (id, sig[k]) + `banded/`
     * (id, band, bucket) — the WireFixtures onboarding layout). The two
     * tables commit as separate file jobs, so the crash window between

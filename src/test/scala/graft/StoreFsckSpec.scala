@@ -342,4 +342,45 @@ class StoreFsckSpec extends SparkSpec {
       .agg(sum($"df_part").as("s")).as[(String, Long)].collect().toMap ==
       Map("g1" -> 3L, "g2" -> 1L))
   }
+
+  test("batch-layout fsck: torn appends, mixed layouts and invalid subdirs from listings alone") {
+    import graft.pipeline.StoreFs
+    val dir = s"${tmp("fsck")}/blsig"
+    val docs = train.select(col("doc_id"), col("text"))
+    Dedup.writeSignatureStore(docs.where(col("doc_id") < 3), dir,
+      batchId = Some(0L))
+    Dedup.appendToSignatureStoreBatch(docs.where(col("doc_id") >= 3), dir, 1L)
+    val healthy = findings(StoreFsck.batchLayout(spark, dir,
+      Seq("sigs", "banded")))
+    assert(healthy.values.forall(_ == 0L), s"$healthy")
+    // a flat store is a valid (unpinnable) layout — zero everywhere,
+    // including with tables that don't exist on disk
+    val flat = s"${tmp("fsck")}/blflat"
+    Dedup.writeSignatureStore(docs, flat)
+    assert(findings(StoreFsck.batchLayout(spark, flat,
+      Seq("sigs", "banded", "absent"))).values.forall(_ == 0L))
+    // plant the three states the write guards refuse to create:
+    // torn append (sigs/batch=2 landed, banded/batch=2 never did),
+    // mixed flat+batch (top-level data file in banded/), and an
+    // invalid subdir (batch=abc would type the partition col string)
+    val gen = graft.pipeline.VersionedStore.tableRoot(dir)
+    Seq(900L).toDF("id").write.parquet(s"$gen/sigs/batch=2")
+    Seq((901L, 0, 0L)).toDF("id", "band", "bucket")
+      .write.mode("append").parquet(s"$gen/banded")
+    StoreFs.mkdirs(s"$gen/sigs/batch=abc")
+    val bad = findings(StoreFsck.batchLayout(spark, dir,
+      Seq("sigs", "banded")))
+    assert(bad("torn_batch_appends") == 1L, s"$bad")
+    assert(bad("mixed_flat_and_batch_layout") == 1L, s"$bad")
+    assert(bad("invalid_batch_subdirs") == 1L, s"$bad")
+    // re-running the torn batch append HEALS the tear in place
+    // (overwrite semantics) — the recovery the scaladoc prescribes;
+    // the planted mixed/invalid states are external corruption and
+    // stay flagged until an operator removes them
+    Dedup.appendToSignatureStoreBatch(
+      docs.select(col("doc_id") + 900L as "doc_id", col("text")), dir, 2L)
+    val healed = findings(StoreFsck.batchLayout(spark, dir,
+      Seq("sigs", "banded")))
+    assert(healed("torn_batch_appends") == 0L, s"$healed")
+  }
 }
