@@ -523,8 +523,11 @@ object SparkEntry {
           .transform(in => Sessions.sessionizeStream(in, gapMs = gapUs,
             useTimeout = false).toDF())
           .writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.coalesce(1).write.mode("append").parquet(s"$root/out"); ()
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            // batch-addressed sink: a foreachBatch retry (at-least-once)
+            // rewrites its own partial instead of doubling rows
+            b.coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId"); ()
           }
           .outputMode("append")
           .option("checkpointLocation", s"$root/cp")
@@ -544,7 +547,7 @@ object SparkEntry {
       drainOnce()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("key")).orderBy(col("session_start"))
-      s.read.parquet(s"$root/out")
+      s.read.parquet(s"$root/out").drop("batch")
         .withColumn("session_seq", row_number().over(w).cast("long") - 1L)
         .select(col("key").as("key_long"), col("session_seq"),
           col("session_start"), col("session_end"), col("n_events"))
@@ -1424,7 +1427,8 @@ object SparkEntry {
             val model = graft.pipeline.LangModel.load(b.sparkSession, modelDir)
             graft.pipeline.LangModel.scoreNll(model, b)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -2441,17 +2445,19 @@ object SparkEntry {
         .option("maxScnPerBatch", math.max(span / 3 + 1, 1L))
         .load()
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batch-addressed sink: a retried trigger rewrites its partial
           batch.select(col("txn"), col("scn"), col("l_partkey"),
               col("l_quantity"))
-            .coalesce(4).write.mode("append").parquet(s"$root/out")
+            .coalesce(4).write.mode("overwrite")
+            .parquet(s"$root/out/batch=$batchId")
           ()
         }
         .option("checkpointLocation", s"$root/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$root/out")
+      s.read.parquet(s"$root/out").drop("batch")
     }),
 
     // ---- P16: CRC stamp + validate (self-checking; no SQL oracle) ----
@@ -2564,8 +2570,9 @@ object SparkEntry {
       val outDir = java.nio.file.Files.createTempDirectory("ggstream").toString
       val q = graft.sources.GoldenGateTrail.stream(s, trailDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(s"$outDir/out")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batch-addressed sink: a retried trigger rewrites its partial
+          batch.write.mode("overwrite").parquet(s"$outDir/out/batch=$batchId")
           ()
         }
         .option("checkpointLocation", s"$outDir/cp")
@@ -2573,7 +2580,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       graft.sources.GoldenGateTrail.toEnvelope(
-          s.read.parquet(s"$outDir/out"), ChangeFeed.registry)
+          s.read.parquet(s"$outDir/out").drop("batch"), ChangeFeed.registry)
         .groupBy(col("source_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
@@ -2604,6 +2611,7 @@ object SparkEntry {
           maxFilesPerTrigger = 4)
         .awaitTermination()
       s.read.schema(graft.streaming.RelayStream.schema).parquet(s"$root/out")
+        .drop("batch")
         .groupBy(col("source_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("opcode") === "DELETE", 1L).otherwise(0L)).as("n_deletes"),
@@ -3243,7 +3251,8 @@ object SparkEntry {
             graft.pipeline.Monitor
               .tokenDriftFromCounts(refCounts, b, buckets = 256)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -3821,30 +3830,36 @@ object SparkEntry {
         .repartition(4).write.parquet(s"$root/in")
       val store = graft.sources.WireFixtures.imageSigStoreDir(s, dir)
       val over = s"$root/overlay"
+      // overlay writes are BATCH-ADDRESSED (batch=<id> overwrite, the
+      // appendToSignatureStoreBatch idiom): a foreachBatch retry
+      // rewrites its own partial instead of double-appending replayed
+      // signatures; the discovered batch column is layout, not data
       def overlaySigs() =
         if (graft.pipeline.StoreFs.isDirectory(s"$over/sigs"))
-          s.read.parquet(s"$over/sigs")
+          s.read.parquet(s"$over/sigs").drop("batch")
         else s.read.parquet(store).limit(0)
       val stream = s.readStream
         .schema("doc_id LONG, payload BINARY")
         .option("maxFilesPerTrigger", 2)
         .parquet(s"$root/in")
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val b = batch.localCheckpoint(true)
           val sigsNew = Multimodal.imageSignatures(b)
           Dedup.incrementalHammingPairs(sigsNew,
               s.read.parquet(store).unionByName(overlaySigs()),
               maxHamming = 7, chunks = 8)
-            .coalesce(4).write.mode("append").parquet(s"$over/pairs")
-          sigsNew.coalesce(4).write.mode("append").parquet(s"$over/sigs")
+            .coalesce(4).write.mode("overwrite")
+            .parquet(s"$over/pairs/batch=$batchId")
+          sigsNew.coalesce(4).write.mode("overwrite")
+            .parquet(s"$over/sigs/batch=$batchId")
           ()
         }
         .option("checkpointLocation", s"$root/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$over/pairs").distinct()
+      s.read.parquet(s"$over/pairs").drop("batch").distinct()
         .where(col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))
     }),
@@ -3991,7 +4006,8 @@ object SparkEntry {
             val model = graft.pipeline.Classifier.load(b.sparkSession, modelDir)
             graft.pipeline.Classifier.classify(model, b)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -4298,7 +4314,8 @@ object SparkEntry {
                 b.sparkSession.read.parquet(evalDir), cosineThreshold = 0.99)
               .select(col("id"))
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -4337,7 +4354,8 @@ object SparkEntry {
                 b.sparkSession.read.parquet(storeDir),
                 maxGramDf = Int.MaxValue)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")
@@ -4373,7 +4391,8 @@ object SparkEntry {
                 b.sparkSession.read.parquet(storeDir),
                 s"$root/dfstore", maxGramDf = 2, batchId = batchId)
               .withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("append").parquet(s"$root/out")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/out/batch=$batchId")
             ()
           }
           .option("checkpointLocation", s"$root/cp")

@@ -277,9 +277,13 @@ object BinlogFeed {
       checkpointDir: String, maxFilesPerTrigger: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream(spark, path, maxFilesPerTrigger).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-addressed sink (the appendToPostingsIndexBatch idiom):
+        // a retried trigger (at-least-once) rewrites its own batch=<id>
+        // partial instead of double-appending assembled envelopes; the
+        // discovered batch column is layout, readers drop it
         toEnvelope(batch, registry)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
