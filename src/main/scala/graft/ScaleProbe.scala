@@ -382,6 +382,14 @@ object ScaleProbe {
       // extra args filter the list (resuming a partial sweep after an
       // environment-sized failure re-times only what is missing)
       val sel = args.toSeq.filterNot(_ == "sf10")
+      // fail loudly on a typo'd name — the AllProbes rule: silently
+      // filtering would print an empty "successful" run an operator
+      // reads as a completed re-time
+      val known = heavyAll ++
+        Seq("q_semdedup_kN", "q_semdedup_hier", "q_semdedup_lsh64")
+      require(sel.forall(known.contains),
+        s"not in the sf10 probe list: ${sel.filterNot(known.contains)
+          .mkString(", ")} (known: ${known.mkString(", ")})")
       val heavy =
         if (sel.isEmpty) heavyAll else heavyAll.filter(sel.contains)
       heavy.foreach { q =>

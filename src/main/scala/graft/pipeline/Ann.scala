@@ -530,34 +530,14 @@ object Ann {
     val t = VersionedStore.generationRoot(storeDir, gen)
     val table = if (StoreFs.listDirNames(t).contains("cells")) "cells"
       else "codes"
-    val batches = StoreFs.listDirNames(s"$t/$table").collect {
-      case n if n.startsWith("batch=") &&
-          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
-    }
-    AnnPin(gen, batches.maxOption)
+    AnnPin(gen, VersionedStore.batchIdsOf(s"$t/$table").maxOption)
   }
 
-  /** The live rows of `table` under an already-resolved generation dir,
-    * optionally pinned at a max append batch — the one read every
-    * pinned server shares: batches past the pin partition-prune out of
-    * the plan, the generation's own tombstone overlay still applies
-    * (erasure holds under time travel), and the layout `batch` column
-    * never reaches a consumer. */
+  /** [[VersionedStore.liveRowsAt]] on the ANN id column — the one read
+    * every pinned server here shares. */
   private def liveRowsAt(spark: org.apache.spark.sql.SparkSession,
-      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
-    val raw = spark.read.parquet(s"$genRoot/$table")
-    val pinned = maxBatch match {
-      case None => raw
-      case Some(mb) =>
-        require(raw.columns.contains("batch"),
-          s"Ann: $genRoot/$table carries no batch-addressed layout but" +
-            s" the pin names append batch $mb — pin and store disagree" +
-            " (a compaction that dropped the layout would be exactly" +
-            " this, and it never does)")
-        raw.where(col("batch") <= mb)
-    }
-    Tombstones.filterLive(pinned.drop("batch"), genRoot, "id")
-  }
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame =
+    VersionedStore.liveRowsAt(spark, genRoot, table, maxBatch, "id")
 
   /** [[ivfQuantizedTopKFromStore]] at a captured [[AnnPin]]: codebook
     * AND cells resolve from the pinned generation (not the head), cells

@@ -571,36 +571,17 @@ object Dedup {
     * flipped generation plus the highest append batch inside it.
     * Metadata-only: one pointer resolution + one directory listing. */
   def pinSignatureStore(storeDir: String): DedupPin = {
-    val gen = VersionedStore.currentGen(storeDir).getOrElse(
-      throw new IllegalStateException(s"Dedup.pinSignatureStore:" +
-        s" $storeDir has no published generation — only versioned" +
-        " stores carry a pinnable coordinate"))
-    val t = VersionedStore.generationRoot(storeDir, gen)
-    val batches = StoreFs.listDirNames(s"$t/sigs").collect {
-      case n if n.startsWith("batch=") &&
-          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
-    }
-    DedupPin(gen, batches.maxOption)
+    val (gen, maxBatch) = VersionedStore.pinCoordinate(storeDir, "sigs",
+      "Dedup.pinSignatureStore")
+    DedupPin(gen, maxBatch)
   }
 
   /** The live rows of `table` under an already-resolved generation dir,
     * optionally pinned at a max append batch — [[Ann]]'s `liveRowsAt`
     * discipline on the dedup tables. */
   private def liveSigRowsAt(spark: org.apache.spark.sql.SparkSession,
-      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
-    val raw = spark.read.parquet(s"$genRoot/$table")
-    val pinned = maxBatch match {
-      case None => raw
-      case Some(mb) =>
-        require(raw.columns.contains("batch"),
-          s"Dedup: $genRoot/$table carries no batch-addressed layout" +
-            s" but the pin names append batch $mb — pin and store" +
-            " disagree (a compaction that dropped the layout would be" +
-            " exactly this, and it never does)")
-        raw.where(col("batch") <= mb)
-    }
-    Tombstones.filterLive(pinned.drop("batch"), genRoot, "id")
-  }
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame =
+    VersionedStore.liveRowsAt(spark, genRoot, table, maxBatch, "id")
 
   /** [[readSignatureStore]] at a captured [[DedupPin]]. */
   def readSignatureStorePinned(spark: org.apache.spark.sql.SparkSession,

@@ -360,16 +360,9 @@ object Retrieval {
     * one pointer resolution + one directory listing (the `batch=<id>`
     * partition dirs), never a table scan. */
   def pinPostings(dir: String): RetrievalPin = {
-    val gen = VersionedStore.currentGen(dir).getOrElse(
-      throw new IllegalStateException(s"Retrieval.pinPostings: $dir has" +
-        " no published generation — only versioned stores carry a" +
-        " pinnable coordinate"))
-    val t = VersionedStore.generationRoot(dir, gen)
-    val batches = StoreFs.listDirNames(s"$t/postings").collect {
-      case n if n.startsWith("batch=") &&
-          n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
-    }
-    RetrievalPin(gen, batches.maxOption)
+    val (gen, maxBatch) = VersionedStore.pinCoordinate(dir, "postings",
+      "Retrieval.pinPostings")
+    RetrievalPin(gen, maxBatch)
   }
 
   /** The live rows of `table` under an already-resolved generation dir,
@@ -379,20 +372,8 @@ object Retrieval {
     * overlay still applies (erasure holds under time travel), and the
     * layout `batch` column never reaches a consumer. */
   private def liveDocsAt(spark: org.apache.spark.sql.SparkSession,
-      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame = {
-    val raw = spark.read.parquet(s"$genRoot/$table")
-    val pinned = maxBatch match {
-      case None => raw
-      case Some(mb) =>
-        require(raw.columns.contains("batch"),
-          s"Retrieval: $genRoot/$table carries no batch-addressed layout" +
-            s" but the pin names append batch $mb — pin and store" +
-            " disagree (a compaction that dropped the layout would be" +
-            " exactly this, and it never does)")
-        raw.where(col("batch") <= mb)
-    }
-    Tombstones.filterLive(pinned.drop("batch"), genRoot, "doc_id")
-  }
+      genRoot: String, table: String, maxBatch: Option[Long]): DataFrame =
+    VersionedStore.liveRowsAt(spark, genRoot, table, maxBatch, "doc_id")
 
   /** [[readPostingsIndex]] at a captured [[RetrievalPin]] — feed to
     * [[phraseSearch]]/[[proximitySearch]]/[[bm25TopKFromIndex]] to

@@ -128,10 +128,12 @@ object StoreFsck {
       val names = StoreFs.listNames(s"$dir/$t")
       val dirs = StoreFs.listDirNames(s"$dir/$t")
       val batchDirs = dirs.filter(_.startsWith("batch="))
-      val ids = batchDirs.collect {
-        case n if n.drop(6).nonEmpty &&
-            n.drop(6).forall(c => c.isDigit || c == '-') => n.drop(6).toLong
-      }.toSet
+      // strict numeric parse (Try, not a char-class filter): the audit
+      // must CLASSIFY malformed names like batch=1-2 or batch= as
+      // invalid, never crash on them — it is often the first reader to
+      // meet the corruption
+      val ids = batchDirs
+        .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption).toSet
       // data files at top level: anything that is not a subdir and not
       // a _metadata/_SUCCESS-style marker
       val flatData = (names.toSet -- dirs.toSet)
@@ -619,10 +621,16 @@ object StoreFsck {
       corpus.select(col("id").cast("long").as("id"), col("vec"))
     // corpus binding (fingerprint rows present only on r13+ writes)
     stats.get("train_dim").foreach { d =>
-      val cd = idCorpus.select(size(col("vec"))).head().getInt(0)
-      require(cd.toDouble == d,
-        s"pqDrift: corpus dim $cd but the books of $storeDir trained at" +
-          s" dim ${d.toLong} — this is the wrong corpus, not drift")
+      // headOption, not head(): an EMPTY corpus (mistyped lake path that
+      // exists but holds nothing) must surface as the binding finding —
+      // the row-count floor below names it — not as a bare
+      // NoSuchElementException from the dim probe
+      idCorpus.select(size(col("vec"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).foreach { cd =>
+          require(cd.toDouble == d,
+            s"pqDrift: corpus dim $cd but the books of $storeDir trained" +
+              s" at dim ${d.toLong} — this is the wrong corpus, not drift")
+        }
     }
     val binding: Long = stats.get("train_rows").fold(0L) { tr =>
       val mod = stats.getOrElse("train_stats_sample_mod", 1.0).toInt

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Multi-table store GENERATIONS published by one atomic pointer flip —
   * the protocol that ELIMINATES (not merely detects) the two-commit
@@ -409,6 +410,21 @@ object VersionedStore {
         targets.foreach(g => Tombstones.writeSet(flatIds, genDir(root, g)))
       }
       touch(s"$dir/$Marker")
+      // FINAL token recheck after the marker, before the flip: a
+      // lease-expired gc on another host (which holds a different
+      // maintenance lock — see the scope note) retires a reservation
+      // token-FIRST, so a publisher swept mid-commit refuses here
+      // instead of flipping the pointer at a dir the sweeper is
+      // concurrently deleting. The residual window is the milliseconds
+      // between this probe and the flip — versus a lease measured in
+      // days; full cross-host publish mutual exclusion remains the
+      // external coordinator's job (SURVEY §2.9)
+      require(StoreFs.readBytesOpt(s"$dir/$Reserved")
+          .map(new String(_, "UTF-8")).contains(token),
+        s"VersionedStore.publish: reservation for generation $gen at" +
+          s" $root vanished between the marker and the flip — a" +
+          " stale-reservation gc swept it mid-commit (lease shorter" +
+          " than this table write?); refusing to flip")
       StoreFs.deleteRecursive(s"$dir/$Reserved")
       if (currentGen(root).forall(_ < gen)) flipPointer(root, gen)
       // half 2, after the flip: the flat layout is unreachable now
@@ -456,6 +472,54 @@ object VersionedStore {
         " or incomplete (crashed publish, or gc'd past the retention you" +
         " need)")
     genDir(root, gen)
+  }
+
+  /** The `batch=<id>` append-partition ids under one table dir — the
+    * shared parse behind every store family's pin capture. STRICT
+    * numeric: a malformed name (`batch=`, `batch=1-2`) is not an id —
+    * [[StoreFsck.batchLayout]] reports those as `invalid_batch_subdirs`;
+    * a pin simply does not count them (and must not crash on them: the
+    * pin capture is often the first reader to meet the corruption). */
+  private[graft] def batchIdsOf(tableDir: String): Seq[Long] =
+    StoreFs.listDirNames(tableDir).collect {
+      case n if n.startsWith("batch=") => n.drop(6)
+    }.flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  /** ONE (generation, maxBatch) time-travel coordinate of a versioned
+    * store — the shared capture behind [[Ann.pinIndex]] /
+    * [[Retrieval.pinPostings]] / [[Dedup.pinSignatureStore]] (each
+    * wraps it in its typed pin). Metadata-only: one pointer resolution
+    * plus one directory listing of the batch-carrying `table`, never a
+    * table scan. `maxBatch` is None on a store without the
+    * batch-addressed layout (generation is then the whole coordinate). */
+  private[graft] def pinCoordinate(storeDir: String, table: String,
+      who: String): (Long, Option[Long]) = {
+    val gen = currentGen(storeDir).getOrElse(
+      throw new IllegalStateException(s"$who: $storeDir has no published" +
+        " generation — only versioned stores carry a pinnable coordinate"))
+    (gen, batchIdsOf(s"${generationRoot(storeDir, gen)}/$table").maxOption)
+  }
+
+  /** The live rows of `table` under an already-resolved generation dir,
+    * optionally pinned at a max append batch — the ONE read every
+    * family's pinned server shares: batches past the pin
+    * partition-prune out of the plan, the generation's own tombstone
+    * overlay still applies (erasure holds under time travel), and the
+    * layout `batch` column never reaches a consumer. */
+  private[graft] def liveRowsAt(spark: SparkSession, genRoot: String,
+      table: String, maxBatch: Option[Long], idCol: String): DataFrame = {
+    val raw = spark.read.parquet(s"$genRoot/$table")
+    val pinned = maxBatch match {
+      case None => raw
+      case Some(mb) =>
+        require(raw.columns.contains("batch"),
+          s"VersionedStore: $genRoot/$table carries no batch-addressed" +
+            s" layout but the pin names append batch $mb — pin and store" +
+            " disagree (a compaction that dropped the layout would be" +
+            " exactly this, and it never does)")
+        raw.where(col("batch") <= mb)
+    }
+    Tombstones.filterLive(pinned.drop("batch"), genRoot, idCol)
   }
 
   /** O(request) takedown for a versioned store: append `ids` (one
@@ -663,7 +727,18 @@ object VersionedStore {
             // still-live publisher may own it (pre-protocol partials:
             // the next local publish wipes-and-reuses the dir anyway)
           }.filterNot(_ == cur).sorted
-          dead.foreach(g => StoreFs.deleteRecursive(genDir(root, g)))
+          // the reservation TOKEN deletes FIRST, then the rest of the
+          // dir: a lease-expired FOREIGN publisher that is actually
+          // still writing (lease misconfigured below the longest table
+          // write) holds a DIFFERENT maintenance lock than this gc, so
+          // deletion can interleave with its commit — token-first means
+          // its commit's recheck fails LOUDLY before the pointer ever
+          // names a half-deleted dir, instead of passing against a
+          // token the sweep had not reached yet
+          dead.foreach { g =>
+            StoreFs.deleteRecursive(s"${genDir(root, g)}/$Reserved")
+            StoreFs.deleteRecursive(genDir(root, g))
+          }
           dead
       }
     }
