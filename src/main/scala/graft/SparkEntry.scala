@@ -3975,6 +3975,29 @@ object SparkEntry {
       graft.pipeline.Classifier.classify(model, d)
     }),
 
+    // ---- model-store pin: the one-token family on the MODEL stores —
+    // the tables have no append-batch axis, so the generation IS the
+    // coordinate. A model trained on the even train slice publishes
+    // gen 1 (keepGenerations=1 — the caller's deliberate trade of the
+    // erasure deadline for reproducible pins); a retrain on the full
+    // train slice publishes gen 2; the pinned load still classifies
+    // with the OLD counts while the head serves the new ones ----
+    "q_nb_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("nbpin").toString
+      val C = graft.pipeline.Classifier
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      C.save(C.train(train.where(col("doc_id") % 2 === 0),
+        labelCol = "lang"), s"$root/model", keepGenerations = 1)
+      val pin = graft.pipeline.VersionedStore.currentGen(s"$root/model").get
+      C.save(C.train(train, labelCol = "lang"), s"$root/model",
+        keepGenerations = 1)
+      C.classify(C.loadPinned(s, s"$root/model", pin), d)
+        .withColumn("probe_view", lit("pinned"))
+        .unionByName(C.classify(C.load(s, s"$root/model"), d)
+          .withColumn("probe_view", lit("head")))
+    }),
+
     // ---- EXACT UNLEARNING (NB): the takedown request against a
     // trained model — the forget slice's counts are subtracted from
     // the persisted tables (O(forget) + O(model); the corpus is never
@@ -4833,6 +4856,15 @@ object SparkEntry {
     // train∖forget — count subtraction must land on the identical model
     "q_nb_unlearn" -> nbClassifySqlFor(
       nbCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
+
+    // model-store pin: the pinned view re-derives from the even train
+    // slice (generation 1's training set), the head from the full
+    // train slice (generation 2's)
+    "q_nb_pin" ->
+      ("SELECT *, 'pinned' AS probe_view FROM (" +
+        nbClassifySqlFor(
+          nbCtesFor("doc_id % 5 <> 0 AND doc_id % 2 = 0")) +
+        ") UNION ALL SELECT *, 'head' FROM (" + nbClassifySql + ")"),
 
     // streaming NB: same persisted-model derivation restricted to the
     // two slices, stamped with their structural batch ids

@@ -93,6 +93,25 @@ object Classifier {
       stats = spark.read.parquet(s"$t/stats"))
   }
 
+  /** [[load]] PINNED at a retained model generation — the model-store
+    * member of the one-token time-travel family (the model tables have
+    * no append-batch axis, so the generation IS the whole coordinate;
+    * capture it with [[VersionedStore.currentGen]] at training time).
+    * Retention is [[save]]'s `keepGenerations` — with the default 0,
+    * save stays the unlearn path's ERASURE DEADLINE and retires every
+    * older pin, which then fails LOUDLY here
+    * ([[VersionedStore.generationRoot]]); raising it deliberately
+    * trades that deadline for reproducible model pins, the caller's
+    * compliance decision to make. */
+  def loadPinned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      gen: Long): Model = {
+    val t = VersionedStore.generationRoot(dir, gen)
+    Model(
+      counts = spark.read.parquet(s"$t/counts"),
+      classes = spark.read.parquet(s"$t/classes"),
+      stats = spark.read.parquet(s"$t/stats"))
+  }
+
   /** EXACT unlearning: remove `forget` (rows of the original training
     * set — caller owns that membership, as with id disjointness on the
     * append stores) from a trained model WITHOUT touching the training

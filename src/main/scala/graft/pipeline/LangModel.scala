@@ -110,6 +110,19 @@ object LangModel {
       vocab = spark.read.parquet(s"$t/vocab"))
   }
 
+  /** [[load]] PINNED at a retained model generation —
+    * [[Classifier.loadPinned]]'s contract on the bigram tables: the
+    * generation is the whole coordinate, retention is save's
+    * `keepGenerations`, and a gc-retired pin fails loudly. */
+  def loadPinned(spark: org.apache.spark.sql.SparkSession, dir: String,
+      gen: Long): Model = {
+    val t = VersionedStore.generationRoot(dir, gen)
+    Model(
+      uni = spark.read.parquet(s"$t/uni"),
+      bi = spark.read.parquet(s"$t/bi"),
+      vocab = spark.read.parquet(s"$t/vocab"))
+  }
+
   /** EXACT unlearning for the bigram model — [[Classifier.unlearn]]'s
     * algebra on the (uni, bi, vocab) tables: the forget batch (rows of
     * the original training corpus — caller owns membership) is

@@ -239,6 +239,41 @@ class StoreFsckSpec extends SparkSpec {
     assert(VersionedStore.listGens(lmDir).count(_._2) == 1)
   }
 
+  test("model pin: a retained generation classifies with its own counts; a retired pin fails loudly") {
+    import graft.pipeline.VersionedStore
+    val dir = s"${tmp("fsck")}/nbpin"
+    // gen 1: trained WITHOUT the 'el' doc — it must classify doc 4 by
+    // the other classes' smoothing; gen 2 retrains with it
+    val m1 = Classifier.train(train.where(col("doc_id") < 4))
+    Classifier.save(m1, dir, keepGenerations = 1)
+    val pin = VersionedStore.currentGen(dir).get
+    Classifier.save(Classifier.train(train), dir, keepGenerations = 1)
+    def preds(m: Classifier.Model) =
+      Classifier.classify(m, train.select("doc_id", "text"))
+        .select("doc_id", "label").as[(Long, String)].collect().toMap
+    // the pinned load reproduces the OLD model's decisions exactly
+    assert(preds(Classifier.loadPinned(spark, dir, pin)) == preds(m1))
+    // head serves the retrained model: the 'el' doc now has its class
+    assert(preds(Classifier.load(spark, dir))(4L) == "el")
+    // LangModel pins the same way (bit-identical uni counts)
+    val lmDir = s"${tmp("fsck")}/lmpin"
+    val lmOld = LangModel.train(train.where(col("doc_id") < 4)
+      .select("doc_id", "text"))
+    LangModel.save(lmOld, lmDir, keepGenerations = 1)
+    val lmPin = VersionedStore.currentGen(lmDir).get
+    LangModel.save(LangModel.train(train.select("doc_id", "text")), lmDir,
+      keepGenerations = 1)
+    assert(LangModel.loadPinned(spark, lmDir, lmPin).uni
+      .as[(String, Long)].collect().toSet ==
+      lmOld.uni.as[(String, Long)].collect().toSet)
+    // keepGenerations=0 (the erasure deadline) retires the pin — a
+    // retired pin fails LOUDLY, never substitutes the head
+    Classifier.save(Classifier.load(spark, dir), dir)
+    intercept[IllegalArgumentException] {
+      Classifier.loadPinned(spark, dir, pin)
+    }
+  }
+
   test("event-log fsck: blind re-append, split windows and crash leftovers detected") {
     import graft.sources.ChangeFeed
     import graft.streaming.RelayStream
