@@ -621,11 +621,14 @@ object StoreFsck {
       corpus.select(col("id").cast("long").as("id"), col("vec"))
     // corpus binding (fingerprint rows present only on r13+ writes)
     stats.get("train_dim").foreach { d =>
-      // headOption, not head(): an EMPTY corpus (mistyped lake path that
-      // exists but holds nothing) must surface as the binding finding —
-      // the row-count floor below names it — not as a bare
-      // NoSuchElementException from the dim probe
-      idCorpus.select(size(col("vec"))).limit(1).collect()
+      // headOption over non-null vecs, not head(): an EMPTY corpus
+      // (mistyped lake path that exists but holds nothing) or a leading
+      // NULL vec (ingest gap) must surface as the binding finding — the
+      // row-count floor below names the first, the drift join skips the
+      // second — never as a bare NoSuchElement/NullPointerException
+      // from the dim probe
+      idCorpus.where(col("vec").isNotNull)
+        .select(size(col("vec"))).limit(1).collect()
         .headOption.map(_.getInt(0)).foreach { cd =>
           require(cd.toDouble == d,
             s"pqDrift: corpus dim $cd but the books of $storeDir trained" +

@@ -415,16 +415,23 @@ object VersionedStore {
       // maintenance lock — see the scope note) retires a reservation
       // token-FIRST, so a publisher swept mid-commit refuses here
       // instead of flipping the pointer at a dir the sweeper is
-      // concurrently deleting. The residual window is the milliseconds
-      // between this probe and the flip — versus a lease measured in
-      // days; full cross-host publish mutual exclusion remains the
-      // external coordinator's job (SURVEY §2.9)
-      require(StoreFs.readBytesOpt(s"$dir/$Reserved")
-          .map(new String(_, "UTF-8")).contains(token),
-        s"VersionedStore.publish: reservation for generation $gen at" +
-          s" $root vanished between the marker and the flip — a" +
-          " stale-reservation gc swept it mid-commit (lease shorter" +
-          " than this table write?); refusing to flip")
+      // concurrently deleting. The marker just written comes back OUT
+      // first — touch() may have resurrected the swept dir (fs.create
+      // makes parents), and a table-less generation presenting as
+      // COMPLETE would be exactly what adopt()/readAsOf must never
+      // see. The residual window is the milliseconds between this
+      // probe and the flip — versus a lease measured in days; full
+      // cross-host publish mutual exclusion remains the external
+      // coordinator's job (SURVEY §2.9)
+      if (!StoreFs.readBytesOpt(s"$dir/$Reserved")
+          .map(new String(_, "UTF-8")).contains(token)) {
+        StoreFs.deleteRecursive(s"$dir/$Marker")
+        throw new IllegalArgumentException(
+          s"VersionedStore.publish: reservation for generation $gen at" +
+            s" $root vanished between the marker and the flip — a" +
+            " stale-reservation gc swept it mid-commit (lease shorter" +
+            " than this table write?); refusing to flip")
+      }
       StoreFs.deleteRecursive(s"$dir/$Reserved")
       if (currentGen(root).forall(_ < gen)) flipPointer(root, gen)
       // half 2, after the flip: the flat layout is unreachable now
