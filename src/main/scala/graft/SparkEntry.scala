@@ -1367,6 +1367,25 @@ object SparkEntry {
       graft.pipeline.LangModel.scoreNll(model, d)
     }),
 
+    // ---- model-store pin, LM twin of q_nb_pin: gen 1 trains the
+    // bigram counts on the even train slice, gen 2 on the full slice;
+    // the pinned load scores every doc under the OLD counts while the
+    // head scores under the new — perplexity gates replay exactly ----
+    "q_lm_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("lmpin").toString
+      val L = graft.pipeline.LangModel
+      val d = docs(s, dir).select("doc_id", "text")
+      val train = d.where(col("doc_id") % 5 =!= 0)
+      L.save(L.train(train.where(col("doc_id") % 2 === 0)),
+        s"$root/model", keepGenerations = 1)
+      val pin = graft.pipeline.VersionedStore.currentGen(s"$root/model").get
+      L.save(L.train(train), s"$root/model", keepGenerations = 1)
+      L.scoreNll(L.loadPinned(s, s"$root/model", pin), d)
+        .withColumn("probe_view", lit("pinned"))
+        .unionByName(L.scoreNll(L.load(s, s"$root/model"), d)
+          .withColumn("probe_view", lit("head")))
+    }),
+
     // ---- EXACT UNLEARNING (bigram LM): same algebra as q_nb_unlearn
     // on the (uni, bi, vocab) tables — scoring under the unlearned
     // model must match scoring under a model retrained without the
@@ -5957,6 +5976,14 @@ object SparkEntry {
     // exact unlearning: retrained-on-train∖forget derivation
     "q_lm_unlearn" -> lmNllSqlFor(
       lmNllCtesFor("doc_id % 5 <> 0 AND NOT (doc_id % 6 = 1)")),
+
+    // model-store pin (LM): pinned view re-derives from the even train
+    // slice, head from the full train slice
+    "q_lm_pin" ->
+      ("SELECT *, 'pinned' AS probe_view FROM (" +
+        lmNllSqlFor(
+          lmNllCtesFor("doc_id % 5 <> 0 AND doc_id % 2 = 0")) +
+        ") UNION ALL SELECT *, 'head' FROM (" + lmNllSql + ")"),
 
     // streaming LM scoring: slice → batch_id is structural (resumed
     // runs), so the oracle is the per-slice restriction of the same
