@@ -424,6 +424,17 @@ object StoreFsck {
         if (gens.isEmpty) 0L
         else StoreFs.listDirNames(root)
           .count(!_.startsWith("gen-")).toLong),
+      // a COMPLETE-marked generation containing no table dirs (only
+      // markers / the tombstone overlay): the torn state a publisher
+      // swept mid-commit by a foreign lease gc could present — commit
+      // now removes its marker before refusing (prevention), this row
+      // DETECTS stores older code or an external writer left behind,
+      // because adopt()/readAsOf against it fails on every table path
+      ("empty_complete_generations",
+        complete.count { g =>
+          !StoreFs.listDirNames(s"$root/gen-$g")
+            .exists(n => n != "tombstones" && !n.startsWith("_"))
+        }.toLong),
       // a reservation THIS host made whose publisher pid is dead — a
       // crashed in-flight publish (the split-lock protocol's one
       // abandoned-bytes state); gc retires them, live and foreign

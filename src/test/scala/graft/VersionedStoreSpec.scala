@@ -74,9 +74,17 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.currentGen(root).contains(2L))
     assert(VersionedStore.read(spark, root, "a")
       .as[(Long, String)].head() == ((1L, "g2")))
+    // torn remnant an OLD swept-mid-commit publisher could leave (the
+    // commit recheck now deletes its marker before refusing — this is
+    // the detection side for stores written before that, or by an
+    // external writer): COMPLETE-marked, zero table dirs
+    graft.pipeline.StoreFs.mkdirs(s"$root/gen-9")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/gen-9/_COMPLETE"))
     val bad = fsck(root)
     assert(bad("incomplete_generations") == 1L, bad.toString)
-    assert(bad("unreferenced_complete_generations") == 1L, bad.toString)
+    assert(bad("unreferenced_complete_generations") == 2L, bad.toString)
+    assert(bad("empty_complete_generations") == 1L, bad.toString)
     assert(bad("missing_pointer_with_generations") == 0L)
     assert(bad("corrupt_pointer") == 0L)
     assert(bad("pointer_to_missing_generation") == 0L)
@@ -85,10 +93,11 @@ class VersionedStoreSpec extends SparkSpec {
       VersionedStore.readAsOf(spark, root, "a", 3L)
     }
     // gc: keeps current, retires the old complete gen and the
-    // unreferenced complete gen ABOVE current; the incomplete gen above
-    // current is left alone (it may be a publish in flight)
+    // unreferenced complete gens ABOVE current (the torn empty one
+    // included — it is dead bytes like any other); the incomplete gen
+    // above current is left alone (it may be a publish in flight)
     val dead = VersionedStore.gc(root, keep = 0)
-    assert(dead == Seq(1L, 4L), s"gc retired $dead")
+    assert(dead == Seq(1L, 4L, 9L), s"gc retired $dead")
     assert(VersionedStore.read(spark, root, "a")
       .as[(Long, String)].head() == ((1L, "g2")))
     intercept[IllegalArgumentException] {
