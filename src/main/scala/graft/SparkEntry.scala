@@ -1933,6 +1933,40 @@ object SparkEntry {
             col("n_bad")))
     }),
 
+    // ---- fsck of the GENERATION PROTOCOL itself: every documented
+    // crash/sweep shape of the versioned-store lifecycle planted by
+    // hand into one root — an incomplete publish, a complete-but-
+    // unreferenced flip casualty, a table-less COMPLETE remnant (what
+    // a swept-mid-commit publisher under older code could leave), a
+    // crashed pointer flip's tmp, a superseded flat dir, and a dead-pid
+    // same-host reservation — and every count oracled exactly ----
+    "q_store_fsck_versioned" -> ((s, dir) => {
+      import s.implicits._
+      val V = graft.pipeline.VersionedStore
+      val F = graft.pipeline.StoreFs
+      val root = java.nio.file.Files.createTempDirectory("fsckv")
+        .toString + "/store"
+      V.publish(root, Map("a" -> Seq((1L, "g1")).toDF("id", "v")))
+      V.publish(root, Map("a" -> Seq((1L, "g2")).toDF("id", "v")))
+      // crash BEFORE the marker: incomplete generation
+      Seq((9L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-3/a")
+      // crash AFTER the marker, BEFORE the flip: complete, unreferenced
+      Seq((8L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-4/a")
+      F.mkdirs(s"$root/gen-4"); F.writeAtomic(s"$root/gen-4/_COMPLETE",
+        Array.empty)
+      // table-less COMPLETE remnant (empty_complete_generations)
+      F.mkdirs(s"$root/gen-9"); F.writeAtomic(s"$root/gen-9/_COMPLETE",
+        Array.empty)
+      // crashed flip tmp + a superseded flat-layout dir
+      F.writeAtomic(s"$root/${V.PointerTmpPrefix}12345", Array.empty)
+      F.mkdirs(s"$root/oldflat")
+      // dead-pid SAME-HOST reservation (gc's provably-abandoned shape)
+      F.mkdirs(s"$root/gen-5")
+      F.writeAtomic(s"$root/gen-5/_RESERVED",
+        s"${V.hostId} 999999999 0".getBytes("UTF-8"))
+      graft.pipeline.StoreFsck.versionedStore(s, root)
+    }),
+
     // ---- fsck COVERAGE for the remaining store families: the healthy
     // fixture stores (NB model, bigram-LM model, minhash signature)
     // plus a just-built batch-partial sketch store audit to ALL-ZERO
@@ -6129,6 +6163,21 @@ object SparkEntry {
         " UNION ALL SELECT 'flat_mixed_flat_and_batch_layout', 0" +
         " UNION ALL SELECT 'flat_invalid_batch_subdirs', 0" +
         " UNION ALL SELECT 'flat_torn_batch_appends', 0"),
+
+    // generation-protocol fsck: one planted instance of each documented
+    // crash/sweep shape — counts are closed-form by construction
+    "q_store_fsck_versioned" ->
+      ("SELECT 'incomplete_generations' AS check_name," +
+        " CAST(2 AS BIGINT) AS n_bad" +
+        " UNION ALL SELECT 'orphan_pointer_tmps', 1" +
+        " UNION ALL SELECT 'unreferenced_complete_generations', 2" +
+        " UNION ALL SELECT 'missing_pointer_with_generations', 0" +
+        " UNION ALL SELECT 'corrupt_pointer', 0" +
+        " UNION ALL SELECT 'pointer_to_missing_generation', 0" +
+        " UNION ALL SELECT 'superseded_flat_dirs', 1" +
+        " UNION ALL SELECT 'empty_complete_generations', 1" +
+        " UNION ALL SELECT 'stale_reservations', 1" +
+        " UNION ALL SELECT 'superseded_pointer_markers', 0"),
 
     // model/signature/partial-store fsck: healthy stores audit to
     // all-zero findings — the closed-form operational baseline
