@@ -1657,8 +1657,8 @@ object SparkEntry {
           withTwins, graft.sources.WireFixtures.annIndexDir(s, dir), k = 5)
         .where(col("rank") === 1)
         .select(col("neighbor_id").as("doc_id"),
-          row_number().over(Window.orderBy(col("query_id")))
-            .cast("long").as("rank"))
+          graft.pipeline.Ranks.globalRowNumber(col("query_id"),
+            col("query_id")).cast("long").as("rank"))
       R.rrfFuse(Seq(textRank, vecRank), topK = 10)
     }),
 
@@ -1964,6 +1964,15 @@ object SparkEntry {
       F.mkdirs(s"$root/gen-5")
       F.writeAtomic(s"$root/gen-5/_RESERVED",
         s"${V.hostId} 999999999 0".getBytes("UTF-8"))
+      // a registered pin whose lease expired (crashed registrant that
+      // never released): aged past the 7-day default — its generation
+      // stops being spared, the file is dead bytes; a LIVE pin on the
+      // current generation is NOT a finding (registered-and-working is
+      // the healthy state)
+      val tok = V.registerPin(root, 1L)
+      F.setModificationTime(s"$root/gen-1/${V.PinPrefix}$tok",
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+      V.registerPin(root, 2L)
       graft.pipeline.StoreFsck.versionedStore(s, root)
     }),
 
@@ -3351,6 +3360,24 @@ object SparkEntry {
       val store = graft.sources.WireFixtures.annIndexDir(s, dir)
       Ann.ivfQuantizedTopKFromStore(all.where(col("id") < 15), withTwins,
         store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- the SECOND serving regime on the same store: shuffle-join
+    // batch annotation (ivfQuantizedTopKFromStoreBatch — no driver
+    // probe collect, no pushed literal; the path the request-sized
+    // regime's graft.ann.maxProbeRows guard names for corpus-sized
+    // query batches). Same planted contract, same oracle rows as
+    // q_ann_store — the two regimes must be answer-identical
+    // (AnnBatchStoreSpec proves it pairwise on the organic corpus) ----
+    "q_ann_store_batch" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.annIndexDir(s, dir)
+      Ann.ivfQuantizedTopKFromStoreBatch(all.where(col("id") < 15),
+        withTwins, store, k = 5)
         .where(col("rank") === 1)
     }),
 
@@ -5409,6 +5436,13 @@ object SparkEntry {
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // shuffle-regime batch server on the same store: the two regimes
+    // are answer-identical by contract, so the oracle is q_ann_store's
+    "q_ann_store_batch" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
     // incremental-append store: same contract — a twin appended under a
     // frozen codebook must land in its original's cell and be served
     // identically to the all-at-once index
@@ -6177,7 +6211,8 @@ object SparkEntry {
         " UNION ALL SELECT 'superseded_flat_dirs', 1" +
         " UNION ALL SELECT 'empty_complete_generations', 1" +
         " UNION ALL SELECT 'stale_reservations', 1" +
-        " UNION ALL SELECT 'superseded_pointer_markers', 0"),
+        " UNION ALL SELECT 'superseded_pointer_markers', 0" +
+        " UNION ALL SELECT 'expired_pin_files', 1"),
 
     // model/signature/partial-store fsck: healthy stores audit to
     // all-zero findings — the closed-form operational baseline

@@ -218,17 +218,50 @@ object Ann {
     * job for the literal plus a broadcast exchange recomputing the
     * probe plan) keeps serving at ONE driver-sized job: the returned
     * frame is a LocalRelation, so its broadcast ships rows already in
-    * driver memory instead of re-running the crossJoin+window. */
+    * driver memory instead of re-running the crossJoin+window.
+    *
+    * ENFORCED request-size budget: the "queries ≪ corpus" contract this
+    * collect assumes is checked, not trusted — the collect itself is
+    * bounded at [[maxProbeRows]]+1 rows (`limit`, so an over-budget
+    * probe frame can never OOM the driver first), and crossing the
+    * budget raises a loud two-regime error naming
+    * [[ivfQuantizedTopKFromStoreBatch]] as the corpus-sized-batch path.
+    * Reference analogue: every /stream request carries an enforced
+    * response budget (ReadEventsRequestProcessor.java:78-79) — serving
+    * entry points never let one oversized request take the server down. */
   private def materializeProbes(probes: DataFrame,
       cols: String*): (Seq[Long], DataFrame) = {
     val spark = probes.sparkSession
+    val cap = maxProbeRows(spark)
     val narrow = probes.select(cols.head, cols.tail: _*)
-    val rows = narrow.collect()
+    val rows = narrow.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"Ann: probe frame exceeds $ProbeCapConf = $cap rows (queries ×" +
+        " nProbe) — the store-served top-k paths materialize probes on" +
+        " the driver and are for request-sized query batches; for a" +
+        " corpus-sized batch (annotating a lake against the index) use" +
+        " the shuffle regime, ivfQuantizedTopKFromStoreBatch, which" +
+        " joins the coded tier to the probe frame on cell_id and never" +
+        " collects (or raise the cap if the driver really has the heap)")
     val ids = rows.map(_.getAs[Long]("cell_id")).distinct.sorted.toSeq
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), narrow.schema)
     (ids, local)
   }
+
+  /** Driver-side probe-row budget for the store-served top-k paths
+    * (queries × nProbe rows cross [[materializeProbes]]'s collect).
+    * Runtime-settable Spark conf, same idiom as
+    * `graft.store.reservationLeaseMs`. The 1M default is ~tens of MB of
+    * (long, long[, lut]) rows — comfortable on any driver that runs
+    * Spark at all, far above any interactive request, far below a
+    * corpus-sized annotation batch. */
+  val ProbeCapConf = "graft.ann.maxProbeRows"
+  private val DefaultMaxProbeRows = 1000000
+
+  private def maxProbeRows(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(ProbeCapConf, DefaultMaxProbeRows.toString).toInt
 
   private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
       centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
@@ -445,6 +478,67 @@ object Ann {
     ivfQuantizedCore(queries, cells, centroids, corpus, k, nProbe, rerank)
   }
 
+  /** SHUFFLE-regime [[ivfQuantizedTopKFromStore]] for CORPUS-SIZED query
+    * batches — the second serving regime the request-sized path's budget
+    * guard ([[materializeProbes]], `graft.ann.maxProbeRows`) points at.
+    * Identical answers (same probe ranking, same approx scoring, same
+    * rerank/tie-break rules, verified pairwise in AnnBatchStoreSpec);
+    * different plan: the probe frame (queries × nProbe rows, here
+    * potentially billions) is never collected, never broadcast, and
+    * never becomes a pushable literal — candidates come from a plain
+    * hash join of the stored coded tier to the probe frame on cell_id,
+    * and every later join (exact-rerank vector fetches included) is
+    * unhinted so AQE sizes them from measurements. The trade is stated,
+    * not hidden: without the probed-cell literal the coded tier SCANS
+    * (row-group skipping needs a literal predicate) — correct economics
+    * when the probe set covers most cells anyway, which a corpus-sized
+    * batch does by construction (a lake-annotation job probes every cell
+    * many times over; pruning has nothing left to skip). Use the
+    * request-sized path for serving, this for batch annotation.
+    * Reference analogue: the bootstrap path vs the relay path — the
+    * same data served by a seek (ScnIndex) for tailing requests and by
+    * a full scan for whole-corpus consumers
+    * (BootstrapSrcDBEventReader.java). */
+  def ivfQuantizedTopKFromStoreBatch(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.dequantizeInt8
+    val spark = corpus.sparkSession
+    val centroids =
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
+    val cells = readCells(spark, storeDir)
+      .withColumnRenamed("id", "neighbor_id")
+    // probe ranking is probeCells verbatim — the centroid crossJoin
+    // broadcast is codebook-sized and regime-independent; qvec rides the
+    // probe rows so approx scoring needs no second corpus-sized join
+    val probes = probeCells(queries, centroids, nProbe)
+      .select(col("cell_id"), col("query_id"), col("qvec"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").desc)
+    val survivors = cells
+      .join(probes, "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("approx", cosine(col("qvec"),
+        dequantizeInt8(col("q"), col("scale")).cast("array<float>")))
+      .withColumn("ar", row_number().over(wApprox))
+      .where(col("ar") <= rerank)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    survivors
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qvec")),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** The LIVE cell assignments of a [[writeIndex]] store: stored rows
     * minus any [[tombstoneVectors]] takedowns — candidate generation is
     * the only place a vector exists in the serving path, so the
@@ -514,7 +608,7 @@ object Ann {
     * reproduces the append history, never resurrects erasure. The pin
     * dies when [[VersionedStore.gc]] retires its generation — retention
     * is the caller's policy, and a dead pin fails LOUDLY
-    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+    * ([[VersionedStore.pinnedGenerationRoot]]), never serves a substitute. */
   final case class AnnPin(gen: Long, maxBatch: Option[Long])
 
   /** Capture the CURRENT pin of a versioned ANN-family store (IVF, PQ,
@@ -546,7 +640,8 @@ object Ann {
       storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
-    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfQuantizedTopKFromStorePinned")
     val centroids = spark.read.parquet(s"$t/codebook")
     val cells = liveRowsAt(spark, t, "cells", pin.maxBatch)
       .withColumnRenamed("id", "neighbor_id")
@@ -559,7 +654,8 @@ object Ann {
   def pqTopKFromStorePinned(queries: DataFrame, corpus: DataFrame,
       storeDir: String, k: Int, pin: AnnPin, rerank: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
-    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.pqTopKFromStorePinned")
     val books = readPqBooksAt(spark, t)
     val codes = liveRowsAt(spark, t, "codes", pin.maxBatch)
       .select(col("id").as("neighbor_id"), col("codes"))
@@ -572,7 +668,8 @@ object Ann {
       storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
     val spark = corpus.sparkSession
-    val t = VersionedStore.generationRoot(storeDir, pin.gen)
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfPqTopKFromStorePinned")
     ivfPqServeAt(queries, corpus, t,
       liveRowsAt(spark, t, "cells", pin.maxBatch), k, nProbe, rerank)
   }

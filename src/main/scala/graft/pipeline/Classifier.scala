@@ -100,12 +100,13 @@ object Classifier {
     * Retention is [[save]]'s `keepGenerations` — with the default 0,
     * save stays the unlearn path's ERASURE DEADLINE and retires every
     * older pin, which then fails LOUDLY here
-    * ([[VersionedStore.generationRoot]]); raising it deliberately
+    * ([[VersionedStore.pinnedGenerationRoot]]); raising it deliberately
     * trades that deadline for reproducible model pins, the caller's
     * compliance decision to make. */
   def loadPinned(spark: org.apache.spark.sql.SparkSession, dir: String,
       gen: Long): Model = {
-    val t = VersionedStore.generationRoot(dir, gen)
+    val t = VersionedStore.pinnedGenerationRoot(dir, gen, None,
+      "Classifier.loadPinned")
     Model(
       counts = spark.read.parquet(s"$t/counts"),
       classes = spark.read.parquet(s"$t/classes"),

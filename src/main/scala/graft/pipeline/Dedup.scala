@@ -564,7 +564,7 @@ object Dedup {
     * decisions were made against — across later appends AND later
     * publishes — without knowing which axis moved. Tombstones
     * deliberately still apply; a gc-retired pin fails LOUDLY
-    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+    * ([[VersionedStore.pinnedGenerationRoot]]), never serves a substitute. */
   final case class DedupPin(gen: Long, maxBatch: Option[Long])
 
   /** Capture the CURRENT pin of a versioned signature store: the
@@ -586,13 +586,15 @@ object Dedup {
   /** [[readSignatureStore]] at a captured [[DedupPin]]. */
   def readSignatureStorePinned(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, pin: DedupPin): DataFrame =
-    liveSigRowsAt(spark, VersionedStore.generationRoot(storeDir, pin.gen),
+    liveSigRowsAt(spark, VersionedStore.pinnedGenerationRoot(storeDir,
+      pin.gen, pin.maxBatch, "Dedup.readSignatureStorePinned"),
       "sigs", pin.maxBatch)
 
   /** [[readBandedStore]] at a captured [[DedupPin]]. */
   def readBandedStorePinned(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, pin: DedupPin): DataFrame =
-    liveSigRowsAt(spark, VersionedStore.generationRoot(storeDir, pin.gen),
+    liveSigRowsAt(spark, VersionedStore.pinnedGenerationRoot(storeDir,
+      pin.gen, pin.maxBatch, "Dedup.readBandedStorePinned"),
       "banded", pin.maxBatch)
 
   /** The store's full near-dup candidate pair set (estimate stage) at a

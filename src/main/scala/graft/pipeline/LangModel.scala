@@ -116,7 +116,8 @@ object LangModel {
     * `keepGenerations`, and a gc-retired pin fails loudly. */
   def loadPinned(spark: org.apache.spark.sql.SparkSession, dir: String,
       gen: Long): Model = {
-    val t = VersionedStore.generationRoot(dir, gen)
+    val t = VersionedStore.pinnedGenerationRoot(dir, gen, None,
+      "LangModel.loadPinned")
     Model(
       uni = spark.read.parquet(s"$t/uni"),
       bi = spark.read.parquet(s"$t/bi"),

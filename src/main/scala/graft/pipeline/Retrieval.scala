@@ -82,8 +82,8 @@ object Retrieval {
     bm25(docs, terms, idCol = idCol, textCol = textCol)
       .orderBy(col("score_e4").desc, col("doc_id"))
       .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+      .withColumn("rank", Ranks.globalRowNumber(col("doc_id"),
+        col("score_e4").desc, col("doc_id")).cast("long"))
   }
 
   /** Inverted index: one row per token with its document frequency and a
@@ -352,7 +352,7 @@ object Retrieval {
     * history, never resurrects erasure. The pin dies when
     * [[VersionedStore.gc]] retires its generation — retention is the
     * caller's policy, and a dead pin fails LOUDLY
-    * ([[VersionedStore.generationRoot]]), never serves a substitute. */
+    * ([[VersionedStore.pinnedGenerationRoot]]), never serves a substitute. */
   final case class RetrievalPin(gen: Long, maxBatch: Option[Long])
 
   /** Capture the CURRENT pin of a versioned postings store: the flipped
@@ -380,7 +380,8 @@ object Retrieval {
     * replay any retrieval surface at the pinned snapshot. */
   def readPostingsIndexPinned(spark: org.apache.spark.sql.SparkSession,
       dir: String, pin: RetrievalPin): DataFrame =
-    liveDocsAt(spark, VersionedStore.generationRoot(dir, pin.gen),
+    liveDocsAt(spark, VersionedStore.pinnedGenerationRoot(dir, pin.gen,
+      pin.maxBatch, "Retrieval.readPostingsIndexPinned"),
       "postings", pin.maxBatch)
 
   /** [[readDocLengths]] at a captured [[RetrievalPin]] — BM25's corpus
@@ -388,7 +389,8 @@ object Retrieval {
     * makes a pinned score bit-identical to the score served then. */
   def readDocLengthsPinned(spark: org.apache.spark.sql.SparkSession,
       dir: String, pin: RetrievalPin): DataFrame =
-    liveDocsAt(spark, VersionedStore.generationRoot(dir, pin.gen),
+    liveDocsAt(spark, VersionedStore.pinnedGenerationRoot(dir, pin.gen,
+      pin.maxBatch, "Retrieval.readDocLengthsPinned"),
       "doclens", pin.maxBatch)
 
   /** [[bm25TopKFromIndex]] at a captured [[RetrievalPin]]: postings AND
@@ -528,8 +530,8 @@ object Retrieval {
         coalesce(col("__s"), lit(0L)).as("score_e4"))
       .orderBy(col("score_e4").desc, col("doc_id"))
       .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+      .withColumn("rank", Ranks.globalRowNumber(col("doc_id"),
+        col("score_e4").desc, col("doc_id")).cast("long"))
   }
 
   /** Exact phrase search over a [[positionalPostings]] table: doc ids
@@ -793,8 +795,8 @@ object Retrieval {
     contribs.groupBy("doc_id").agg(sum(col("__c")).as("rrf_e8"))
       .orderBy(col("rrf_e8").desc, col("doc_id"))
       .limit(topK)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf_e8").desc, col("doc_id"))).cast("long"))
+      .withColumn("rank", Ranks.globalRowNumber(col("doc_id"),
+        col("rrf_e8").desc, col("doc_id")).cast("long"))
   }
 
   /** KWIC snippets for [[proximitySearch]] hits: the `window`-token

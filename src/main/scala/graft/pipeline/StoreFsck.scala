@@ -396,7 +396,11 @@ object StoreFsck {
     *     never flagged;
     *   - `superseded_pointer_markers`: exclusive-protocol flip records
     *     below the resolved current (the max marker is the pointer) —
-    *     dead bytes gc sweeps. */
+    *     dead bytes gc sweeps;
+    *   - `expired_pin_files`: [[VersionedStore.registerPin]]
+    *     registrations past the pin lease (a crashed registrant that
+    *     never released) — the generation stops being spared; the file
+    *     itself is dead bytes retired with the dir. */
   def versionedStore(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val gens = VersionedStore.listGens(root)
@@ -451,7 +455,15 @@ object StoreFsck {
                 .forall(_.isDigit) &&
               n.length > VersionedStore.PointerMarkerPrefix.length =>
             n.drop(VersionedStore.PointerMarkerPrefix.length).toLong
-        }.count(_ < c).toLong).getOrElse(0L)))
+        }.count(_ < c).toLong).getOrElse(0L)),
+      // registered pins whose lease expired (a registrant that crashed
+      // without releasePin): their generations stop being spared, so
+      // the files themselves are inert dead bytes retired with the dir
+      // — classification shares VersionedStore.pinStates with gc's
+      // sparing rule, so audit and sweep can never drift apart
+      ("expired_pin_files",
+        complete.map(g =>
+          VersionedStore.pinStates(root, g).count(!_._2).toLong).sum))
       .toDF("check_name", "n_bad")
   }
 
@@ -558,7 +570,8 @@ object StoreFsck {
       .unionByName(finding("missing_subspace_books",
         perSub.select(col("subspace"))
           .withColumn("rn", row_number().over(
-            Window.orderBy(col("subspace"))) - 1)
+            Window.partitionBy(pmod(hash(col("subspace")), lit(1)))
+              .orderBy(col("subspace"))) - 1)
           .where(col("subspace") =!= col("rn"))))
       .unionByName(finding("wrong_code_width",
         codes.crossJoin(mDf) // 1-row scalar, broadcast

@@ -481,6 +481,95 @@ object VersionedStore {
     genDir(root, gen)
   }
 
+  /** [[generationRoot]] for a PIN resolve — every `*FromStorePinned` /
+    * `loadPinned` server's first step, so a pin that outlived retention
+    * fails with a NAMED, actionable error (which pin, which store, what
+    * the retention rule is, how to hold a generation) instead of the
+    * raw path-not-found a gc'd generation would otherwise surface from
+    * deep inside a parquet scan. The retention contract: an UNREGISTERED
+    * pin is a client-held token with no server-side footprint — it lives
+    * exactly as long as its generation survives gc/compaction
+    * (`keepGenerations` later publishes); a training job that must
+    * outlive that registers the pin ([[registerPin]]), which gc spares
+    * until release or lease expiry. Reference analogue: an SCN that
+    * fell off the relay's retention gets a NAMED too-old answer
+    * (SCNNotFoundException) routing the client to bootstrap — never a
+    * raw read error. */
+  def pinnedGenerationRoot(root: String, gen: Long, maxBatch: Option[Long],
+      who: String): String = {
+    if (!StoreFs.exists(s"${genDir(root, gen)}/$Marker"))
+      throw new IllegalStateException(
+        s"$who: pin (gen=$gen${maxBatch.fold("")(b => s", batch=$b")})" +
+          s" outlived retention at $root — gc/compaction retired the" +
+          " pinned generation. Pins live as long as their generation:" +
+          " keepGenerations later publishes for an unregistered pin;" +
+          " registerPin holds the generation against gc until" +
+          " releasePin or pin-lease expiry (graft.store.pinLeaseMs)")
+    genDir(root, gen)
+  }
+
+  /** gc-visible pin registration — the reservation-lease idiom applied
+    * to time-travel pins: a `_PIN.<token>` file under the pinned
+    * generation's dir that [[gc]] (and therefore every store family's
+    * compaction, which retires through gc) treats as "a reader still
+    * needs this generation" and spares it. Lease-bounded
+    * (`graft.store.pinLeaseMs`, default 7 days, mtime-based, 0 = pins
+    * never expire) for exactly the reservation lease's reason: a
+    * registrant that crashes without releasing must not pin the
+    * generation's bytes forever on a multi-writer store. A too-short
+    * lease never tears state — the pinned read after a sweep fails
+    * LOUDLY with [[pinnedGenerationRoot]]'s named error. Registration
+    * requires the generation to be complete and present (you can only
+    * register a pin you could resolve), and serializes with gc under
+    * the maintenance lock so a register can never interleave with the
+    * sweep that would retire its target. Returns the token
+    * [[releasePin]] takes. */
+  def registerPin(root: String, gen: Long): String = maintenance(root) {
+    require(StoreFs.exists(s"${genDir(root, gen)}/$Marker"),
+      s"VersionedStore.registerPin: generation $gen at $root is absent" +
+        " or incomplete — a pin can only register against a generation" +
+        " it could resolve")
+    val token = s"$hostId-${ProcessHandle.current.pid}-${System.nanoTime}"
+    StoreFs.writeAtomic(s"${genDir(root, gen)}/$PinPrefix$token",
+      Array.emptyByteArray)
+    token
+  }
+
+  /** Release a [[registerPin]] registration (idempotent — releasing a
+    * token whose generation gc already retired, or releasing twice, is
+    * a no-op: the pin is gone either way, which is what release means). */
+  def releasePin(root: String, gen: Long, token: String): Unit =
+    StoreFs.deleteRecursive(s"${genDir(root, gen)}/$PinPrefix$token")
+
+  private[graft] val PinPrefix = "_PIN."
+  private val PinLeaseConf = "graft.store.pinLeaseMs"
+
+  private def pinLeaseMs: Long =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get(PinLeaseConf, DefaultLeaseMs.toString).toLong)
+      .getOrElse(DefaultLeaseMs)
+
+  /** (pin file name, still within lease) for generation `gen` — shared
+    * by [[gc]]'s sparing rule and [[StoreFsck.versionedStore]]'s
+    * expired-pin finding so sweep and audit can never drift apart. */
+  private[graft] def pinStates(root: String, gen: Long)
+      : Seq[(String, Boolean)] = {
+    val lease = pinLeaseMs
+    StoreFs.listNames(genDir(root, gen))
+      .filter(_.startsWith(PinPrefix))
+      .map { n =>
+        (n, lease <= 0 ||
+          StoreFs.modificationTime(s"${genDir(root, gen)}/$n")
+            .exists(m => System.currentTimeMillis() - m <= lease))
+      }
+  }
+
+  /** Does generation `gen` carry at least one LIVE registered pin
+    * (within the pin lease, or any pin at all under lease 0)? */
+  private def livePin(root: String, gen: Long): Boolean =
+    pinStates(root, gen).exists(_._2)
+
   /** The `batch=<id>` append-partition ids under one table dir — the
     * shared parse behind every store family's pin capture. STRICT
     * numeric: a malformed name (`batch=`, `batch=1-2`) is not an id —
@@ -721,9 +810,14 @@ object VersionedStore {
           // (the token re-check keeps even that failure loud, never torn)
           def liveReservation(g: Long): Boolean =
             reservation(root, g).isDefined && !staleReservation(root, g)
+          // a REGISTERED pin ([[registerPin]]) holds its generation at
+          // any position below cur: a training job mid-epoch on a
+          // pinned read outlives any keepGenerations policy until it
+          // releases (or its lease expires — the crashed-registrant
+          // backstop, same contract as the reservation lease)
           val dead = gens.collect {
             case (g, _) if g <= cur && !keepSet.contains(g) &&
-              !liveReservation(g) => g
+              !liveReservation(g) && !livePin(root, g) => g
             case (g, complete) if g > cur && complete => g
             // g > cur && !complete, reservation from THIS host whose
             // publisher pid is dead: a crashed in-flight publish —

@@ -264,13 +264,17 @@ class AnnBatchStoreSpec extends SparkSpec {
         k = 3, pin, nProbe = 4)
       .select("neighbor_id").as[Long].collect().contains(1000L),
       "a takedown after the pin must still erase from the pinned read")
-    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    // a pin whose generation gc retired fails LOUDLY with the NAMED
+    // retention error (which pin, what the rule is) — never a raw
+    // path-not-found from inside a scan, never a substitute
     VersionedStore.gc(dir, keep = 0)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       Ann.ivfQuantizedTopKFromStorePinned(queries, corpus3, dir, k = 3,
         pin, nProbe = 4)
     }
-    assert(e.getMessage.contains("absent or incomplete"), e.getMessage)
+    assert(e.getMessage.contains("outlived retention"), e.getMessage)
+    assert(e.getMessage.contains(s"gen=${pin.gen}"), e.getMessage)
+    assert(e.getMessage.contains("registerPin"), e.getMessage)
   }
 
   test("PQ / IVF-PQ pinned servers resolve the PINNED generation's quantizers") {
@@ -479,5 +483,48 @@ class AnnBatchStoreSpec extends SparkSpec {
       .foreach { case (q, n, d) =>
         assert(n == 3L && d == 3L, s"query $q served $n rows, $d distinct")
       }
+  }
+
+  test("batch regime: shuffle-join serving is answer-identical to the" +
+      " request-sized literal-pushdown regime") {
+    val dir = s"${tmp("annb")}/regimes"
+    Ann.writeIndex(corpus, dir, k = 4, iters = 2)
+    // EVERY corpus vector as the query batch (the corpus-sized
+    // annotation shape, minus the scale) — no planted contract here:
+    // full top-k frames from both regimes, compared exactly. rerank
+    // covers the whole fixture so the approx tie-break (which both
+    // regimes share verbatim) cannot diverge on equal int8 scores
+    val probe = corpus.select("id", "vec")
+    val viaLiteral = Ann.ivfQuantizedTopKFromStore(
+      probe, corpus, dir, k = 3, nProbe = 3, rerank = 50).collect().toSet
+    val viaShuffle = Ann.ivfQuantizedTopKFromStoreBatch(
+      probe, corpus, dir, k = 3, nProbe = 3, rerank = 50).collect().toSet
+    assert(viaLiteral == viaShuffle,
+      "the two serving regimes must be answer-identical")
+    assert(viaLiteral.nonEmpty)
+  }
+
+  test("probe budget: an over-cap query batch fails loudly naming the" +
+      " shuffle regime, instead of OOMing the driver") {
+    val dir = s"${tmp("annb")}/cap"
+    Ann.writeIndex(base, dir, k = 4, iters = 2)
+    spark.conf.set(Ann.ProbeCapConf, "4")
+    try {
+      // 6 queries × nProbe 2 = 12 probe rows > cap 4
+      val e = intercept[IllegalArgumentException] {
+        Ann.ivfQuantizedTopKFromStore(queries, corpus, dir,
+          k = 3, nProbe = 2).collect()
+      }
+      assert(e.getMessage.contains("graft.ann.maxProbeRows"), e.getMessage)
+      assert(e.getMessage.contains("ivfQuantizedTopKFromStoreBatch"),
+        "the guard must name the corpus-sized regime")
+      // the shuffle regime is exactly the path the error points at —
+      // it must serve the same request untouched by the cap
+      assert(Ann.ivfQuantizedTopKFromStoreBatch(queries, corpus, dir,
+        k = 3, nProbe = 2).collect().nonEmpty)
+    } finally spark.conf.unset(Ann.ProbeCapConf)
+    // cap restored: the request-sized path serves again
+    assert(Ann.ivfQuantizedTopKFromStore(queries, corpus, dir,
+      k = 3, nProbe = 2).collect().nonEmpty)
   }
 }

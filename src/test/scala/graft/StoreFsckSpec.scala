@@ -269,9 +269,11 @@ class StoreFsckSpec extends SparkSpec {
     // keepGenerations=0 (the erasure deadline) retires the pin — a
     // retired pin fails LOUDLY, never substitutes the head
     Classifier.save(Classifier.load(spark, dir), dir)
-    intercept[IllegalArgumentException] {
+    val stale = intercept[IllegalStateException] {
       Classifier.loadPinned(spark, dir, pin)
     }
+    assert(stale.getMessage.contains("outlived retention"),
+      stale.getMessage)
   }
 
   test("event-log fsck: blind re-append, split windows and crash leftovers detected") {

@@ -181,11 +181,14 @@ class VersionedDefaultStoresSpec extends SparkSpec {
     assert(!R.readPostingsIndexPinned(spark, dir, pin)
       .select("doc_id").as[Long].collect().toSet.contains(0L),
       "a takedown after the pin must still erase from the pinned read")
-    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    // a pin whose generation gc retired fails LOUDLY with the NAMED
+    // retention error, never substitutes
     VersionedStore.gc(dir, keep = 0)
-    intercept[IllegalArgumentException] {
+    val stale = intercept[IllegalStateException] {
       R.bm25TopKFromStorePinned(spark, dir, pin, terms, k = 10).collect()
     }
+    assert(stale.getMessage.contains("outlived retention"),
+      stale.getMessage)
     // pinPostings on an unversioned root refuses — flat stores carry no
     // pinnable generation coordinate
     val flat = s"${tmp("vdef")}/flat"
@@ -252,11 +255,14 @@ class VersionedDefaultStoresSpec extends SparkSpec {
     assert(!D.readSignatureStorePinned(spark, dir, pin)
       .select("id").as[Long].collect().toSet.contains(0L),
       "a takedown after the pin must still erase from the pinned read")
-    // a pin whose generation gc retired fails LOUDLY, never substitutes
+    // a pin whose generation gc retired fails LOUDLY with the NAMED
+    // retention error, never substitutes
     VersionedStore.gc(dir, keep = 0)
-    intercept[IllegalArgumentException] {
+    val stale = intercept[IllegalStateException] {
       D.nearDupPairsFromStorePinned(spark, dir, pin).collect()
     }
+    assert(stale.getMessage.contains("outlived retention"),
+      stale.getMessage)
     // a flat (unversioned, batch-addressed) root carries no pinnable
     // generation; a FLAT-LAYOUT store refuses the batch append outright
     val flat = s"${tmp("vdef")}/dflat"

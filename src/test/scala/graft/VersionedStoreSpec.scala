@@ -249,6 +249,57 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.gc(root) == Seq(9L))
   }
 
+  test("registered pins: gc spares a pinned generation until release or lease expiry") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "b")).toDF("id", "v")))
+    // a REGISTERED pin on the superseded generation survives keep=0 —
+    // the training job mid-epoch outlives any keepGenerations policy
+    val token = VersionedStore.registerPin(root, 1L)
+    assert(VersionedStore.gc(root, keep = 0).isEmpty)
+    assert(StoreFs.exists(s"$root/gen-1/_COMPLETE"),
+      "a live registered pin must hold its generation against gc")
+    // the pinned read works the whole time
+    assert(VersionedStore.pinnedGenerationRoot(root, 1L, None, "spec")
+      .endsWith("gen-1"))
+    assert(fsck(root)("expired_pin_files") == 0L)
+    // release → the next gc retires it, and the resolve fails NAMED
+    VersionedStore.releasePin(root, 1L, token)
+    assert(VersionedStore.gc(root, keep = 0) == Seq(1L))
+    val e = intercept[IllegalStateException] {
+      VersionedStore.pinnedGenerationRoot(root, 1L, Some(7L), "spec")
+    }
+    assert(e.getMessage.contains("outlived retention"), e.getMessage)
+    assert(e.getMessage.contains("gen=1") &&
+      e.getMessage.contains("batch=7"), e.getMessage)
+    // releasePin is idempotent — a second release (or releasing a pin
+    // whose generation is already gone) is a no-op, not an error
+    VersionedStore.releasePin(root, 1L, token)
+    // an EXPIRED pin (crashed registrant, 7-day default lease) stops
+    // sparing: same contract as the reservation lease — a too-short
+    // lease wastes a replay, never tears state (the read fails loudly)
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "c")).toDF("id", "v")))
+    val tok3 = VersionedStore.registerPin(root, 2L)
+    StoreFs.setModificationTime(s"$root/gen-2/_PIN.$tok3",
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    assert(fsck(root)("expired_pin_files") == 1L)
+    assert(VersionedStore.gc(root, keep = 0) == Seq(2L))
+    // registering against a retired generation refuses loudly — a pin
+    // must be resolvable at registration time
+    intercept[IllegalArgumentException] {
+      VersionedStore.registerPin(root, 2L)
+    }
+    // pin-lease 0 = pins never expire (the compliance-indifferent mode)
+    val tok4 = VersionedStore.registerPin(root, 3L)
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "d")).toDF("id", "v")))
+    StoreFs.setModificationTime(s"$root/gen-3/_PIN.$tok4",
+      System.currentTimeMillis() - 800L * 24 * 3600 * 1000)
+    spark.conf.set("graft.store.pinLeaseMs", "0")
+    try assert(VersionedStore.gc(root, keep = 0).isEmpty)
+    finally spark.conf.unset("graft.store.pinLeaseMs")
+  }
+
   test("a flat tombstone set fans into EVERY in-flight reservation at migration commit") {
     val root = tmp()
     // legacy FLAT store with a pending takedown recorded under it
