@@ -38,6 +38,14 @@ object ScaleProbe {
     * constants assume sf0.1 cardinalities). */
   val Derived10Dir = "/tmp/graft_sf10e"
 
+  /** Third-decade derivation (round 14): sf10 × 10 — [[deriveNext]]
+    * composing once more (its shifts come from the source's own
+    * maxima, so the recipe stacks). `sf100` spot-probes the top-3
+    * heaviest families at it, turning the 100 TB claim from two
+    * measured decades plus extrapolation into three measured decades
+    * on the curve's hottest points. */
+  val Derived100Dir = "/tmp/graft_sf100e"
+
 
   /** Families deliberately OFF the probe list, each with a reason —
     * everything else in [[SparkEntry.queries]] probes at both scales
@@ -211,6 +219,7 @@ object ScaleProbe {
     val prOnly = args.contains("pr")
     val relayOnly = args.contains("relay")
     val sf10Only = args.contains("sf10")
+    val sf100Only = args.contains("sf100")
 
     if (args.contains("annprune")) {
       // SCAN-SIDE proof that store-served ANN is an index probe (round
@@ -296,7 +305,8 @@ object ScaleProbe {
 
     val all = AllProbes
     val probes =
-      if (args.isEmpty || ccOnly || mediaOnly || prOnly || sf10Only) all
+      if (args.isEmpty || ccOnly || mediaOnly || prOnly || sf10Only ||
+        sf100Only) all
       else {
         // fail loudly on a typo'd or unprobed name — silently filtering
         // would print an empty "successful" run
@@ -366,6 +376,51 @@ object ScaleProbe {
       math.min(once(), once())
     }
 
+    if (sf100Only) {
+      // THIRD-DECADE spot probe (round 14): sf10 → sf100 for the top-3
+      // heaviest families (by BENCH_sf10_r13 wall time: the IVF-PQ CDC
+      // maintainer, the byte-heaviest rule filter, and semdedup's
+      // stated 100 TB LSH regime). Single timing per scale — at tens
+      // of minutes per sf100 family a min-of-2 buys noise reduction a
+      // decade ratio does not need (box variance is percent-level, the
+      // question is linear-vs-super-linear); FAILED lines stay loud.
+      deriveNext(spark, DerivedDir, Derived10Dir)
+      deriveNext(spark, Derived10Dir, Derived100Dir)
+      def one(label: String)(run: String => Unit): Unit = try {
+        def t(dir: String): Double = {
+          val t0 = System.nanoTime(); run(dir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = t(Derived10Dir); val b = t(Derived100Dir)
+        println(f"$label%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(f"$label%-22s FAILED ${e.getClass.getSimpleName}:" +
+            s" ${Option(e.getMessage).getOrElse("").take(160)}")
+      }
+      val sel100 = args.toSeq.filterNot(_ == "sf100")
+      def want(l: String) = sel100.isEmpty || sel100.contains(l)
+      println(f"${"query"}%-22s ${"sf10"}%8s ${"sf100"}%8s  ratio")
+      Seq("q_ivfpq_cdc_stream", "q_gopher_rules").foreach { q =>
+        if (want(q)) {
+          // warm class-loading/codegen on the tiny set, as sf10 does
+          try Bench.force(
+            SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+          catch { case scala.util.control.NonFatal(_) => () }
+          one(q)(dir => Bench.force(SparkEntry.queries(q)(spark, dir)))
+        }
+      }
+      if (want("q_semdedup_lsh64")) one("q_semdedup_lsh64") { dir =>
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val withDups = e.unionByName(
+          e.select((col("id") + 100000000L).as("id"), col("vec")))
+        Bench.force(graft.pipeline.Semantic.semanticDedup(
+          withDups, k = 64, iters = 3, intraCellPlanes = 12,
+          intraCellTables = 4))
+      }
+      spark.stop(); return
+    }
     if (sf10Only) {
       // SECOND-DECADE probe (round 13): sf1 → sf10 for the heaviest
       // families — the sf1 sweep is exhaustive, this pins the curve's
@@ -378,7 +433,15 @@ object ScaleProbe {
         "q_ivfpq_cdc_stream", "q_ann_cdc_stream", "q_index_cdc_stream",
         "q_dedup_stream_incr", "q_ann_rebalance", "q_postings_compact",
         "q_repetition", "q_gopher_rules", "q_zorder_incr",
-        "q_pipeline_web", "q_store_fsck_models", "q_quantile_stream")
+        "q_pipeline_web", "q_store_fsck_models", "q_quantile_stream",
+        // round-14 additions: the round-13 store families (pin
+        // resolution, sigstore CDC append) and the round-14 serving
+        // regimes at their second decade, plus the two organic recall
+        // GATES — their floors asserting inside the timed run means a
+        // quality cliff at sf10 fails the probe loudly instead of
+        // hiding behind an sf1-only measurement
+        "q_retrieval_pin", "q_sigstore_cdc_stream", "q_dedup_pin",
+        "q_ann_store_batch", "q_ann_recall", "q_semdedup_recall")
       // extra args filter the list (resuming a partial sweep after an
       // environment-sized failure re-times only what is missing)
       val sel = args.toSeq.filterNot(_ == "sf10")

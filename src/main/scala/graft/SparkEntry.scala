@@ -52,6 +52,17 @@ object SparkEntry {
   private val RecallFloorPq = 0.74
   private val RecallFloorIvfPq = 0.74
 
+  /** Pinned pair-recall floor for q_semdedup_recall — the intra-cell
+    * hyperplane-LSH configuration (8 planes × 4 tables, semdedup's
+    * stated 100 TB regime) measured on the banded near-dup corpus
+    * ([[graft.sources.WireFixtures.nearDupBandCorpus]]) at cosine 0.95:
+    * 0.9724 / 0.9718 / 0.9697 at sf0.001 / sf0.01 / sf0.1, pinned with
+    * headroom below the minimum. Deterministic (hash-derived jitter,
+    * seeded k-means, seeded planes). The discriminating
+    * too-concentrated case (16 planes × 1 table ≈ 0.44) is
+    * SemanticWeightingSpec's. */
+  private val RecallFloorSemdedupLsh = 0.93
+
   /** Documents corpus with planted exact duplicates (each doc twice, the
     * copy shifted by +1,000,000 in id) — exercises the near-dup pipeline on
     * data that genuinely contains duplicates. */
@@ -1103,6 +1114,41 @@ object SparkEntry {
         e.select((col("id") + 1000000L).as("id"), col("vec")))
       graft.pipeline.Semantic.semanticDedup(withDups, k = 8, iters = 3,
         cosineThreshold = 0.99, intraCellPlanes = 8, intraCellTables = 4)
+    }),
+
+    // ---- ORGANIC pair-recall floor for semdedup's LSH regime: every
+    // semdedup oracle is a planted-twin invariant (exact copies collide
+    // in every LSH table with probability 1 — they measure nothing
+    // about the plane/table choice), and the natural corpus is
+    // measured isotropic (max within-cell cosine ≈ 0.51: no organic
+    // near-dup mass at any dedup threshold). This gate measures the
+    // fraction of exact within-cell ≥0.95-cosine pairs the intra-cell
+    // hyperplane-LSH blocking recovers on the BANDED near-dup corpus
+    // (deterministic jittered copies spanning cosine ~0.91-0.999 —
+    // delivered-vs-generated parity, the q_ann_recall discipline on
+    // the dedup tier) and fails loudly below the pinned floor. Both
+    // configurations share one training and one cell assignment, and
+    // LSH candidates are a subset of cell co-membership, so the ratio
+    // is a true recall ----
+    "q_semdedup_recall" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.sources.WireFixtures.nearDupBandCorpus(s, dir)
+      val exact = graft.pipeline.Semantic.withinCellDupPairs(
+        corpus, k = 8, iters = 3, cosineThreshold = 0.95).count()
+      val lsh = graft.pipeline.Semantic.withinCellDupPairs(
+        corpus, k = 8, iters = 3, cosineThreshold = 0.95,
+        intraCellPlanes = 8, intraCellTables = 4).count()
+      require(exact > 0, "q_semdedup_recall: banded corpus produced no" +
+        " exact within-cell pairs — the measurement denominator is gone")
+      val r = lsh.toDouble / exact
+      println(f"[recall] sf=$dir%s method=semdedup_lsh pair_recall=$r%.4f" +
+        f" floor=$RecallFloorSemdedupLsh%.2f (exact=$exact lsh=$lsh)")
+      require(r >= RecallFloorSemdedupLsh,
+        s"q_semdedup_recall: pair recall $r below the pinned floor" +
+          s" $RecallFloorSemdedupLsh — the LSH regime lost near-dup" +
+          " recall")
+      Seq(("lsh_planes8_tables4", RecallFloorSemdedupLsh, true))
+        .toDF("method", "floor", "floor_ok")
     }),
 
     // ---- semantic dedup, HIERARCHICAL assignment: two-level codebook
@@ -5522,6 +5568,14 @@ object SparkEntry {
         " TRUE AS floor_ok" +
         " UNION ALL SELECT 'ivf_quantized', CAST(0.78 AS DOUBLE), TRUE" +
         " UNION ALL SELECT 'pq_adc', CAST(0.74 AS DOUBLE), TRUE"),
+
+    // semdedup LSH-regime pair-recall gate: the Spark side measures the
+    // recovered fraction of exact within-cell near-dup pairs on the
+    // banded jitter corpus and REQUIRES it over the pinned floor — the
+    // row existing IS the assertion, same as q_ann_recall
+    "q_semdedup_recall" ->
+      ("SELECT 'lsh_planes8_tables4' AS method," +
+        " CAST(0.93 AS DOUBLE) AS floor, TRUE AS floor_ok"),
 
     // power-iteration invariant (Rayleigh non-decreasing on PSD) + the
     // planted-anisotropy alignment — both contract booleans

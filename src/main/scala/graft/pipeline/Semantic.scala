@@ -194,12 +194,39 @@ object Semantic {
       intraCellTables)
   }
 
-  /** The shared dedup tail: within-cell candidate pairs (all-pairs per
-    * cell, or hyperplane-LSH-blocked inside each cell), exact cosine
-    * verify, greedy lowest-id-wins exclusion. `cells` carries
-    * (id, vec, cell_id); both entry points land here so the flat and
-    * hierarchical assignments can never drift on policy. */
-  private def dedupWithinCells(cells: DataFrame, cosineThreshold: Double,
+  /** The VERIFIED within-cell near-duplicate pair set of
+    * [[semanticDedup]]'s configuration — the dedup decision's evidence,
+    * exposed as data. (id_a < id_b), every pair exact-cosine-confirmed
+    * at `cosineThreshold`; the candidate stage is all-pairs-per-cell
+    * under `intraCellPlanes = 0` and hyperplane-LSH-blocked inside each
+    * cell above it. Because LSH blocking only ever NARROWS the
+    * candidate set (a bucket collision is a subset of cell
+    * co-membership) and both configurations confirm at the same
+    * threshold, the LSH pair set is a SUBSET of the exact one over the
+    * same cells — which makes `|lsh| / |exact|` a true pair-recall, the
+    * organic quality gate q_semdedup_recall pins (the semdedup analogue
+    * of [[Ann.recallAtK]]: planted-twin invariants can't see a
+    * plane/table configuration that quietly drops natural near-pairs;
+    * this measures it against ground truth). Cell assignment is
+    * memoized per (corpus plan, k, iters) through [[PlanCache]], so the
+    * exact and LSH measurements of one gate share one training and one
+    * assignment. */
+  def withinCellDupPairs(vecs: DataFrame, idCol: String = "id",
+      vecCol: String = "vec", k: Int = 8, iters: Int = 4,
+      cosineThreshold: Double = 0.99, intraCellPlanes: Int = 0,
+      intraCellTables: Int = 4): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val (codebook, _) = Ann.trainCentroids(base, k, iters)
+    val cells = PlanCache.getOrPersist(base, s"semdedup-cells|$k|$iters",
+      base.withColumn("cell_id", Ann.nearestCellExpr(codebook, col("vec"))))
+    verifiedPairs(cells, cosineThreshold, intraCellPlanes, intraCellTables)
+  }
+
+  /** Candidate generation + exact verify — [[dedupWithinCells]]' first
+    * two stages, shared with [[withinCellDupPairs]] so the gate always
+    * measures exactly the pairs the dedup acts on. */
+  private def verifiedPairs(cells: DataFrame, cosineThreshold: Double,
       intraCellPlanes: Int, intraCellTables: Int): DataFrame = {
     val candidates =
       if (intraCellPlanes <= 0) {
@@ -229,8 +256,19 @@ object Semantic {
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
       }
-    val dropped = Dedup.embeddingCosineVerify(cells.select("id", "vec"),
-        candidates, cosineThreshold)
+    Dedup.embeddingCosineVerify(cells.select("id", "vec"),
+      candidates, cosineThreshold)
+  }
+
+  /** The shared dedup tail: within-cell candidate pairs (all-pairs per
+    * cell, or hyperplane-LSH-blocked inside each cell), exact cosine
+    * verify, greedy lowest-id-wins exclusion. `cells` carries
+    * (id, vec, cell_id); both entry points land here so the flat and
+    * hierarchical assignments can never drift on policy. */
+  private def dedupWithinCells(cells: DataFrame, cosineThreshold: Double,
+      intraCellPlanes: Int, intraCellTables: Int): DataFrame = {
+    val dropped = verifiedPairs(cells, cosineThreshold, intraCellPlanes,
+        intraCellTables)
       .select(col("id_b").as("id")).distinct()
     // plain left join — the drop set is duplicate-mass-sized, which at
     // web scale can be a large fraction of the corpus; AQE broadcasts it

@@ -212,6 +212,48 @@ object WireFixtures {
         tmp, k, iters, numFiles = k)
     }
 
+  /** Near-duplicate MEASUREMENT corpus for the semantic-dedup recall
+    * gate (q_semdedup_recall): the natural embedding corpus plus one
+    * deterministically jittered copy of every vector, the copy's angle
+    * to its original spanning a controlled cosine band (~0.91–0.999 —
+    * nine amplitude levels by `id % 9`). The natural corpus is
+    * measured isotropic (max within-cell cosine ≈ 0.51 at sf0.1), so
+    * it carries NO organic near-dup pairs at any dedup threshold;
+    * exact twins (cosine 1.0) are recalled by hyperplane LSH with
+    * probability 1 and measure nothing. This population is the
+    * delivered-vs-generated parity pattern (reference:
+    * TestDatabusRelayMain.java — generate a workload with known ground
+    * truth, measure the delivered fraction): each jittered pair's
+    * recall under a plane/table configuration is a genuine function of
+    * its angle, so the measured pair-recall discriminates plane/table
+    * choices the planted-twin invariants cannot see.
+    *
+    * Construction: copy = vec + amp·(|vec|/|u|)·u with u a
+    * hash-derived pseudo-direction (components uniform-ish in [-1, 1]
+    * from `hash(id, dim)`) — cosine ≈ 1/√(1+amp²), amp ∈
+    * {0.05 … 0.45}. Fully deterministic (Murmur3, no RNG), so the
+    * measured recall is a constant of the code and corpus, exactly
+    * like q_ann_recall's floors. Copies take ids +1,000,000. */
+  def nearDupBandCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val withDirs = e
+      .withColumn("u", transform(col("vec"), (_, i) =>
+        (pmod(hash(col("id"), i), lit(2001)) - lit(1000)).cast("double")
+          / lit(1000.0)))
+      .withColumn("nv", sqrt(aggregate(col("vec"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("nu", sqrt(aggregate(col("u"), lit(0.0d),
+        (a, x) => a + x * x)))
+      .withColumn("amp",
+        lit(0.05) + pmod(col("id"), lit(9)).cast("double") * lit(0.05))
+    val jittered = withDirs.select((col("id") + 1000000L).as("id"),
+      zip_with(col("vec"), col("u"), (v, uu) =>
+        (v.cast("double") + col("amp") * col("nv") / col("nu") * uu)
+          .cast("float")).as("vec"))
+    e.unionByName(jittered)
+  }
+
   /** PQ index over the organic embedding corpus ([[annOrganicIndexDir]]'s
     * rationale on the ADC tier). */
   def pqOrganicIndexDir(spark: SparkSession, sfDir: String, m: Int = 4,

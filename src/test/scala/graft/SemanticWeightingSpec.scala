@@ -378,4 +378,39 @@ class SemanticWeightingSpec extends SparkSpec {
     val eval = train.where(col("id") < 0)
     assert(Semantic.semanticDecontaminate(train, eval, 0.99).count() === 2L)
   }
+
+  test("semdedup pair-recall floor discriminates: a concentrated" +
+      " plane budget falls below it") {
+    // the BANDED near-dup corpus q_semdedup_recall measures on (the
+    // natural corpus is isotropic — no organic near-dup mass — and
+    // exact twins collide in every table with probability 1, so only
+    // a controlled cosine band can measure a plane/table choice)
+    val corpus =
+      graft.sources.WireFixtures.nearDupBandCorpus(spark, sf())
+    def pairs(planes: Int, tables: Int) =
+      Semantic.withinCellDupPairs(corpus, k = 8, iters = 3,
+        cosineThreshold = 0.95, intraCellPlanes = planes,
+        intraCellTables = tables)
+    val exact = pairs(0, 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // SUBSET property: LSH blocking can only narrow cell co-membership
+    // — what makes |lsh| / |exact| a true recall
+    val regime = pairs(8, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(regime.subsetOf(exact),
+      "LSH pairs must be a subset of the exact within-cell pairs")
+    val regimeRecall = regime.size.toDouble / exact.size
+    // the deployment regime clears the pinned floor (0.93; measured
+    // 0.9697-0.9724 across sf0.001/0.01/0.1, see SparkEntry)...
+    assert(regimeRecall >= 0.93,
+      s"regime recall $regimeRecall under the pinned floor")
+    // ...and a 16-plane single-table configuration — same total plane
+    // budget, concentrated instead of spread — lands FAR below it
+    // (measured ≈ 0.44-0.46): the floor discriminates exactly the
+    // plane/table interaction planted twins cannot see
+    val starved = pairs(16, 1).count().toDouble / exact.size
+    assert(starved < 0.93 && starved < regimeRecall,
+      s"starved-config recall $starved does not discriminate the floor")
+  }
 }
