@@ -233,10 +233,29 @@ object WireFixtures {
     * from `hash(id, dim)`) — cosine ≈ 1/√(1+amp²), amp ∈
     * {0.05 … 0.45}. Fully deterministic (Murmur3, no RNG), so the
     * measured recall is a constant of the code and corpus, exactly
-    * like q_ann_recall's floors. Copies take ids +1,000,000. */
-  def nearDupBandCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    * like q_ann_recall's floors. Copies take ids +1,000,000.
+    *
+    * `sampleCap` bounds the MEASUREMENT population (deterministic
+    * hash-sample of the originals before jittering): the gate's exact
+    * denominator is the all-pairs-per-cell configuration, quadratic in
+    * cell size by design — the very cost the LSH regime exists to
+    * avoid — so an uncapped measurement at sf10+ would pay ~10^10 pair
+    * rows to measure a CONFIGURATION property that a few thousand
+    * banded pairs already estimate tightly. Recall is a property of
+    * the plane/table choice and the angle band, not of corpus size
+    * (confirmed flat across sf0.001/0.01/0.1); the cap keeps the gate
+    * constant-cost at every scale, the quantileSketch/trainSampleCap
+    * discipline applied to a quality measurement. The default covers
+    * the full corpus at the verify/bench SFs (≤ 2,000 vectors). */
+  def nearDupBandCorpus(spark: SparkSession, sfDir: String,
+      sampleCap: Long = 4000L): DataFrame = {
+    val eAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = eAll.count()
+    val e =
+      if (sampleCap <= 0 || n <= sampleCap) eAll
+      else graft.pipeline.Sampling.hashSample(eAll, "id",
+        math.max(1, (sampleCap * 10000L / n).toInt))
     val withDirs = e
       .withColumn("u", transform(col("vec"), (_, i) =>
         (pmod(hash(col("id"), i), lit(2001)) - lit(1000)).cast("double")
