@@ -498,4 +498,28 @@ class PlansSpec extends SparkSpec {
           " cells' literal pruned nothing")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("batch-regime ANN serving shuffles the probe join — no literal," +
+      " no driver collect in the plan") {
+    // ivfQuantizedTopKFromStoreBatch is the corpus-sized-query regime:
+    // its plan identity is the ABSENCE of the request-sized path's
+    // driver materialization — no probed-cell literal on the cells scan
+    // (the tier scan is the stated trade) and no LocalRelation probe
+    // frame (nothing was collected); the probe side reaches the cells
+    // join through an exchange, not a driver-shipped broadcast of
+    // collected rows
+    val store =
+      graft.sources.WireFixtures.annOrganicIndexDir(spark, sf())
+    val all = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val served = graft.pipeline.Ann.ivfQuantizedTopKFromStoreBatch(
+      all, all, store, k = 5, nProbe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(cell_id")),
+      s"batch regime must not carry the probed-cell literal:\n$plan")
+    assert(!plan.contains("LocalTableScan") &&
+      !plan.contains("LocalRelation"),
+      s"batch regime must not materialize probes on the driver:\n$plan")
+  }
 }
