@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  // the `e` suffix versions the derivation (round 11 added the events
-  // table) so a cached events-less sf1 set from an older build never
-  // serves a probe that expects the envelope families to run
-  val DerivedDir = "/tmp/graft_sf1e"
+  // the suffix versions the derivation (round 11 added the events
+  // table; round 15 replaced the 9-letter rotation / first-component
+  // nudge with non-collapsing per-replica transforms) so a cached set
+  // from an older recipe never serves a probe built for the new one
+  val DerivedDir = "/tmp/graft_sf1f"
   val Factor = 10
 
   /** Second-decade derivation (round 13): sf1 × 10 — the scale record
@@ -36,7 +37,7 @@ object ScaleProbe {
     * second one. Derived FROM the sf1 set with the same replication
     * recipes, shifts computed from the source's own maxima (the sf1
     * constants assume sf0.1 cardinalities). */
-  val Derived10Dir = "/tmp/graft_sf10e"
+  val Derived10Dir = "/tmp/graft_sf10f"
 
   /** Third-decade derivation (round 14): sf10 × 10 — [[deriveNext]]
     * composing once more (its shifts come from the source's own
@@ -44,7 +45,65 @@ object ScaleProbe {
     * heaviest families at it, turning the 100 TB claim from two
     * measured decades plus extrapolation into three measured decades
     * on the curve's hottest points. */
-  val Derived100Dir = "/tmp/graft_sf100e"
+  val Derived100Dir = "/tmp/graft_sf100f"
+
+  /** The 20 most frequent English letters — the character set the
+    * per-replica document transform permutes. Wide enough that a
+    * seeded shuffle scrambles nearly every frequent letter (expected
+    * fixed points between two random permutations: 1), so shingle
+    * overlap across replicas is noise-level. */
+  private val PermAlpha = "etaoinshrdlcumwfgypb"
+
+  /** Deterministic per-(level, replica) PERMUTATION of [[PermAlpha]] —
+    * the round-15 replacement for the 9-letter rotation, whose
+    * composition collapsed: rotations form the cyclic group C9, so two
+    * derivation levels of 10 replicas each land 100 composites on 9
+    * classes and near-identical document families grow the dedup pair
+    * mass ~quadratically per decade (SCALING.md round 14, the measured
+    * 498×). Random permutations compose in S20 (|S20| ≈ 2.4e18):
+    * distinct (level, replica) seeds give composites that are distinct
+    * and ~fully scrambled relative to each other, so cross-replica
+    * near-dup structure stays noise at ANY number of stacked decades.
+    * Replica 0 is the identity at every level — the source corpus is
+    * always a literal subset of its derivation. Seeded Fisher–Yates
+    * (java.util.Random is a fixed LCG by spec): fully deterministic,
+    * no ambient RNG. */
+  private def replicaPerm(level: Int, i: Int): String = {
+    val rnd = new java.util.Random(level.toLong * 1000003L + i)
+    val a = PermAlpha.toCharArray
+    var j = a.length - 1
+    while (j > 0) {
+      val k = rnd.nextInt(j + 1)
+      val t = a(j); a(j) = a(k); a(k) = t
+      j -= 1
+    }
+    new String(a)
+  }
+
+  /** Per-(level, replica) text transform: translate by
+    * [[replicaPerm]]; identity for replica 0. */
+  private def permText(level: Int, i: Int,
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (i == 0) textCol
+    else translate(textCol, PermAlpha, replicaPerm(level, i))
+
+  /** Per-(level, replica) embedding transform: a deterministic SIGN
+    * FLIP per dimension (hash-derived) — the round-15 replacement for
+    * the first-component nudge, which kept every replica within
+    * cosine ≈ 1−1e-6 of its source (all 100 composites of a vector
+    * formed ONE near-dup family: the measured ~101× semdedup pair mass
+    * per decade). Sign patterns preserve norms and all WITHIN-replica
+    * geometry exactly (cos(s·x, s·y) = cos(x, y)), while cross-replica
+    * cosine becomes a ±-weighted sum of squared components — |cos|
+    * ~ dim^-1/2 ≈ 0.125 at dim 64, far below any near-dup threshold —
+    * and patterns multiply across levels, so the property survives
+    * stacked decades. Replica 0 is the identity. */
+  private def signFlip(level: Int, i: Int,
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (i == 0) vecCol
+    else transform(vecCol, (x, pos) =>
+      when(pmod(hash(lit(level * 1000 + i), pos), lit(2)) === 0, x)
+        .otherwise(-x))
 
 
   /** Families deliberately OFF the probe list, each with a reason —
@@ -90,21 +149,20 @@ object ScaleProbe {
       spark.read.parquet(s"$src/lineitem.parquet")
         .withColumn("l_orderkey", col("l_orderkey") + i * 150000L)
     }.write.parquet(s"$dest/lineitem.parquet")
-    // per-replica letter rotation ⇒ cross-replica shingle disjointness
-    val alpha = "etaoinshr"
+    // per-replica letter PERMUTATION ⇒ cross-replica shingle
+    // disjointness that COMPOSES across derivation levels (the level-1
+    // seed space; see [[replicaPerm]])
     reps { i =>
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
       spark.read.parquet(s"$src/documents.parquet")
         .withColumn("doc_id", col("doc_id") + i * 10000L)
-        .withColumn("text", translate(col("text"), alpha, rot))
+        .withColumn("text", permText(1, i, col("text")))
     }.write.parquet(s"$dest/documents.parquet")
+    // per-replica sign flip ⇒ no cross-replica near-dup families at
+    // any threshold, within-replica geometry bit-preserved
     reps { i =>
       spark.read.parquet(s"$src/embeddings.parquet")
         .withColumn("vec_id", col("vec_id") + i * 10000L)
-        .withColumn("embedding", concat(
-          array((element_at(col("embedding"), 1) + lit(i * 0.0017f))
-            .cast("float")),
-          slice(col("embedding"), 2, 10000)))
+        .withColumn("embedding", signFlip(1, i, col("embedding")))
     }.write.parquet(s"$dest/embeddings.parquet")
     // events: id shift is a MULTIPLE OF THE WINDOW SIZE past the max id,
     // so every replica's scn = event_id - event_id % WindowSize windows
@@ -133,13 +191,17 @@ object ScaleProbe {
   /** [[derive]] generalized past its sf0.1-sized key-shift constants:
     * every shift derives from the SOURCE's own max key (rounded up to
     * the same window/partition units where ordering invariants demand
-    * it), so the recipe composes — sf1 → sf10 here, another decade if
-    * ever needed. The per-replica letter rotation composes imperfectly
-    * (alphabet length 9 < factor 10: replicas 0 and 9 share a rotation,
-    * so ONE replica pair contributes cross-replica near-dup structure —
-    * the same bounded artifact the sf1 set already carries; pair counts
-    * stay ~linear, documented rather than hidden). */
-  def deriveNext(spark: SparkSession, src: String, dest: String): Unit = {
+    * it), so the recipe composes — sf1 → sf10, sf10 → sf100, another
+    * decade if ever needed. `level` salts the per-replica document
+    * permutation and embedding sign-flip seeds (2 for the sf10
+    * derivation, 3 for sf100) so transforms at different levels
+    * COMPOSE into distinct, mutually-scrambled composites instead of
+    * collapsing into shared classes — the round-14 fixture-saturation
+    * finding (pair mass ×498/decade under composed 9-rotations, ×~101
+    * under composed nudges) is a property the new transforms cannot
+    * reproduce at any depth ([[replicaPerm]]/[[signFlip]]). */
+  def deriveNext(spark: SparkSession, src: String, dest: String,
+      level: Int): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS")))
       return
     val d = new java.io.File(dest)
@@ -167,22 +229,17 @@ object ScaleProbe {
       spark.read.parquet(s"$src/lineitem.parquet")
         .withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
     }.write.parquet(s"$dest/lineitem.parquet")
-    val alpha = "etaoinshr"
     val docShift = maxOf("documents", "doc_id") + 1L
     reps { i =>
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
       spark.read.parquet(s"$src/documents.parquet")
         .withColumn("doc_id", col("doc_id") + i * docShift)
-        .withColumn("text", translate(col("text"), alpha, rot))
+        .withColumn("text", permText(level, i, col("text")))
     }.write.parquet(s"$dest/documents.parquet")
     val vecShift = maxOf("embeddings", "vec_id") + 1L
     reps { i =>
       spark.read.parquet(s"$src/embeddings.parquet")
         .withColumn("vec_id", col("vec_id") + i * vecShift)
-        .withColumn("embedding", concat(
-          array((element_at(col("embedding"), 1) + lit(i * 0.00037f))
-            .cast("float")),
-          slice(col("embedding"), 2, 10000)))
+        .withColumn("embedding", signFlip(level, i, col("embedding")))
     }.write.parquet(s"$dest/embeddings.parquet")
     val ev = graft.sources.ChangeFeed.raw(spark, src)
     val (maxId, maxUser) = {
@@ -251,6 +308,39 @@ object ScaleProbe {
       }
       probePrune(base)
       probePrune(DerivedDir)
+      spark.stop(); return
+    }
+
+    if (args.contains("annbatch")) {
+      // BATCH-REGIME serving at the scale it exists for: a CORPUS-SIZED
+      // query batch through ivfQuantizedTopKFromStoreBatch (round 14's
+      // shuffle regime, spec-proven correct but never measured at its
+      // stated workload). Geometry is the scale-honest k ∝ N (constant
+      // ~250-vector cells — the semdedup-kN adjudication's shape): the
+      // regime's candidate volume is queries × nProbe × cellSize, so
+      // constant cells make the decade ~linear; a fixed-k store would
+      // measure the fixture's quadratic candidate blow-up, not the
+      // operator. Store build (training + assignment) is a fixture
+      // cost, materialized OUTSIDE the timer via the cached organic
+      // index. The probe stage itself (queries × k centroid distances)
+      // bounds how far k ∝ N stretches in one flat level — its scale
+      // path is a coarse-over-coarse hierarchy, stated in SCALING.md.
+      def annBatchLeg(dir: String, k: Int): Double = {
+        val store =
+          graft.sources.WireFixtures.annOrganicIndexDir(spark, dir, k = k)
+        val all = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Bench.force(graft.pipeline.Ann.ivfQuantizedTopKFromStoreBatch(
+            all, all, store, k = 10, nProbe = 2))
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val a = annBatchLeg(base, 80)
+      val b = annBatchLeg(DerivedDir, 800)
+      println(f"${"q_ann_batch (k∝N)"}%-22s $a%8.2f $b%8.2f  ${b / a}%5.1f×")
       spark.stop(); return
     }
 
@@ -384,8 +474,8 @@ object ScaleProbe {
       // of minutes per sf100 family a min-of-2 buys noise reduction a
       // decade ratio does not need (box variance is percent-level, the
       // question is linear-vs-super-linear); FAILED lines stay loud.
-      deriveNext(spark, DerivedDir, Derived10Dir)
-      deriveNext(spark, Derived10Dir, Derived100Dir)
+      deriveNext(spark, DerivedDir, Derived10Dir, level = 2)
+      deriveNext(spark, Derived10Dir, Derived100Dir, level = 3)
       def one(label: String)(run: String => Unit): Unit = try {
         def t(dir: String): Double = {
           val t0 = System.nanoTime(); run(dir)
@@ -428,7 +518,7 @@ object ScaleProbe {
       // line. List = the top of BENCH_sf1_r12 by wall time plus the
       // verdict-named store-maintenance shapes; min-of-2 per scale,
       // FAILED lines loud, sweep continues (the sf1 sweep's rules).
-      deriveNext(spark, DerivedDir, Derived10Dir)
+      deriveNext(spark, DerivedDir, Derived10Dir, level = 2)
       val heavyAll = Seq(
         "q_ivfpq_cdc_stream", "q_ann_cdc_stream", "q_index_cdc_stream",
         "q_dedup_stream_incr", "q_ann_rebalance", "q_postings_compact",

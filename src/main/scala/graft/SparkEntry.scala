@@ -3427,6 +3427,77 @@ object SparkEntry {
         .where(col("rank") === 1)
     }),
 
+    // ---- shuffle-regime batch serving on the RAW (float-precision)
+    // IVF family — batch parity: the scan path exists for every family
+    // the seek path serves (reference: BootstrapProcessor.java:122-160
+    // iterates ALL sources). Exact scoring, so the planted twin is
+    // rank-1 at cosine 1.0 with no rerank pass ----
+    "q_ann_ivf_batch" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.annIndexDir(s, dir)
+      Ann.ivfTopKFromStoreBatch(all.where(col("id") < 15), withTwins,
+        store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- shuffle-regime batch serving on the IVF-PQ store — the
+    // COMPRESSED tier a 100 TB deployment actually serves, so its
+    // corpus-sized path must be a real regime, not an error naming a
+    // different family's function. Per-(query,cell) residual ADC LUTs
+    // ride the distributed probe frame; candidates come from a plain
+    // cell_id hash join; the planted twin shares coarse argmin AND code
+    // word, so rank-1 at cosine 1.0 survives the regime change ----
+    "q_ann_ivfpq_batch" -> ((s, dir) => {
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val withTwins = all.unionByName(
+        all.select((col("id") + 1000000L).as("id"), col("vec")))
+      val store = graft.sources.WireFixtures.ivfPqIndexDir(s, dir)
+      Ann.ivfPqTopKFromStoreBatch(all.where(col("id") < 15), withTwins,
+        store, k = 5)
+        .where(col("rank") === 1)
+    }),
+
+    // ---- PINNED batch serving: the two round-14 features composed —
+    // a lake-annotation job (the batch regime's stated user) registers
+    // a pin and annotates against a FROZEN index while both time-travel
+    // axes move underneath (a later append batch of tie-winning lower-id
+    // twins, then a compaction publish). q_ann_pin's contract through
+    // the shuffle regime: pinned serves the +1e6 twin, head the +5e5 ----
+    "q_ann_batch_pin" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("annbpin").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
+        batchId = Some(0L))
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 1000000L).as("id"), col("vec")),
+        s"$root/index", 1L)
+      val pin = Ann.pinIndex(s"$root/index")
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 500000L).as("id"), col("vec")),
+        s"$root/index", 2L)
+      Ann.compactIndexCells(s, s"$root/index", keepGenerations = 1)
+      val corpus = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 500000L).as("id"), col("vec")))
+      val q = all.where(col("id") < 15)
+      Ann.ivfQuantizedTopKFromStoreBatchPinned(q, corpus, s"$root/index",
+          k = 5, pin, nProbe = 8)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("pinned").as("probe_view"))
+        .unionByName(
+          Ann.ivfQuantizedTopKFromStoreBatch(q, corpus, s"$root/index",
+              k = 5, nProbe = 8)
+            .where(col("rank") === 1)
+            .select(col("query_id"), col("neighbor_id"),
+              lit("head").as("probe_view")))
+    }),
+
     // ---- ANN served from an INCREMENTALLY-built index: the base corpus
     // indexed once, the twin batch appended later (frozen codebook, only
     // the batch assigned, stored cells never re-scanned). Identical
@@ -5489,6 +5560,19 @@ object SparkEntry {
         " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
         " FROM embeddings WHERE vec_id < 15"),
 
+    // raw-IVF batch regime: exact scoring, same planted-twin contract
+    "q_ann_ivf_batch" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // IVF-PQ batch regime: the twin shares coarse argmin AND residual
+    // code word, so the regime change never moves rank-1
+    "q_ann_ivfpq_batch" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS cosine" +
+        " FROM embeddings WHERE vec_id < 15"),
+
     // incremental-append store: same contract — a twin appended under a
     // frozen codebook must land in its original's cell and be served
     // identically to the all-at-once index
@@ -5554,6 +5638,14 @@ object SparkEntry {
     // a later append AND a later compaction-publish — pinned serves the
     // +1e6 twin, the post-publish head the +5e5 tie-winner
     "q_ann_pin" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // pinned BATCH serving: q_ann_pin's contract through the shuffle
+    // regime — the lake-annotation job's frozen-index path
+    "q_ann_batch_pin" ->
       ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
         " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
         " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
@@ -6266,7 +6358,8 @@ object SparkEntry {
         " UNION ALL SELECT 'empty_complete_generations', 1" +
         " UNION ALL SELECT 'stale_reservations', 1" +
         " UNION ALL SELECT 'superseded_pointer_markers', 0" +
-        " UNION ALL SELECT 'expired_pin_files', 1"),
+        " UNION ALL SELECT 'expired_pin_files', 1" +
+        " UNION ALL SELECT 'live_pin_files', 1"),
 
     // model/signature/partial-store fsck: healthy stores audit to
     // all-zero findings — the closed-form operational baseline

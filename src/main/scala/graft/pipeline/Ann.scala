@@ -224,12 +224,16 @@ object Ann {
     * collect assumes is checked, not trusted — the collect itself is
     * bounded at [[maxProbeRows]]+1 rows (`limit`, so an over-budget
     * probe frame can never OOM the driver first), and crossing the
-    * budget raises a loud two-regime error naming
-    * [[ivfQuantizedTopKFromStoreBatch]] as the corpus-sized-batch path.
+    * budget raises a loud two-regime error naming `batchRegime` — the
+    * CALLING FAMILY'S OWN corpus-sized-batch path (each quantizer tier
+    * has one: [[ivfQuantizedTopKFromStoreBatch]],
+    * [[ivfTopKFromStoreBatch]], [[ivfPqTopKFromStoreBatch]]) — so a
+    * PQ-family caller is never sent to a function that reads a
+    * different store family's tables.
     * Reference analogue: every /stream request carries an enforced
     * response budget (ReadEventsRequestProcessor.java:78-79) — serving
     * entry points never let one oversized request take the server down. */
-  private def materializeProbes(probes: DataFrame,
+  private def materializeProbes(probes: DataFrame, batchRegime: String,
       cols: String*): (Seq[Long], DataFrame) = {
     val spark = probes.sparkSession
     val cap = maxProbeRows(spark)
@@ -240,7 +244,7 @@ object Ann {
         " nProbe) — the store-served top-k paths materialize probes on" +
         " the driver and are for request-sized query batches; for a" +
         " corpus-sized batch (annotating a lake against the index) use" +
-        " the shuffle regime, ivfQuantizedTopKFromStoreBatch, which" +
+        s" this family's shuffle regime, $batchRegime, which" +
         " joins the coded tier to the probe frame on cell_id and never" +
         " collects (or raise the cap if the driver really has the heap)")
     val ids = rows.map(_.getAs[Long]("cell_id")).distinct.sorted.toSeq
@@ -259,9 +263,27 @@ object Ann {
   val ProbeCapConf = "graft.ann.maxProbeRows"
   private val DefaultMaxProbeRows = 1000000
 
+  /** Parsed LOUDLY: a conf whose whole purpose is a named, actionable
+    * error must not itself surface a raw NumberFormatException on a
+    * malformed value, and a value past Int.MaxValue must not overflow
+    * `limit(cap + 1)` into a NEGATIVE limit — parsed as Long, required
+    * positive, clamped so cap+1 stays an Int (a cap that large no
+    * longer bounds anything a driver survives; it must merely not turn
+    * the guard into a confusing plan error). */
   private def maxProbeRows(
-      spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.get(ProbeCapConf, DefaultMaxProbeRows.toString).toInt
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val raw = spark.conf.get(ProbeCapConf, DefaultMaxProbeRows.toString)
+    val v =
+      try raw.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"Ann: $ProbeCapConf must be a positive integer row count," +
+            s" got '$raw'", e)
+      }
+    require(v > 0,
+      s"Ann: $ProbeCapConf must be a positive integer row count, got $raw")
+    math.min(v, Int.MaxValue - 1L).toInt
+  }
 
   private def ivfQuantizedCore(queries: DataFrame, cells: DataFrame,
       centroids: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
@@ -277,7 +299,8 @@ object Ann {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").desc)
     val (probedIds, probesL) =
-      materializeProbes(probes, "cell_id", "query_id")
+      materializeProbes(probes, "ivfQuantizedTopKFromStoreBatch",
+        "cell_id", "query_id")
     val survivors = cells.where(col("cell_id").isin(probedIds: _*))
       .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -502,12 +525,38 @@ object Ann {
   def ivfQuantizedTopKFromStoreBatch(queries: DataFrame, corpus: DataFrame,
       storeDir: String, k: Int, nProbe: Int = 2,
       rerank: Int = 50): DataFrame = {
-    import graft.functions.VectorFunctions.dequantizeInt8
     val spark = corpus.sparkSession
-    val centroids =
-      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
-    val cells = readCells(spark, storeDir)
-      .withColumnRenamed("id", "neighbor_id")
+    ivfQuantizedBatchCore(queries, corpus,
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook"),
+      readCells(spark, storeDir).withColumnRenamed("id", "neighbor_id"),
+      k, nProbe, rerank)
+  }
+
+  /** [[ivfQuantizedTopKFromStoreBatch]] at a captured [[AnnPin]] — the
+    * COMPOSITION of the two serving contracts: a lake-annotation job is
+    * exactly the long-running training-shaped consumer the pin exists
+    * for, so the shuffle regime must resolve the pinned generation's
+    * codebook and cells (batches past the pin partition-pruned,
+    * tombstones still applied) the same way the request-regime pinned
+    * server does — otherwise "annotate the whole lake against a frozen
+    * index" silently reads the head mid-job. */
+  def ivfQuantizedTopKFromStoreBatchPinned(queries: DataFrame,
+      corpus: DataFrame, storeDir: String, k: Int, pin: AnnPin,
+      nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfQuantizedTopKFromStoreBatchPinned")
+    ivfQuantizedBatchCore(queries, corpus,
+      spark.read.parquet(s"$t/codebook"),
+      liveRowsAt(spark, t, "cells", pin.maxBatch)
+        .withColumnRenamed("id", "neighbor_id"),
+      k, nProbe, rerank)
+  }
+
+  private def ivfQuantizedBatchCore(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, cells: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dequantizeInt8
     // probe ranking is probeCells verbatim — the centroid crossJoin
     // broadcast is codebook-sized and regime-independent; qvec rides the
     // probe rows so approx scoring needs no second corpus-sized join
@@ -533,6 +582,39 @@ object Ann {
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** SHUFFLE-regime [[ivfTopKFromStore]] — batch-serving PARITY for the
+    * float-precision IVF family (the scan path exists for every family
+    * the seek path serves, the reference's bootstrap rule:
+    * BootstrapProcessor.java:122-160 iterates ALL sources). Identical
+    * answers to the request regime (same probe ranking, same exact
+    * scoring, same tie-breaks); same stated trade as
+    * [[ivfQuantizedTopKFromStoreBatch]]: no probed-cell literal, so the
+    * assignment tier scans — correct economics when a corpus-sized
+    * batch probes every cell anyway. */
+  def ivfTopKFromStoreBatch(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids =
+      spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
+    val cells = readCells(spark, storeDir)
+      .select(col("id").as("neighbor_id"), col("cell_id"))
+    val probes = probeCells(queries, centroids, nProbe)
+      .select(col("cell_id"), col("query_id"), col("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cells
+      .join(probes, "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -999,7 +1081,8 @@ object Ann {
     // literal probed-cell pushdown ([[materializeProbes]]): the store
     // scan skips unprobed row groups instead of filtering in the join
     val (probedIds, probesL) =
-      materializeProbes(probes, "cell_id", "query_id")
+      materializeProbes(probes, "ivfTopKFromStoreBatch",
+        "cell_id", "query_id")
     cells.where(col("cell_id").isin(probedIds: _*))
       .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1577,7 +1660,8 @@ object Ann {
     // into a per-query shuffle, so the aggregate is the same exchange
     // class the window needs, not a corpus-sized detour
     val (probedIds, probesL) =
-      materializeProbes(probes, "query_id", "cell_id", "lut")
+      materializeProbes(probes, "ivfPqTopKFromStoreBatch",
+        "query_id", "cell_id", "lut")
     val survivors = cells.where(col("cell_id").isin(probedIds: _*))
       .join(broadcast(probesL), "cell_id")
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1593,6 +1677,91 @@ object Ann {
         "neighbor_id")
       .join(broadcast(queries.select(col("id").as("query_id"),
         col("vec").as("qvec"))), "query_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wA))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** SHUFFLE-regime [[ivfPqTopKFromStore]] for CORPUS-SIZED query
+    * batches — batch-serving parity for the COMPRESSED tier a 100 TB
+    * deployment actually serves (the family the request path's budget
+    * guard points at by name). Identical answers (same probe ranking,
+    * same per-(query,cell) residual ADC LUTs, same min-ADC dedup,
+    * rerank and tie-break rules); different plan: the probe frame —
+    * each row carrying its m·ksub-double LUT — is never collected,
+    * never broadcast, never a pushable literal; candidates come from a
+    * plain hash join of the stored code words to the probe frame on
+    * cell_id, and every later join is unhinted so AQE sizes it from
+    * measurements. Same stated trade as the int8 batch regime: the
+    * coded tier scans, which a corpus-sized batch makes moot (it
+    * probes every cell many times over). */
+  def ivfPqTopKFromStoreBatch(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.tableRoot(storeDir)
+    ivfPqBatchCore(queries, corpus, t,
+      Tombstones.filterLive(
+        spark.read.parquet(s"$t/cells").drop("batch"), t, "id"),
+      k, nProbe, rerank)
+  }
+
+  /** [[ivfPqTopKFromStoreBatch]] at a captured [[AnnPin]] — the pinned
+    * lake-annotation path on the compressed tier: all three tables
+    * (codebook, books, cells) resolve from the pinned generation, the
+    * cells additionally pinned at the recorded append batch
+    * ([[ivfQuantizedTopKFromStoreBatchPinned]]'s rationale). */
+  def ivfPqTopKFromStoreBatchPinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfPqTopKFromStoreBatchPinned")
+    ivfPqBatchCore(queries, corpus, t,
+      liveRowsAt(spark, t, "cells", pin.maxBatch), k, nProbe, rerank)
+  }
+
+  private def ivfPqBatchCore(queries: DataFrame, corpus: DataFrame,
+      t: String, liveCells: DataFrame, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = spark.read.parquet(s"$t/codebook")
+    val books = readPqBooksAt(spark, t)
+    val m = books.length
+    val ksub = books(0).length
+    val cells = liveCells.withColumnRenamed("id", "neighbor_id")
+    // per-(query, cell) residual LUT — ivfPqServeAt's expression
+    // verbatim, but COMPUTED ON THE DISTRIBUTED probe frame (queries ×
+    // nProbe rows of m·ksub doubles) instead of collected rows: the
+    // LUT build is a projection, so it parallelizes with the frame
+    val probes = probeCells(queries, centroids, nProbe)
+      .withColumn("lut", adcLutExpr(books,
+        zip_with(col("qvec"), col("cent"), (a, b) => a - b)))
+      .select("query_id", "cell_id", "lut")
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"), col("codes").getItem(j) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    // same ordering contracts as the request regime: min ADC per
+    // (query, neighbor) BEFORE the cut, ties keep the largest ids
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").desc)
+    val survivors = cells
+      .join(probes, "cell_id")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("adc"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("adc")).as("adc"))
+      .withColumn("r", row_number().over(wApprox))
+      .where(col("r") <= rerank)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    survivors
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+        "neighbor_id")
+      .join(queries.select(col("id").as("query_id"), col("vec").as("qvec")),
+        "query_id")
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(wA))
       .where(col("rank") <= k)

@@ -400,7 +400,10 @@ object StoreFsck {
     *   - `expired_pin_files`: [[VersionedStore.registerPin]]
     *     registrations past the pin lease (a crashed registrant that
     *     never released) — the generation stops being spared; the file
-    *     itself is dead bytes retired with the dir. */
+    *     itself is dead bytes retired with the dir;
+    *   - `live_pin_files` (informational): registrations still within
+    *     lease — generations gc is currently sparing for a reader;
+    *     [[VersionedStore.listPins]] names the holders. */
   def versionedStore(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val gens = VersionedStore.listGens(root)
@@ -463,7 +466,15 @@ object StoreFsck {
       // sparing rule, so audit and sweep can never drift apart
       ("expired_pin_files",
         complete.map(g =>
-          VersionedStore.pinStates(root, g).count(!_._2).toLong).sum))
+          VersionedStore.pinStates(root, g).count(!_._2).toLong).sum),
+      // INFORMATIONAL, not a fault: generations currently held against
+      // gc by live registrations ([[VersionedStore.listPins]] names the
+      // holders) — the audit-side half of the pin observability
+      // surface, so an operator reading the findings sees "this store
+      // has readers pinning history" next to the expired dead bytes
+      ("live_pin_files",
+        complete.map(g =>
+          VersionedStore.pinStates(root, g).count(_._2).toLong).sum))
       .toDF("check_name", "n_bad")
   }
 

@@ -541,6 +541,57 @@ object VersionedStore {
   def releasePin(root: String, gen: Long, token: String): Unit =
     StoreFs.deleteRecursive(s"${genDir(root, gen)}/$PinPrefix$token")
 
+  /** RENEW a [[registerPin]] lease: re-stamp the `_PIN.<token>` file's
+    * mtime so the lease clock restarts — the refresh a legitimate
+    * registrant running PAST `graft.store.pinLeaseMs` calls on a
+    * heartbeat (without it, the documented remedy for jobs that must
+    * outlive keepGenerations expires out from under exactly the long
+    * jobs it exists for, mitigated only by the loud post-sweep read
+    * error). LOUD on a missing pin: a renew that silently no-ops when
+    * the lease already expired and gc already swept would let the
+    * registrant keep believing it is protected — the failure names
+    * what happened and what to do (re-register while the generation
+    * still exists). Serializes with gc under the maintenance lock like
+    * registration, so a renew can never interleave with the sweep. */
+  def renewPin(root: String, gen: Long, token: String): Unit =
+    maintenance(root) {
+      val p = s"${genDir(root, gen)}/$PinPrefix$token"
+      require(StoreFs.exists(p),
+        s"VersionedStore.renewPin: no pin '$token' on generation $gen at" +
+          s" $root — the lease expired and gc swept it (or it was" +
+          " released); re-register with registerPin while the generation" +
+          " still exists, and renew BEFORE the lease runs out")
+      StoreFs.setModificationTime(p, System.currentTimeMillis())
+    }
+
+  /** One [[registerPin]] registration as [[listPins]] reports it:
+    * `expiresAtMs` is None under lease 0 (pins never expire); `live`
+    * is gc's OWN sparing classification ([[pinStates]] — the listing
+    * can never disagree with the sweep). */
+  final case class PinInfo(gen: Long, token: String,
+    registeredAtMs: Long, expiresAtMs: Option[Long], live: Boolean)
+
+  /** Every pin registration on `root`, across all generations —
+    * the observability surface for "which jobs hold generations on
+    * this store, and until when?" (the operational question the
+    * reference answers for checkpoints via /relayStats-style
+    * introspection, SURVEY §2.10). Metadata-only: one generation
+    * listing plus one name listing + mtime per generation; liveness
+    * shares [[pinStates]] with gc and fsck so the three surfaces can
+    * never drift apart. Sorted (gen, token) for deterministic output. */
+  def listPins(root: String): Seq[PinInfo] = {
+    val lease = pinLeaseMs
+    listGens(root).map(_._1).sorted.flatMap { g =>
+      pinStates(root, g).map { case (name, live) =>
+        val token = name.drop(PinPrefix.length)
+        val at = StoreFs.modificationTime(s"${genDir(root, g)}/$name")
+          .getOrElse(0L)
+        PinInfo(g, token, at,
+          if (lease <= 0) None else Some(at + lease), live)
+      }.sortBy(_.token)
+    }
+  }
+
   private[graft] val PinPrefix = "_PIN."
   private val PinLeaseConf = "graft.store.pinLeaseMs"
 
@@ -818,7 +869,15 @@ object VersionedStore {
           val dead = gens.collect {
             case (g, _) if g <= cur && !keepSet.contains(g) &&
               !liveReservation(g) && !livePin(root, g) => g
-            case (g, complete) if g > cur && complete => g
+            // the livePin sparing applies ABOVE cur too: registerPin
+            // accepts any complete generation (an unreferenced crashed
+            // publish is resolvable via pinnedGenerationRoot and may be
+            // adopt()'s recovery target), so sweeping a live-pinned one
+            // here would break the "registerPin holds the generation
+            // against gc" contract on exactly the generations an
+            // operator is mid-recovery on
+            case (g, complete) if g > cur && complete &&
+              !livePin(root, g) => g
             // g > cur && !complete, reservation from THIS host whose
             // publisher pid is dead: a crashed in-flight publish —
             // provably abandoned, and numbering skips reserved dirs so

@@ -247,11 +247,26 @@ object WireFixtures {
     * constant-cost at every scale, the quantileSketch/trainSampleCap
     * discipline applied to a quality measurement. The default covers
     * the full corpus at the verify/bench SFs (≤ 2,000 vectors). */
+  /** Jittered-copy id offset for [[nearDupBandCorpus]] — guarded
+    * against organic-id collision at corpus-read time. */
+  private val CopyIdOffset = 1000000L
+
   def nearDupBandCorpus(spark: SparkSession, sfDir: String,
       sampleCap: Long = 4000L): DataFrame = {
     val eAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val n = eAll.count()
+    // the count below walks the corpus anyway — ride the max along it:
+    // a sampled id at or above the copy offset would COLLIDE with a
+    // copy id, silently corrupting both the exact and the LSH pair
+    // sets the recall gate divides (a derived sf100 corpus reaches
+    // vec_id 2e6); fail loudly instead (ScaleProbe's own sf100 semdedup
+    // leg uses a 1e8 offset for the same reason)
+    val r = eAll.agg(count(lit(1)), max(col("id"))).head()
+    val n = r.getLong(0)
+    require(n == 0 || r.getLong(1) < CopyIdOffset,
+      s"nearDupBandCorpus: corpus max id ${r.getLong(1)} reaches the" +
+        s" jittered-copy id offset $CopyIdOffset — copies would collide" +
+        " with organic ids and corrupt the recall gate's pair sets")
     val e =
       if (sampleCap <= 0 || n <= sampleCap) eAll
       else graft.pipeline.Sampling.hashSample(eAll, "id",
@@ -266,7 +281,7 @@ object WireFixtures {
         (a, x) => a + x * x)))
       .withColumn("amp",
         lit(0.05) + pmod(col("id"), lit(9)).cast("double") * lit(0.05))
-    val jittered = withDirs.select((col("id") + 1000000L).as("id"),
+    val jittered = withDirs.select((col("id") + CopyIdOffset).as("id"),
       zip_with(col("vec"), col("u"), (v, uu) =>
         (v.cast("double") + col("amp") * col("nv") / col("nu") * uu)
           .cast("float")).as("vec"))

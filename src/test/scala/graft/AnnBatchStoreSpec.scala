@@ -527,4 +527,145 @@ class AnnBatchStoreSpec extends SparkSpec {
     assert(Ann.ivfQuantizedTopKFromStore(queries, corpus, dir,
       k = 3, nProbe = 2).collect().nonEmpty)
   }
+
+  test("batch-regime parity: the raw-IVF and IVF-PQ families' shuffle" +
+      " regimes are answer-identical to their request regimes") {
+    // every family the seek path serves gets a scan path (reference:
+    // BootstrapProcessor.java:122-160 iterates ALL sources) -- proven
+    // the same way as the int8 regime: the WHOLE corpus as the query
+    // batch, full top-k frames compared exactly
+    val probe = corpus.select("id", "vec")
+    val ivf = s"${tmp("annb")}/regimeivf"
+    Ann.writeIndex(corpus, ivf, k = 4, iters = 2)
+    val ivfLit = Ann.ivfTopKFromStore(
+      probe, corpus, ivf, k = 3, nProbe = 3).collect().toSet
+    val ivfShuf = Ann.ivfTopKFromStoreBatch(
+      probe, corpus, ivf, k = 3, nProbe = 3).collect().toSet
+    assert(ivfLit == ivfShuf, "raw-IVF regimes must be answer-identical")
+    assert(ivfLit.nonEmpty)
+    val ivfpq = s"${tmp("annb")}/regimeivfpq"
+    Ann.writeIvfPqIndex(corpus, ivfpq, k = 4, m = 4, ksub = 4, iters = 2)
+    val pqLit = Ann.ivfPqTopKFromStore(
+      probe, corpus, ivfpq, k = 3, nProbe = 3, rerank = 50).collect().toSet
+    val pqShuf = Ann.ivfPqTopKFromStoreBatch(
+      probe, corpus, ivfpq, k = 3, nProbe = 3, rerank = 50).collect().toSet
+    assert(pqLit == pqShuf, "IVF-PQ regimes must be answer-identical")
+    assert(pqLit.nonEmpty)
+  }
+
+  test("probe budget guard names each family's OWN batch regime") {
+    // the shared guard must never send an IVF-PQ caller to the int8
+    // family's function (a regime that reads different tables) -- each
+    // error names the caller's remedy, and that remedy serves the same
+    // request untouched by the cap
+    val ivf = s"${tmp("annb")}/capivf"
+    Ann.writeIndex(base, ivf, k = 4, iters = 2)
+    val ivfpq = s"${tmp("annb")}/capivfpq"
+    Ann.writeIvfPqIndex(base, ivfpq, k = 4, m = 4, ksub = 4, iters = 2)
+    spark.conf.set(Ann.ProbeCapConf, "4")
+    try {
+      val eIvf = intercept[IllegalArgumentException] {
+        Ann.ivfTopKFromStore(queries, corpus, ivf, k = 3, nProbe = 2)
+          .collect()
+      }
+      assert(eIvf.getMessage.contains(" ivfTopKFromStoreBatch,"),
+        eIvf.getMessage)
+      assert(!eIvf.getMessage.contains("ivfQuantized"), eIvf.getMessage)
+      assert(Ann.ivfTopKFromStoreBatch(queries, corpus, ivf,
+        k = 3, nProbe = 2).collect().nonEmpty)
+      val ePq = intercept[IllegalArgumentException] {
+        Ann.ivfPqTopKFromStore(queries, corpus, ivfpq, k = 3, nProbe = 2)
+          .collect()
+      }
+      assert(ePq.getMessage.contains(" ivfPqTopKFromStoreBatch,"),
+        ePq.getMessage)
+      assert(Ann.ivfPqTopKFromStoreBatch(queries, corpus, ivfpq,
+        k = 3, nProbe = 2).collect().nonEmpty)
+    } finally spark.conf.unset(Ann.ProbeCapConf)
+  }
+
+  test("probe cap conf: malformed and overflow values fail loudly, never as raw parse/plan errors") {
+    val dir = s"${tmp("annb")}/capconf"
+    Ann.writeIndex(base, dir, k = 4, iters = 2)
+    def serve() = Ann.ivfQuantizedTopKFromStore(
+      queries, corpus, dir, k = 3, nProbe = 2).collect()
+    // malformed: the NAMED conf error, not a NumberFormatException
+    spark.conf.set(Ann.ProbeCapConf, "lots")
+    try {
+      val e = intercept[IllegalArgumentException] { serve() }
+      assert(e.getMessage.contains(Ann.ProbeCapConf), e.getMessage)
+    } finally spark.conf.unset(Ann.ProbeCapConf)
+    // non-positive: same named refusal
+    spark.conf.set(Ann.ProbeCapConf, "0")
+    try {
+      val e = intercept[IllegalArgumentException] { serve() }
+      assert(e.getMessage.contains(Ann.ProbeCapConf), e.getMessage)
+    } finally spark.conf.unset(Ann.ProbeCapConf)
+    // past Int.MaxValue: clamped -- cap+1 must not overflow limit()
+    // into a negative (a conf whose purpose is a loud error must not
+    // produce a confusing plan failure instead)
+    spark.conf.set(Ann.ProbeCapConf, "9999999999")
+    try assert(serve().nonEmpty)
+    finally spark.conf.unset(Ann.ProbeCapConf)
+  }
+
+  test("pinned BATCH serving: the shuffle regime replays a pin across later appends AND a later publish") {
+    // the composition of the two round-14 features: the batch regime's
+    // stated user (a lake-annotation job) is exactly the long-running
+    // training-shaped consumer pins exist for
+    val dir = s"${tmp("annb")}/batchpin"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    val pin = Ann.pinIndex(dir)
+    val laterTwins =
+      (0L until 6L).map(i => (i + 500L, vec(i))).toDF("id", "vec")
+    val corpus3 = corpus.unionByName(laterTwins)
+    val before = Ann.ivfQuantizedTopKFromStoreBatchPinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+    // regime-identity under the pin too: pinned-batch == pinned-request
+    assert(before == Ann.ivfQuantizedTopKFromStorePinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet,
+      "pinned shuffle and pinned request regimes must answer identically")
+    // BOTH time-travel axes move: a later append, then a publish
+    Ann.appendToIndexBatch(laterTwins, dir, batchId = 2L)
+    Ann.compactIndexCells(spark, dir, keepGenerations = 1)
+    assert(Ann.ivfQuantizedTopKFromStoreBatchPinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+      == before, "the pinned batch read must replay exactly")
+    // pinned rank-1 = the +1000 twin; the HEAD batch read serves the
+    // +500 tie-winner (lowest cosine-1.0 id)
+    Ann.ivfQuantizedTopKFromStoreBatch(queries, corpus3, dir, k = 3,
+        nProbe = 4)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 500L, s"head query $q") }
+    // IVF-PQ: the compressed tier composes the same way
+    val idir = s"${tmp("annb")}/batchpinivfpq"
+    Ann.writeIvfPqIndex(base, idir, k = 3, m = 4, ksub = 4, iters = 2,
+      batchId = Some(0L))
+    Ann.appendToIvfPqIndexBatch(twins, idir, batchId = 1L)
+    val ipin = Ann.pinIndex(idir)
+    Ann.appendToIvfPqIndexBatch(laterTwins, idir, batchId = 2L)
+    val ipinned = Ann.ivfPqTopKFromStoreBatchPinned(
+      queries, corpus3, idir, k = 3, ipin, nProbe = 3)
+    assert(ipinned.collect().toSet == Ann.ivfPqTopKFromStorePinned(
+      queries, corpus3, idir, k = 3, ipin, nProbe = 3).collect().toSet)
+    ipinned.where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 1000L, s"pinned query $q") }
+    Ann.ivfPqTopKFromStoreBatch(queries, corpus3, idir, k = 3, nProbe = 3)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(n == q + 500L, s"head query $q") }
+    // a retired pin fails through the batch path with the same NAMED
+    // retention error as the request path
+    VersionedStore.gc(dir, keep = 0)
+    val e = intercept[IllegalStateException] {
+      Ann.ivfQuantizedTopKFromStoreBatchPinned(queries, corpus3, dir,
+        k = 3, pin, nProbe = 4)
+    }
+    assert(e.getMessage.contains("outlived retention"), e.getMessage)
+    assert(e.getMessage.contains("ivfQuantizedTopKFromStoreBatchPinned"),
+      e.getMessage)
+  }
 }

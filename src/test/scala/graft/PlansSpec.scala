@@ -510,16 +510,30 @@ class PlansSpec extends SparkSpec {
     // collected rows
     val store =
       graft.sources.WireFixtures.annOrganicIndexDir(spark, sf())
+    val pqStore =
+      graft.sources.WireFixtures.ivfPqOrganicIndexDir(spark, sf())
     val all = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val served = graft.pipeline.Ann.ivfQuantizedTopKFromStoreBatch(
-      all, all, store, k = 5, nProbe = 2)
-    val plan = served.queryExecution.executedPlan.toString
-    assert(!plan.linesIterator.exists(l =>
-      l.contains("PushedFilters") && l.contains("In(cell_id")),
-      s"batch regime must not carry the probed-cell literal:\n$plan")
-    assert(!plan.contains("LocalTableScan") &&
-      !plan.contains("LocalRelation"),
-      s"batch regime must not materialize probes on the driver:\n$plan")
+    // ALL THREE families' batch regimes carry the same plan identity
+    // (batch parity, round 15): int8 IVF, raw IVF, IVF-PQ
+    val regimes = Seq(
+      ("ivfQuantizedTopKFromStoreBatch",
+        graft.pipeline.Ann.ivfQuantizedTopKFromStoreBatch(
+          all, all, store, k = 5, nProbe = 2)),
+      ("ivfTopKFromStoreBatch",
+        graft.pipeline.Ann.ivfTopKFromStoreBatch(
+          all, all, store, k = 5, nProbe = 2)),
+      ("ivfPqTopKFromStoreBatch",
+        graft.pipeline.Ann.ivfPqTopKFromStoreBatch(
+          all, all, pqStore, k = 5, nProbe = 2)))
+    regimes.foreach { case (name, served) =>
+      val plan = served.queryExecution.executedPlan.toString
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(cell_id")),
+        s"$name must not carry the probed-cell literal:\n$plan")
+      assert(!plan.contains("LocalTableScan") &&
+        !plan.contains("LocalRelation"),
+        s"$name must not materialize probes on the driver:\n$plan")
+    }
   }
 }

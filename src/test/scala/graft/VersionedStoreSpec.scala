@@ -498,4 +498,103 @@ class VersionedStoreSpec extends SparkSpec {
       .as[(Long, String)].head() == ((1L, "x")))
     assert(fsck(root).values.forall(_ == 0L))
   }
+
+  test("a live pin spares an ABOVE-CUR complete generation; release hands it back to gc") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // a crashed flip: generation 2 is COMPLETE but the pointer still
+    // names 1 (adopt()'s recovery target). registerPin accepts it (the
+    // marker exists, the generation is resolvable), so gc's above-cur
+    // retirement must honor the pin exactly like the below-cur rule --
+    // otherwise "registerPin holds the generation against gc" silently
+    // fails on the one class of generation an operator is mid-recovery on
+    Seq((9L, "crash")).toDF("id", "v").write.parquet(s"$root/gen-2/t")
+    StoreFs.writeAtomic(s"$root/gen-2/_COMPLETE", Array.empty)
+    assert(VersionedStore.currentGen(root).contains(1L))
+    val tok = VersionedStore.registerPin(root, 2L)
+    assert(VersionedStore.gc(root, keep = 0).isEmpty,
+      "gc must spare a live-pinned unreferenced complete generation")
+    assert(StoreFs.exists(s"$root/gen-2/_COMPLETE"))
+    // the pinned read resolves the whole time; adopt can still recover it
+    assert(VersionedStore.pinnedGenerationRoot(root, 2L, None, "spec")
+      .endsWith("gen-2"))
+    VersionedStore.releasePin(root, 2L, tok)
+    assert(VersionedStore.gc(root, keep = 0) == Seq(2L),
+      "released, the unreferenced publish is gc fodder again")
+  }
+
+  test("renewPin restarts the lease clock; a swept/unknown pin refuses loudly") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "b")).toDF("id", "v")))
+    val tok = VersionedStore.registerPin(root, 1L)
+    // age the registration past the 7-day default lease: without a
+    // renew the generation stops being spared (the crashed-registrant
+    // backstop) -- a renew BEFORE the sweep restamps the mtime and the
+    // pin is live again, so a legitimate long job heartbeats its lease
+    val ancient = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    StoreFs.setModificationTime(s"$root/gen-1/_PIN.$tok", ancient)
+    assert(fsck(root)("expired_pin_files") == 1L)
+    VersionedStore.renewPin(root, 1L, tok)
+    assert(fsck(root)("expired_pin_files") == 0L)
+    assert(fsck(root)("live_pin_files") == 1L)
+    assert(VersionedStore.gc(root, keep = 0).isEmpty,
+      "a renewed pin must spare its generation")
+    // expire it again and let gc sweep -- the late renew then fails
+    // with the NAMED error (re-register, renew before expiry), never a
+    // silent no-op the registrant reads as still-protected
+    StoreFs.setModificationTime(s"$root/gen-1/_PIN.$tok", ancient)
+    assert(VersionedStore.gc(root, keep = 0) == Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.renewPin(root, 1L, tok)
+    }
+    assert(e.getMessage.contains("renewPin"), e.getMessage)
+    assert(e.getMessage.contains("re-register"), e.getMessage)
+    // renewing a never-registered token refuses identically
+    intercept[IllegalArgumentException] {
+      VersionedStore.renewPin(root, 2L, "no-such-token")
+    }
+  }
+
+  test("listPins names every holder: gen, token, lease window, gc's own liveness") {
+    import graft.pipeline.StoreFs
+    val root = tmp()
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    VersionedStore.publish(root, Map("t" -> Seq((1L, "b")).toDF("id", "v")))
+    assert(VersionedStore.listPins(root).isEmpty)
+    val tokLive = VersionedStore.registerPin(root, 1L)
+    val tokOld = VersionedStore.registerPin(root, 2L)
+    val ancient = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    StoreFs.setModificationTime(s"$root/gen-2/_PIN.$tokOld", ancient)
+    val pins = VersionedStore.listPins(root)
+    assert(pins.map(p => (p.gen, p.token, p.live)) ==
+      Seq((1L, tokLive, true), (2L, tokOld, false)), pins.toString)
+    // the lease window is explicit: expiry = registration + lease (the
+    // operational "until when" an operator asks); liveness is gc's own
+    // classification, so the listing can never disagree with the sweep
+    val lease = 7L * 24 * 3600 * 1000
+    pins.foreach { p =>
+      assert(p.expiresAtMs.contains(p.registeredAtMs + lease), p.toString)
+    }
+    assert(pins.head.registeredAtMs > ancient)
+    // FS mtime granularity may truncate sub-second precision
+    assert(pins(1).registeredAtMs <= ancient &&
+      pins(1).registeredAtMs > ancient - 2000L, pins(1).toString)
+    // lease 0: pins never expire -- no expiry instant exists to report
+    spark.conf.set("graft.store.pinLeaseMs", "0")
+    try {
+      val eternal = VersionedStore.listPins(root)
+      assert(eternal.forall(p => p.expiresAtMs.isEmpty && p.live),
+        eternal.toString)
+    } finally spark.conf.unset("graft.store.pinLeaseMs")
+    // the fsck pair states the same facts as counts: one expired (dead
+    // bytes), one live (a generation gc is currently sparing)
+    assert(fsck(root)("expired_pin_files") == 1L)
+    assert(fsck(root)("live_pin_files") == 1L)
+    VersionedStore.releasePin(root, 1L, tokLive)
+    VersionedStore.releasePin(root, 2L, tokOld)
+    assert(VersionedStore.listPins(root).isEmpty)
+  }
 }

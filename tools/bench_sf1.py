@@ -60,7 +60,7 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in sorted(q1.items())},
         "qn": len(q1),
-        "sf": "sf1 (derived 10x from sf0.1, /tmp/graft_sf1e)",
+        "sf": "sf1 (derived 10x from sf0.1, /tmp/graft_sf1f)",
         "sf01_queries": {k: round(v, 3) for k, v in sorted(q01.items())},
     }
     if failed:

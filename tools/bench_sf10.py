@@ -34,7 +34,7 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in sorted(q10.items())},
         "qn": len(q10),
-        "sf": "sf10 (derived 10x from sf1, /tmp/graft_sf10e; heavy tail)",
+        "sf": "sf10 (derived 10x from sf1, /tmp/graft_sf10f; heavy tail)",
         "sf1_queries": {k: round(v, 3) for k, v in sorted(q1.items())},
     }
     if failed:
