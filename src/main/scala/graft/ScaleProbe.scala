@@ -526,12 +526,21 @@ object ScaleProbe {
         "q_pipeline_web", "q_store_fsck_models", "q_quantile_stream",
         // round-14 additions: the round-13 store families (pin
         // resolution, sigstore CDC append) and the round-14 serving
-        // regimes at their second decade, plus the two organic recall
-        // GATES — their floors asserting inside the timed run means a
+        // regimes at their second decade, plus the semdedup recall
+        // GATE — its floor asserting inside the timed run means a
         // quality cliff at sf10 fails the probe loudly instead of
-        // hiding behind an sf1-only measurement
+        // hiding behind an sf1-only measurement. q_ann_recall (the
+        // FIXED-budget ANN gate) left this list in round 15: recall@k
+        // at a frozen (k=16, nProbe=6, ksub) budget is NOT a
+        // scale-invariant — top-10 margins shrink as the candidate
+        // pool grows 100×, so the row measured corpus size, not
+        // operator quality (its r14 sf10 "pass" at recall 1.00 was the
+        // saturated fixture handing every query its own near-identical
+        // replica family — the gate was trivial, not healthy). The
+        // scale-honest replacement is the q_ann_recall_kN leg below:
+        // deployment geometry, budgets ∝ N, floor asserted
         "q_retrieval_pin", "q_sigstore_cdc_stream", "q_dedup_pin",
-        "q_ann_store_batch", "q_ann_recall", "q_semdedup_recall")
+        "q_ann_store_batch", "q_semdedup_recall")
       // extra args filter the list (resuming a partial sweep after an
       // environment-sized failure re-times only what is missing)
       val sel = args.toSeq.filterNot(_ == "sf10")
@@ -539,7 +548,8 @@ object ScaleProbe {
       // filtering would print an empty "successful" run an operator
       // reads as a completed re-time
       val known = heavyAll ++
-        Seq("q_semdedup_kN", "q_semdedup_hier", "q_semdedup_lsh64")
+        Seq("q_semdedup_kN", "q_semdedup_hier", "q_semdedup_lsh64",
+          "q_ann_recall_kN")
       require(sel.forall(known.contains),
         s"not in the sf10 probe list: ${sel.filterNot(known.contains)
           .mkString(", ")} (known: ${known.mkString(", ")})")
@@ -625,6 +635,39 @@ object ScaleProbe {
         Bench.force(graft.pipeline.Semantic.semanticDedup(
           withDupsOf(dir), k = 64, iters = 3, intraCellPlanes = 12,
           intraCellTables = 4))
+      }
+      // the SCALE-HONEST ANN recall gate (round 15, replacing the
+      // fixed-budget q_ann_recall row — see heavyAll's comment):
+      // deployment geometry with k ∝ N (constant ~125-vector cells)
+      // and the SAME budget FRACTIONS as the sf0.1 gate (probe 37.5%
+      // of cells, rerank 100) — what an operator actually scales when
+      // the corpus grows. recall@10 vs exact brute force on 30 organic
+      // queries, floor asserted INSIDE the timed leg so a genuine
+      // quality cliff still fails loudly; the store build (train +
+      // assignment) is a cached fixture, outside the timer
+      leg("q_ann_recall_kN") { dir =>
+        val all = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val n = all.count()
+        val k = math.max(16L, n / 125L).toInt
+        val store = graft.sources.WireFixtures.annOrganicIndexDir(
+          spark, dir, k = k)
+        val q = all.where(col("id") < 30)
+        val exact = graft.pipeline.Ann.bruteForceTopK(q, all, k = 10)
+        val served = graft.pipeline.Ann.ivfQuantizedTopKFromStore(
+          q, all, store, k = 10, nProbe = math.max(1, k * 3 / 8),
+          rerank = 100)
+        val r = graft.pipeline.Ann.recallAtK(served, exact)
+        println(f"[recall] sf=$dir%s method=ivf_quantized_kN k=$k%d" +
+          f" recall_at_10=$r%.4f floor=0.90")
+        // floor pinned from the round-15 measurements (0.9867 at sf1
+        // k=160, 1.0000 at sf10 k=1600): at deployment geometry the
+        // tier recovers near-exact retrieval, so a floor of 0.90 is a
+        // real cliff detector, not a corpus-size artifact
+        require(r >= 0.90,
+          s"q_ann_recall_kN: recall@10 = $r below the 0.90 floor at" +
+            s" deployment geometry (k=$k) — the quantized tier lost" +
+            " organic retrieval quality at scale")
       }
       spark.stop(); return
     }
