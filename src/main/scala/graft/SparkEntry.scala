@@ -35,6 +35,30 @@ object SparkEntry {
     env(s, dir).select("scn", "seq", "ts_us", "source_id", "partition_id",
       "opcode", "key_long", "value")
 
+  /** Per-evaluation scratch root for the store/stream harness queries.
+    * `Files.createTempDirectory` alone leaks: every Verify/Bench
+    * evaluation of a store-building query (index write + appends +
+    * compaction, streaming checkpoints, …) would accumulate a directory
+    * tree under /tmp for the life of the box. Each dir registers in a
+    * single JVM shutdown hook that deletes the trees recursively — the
+    * dirs stay alive for the whole session (queries are lazily
+    * re-evaluated, and a min-of-2 bench must reuse its fixture), then
+    * leave with the process. */
+  private val tempQueryDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempQueryDirs.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        catch { case _: java.io.IOException => () } // exit-time best effort
+      }))
+  }
+  private def tempQueryDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempQueryDirs.add(p)
+    p
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
@@ -396,7 +420,7 @@ object SparkEntry {
     // rewritten layout; zkey re-derived per row proves the native
     // codegen interleave bit-for-bit against DuckDB shift-mask math ----
     "q_zorder_box" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("zorder").toString +
+      val out = tempQueryDir("zorder").toString +
         "/layout"
       graft.pipeline.Layout.zorderWrite(
         tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
@@ -416,7 +440,7 @@ object SparkEntry {
     // the rewritten layout and the key re-derivation proves the native
     // 3-way interleave bit-for-bit against DuckDB shift-mask math ----
     "q_zorder_box3" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("zorder3").toString +
+      val out = tempQueryDir("zorder3").toString +
         "/layout"
       val src = tbl(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
@@ -445,7 +469,7 @@ object SparkEntry {
     // identity through append+recluster is the oracle (the box read is
     // generation-independent); LayoutSpec pins the depth math ----
     "q_zorder_incr" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("zinc").toString +
+      val out = tempQueryDir("zinc").toString +
         "/layout"
       val src = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity")
@@ -500,7 +524,7 @@ object SparkEntry {
     // oracle) with session_seq re-derived from session order ----
     "q_sessionize_stream" -> ((s, dir) => {
       val gapUs = 4L * 3600L * 1000000L
-      val root = java.nio.file.Files.createTempDirectory("sessstream").toString
+      val root = tempQueryDir("sessstream").toString
       // a 20% key slice: the state-machine demo needs stateful coverage,
       // not the full envelope volume (the batch form q_sessionize covers
       // that); oracle mirrors the slice
@@ -827,7 +851,7 @@ object SparkEntry {
     // incremental protocol at 100 TB; the union over batches is exactly
     // the touching-new edge set (same oracle as q_dedup_incremental) ----
     "q_dedup_stream_incr" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("streamincr").toString
+      val root = tempQueryDir("streamincr").toString
       val old = docs(s, dir).select("doc_id", "text")
       // the stream carries INCREMENTS — 25% of the corpus size in two
       // micro-batches (increment ≪ corpus is the store protocol's
@@ -923,7 +947,7 @@ object SparkEntry {
     // the snapshot's near-dup pair set while the head serves the full
     // post-compaction store. keepGenerations=1 keeps the pin alive ----
     "q_dedup_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("dedpin").toString
+      val root = tempQueryDir("dedpin").toString
       val old = docs(s, dir).select("doc_id", "text")
       val corpus = old.unionByName(
         old.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -959,7 +983,7 @@ object SparkEntry {
     // the drain equals the near-dup pair set over an index built from
     // the net surviving docs ----
     "q_sigstore_cdc_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("cdcsig").toString
+      val root = tempQueryDir("cdcsig").toString
       val old = docs(s, dir).select("doc_id", "text")
       val corpus = old.unionByName(
         old.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -1289,7 +1313,7 @@ object SparkEntry {
     // compaction runs mid-query (reserved batch=-1, atomic swap) and
     // must not change a single served row ----
     "q_quantile_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("qstore").toString
+      val root = tempQueryDir("qstore").toString
       val scored = docs(s, dir).select(col("doc_id"), col("lang"),
         floor(TF.qualityScore(col("text")) * 10000.0 + lit(1e-6))
           .cast("long").as("q_e4"))
@@ -1418,7 +1442,7 @@ object SparkEntry {
     // the pinned load scores every doc under the OLD counts while the
     // head scores under the new — perplexity gates replay exactly ----
     "q_lm_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("lmpin").toString
+      val root = tempQueryDir("lmpin").toString
       val L = graft.pipeline.LangModel
       val d = docs(s, dir).select("doc_id", "text")
       val train = d.where(col("doc_id") % 5 =!= 0)
@@ -1481,7 +1505,7 @@ object SparkEntry {
     // times in this session. Completes the batch / store / streaming
     // triad of the perplexity filter ----
     "q_lm_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("lmstream").toString
+      val root = tempQueryDir("lmstream").toString
       val modelDir = graft.sources.WireFixtures.lmModelDir(s, dir)
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
@@ -1544,7 +1568,7 @@ object SparkEntry {
     // export roundtrip, not just the plan ----
     "q_export_shards" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val root = java.nio.file.Files.createTempDirectory("export").toString
+      val root = tempQueryDir("export").toString
       graft.pipeline.Export.writeShards(
         docs(s, dir).select("doc_id", "text"), s"$root/data",
         numShards = 8, salt = 17L)
@@ -1722,7 +1746,7 @@ object SparkEntry {
     // (atomic swap) and serving over the compacted store is
     // row-identical to the full-corpus derivation ----
     "q_postings_compact" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("pcompact").toString
+      val root = tempQueryDir("pcompact").toString
       val d = docs(s, dir).select("doc_id", "text")
       (0 until 5).foreach(i =>
         graft.pipeline.Retrieval.appendToPostingsIndex(
@@ -1752,7 +1776,7 @@ object SparkEntry {
     // attribution is ONE phrase search over the STORE the stream built,
     // hits attributed to the batch that delivered the doc ----
     "q_phrase_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("phrstream").toString
+      val root = tempQueryDir("phrstream").toString
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
         val q = s.readStream.schema("doc_id LONG, text STRING")
@@ -1813,7 +1837,7 @@ object SparkEntry {
     // the set clears LAST, and an anti-join of already-purged ids is a
     // no-op) — then serve; results identical to the tombstone-only read ----
     "q_postings_gc" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("pgc").toString
+      val root = tempQueryDir("pgc").toString
       val d = docs(s, dir).select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
       graft.pipeline.Retrieval.tombstoneDocsDf(
@@ -1833,7 +1857,7 @@ object SparkEntry {
     // drain checkpointed) prove resume; serving afterwards is identical
     // to an index that never saw the deleted docs ----
     "q_takedown_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("tdstream").toString
+      val root = tempQueryDir("tdstream").toString
       val d = docs(s, dir).select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
       def feed(m: Long, mode: String): Unit =
@@ -1860,7 +1884,7 @@ object SparkEntry {
     // to retraining on train ∖ forgotten (q_nb_unlearn's oracle,
     // reused verbatim) ----
     "q_nb_unlearn_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("nbforget").toString
+      val root = tempQueryDir("nbforget").toString
       val d = docs(s, dir).select("doc_id", "lang", "text")
       val train = d.where(col("doc_id") % 5 =!= 0)
       val model = graft.pipeline.Classifier.train(train, labelCol = "lang")
@@ -1887,7 +1911,7 @@ object SparkEntry {
     // ---- STREAMING exact unlearning (bigram LM): same forget-log
     // protocol, scored over the full corpus — q_lm_unlearn's oracle ----
     "q_lm_unlearn_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("lmforget").toString
+      val root = tempQueryDir("lmforget").toString
       val d = docs(s, dir).select("doc_id", "text")
       val train = d.where(col("doc_id") % 5 =!= 0)
       val model = graft.pipeline.LangModel.train(train)
@@ -1920,7 +1944,7 @@ object SparkEntry {
     // same pass. Oracle = the closed-form expected findings ----
     "q_store_fsck" -> ((s, dir) => {
       import s.implicits._
-      val idx = java.nio.file.Files.createTempDirectory("fsck").toString +
+      val idx = tempQueryDir("fsck").toString +
         "/index"
       val d = docs(s, dir).select("doc_id", "text")
       graft.pipeline.Retrieval.writePostingsIndex(d, idx)
@@ -1951,7 +1975,7 @@ object SparkEntry {
       // dirs — the state that bricks partition discovery), and an
       // invalid batch subdir (would type the discovered batch column as
       // string, breaking every batch <= n pin lexicographically)
-      val bl = java.nio.file.Files.createTempDirectory("fsckbl").toString +
+      val bl = tempQueryDir("fsckbl").toString +
         "/sig"
       Dedup.writeSignatureStore(d.where(col("doc_id") < 4), bl,
         batchId = Some(0L))
@@ -1990,7 +2014,7 @@ object SparkEntry {
       import s.implicits._
       val V = graft.pipeline.VersionedStore
       val F = graft.pipeline.StoreFs
-      val root = java.nio.file.Files.createTempDirectory("fsckv")
+      val root = tempQueryDir("fsckv")
         .toString + "/store"
       V.publish(root, Map("a" -> Seq((1L, "g1")).toDF("id", "v")))
       V.publish(root, Map("a" -> Seq((1L, "g2")).toDF("id", "v")))
@@ -2034,7 +2058,7 @@ object SparkEntry {
       def pfx(p: String, df: DataFrame) =
         df.select(concat(lit(p), col("check_name")).as("check_name"),
           col("n_bad"))
-      val dfDir = java.nio.file.Files.createTempDirectory("fsckdf")
+      val dfDir = tempQueryDir("fsckdf")
         .toString + "/sketch"
       val scored = docs(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"))
@@ -2127,7 +2151,7 @@ object SparkEntry {
       def pfx(p: String, df: DataFrame) =
         df.select(concat(lit(p), col("check_name")).as("check_name"),
           col("n_bad"))
-      val root = java.nio.file.Files.createTempDirectory("fscklog").toString
+      val root = tempQueryDir("fscklog").toString
       val events = env(s, dir)
       graft.streaming.RelayStream.writeEventLog(events, s"$root/log")
       // inject: the 5 lowest (scn, seq) events re-appended blind, plus a
@@ -2154,7 +2178,7 @@ object SparkEntry {
     // training run needs: pin the index state it saw, replay it after
     // any number of later appends ----
     "q_postings_asof" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("asof").toString
+      val root = tempQueryDir("asof").toString
       val d = docs(s, dir).select("doc_id", "text")
       (0 until 3).foreach(b =>
         graft.pipeline.Retrieval.appendToPostingsIndexBatch(
@@ -2173,7 +2197,7 @@ object SparkEntry {
     // full post-compaction store. keepGenerations=1 is the retention
     // policy that keeps the pin alive ----
     "q_retrieval_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("retpin").toString
+      val root = tempQueryDir("retpin").toString
       val R = graft.pipeline.Retrieval
       val d = docs(s, dir).select("doc_id", "text")
       R.writePostingsIndex(d.where(col("doc_id") % 3 === 0), s"$root/index",
@@ -2204,7 +2228,7 @@ object SparkEntry {
     // corpus — whole-rebuild snapshot reproducibility), tagged by gen;
     // the oracle re-derives each from its slice ----
     "q_bm25_versioned" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("vidx").toString +
+      val root = tempQueryDir("vidx").toString +
         "/index"
       val R = graft.pipeline.Retrieval
       val V = graft.pipeline.VersionedStore
@@ -2240,7 +2264,7 @@ object SparkEntry {
     // reachability. Oracle re-derives both generations from their live
     // slices ----
     "q_takedown_versioned" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("vtd").toString +
+      val root = tempQueryDir("vtd").toString +
         "/index"
       val R = graft.pipeline.Retrieval
       val V = graft.pipeline.VersionedStore
@@ -2271,7 +2295,7 @@ object SparkEntry {
     // (N, avgdl, df all shrink), which the oracle re-derives end-to-end
     // from the same attribution predicate ----
     "q_pipeline_takedown" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("tdpipe").toString
+      val root = tempQueryDir("tdpipe").toString
       val d = docs(s, dir).select("doc_id", "text")
       val purge = Dedup.contaminationReport(d,
           d.where(col("doc_id") < 50), maxGramDf = Int.MaxValue)
@@ -2295,7 +2319,7 @@ object SparkEntry {
     // Takedowns here are permanent (ids never return); a doc UPDATE in
     // this discipline is a new doc id, as in any append-only store ----
     "q_index_cdc_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("cdcidx").toString
+      val root = tempQueryDir("cdcidx").toString
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
         val q = s.readStream
@@ -2543,7 +2567,7 @@ object SparkEntry {
     // batches via the scn admission cap ----
     "q_capture_jdbc_stream" -> ((s, dir) => {
       val db = graft.sources.DerbyTxlogFixture.ensure(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("jdbccap").toString
+      val root = tempQueryDir("jdbccap").toString
       val span = graft.sources.JdbcTxlogCapture.maxScn(db.url,
         db.txlogTable) - 100000L
       val q = s.readStream.format("graft-jdbc-capture")
@@ -2628,7 +2652,7 @@ object SparkEntry {
     // compacted back to scn-banded segments serves the identical event
     // set — the small-file remedy an append-heavy stream needs at scale ----
     "q_compact_log" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("compact").toString
+      val root = tempQueryDir("compact").toString
       val e = envCore(s, dir).where(col("scn") < 3000)
       // 5 append generations fragment the log...
       (0 until 5).foreach { g =>
@@ -2675,7 +2699,7 @@ object SparkEntry {
     // aggregation hash-matches q_ggtrail_parse's oracle ----
     "q_ggtrail_stream" -> ((s, dir) => {
       val trailDir = graft.sources.WireFixtures.goldenGateTrailDir(s, dir)
-      val outDir = java.nio.file.Files.createTempDirectory("ggstream").toString
+      val outDir = tempQueryDir("ggstream").toString
       val q = graft.sources.GoldenGateTrail.stream(s, trailDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2713,7 +2737,7 @@ object SparkEntry {
     // read back and hash-matched against the batch parse's oracle ----
     "q_binlog_stream" -> ((s, dir) => {
       val dumpDir = graft.sources.WireFixtures.binlogDumpDir(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("binlogstream").toString
+      val root = tempQueryDir("binlogstream").toString
       graft.sources.BinlogFeed.startAssembled(s, dumpDir,
           ChangeFeed.registry, s"$root/out", s"$root/cp",
           maxFilesPerTrigger = 4)
@@ -2835,7 +2859,7 @@ object SparkEntry {
           graft.model.Checkpoint.online(r.getLong(1), windowOffset = -1L,
             prevScn = r.getLong(2))).toMap,
         cursorPartition = Some(bounds.map(_.getInt(0)).min.toShort))
-      val root = java.nio.file.Files.createTempDirectory("ckptstore").toString
+      val root = tempQueryDir("ckptstore").toString
       val store = new graft.model.FileSystemCheckpointStore(root)
       store.store("driver-consumer", mult)
       val loaded = store.load("driver-consumer").get
@@ -2853,7 +2877,7 @@ object SparkEntry {
     // 31; DbusEventBuffer.reset(prevScn)) between the two checkpoints ----
     "q_scn_regress" -> ((s, dir) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("regress").toString
+      val root = tempQueryDir("regress").toString
       // bounded slice: this is a protocol control query (regress → rollback
       // callback ordering), not a throughput query — no need to rewrite
       // the whole envelope per run
@@ -2887,7 +2911,7 @@ object SparkEntry {
     // the parquet sink, read back and proven complete ----
     "q_file_log_consumer" -> ((s, dir) => {
       val logDir = graft.sources.Store.eventLogDir(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("filelog").toString
+      val root = tempQueryDir("filelog").toString
       graft.streaming.Dispatcher.fileLog(
         graft.streaming.RelayStream.read(s, logDir, maxFilesPerTrigger = 8),
         s"$root/out", s"$root/cp").awaitTermination()
@@ -2904,7 +2928,7 @@ object SparkEntry {
     // RelayPullThread.java:96-121); the materialized bootstrap state and
     // resume point, hash-oracled ----
     "q_falloff_bootstrap" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("falloff").toString
+      val root = tempQueryDir("falloff").toString
       // bounded retention slice (protocol control query, see q_scn_regress)
       val retained = envCore(s, dir)
         .where(col("scn") >= 300 && col("scn") < 5000)
@@ -2923,7 +2947,7 @@ object SparkEntry {
     // checkpoint, /targetSCN and /sources through one GraftEngine over a
     // log it loaded itself (loadDataEvents) ----
     "q_engine_facade" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("engine").toString
+      val root = tempQueryDir("engine").toString
       val engine = new graft.GraftEngine(s, s"$root/log")
       engine.loadDataEvents(envCore(s, dir), filesHint = 4)
       val (minScn, maxScn) = engine.bufferInfo()
@@ -3338,7 +3362,7 @@ object SparkEntry {
     // file per trigger, mtime-stamped). Oracle = the batch drift
     // derivation per slice. ----
     "q_drift_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("driftstream").toString
+      val root = tempQueryDir("driftstream").toString
       val d = docs(s, dir).select("doc_id", "text")
       // reference distribution: computed + persisted ONCE, ≤256 rows
       graft.pipeline.Monitor.referenceDistribution(
@@ -3468,7 +3492,7 @@ object SparkEntry {
     // twins, then a compaction publish). q_ann_pin's contract through
     // the shuffle regime: pinned serves the +1e6 twin, head the +5e5 ----
     "q_ann_batch_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("annbpin").toString
+      val root = tempQueryDir("annbpin").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
@@ -3498,6 +3522,72 @@ object SparkEntry {
               lit("head").as("probe_view")))
     }),
 
+    // ---- RAW-IVF PIN PARITY: the float-precision tier is the one a
+    // training job RERANKS against, so it pins exactly like the coded
+    // tiers — otherwise a job that pins its quantized retrieval still
+    // sees the head move mid-epoch on the rerank side. One store, both
+    // time-travel axes moving after the capture (append batch 2, then a
+    // compaction publish), served through ALL FOUR raw-family cells:
+    // {request, batch} × {pinned, head}. Exact scoring tie-break keeps
+    // the smallest neighbor_id, so pinned views serve the +1e6 twin
+    // (batch 2 pruned from the plan) and head views the +5e5 one ----
+    "q_ann_ivf_pin" -> ((s, dir) => {
+      val root = tempQueryDir("annivfpin").toString
+      val all = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
+        batchId = Some(0L))
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 1000000L).as("id"), col("vec")),
+        s"$root/index", 1L)
+      val pin = Ann.pinIndex(s"$root/index")
+      Ann.appendToIndexBatch(
+        all.select((col("id") + 500000L).as("id"), col("vec")),
+        s"$root/index", 2L)
+      Ann.compactIndexCells(s, s"$root/index", keepGenerations = 1)
+      val corpus = all
+        .unionByName(all.select((col("id") + 1000000L).as("id"), col("vec")))
+        .unionByName(all.select((col("id") + 500000L).as("id"), col("vec")))
+      val q = all.where(col("id") < 15)
+      def view(df: DataFrame, v: String): DataFrame =
+        df.where(col("rank") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(v).as("probe_view"))
+      view(Ann.ivfTopKFromStorePinned(q, corpus, s"$root/index", k = 5,
+          pin, nProbe = 8), "pinned")
+        .unionByName(view(Ann.ivfTopKFromStore(q, corpus, s"$root/index",
+          k = 5, nProbe = 8), "head"))
+        .unionByName(view(Ann.ivfTopKFromStoreBatchPinned(q, corpus,
+          s"$root/index", k = 5, pin, nProbe = 8), "pinned_batch"))
+        .unionByName(view(Ann.ivfTopKFromStoreBatch(q, corpus,
+          s"$root/index", k = 5, nProbe = 8), "head_batch"))
+    }),
+
+    // ---- PIN OBSERVABILITY oracled: listPins is the API answering
+    // "which jobs hold generations on this store, until when?" — the
+    // fsck rows count its classifications, this row oracles the LISTING
+    // itself against planted registrations (two live, one expired) with
+    // wall-clock timestamps normalized to structure: which generation,
+    // gc's own live classification, and expiry = registration + the
+    // default 7-day lease ----
+    "q_list_pins" -> ((s, dir) => {
+      import s.implicits._
+      val V = graft.pipeline.VersionedStore
+      val F = graft.pipeline.StoreFs
+      val root = tempQueryDir("listpins").toString + "/store"
+      V.publish(root, Map("a" -> Seq((1L, "g1")).toDF("id", "v")))
+      V.publish(root, Map("a" -> Seq((1L, "g2")).toDF("id", "v")))
+      val expired = V.registerPin(root, 1L)
+      F.setModificationTime(s"$root/gen-1/${V.PinPrefix}$expired",
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+      V.registerPin(root, 1L)
+      V.registerPin(root, 2L)
+      V.listPins(root).map(p => (p.gen, p.live,
+          p.expiresAtMs.contains(p.registeredAtMs + 7L * 24 * 3600 * 1000L),
+          p.token.nonEmpty))
+        .toDF("gen", "live", "expires_at_lease", "has_token")
+    }),
+
     // ---- ANN served from an INCREMENTALLY-built index: the base corpus
     // indexed once, the twin batch appended later (frozen codebook, only
     // the batch assigned, stored cells never re-scanned). Identical
@@ -3525,7 +3615,7 @@ object SparkEntry {
     // other ANN store query — identical vectors share every argmin, so
     // a twin follows its original through any split ----
     "q_ann_rebalance" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("annreb").toString
+      val root = tempQueryDir("annreb").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       val withTwins = all.unionByName(
@@ -3555,7 +3645,7 @@ object SparkEntry {
     // after the merge probes every surviving cell (nProbe=8 ≥ post-merge
     // codebook) — exact, so the planted twins stay rank-1 ----
     "q_ann_merge" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("annmrg").toString
+      val root = tempQueryDir("annmrg").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       val withTwins = all.unionByName(
@@ -3618,7 +3708,7 @@ object SparkEntry {
     // The training run that recorded maxBatch=1 replays the exact
     // retrieval it saw, after any number of later appends ----
     "q_ann_asof" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("annasof").toString
+      val root = tempQueryDir("annasof").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
@@ -3655,7 +3745,7 @@ object SparkEntry {
     // fresh generation): pinned serves the +1e6 twin, head the +5e5 —
     // q_ann_asof's contract with the publish axis moving too ----
     "q_ann_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("annpin").toString
+      val root = tempQueryDir("annpin").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       Ann.writeIndex(all, s"$root/index", k = 8, iters = 3,
@@ -3743,7 +3833,7 @@ object SparkEntry {
     // every argmin, so the later-arriving tritwin joins its family's
     // cell whatever the codebook saw first) ----
     "q_ann_cdc_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("anncdc").toString
+      val root = tempQueryDir("anncdc").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       def drainOnce(): Unit = {
@@ -3807,7 +3897,7 @@ object SparkEntry {
     // quantizers trained on, so rank-1 is the twin where live, the
     // tritwin where taken down ----
     "q_ivfpq_cdc_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("ivfpqcdc").toString
+      val root = tempQueryDir("ivfpqcdc").toString
       val all = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
       def drainOnce(): Unit = {
@@ -4020,7 +4110,7 @@ object SparkEntry {
     // contract as q_image_incr ----
     "q_image_stream_incr" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val root = java.nio.file.Files.createTempDirectory("mediastream").toString
+      val root = tempQueryDir("mediastream").toString
       val base = docs(s, dir).select("doc_id").where(col("doc_id") < 2000)
       Multimodal.resizeImages(Multimodal.attachSmoothImages(base), maxDim = 48)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
@@ -4180,7 +4270,7 @@ object SparkEntry {
     // train slice publishes gen 2; the pinned load still classifies
     // with the OLD counts while the head serves the new ones ----
     "q_nb_pin" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("nbpin").toString
+      val root = tempQueryDir("nbpin").toString
       val C = graft.pipeline.Classifier
       val d = docs(s, dir).select("doc_id", "lang", "text")
       val train = d.where(col("doc_id") % 5 =!= 0)
@@ -4215,7 +4305,7 @@ object SparkEntry {
     // in the scoring session (q_lm_stream's resumed-run structural
     // batch order: drain, append, drain again) ----
     "q_nb_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("nbstream").toString
+      val root = tempQueryDir("nbstream").toString
       val modelDir = graft.sources.WireFixtures.nbModelDir(s, dir)
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
@@ -4521,7 +4611,7 @@ object SparkEntry {
     // Contract: batch slices %10==3 / %10==8 lose exactly their one
     // eval twin (vec_id 3 and 8) ----
     "q_decontaminate_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("semdecon").toString
+      val root = tempQueryDir("semdecon").toString
       val evalDir = graft.sources.WireFixtures.evalEmbStoreDir(s, dir)
       val e = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("vec"))
@@ -4557,7 +4647,7 @@ object SparkEntry {
     // scanned per trigger, never re-shingled. Same report surface as
     // q_contamination_report plus the batch id ----
     "q_contamination_stream" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("contam").toString
+      val root = tempQueryDir("contam").toString
       val storeDir = graft.sources.WireFixtures.evalGramStoreDir(s, dir)
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
@@ -4599,7 +4689,7 @@ object SparkEntry {
     // batch where its global df crosses the cap (batch-local capping
     // cannot express this; see contaminationAuditStreamBatch) ----
     "q_contamination_stream_capped" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("contamcap").toString
+      val root = tempQueryDir("contamcap").toString
       val storeDir = graft.sources.WireFixtures.evalGramStoreDir(s, dir)
       val d = docs(s, dir).select("doc_id", "text")
       def drainOnce(): Unit = {
@@ -4635,7 +4725,7 @@ object SparkEntry {
     // back with an explicit schema; every value re-derived by the oracle
     // from the source table (shard = minstd mod, text by md5) ----
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("jsonl").toString
+      val root = tempQueryDir("jsonl").toString
       graft.pipeline.Export.writeJsonlShards(
         docs(s, dir).select("doc_id", "lang", "text"), s"$root/data",
         numShards = 8, salt = 17L)
@@ -5650,6 +5740,30 @@ object SparkEntry {
         " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
         " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
         " FROM embeddings WHERE vec_id < 15"),
+
+    // raw-IVF pin parity: q_ann_pin's contract through the float-
+    // precision family, all four serving cells — pinned views serve the
+    // +1e6 twin (append batch 2 partition-pruned out of the plan), head
+    // views the +5e5 tie-winner (exact tie-break keeps the smallest id)
+    "q_ann_ivf_pin" ->
+      ("SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id," +
+        " 'pinned' AS probe_view FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 500000, 'head'" +
+        " FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 1000000, 'pinned_batch'" +
+        " FROM embeddings WHERE vec_id < 15" +
+        " UNION ALL SELECT vec_id, vec_id + 500000, 'head_batch'" +
+        " FROM embeddings WHERE vec_id < 15"),
+
+    // pin observability: three planted registrations (gen 1 expired +
+    // live, gen 2 live) as listPins reports them, timestamps normalized
+    // to structure — liveness is gc's own classification, expiry is
+    // registration + the default 7-day lease
+    "q_list_pins" ->
+      ("SELECT CAST(1 AS BIGINT) AS gen, FALSE AS live," +
+        " TRUE AS expires_at_lease, TRUE AS has_token" +
+        " UNION ALL SELECT CAST(1 AS BIGINT), TRUE, TRUE, TRUE" +
+        " UNION ALL SELECT CAST(2 AS BIGINT), TRUE, TRUE, TRUE"),
 
     // organic recall gate: the Spark side measures recall@10 vs the
     // exact brute-force answer and REQUIRES each method over its pinned

@@ -604,6 +604,34 @@ object Ann {
       spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
     val cells = readCells(spark, storeDir)
       .select(col("id").as("neighbor_id"), col("cell_id"))
+    ivfBatchCore(queries, corpus, centroids, cells, k, nProbe)
+  }
+
+  /** [[ivfTopKFromStoreBatch]] at a captured [[AnnPin]] — the last cell
+    * of the serving matrix: 3 quantizer families × {request, batch} ×
+    * {head, pinned}. A lake-annotation job that reranks on the
+    * float-precision tier pins it exactly like the coded tiers
+    * ([[ivfQuantizedTopKFromStoreBatchPinned]]'s rationale); codebook
+    * and cells resolve from the pinned generation, cells additionally
+    * pinned at the recorded append batch, tombstones still apply. */
+  def ivfTopKFromStoreBatchPinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfTopKFromStoreBatchPinned")
+    val centroids = spark.read.parquet(s"$t/codebook")
+    val cells = liveRowsAt(spark, t, "cells", pin.maxBatch)
+      .select(col("id").as("neighbor_id"), col("cell_id"))
+    ivfBatchCore(queries, corpus, centroids, cells, k, nProbe)
+  }
+
+  /** Shuffle-regime float-precision serve against an already-resolved
+    * (centroids, cells) pair — shared by the head and pinned batch
+    * readers, the same one-core discipline as [[ivfExactCore]] /
+    * [[ivfQuantizedBatchCore]] / [[ivfPqBatchCore]]. */
+  private def ivfBatchCore(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, cells: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     val probes = probeCells(queries, centroids, nProbe)
       .select(col("cell_id"), col("query_id"), col("qvec"))
     val w = Window.partitionBy(col("query_id"))
@@ -1075,6 +1103,33 @@ object Ann {
       spark.read.parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook")
     val cells = readCells(spark, storeDir)
       .select(col("id").as("neighbor_id"), col("cell_id"))
+    ivfExactCore(queries, corpus, centroids, cells, k, nProbe)
+  }
+
+  /** [[ivfTopKFromStore]] at a captured [[AnnPin]] — pin parity for the
+    * float-precision family: this is the tier a training job RERANKS
+    * against, so a job that pins its quantized retrieval but reranks on
+    * raw IVF must not see the head move mid-epoch. Codebook and cells
+    * resolve from the pinned generation, cells additionally pinned at
+    * the recorded append batch; tombstones still apply
+    * ([[ivfQuantizedTopKFromStorePinned]]'s contract). */
+  def ivfTopKFromStorePinned(queries: DataFrame, corpus: DataFrame,
+      storeDir: String, k: Int, pin: AnnPin, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = VersionedStore.pinnedGenerationRoot(storeDir, pin.gen,
+      pin.maxBatch, "Ann.ivfTopKFromStorePinned")
+    val centroids = spark.read.parquet(s"$t/codebook")
+    val cells = liveRowsAt(spark, t, "cells", pin.maxBatch)
+      .select(col("id").as("neighbor_id"), col("cell_id"))
+    ivfExactCore(queries, corpus, centroids, cells, k, nProbe)
+  }
+
+  /** Request-regime float-precision serve against an already-resolved
+    * (centroids, cells) pair — shared by the head and pinned readers so
+    * the two can never drift in probe ranking, pushdown, or tie-breaks. */
+  private def ivfExactCore(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, cells: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     val probes = probeCells(queries, centroids, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

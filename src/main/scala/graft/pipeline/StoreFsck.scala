@@ -411,6 +411,11 @@ object StoreFsck {
       try (VersionedStore.currentGen(root), 0L)
       catch { case _: IllegalStateException => (None, 1L) }
     val complete = gens.filter(_._2).map(_._1)
+    // ONE pinStates listing per generation, partitioned into the expired
+    // and live rows below: two separate passes would double the FS
+    // metadata listings AND let a pin renewed/released between them be
+    // counted in both rows or neither within a single audit frame
+    val pinsByGen = complete.map(g => VersionedStore.pinStates(root, g))
     Seq(
       ("incomplete_generations", gens.count(!_._2).toLong),
       // a flip that crashed between writing its tmp pointer and the
@@ -465,16 +470,14 @@ object StoreFsck {
       // — classification shares VersionedStore.pinStates with gc's
       // sparing rule, so audit and sweep can never drift apart
       ("expired_pin_files",
-        complete.map(g =>
-          VersionedStore.pinStates(root, g).count(!_._2).toLong).sum),
+        pinsByGen.map(_.count(!_._2).toLong).sum),
       // INFORMATIONAL, not a fault: generations currently held against
       // gc by live registrations ([[VersionedStore.listPins]] names the
       // holders) — the audit-side half of the pin observability
       // surface, so an operator reading the findings sees "this store
       // has readers pinning history" next to the expired dead bytes
       ("live_pin_files",
-        complete.map(g =>
-          VersionedStore.pinStates(root, g).count(_._2).toLong).sum))
+        pinsByGen.map(_.count(_._2).toLong).sum))
       .toDF("check_name", "n_bad")
   }
 

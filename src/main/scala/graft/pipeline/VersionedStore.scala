@@ -582,12 +582,15 @@ object VersionedStore {
   def listPins(root: String): Seq[PinInfo] = {
     val lease = pinLeaseMs
     listGens(root).map(_._1).sorted.flatMap { g =>
-      pinStates(root, g).map { case (name, live) =>
-        val token = name.drop(PinPrefix.length)
-        val at = StoreFs.modificationTime(s"${genDir(root, g)}/$name")
-          .getOrElse(0L)
-        PinInfo(g, token, at,
-          if (lease <= 0) None else Some(at + lease), live)
+      pinStates(root, g).flatMap { case (name, live) =>
+        // the mtime read runs outside the maintenance lock: a pin
+        // released/swept between pinStates and here returns None — skip
+        // it (the pin is gone either way) rather than fabricate an
+        // epoch-1970 registration/expiry row
+        StoreFs.modificationTime(s"${genDir(root, g)}/$name").map { at =>
+          PinInfo(g, name.drop(PinPrefix.length), at,
+            if (lease <= 0) None else Some(at + lease), live)
+        }
       }.sortBy(_.token)
     }
   }

@@ -668,4 +668,58 @@ class AnnBatchStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfQuantizedTopKFromStoreBatchPinned"),
       e.getMessage)
   }
+
+  test("raw-IVF pin parity: the float-precision tier pins in BOTH regimes") {
+    // the rerank tier: a job that pins its quantized retrieval but
+    // reranks on raw IVF must not see the head move mid-epoch — the
+    // last cells of the 3-family × {request,batch} × {head,pinned}
+    // serving matrix
+    val dir = s"${tmp("annb")}/rawpin"
+    Ann.writeIndex(base, dir, k = 4, iters = 2, batchId = Some(0L))
+    Ann.appendToIndexBatch(twins, dir, batchId = 1L)
+    val pin = Ann.pinIndex(dir)
+    val laterTwins =
+      (0L until 6L).map(i => (i + 500L, vec(i))).toDF("id", "vec")
+    val corpus3 = corpus.unionByName(laterTwins)
+    val reqBefore = Ann.ivfTopKFromStorePinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+    val batchBefore = Ann.ivfTopKFromStoreBatchPinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+    assert(reqBefore == batchBefore,
+      "pinned request and pinned shuffle regimes must answer identically")
+    // BOTH time-travel axes move: a later append, then a publish
+    Ann.appendToIndexBatch(laterTwins, dir, batchId = 2L)
+    Ann.compactIndexCells(spark, dir, keepGenerations = 1)
+    assert(Ann.ivfTopKFromStorePinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+      == reqBefore, "the pinned request read must replay exactly")
+    assert(Ann.ivfTopKFromStoreBatchPinned(
+      queries, corpus3, dir, k = 3, pin, nProbe = 4).collect().toSet
+      == batchBefore, "the pinned batch read must replay exactly")
+    // pinned rank-1 = the +1000 twin (batch 2 pruned); head rank-1 =
+    // the +500 tie-winner (exact tie-break keeps the smallest id)
+    Seq(reqBefore, batchBefore).foreach(_.foreach { r =>
+      if (r.getInt(2) == 1)
+        assert(r.getLong(1) == r.getLong(0) + 1000L, r.toString)
+    })
+    Seq(
+      Ann.ivfTopKFromStore(queries, corpus3, dir, k = 3, nProbe = 4),
+      Ann.ivfTopKFromStoreBatch(queries, corpus3, dir, k = 3, nProbe = 4))
+      .foreach(_.where(col("rank") === 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .foreach { case (q, n) => assert(n == q + 500L, s"head query $q") })
+    // a retired pin fails with the NAMED retention error in both regimes
+    VersionedStore.gc(dir, keep = 0)
+    Seq(
+      ("ivfTopKFromStorePinned", () => Ann.ivfTopKFromStorePinned(
+        queries, corpus3, dir, k = 3, pin, nProbe = 4)),
+      ("ivfTopKFromStoreBatchPinned",
+        () => Ann.ivfTopKFromStoreBatchPinned(
+          queries, corpus3, dir, k = 3, pin, nProbe = 4)))
+      .foreach { case (who, serve) =>
+        val e = intercept[IllegalStateException] { serve() }
+        assert(e.getMessage.contains("outlived retention"), e.getMessage)
+        assert(e.getMessage.contains(who), e.getMessage)
+      }
+  }
 }
