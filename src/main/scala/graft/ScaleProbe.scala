@@ -566,13 +566,14 @@ object ScaleProbe {
       // retained shuffle files can never exhaust the disk under a later
       // leg (the r15 q_semdedup_lsh64 failure shape)
       val known100 = Seq("q_ivfpq_cdc_stream", "q_gopher_rules",
-        "q_semdedup_lsh64", "q_semdedup_lsh64_logp", "q_semdedup_stages")
+        "q_semdedup_lsh64", "q_semdedup_lsh64_logp", "q_semdedup_stages",
+        "q_semdedup_stages10")
       require(sel100.forall(known100.contains),
         s"not in the sf100 probe list: ${sel100.filterNot(known100.contains)
           .mkString(", ")} (known: ${known100.mkString(", ")})")
       def want(l: String) = sel100.contains(l) ||
-        (sel100.isEmpty &&
-          l != "q_semdedup_lsh64_logp" && l != "q_semdedup_stages")
+        (sel100.isEmpty && l != "q_semdedup_lsh64_logp" &&
+          l != "q_semdedup_stages" && l != "q_semdedup_stages10")
       println(f"${"query"}%-22s ${"sf10"}%8s ${"sf100"}%8s  ratio")
       Seq("q_ivfpq_cdc_stream", "q_gopher_rules").foreach { q =>
         if (want(q)) {
@@ -618,7 +619,7 @@ object ScaleProbe {
       // stage materialized (eager localCheckpoint) so its wall is its
       // own, with candidate/verified row counts printed so the decade's
       // pair-mass shape is on record next to the stage walls
-      if (want("q_semdedup_stages")) {
+      locally {
         def stages(dir: String): Unit = try {
           val base = withDups100(dir)
             .select(col("id").cast("long").as("id"), col("vec"))
@@ -667,8 +668,13 @@ object ScaleProbe {
               s" ${e.getClass.getSimpleName}:" +
               s" ${Option(e.getMessage).getOrElse("").take(160)}")
         }
-        stages(Derived10Dir)
-        stages(Derived100Dir)
+        if (want("q_semdedup_stages")) {
+          stages(Derived10Dir)
+          stages(Derived100Dir)
+        }
+        // sf10-only stage table (cheap): re-measuring the stage mix
+        // after a kernel change without paying the sf100 pass
+        if (want("q_semdedup_stages10")) stages(Derived10Dir)
       }
       spark.stop(); return
     }

@@ -189,15 +189,49 @@ object Ann {
     * all centroids by l2 and keeps its `nProbe` nearest cells — a tiny
     * broadcast crossJoin + per-query window (queries × cells rows).
     * Output: (query_id, qvec, cell_id, dist, r). */
+  /** Collected (id, vec) rows of a codebook frame, memoized per plan —
+    * a serving process probes the same store's codebook on every
+    * request, and the generation directory rides the plan key
+    * ([[PlanCache.planKey]] embeds the fs root paths), so a compaction
+    * publish naturally invalidates. KB-scale entries, same retention
+    * discipline as [[trainCentroids]]'s codebookMemo. */
+  private val centroidRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Seq[Float])]]()
+  private def collectCentroids(centroids: DataFrame)
+      : Array[(Long, Seq[Float])] = {
+    val key = PlanCache.planKey(centroids)
+    val hit = centroidRowsMemo.get(key)
+    if (hit != null) return hit
+    val rows = centroids.select(col("id").cast("long").as("id"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    if (centroidRowsMemo.size > 256) centroidRowsMemo.clear()
+    centroidRowsMemo.put(key, rows)
+    rows
+  }
+
   private def probeCells(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
+    // codebooks are driver-collectable by construction — one k-row
+    // collect (memoized per store generation) turns probe ranking into
+    // a fused per-row kernel ([[graft.functions.TopCells]]): no
+    // query×centroid crossJoin, no per-query window exchange carrying
+    // two vectors per row. The declarative predecessor shuffled
+    // queries × k wide rows, which the corpus-sized batch regime at
+    // k ∝ N turned into the dominant exchange (200k queries × k=8000 ≈
+    // 1.6G two-array rows). Selection and order are the predecessor's
+    // exact row_number-over-(dist, cell_id) rule, spec-pinned in
+    // NearestCellSpec; `cent` rejoins from the codebook-sized broadcast
+    // for the consumers that need the centroid vector (the
+    // residual-LUT paths).
+    val centRows = collectCentroids(centroids)
+    require(centRows.nonEmpty, "probeCells: empty centroid set")
     val cent = centroids.select(col("id").as("cell_id"), col("vec").as("cent"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell_id"))
-    queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dist", l2sq(col("qvec"), col("cent")))
-      .withColumn("r", row_number().over(wq)).where(col("r") <= nProbe)
+    queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+        explode(topCellsExpr(centRows, col("vec"), nProbe)).as("p"))
+      .select(col("query_id"), col("qvec"),
+        col("p").getField("c").as("cell_id"),
+        col("p").getField("d").as("dist"))
+      .join(broadcast(cent), "cell_id")
   }
 
   /** Materialize a probe frame ONCE on the driver, returning the
@@ -1976,9 +2010,12 @@ object Ann {
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toSeq) }
     val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
-      val best = array_min(array(cents.map { case (cid, cv) =>
-        struct(l2sq(col("vec"), typedlit(cv)).as("d"), lit(cid).as("c"))
-      }: _*))
+      // fused argmin kernel (nearestCellStruct): one k×dim loop per row
+      // instead of k struct allocations — the round-16 stage probe
+      // measured the declarative form at ~175 s per iteration at 4M
+      // rows, which made TRAINING the hidden dominant stage of every
+      // ANN/semdedup family (min-of-2 legs hid it behind the memo)
+      val best = nearestCellStruct(cents, col("vec"))
       // localCheckpoint = a materialization BARRIER between assignment and
       // the per-dimension explode. Without it, ExtractGenerator hoists this
       // projection ABOVE the posexplode (generator output can't ride a
@@ -1992,21 +2029,25 @@ object Ann {
         .select(col("vec"), best.getField("c").as("cell"),
           best.getField("d").as("dist"))
         .localCheckpoint(true)
+      // per-cell stats as dim WIDTH-wise sum aggregates (one hash-agg
+      // pass, map-side combined into k×(dim+2) buffers) — the previous
+      // posexplode form shuffled N×dim narrow rows per iteration, which
+      // the round-16 stage probe measured as ~a third of training cost
+      // (and the dominant term once the argmin became a fused kernel)
+      val dim = cents(0)._2.length
       val stats = assigned
-        .select(col("cell"), col("dist"), posexplode(col("vec")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"),
-          sum(col("dist")).as("dsum"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dist")).as("dsum") +: (0 until dim).map(i =>
+            sum(col("vec").getItem(i).cast("double")).as(s"s$i"))): _*)
         .collect()
       PlanCache.freeLocalCheckpoint(assigned) // stats landed — free blocks
-      // dist rides every (cell, pos) group; count it once via pos == 0
-      wcss += stats.filter(_.getInt(1) == 0).map(_.getDouble(4)).sum
-      val means = stats
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1))
-            .map(r => (r.getDouble(2) / r.getLong(3)).toFloat).toSeq
-        }
+      wcss += stats.map(_.getDouble(2)).sum
+      val means = stats.map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) ->
+          (0 until dim).map(i => (r.getDouble(3 + i) / n).toFloat).toSeq
+      }.toMap
       cents = cents.map { case (cid, old) =>
         (cid, means.getOrElse(cid, old))
       }
@@ -2024,21 +2065,59 @@ object Ann {
     codebook.toSeq.toDF("id", "vec")
   }
 
-  /** Nearest-codebook-cell assignment as ONE codegen projection — argmin
-    * via array_min over (dist, cell) structs: struct ordering is
-    * lexicographic, so min dist wins and ties break to the smallest cell
-    * (min_by (dist, cell_id) semantics). Each l2sq appears exactly once
-    * in the expression tree — a when-chain fold would duplicate the
-    * accumulator subtree at every level (2^C code-size blowup). The
-    * corpus is scanned once with NO crossJoin and no shuffle; vectors
-    * never leave their scan partition. Deterministic: identical vectors
-    * always land in the same cell. */
+  /** Nearest-codebook-cell assignment as ONE codegen projection — the
+    * fused [[graft.functions.NearestCell]] kernel: a single k×dim loop
+    * over a flat codebook reference object, min_by (dist, cell_id)
+    * semantics (min l2sq wins, distance ties keep the smallest cell id —
+    * identical vectors always land in the same cell). The corpus is
+    * scanned once with NO crossJoin and no shuffle; vectors never leave
+    * their scan partition. (The previous declarative form — array_min
+    * over k struct(l2sq, id) entries — computed the same thing but
+    * allocated k structs per row and generated k inlined loop bodies,
+    * which at k=64+ fell out of JIT budgets and made ASSIGNMENT the
+    * dominant stage of every training scan; bit-parity with it is
+    * spec-pinned in NearestCellSpec.) */
   def nearestCellExpr(codebook: Array[(Long, Seq[Float])],
+      vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nearestCellStruct(codebook, vecCol).getField("c")
+
+  /** [[nearestCellExpr]]'s full struct<d: double, c: bigint> — for the
+    * callers (Lloyd's iterations) that need the winning distance too;
+    * one kernel evaluation serves both fields. */
+  def nearestCellStruct(codebook: Array[(Long, Seq[Float])],
       vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (ids, flat, dim) = flatCodebook(codebook)
+    graft.functions.GraftFunctions.nearest_cell(vecCol, ids, flat, dim)
+  }
+
+  /** Top-nProbe nearest centroids of `vecCol` as a sorted
+    * array<struct<d, c>> — [[probeCells]]' per-row kernel
+    * ([[graft.functions.TopCells]]), row_number-over-(dist, cell_id)
+    * selection semantics. */
+  def topCellsExpr(codebook: Array[(Long, Seq[Float])],
+      vecCol: org.apache.spark.sql.Column,
+      nProbe: Int): org.apache.spark.sql.Column = {
+    require(nProbe > 0, s"topCellsExpr: nProbe $nProbe")
+    val (ids, flat, dim) = flatCodebook(codebook)
+    graft.functions.GraftFunctions.top_cells(vecCol, ids, flat, dim, nProbe)
+  }
+
+  private def flatCodebook(codebook: Array[(Long, Seq[Float])])
+      : (Array[Long], Array[Float], Int) = {
     require(codebook.nonEmpty, "nearestCellExpr: empty codebook")
-    array_min(array(codebook.map { case (cid, cv) =>
-      struct(l2sq(vecCol, typedlit(cv)).as("d"), lit(cid).as("c"))
-    }: _*)).getField("c")
+    val dim = codebook(0)._2.length
+    require(codebook.forall(_._2.length == dim),
+      "nearestCellExpr: ragged codebook (centroid dims differ)")
+    val ids = codebook.map(_._1)
+    val flat = new Array[Float](codebook.length * dim)
+    var c = 0
+    while (c < codebook.length) {
+      val cv = codebook(c)._2
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = cv(i); i += 1 }
+      c += 1
+    }
+    (ids, flat, dim)
   }
 
   /** IVF-style coarse quantization: assign each corpus vector to its
