@@ -1070,6 +1070,205 @@ object ZorderKeyN {
   }
 }
 
+/** The Gopher quality-rule battery as ONE native expression — the
+  * whole per-doc signal set (token count, mean token length, duplicate
+  * token fraction, top-bigram fraction, punctuation ratio, stopword
+  * presence) computed in a single pass over the document and emitted as
+  * the same `struct<len_ok, mean_len_ok, dup_ok, bigram_ok, punct_ok,
+  * stop_ok, keep>` the declarative battery produces.
+  *
+  * Why a custom Expression: the declarative battery
+  * ([[graft.functions.TextFunctions.gopherRulesDeclarative]]) is built
+  * from higher-order array functions (`aggregate`, `zip_with`,
+  * `array_sort` folds) which skip whole-stage codegen and run as
+  * interpreted lambda trees — and the struct's six signals each
+  * re-derive the token array, so a corpus scan pays several interpreted
+  * split+fold passes per document. The quality battery is a headline
+  * per-row scan of the 100 TB documents table (it gates every
+  * downstream curation stage), so it gets the [[CharEntropyE4]]
+  * treatment: one static-method kernel, one tokenize, one hash pass.
+  *
+  * Exact-parity contract with the declarative form (spec-pinned in
+  * CorpusOpsSpec, and transitively with the DuckDB oracle that
+  * re-derives every verdict bit): tokenization is Spark's
+  * `split(text, WsPlus)` with the default limit -1 — leading AND
+  * trailing separator runs contribute EMPTY tokens and the empty string
+  * tokenizes to [""]; lengths count Unicode code points (Spark
+  * `length`); the top-bigram mode count follows the sorted-run identity
+  * on exactly n−1 bigrams; the punct ratio on an empty document is
+  * 0/0 — there the kernel keeps IEEE semantics (NaN, which fails
+  * `<= maxPunct`), matching the DuckDB oracle's float division, where
+  * the declarative battery under the session's default ANSI mode
+  * raises DIVIDE_BY_ZERO instead (GopherRulesSpec pins the divergence:
+  * the kernel's verdict is the oracle's, and the 100 TB scan survives
+  * degenerate rows); stopword occurrences are non-overlapping left-to-right
+  * matches of " w " against the space-padded document (the `split`
+  * counting identity); and a NULL document yields a struct of NULL
+  * fields (not a NULL struct), `keep` included — three-valued logic
+  * never sees a FALSE to collapse to. */
+case class GopherRules(child: Expression, minTokens: Long, maxTokens: Long,
+    minMeanLen: Double, maxMeanLen: Double, maxDupFrac: Double,
+    maxTopBigram: Double, maxPunct: Double, stopwords: Seq[String])
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+  private val fieldNames = Seq("len_ok", "mean_len_ok", "dup_ok",
+    "bigram_ok", "punct_ok", "stop_ok", "keep")
+  override def dataType: DataType =
+    StructType(fieldNames.map(StructField(_, BooleanType, nullable = true)))
+  override def nullable: Boolean = false
+  // null text → struct of null fields, so the struct itself always exists
+  override def nullIntolerant: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gopher_rules requires STRING, got ${child.dataType.catalogString}")
+
+  private def conf: GopherRules.Conf = GopherRules.Conf(minTokens, maxTokens,
+    minMeanLen, maxMeanLen, maxDupFrac, maxTopBigram, maxPunct,
+    stopwords.toArray)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) GopherRules.NullRow
+    else GopherRules.compute(v.asInstanceOf[UTF8String].toString, conf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val confRef = ctx.addReferenceObj("gopherConf", conf,
+      "graft.functions.GopherRules.Conf")
+    val c = child.genCode(ctx)
+    val out =
+      code"""
+        ${c.code}
+        InternalRow ${ev.value} = ${c.isNull}
+          ? graft.functions.GopherRules.NullRow()
+          : graft.functions.GopherRules.compute(${c.value}.toString(), $confRef);
+      """
+    ev.copy(code = out, isNull =
+      org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRules =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_rules"
+}
+
+object GopherRules {
+  /** Plan-constant rule thresholds + stopword list (one reference object
+    * in generated code instead of nine scalar constants). */
+  case class Conf(minTokens: Long, maxTokens: Long, minMeanLen: Double,
+      maxMeanLen: Double, maxDupFrac: Double, maxTopBigram: Double,
+      maxPunct: Double, stopwords: Array[String])
+
+  private val nullRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](null, null, null, null, null, null, null))
+  /** Capitalized accessor for Scala, parenthesized form for codegen. */
+  def NullRow(): org.apache.spark.sql.catalyst.expressions.GenericInternalRow =
+    nullRow
+
+  private def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\f' || ch == '\r'
+
+  private def isPunct(ch: Char): Boolean = ch match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' |
+         '[' | ']' | '{' | '}' | '-' => true
+    case _ => false
+  }
+
+  /** Non-overlapping left-to-right occurrence count (the `split`
+    * counting identity len(split(s, needle, -1)) − 1). */
+  private def countOcc(s: String, needle: String): Long = {
+    var n = 0L
+    var from = 0
+    var idx = s.indexOf(needle, from)
+    while (idx >= 0) {
+      n += 1
+      from = idx + needle.length
+      idx = s.indexOf(needle, from)
+    }
+    n
+  }
+
+  /** One pass over the document → the seven rule booleans. */
+  def compute(s: String,
+      conf: Conf): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    // tokenize = split(text, "[ \t\n\f\r]+") with limit -1: a leading
+    // separator run yields an empty first token, a trailing run an empty
+    // last token, and "" yields [""]
+    val toks = new java.util.ArrayList[String]()
+    var wsCp = 0L      // whitespace code points (all BMP singles)
+    var punctCp = 0L
+    var sumTokCp = 0L  // code points across tokens
+    var i = 0
+    var tokStart = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (isWs(ch)) {
+        toks.add(s.substring(tokStart, i))
+        // consume the whole separator run
+        while (i < s.length && isWs(s.charAt(i))) { wsCp += 1; i += 1 }
+        tokStart = i
+      } else {
+        if (isPunct(ch)) punctCp += 1
+        i += 1
+        if (Character.isHighSurrogate(ch) && i < s.length &&
+          Character.isLowSurrogate(s.charAt(i))) i += 1
+        sumTokCp += 1
+      }
+    }
+    toks.add(s.substring(tokStart, s.length))
+    val totalCp = sumTokCp + wsCp
+
+    val n = toks.size.toLong
+    val lenOk = n >= conf.minTokens && n <= conf.maxTokens
+    val mean = sumTokCp.toDouble / n.toDouble
+    val meanOk = mean >= conf.minMeanLen && mean <= conf.maxMeanLen
+
+    val distinct = new java.util.HashSet[String](toks)
+    val dupFrac = (n - distinct.size).toDouble / n.toDouble
+    val dupOk = dupFrac <= conf.maxDupFrac
+
+    val bigramOk: Boolean = if (n < 2) {
+      0.0 <= conf.maxTopBigram
+    } else {
+      val counts = new java.util.HashMap[String, Integer]()
+      var maxC = 0
+      var b = 0
+      while (b < toks.size - 1) {
+        val bg = toks.get(b) + " " + toks.get(b + 1)
+        val c = counts.merge(bg, Integer.valueOf(1), (x, y) =>
+          Integer.valueOf(x.intValue() + y.intValue()))
+        if (c.intValue() > maxC) maxC = c.intValue()
+        b += 1
+      }
+      maxC.toDouble / (n - 1).toDouble <= conf.maxTopBigram
+    }
+
+    // 0/0 = NaN on an empty document; NaN <= maxPunct is false in both
+    // Java and Spark comparison semantics
+    val punctOk = punctCp.toDouble / totalCp.toDouble <= conf.maxPunct
+
+    val padded = " " + s + " "
+    var hits = 0L
+    var w = 0
+    while (w < conf.stopwords.length) {
+      hits += countOcc(padded, " " + conf.stopwords(w) + " ")
+      w += 1
+    }
+    val stopOk = hits >= 1L
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lenOk, meanOk, dupOk, bigramOk, punctOk, stopOk,
+        lenOk && meanOk && dupOk && bigramOk && punctOk && stopOk))
+  }
+}
+
 /** Column + SQL surfaces for the engine's native expressions. */
 object GraftFunctions {
   def fnv_hash64(c: Column): Column =
@@ -1080,6 +1279,16 @@ object GraftFunctions {
 
   def char_entropy_e4(c: Column): Column =
     ColumnBridge.column(CharEntropyE4(ColumnBridge.expression(c)))
+  /** [[GopherRules]] — the fused quality-rule battery. Thresholds ride
+    * the expression as plan constants (not columns), mirroring the
+    * declarative battery's signature. */
+  def gopher_rules(text: Column, minTokens: Long, maxTokens: Long,
+      minMeanLen: Double, maxMeanLen: Double, maxDupFrac: Double,
+      maxTopBigram: Double, maxPunct: Double,
+      stopwords: Seq[String]): Column =
+    ColumnBridge.column(GopherRules(ColumnBridge.expression(text),
+      minTokens, maxTokens, minMeanLen, maxMeanLen, maxDupFrac,
+      maxTopBigram, maxPunct, stopwords))
 
 
   def kgram_hashes(c: Column, k: Int): Column =

@@ -207,6 +207,19 @@ object TextFunctions {
   def gopherRules(text: Column, minTokens: Long = 25L,
       maxTokens: Long = 100000L, minMeanLen: Double = 3.0,
       maxMeanLen: Double = 10.0, maxDupFrac: Double = 0.55,
+      maxTopBigram: Double = 0.125, maxPunct: Double = 0.2): Column =
+    GraftFunctions.gopher_rules(text, minTokens, maxTokens, minMeanLen,
+      maxMeanLen, maxDupFrac, maxTopBigram, maxPunct, langMarkers("en"))
+
+  /** The original column-function battery — each signal a declarative
+    * array/HOF expression. Kept as the independently-derived reference
+    * the fused [[graft.functions.GopherRules]] kernel is spec-proven
+    * bit-identical to (CorpusOpsSpec); the kernel serves the corpus
+    * scans because the HOF folds here skip whole-stage codegen and
+    * re-derive the token array once per signal. */
+  def gopherRulesDeclarative(text: Column, minTokens: Long = 25L,
+      maxTokens: Long = 100000L, minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0, maxDupFrac: Double = 0.55,
       maxTopBigram: Double = 0.125, maxPunct: Double = 0.2): Column = {
     val n = tokenCount(text).cast("long")
     val lenOk = n >= minTokens && n <= maxTokens
