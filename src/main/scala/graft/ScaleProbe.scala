@@ -413,6 +413,52 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("kndiag")) {
+      // diagnostic: stage walls of the semdedup kN shape (train /
+      // assign / pairs+verify) per dir+k, for root-causing ratio moves
+      deriveNext(spark, DerivedDir, Derived10Dir, level = 2)
+      def withDupsOf(dir: String) = {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        e.unionByName(
+          e.select((col("id") + 100000000L).as("id"), col("vec")))
+      }
+      def diag(dir: String, k: Int): Unit = {
+        val base = withDupsOf(dir)
+        def t[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[kndiag] $dir%-20s k=$k%-5d $label%-12s" +
+            f" ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          r
+        }
+        val (cb, _) = t("train")(graft.pipeline.Ann.trainCentroids(
+          base, k, 3))
+        t("train_memo")(graft.pipeline.Ann.trainCentroids(base, k, 3))
+        val assigned = t("assign")(base.withColumn("cell_id",
+          graft.pipeline.Ann.nearestCellExpr(cb, col("vec")))
+          .localCheckpoint(true))
+        // Lloyd's stats aggregate alone (the round-16 vec_sum kernel)
+        val dim = cb(0)._2.length
+        t("stats_agg") {
+          assigned.groupBy(col("cell_id"))
+            .agg(count(lit(1)).as("n"),
+              graft.functions.GraftFunctions.vec_sum(col("vec"), dim).as("s"))
+            .collect()
+        }
+        val sizes = assigned.groupBy("cell_id").count()
+          .agg(max("count").as("mx"), avg("count").as("av"),
+            sum(col("count") * col("count")).as("pairs2")).head()
+        println(f"[kndiag] $dir%-20s k=$k%-5d balance " +
+          f" max=${sizes.getLong(0)} mean=${sizes.getDouble(1)}%.1f" +
+          f" sumsq=${sizes.getLong(2)}")
+        t("full")(Bench.force(graft.pipeline.Semantic.semanticDedup(
+          base, k = k, iters = 3)))
+      }
+      diag(DerivedDir, 80)
+      diag(Derived10Dir, 800)
+      spark.stop(); return
+    }
+
     if (args.contains("heaps")) {
       // VOCABULARY-GROWTH bracket for the word-keyed text families
       // (round 16, the r15 wrong-#2 adjudication turned into a

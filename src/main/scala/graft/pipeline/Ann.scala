@@ -2016,37 +2016,33 @@ object Ann {
       // rows, which made TRAINING the hidden dominant stage of every
       // ANN/semdedup family (min-of-2 legs hid it behind the memo)
       val best = nearestCellStruct(cents, col("vec"))
-      // localCheckpoint = a materialization BARRIER between assignment and
-      // the per-dimension explode. Without it, ExtractGenerator hoists this
-      // projection ABOVE the posexplode (generator output can't ride a
-      // child Project), so the k-way argmin re-runs once per exploded
-      // DIMENSION — a dim× work blow-up (k=80, dim=64: observed ~5000×
-      // slower stats job; every worker pinned in project_subExpr inside
-      // generate_doConsume). With the barrier the assignment is evaluated
-      // exactly once per vector — the "each iteration is one corpus scan"
-      // contract the scaladoc promises.
-      val assigned = c
+      // Each iteration is ONE job and THREE aggregate expressions:
+      // projection (fused argmin) straight into (count, sum(dist),
+      // vec_sum) — no materialization barrier, no per-dimension
+      // expression fan-out. (History: the posexplode-era
+      // localCheckpoint existed to stop ExtractGenerator hoisting the
+      // argmin above the generator — gone with the explode; the interim
+      // dim-separate-sums form executed fine but cost ~1 s of Catalyst
+      // planning PER ITERATION on its 66-expression aggregate — a
+      // scale-independent floor that dominated every small training,
+      // e.g. the hierarchical sub-codebooks. vec_sum is one imperative
+      // aggregate with a double[dim] buffer: one hash probe + one
+      // element loop per row, k×(dim+2)-sized partials map-side
+      // combined, per-element row-order accumulation — the same sum
+      // semantics, spec-pinned.)
+      val dim = cents(0)._2.length
+      val stats = c
         .select(col("vec"), best.getField("c").as("cell"),
           best.getField("d").as("dist"))
-        .localCheckpoint(true)
-      // per-cell stats as dim WIDTH-wise sum aggregates (one hash-agg
-      // pass, map-side combined into k×(dim+2) buffers) — the previous
-      // posexplode form shuffled N×dim narrow rows per iteration, which
-      // the round-16 stage probe measured as ~a third of training cost
-      // (and the dominant term once the argmin became a fused kernel)
-      val dim = cents(0)._2.length
-      val stats = assigned
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          (sum(col("dist")).as("dsum") +: (0 until dim).map(i =>
-            sum(col("vec").getItem(i).cast("double")).as(s"s$i"))): _*)
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("dsum"),
+          graft.functions.GraftFunctions.vec_sum(col("vec"), dim).as("s"))
         .collect()
-      PlanCache.freeLocalCheckpoint(assigned) // stats landed — free blocks
       wcss += stats.map(_.getDouble(2)).sum
       val means = stats.map { r =>
         val n = r.getLong(1)
-        r.getLong(0) ->
-          (0 until dim).map(i => (r.getDouble(3 + i) / n).toFloat).toSeq
+        val s = r.getSeq[Double](3)
+        r.getLong(0) -> (0 until dim).map(i => (s(i) / n).toFloat).toSeq
       }.toMap
       cents = cents.map { case (cid, old) =>
         (cid, means.getOrElse(cid, old))

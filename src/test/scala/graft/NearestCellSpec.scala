@@ -142,6 +142,33 @@ class NearestCellSpec extends SparkSpec {
     }
   }
 
+  test("vec_sum aggregate == per-dimension declarative sums") {
+    val dim = 8
+    // ragged + null rows exercise the documented edges: short arrays
+    // contribute their prefix, null arrays contribute nothing
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 100L).map(i => (i % 5, Option(vec(i, dim).toSeq))) ++
+        Seq((1L, Some(Seq(1f, 2f))), (2L, None))
+    val df = rows.toDF("g", "vec")
+    val viaKernel = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.vec_sum(col("vec"), dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // try_element_at: the null-on-out-of-bounds item access (plain
+    // getItem THROWS under the session's default ANSI mode)
+    val sumCols = (0 until dim).map(i =>
+      sum(try_element_at(col("vec"), lit(i + 1)).cast("double")).as(s"s$i"))
+    val viaSums = df.groupBy("g")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect().map { r =>
+        r.getLong(0) -> (0 until dim).map(i =>
+          if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1))
+      }.toMap
+    assert(viaKernel.keySet == viaSums.keySet)
+    viaKernel.keySet.foreach { g =>
+      assert(viaKernel(g) == viaSums(g), s"group $g")
+    }
+  }
+
   test("trainCentroids is unchanged by the kernel swap (WCSS + assignment)") {
     // the spec that would catch any drift in the training path: a fixed
     // corpus trains to the same codebook as the declarative per-step
