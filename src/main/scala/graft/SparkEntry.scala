@@ -129,43 +129,54 @@ object SparkEntry {
     * codebook/pair-set helpers below. */
   private[graft] def benchOnboard(s: SparkSession, dir: String): Unit = {
     import graft.sources.WireFixtures
-    WireFixtures.goldenGateTrailDir(s, dir)
-    WireFixtures.minhashStoreDir(s, dir)
-    WireFixtures.relayLogDir(s, dir)
-    WireFixtures.chainedRelayLogDir(s, dir)
-    WireFixtures.dbusv2LogDir(s, dir)
-    WireFixtures.dbusv2MixedLogDir(s, dir)
-    WireFixtures.dbusv1LogDir(s, dir)
-    WireFixtures.avroSnapshotDir(s, dir)
-    WireFixtures.binlogDumpDir(s, dir)
-    WireFixtures.annIndexDir(s, dir)
-    WireFixtures.annIncrIndexDir(s, dir)
-    WireFixtures.annTakedownIndexDir(s, dir)
-    WireFixtures.postingsTakedownDir(s, dir)
-    WireFixtures.minhashTakedownStoreDir(s, dir)
-    WireFixtures.postingsStoreDir(s, dir)
-    WireFixtures.evalGramStoreDir(s, dir)
-    WireFixtures.bpeMergesDir(s, dir)
-    WireFixtures.imageSigStoreDir(s, dir)
-    WireFixtures.winnowFpStoreDir(s, dir)
-    WireFixtures.cdcChunkStoreDir(s, dir)
-    WireFixtures.evalEmbStoreDir(s, dir)
+    // SPARK_GRAFT_SETUP_DEBUG=1: per-fixture wall times to stderr, for
+    // attributing setup_sec moves to a specific shared fixture build
+    val dbg = sys.env.get("SPARK_GRAFT_SETUP_DEBUG").contains("1")
+    def t[A](name: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[setup] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+    t("goldenGateTrailDir")(WireFixtures.goldenGateTrailDir(s, dir))
+    t("minhashStoreDir")(WireFixtures.minhashStoreDir(s, dir))
+    t("relayLogDir")(WireFixtures.relayLogDir(s, dir))
+    t("chainedRelayLogDir")(WireFixtures.chainedRelayLogDir(s, dir))
+    t("dbusv2LogDir")(WireFixtures.dbusv2LogDir(s, dir))
+    t("dbusv2MixedLogDir")(WireFixtures.dbusv2MixedLogDir(s, dir))
+    t("dbusv1LogDir")(WireFixtures.dbusv1LogDir(s, dir))
+    t("avroSnapshotDir")(WireFixtures.avroSnapshotDir(s, dir))
+    t("binlogDumpDir")(WireFixtures.binlogDumpDir(s, dir))
+    t("annIndexDir")(WireFixtures.annIndexDir(s, dir))
+    t("annIncrIndexDir")(WireFixtures.annIncrIndexDir(s, dir))
+    t("annTakedownIndexDir")(WireFixtures.annTakedownIndexDir(s, dir))
+    t("postingsTakedownDir")(WireFixtures.postingsTakedownDir(s, dir))
+    t("minhashTakedownStoreDir")(WireFixtures.minhashTakedownStoreDir(s, dir))
+    t("postingsStoreDir")(WireFixtures.postingsStoreDir(s, dir))
+    t("evalGramStoreDir")(WireFixtures.evalGramStoreDir(s, dir))
+    t("bpeMergesDir")(WireFixtures.bpeMergesDir(s, dir))
+    t("imageSigStoreDir")(WireFixtures.imageSigStoreDir(s, dir))
+    t("winnowFpStoreDir")(WireFixtures.winnowFpStoreDir(s, dir))
+    t("cdcChunkStoreDir")(WireFixtures.cdcChunkStoreDir(s, dir))
+    t("evalEmbStoreDir")(WireFixtures.evalEmbStoreDir(s, dir))
     // LSH→verify pair set shared by the component/keep-one/soft-weight
     // queries (persisted via PlanCache on first use)
-    verifiedDupPairs(s, dir).count()
+    t("verifiedDupPairs")(verifiedDupPairs(s, dir).count())
     // persisted scoring models (train-once stores; without these the
     // first lm/nb query in a pass pays the training scan)
-    WireFixtures.lmModelDir(s, dir)
-    WireFixtures.nbModelDir(s, dir)
+    t("lmModelDir")(WireFixtures.lmModelDir(s, dir))
+    t("nbModelDir")(WireFixtures.nbModelDir(s, dir))
     // IVF codebook memo entries used by q_kmeans_train / q_ann_ivf_trained
     val all = emb(s, dir).select(col("vec_id").as("id"),
       col("embedding").as("vec"))
-    Ann.trainCentroids(all, k = 8, iters = 5)
-    Ann.trainCentroids(all, k = 8, iters = 3)
+    t("trainCentroids k8 i5")(Ann.trainCentroids(all, k = 8, iters = 5))
+    t("trainCentroids k8 i3")(Ann.trainCentroids(all, k = 8, iters = 3))
     // PQ sub-codebooks for q_ann_pq's twin-planted corpus
-    Ann.trainPqCodebooks(all.unionByName(
+    t("trainPqCodebooks")(Ann.trainPqCodebooks(all.unionByName(
       all.select((col("id") + 1000000L).as("id"), col("vec"))),
-      m = 4, ksub = 16, iters = 3)
+      m = 4, ksub = 16, iters = 3))
     ()
   }
 

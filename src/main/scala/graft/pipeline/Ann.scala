@@ -449,10 +449,11 @@ object Ann {
       dir: String): (String, DataFrame) = {
     val spark = newVectors.sparkSession
     val t = VersionedStore.tableRoot(dir)
-    val codebook = spark.read.parquet(s"$t/codebook")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
-      .sortBy(_._1)
+    // memoized per generation path ([[collectCentroids]]) — a CDC
+    // maintainer appends many batches against one frozen codebook, and
+    // re-collecting the same k rows per batch is one avoidable job each
+    val codebook =
+      collectCentroids(spark.read.parquet(s"$t/codebook")).sortBy(_._1)
     require(codebook.nonEmpty, s"appendToIndex: empty codebook in $dir")
     (t, quantizedCells(newVectors, codebook))
   }
@@ -1200,9 +1201,22 @@ object Ann {
     require(m > 0 && dim % m == 0,
       s"trainPqCodebooks: dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      val book = trainCentroids(corpus.select(col("id"),
-        slice(col("vec"), j * sub + 1, sub).as("vec")), ksub, iters)._1
+    // The m sub-trainings are INDEPENDENT (each its own sliced plan, its
+    // own memo key) and each is a chain of small driver-blocking jobs —
+    // run them concurrently so one subspace's planning/collect gaps
+    // back-fill with another's tasks (spark_optimization_guide §2.6).
+    // Per-subspace computation (jobs, accumulation order, memo keys) is
+    // UNCHANGED — concurrency only overlaps the independent chains, so
+    // every trained book is bit-identical to the sequential run's.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val trained = (0 until m).map { j =>
+      Future(trainCentroids(corpus.select(col("id"),
+        slice(col("vec"), j * sub + 1, sub).as("vec")), ksub, iters)._1)
+    }
+    trained.zipWithIndex.map { case (f, j) =>
+      val book = Await.result(f, Duration.Inf)
       // the ADC LUT is indexed as lut[j*ksub + cell]: a short book
       // (corpus smaller than ksub) would silently misalign every
       // subspace after the first — fail loudly instead
@@ -1304,10 +1318,19 @@ object Ann {
       statsSampleMod: Int): DataFrame = {
     val spark = frame.sparkSession
     import spark.implicits._
-    val trainMse = pqReconMse(frame, books, statsSampleMod)
-    val r = frame.agg(count(lit(1)).as("n"),
-      idChecksumAgg(statsSampleMod).as("c")).head()
-    val dim = frame.select(size(col("vec"))).head().getInt(0)
+    // three independent driver-blocking probes (MSE aggregate,
+    // count+checksum aggregate, dim peek) — overlapped, not chained
+    // (guide §2.6); each probe's own plan and value are unchanged
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fMse = Future(pqReconMse(frame, books, statsSampleMod))
+    val fRow = Future(frame.agg(count(lit(1)).as("n"),
+      idChecksumAgg(statsSampleMod).as("c")).head())
+    val fDim = Future(frame.select(size(col("vec"))).head().getInt(0))
+    val trainMse = Await.result(fMse, Duration.Inf)
+    val r = Await.result(fRow, Duration.Inf)
+    val dim = Await.result(fDim, Duration.Inf)
     Seq(("train_recon_mse", trainMse),
         ("train_rows", r.getLong(0).toDouble),
         ("train_dim", dim.toDouble),
@@ -1420,10 +1443,21 @@ object Ann {
   /** [[readPqBooks]] against an ALREADY-RESOLVED table root (current
     * generation, a pinned one, or a flat dir) — the pinned servers must
     * load the books of the generation they serve, never the head's. */
+  private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[(Long, Seq[Float])]]]()
   private def readPqBooksAt(spark: org.apache.spark.sql.SparkSession,
       t: String): Array[Array[(Long, Seq[Float])]] = {
     val storeDir = t // diagnostic naming below
-    val rows = spark.read.parquet(s"$t/books").collect()
+    // memoized per books frame plan (the generation path rides
+    // [[PlanCache.planKey]], so a compaction publish invalidates) —
+    // every serve/append/audit against one generation re-loads the same
+    // m·ksub driver-sized rows; KB-scale entries, [[collectCentroids]]'
+    // retention discipline
+    val booksFrame = spark.read.parquet(s"$t/books")
+    val memoKey = PlanCache.planKey(booksFrame)
+    val hit = pqBooksMemo.get(memoKey)
+    if (hit != null) return hit
+    val rows = booksFrame.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toSeq))
     require(rows.nonEmpty, s"readPqBooks: empty books table in $storeDir")
     // the SUBSPACE ids must be the dense 0..m-1 set, not just each
@@ -1448,6 +1482,8 @@ object Ann {
       require(book.forall(_._2.length == sub),
         s"readPqBooks: subspace $j of $storeDir has mixed slice widths")
     }
+    if (pqBooksMemo.size > 256) pqBooksMemo.clear()
+    pqBooksMemo.put(memoKey, books)
     books
   }
 
@@ -1642,8 +1678,9 @@ object Ann {
       dir: String): (String, DataFrame) = {
     val spark = newVectors.sparkSession
     val t = VersionedStore.tableRoot(dir)
-    val coarse = spark.read.parquet(s"$t/codebook").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    // memoized per generation path — [[encodedCells]]'s rationale
+    val coarse =
+      collectCentroids(spark.read.parquet(s"$t/codebook")).sortBy(_._1)
     require(coarse.nonEmpty, s"appendToIvfPqIndex: empty codebook in $dir")
     val books = readPqBooks(spark, dir)
     (t, residualFrame(newVectors, spark, coarse)

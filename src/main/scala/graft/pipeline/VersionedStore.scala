@@ -326,12 +326,25 @@ object VersionedStore {
     // why the reservation must be visible before the first table byte
     val (gen, token) = reserve(root)
     val dir = genDir(root, gen)
-    tables.foreach { case (name, df) =>
-      val w = df.write.mode("overwrite")
-      partitionBy.get(name).filter(_.nonEmpty)
-        .fold(w)(cols => w.partitionBy(cols: _*))
-        .parquet(s"$dir/$name")
+    // Each table lands in its own subdir of the fresh generation dir —
+    // the writes are independent, and most stores publish several tiny
+    // driver-bounded tables (codebook, books, quant_stats) next to one
+    // corpus-sized one. Writing them concurrently overlaps each write's
+    // plan/commit latency with another's tasks (optimization guide §2.6);
+    // the commit marker still only lands after EVERY write returned, so
+    // generation atomicity is untouched.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = tables.toSeq.map { case (name, df) =>
+      Future {
+        val w = df.write.mode("overwrite")
+        partitionBy.get(name).filter(_.nonEmpty)
+          .fold(w)(cols => w.partitionBy(cols: _*))
+          .parquet(s"$dir/$name")
+      }
     }
+    writes.foreach(Await.result(_, Duration.Inf))
     commit(root, gen, token, tables.keys.map(_.split('/').head).toSet,
       tables.head._2.sparkSession)
   }
