@@ -1963,15 +1963,17 @@ object SparkEntry {
       // is versioned now; in-generation appends are where the two-commit
       // and blind-re-append windows still live)
       val gen = graft.pipeline.VersionedStore.tableRoot(idx)
+      // the hand-planted rows and the blind re-append land in ONE append
+      // job per table (they always targeted the same dir; a union writes
+      // the same rows with one commit instead of two)
       Seq(("ghost", 900001L, 0L), ("bad", 1L, -1L))
         .toDF("token", "doc_id", "pos")
-        .write.mode("append").parquet(s"$gen/postings")
-      graft.pipeline.Retrieval.positionalPostings(
-          d.where(col("doc_id") === 0L))
+        .unionByName(graft.pipeline.Retrieval.positionalPostings(
+          d.where(col("doc_id") === 0L)))
         .write.mode("append").parquet(s"$gen/postings")
       Seq((900003L, 5L)).toDF("doc_id", "dl")
-        .write.mode("append").parquet(s"$gen/doclens")
-      graft.pipeline.Retrieval.docLengths(d.where(col("doc_id") === 2L))
+        .unionByName(
+          graft.pipeline.Retrieval.docLengths(d.where(col("doc_id") === 2L)))
         .write.mode("append").parquet(s"$gen/doclens")
       graft.pipeline.Retrieval.tombstoneDocs(s, idx, Seq(999999L, 3L))
       // crashed-maintenance leftovers: a compaction tmp that never
@@ -2073,10 +2075,20 @@ object SparkEntry {
         .toString + "/sketch"
       val scored = docs(s, dir).select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"))
-      graft.pipeline.QuantileStore.appendBatch(
-        scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang", 50L)
-      graft.pipeline.QuantileStore.appendBatch(
-        scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang", 50L)
+      // the two batch appends land in disjoint batch=<id> partition dirs
+      // of a fresh store — independent writes, overlapped (guide §2.6)
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val a = Future(graft.pipeline.QuantileStore.appendBatch(
+          scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang",
+          50L))
+        val b = Future(graft.pipeline.QuantileStore.appendBatch(
+          scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang",
+          50L))
+        Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+      }
       // registry coverage: the digest-dispatch decode silently drops
       // rows whose schema_id no registered schema resolves — audit it
       // like every other store hazard. Healthy store (all digests
@@ -2142,11 +2154,18 @@ object SparkEntry {
             col("embedding").as("vec"))
           val withTwins = all.unionByName(
             all.select((col("id") + 1000000L).as("id"), col("vec")))
-          pfx("pq_", F.pqDrift(s,
-              graft.sources.WireFixtures.pqIndexDir(s, dir), withTwins))
-            .unionByName(pfx("ivfpq_", F.pqDrift(s,
-              graft.sources.WireFixtures.ivfPqIndexDir(s, dir), withTwins,
-              "cells")))
+          // the two drift audits hit different stores and each runs a
+          // chain of driver-blocking probes — overlapped (guide §2.6)
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val fPq = Future(pfx("pq_", F.pqDrift(s,
+            graft.sources.WireFixtures.pqIndexDir(s, dir), withTwins)))
+          val fIvfPq = Future(pfx("ivfpq_", F.pqDrift(s,
+            graft.sources.WireFixtures.ivfPqIndexDir(s, dir), withTwins,
+            "cells")))
+          Await.result(fPq, Duration.Inf)
+            .unionByName(Await.result(fIvfPq, Duration.Inf))
         })
     }),
 
@@ -3819,16 +3838,26 @@ object SparkEntry {
           RecallFloorPq),
         ("ivf_pq", Ann.ivfPqTopKFromStore(q, all, ivfpq, k = 10,
           nProbe = 6, rerank = 100), RecallFloorIvfPq))
-      served.map { case (m, approx, floor) =>
-        val r = Ann.recallAtK(approx, exact)
-        // the measured value is the scale-probe datum (SCALING.md) —
-        // print it; the FLOOR is the gate
-        println(f"[recall] sf=$dir%s method=$m%s recall_at_10=$r%.4f" +
-          f" floor=$floor%.2f")
-        require(r >= floor,
-          s"q_ann_recall: $m recall@10 = $r below the pinned floor $floor" +
-            " — the quantized tier lost organic retrieval quality")
-        (m, floor, true)
+      // the three serve→recall chains are independent (different stores,
+      // shared read-only exact frame) — overlapped (guide §2.6); each
+      // chain's own jobs, measured recall and floor gate are unchanged
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        served.map { case (m, approx, floor) =>
+          (m, floor, Future(Ann.recallAtK(approx, exact)))
+        }.map { case (m, floor, fr) =>
+          val r = Await.result(fr, Duration.Inf)
+          // the measured value is the scale-probe datum (SCALING.md) —
+          // print it; the FLOOR is the gate
+          println(f"[recall] sf=$dir%s method=$m%s recall_at_10=$r%.4f" +
+            f" floor=$floor%.2f")
+          require(r >= floor,
+            s"q_ann_recall: $m recall@10 = $r below the pinned floor $floor" +
+              " — the quantized tier lost organic retrieval quality")
+          (m, floor, true)
+        }
       }.toDF("method", "floor", "floor_ok").orderBy("method")
     }),
 

@@ -965,25 +965,38 @@ object Ann {
       .parquet(s"${VersionedStore.tableRoot(storeDir)}/codebook").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
     require(book.nonEmpty, s"rebalanceCells: empty codebook in $storeDir")
-    var nextId = book.map(_._1).max + 1
+    val baseId = book.map(_._1).max + 1
     val splitIds = oversized.map(_._1).toSet
     // per-cell sub-training: the loop is codebook-bounded (≤ #cells
-    // iterations) and each iteration's jobs are cell-sized
-    val perCell = oversized.map { case (cellId, _) =>
-      val memberIds = live.where(col("cell_id") === cellId).select("id")
-      val members = memberIds
-        .join(corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
-      // loud drift guard: a live id the corpus lost would silently drop
-      // out of the rewrite (an unrecorded erasure) — two cell-sized counts
-      val (nIds, nVecs) = (memberIds.count(), members.count())
-      require(nIds == nVecs, s"rebalanceCells: cell $cellId has " +
-        s"${nIds - nVecs} member id(s) absent from the corpus — repair the" +
-        " store (fsck) before rebalancing")
-      val (subs, _) = trainCentroids(members, splitFactor, iters)
-      val offset = subs.map { case (i, v) => (nextId + i, v) }
-      nextId += splitFactor
-      (cellId, offset)
+    // iterations) and each iteration's jobs are cell-sized. Sub-cell id
+    // offsets are precomputed from the sorted oversized order (exactly
+    // the ids the sequential nextId counter assigned), which makes the
+    // per-cell chains independent — they run concurrently so one cell's
+    // planning/collect gaps back-fill with another's tasks (guide §2.6);
+    // each cell's own jobs, tie-breaks and trained floats are unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perCellF = oversized.zipWithIndex.map { case ((cellId, _), idx) =>
+      Future {
+        val memberIds = live.where(col("cell_id") === cellId).select("id")
+        val members = memberIds
+          .join(corpus.select(col("id").cast("long").as("id"), col("vec")),
+            "id")
+        // loud drift guard: a live id the corpus lost would silently drop
+        // out of the rewrite (an unrecorded erasure) — two cell-sized
+        // counts (kept separate: their exact semantics — including the
+        // duplicate-corpus-id failure mode — are the guard's contract)
+        val (nIds, nVecs) = (memberIds.count(), members.count())
+        require(nIds == nVecs, s"rebalanceCells: cell $cellId has " +
+          s"${nIds - nVecs} member id(s) absent from the corpus — repair" +
+          " the store (fsck) before rebalancing")
+        val (subs, _) = trainCentroids(members, splitFactor, iters)
+        val nextId = baseId + idx.toLong * splitFactor
+        (cellId, subs.map { case (i, v) => (nextId + i, v) })
+      }
     }
+    val perCell = perCellF.map(Await.result(_, Duration.Inf))
     val subBook = perCell.flatMap(_._2)
     // cells — untouched rows as-is, split-cell members reassigned under
     // their sub-codebooks (identical vectors share every argmin, so
@@ -1098,7 +1111,17 @@ object Ann {
         .where(col("cell_id").isin(mergedIds.toSeq: _*)).select("id")
       val members = thinMembers.join(
         corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
-      val (nIds, nVecs) = (thinMembers.count(), members.count())
+      // the two guard counts are independent — overlapped (guide §2.6),
+      // values and semantics unchanged
+      val (fIds, fVecs) = {
+        import scala.concurrent.{ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        (Future(thinMembers.count()), Future(members.count()))
+      }
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      val (nIds, nVecs) =
+        (Await.result(fIds, Duration.Inf), Await.result(fVecs, Duration.Inf))
       require(nIds == nVecs, s"mergeCells: ${nIds - nVecs} merged-cell" +
         " member id(s) absent from the corpus — repair the store (fsck)" +
         " before merging")
