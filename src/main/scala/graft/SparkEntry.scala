@@ -2330,9 +2330,21 @@ object SparkEntry {
       val purge = Dedup.contaminationReport(d,
           d.where(col("doc_id") < 50), maxGramDf = Int.MaxValue)
         .where(col("train_id") >= 50 && col("leak_bp") >= 1000)
-        .select(col("train_id").as("doc_id")).distinct()
-      graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index")
+        .select(col("train_id").as("doc_id")).distinct().persist()
+      // the contamination scan and the index build are independent —
+      // overlapped (guide §2.6); the tombstone append still lands only
+      // after the store exists, from the cached purge set
+      locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fIdx = Future(
+          graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index"))
+        val fPurge = Future { purge.count(); () }
+        Await.result(fIdx, Duration.Inf); Await.result(fPurge, Duration.Inf)
+      }
       graft.pipeline.Retrieval.tombstoneDocsDf(purge, s"$root/index")
+      purge.unpersist()
       graft.pipeline.Retrieval.bm25TopKFromIndex(
         graft.pipeline.Retrieval.readPostingsIndex(s, s"$root/index"),
         graft.pipeline.Retrieval.readDocLengths(s, s"$root/index"),

@@ -470,12 +470,19 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       numFiles: Int = 4, batchId: Option[Long] = None): Unit = {
     require(numFiles > 0, s"writeSignatureStore: numFiles $numFiles")
+    // one cached signature pass feeds both published tables (publish
+    // writes them concurrently; without the persist each table's plan
+    // re-ran the shingle+hash kernel over the whole corpus)
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
-    VersionedStore.publish(dir, Map(
-      batchId.fold("sigs")(b => s"sigs/batch=$b") -> sigs.coalesce(numFiles),
-      batchId.fold("banded")(b => s"banded/batch=$b") ->
-        bandedBucketsFromSignatures(sigs, k, bands)
-        .coalesce(numFiles)))
+      .persist()
+    try {
+      VersionedStore.publish(dir, Map(
+        batchId.fold("sigs")(b => s"sigs/batch=$b") ->
+          sigs.coalesce(numFiles),
+        batchId.fold("banded")(b => s"banded/batch=$b") ->
+          bandedBucketsFromSignatures(sigs, k, bands)
+          .coalesce(numFiles)))
+    } finally sigs.unpersist()
     ()
   }
 
@@ -513,11 +520,23 @@ object Dedup {
         " batch-addressed append would mix layouts and break partition" +
         " discovery; bootstrap the store with writeSignatureStore's" +
         " batchId")
+    // signed ONCE, as the contract above states: both row sets derive
+    // from one cached signature pass (without the persist each write's
+    // plan re-ran the shingle+hash kernel), and the two writes land in
+    // different tables' batch dirs so they overlap (guide §2.6)
     val sigs = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
-    sigs.coalesce(numFiles)
-      .write.mode("overwrite").parquet(s"$t/sigs/batch=$batchId")
-    bandedBucketsFromSignatures(sigs, k, bands).coalesce(numFiles)
-      .write.mode("overwrite").parquet(s"$t/banded/batch=$batchId")
+      .persist()
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val a = Future(sigs.coalesce(numFiles)
+        .write.mode("overwrite").parquet(s"$t/sigs/batch=$batchId"))
+      val b = Future(bandedBucketsFromSignatures(sigs, k, bands)
+        .coalesce(numFiles)
+        .write.mode("overwrite").parquet(s"$t/banded/batch=$batchId"))
+      Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    } finally sigs.unpersist()
   }
 
   /** [[readSignatureStore]] PINNED at append batch `maxBatch` —

@@ -245,12 +245,18 @@ object Retrieval {
       textCol: String = "text"): Unit = {
     require(numFiles > 0, s"appendToPostingsIndex: numFiles $numFiles")
     val t = VersionedStore.tableRoot(dir)
-    positionalPostings(newDocs, idCol, textCol)
+    // postings and doclens land in different tables — the two writes
+    // overlap (guide §2.6), same rows per table as the sequential form
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = Future(positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("append").parquet(s"$t/postings")
-    docLengths(newDocs, idCol, textCol)
-      .coalesce(1).write.mode("append").parquet(s"$t/doclens")
+      .write.mode("append").parquet(s"$t/postings"))
+    val b = Future(docLengths(newDocs, idCol, textCol)
+      .coalesce(1).write.mode("append").parquet(s"$t/doclens"))
+    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
   }
 
   /** STREAMING-append form of [[appendToPostingsIndex]]: the batch's
@@ -268,13 +274,18 @@ object Retrieval {
       textCol: String = "text"): Unit = {
     require(numFiles > 0, s"appendToPostingsIndexBatch: numFiles $numFiles")
     val t = VersionedStore.tableRoot(dir)
-    positionalPostings(newDocs, idCol, textCol)
+    // different tables' batch dirs — overlapped ([[appendToPostingsIndex]])
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = Future(positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("overwrite").parquet(s"$t/postings/batch=$batchId")
-    docLengths(newDocs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$t/postings/batch=$batchId"))
+    val b = Future(docLengths(newDocs, idCol, textCol)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$t/doclens/batch=$batchId")
+      .parquet(s"$t/doclens/batch=$batchId"))
+    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
   }
 
   /** The LIVE postings of a persisted index (feed to [[phraseSearch]] /
