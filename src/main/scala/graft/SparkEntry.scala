@@ -1004,7 +1004,11 @@ object SparkEntry {
           .schema("opcode STRING, doc_id LONG, text STRING")
           .parquet(s"$root/feed")
           .writeStream
-          .foreachBatch { (b: DataFrame, batchId: Long) =>
+          .foreachBatch { (b0: DataFrame, batchId: Long) =>
+            // one feed read per trigger: the UPSERT write and the DELETE
+            // probe are separate actions over the same micro-batch (the
+            // localCheckpoint idiom of the sigstore/image streams)
+            val b = b0.localCheckpoint(true)
             val ups = b.where(col("opcode") === "UPSERT")
               .select("doc_id", "text")
             if (graft.pipeline.VersionedStore.currentGen(store).isEmpty)
@@ -1793,9 +1797,12 @@ object SparkEntry {
         val q = s.readStream.schema("doc_id LONG, text STRING")
           .parquet(s"$root/in")
           .writeStream
-          .foreachBatch { (b: DataFrame, batchId: Long) =>
+          .foreachBatch { (b0: DataFrame, batchId: Long) =>
             // batch-addressed writes: a foreachBatch retry rewrites its
-            // own partial (overwrite) instead of double-appending it
+            // own partial (overwrite) instead of double-appending it.
+            // localCheckpoint: the postings append and the membership
+            // write are separate actions over the same micro-batch
+            val b = b0.localCheckpoint(true)
             graft.pipeline.Retrieval.appendToPostingsIndexBatch(
               b, s"$root/index", batchId)
             b.select(col("doc_id")).withColumn("batch_id", lit(batchId))
@@ -2368,7 +2375,9 @@ object SparkEntry {
           .schema("opcode STRING, doc_id LONG, text STRING")
           .parquet(s"$root/feed")
           .writeStream
-          .foreachBatch { (b: DataFrame, batchId: Long) =>
+          .foreachBatch { (b0: DataFrame, batchId: Long) =>
+            // one feed read per trigger (the localCheckpoint idiom)
+            val b = b0.localCheckpoint(true)
             graft.pipeline.Retrieval.appendToPostingsIndexBatch(
               b.where(col("opcode") === "UPSERT").select("doc_id", "text"),
               s"$root/index", batchId)
@@ -3893,7 +3902,9 @@ object SparkEntry {
           .schema("opcode STRING, id LONG, vec ARRAY<FLOAT>")
           .parquet(s"$root/feed")
           .writeStream
-          .foreachBatch { (b: DataFrame, bid: Long) =>
+          .foreachBatch { (b0: DataFrame, bid: Long) =>
+            // one feed read per trigger (the localCheckpoint idiom)
+            val b = b0.localCheckpoint(true)
             val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
             // the batchId THREADS THROUGH to the store writes: a
             // replayed micro-batch (foreachBatch is at-least-once)
@@ -3957,7 +3968,9 @@ object SparkEntry {
           .schema("opcode STRING, id LONG, vec ARRAY<FLOAT>")
           .parquet(s"$root/feed")
           .writeStream
-          .foreachBatch { (b: DataFrame, bid: Long) =>
+          .foreachBatch { (b0: DataFrame, bid: Long) =>
+            // one feed read per trigger (the localCheckpoint idiom)
+            val b = b0.localCheckpoint(true)
             val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
             if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
               Ann.appendToIvfPqIndexBatch(ups, s"$root/index", bid)
