@@ -27,6 +27,9 @@ object Bench {
     // local iteration: time only the named queries (skips throughput legs)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // cpus as a JSON value: numeric when it is one (the contract), quoted
+    // otherwise (e.g. local[*]) so the artifact line stays parseable
+    val cpusJson = if (cpus.forall(_.isDigit)) cpus else "\"" + cpus + "\""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,7 +100,7 @@ object Bench {
         "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
         .mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${results.values.sum},""" +
-        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        s""""unit":"sec","queries":$qs,"cpus":$cpusJson,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -165,6 +168,12 @@ object Bench {
       s""" (SCALING.md round-12 adjudication; solo fresh-JVM floor 143k,""" +
       s""" band 306k-526k); the scale-honest sf1 legs are flat ~1.6M""" +
       s""" ev/s (ScaleProbe relay)",""" +
+      // echo the harness contract: the master really is local[$cpus]
+      // (Bench honors SPARK_GRAFT_CPUS for master AND shuffle
+      // partitions); carrying it in the artifact lets the driver's
+      // scaling check verify the c8/c32 runs differ by core count
+      // without inferring it from per-query ratios
+      s""""cpus":$cpusJson,""" +
       s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
