@@ -90,6 +90,48 @@ private[graft] object PlanCache {
     leafIds + "|" + df.queryExecution.analyzed.canonicalized.toString
   }
 
+  /** [[planKey]] plus a CONTENT salt for file leaves: the key is the
+    * plan, and a table rewritten IN PLACE at the same path (a flat
+    * non-versioned store rebuilt in-session, a test planting
+    * corruption) leaves the plan unchanged — a plan-keyed memo would
+    * silently serve the stale rows. Each HadoopFsRelation root
+    * contributes its recursive (name, mtime) listing: Spark part-file
+    * names carry task UUIDs and a commit refreshes mtimes, so ANY
+    * rewrite — same rows or not — changes the salt. One driver FS
+    * metadata listing per file root per call (micro vs the Spark job
+    * the memo avoids); listings beyond 64 entries collapse to a digest
+    * so keys stay bounded for corpus-sized roots. */
+  private[graft] def contentKey(df: DataFrame): String =
+    planKey(df) + fileSalt(df)
+
+  /** The content salt alone — for callers that need to salt a
+    * DIFFERENT key (e.g. [[getOrPersist]] params) with the same
+    * freshness discipline. Empty string when the frame has no file
+    * leaves. */
+  private[graft] def fileSalt(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.analyzed.collectLeaves().flatMap {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    if (roots.isEmpty) return ""
+    val salt = roots.map { root =>
+      val listing = StoreFs.listFileStatusesRecursive(root)
+        .map { case (p, _, mtime) => s"$p@$mtime" }.sorted
+      if (listing.length <= 64) listing.mkString(",")
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        listing.foreach(s => md.update(s.getBytes("UTF-8")))
+        listing.length + ":" +
+          md.digest().map("%02x".format(_)).mkString
+      }
+    }.mkString(";")
+    "|files:" + salt
+  }
+
   /** Free the persisted blocks behind a `localCheckpoint(true)` frame.
     * Iterative drivers (k-means stats, power iteration, CC label
     * propagation) materialize one barrier frame per iteration; without an
@@ -103,13 +145,23 @@ private[graft] object PlanCache {
       case _ => ()
     }
 
+  /** Sibling driver-side memos (e.g. [[Ann]]'s quantizer loads)
+    * register a clear hook so [[clear]] empties them too — one call
+    * resets every plan/content-keyed cache in the JVM. */
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]
+  private[graft] def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
+
   /** Drop every cached signature table (tests / memory pressure). */
-  def clear(): Unit = synchronized {
-    sessions.values.forEach { m =>
-      m.values.forEach(df =>
-        try df.unpersist() catch { case _: Throwable => () })
-      m.clear()
+  def clear(): Unit = {
+    synchronized {
+      sessions.values.forEach { m =>
+        m.values.forEach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
+        m.clear()
+      }
+      sessions.clear()
     }
-    sessions.clear()
+    clearHooks.forEach(h => h())
   }
 }
