@@ -919,18 +919,23 @@ object SparkEntry {
           // deterministic; the candidate set is distinct under the
           // replay's already-landed sigs) and rewrites its own partial
           val b = batch.localCheckpoint(true)
-          val sigsNew = Dedup.minhashSignatures(b, "text", "doc_id", 3, 64)
-          val bandedNew = Dedup.bandedBucketsFromSignatures(sigsNew)
-          val bandedAll = Dedup.readBandedStore(s, store)
-            .unionByName(Dedup.bandedBucketsFromSignatures(overlaySigs()))
-            .unionByName(bandedNew)
-          Dedup.incrementalCandidatesFromBanded(bandedNew, bandedAll,
-              broadcastNew = true)
-            .coalesce(4).write.mode("overwrite")
-            .parquet(s"$over/cand/batch=$batchId")
-          sigsNew.coalesce(4).write.mode("overwrite")
-            .parquet(s"$over/sigs/batch=$batchId")
-          ()
+          try {
+            val sigsNew = Dedup.minhashSignatures(b, "text", "doc_id", 3, 64)
+            val bandedNew = Dedup.bandedBucketsFromSignatures(sigsNew)
+            val bandedAll = Dedup.readBandedStore(s, store)
+              .unionByName(Dedup.bandedBucketsFromSignatures(overlaySigs()))
+              .unionByName(bandedNew)
+            Dedup.incrementalCandidatesFromBanded(bandedNew, bandedAll,
+                broadcastNew = true)
+              .coalesce(4).write.mode("overwrite")
+              .parquet(s"$over/cand/batch=$batchId")
+            sigsNew.coalesce(4).write.mode("overwrite")
+              .parquet(s"$over/sigs/batch=$batchId")
+            ()
+            // release the barrier blocks once the trigger's actions are
+            // done — without this every micro-batch's MEMORY_AND_DISK
+            // set lingers until ContextCleaner GC
+          } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
         }
         .option("checkpointLocation", s"$root/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1009,16 +1014,18 @@ object SparkEntry {
             // probe are separate actions over the same micro-batch (the
             // localCheckpoint idiom of the sigstore/image streams)
             val b = b0.localCheckpoint(true)
-            val ups = b.where(col("opcode") === "UPSERT")
-              .select("doc_id", "text")
-            if (graft.pipeline.VersionedStore.currentGen(store).isEmpty)
-              Dedup.writeSignatureStore(ups, store,
-                batchId = Some(batchId))
-            else
-              Dedup.appendToSignatureStoreBatch(ups, store, batchId)
-            val dels = b.where(col("opcode") === "DELETE").select("doc_id")
-            if (!dels.isEmpty) Dedup.tombstoneSignaturesDf(dels, store)
-            ()
+            try {
+              val ups = b.where(col("opcode") === "UPSERT")
+                .select("doc_id", "text")
+              if (graft.pipeline.VersionedStore.currentGen(store).isEmpty)
+                Dedup.writeSignatureStore(ups, store,
+                  batchId = Some(batchId))
+              else
+                Dedup.appendToSignatureStoreBatch(ups, store, batchId)
+              val dels = b.where(col("opcode") === "DELETE").select("doc_id")
+              if (!dels.isEmpty) Dedup.tombstoneSignaturesDf(dels, store)
+              ()
+            } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1803,12 +1810,14 @@ object SparkEntry {
             // localCheckpoint: the postings append and the membership
             // write are separate actions over the same micro-batch
             val b = b0.localCheckpoint(true)
-            graft.pipeline.Retrieval.appendToPostingsIndexBatch(
-              b, s"$root/index", batchId)
-            b.select(col("doc_id")).withColumn("batch_id", lit(batchId))
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$root/member/batch=$batchId")
-            ()
+            try {
+              graft.pipeline.Retrieval.appendToPostingsIndexBatch(
+                b, s"$root/index", batchId)
+              b.select(col("doc_id")).withColumn("batch_id", lit(batchId))
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$root/member/batch=$batchId")
+              ()
+            } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2085,16 +2094,15 @@ object SparkEntry {
       // the two batch appends land in disjoint batch=<id> partition dirs
       // of a fresh store — independent writes, overlapped (guide §2.6)
       locally {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val a = Future(graft.pipeline.QuantileStore.appendBatch(
-          scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang",
-          50L))
-        val b = Future(graft.pipeline.QuantileStore.appendBatch(
-          scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang",
-          50L))
-        Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+        val a = graft.pipeline.Overlap.run(
+          graft.pipeline.QuantileStore.appendBatch(
+            scored.where(col("doc_id") % 2 === 0), dfDir, 0L, "len", "lang",
+            50L))
+        val b = graft.pipeline.Overlap.run(
+          graft.pipeline.QuantileStore.appendBatch(
+            scored.where(col("doc_id") % 2 === 1), dfDir, 1L, "len", "lang",
+            50L))
+        graft.pipeline.Overlap.settle(a, b)
       }
       // registry coverage: the digest-dispatch decode silently drops
       // rows whose schema_id no registered schema resolves — audit it
@@ -2163,16 +2171,14 @@ object SparkEntry {
             all.select((col("id") + 1000000L).as("id"), col("vec")))
           // the two drift audits hit different stores and each runs a
           // chain of driver-blocking probes — overlapped (guide §2.6)
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
-          implicit val ec: ExecutionContext = ExecutionContext.global
-          val fPq = Future(pfx("pq_", F.pqDrift(s,
+          val O = graft.pipeline.Overlap
+          val fPq = O.run(pfx("pq_", F.pqDrift(s,
             graft.sources.WireFixtures.pqIndexDir(s, dir), withTwins)))
-          val fIvfPq = Future(pfx("ivfpq_", F.pqDrift(s,
+          val fIvfPq = O.run(pfx("ivfpq_", F.pqDrift(s,
             graft.sources.WireFixtures.ivfPqIndexDir(s, dir), withTwins,
             "cells")))
-          Await.result(fPq, Duration.Inf)
-            .unionByName(Await.result(fIvfPq, Duration.Inf))
+          O.settle(fPq, fIvfPq)
+          O.value(fPq).unionByName(O.value(fIvfPq))
         })
     }),
 
@@ -2342,13 +2348,10 @@ object SparkEntry {
       // overlapped (guide §2.6); the tombstone append still lands only
       // after the store exists, from the cached purge set
       locally {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val fIdx = Future(
+        val fIdx = graft.pipeline.Overlap.run(
           graft.pipeline.Retrieval.writePostingsIndex(d, s"$root/index"))
-        val fPurge = Future { purge.count(); () }
-        Await.result(fIdx, Duration.Inf); Await.result(fPurge, Duration.Inf)
+        val fPurge = graft.pipeline.Overlap.run { purge.count(); () }
+        graft.pipeline.Overlap.settle(fIdx, fPurge)
       }
       graft.pipeline.Retrieval.tombstoneDocsDf(purge, s"$root/index")
       purge.unpersist()
@@ -2378,13 +2381,15 @@ object SparkEntry {
           .foreachBatch { (b0: DataFrame, batchId: Long) =>
             // one feed read per trigger (the localCheckpoint idiom)
             val b = b0.localCheckpoint(true)
-            graft.pipeline.Retrieval.appendToPostingsIndexBatch(
-              b.where(col("opcode") === "UPSERT").select("doc_id", "text"),
-              s"$root/index", batchId)
-            val dels = b.where(col("opcode") === "DELETE").select("doc_id")
-            if (!dels.isEmpty)
-              graft.pipeline.Retrieval.tombstoneDocsDf(dels, s"$root/index")
-            ()
+            try {
+              graft.pipeline.Retrieval.appendToPostingsIndexBatch(
+                b.where(col("opcode") === "UPSERT").select("doc_id", "text"),
+                s"$root/index", batchId)
+              val dels = b.where(col("opcode") === "DELETE").select("doc_id")
+              if (!dels.isEmpty)
+                graft.pipeline.Retrieval.tombstoneDocsDf(dels, s"$root/index")
+              ()
+            } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3863,13 +3868,13 @@ object SparkEntry {
       // shared read-only exact frame) — overlapped (guide §2.6); each
       // chain's own jobs, measured recall and floor gate are unchanged
       locally {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        served.map { case (m, approx, floor) =>
-          (m, floor, Future(Ann.recallAtK(approx, exact)))
-        }.map { case (m, floor, fr) =>
-          val r = Await.result(fr, Duration.Inf)
+        val O = graft.pipeline.Overlap
+        val chains = served.map { case (m, approx, floor) =>
+          (m, floor, O.run(Ann.recallAtK(approx, exact)))
+        }
+        O.settle(chains.map(_._3): _*)
+        chains.map { case (m, floor, fr) =>
+          val r = O.value(fr)
           // the measured value is the scale-probe datum (SCALING.md) —
           // print it; the FLOOR is the gate
           println(f"[recall] sf=$dir%s method=$m%s recall_at_10=$r%.4f" +
@@ -3905,22 +3910,24 @@ object SparkEntry {
           .foreachBatch { (b0: DataFrame, bid: Long) =>
             // one feed read per trigger (the localCheckpoint idiom)
             val b = b0.localCheckpoint(true)
-            val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
-            // the batchId THREADS THROUGH to the store writes: a
-            // replayed micro-batch (foreachBatch is at-least-once)
-            // overwrites its own batch=<id> partition instead of
-            // double-appending cell rows — replay-idempotent appends,
-            // the appendToPostingsIndexBatch discipline on the ANN
-            // store (deletes were already idempotent by tombstone-set
-            // semantics)
-            if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
-              Ann.appendToIndexBatch(ups, s"$root/index", bid)
-            else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3,
-              batchId = Some(bid))
-            val dels = b.where(col("opcode") === "DELETE").select("id")
-            if (!dels.isEmpty)
-              Ann.tombstoneVectorsDf(dels, s"$root/index")
-            ()
+            try {
+              val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
+              // the batchId THREADS THROUGH to the store writes: a
+              // replayed micro-batch (foreachBatch is at-least-once)
+              // overwrites its own batch=<id> partition instead of
+              // double-appending cell rows — replay-idempotent appends,
+              // the appendToPostingsIndexBatch discipline on the ANN
+              // store (deletes were already idempotent by tombstone-set
+              // semantics)
+              if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
+                Ann.appendToIndexBatch(ups, s"$root/index", bid)
+              else Ann.writeIndex(ups, s"$root/index", k = 8, iters = 3,
+                batchId = Some(bid))
+              val dels = b.where(col("opcode") === "DELETE").select("id")
+              if (!dels.isEmpty)
+                Ann.tombstoneVectorsDf(dels, s"$root/index")
+              ()
+            } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3971,15 +3978,17 @@ object SparkEntry {
           .foreachBatch { (b0: DataFrame, bid: Long) =>
             // one feed read per trigger (the localCheckpoint idiom)
             val b = b0.localCheckpoint(true)
-            val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
-            if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
-              Ann.appendToIvfPqIndexBatch(ups, s"$root/index", bid)
-            else Ann.writeIvfPqIndex(ups, s"$root/index", k = 8,
-              batchId = Some(bid))
-            val dels = b.where(col("opcode") === "DELETE").select("id")
-            if (!dels.isEmpty)
-              Ann.tombstoneVectorsDf(dels, s"$root/index")
-            ()
+            try {
+              val ups = b.where(col("opcode") === "UPSERT").select("id", "vec")
+              if (graft.pipeline.VersionedStore.isVersioned(s"$root/index"))
+                Ann.appendToIvfPqIndexBatch(ups, s"$root/index", bid)
+              else Ann.writeIvfPqIndex(ups, s"$root/index", k = 8,
+                batchId = Some(bid))
+              val dels = b.where(col("opcode") === "DELETE").select("id")
+              if (!dels.isEmpty)
+                Ann.tombstoneVectorsDf(dels, s"$root/index")
+              ()
+            } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
           }
           .option("checkpointLocation", s"$root/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4197,15 +4206,17 @@ object SparkEntry {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val b = batch.localCheckpoint(true)
-          val sigsNew = Multimodal.imageSignatures(b)
-          Dedup.incrementalHammingPairs(sigsNew,
-              s.read.parquet(store).unionByName(overlaySigs()),
-              maxHamming = 7, chunks = 8)
-            .coalesce(4).write.mode("overwrite")
-            .parquet(s"$over/pairs/batch=$batchId")
-          sigsNew.coalesce(4).write.mode("overwrite")
-            .parquet(s"$over/sigs/batch=$batchId")
-          ()
+          try {
+            val sigsNew = Multimodal.imageSignatures(b)
+            Dedup.incrementalHammingPairs(sigsNew,
+                s.read.parquet(store).unionByName(overlaySigs()),
+                maxHamming = 7, chunks = 8)
+              .coalesce(4).write.mode("overwrite")
+              .parquet(s"$over/pairs/batch=$batchId")
+            sigsNew.coalesce(4).write.mode("overwrite")
+              .parquet(s"$over/sigs/batch=$batchId")
+            ()
+          } finally graft.pipeline.PlanCache.freeLocalCheckpoint(b)
         }
         .option("checkpointLocation", s"$root/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

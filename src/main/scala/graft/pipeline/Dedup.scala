@@ -527,15 +527,14 @@ object Dedup {
     val sigs = minhashSignatures(newDocs, textCol, idCol, shingleN, k)
       .persist()
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val a = Future(sigs.coalesce(numFiles)
+      // settled together: a replay of this batch must never start while
+      // an orphaned sibling write to the same batch dirs is in flight
+      val a = Overlap.run(sigs.coalesce(numFiles)
         .write.mode("overwrite").parquet(s"$t/sigs/batch=$batchId"))
-      val b = Future(bandedBucketsFromSignatures(sigs, k, bands)
+      val b = Overlap.run(bandedBucketsFromSignatures(sigs, k, bands)
         .coalesce(numFiles)
         .write.mode("overwrite").parquet(s"$t/banded/batch=$batchId"))
-      Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+      Overlap.settle(a, b)
     } finally sigs.unpersist()
   }
 

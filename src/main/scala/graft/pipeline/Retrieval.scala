@@ -246,17 +246,16 @@ object Retrieval {
     require(numFiles > 0, s"appendToPostingsIndex: numFiles $numFiles")
     val t = VersionedStore.tableRoot(dir)
     // postings and doclens land in different tables — the two writes
-    // overlap (guide §2.6), same rows per table as the sequential form
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val a = Future(positionalPostings(newDocs, idCol, textCol)
+    // overlap (guide §2.6), same rows per table as the sequential form;
+    // Overlap.settle terminates BOTH before any failure propagates (no
+    // orphaned in-flight sibling for a retry to race against)
+    val a = Overlap.run(positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
       .write.mode("append").parquet(s"$t/postings"))
-    val b = Future(docLengths(newDocs, idCol, textCol)
+    val b = Overlap.run(docLengths(newDocs, idCol, textCol)
       .coalesce(1).write.mode("append").parquet(s"$t/doclens"))
-    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    Overlap.settle(a, b)
   }
 
   /** STREAMING-append form of [[appendToPostingsIndex]]: the batch's
@@ -274,18 +273,18 @@ object Retrieval {
       textCol: String = "text"): Unit = {
     require(numFiles > 0, s"appendToPostingsIndexBatch: numFiles $numFiles")
     val t = VersionedStore.tableRoot(dir)
-    // different tables' batch dirs — overlapped ([[appendToPostingsIndex]])
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val a = Future(positionalPostings(newDocs, idCol, textCol)
+    // different tables' batch dirs — overlapped ([[appendToPostingsIndex]]);
+    // settled together so a checkpoint-restart retry of this batch can
+    // never overwrite batch=<id> while an orphaned sibling write is
+    // still in flight
+    val a = Overlap.run(positionalPostings(newDocs, idCol, textCol)
       .repartitionByRange(numFiles, col("token"))
       .sortWithinPartitions("token", "doc_id", "pos")
       .write.mode("overwrite").parquet(s"$t/postings/batch=$batchId"))
-    val b = Future(docLengths(newDocs, idCol, textCol)
+    val b = Overlap.run(docLengths(newDocs, idCol, textCol)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$t/doclens/batch=$batchId"))
-    Await.result(a, Duration.Inf); Await.result(b, Duration.Inf)
+    Overlap.settle(a, b)
   }
 
   /** The LIVE postings of a persisted index (feed to [[phraseSearch]] /

@@ -332,19 +332,19 @@ object VersionedStore {
     // corpus-sized one. Writing them concurrently overlaps each write's
     // plan/commit latency with another's tasks (optimization guide §2.6);
     // the commit marker still only lands after EVERY write returned, so
-    // generation atomicity is untouched.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // generation atomicity is untouched. Overlap.settle additionally
+    // terminates every sibling write before a failure propagates — the
+    // reservation dir is only retried/wiped once nothing is still
+    // writing into it.
     val writes = tables.toSeq.map { case (name, df) =>
-      Future {
+      Overlap.run {
         val w = df.write.mode("overwrite")
         partitionBy.get(name).filter(_.nonEmpty)
           .fold(w)(cols => w.partitionBy(cols: _*))
           .parquet(s"$dir/$name")
       }
     }
-    writes.foreach(Await.result(_, Duration.Inf))
+    Overlap.settle(writes: _*)
     commit(root, gen, token, tables.keys.map(_.split('/').head).toSet,
       tables.head._2.sparkSession)
   }
