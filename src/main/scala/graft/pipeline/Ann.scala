@@ -199,15 +199,34 @@ object Ann {
     String, Array[(Long, Seq[Float])]]()
   private def collectCentroids(centroids: DataFrame)
       : Array[(Long, Seq[Float])] = {
-    val key = PlanCache.planKey(centroids)
+    // content-salted key ([[PlanCache.contentKey]]): generation-
+    // addressed stores are immutable dirs, but readPqBooksAt/tableRoot
+    // accept FLAT dirs too — a flat codebook rebuilt in place within
+    // one JVM must load fresh, not serve the stale quantizer
+    val key = PlanCache.contentKey(centroids)
     val hit = centroidRowsMemo.get(key)
     if (hit != null) return hit
     val rows = centroids.select(col("id").cast("long").as("id"), col("vec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
-    if (centroidRowsMemo.size > 256) centroidRowsMemo.clear()
-    centroidRowsMemo.put(key, rows)
+    // bound + put under the map's own lock: the bare check-then-clear
+    // raced concurrent callers into evicting fresh entries
+    centroidRowsMemo.synchronized {
+      if (centroidRowsMemo.size > 256) centroidRowsMemo.clear()
+      centroidRowsMemo.put(key, rows)
+    }
     rows
   }
+
+  /** Drop every driver-side quantizer memo (codebooks, centroid rows,
+    * PQ books) — the [[PlanCache.clear]] discipline for tests and
+    * memory pressure; registered below so a PlanCache.clear() clears
+    * these too. */
+  def clearQuantizerMemos(): Unit = {
+    codebookMemo.clear()
+    centroidRowsMemo.clear()
+    pqBooksMemo.clear()
+  }
+  PlanCache.onClear(() => clearQuantizerMemos())
 
   private def probeCells(queries: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
@@ -974,11 +993,8 @@ object Ann {
     // per-cell chains independent — they run concurrently so one cell's
     // planning/collect gaps back-fill with another's tasks (guide §2.6);
     // each cell's own jobs, tie-breaks and trained floats are unchanged.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val perCellF = oversized.zipWithIndex.map { case ((cellId, _), idx) =>
-      Future {
+      Overlap.run {
         val memberIds = live.where(col("cell_id") === cellId).select("id")
         val members = memberIds
           .join(corpus.select(col("id").cast("long").as("id"), col("vec")),
@@ -996,7 +1012,8 @@ object Ann {
         (cellId, subs.map { case (i, v) => (nextId + i, v) })
       }
     }
-    val perCell = perCellF.map(Await.result(_, Duration.Inf))
+    Overlap.settle(perCellF: _*)
+    val perCell = perCellF.map(Overlap.value(_))
     val subBook = perCell.flatMap(_._2)
     // cells — untouched rows as-is, split-cell members reassigned under
     // their sub-codebooks (identical vectors share every argmin, so
@@ -1113,15 +1130,8 @@ object Ann {
         corpus.select(col("id").cast("long").as("id"), col("vec")), "id")
       // the two guard counts are independent — overlapped (guide §2.6),
       // values and semantics unchanged
-      val (fIds, fVecs) = {
-        import scala.concurrent.{ExecutionContext, Future}
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        (Future(thinMembers.count()), Future(members.count()))
-      }
-      import scala.concurrent.Await
-      import scala.concurrent.duration.Duration
       val (nIds, nVecs) =
-        (Await.result(fIds, Duration.Inf), Await.result(fVecs, Duration.Inf))
+        Overlap.par2(thinMembers.count(), members.count())
       require(nIds == nVecs, s"mergeCells: ${nIds - nVecs} merged-cell" +
         " member id(s) absent from the corpus — repair the store (fsck)" +
         " before merging")
@@ -1231,15 +1241,13 @@ object Ann {
     // Per-subspace computation (jobs, accumulation order, memo keys) is
     // UNCHANGED — concurrency only overlaps the independent chains, so
     // every trained book is bit-identical to the sequential run's.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val trained = (0 until m).map { j =>
-      Future(trainCentroids(corpus.select(col("id"),
+      Overlap.run(trainCentroids(corpus.select(col("id"),
         slice(col("vec"), j * sub + 1, sub).as("vec")), ksub, iters)._1)
     }
+    Overlap.settle(trained: _*)
     trained.zipWithIndex.map { case (f, j) =>
-      val book = Await.result(f, Duration.Inf)
+      val book = Overlap.value(f)
       // the ADC LUT is indexed as lut[j*ksub + cell]: a short book
       // (corpus smaller than ksub) would silently misalign every
       // subspace after the first — fail loudly instead
@@ -1344,16 +1352,14 @@ object Ann {
     // three independent driver-blocking probes (MSE aggregate,
     // count+checksum aggregate, dim peek) — overlapped, not chained
     // (guide §2.6); each probe's own plan and value are unchanged
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fMse = Future(pqReconMse(frame, books, statsSampleMod))
-    val fRow = Future(frame.agg(count(lit(1)).as("n"),
+    val fMse = Overlap.run(pqReconMse(frame, books, statsSampleMod))
+    val fRow = Overlap.run(frame.agg(count(lit(1)).as("n"),
       idChecksumAgg(statsSampleMod).as("c")).head())
-    val fDim = Future(frame.select(size(col("vec"))).head().getInt(0))
-    val trainMse = Await.result(fMse, Duration.Inf)
-    val r = Await.result(fRow, Duration.Inf)
-    val dim = Await.result(fDim, Duration.Inf)
+    val fDim = Overlap.run(frame.select(size(col("vec"))).head().getInt(0))
+    Overlap.settle(fMse, fRow, fDim)
+    val trainMse = Overlap.value(fMse)
+    val r = Overlap.value(fRow)
+    val dim = Overlap.value(fDim)
     Seq(("train_recon_mse", trainMse),
         ("train_rows", r.getLong(0).toDouble),
         ("train_dim", dim.toDouble),
@@ -1477,7 +1483,10 @@ object Ann {
     // m·ksub driver-sized rows; KB-scale entries, [[collectCentroids]]'
     // retention discipline
     val booksFrame = spark.read.parquet(s"$t/books")
-    val memoKey = PlanCache.planKey(booksFrame)
+    // content-salted ([[PlanCache.contentKey]]): this entry point
+    // explicitly accepts flat dirs, whose books table CAN be rewritten
+    // in place at the same path within one JVM
+    val memoKey = PlanCache.contentKey(booksFrame)
     val hit = pqBooksMemo.get(memoKey)
     if (hit != null) return hit
     val rows = booksFrame.collect()
@@ -1505,8 +1514,10 @@ object Ann {
       require(book.forall(_._2.length == sub),
         s"readPqBooks: subspace $j of $storeDir has mixed slice widths")
     }
-    if (pqBooksMemo.size > 256) pqBooksMemo.clear()
-    pqBooksMemo.put(memoKey, books)
+    pqBooksMemo.synchronized {
+      if (pqBooksMemo.size > 256) pqBooksMemo.clear()
+      pqBooksMemo.put(memoKey, books)
+    }
     books
   }
 
@@ -2058,59 +2069,119 @@ object Ann {
 
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int)
       : (Array[(Long, Seq[Float])], Seq[Double]) = {
-    // train once per (corpus plan, k, iters) — a deployment trains its
-    // codebook once per corpus snapshot and indexes with it thereafter
-    val memoKey = PlanCache.planKey(corpus) + s"|$k|$iters"
+    // train once per (corpus plan+files, k, iters) — a deployment
+    // trains its codebook once per corpus snapshot and indexes with it
+    // thereafter; the content salt retrains when a same-path corpus
+    // table is rewritten in place ([[PlanCache.contentKey]])
+    val salt = PlanCache.fileSalt(corpus)
+    val memoKey = PlanCache.planKey(corpus) + salt + s"|$k|$iters"
     val hit = codebookMemo.get(memoKey)
     if (hit != null) return hit
-    val c = PlanCache.getOrPersist(corpus, s"kmeans-corpus|$k",
+    // the persisted scan is salted too: a plan-keyed persist would pin
+    // the OLD file listing (or stale cached rows) after an in-place
+    // same-path corpus rewrite — MemoFreshnessSpec pins the retrain
+    val c = PlanCache.getOrPersist(corpus, s"kmeans-corpus|$k$salt",
       corpus.select(col("id").cast("long").as("id"), col("vec")))
     var cents = c.orderBy(col("id")).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toSeq) }
     val wcss = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // ONE compiled scan serves EVERY iteration: the assignment+stats
+    // pass runs as a plain RDD job over the persisted frame's own
+    // physical rows, the iteration's codebook captured in the task
+    // closure. The aggregate form it replaces (nearestCellStruct →
+    // groupBy(cell).agg(count, sum(dist), vec_sum)) carried the same
+    // arithmetic but re-entered Catalyst EVERY iteration — the codebook
+    // literal changes, so analysis/optimization/physical planning ran
+    // fresh, ~30–40 ms of scale-independent driver latency per
+    // iteration, multiplied across every training in every store
+    // harness (sub-codebooks, PQ subspaces, rebalance splits). A plain
+    // RDD job has no per-iteration planning at all, and no shuffle
+    // either: the k×(dim+2) per-partition partials come straight to the
+    // driver (codebook-sized), merged in PARTITION ORDER — deterministic,
+    // where the exchange merge it replaces combined partials in arrival
+    // order; both sit in the contract's fp-tolerance class (WCSS is
+    // checked with 1e-9 slack — parallel double sums are last-bit
+    // nondeterministic, the scaladoc's long-standing caveat).
+    // (Reusing one compiled AGGREGATE plan across iterations is NOT an
+    // option: re-running an action on the same shuffled RDD lineage
+    // reuses the registered map outputs, so iteration 2 would silently
+    // serve iteration 1's stats.)
+    // Arithmetic is UNCHANGED and spec-pinned (TrainCentroidsSpec):
+    // per-row assignment is NearestCell's exact loop — lim-bounded l2sq
+    // accumulated in doubles, distance ties keep the smallest cell id —
+    // and per-cell stats are VecSumAgg's exact semantics: count over
+    // assigned rows, row-order double sums, per-element null skip.
+    val rdd = c.queryExecution.toRdd
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 1 to iters) {
-      // fused argmin kernel (nearestCellStruct): one k×dim loop per row
-      // instead of k struct allocations — the round-16 stage probe
-      // measured the declarative form at ~175 s per iteration at 4M
-      // rows, which made TRAINING the hidden dominant stage of every
-      // ANN/semdedup family (min-of-2 legs hid it behind the memo)
-      val best = nearestCellStruct(cents, col("vec"))
-      // Each iteration is ONE job and THREE aggregate expressions:
-      // projection (fused argmin) straight into (count, sum(dist),
-      // vec_sum) — no materialization barrier, no per-dimension
-      // expression fan-out. (History: the posexplode-era
-      // localCheckpoint existed to stop ExtractGenerator hoisting the
-      // argmin above the generator — gone with the explode; the interim
-      // dim-separate-sums form executed fine but cost ~1 s of Catalyst
-      // planning PER ITERATION on its 66-expression aggregate — a
-      // scale-independent floor that dominated every small training,
-      // e.g. the hierarchical sub-codebooks. vec_sum is one imperative
-      // aggregate with a double[dim] buffer: one hash probe + one
-      // element loop per row, k×(dim+2)-sized partials map-side
-      // combined, per-element row-order accumulation — the same sum
-      // semantics, spec-pinned.)
-      val dim = cents(0)._2.length
-      val stats = c
-        .select(col("vec"), best.getField("c").as("cell"),
-          best.getField("d").as("dist"))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), sum(col("dist")).as("dsum"),
-          graft.functions.GraftFunctions.vec_sum(col("vec"), dim).as("s"))
-        .collect()
-      wcss += stats.map(_.getDouble(2)).sum
-      val means = stats.map { r =>
-        val n = r.getLong(1)
-        val s = r.getSeq[Double](3)
-        r.getLong(0) -> (0 until dim).map(i => (s(i) / n).toFloat).toSeq
-      }.toMap
-      cents = cents.map { case (cid, old) =>
-        (cid, means.getOrElse(cid, old))
+      val (ids, flat, _) = flatCodebook(cents)
+      val nc = ids.length
+      val partials = rdd.mapPartitions { it =>
+        val cnt = new Array[Long](nc)
+        val dsum = new Array[Double](nc)
+        val vsum = new Array[Double](nc * dim)
+        while (it.hasNext) {
+          val row = it.next()
+          // the aggregate form failed loudly on a null vec (sum(dist)
+          // returned a null the WCSS read tripped over) — keep it loud
+          if (row.isNullAt(1))
+            throw new IllegalArgumentException(
+              "trainCentroids: null vec in corpus")
+          val a = row.getArray(1)
+          val lim = math.min(a.numElements(), dim)
+          var bestD = 0.0; var bestC = 0L; var bestI = 0; var first = true
+          var cc = 0
+          while (cc < nc) {
+            var acc = 0.0; var i = 0; val off = cc * dim
+            while (i < lim) {
+              val d = a.getFloat(i).toDouble - flat(off + i).toDouble
+              acc += d * d
+              i += 1
+            }
+            val cmp = java.lang.Double.compare(acc, bestD)
+            if (first || cmp < 0 || (cmp == 0 && ids(cc) < bestC)) {
+              bestD = acc; bestC = ids(cc); bestI = cc; first = false
+            }
+            cc += 1
+          }
+          cnt(bestI) += 1
+          dsum(bestI) += bestD
+          var j = 0
+          val voff = bestI * dim
+          while (j < lim) {
+            if (!a.isNullAt(j)) vsum(voff + j) += a.getFloat(j).toDouble
+            j += 1
+          }
+        }
+        Iterator.single((cnt, dsum, vsum))
+      }.collect() // collect() preserves partition order — see above
+      val cnt = new Array[Long](nc)
+      val dsum = new Array[Double](nc)
+      val vsum = new Array[Double](nc * dim)
+      partials.foreach { case (c1, d1, v1) =>
+        var i = 0
+        while (i < nc) { cnt(i) += c1(i); dsum(i) += d1(i); i += 1 }
+        var j = 0
+        while (j < nc * dim) { vsum(j) += v1(j); j += 1 }
+      }
+      wcss += {
+        var s = 0.0; var i = 0
+        while (i < nc) { if (cnt(i) > 0) s += dsum(i); i += 1 }
+        s
+      }
+      cents = cents.zipWithIndex.map { case ((cid, old), i) =>
+        if (cnt(i) > 0)
+          (cid, (0 until dim).map(j => (vsum(i * dim + j) / cnt(i)).toFloat)
+            .toSeq)
+        else (cid, old) // empty cells keep their previous centroid
       }
     }
     val result = (cents, wcss.toSeq)
-    if (codebookMemo.size > 64) codebookMemo.clear() // KB-scale entries
-    codebookMemo.put(memoKey, result)
+    codebookMemo.synchronized { // KB-scale entries
+      if (codebookMemo.size > 64) codebookMemo.clear()
+      codebookMemo.put(memoKey, result)
+    }
     result
   }
 
