@@ -338,10 +338,18 @@ object VersionedStore {
     // writing into it.
     val writes = tables.toSeq.map { case (name, df) =>
       Overlap.run {
-        val w = df.write.mode("overwrite")
-        partitionBy.get(name).filter(_.nonEmpty)
-          .fold(w)(cols => w.partitionBy(cols: _*))
-          .parquet(s"$dir/$name")
+        val part = partitionBy.get(name).filter(_.nonEmpty)
+        // DRIVER-LOCAL tables (codebook, books, quant_stats — plans
+        // that collapse to a LocalRelation) skip the distributed
+        // writer: launching a Spark job to write one driver-held row
+        // costs a scheduler round-trip + task launch + commit
+        // (~60–100 ms of scale-independent latency per table);
+        // DriverParquet emits the byte-compatible file directly
+        if (part.nonEmpty || !DriverParquet.writeIfLocal(df, s"$dir/$name")) {
+          val w = df.write.mode("overwrite")
+          part.fold(w)(cols => w.partitionBy(cols: _*))
+            .parquet(s"$dir/$name")
+        }
       }
     }
     Overlap.settle(writes: _*)
