@@ -413,6 +413,81 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("zstd")) {
+      // STORE-WRITE codec leg (optimization guide §6: "zstd: smaller
+      // than snappy at similar read speed" — prove it on THIS engine's
+      // store shapes instead of citing it): time a signature-store
+      // build (hash-heavy payload: minhash sigs + banded keys) and a
+      // raw-docs passthrough write (text-heavy payload) under snappy vs
+      // zstd at sf1 and sf10, with read-back scans and on-disk bytes.
+      // Store BUILDS are the write-dominant operators here; the bench
+      // inputs stay snappy (re-encoding the fixtures is not a round
+      // job), so this leg is the production-conf evidence, not a bench
+      // change.
+      deriveNext(spark, DerivedDir, Derived10Dir, level = 2)
+      def du(dir: String): Long =
+        graft.pipeline.StoreFs.listFileStatusesRecursive(dir)
+          .map { case (p, _, _) =>
+            try java.nio.file.Files.size(java.nio.file.Paths.get(
+              p.stripPrefix("file:"))) catch { case _: Throwable => 0L }
+          }.sum
+      def minOf2(run: () => Unit): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime(); run()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      def leg(dir: String, label: String): Unit = {
+        val docs = spark.read.parquet(s"$dir/docs.parquet")
+          .select(col("doc_id"), col("text"))
+        Seq("snappy", "zstd").foreach { codec =>
+          spark.conf.set("spark.sql.parquet.compression.codec", codec)
+          // signature-store build: the engine's write-dominant shape
+          var n = 0
+          val sigDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+          val tSig = minOf2 { () =>
+            val out = s"/tmp/graft_zstdleg/$label-$codec-sig-$n"; n += 1
+            sigDirs += out
+            graft.pipeline.Dedup.writeSignatureStore(docs, out,
+              numFiles = 8)
+          }
+          val sigDir = sigDirs.last
+          val sigBytes = du(sigDir)
+          val t = graft.pipeline.VersionedStore.tableRoot(sigDir)
+          val tSigRead = minOf2 { () =>
+            spark.read.parquet(s"$t/sigs")
+              .write.format("noop").mode("overwrite").save()
+            spark.read.parquet(s"$t/banded")
+              .write.format("noop").mode("overwrite").save()
+          }
+          // raw text passthrough: how the codec behaves on documents
+          var m = 0
+          val docDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+          val tDoc = minOf2 { () =>
+            val out = s"/tmp/graft_zstdleg/$label-$codec-docs-$m"; m += 1
+            docDirs += out
+            docs.write.mode("overwrite").parquet(out)
+          }
+          val docBytes = du(docDirs.last)
+          val tDocRead = minOf2 { () =>
+            spark.read.parquet(docDirs.last)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"[zstd] $label%-5s codec=$codec%-6s" +
+            f" sig_write=$tSig%7.2f s sig_read=$tSigRead%6.2f s" +
+            f" sig_bytes=$sigBytes%12d" +
+            f" docs_write=$tDoc%7.2f s docs_read=$tDocRead%6.2f s" +
+            f" docs_bytes=$docBytes%12d")
+          (sigDirs ++ docDirs).foreach(d =>
+            graft.pipeline.StoreFs.deleteRecursive(d))
+        }
+      }
+      leg(DerivedDir, "sf1")
+      leg(Derived10Dir, "sf10")
+      spark.stop(); return
+    }
+
     if (args.contains("kndiag")) {
       // diagnostic: stage walls of the semdedup kN shape (train /
       // assign / pairs+verify) per dir+k, for root-causing ratio moves
