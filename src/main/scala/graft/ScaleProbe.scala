@@ -439,7 +439,7 @@ object ScaleProbe {
         math.min(once(), once())
       }
       def leg(dir: String, label: String): Unit = {
-        val docs = spark.read.parquet(s"$dir/docs.parquet")
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
         Seq("snappy", "zstd").foreach { codec =>
           spark.conf.set("spark.sql.parquet.compression.codec", codec)
